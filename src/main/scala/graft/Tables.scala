@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central table loaders. One place to keep scans pushdown-friendly:
+  * every operator selects only the columns it needs so parquet column
+  * pruning + predicate pushdown reach the scan (checked via
+  * `.explain("formatted")` → ReadSchema/PushedFilters).
+  *
+  * Timeseries mapping (see SURVEY.md §3): the reference engine
+  * (Pennsieve/pennsieve-streaming) models data as channels of
+  * (timestamp µs UTC, value) samples indexed by time ranges
+  * (reference: query/QuerySequencer.scala:68, query/WsClient.scala:191).
+  * Here the `events` table plays that role: channel = event_type,
+  * t = microseconds since epoch, v = value.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Timeseries view of `events`: (channel, t µs, v, user_id).
+    * µs conversion stays integer arithmetic ⇒ codegen'd, and the
+    * underlying ts/event_type predicates still push down to parquet.
+    */
+  def ts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_type").as("channel"),
+      unix_micros(col("ts")).as("t"),
+      col("value").as("v"),
+      col("user_id"),
+      col("event_id")
+    )
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational coverage (SURVEY.md §2 "Core relational engine").
+  *
+  * Conventions shared with the DuckDB oracle (driver hash-compares):
+  *  - money/quantity sums go through DECIMAL so both engines do exact
+  *    arithmetic (double sums are order-dependent across engines);
+  *  - averages of small-magnitude values are round(...,6) doubles;
+  *  - every result carries a total ORDER BY.
+  *
+  * Scale notes: groupBy aggregates here are algebraic ⇒ Catalyst plans
+  * partial (map-side) aggregation before the single shuffle; dimension
+  * tables (nation/region/customer) are broadcast, so q2/q5 shuffle only
+  * the fact side.
+  */
+object Relational {
+  private val d204 = DecimalType(20, 4)
+  private val d384 = DecimalType(38, 4)
+
+  /** TPC-H Q1-style pricing summary: scan → filter (pushed down) →
+    * partial agg → final agg.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(d204)).cast(d384).as("sum_qty"),
+        sum(col("l_extendedprice").cast(d204)).cast(d384).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(d204) * (lit(1).cast(d204) - col("l_discount").cast(d204)))
+          .cast(d384)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+      |  ROUND(AVG(l_discount), 6) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Multi-way join: fact (orders) joined to broadcast dimensions.
+    * nation/region/customer are tiny relative to orders ⇒ explicit
+    * broadcast keeps this a single-stage, shuffle-free join chain on
+    * the fact side.
+    */
+  def q2Join(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("o_totalprice").cast(d204)).cast(d384).as("total_price")
+      )
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q2Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-k by aggregated revenue: Catalyst plans TakeOrderedAndProject
+    * after the aggregate — no global sort of the full result.
+    */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(col("l_extendedprice").cast(d204) * (lit(1).cast(d204) - col("l_discount").cast(d204)))
+          .cast(d384)
+          .as("revenue")
+      )
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Window functions: rank orders by price within customer; single
+    * shuffle on the partition key.
+    */
+  def q4Window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        row_number().over(w).cast("long").as("rnk")
+      )
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  /** Left-semi join: orders that have at least one high-value line.
+    * Semi-join avoids materializing the join product; the lineitem
+    * filter pushes to the scan.
+    */
+  def q5Semi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val bigLines = Tables
+      .lineitem(spark, dir)
+      .filter(col("l_extendedprice") > 50000.0)
+      .select(col("l_orderkey"))
+    o.join(bigLines, o("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q5Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 50000.0)
+      |ORDER BY o_orderkey""".stripMargin
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  "q1_agg" should "aggregate lineitem pricing summary" in {
+    val rows = Relational.q1Agg(spark, sfDir).collect()
+    rows.length should be > 0
+    val flags = rows.map(_.getString(0)).toSet
+    flags.subsetOf(Set("A", "N", "R")) shouldBe true
+    // counts sum to the filtered row count
+    val total = rows.map(_.getLong(rows.head.fieldIndex("count_order"))).sum
+    total should be > 0L
+  }
+
+  "q2_join" should "join orders through dims and keep every order" in {
+    val rows = Relational.q2Join(spark, sfDir).collect()
+    val orderCount = rows.map(_.getLong(rows.head.fieldIndex("order_count"))).sum
+    orderCount shouldBe Tables.orders(spark, sfDir).count()
+  }
+
+  it should "broadcast the dimension tables" in {
+    val plan = Relational.q2Join(spark, sfDir).queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  "q3_topk" should "return exactly 10 orders in descending revenue" in {
+    val rows = Relational.q3TopK(spark, sfDir).collect()
+    rows.length shouldBe 10
+    val revs = rows.map(_.getDecimal(1).doubleValue())
+    revs.sliding(2).foreach { case Array(a, b) => a should be >= b }
+  }
+
+  "q4_window" should "rank at most 3 orders per customer" in {
+    val rows = Relational.q4Window(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).values.foreach(_.length should be <= 3)
+    rows.map(_.getLong(3)).max should be <= 3L
+  }
+
+  "q5_semi" should "only return orders that have a big line" in {
+    val df = Relational.q5Semi(spark, sfDir)
+    val n = df.count()
+    n should be > 0L
+    n should be < Tables.orders(spark, sfDir).count()
+  }
+}
