@@ -16,7 +16,18 @@ object SparkEntry {
     "q2_join" -> (Relational.q2Join _),
     "q3_topk" -> (Relational.q3TopK _),
     "q4_window" -> (Relational.q4Window _),
-    "q5_semi" -> (Relational.q5Semi _)
+    "q5_semi" -> (Relational.q5Semi _),
+    "ts_range" -> (Timeseries.tsRange _),
+    "ts_downsample" -> (Timeseries.tsDownsample _),
+    "ts_resample_chunk" -> (Timeseries.tsResampleChunk _),
+    "ts_gaps" -> (Timeseries.tsGaps _),
+    "ts_montage" -> (Timeseries.tsMontage _),
+    "ts_eventbin" -> (Timeseries.tsEventBin _),
+    "ts_spikes" -> (Timeseries.tsSpikes _),
+    "ts_asof" -> (Timeseries.tsAsof _),
+    "ts_stats" -> (Timeseries.tsStats _),
+    "ts_channels" -> (Timeseries.tsChannels _),
+    "ts_annotations" -> (Timeseries.tsAnnotations _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,6 +38,17 @@ object SparkEntry {
     "q2_join" -> Relational.q2Sql,
     "q3_topk" -> Relational.q3Sql,
     "q4_window" -> Relational.q4Sql,
-    "q5_semi" -> Relational.q5Sql
+    "q5_semi" -> Relational.q5Sql,
+    "ts_range" -> Timeseries.tsRangeSql,
+    "ts_downsample" -> Timeseries.tsDownsampleSql,
+    "ts_resample_chunk" -> Timeseries.tsResampleChunkSql,
+    "ts_gaps" -> Timeseries.tsGapsSql,
+    "ts_montage" -> Timeseries.tsMontageSql,
+    "ts_eventbin" -> Timeseries.tsEventBinSql,
+    "ts_spikes" -> Timeseries.tsSpikesSql,
+    "ts_asof" -> Timeseries.tsAsofSql,
+    "ts_stats" -> Timeseries.tsStatsSql,
+    "ts_channels" -> Timeseries.tsChannelsSql,
+    "ts_annotations" -> Timeseries.tsAnnotationsSql
   )
 }

@@ -34,12 +34,23 @@ object Tables {
     * µs conversion stays integer arithmetic ⇒ codegen'd, and the
     * underlying ts/event_type predicates still push down to parquet.
     */
-  def ts(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
+  def ts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    // events.ts is TIMESTAMP(NANOS) parquet. With
+    // spark.sql.legacy.parquet.nanosAsLong=true (set by our mains) it
+    // reads as Long nanoseconds; truncate to µs like DuckDB's epoch_us.
+    // Integer division: `/` would go through double and lose precision
+    // on ~1.7e18 nanosecond values (> 2^53).
+    val t = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    ev.select(
       col("event_type").as("channel"),
-      unix_micros(col("ts")).as("t"),
+      t.as("t"),
       col("value").as("v"),
       col("user_id"),
       col("event_id")
     )
+  }
 }

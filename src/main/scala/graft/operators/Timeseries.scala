@@ -1,0 +1,465 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Timeseries operators — the reference engine's core domain
+  * (Pennsieve/pennsieve-streaming), re-expressed as declarative
+  * DataFrame plans over the canonical ts(channel, t µs, v) shape.
+  *
+  * Reference semantics mapped here (SURVEY.md §1/§2):
+  *  - range query + trim:      query/TimeSeriesQueryUtils.scala:114-154
+  *  - min/max pixel downsample: query/BaseTimeSeriesQuery.scala:58-96
+  *  - chunked resample (cut):   query/TimeSeriesQueryUtils.scala:208-235
+  *  - contiguous spans (contig):query/TimeSeriesQueryUtils.scala:303-349
+  *  - montage (lead - secondary):server/Montage.scala,
+  *                              query/TimeSeriesQueryRawHttp.scala:326-334
+  *  - event binning (EventSummary): query/WsClient.scala:102-139
+  *  - spike detection analog:   query/TimeSeriesUnitQueryRawHttp.scala
+  *  - channel catalog:          server/TSJsonSupport.scala VirtualChannelInfo
+  *  - timespan annotations:     server/SegmentService.scala
+  *
+  * Scale design: every operator groups/windows on (channel, bucket) or
+  * (channel) — one shuffle, algebraic aggregates (map-side partial),
+  * integer µs arithmetic only (whole-stage codegen, no UDFs). The as-of
+  * join avoids the classic global-sort trap via bucketed windows + a
+  * tiny bucket-summary carry join (see asofJoin).
+  */
+object Timeseries {
+
+  /** 1 hour in microseconds — the "pixelWidth" used by the fixed queries. */
+  val BucketUs = 3600000000L
+
+  /** 30 min gap threshold for span detection. */
+  val GapUs = 1800000000L
+
+  /** Samples per chunk for index-chunked resampling. */
+  val ChunkSize = 100
+
+  /** Spike threshold (~q90 of events.value). */
+  val SpikeThreshold = 100.0
+
+  /** Query window for the fixed range query: [2024-01-05, 2024-01-20) UTC. */
+  val RangeStartUs = 1704412800000000L
+  val RangeEndUs = 1705708800000000L
+
+  private def microsBucket(t: Column, width: Long): Column =
+    floor(t / lit(width)).cast("long")
+
+  // ---------------------------------------------------------------------
+  // Generic operators
+  // ---------------------------------------------------------------------
+
+  /** Range query: trim a channel set to [start, end), ordered stream.
+    * The channel + time predicates push down to the parquet scan; at
+    * scale (time-bucket partitioned layout) this is partition pruning —
+    * the Spark-native analog of the reference's Postgres range lookup.
+    */
+  def rangeQuery(ts: DataFrame, channels: Seq[String], startUs: Long, endUs: Long): DataFrame =
+    ts.filter(col("channel").isin(channels: _*) && col("t") >= startUs && col("t") < endUs)
+
+  /** Min/max downsample at a pixel width: the Segment produced for a
+    * resampled continuous query. One shuffle on (channel, bucket);
+    * min/max/count/avg are algebraic ⇒ partial aggregation map-side.
+    */
+  def downsample(ts: DataFrame, pixelUs: Long): DataFrame =
+    ts.groupBy(col("channel"), microsBucket(col("t"), pixelUs).as("bucket"))
+      .agg(
+        min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"),
+        count(lit(1)).as("n"),
+        round(avg(col("v")), 6).as("vavg")
+      )
+      .select(
+        col("channel"),
+        col("bucket"),
+        (col("bucket") * lit(pixelUs)).as("bucket_start"),
+        col("vmin"),
+        col("vmax"),
+        col("n"),
+        col("vavg")
+      )
+
+  /** Index-chunked resample: group every `chunkSize` consecutive samples
+    * per channel and emit (min,max), dropping the trailing partial chunk
+    * exactly like the reference (`grouped(n).take(floor(total/n))`).
+    * The row_number window is the one per-channel sort; chunk agg after
+    * it is partial.
+    */
+  def resampleChunks(ts: DataFrame, chunkSize: Int): DataFrame = {
+    val w = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
+    ts.select(
+      col("channel"),
+      col("t"),
+      col("v"),
+      ((row_number().over(w) - 1) / lit(chunkSize)).cast("long").as("chunk")
+    ).groupBy(col("channel"), col("chunk"))
+      .agg(min(col("v")).as("cmin"), max(col("v")).as("cmax"), count(lit(1)).as("n"))
+      .filter(col("n") === chunkSize)
+  }
+
+  /** Contiguous-span detection (`contig`): split each channel's stream
+    * where consecutive samples are >= gapUs apart (the reference's
+    * combine splits on `first.min - last.max >= threshold`,
+    * query/TimeSeriesQueryUtils.scala:316), then emit one row per span.
+    * lag + running-sum windows share one (channel) sort.
+    */
+  def contiguousSpans(ts: DataFrame, gapUs: Long): DataFrame = {
+    val byT = Window.partitionBy(col("channel")).orderBy(col("t"))
+    val newSpan =
+      when(col("t") - lag(col("t"), 1).over(byT) >= gapUs, 1L).otherwise(0L)
+    ts.select(col("channel"), col("t"), newSpan.as("brk"))
+      .select(
+        col("channel"),
+        col("t"),
+        sum(col("brk")).over(byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("span_id")
+      )
+      .groupBy(col("channel"), col("span_id"))
+      .agg(min(col("t")).as("span_start"), max(col("t")).as("span_end"), count(lit(1)).as("n"))
+  }
+
+  /** Montage: subtract the secondary channel from the lead channel on
+    * aligned time buckets (the set analog of the reference's
+    * sample-aligned stream zip). Channel averages are bucket-aggregated
+    * first (one shuffle), then joined per montage pair; the pair table
+    * is broadcast.
+    */
+  def montage(
+    spark: SparkSession,
+    ts: DataFrame,
+    pairs: Seq[(String, String)],
+    bucketUs: Long
+  ): DataFrame = {
+    import spark.implicits._
+    val chans = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val b = ts
+      .filter(col("channel").isin(chans: _*))
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg(avg(col("v")).as("av"))
+    val pairDf = pairs.toDF("lead", "sec")
+    val l = b.select(col("channel").as("lead"), col("bucket"), col("av").as("lead_av"))
+    val r = b.select(col("channel").as("sec_ch"), col("bucket").as("rbucket"), col("av").as("sec_av"))
+    l.join(broadcast(pairDf), "lead")
+      .join(r, col("rbucket") === col("bucket") && col("sec_ch") === col("sec"))
+      .select(
+        concat(col("lead"), lit("<->"), col("sec")).as("channel"),
+        col("bucket"),
+        round(col("lead_av") - col("sec_av"), 6).as("v")
+      )
+  }
+
+  /** Unit-event binning: EventSummary(minTime, maxTime, avgTime =
+    * (min+max)/2 integer, count) per (channel, pixel bucket) — the
+    * reference's unit-channel summary, where here every event row is an
+    * "event timestamp".
+    */
+  def eventBins(ts: DataFrame, pixelUs: Long): DataFrame =
+    ts.groupBy(col("channel"), microsBucket(col("t"), pixelUs).as("bucket"))
+      .agg(min(col("t")).as("min_time"), max(col("t")).as("max_time"), count(lit(1)).as("n"))
+      .select(
+        col("channel"),
+        col("bucket"),
+        col("min_time"),
+        col("max_time"),
+        floor((col("min_time") + col("max_time")) / 2).cast("long").as("avg_time"),
+        col("n")
+      )
+
+  /** Rising threshold crossings per channel: v > thresh and previous
+    * v <= thresh (unit-channel spike analog).
+    */
+  def spikes(ts: DataFrame, thresh: Double): DataFrame = {
+    val byT = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
+    ts.select(col("channel"), col("t"), col("v"), lag(col("v"), 1).over(byT).as("pv"))
+      .filter(col("v") > thresh && col("pv") <= thresh)
+      .select(col("channel"), col("t"), col("v"))
+  }
+
+  /** Distributed as-of join: for every left row, the latest right value
+    * with r.t <= l.t. No global sort: both sides are bucketed by coarse
+    * time bucket; a within-bucket window fills the running value, and
+    * rows before their bucket's first right row fall back to a carry
+    * value computed on the tiny per-bucket summary (max #buckets rows)
+    * and joined back via broadcast.
+    *
+    * `right` must be one row per t with column (t, rv); `left` keeps its
+    * columns.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, bucketUs: Long): DataFrame = {
+    val lCols = left.columns
+    val lb = left.withColumn("__bucket", microsBucket(col("t"), bucketUs)).withColumn("__src", lit(1))
+    val rb = right
+      .select(col("t"), col("rv"))
+      .withColumn("__bucket", microsBucket(col("t"), bucketUs))
+      .withColumn("__src", lit(0))
+
+    val unioned = lb
+      .select(
+        col("__bucket") +: col("__src") +: col("t") +:
+          lit(null).cast("double").as("rv") +:
+          lCols.filterNot(_ == "t").map(c => col(c).as(c)): _*
+      )
+      .unionByName(
+        rb.select(
+          col("__bucket") +: col("__src") +: col("t") +: col("rv") +:
+            lCols.filterNot(_ == "t").map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*
+        )
+      )
+
+    val inBucket = Window
+      .partitionBy(col("__bucket"))
+      .orderBy(col("t"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("__rv_bucket", last(col("rv"), ignoreNulls = true).over(inBucket))
+
+    // Per-bucket last right value, extended to every bucket either side
+    // touches, then carry = last right value of any strictly-preceding
+    // bucket. The summary has one row per bucket — orders of magnitude
+    // smaller than the data — so the unpartitioned window is safe, and
+    // the result broadcasts back into the bucket-partitioned stream.
+    val perBucket = rb.groupBy(col("__bucket")).agg(max_by(col("rv"), col("t")).as("last_rv"))
+    val allBuckets = lb
+      .select(col("__bucket"))
+      .union(rb.select(col("__bucket")))
+      .distinct()
+    val byBucket = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = broadcast(
+      allBuckets
+        .join(perBucket, Seq("__bucket"), "left")
+        .withColumn("__carry", last(col("last_rv"), ignoreNulls = true).over(byBucket))
+        .select(col("__bucket"), col("__carry"))
+    )
+
+    filled
+      .filter(col("__src") === 1)
+      .join(carry, Seq("__bucket"), "left")
+      .select(
+        (lCols.map(c => col(c)) :+ coalesce(col("__rv_bucket"), col("__carry")).as("rv")): _*
+      )
+  }
+
+  /** Per-channel stream statistics (count/avg/stddev/rms/min/max/rate). */
+  def channelStats(ts: DataFrame): DataFrame =
+    ts.groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("v")), 6).as("vavg"),
+        round(stddev_samp(col("v")), 6).as("vstd"),
+        round(sqrt(avg(col("v") * col("v"))), 6).as("vrms"),
+        min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"),
+        min(col("t")).as("t0"),
+        max(col("t")).as("t1")
+      )
+
+  /** Channel catalog (VirtualChannelInfo analog): start/end/counts. */
+  def channelCatalog(ts: DataFrame): DataFrame =
+    ts.groupBy(col("channel"))
+      .agg(
+        min(col("t")).as("start"),
+        max(col("t")).as("end"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+
+  /** Merge overlapping/abutting annotation spans (timespan write path):
+    * classic island detection with a cumulative-max window per channel.
+    * Spans here are derived from events: [t, t + value minutes].
+    */
+  def mergeAnnotationSpans(spans: DataFrame): DataFrame = {
+    val byStart = Window.partitionBy(col("channel")).orderBy(col("s"), col("e"))
+    val prevMaxEnd = max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("new_island", when(prevMaxEnd.isNull || col("s") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn(
+        "island",
+        sum(col("new_island")).over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .groupBy(col("channel"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"), count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Fixed queries for the driver gate (SparkEntry), with oracle SQL
+  // ---------------------------------------------------------------------
+
+  def tsRange(spark: SparkSession, dir: String): DataFrame =
+    rangeQuery(Tables.ts(spark, dir), Seq("click", "error"), RangeStartUs, RangeEndUs)
+      .select(col("channel"), col("t"), col("v"), col("event_id"))
+      .orderBy(col("channel"), col("t"), col("event_id"))
+
+  val tsRangeSql: String =
+    s"""SELECT event_type AS channel, epoch_us(ts) AS t, value AS v, event_id
+       |FROM events
+       |WHERE event_type IN ('click','error')
+       |  AND epoch_us(ts) >= $RangeStartUs AND epoch_us(ts) < $RangeEndUs
+       |ORDER BY channel, t, event_id""".stripMargin
+
+  def tsDownsample(spark: SparkSession, dir: String): DataFrame =
+    downsample(Tables.ts(spark, dir), BucketUs)
+      .orderBy(col("channel"), col("bucket"))
+
+  val tsDownsampleSql: String =
+    s"""SELECT event_type AS channel,
+       |  CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket,
+       |  CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) * $BucketUs AS bucket_start,
+       |  MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n,
+       |  ROUND(AVG(value), 6) AS vavg
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY channel, bucket""".stripMargin
+
+  def tsResampleChunk(spark: SparkSession, dir: String): DataFrame =
+    resampleChunks(Tables.ts(spark, dir), ChunkSize)
+      .orderBy(col("channel"), col("chunk"))
+
+  val tsResampleChunkSql: String =
+    s"""SELECT channel, chunk, MIN(v) AS cmin, MAX(v) AS cmax, COUNT(*) AS n FROM (
+       |  SELECT event_type AS channel, value AS v,
+       |    CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) - 1) / $ChunkSize) AS BIGINT) AS chunk
+       |  FROM events) t
+       |GROUP BY channel, chunk
+       |HAVING COUNT(*) = $ChunkSize
+       |ORDER BY channel, chunk""".stripMargin
+
+  def tsGaps(spark: SparkSession, dir: String): DataFrame =
+    contiguousSpans(Tables.ts(spark, dir), GapUs)
+      .orderBy(col("channel"), col("span_id"))
+
+  val tsGapsSql: String =
+    s"""SELECT channel, span_id, MIN(t) AS span_start, MAX(t) AS span_end, COUNT(*) AS n FROM (
+       |  SELECT channel, t,
+       |    CAST(SUM(brk) OVER (PARTITION BY channel ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+       |  FROM (
+       |    SELECT event_type AS channel, epoch_us(ts) AS t,
+       |      CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) >= $GapUs
+       |           THEN 1 ELSE 0 END AS brk
+       |    FROM events) a) b
+       |GROUP BY channel, span_id
+       |ORDER BY channel, span_id""".stripMargin
+
+  val MontagePairs: Seq[(String, String)] =
+    Seq(("click", "view"), ("error", "purchase"), ("signup", "click"))
+
+  def tsMontage(spark: SparkSession, dir: String): DataFrame =
+    montage(spark, Tables.ts(spark, dir), MontagePairs, BucketUs)
+      .orderBy(col("channel"), col("bucket"))
+
+  val tsMontageSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type AS ch, CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket, AVG(value) AS av
+       |  FROM events GROUP BY 1, 2),
+       |p(lead, sec) AS (VALUES ('click','view'), ('error','purchase'), ('signup','click'))
+       |SELECT p.lead || '<->' || p.sec AS channel, l.bucket AS bucket, ROUND(l.av - r.av, 6) AS v
+       |FROM p
+       |JOIN b l ON l.ch = p.lead
+       |JOIN b r ON r.ch = p.sec AND r.bucket = l.bucket
+       |ORDER BY channel, bucket""".stripMargin
+
+  def tsEventBin(spark: SparkSession, dir: String): DataFrame =
+    eventBins(Tables.ts(spark, dir), BucketUs)
+      .orderBy(col("channel"), col("bucket"))
+
+  val tsEventBinSql: String =
+    s"""SELECT event_type AS channel,
+       |  CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket,
+       |  MIN(epoch_us(ts)) AS min_time, MAX(epoch_us(ts)) AS max_time,
+       |  CAST(FLOOR((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2) AS BIGINT) AS avg_time,
+       |  COUNT(*) AS n
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY channel, bucket""".stripMargin
+
+  def tsSpikes(spark: SparkSession, dir: String): DataFrame =
+    spikes(Tables.ts(spark, dir), SpikeThreshold)
+      .orderBy(col("channel"), col("t"))
+
+  val tsSpikesSql: String =
+    s"""SELECT channel, t, v FROM (
+       |  SELECT event_type AS channel, epoch_us(ts) AS t, value AS v,
+       |    LAG(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS pv
+       |  FROM events) a
+       |WHERE v > $SpikeThreshold AND pv <= $SpikeThreshold
+       |ORDER BY channel, t""".stripMargin
+
+  def tsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Tables.ts(spark, dir)
+    val left = ts
+      .filter(col("channel") === "click")
+      .select(col("event_id"), col("t"), col("v"))
+    val right = ts
+      .filter(col("channel") === "error")
+      .groupBy(col("t"))
+      .agg(avg(col("v")).as("rv"))
+    asofJoin(left, right, BucketUs)
+      .select(col("event_id"), col("t"), col("v"), round(col("rv"), 6).as("last_error_v"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsAsofSql: String =
+    """SELECT a.event_id, epoch_us(a.ts) AS t, a.value AS v, ROUND(b.rv, 6) AS last_error_v
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |ASOF LEFT JOIN (
+      |  SELECT epoch_us(ts) AS rt, AVG(value) AS rv
+      |  FROM events WHERE event_type = 'error' GROUP BY 1) b
+      |ON epoch_us(a.ts) >= b.rt
+      |ORDER BY a.event_id""".stripMargin
+
+  def tsStats(spark: SparkSession, dir: String): DataFrame =
+    channelStats(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  val tsStatsSql: String =
+    """SELECT event_type AS channel, COUNT(*) AS n,
+      |  ROUND(AVG(value), 6) AS vavg,
+      |  ROUND(STDDEV_SAMP(value), 6) AS vstd,
+      |  ROUND(SQRT(AVG(value * value)), 6) AS vrms,
+      |  MIN(value) AS vmin, MAX(value) AS vmax,
+      |  MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
+  def tsChannels(spark: SparkSession, dir: String): DataFrame =
+    channelCatalog(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  val tsChannelsSql: String =
+    """SELECT event_type AS channel,
+      |  MIN(epoch_us(ts)) AS start, MAX(epoch_us(ts)) AS "end",
+      |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
+  /** Annotation spans derived from error events: [t, t + value minutes]. */
+  def tsAnnotations(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables
+      .ts(spark, dir)
+      .filter(col("channel") === "error")
+      .select(
+        col("channel"),
+        col("t").as("s"),
+        // explicit floor: DuckDB CAST(double AS BIGINT) rounds while
+        // Spark's cast truncates — floor on both sides aligns them
+        (col("t") + floor(col("v") * lit(60000000.0)).cast("long")).as("e")
+      )
+    mergeAnnotationSpans(spans).orderBy(col("channel"), col("island"))
+  }
+
+  val tsAnnotationsSql: String =
+    """SELECT channel, island, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n FROM (
+      |  SELECT channel, s, e,
+      |    CAST(SUM(new_island) OVER (PARTITION BY channel ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM (
+      |    SELECT channel, s, e,
+      |      CASE WHEN MAX(e) OVER (PARTITION BY channel ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |             OR s > MAX(e) OVER (PARTITION BY channel ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           THEN 1 ELSE 0 END AS new_island
+      |    FROM (
+      |      SELECT event_type AS channel, epoch_us(ts) AS s,
+      |        epoch_us(ts) + CAST(FLOOR(value * 60000000.0) AS BIGINT) AS e
+      |      FROM events WHERE event_type = 'error') raw) flagged) grouped
+      |GROUP BY channel, island
+      |ORDER BY channel, island""".stripMargin
+}

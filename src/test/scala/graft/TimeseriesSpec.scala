@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.Timeseries
+import org.apache.spark.sql.functions._
+
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTs(rows: Seq[(String, Long, Double)]) =
+    rows
+      .zipWithIndex
+      .map { case ((c, t, v), i) => (c, t, v, 0L, i.toLong) }
+      .toDF("channel", "t", "v", "user_id", "event_id")
+
+  "contiguousSpans" should "merge reference contig example: ((1,4),(5,8),(10,12),(13,18)) @ gap 2 -> ((1,8),(10,18))" in {
+    // Reference behavior: query/TimeSeriesQueryUtils.scala `contig`
+    // (split when gap >= threshold, combine at :316), asserted in
+    // ResamplingSpec ("filtering contiguous segments"): intervals
+    // (1,4)(5,8) merge (gap 1 < 2), (8)->(10) splits (gap 2 >= 2).
+    // Point-sample analog: unit steps inside spans, gap 2 between them.
+    val samples = (1L to 8L) ++ (10L to 18L)
+    val df = mkTs(samples.map(t => ("ch", t, 1.0)))
+    val spans = Timeseries
+      .contiguousSpans(df, gapUs = 2L)
+      .orderBy("span_id")
+      .select("span_start", "span_end")
+      .as[(Long, Long)]
+      .collect()
+      .toList
+    spans shouldBe List((1L, 8L), (10L, 18L))
+  }
+
+  "downsample" should "produce per-bucket min/max covering all rows" in {
+    val df = Tables.ts(spark, sfDir)
+    val ds = Timeseries.downsample(df, Timeseries.BucketUs)
+    ds.agg(sum("n")).as[Long].head() shouldBe df.count()
+    ds.filter(col("vmin") > col("vmax")).count() shouldBe 0L
+  }
+
+  "resampleChunks" should "emit only full chunks like the reference (grouped(n).take(floor(total/n)))" in {
+    val df = mkTs((1L to 250L).map(t => ("ch", t, t.toDouble)))
+    val chunks = Timeseries.resampleChunks(df, 100).orderBy("chunk").collect()
+    chunks.length shouldBe 2 // 250 samples -> 2 full chunks, remainder dropped
+    chunks.map(_.getAs[Long]("n")).toSet shouldBe Set(100L)
+    chunks.head.getAs[Double]("cmin") shouldBe 1.0
+    chunks.head.getAs[Double]("cmax") shouldBe 100.0
+  }
+
+  "montage" should "subtract secondary from lead per bucket" in {
+    val df = mkTs(
+      Seq(("a", 10L, 5.0), ("a", 20L, 7.0), ("b", 15L, 2.0), ("b", 25L, 2.0))
+    )
+    val m = Timeseries.montage(spark, df, Seq(("a", "b")), bucketUs = 100L).collect()
+    m.length shouldBe 1
+    m.head.getAs[String]("channel") shouldBe "a<->b"
+    m.head.getAs[Double]("v") shouldBe 4.0 // avg(5,7) - avg(2,2)
+  }
+
+  "asofJoin" should "match a brute-force as-of join on real data" in {
+    val ts = Tables.ts(spark, sfDir)
+    val left = ts.filter($"channel" === "click").select($"event_id", $"t", $"v")
+    val right = ts.filter($"channel" === "error").groupBy($"t").agg(avg($"v").as("rv"))
+
+    val fast = Timeseries
+      .asofJoin(left, right, Timeseries.BucketUs)
+      .select($"event_id", $"rv")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+
+    val rightRows = right.as[(Long, Double)].collect().sortBy(_._1)
+    val leftRows = left.select($"event_id", $"t").as[(Long, Long)].collect()
+    leftRows.length should be > 0
+    leftRows.foreach { case (id, t) =>
+      val expected = rightRows.takeWhile(_._1 <= t).lastOption.map(_._2)
+      fast.getOrElse(id, None) shouldBe expected
+    }
+  }
+
+  "eventBins" should "use integer (min+max)/2 for avgTime like EventSummary.avgTime" in {
+    val df = mkTs(Seq(("ch", 1L, 0.0), ("ch", 4L, 0.0)))
+    val bins = Timeseries.eventBins(df, 100L).collect()
+    bins.head.getAs[Long]("avg_time") shouldBe 2L // (1+4)/2 integer
+  }
+
+  "spikes" should "detect rising crossings only" in {
+    val df = mkTs(
+      Seq(("ch", 1L, 50.0), ("ch", 2L, 150.0), ("ch", 3L, 160.0), ("ch", 4L, 50.0), ("ch", 5L, 170.0))
+    )
+    val s = Timeseries.spikes(df, 100.0).orderBy("t").as[(String, Long, Double)].collect()
+    s.map(_._2).toList shouldBe List(2L, 5L)
+  }
+
+  "mergeAnnotationSpans" should "merge overlapping spans into islands" in {
+    val spans = Seq(
+      ("ch", 1L, 10L),
+      ("ch", 5L, 12L),
+      ("ch", 20L, 30L),
+      ("ch", 25L, 26L),
+      ("ch", 40L, 41L)
+    ).toDF("channel", "s", "e")
+    val merged = Timeseries
+      .mergeAnnotationSpans(spans)
+      .orderBy("island")
+      .select("span_start", "span_end", "n")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toList
+    merged shouldBe List((1L, 12L, 2L), (20L, 30L, 2L), (40L, 41L, 1L))
+  }
+
+  "rangeQuery" should "trim to the window and keep pushable predicates" in {
+    val df = Timeseries.tsRange(spark, sfDir)
+    df.count() should be > 0L
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+  }
+}
