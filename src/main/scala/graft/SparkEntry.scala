@@ -27,7 +27,10 @@ object SparkEntry {
     "ts_asof" -> (Timeseries.tsAsof _),
     "ts_stats" -> (Timeseries.tsStats _),
     "ts_channels" -> (Timeseries.tsChannels _),
-    "ts_annotations" -> (Timeseries.tsAnnotations _)
+    "ts_annotations" -> (Timeseries.tsAnnotations _),
+    // rows-only: IIR recursion is not SQL-expressible; golden-value +
+    // sequential-equivalence coverage lives in Butterworth/FilteringSpec
+    "ts_butterworth" -> (Filtering.tsButterworth _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.Butterworth
+import graft.operators.Filtering
+import org.apache.spark.sql.functions._
+
+class FilteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cascade = Butterworth.lowPass(4, 250.0, 20.0)
+
+  "applyCascade" should "match the sequential reference filtering per contiguous block" in {
+    // two channels; channel a has a gap at t=500 that must reset state
+    val rowsA = (0L until 400L).map(i => ("a", i, math.sin(i / 7.0))) ++
+      (900L until 1300L).map(i => ("a", i, math.cos(i / 11.0)))
+    val rowsB = (0L until 700L).map(i => ("b", i, math.sin(i / 3.0)))
+    val df = (rowsA ++ rowsB).zipWithIndex
+      .map { case ((c, t, v), i) => (c, t, v, 0L, i.toLong) }
+      .toDF("channel", "t", "v", "user_id", "event_id")
+
+    val pad = 40
+    val got = Filtering
+      .applyCascade(spark, df, cascade, pad, gapUs = 100L)
+      .select($"channel", $"t", $"fv")
+      .as[(String, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (ch, rs) => ch -> rs.sortBy(_._2).map(_._3) }
+
+    // driver-side expected: sequential filterBlock per contiguous block
+    def expected(blocks: Seq[Seq[Double]]): Array[Double] =
+      blocks.flatMap(b => Butterworth.filterBlock(cascade, b.toArray, pad)).toArray
+
+    val expA = expected(
+      Seq(
+        (0L until 400L).map(i => math.sin(i / 7.0)),
+        (900L until 1300L).map(i => math.cos(i / 11.0))
+      )
+    )
+    val expB = expected(Seq((0L until 700L).map(i => math.sin(i / 3.0))))
+
+    got("a").zip(expA).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+    got("b").zip(expB).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+  }
+
+  it should "restart filter state at maxBlockSamples chunk boundaries" in {
+    val df = (0L until 1000L).zipWithIndex
+      .map { case (t, i) => ("a", t, math.sin(t / 5.0), 0L, i.toLong) }
+      .toSeq
+      .toDF("channel", "t", "v", "user_id", "event_id")
+
+    val pad = 40
+    val got = Filtering
+      .applyCascade(spark, df, cascade, pad, gapUs = 100L, maxBlockSamples = 250)
+      .select($"t", $"fv")
+      .as[(Long, Double)]
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+
+    val exp = (0L until 1000L)
+      .map(t => math.sin(t / 5.0))
+      .grouped(250)
+      .flatMap(chunk => Butterworth.filterBlock(cascade, chunk.toArray, pad))
+      .toArray
+
+    got.zip(exp).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+  }
+
+  "tsButterworth" should "produce one output row per input row" in {
+    val out = Filtering.tsButterworth(spark, sfDir)
+    out.count() shouldBe Tables.ts(spark, sfDir).count()
+    out.filter(col("fv").isNull).count() shouldBe 0L
+  }
+}
