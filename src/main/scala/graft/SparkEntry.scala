@@ -30,7 +30,18 @@ object SparkEntry {
     "ts_annotations" -> (Timeseries.tsAnnotations _),
     // rows-only: IIR recursion is not SQL-expressible; golden-value +
     // sequential-equivalence coverage lives in Butterworth/FilteringSpec
-    "ts_butterworth" -> (Filtering.tsButterworth _)
+    "ts_butterworth" -> (Filtering.tsButterworth _),
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_minhash" -> (Dedup.dedupMinhash _), // rows-only + DedupSpec
+    "dedup_simhash" -> (Dedup.dedupSimhash _), // rows-only + DedupSpec
+    "dedup_ngram" -> (Dedup.dedupNgram _), // rows-only + DedupSpec
+    "dedup_embed" -> (Dedup.dedupEmbed _),
+    "ann_bruteforce" -> (Similarity.annBruteforce _),
+    "ann_lsh" -> (Similarity.annLsh _), // rows-only + SimilaritySpec recall
+    "text_tokens" -> (TextAnalysis.textTokens _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "text_langid" -> (TextAnalysis.textLangid _), // rows-only + TextAnalysisSpec
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _) // rows-only + TextAnalysisSpec
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,6 +63,11 @@ object SparkEntry {
     "ts_asof" -> Timeseries.tsAsofSql,
     "ts_stats" -> Timeseries.tsStatsSql,
     "ts_channels" -> Timeseries.tsChannelsSql,
-    "ts_annotations" -> Timeseries.tsAnnotationsSql
+    "ts_annotations" -> Timeseries.tsAnnotationsSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_embed" -> Dedup.dedupEmbedSql,
+    "ann_bruteforce" -> Similarity.annBruteforceSql,
+    "text_tokens" -> TextAnalysis.textTokensSql,
+    "text_quality" -> TextAnalysis.textQualitySql
   )
 }

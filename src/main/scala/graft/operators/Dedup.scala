@@ -1,0 +1,312 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard verify, and
+  * embedding-cosine near-dup.
+  *
+  * Shape discipline (the 100 TB design):
+  *  - per-token work is EXPLODED to rows and runs as flat, codegen'd
+  *    projections (xxhash64 on a column), never as nested higher-order
+  *    lambdas — Spark HOF lambdas are interpreted and re-evaluate inner
+  *    expressions per element, which turns layered signature/banding
+  *    expressions into a multiplicative blowup;
+  *  - signatures are 64 partial-aggregate `min(...)` columns in ONE
+  *    groupBy — map-side combined, one shuffle per stage;
+  *  - set intersections (Jaccard verify) are relational: join exploded
+  *    element rows on the element and count — no recomputed arrays;
+  *  - mega buckets (boilerplate that collides everywhere) are dropped by
+  *    a bucket-size cap, the standard guard against O(n²) pair blowup
+  *    inside one bucket.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed lowercase text — the canonical form used for
+    * exact dedup and shingling.
+    */
+  def normText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  private val NormSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+  private val WordsSql = s"split($NormSql, ' ')"
+
+  /** Distinct word w-shingles of normalized `text`. The words array is
+    * bound ONCE as a lambda variable (transform over a 1-element array)
+    * so the inner lambda never re-evaluates the split/regex per index.
+    * Short documents fall back to one whole-text shingle.
+    */
+  def shingles(w: Int): Column =
+    array_distinct(
+      expr(
+        s"""transform(array($WordsSql), ws ->
+           |  CASE WHEN size(ws) >= $w
+           |    THEN transform(sequence(1, size(ws) - ${w - 1}), i -> concat_ws(' ', slice(ws, i, $w)))
+           |    ELSE array(concat_ws(' ', ws)) END)[0]""".stripMargin
+      )
+    )
+
+  /** Distinct character n-grams of normalized `text` (norm bound once). */
+  def charNgrams(n: Int): Column =
+    array_distinct(
+      expr(
+        s"""transform(array($NormSql), s ->
+           |  transform(sequence(1, greatest(length(s) - ${n - 1}, 1)), i -> substring(s, i, $n)))[0]"""
+          .stripMargin
+      )
+    )
+
+  // ---------------------------------------------------------------------
+  // Exact dedup
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup on normalized text: one surviving row per distinct
+    * normalized document, keeping the smallest doc_id. One shuffle,
+    * algebraic aggregates. (At scale, group on xxhash64(norm) instead of
+    * the full text to shrink shuffle width; the testdata query groups on
+    * the text itself to stay oracle-comparable.)
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(normText(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------
+
+  val MinhashSeeds = 64
+
+  /** Exploded (doc_id, shingle) rows — the base relation for signatures
+    * and exact Jaccard verification. Codegen'd scan-side work only.
+    */
+  def shingleRows(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(w)).as("shingle"))
+
+  /** MinHash signatures as 64 partial-aggregated min columns over the
+    * exploded shingle rows: sig_s = min(xxhash64(shingle, s)). One
+    * shuffle on doc_id; each min combines map-side.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(col("shingle"), lit(0))).as("h0"),
+        (1 until MinhashSeeds).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s")): _*
+      )
+
+  /** Candidate pairs from LSH banding over the signature columns: band b
+    * hashes signature values [b*r, b*r+r); docs colliding on any band
+    * hash become a candidate pair. Buckets above maxBucketSize are
+    * dropped (boilerplate guard).
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int, maxBucketSize: Int): DataFrame = {
+    val rowsPerBand = MinhashSeeds / bands
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"h$s")): _*)
+    }
+    sigs
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
+      .groupBy(col("band"), col("bandHash"))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("sz"))
+      .filter(col("sz") > 1 && col("sz") <= maxBucketSize)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact set Jaccard for candidate pairs, computed relationally over
+    * exploded element rows: |A∩B| = count of equal-element joins,
+    * |A∪B| = |A| + |B| - |A∩B|.
+    */
+  def setJaccard(pairs: DataFrame, elems: DataFrame, elemCol: String): DataFrame = {
+    val sizes = elems.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(elems.select(col("doc_id").as("doc_a"), col(elemCol).as("__e")), "doc_a")
+      .join(elems.select(col("doc_id").as("doc_b"), col(elemCol).as("__e")), Seq("doc_b", "__e"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))).as("jaccard")
+      )
+  }
+
+  /** Verified near-dup pairs: LSH candidates whose exact shingle-set
+    * Jaccard >= tau.
+    */
+  def minhashNearDups(
+    docs: DataFrame,
+    w: Int = 3,
+    bands: Int = 16,
+    tau: Double = 0.5,
+    maxBucketSize: Int = 64
+  ): DataFrame = {
+    val sh = shingleRows(docs.select(col("doc_id"), col("text")), w)
+    val pairs = lshCandidates(minhashSignatures(sh), bands, maxBucketSize)
+    setJaccard(pairs, sh, "shingle")
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash per doc: explode words, hash each once, then 64
+    * sum-aggregated bit votes (±1 per word per bit) folded into one
+    * long. One shuffle on doc_id, map-side combined.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), explode(expr(WordsSql)).as("word"))
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+    val votes = hashed
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("v0"),
+        (1 until 64).map(j => sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")): _*
+      )
+    val sig = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+    votes.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
+    * chunks (any-equal-chunk ⇒ candidate; by pigeonhole this catches all
+    * pairs with hamming distance <= 3), then verify
+    * bit_count(xor) <= maxHamming.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
+    val signed = simhashSignatures(docs)
+    val chunks = (0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(65535))
+    signed
+      .select(col("doc_id"), col("sig"), posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+      .groupBy(col("band"), col("chunk"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"), count(lit(1)).as("sz"))
+      .filter(col("sz") > 1 && col("sz") <= maxBucketSize)
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------------------
+  // Character n-gram Jaccard (exact verify path)
+  // ---------------------------------------------------------------------
+
+  /** Exact char n-gram Jaccard for a given candidate-pair table
+    * (doc_a, doc_b) — the precise verify path applied after any
+    * blocking strategy.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"), explode(charNgrams(n)).as("gram"))
+    setJaccard(pairs, grams, "gram")
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // ---------------------------------------------------------------------
+
+  /** Pairs of embeddings with cosine similarity >= tau. Norms are
+    * precomputed per row before the pair join; the dot product is a
+    * fold over zip_with of materialized (join-bounded) vector columns.
+    * This is the O(n²) exact path — `Similarity.annLsh` is the blocked
+    * variant for scale.
+    */
+  def embedNearDups(emb: DataFrame, tau: Double): DataFrame = {
+    val prepped = emb
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")
+      )
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)")))
+    val a = prepped.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = prepped.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn(
+        "cosine",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)") /
+          (col("na") * col("nb"))
+      )
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Fixed driver queries
+  // ---------------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val dedupExactSql: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))
+      |ORDER BY doc_id""".stripMargin
+
+  /** The synthetic corpus has no real near-dups, so the fixed minhash /
+    * simhash / ngram queries plant them deterministically from the data
+    * itself: for doc_id % 10 == 0 a copy with the first 2 words dropped
+    * is added as doc_id + 1000000. The operators must recover those
+    * pairs (covered precisely in DedupSpec; rows>0 for the driver).
+    */
+  private[graft] def withPlantedNearDups(docs: DataFrame): DataFrame = {
+    val planted = docs
+      .filter(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 3, size(split(text, ' '))))").as("text")
+      )
+    docs.select(col("doc_id"), col("text")).unionByName(planted)
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), w = 3, tau = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withPlantedNearDups(Tables.documents(spark, dir))
+    val pairs = docs
+      .filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_a"), col("doc_id").as("doc_b"))
+    ngramJaccard(docs, pairs, n = 3).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    embedNearDups(Tables.embeddings(spark, dir), tau = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupEmbedSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+}

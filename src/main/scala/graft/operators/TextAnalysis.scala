@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, and rolling-hash document
+  * fingerprinting (winnowing).
+  *
+  * All per-document computation is codegen'd Catalyst expressions over
+  * higher-order array functions — map-side only, no shuffle, no UDFs —
+  * so these scale linearly with the scan and pipeline into whatever
+  * shuffle (dedup join, aggregation) consumes them.
+  */
+object TextAnalysis {
+
+  private val NormSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+  private val WordsSql = s"split($NormSql, ' ')"
+
+  /** BPE-ish token pattern: letter runs, digit runs, or single
+    * non-alphanumeric marks — a portable approximation of byte-pair
+    * pre-tokenization (kept to syntax Java regex and RE2 agree on).
+    */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace + regex token counts per document. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(expr(WordsSql)).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit(TokenPattern)).cast("long").as("n_re_tokens"),
+      length(col("text")).cast("long").as("n_chars")
+    )
+
+  /** English stopword sample used by the quality score (a fixed public
+    * list keeps Spark and the SQL oracle in lockstep).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was", "for", "on", "with")
+
+  /** Quality scoring: length, word, punctuation, alpha and stopword
+    * ratios plus a composite score — the standard cheap pre-filter for
+    * web-scale corpora.
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    docs
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(expr(WordsSql)).cast("long").as("n_words"),
+        expr(s"size(filter($WordsSql, w -> w IN ($inList)))").cast("long").as("n_stop"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("n_alpha"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct")
+      )
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_words"),
+        round(col("n_stop").cast("double") / col("n_words"), 6).as("stop_ratio"),
+        round(col("n_alpha").cast("double") / col("n_chars"), 6).as("alpha_ratio"),
+        round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+        round(
+          col("n_alpha").cast("double") / col("n_chars") * 0.5 +
+            col("n_stop").cast("double") / col("n_words") * 0.3 +
+            least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.2,
+          6
+        ).as("quality")
+      )
+  }
+
+  /** Stopword profiles for the language-ID heuristic (small public
+    * function-word lists; zh is handled by CJK character ratio).
+    */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for", "with", "are"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "für", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans", "qui", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "para", "con", "no")
+  )
+
+  /** Language ID via stopword-profile hit ratios + CJK character ratio
+    * for zh; returns (doc_id, lang_pred, score). "und" when nothing
+    * matches.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = LangProfiles.foldLeft(
+      docs.select(
+        col("doc_id"),
+        expr(WordsSql).as("__words"),
+        (length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double")).as("score_zh")
+      )
+    ) { case (df, (lang, stops)) =>
+      val inList = stops.map(s => s"'$s'").mkString(", ")
+      df.withColumn(
+        s"score_$lang",
+        expr(s"size(filter(__words, w -> w IN ($inList)))").cast("double") /
+          greatest(size(col("__words")), lit(1)).cast("double")
+      )
+    }
+    val langs = "zh" +: LangProfiles.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+    scored
+      .withColumn("__best", greatest(best: _*))
+      .select(
+        col("doc_id"),
+        when(col("__best.score") > 0, col("__best.lang")).otherwise(lit("und")).as("lang_pred"),
+        round(col("__best.score"), 6).as("score")
+      )
+  }
+
+  /** Winnowing document fingerprint: hash every k-char-gram of the
+    * normalized text (the rolling-hash analog, computed via xxhash64 on
+    * sliding substrings), then keep the minimum hash of every window of
+    * `win` consecutive gram hashes, deduplicated — the classic
+    * local-sampling fingerprint whose guarantee is that any shared
+    * substring of length >= k + win - 1 yields a shared fingerprint.
+    */
+  def fingerprints(docs: DataFrame, k: Int = 8, win: Int = 4): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        // both stages bind their input once as a lambda variable
+        // (transform over a 1-element array) — referencing the raw
+        // expression inside the inner lambda would re-evaluate it per
+        // element (see Dedup scaladoc)
+        expr(
+          s"""transform(array($NormSql), s ->
+             |  transform(sequence(1, greatest(length(s) - ${k - 1}, 1)), i -> xxhash64(substring(s, i, $k))))[0]"""
+            .stripMargin
+        ).as("__grams")
+      )
+      .select(
+        col("doc_id"),
+        array_distinct(
+          expr(
+            s"""transform(array(__grams), g ->
+               |  transform(sequence(1, greatest(size(g) - ${win - 1}, 1)), j -> array_min(slice(g, j, $win))))[0]"""
+              .stripMargin
+          )
+        ).as("fps")
+      )
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+
+  // ---------------------------------------------------------------------
+  // Fixed driver queries
+  // ---------------------------------------------------------------------
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_re_tokens,
+       |  LENGTH(text) AS n_chars
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityScores(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val textQualitySql: String = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    LENGTH(text) AS n_chars,
+       |    len(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS n_words,
+       |    len(list_filter(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' '), w -> w IN ($inList))) AS n_stop,
+       |    LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       |    LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) AS n_punct
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_words,
+       |  ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+       |  ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+       |  ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       |  ROUND(CAST(n_alpha AS DOUBLE) / n_chars * 0.5 +
+       |        CAST(n_stop AS DOUBLE) / n_words * 0.3 +
+       |        LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.documents(spark, dir)).orderBy(col("doc_id"), col("fingerprint"))
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  "exact" should "collapse case/whitespace variants keeping the min doc_id" in {
+    val docs = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "HELLO WORLD  "),
+      (4L, "something else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy("doc_id").as[(Long, Long)].collect().toList
+    out shouldBe List((1L, 3L), (4L, 1L))
+  }
+
+  "minhashNearDups" should "recover planted near-duplicates and skip unrelated docs" in {
+    val docs = Dedup.withPlantedNearDups(Tables.documents(spark, sfDir))
+    val planted = docs
+      .filter($"doc_id" >= 1000000L)
+      .select(($"doc_id" - 1000000L).as("doc_a"), $"doc_id".as("doc_b"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    planted should not be empty
+
+    val found = Dedup
+      .minhashNearDups(docs, w = 3, tau = 0.5)
+      .select($"doc_a", $"doc_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+
+    // every planted pair (first-2-words-dropped copy) must be found
+    planted.subsetOf(found) shouldBe true
+  }
+
+  "simhashNearDups" should "find planted near-duplicates within hamming 3" in {
+    val docs = Dedup.withPlantedNearDups(Tables.documents(spark, sfDir))
+    val planted = docs
+      .filter($"doc_id" >= 1000000L)
+      .select(($"doc_id" - 1000000L).as("doc_a"), $"doc_id".as("doc_b"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+
+    val found = Dedup
+      .simhashNearDups(docs, maxHamming = 3)
+      .select($"doc_a", $"doc_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+
+    // simhash is lossier than minhash; most planted pairs must surface
+    val recall = planted.count(found.contains).toDouble / planted.size
+    recall should be >= 0.5
+  }
+
+  "ngramJaccard" should "score identical docs 1.0 and disjoint docs near 0" in {
+    val docs = Seq(
+      (1L, "abcdefgh"),
+      (2L, "abcdefgh"),
+      (3L, "zzzzyyyy")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup
+      .ngramJaccard(docs, pairs, n = 3)
+      .orderBy("doc_b")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toList
+    out.head._3 shouldBe 1.0
+    out(1)._3 should be < 0.1
+  }
+
+  "embedNearDups" should "match a driver-side brute force on real embeddings" in {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Dedup
+      .embedNearDups(emb, tau = 0.3)
+      .select($"id_a", $"id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+
+    val vecs = emb
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .as[(Long, Seq[Double])]
+      .collect()
+      .sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exp = (for {
+      (ia, va) <- vecs
+      (ib, vb) <- vecs if ia < ib && cos(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+
+    got shouldBe exp
+  }
+}

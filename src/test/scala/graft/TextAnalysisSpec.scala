@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  "tokenCounts" should "count whitespace and regex tokens" in {
+    val docs = Seq((1L, "Hello world, 42 times!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs).head()
+    r.getAs[Long]("n_ws_tokens") shouldBe 4L
+    // hello | world | , | 42 | times | !
+    r.getAs[Long]("n_re_tokens") shouldBe 6L
+    r.getAs[Long]("n_chars") shouldBe 22L
+  }
+
+  "qualityScores" should "rate clean prose above punctuation soup" in {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was good for a while"),
+      (2L, "!!! ??? ;;; ... !!!")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityScores(docs).orderBy("doc_id").collect()
+    rows(0).getAs[Double]("quality") should be > rows(1).getAs[Double]("quality")
+    rows(0).getAs[Double]("stop_ratio") should be > 0.3
+    rows(1).getAs[Double]("punct_ratio") should be > 0.5
+  }
+
+  "langId" should "classify real sentences in all five languages" in {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it was good"),
+      (2L, "der hund ist nicht zu hause und ich bin mit der katze"),
+      (3L, "le chat est dans la maison et les enfants sont pour la plage"),
+      (4L, "el perro es un animal que vive con las personas por la casa"),
+      (5L, "今天天气很好我们一起去公园散步吧")
+    ).toDF("doc_id", "text")
+    val preds = TextAnalysis
+      .langId(docs)
+      .select($"doc_id", $"lang_pred")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    preds shouldBe Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh")
+  }
+
+  "fingerprints" should "share fingerprints for docs sharing long substrings, none for disjoint alphabets" in {
+    val shared = "the winnowing algorithm selects minimum hashes per window"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix one"),
+      (2L, s"completely different start $shared and end"),
+      (3L, "zzzz qqqq xxxx vvvv kkkk jjjj wwww")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis
+      .fingerprints(docs, k = 8, win = 4)
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).toSet }
+
+    // guarantee: any shared substring of length >= k + win - 1 shares a fingerprint
+    (fps(1L) intersect fps(2L)) should not be empty
+    (fps(1L) intersect fps(3L)) shouldBe empty
+  }
+}
