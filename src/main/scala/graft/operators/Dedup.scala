@@ -226,26 +226,21 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Pairs of embeddings with cosine similarity >= tau. Norms are
-    * precomputed per row before the pair join; the dot product is a
-    * fold over zip_with of materialized (join-bounded) vector columns.
-    * This is the O(n²) exact path — `Similarity.annLsh` is the blocked
-    * variant for scale.
+    * precomputed per row before the pair join; the pairwise dot product
+    * is the custom codegen'd VecDot kernel on the raw float32 arrays
+    * (float→double widening is exact, so results match a
+    * cast-to-double oracle bit-for-bit). This is the O(n²) exact path —
+    * `Similarity.annLsh` is the blocked variant for scale.
     */
   def embedNearDups(emb: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.VectorMath
     val prepped = emb
-      .select(
-        col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v")
-      )
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)")))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", VectorMath.norm(col("v")))
     val a = prepped.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = prepped.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn(
-        "cosine",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)") /
-          (col("na") * col("nb"))
-      )
+      .withColumn("cosine", VectorMath.cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

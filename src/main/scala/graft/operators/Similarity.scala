@@ -1,34 +1,34 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.VectorMath
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
+  * The cosine hot path is the custom codegen'd `VecDot` Catalyst
+  * expression (graft.functions.VectorMath) reading the float32 arrays
+  * directly — no interpreted higher-order lambdas, no cast
+  * materialization.
+  *
   * Scale design (100 TB corpus, small-to-medium query set):
   *  - brute force: the QUERY SET is broadcast; the corpus is scanned
-  *    once and never shuffled — each partition computes its local
-  *    per-query top-k and only those tiny per-partition heads shuffle
-  *    for the global top-k (TakeOrdered per query). Cost is one corpus
-  *    scan regardless of k.
+  *    once and never shuffled — cost is one corpus scan regardless of k.
   *  - LSH: random-hyperplane signatures bucket the corpus (the bucket
-  *    id is a codegen'd expression, derivable at write time for a
+  *    id is a scan-side expression, derivable at write time for a
   *    bucket-partitioned layout); queries multiprobe their bucket plus
   *    all hamming-1 neighbors, so the scan touches only
   *    (planes+1)/2^planes of the corpus at the cost of some recall.
   */
 object Similarity {
 
-  /** Cast float[] embedding to double[] with its L2 norm precomputed. */
+  /** Keep the raw float[] embedding; precompute its L2 norm once. */
   private def prepped(emb: DataFrame, idOut: String, vOut: String, nOut: String): DataFrame =
     emb
-      .select(
-        col("vec_id").as(idOut),
-        expr("transform(embedding, x -> cast(x as double))").as(vOut)
-      )
-      .withColumn(nOut, sqrt(expr(s"aggregate($vOut, 0.0D, (acc, x) -> acc + x * x)")))
+      .select(col("vec_id").as(idOut), col("embedding").as(vOut))
+      .withColumn(nOut, VectorMath.norm(col(vOut)))
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Queries are broadcast; the corpus is
@@ -39,57 +39,74 @@ object Similarity {
     val q = prepped(queries, "query_id", "vq", "nq")
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn(
-        "cosine",
-        expr("aggregate(zip_with(vq, vc, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)") /
-          (col("nq") * col("nc"))
-      )
+      .withColumn("cosine", VectorMath.cosine(col("vq"), col("vc"), col("nq"), col("nc")))
       .withColumn("rank", row_number().over(byQuery))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine")
+      )
+  }
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 stream) built
+    * driver-side and embedded as literals — the corpus-side bucket id is
+    * then a pure codegen'd expression usable as a partition key at
+    * ingest.
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(planes)(Seq.fill(dim)((next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0))
   }
 
   /** Random-hyperplane signature: bit p of the bucket id is the sign of
-    * v · r_p, where r_p is a deterministic pseudo-random hyperplane
-    * derived from xxhash64(p, i) mapped into [-1, 1]. Pure expression —
-    * the corpus-side bucket id can be precomputed at ingest and used as
-    * a partition key at scale.
+    * v · plane_p (codegen'd VecDot against literal plane vectors).
     */
-  def hyperplaneBucket(vCol: String, planes: Int): org.apache.spark.sql.Column =
-    expr(
-      s"aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc | (CASE WHEN " +
-        s"aggregate(zip_with($vCol, transform(sequence(0, size($vCol) - 1), i -> cast(pmod(xxhash64(p, i), 2000001) as double) / 1000000.0D - 1.0D), (x, r) -> x * r), " +
-        "0.0D, (a, d) -> a + d) > 0.0D THEN shiftleft(1L, p) ELSE 0L END))"
-    )
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        when(VectorMath.dot(v, typedlit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ bitwiseOR _)
 
   /** LSH-bucketed ANN: corpus vectors live in their exact bucket;
     * queries probe their own bucket plus every bucket at hamming
     * distance 1, then rank candidates by exact cosine and keep top-k.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+    val dim = 64
+    val hp = hyperplanes(planes, dim)
     val c = prepped(corpus, "neighbor_id", "vc", "nc")
-      .withColumn("bucket", hyperplaneBucket("vc", planes))
-    val q = prepped(queries, "query_id", "vq", "nq")
-      .withColumn("__b0", hyperplaneBucket("vq", planes))
-      .select(
-        col("query_id"),
-        col("vq"),
-        col("nq"),
-        explode(
-          expr(s"concat(array(__b0), transform(sequence(0, ${planes - 1}), p -> __b0 ^ shiftleft(1L, p)))")
-        ).as("bucket")
-      )
+      .withColumn("bucket", hyperplaneBucket(col("vc"), hp))
+    val q0 = prepped(queries, "query_id", "vq", "nq")
+      .withColumn("__b0", hyperplaneBucket(col("vq"), hp))
+    val probes = col("__b0") +: (0 until planes).map(p => col("__b0").bitwiseXOR(lit(1L << p)))
+    val q = q0.select(
+      col("query_id"),
+      col("vq"),
+      col("nq"),
+      explode(array(probes: _*)).as("bucket")
+    )
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn(
-        "cosine",
-        expr("aggregate(zip_with(vq, vc, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)") /
-          (col("nq") * col("nc"))
-      )
+      .withColumn("cosine", VectorMath.cosine(col("vq"), col("vc"), col("nq"), col("nc")))
       .withColumn("rank", row_number().over(byQuery))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine")
+      )
   }
 
   // ---------------------------------------------------------------------

@@ -111,36 +111,19 @@ object TextAnalysis {
       )
   }
 
-  /** Winnowing document fingerprint: hash every k-char-gram of the
-    * normalized text (the rolling-hash analog, computed via xxhash64 on
-    * sliding substrings), then keep the minimum hash of every window of
-    * `win` consecutive gram hashes, deduplicated — the classic
-    * local-sampling fingerprint whose guarantee is that any shared
-    * substring of length >= k + win - 1 yields a shared fingerprint.
+  /** Winnowing document fingerprint: Rabin-Karp rolling hash over
+    * k-char-grams of the normalized text with a sliding-window minimum —
+    * the classic local-sampling fingerprint whose guarantee is that any
+    * shared substring of length >= k + win - 1 yields a shared
+    * fingerprint. The O(n) kernel is the native `Winnow` Catalyst
+    * expression (graft.functions.Winnowing); the normalization stays a
+    * codegen'd child expression.
     */
   def fingerprints(docs: DataFrame, k: Int = 8, win: Int = 4): DataFrame =
     docs
       .select(
         col("doc_id"),
-        // both stages bind their input once as a lambda variable
-        // (transform over a 1-element array) — referencing the raw
-        // expression inside the inner lambda would re-evaluate it per
-        // element (see Dedup scaladoc)
-        expr(
-          s"""transform(array($NormSql), s ->
-             |  transform(sequence(1, greatest(length(s) - ${k - 1}, 1)), i -> xxhash64(substring(s, i, $k))))[0]"""
-            .stripMargin
-        ).as("__grams")
-      )
-      .select(
-        col("doc_id"),
-        array_distinct(
-          expr(
-            s"""transform(array(__grams), g ->
-               |  transform(sequence(1, greatest(size(g) - ${win - 1}, 1)), j -> array_min(slice(g, j, $win))))[0]"""
-              .stripMargin
-          )
-        ).as("fps")
+        graft.functions.Winnow.winnow(lower(trim(regexp_replace(col("text"), "\\s+", " "))), k, win).as("fps")
       )
       .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
 

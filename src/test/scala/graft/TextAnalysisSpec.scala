@@ -43,6 +43,33 @@ class TextAnalysisSpec extends SparkSpec {
     preds shouldBe Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh")
   }
 
+  "Winnow.fingerprints" should "compute rolling hashes identical to direct rehash (win=1 keeps every gram)" in {
+    import graft.functions.Winnow
+    val s = "the quick brown fox jumps over the lazy dog 0123456789"
+    val k = 8
+    // direct (non-rolling) recomputation of each k-gram's polynomial hash
+    def direct(g: String): Long = {
+      var h = 0L
+      g.foreach(c => h = h * 0x100000001b3L + c)
+      var z = h
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val expected = (0 to s.length - k).map(i => direct(s.substring(i, i + k))).distinct
+    Winnow.fingerprints(s, k, 1).toSeq shouldBe expected
+  }
+
+  it should "select per-window minima (deque) matching a naive windowed min" in {
+    import graft.functions.Winnow
+    val s = new scala.util.Random(7).alphanumeric.take(200).mkString
+    val k = 5
+    val win = 4
+    val all = Winnow.fingerprints(s, k, 1)
+    val naive = (0 to all.length - win).map(j => all.slice(j, j + win).min).distinct.sorted
+    Winnow.fingerprints(s, k, win).sorted shouldBe naive
+  }
+
   "fingerprints" should "share fingerprints for docs sharing long substrings, none for disjoint alphabets" in {
     val shared = "the winnowing algorithm selects minimum hashes per window"
     val docs = Seq(
