@@ -41,7 +41,8 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _), // rows-only + TextAnalysisSpec
-    "text_fingerprint" -> (TextAnalysis.textFingerprint _) // rows-only + TextAnalysisSpec
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _), // rows-only + TextAnalysisSpec
+    "mm_decode" -> (Multimodal.mmDecode _) // rows-only + MultimodalSpec (stubbed decode kernel)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

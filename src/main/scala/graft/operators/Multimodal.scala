@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads with typed
+  * metadata, decoded/feature-extracted in bounded batches.
+  *
+  * The decode KERNEL is a clearly-marked deterministic STUB (no image /
+  * audio codecs exist in this environment); everything around it — the
+  * (payload binary, meta struct) schema, the typed mapPartitions with
+  * explicit batch accumulation (the JVM shape of a vectorized
+  * mapInPandas decode), and the feature-table output — is the real
+  * pipeline and is what the tests cover.
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end (no row-level
+  * string materialization); batches bound peak decode memory
+  * (batchSize × payload size), and the stage is map-side only — it
+  * pipelines into whatever aggregation or dedup consumes the features.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + typed metadata to each document —
+    * stands in for reading an image/audio column from storage. The
+    * payload is the utf-8 text bytes; metadata mimics an image header
+    * (deterministic pseudo width/height/format per doc).
+    */
+  def withPayloads(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        element_at(array(lit("png"), lit("jpeg"), lit("webp")), (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        (col("doc_id") % 32 + 16).cast("int").as("width"),
+        (col("doc_id") % 24 + 12).cast("int").as("height"),
+        length(col("text")).cast("long").as("n_bytes")
+      ).as("meta")
+    )
+
+  /** STUB decode kernel — deterministic byte statistics standing in for
+    * a real image decode + feature extraction. Replace the body with a
+    * codec call (e.g. JNI image lib) without touching the Spark
+    * plumbing.
+    */
+  private[graft] def decodeStub(payload: Array[Byte]): (Long, Double, Double) = {
+    var checksum = 0L
+    var sum = 0.0
+    var sumSq = 0.0
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      checksum = checksum * 31 + b
+      sum += b
+      sumSq += b.toDouble * b
+      i += 1
+    }
+    val n = math.max(payload.length, 1)
+    val mean = sum / n
+    (checksum, mean, math.sqrt(math.max(sumSq / n - mean * mean, 0.0)))
+  }
+
+  /** Batched decode: typed mapPartitions that accumulates `batchSize`
+    * payloads, "decodes" the batch, and emits one feature row per
+    * payload — the JVM analog of a vectorized Python decode over
+    * mapInPandas batches.
+    */
+  def decodeFeatures(spark: SparkSession, withPayload: DataFrame, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    withPayload
+      .select(
+        col("doc_id"),
+        col("payload"),
+        col("meta.format").as("format"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height")
+      )
+      .as[(Long, Array[Byte], String, Int, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // batch boundary = unit of vectorized decode work
+          batch.iterator.map { case (id, payload, format, w, h) =>
+            val (checksum, mean, std) = decodeStub(payload)
+            (id, format, w, h, payload.length.toLong, checksum, mean, std)
+          }
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "n_bytes", "checksum", "byte_mean", "byte_std")
+  }
+
+  // ---------------------------------------------------------------------
+  // Fixed driver query (rows-only: the decode stub is not SQL semantics;
+  // schema/batching correctness is covered by MultimodalSpec)
+  // ---------------------------------------------------------------------
+
+  def mmDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, withPayloads(Tables.documents(spark, dir)))
+      .select(
+        col("doc_id"),
+        col("format"),
+        col("width"),
+        col("height"),
+        col("n_bytes"),
+        col("checksum"),
+        round(col("byte_mean"), 6).as("byte_mean"),
+        round(col("byte_std"), 6).as("byte_std")
+      )
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.BinarySegments
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  "BinarySegments" should "round-trip gzipped big-endian float64 blobs with reconstructed timestamps" in {
+    val dir = Files.createTempDirectory("graft-blobs").toFile
+    val a = Array(1.5, -2.25, 3.125, 64.0)
+    val b = Array(0.0, 42.0)
+    BinarySegments.writeBlob(s"$dir/ch_a_0.bin.gz", a)
+    BinarySegments.writeBlob(s"$dir/ch_b_0.bin.gz", b)
+
+    // range index: channel a @ 250 Hz from t=1_000_000, channel b @ 1 Hz from 0
+    val index = Seq(
+      ("a", "ch_a_0.bin.gz", 1000000L, 250.0),
+      ("b", "ch_b_0.bin.gz", 0L, 1.0)
+    ).toDF("channel", "file", "start_us", "rate")
+
+    val got = BinarySegments
+      .read(spark, dir.toString, index)
+      .orderBy("channel", "t")
+      .as[(String, Long, Double)]
+      .collect()
+      .toList
+
+    // period = round(1e6/rate): 4000 µs for a, 1e6 µs for b
+    got shouldBe List(
+      ("a", 1000000L, 1.5),
+      ("a", 1004000L, -2.25),
+      ("a", 1008000L, 3.125),
+      ("a", 1012000L, 64.0),
+      ("b", 0L, 0.0),
+      ("b", 1000000L, 42.0)
+    )
+  }
+
+  it should "feed decoded rows into the standard trim operator" in {
+    val dir = Files.createTempDirectory("graft-blobs2").toFile
+    BinarySegments.writeBlob(s"$dir/c.gz", (1 to 100).map(_.toDouble).toArray)
+    val index = Seq(("c", "c.gz", 0L, 1000.0)).toDF("channel", "file", "start_us", "rate")
+    val ts = BinarySegments.read(spark, dir.toString, index)
+    // trim to [10ms, 20ms) -> samples 10..19 (period 1000 µs)
+    val trimmed = graft.operators.Timeseries.rangeQuery(ts, Seq("c"), 10000L, 20000L)
+    trimmed.count() shouldBe 10L
+    trimmed.agg(min("v"), max("v")).as[(Double, Double)].head() shouldBe ((11.0, 20.0))
+  }
+
+  "readCsv/readJson" should "load secondary formats" in {
+    val dir = Files.createTempDirectory("graft-ing").toFile
+    Files.writeString(new java.io.File(dir, "x.csv").toPath, "channel,t,v\na,1,2.5\nb,2,3.5\n")
+    Files.writeString(new java.io.File(dir, "x.json").toPath, """{"channel":"a","t":1,"v":2.5}""" + "\n")
+    BinarySegments.readCsv(spark, s"$dir/x.csv").count() shouldBe 2L
+    BinarySegments.readJson(spark, s"$dir/x.json").select("channel", "t", "v").count() shouldBe 1L
+  }
+}
