@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference engine's montage vocabulary re-expressed for the
+  * Spark pipeline: named montage types carrying (lead, secondary)
+  * channel pair tables, virtual-channel naming, and validation that a
+  * channel set can be montaged.
+  *
+  * Pair tables are the standard clinical 10-20 EEG montages as shipped
+  * by the reference (server/Montage.scala:263-329 — BipolarAntPos,
+  * BipolarTransverse, ReferentialVsCz) plus a custom montage; virtual
+  * channel naming `lead<->secondary` follows server/Montage.scala:28,185.
+  */
+object Montages {
+
+  val Separator = "<->"
+
+  sealed trait MontageType {
+    def pairs: Seq[(String, String)]
+
+    /** Virtual channel names produced by this montage. */
+    def names: Set[String] = pairs.map(p => montageName(p._1, p._2)).toSet
+
+    /** Every physical channel the montage touches. */
+    def distinctChannels: Set[String] = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+  }
+
+  case object NotMontaged extends MontageType {
+    val pairs: Seq[(String, String)] = Nil
+  }
+
+  /** Longitudinal (anterior-posterior) bipolar montage. */
+  case object BipolarAntPos extends MontageType {
+    val pairs: Seq[(String, String)] = Seq(
+      "Fp1" -> "F7", "F7" -> "T7", "T7" -> "P7", "P7" -> "O1",
+      "Fp2" -> "F8", "F8" -> "T8", "T8" -> "P8", "P8" -> "O2",
+      "Fp1" -> "F3", "F3" -> "C3", "C3" -> "P3", "P3" -> "O1",
+      "Fp2" -> "F4", "F4" -> "C4", "C4" -> "P4", "P4" -> "O2",
+      "Fz" -> "Cz", "Cz" -> "Fz"
+    )
+  }
+
+  /** Transverse bipolar montage. */
+  case object BipolarTransverse extends MontageType {
+    val pairs: Seq[(String, String)] = Seq(
+      "F7" -> "F3", "F3" -> "Fz", "Fz" -> "F4", "F4" -> "F8",
+      "A1" -> "T7", "T7" -> "C3", "C3" -> "Cz", "Cz" -> "C4",
+      "C4" -> "T8", "T8" -> "A2",
+      "P7" -> "P3", "P3" -> "Pz", "Pz" -> "P4", "P4" -> "P8",
+      "Fp1" -> "A1", "Fp2" -> "A2", "Q1" -> "A1", "Q2" -> "A2"
+    )
+  }
+
+  /** Referential montage against the Cz electrode. */
+  case object ReferentialVsCz extends MontageType {
+    val pairs: Seq[(String, String)] = Seq(
+      "Fp1" -> "Cz", "Fp2" -> "Cz", "F7" -> "Cz", "F8" -> "Cz",
+      "T7" -> "Cz", "T8" -> "Cz", "P7" -> "Cz", "P8" -> "Cz",
+      "F3" -> "Cz", "F4" -> "Cz", "C3" -> "Cz", "C4" -> "Cz",
+      "P3" -> "Cz", "P4" -> "Cz", "Q1" -> "Cz", "Q2" -> "Cz",
+      "F2" -> "Cz", "P2" -> "Cz"
+    )
+  }
+
+  /** Runtime-configured montage. */
+  final case class Custom(pairs: Seq[(String, String)]) extends MontageType
+
+  def montageName(lead: String, secondary: String): String = lead + Separator + secondary
+
+  /** Split a virtual channel name back into its montage pair. */
+  def montagePair(name: String): Either[String, (String, Option[String])] =
+    name.split(Separator).toList match {
+      case head :: Nil => Right((head, None))
+      case head :: last :: Nil => Right((head, Some(last)))
+      case _ => Left(s"invalid montage name: $name")
+    }
+
+  /** Validate that `channelNames` covers every channel the montage
+    * needs; Left(missing) otherwise — the reference's montageability
+    * check.
+    */
+  def validate(channelNames: Set[String], mt: MontageType): Either[Set[String], Unit] = {
+    val missing = mt.distinctChannels -- channelNames
+    if (missing.isEmpty) Right(()) else Left(missing)
+  }
+
+  /** Apply a montage over ts(channel, t, v): one bucket-aligned
+    * subtraction stream per pair (delegates to Timeseries.montage).
+    */
+  def apply(spark: SparkSession, ts: DataFrame, mt: MontageType, bucketUs: Long): DataFrame =
+    Timeseries.montage(spark, ts, mt.pairs, bucketUs)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.{Montages, Timeseries}
+
+class MontagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  "MontageType tables" should "match the reference cardinalities and naming" in {
+    // reference: server/Montage.scala:263-329
+    Montages.BipolarAntPos.pairs should have size 18
+    Montages.BipolarTransverse.pairs should have size 18
+    Montages.ReferentialVsCz.pairs should have size 18
+    Montages.ReferentialVsCz.pairs.map(_._2).toSet shouldBe Set("Cz")
+    Montages.montageName("Fp1", "F7") shouldBe "Fp1<->F7"
+    Montages.BipolarAntPos.names should contain("Fp1<->F7")
+  }
+
+  "montagePair" should "round-trip virtual channel names" in {
+    Montages.montagePair("Fp1<->F7") shouldBe Right(("Fp1", Some("F7")))
+    Montages.montagePair("Fp1") shouldBe Right(("Fp1", None))
+    Montages.montagePair("a<->b<->c").isLeft shouldBe true
+  }
+
+  "validate" should "report exactly the missing channels" in {
+    val have = Montages.ReferentialVsCz.distinctChannels - "Q1" - "Q2"
+    Montages.validate(have, Montages.ReferentialVsCz) shouldBe Left(Set("Q1", "Q2"))
+    Montages.validate(Montages.ReferentialVsCz.distinctChannels, Montages.ReferentialVsCz) shouldBe Right(())
+    Montages.validate(Set.empty, Montages.NotMontaged) shouldBe Right(())
+  }
+
+  "apply" should "produce one virtual stream per pair over synthetic EEG channels" in {
+    val mt = Montages.Custom(Seq("Fp1" -> "Cz", "F3" -> "Cz"))
+    val rows = for {
+      ch <- Seq("Fp1", "F3", "Cz")
+      t <- 0L until 10L
+    } yield (ch, t, if (ch == "Cz") 1.0 else t.toDouble)
+    val ts = rows.zipWithIndex
+      .map { case ((c, t, v), i) => (c, t, v, 0L, i.toLong) }
+      .toDF("channel", "t", "v", "user_id", "event_id")
+    val out = Montages
+      .apply(spark, ts, mt, bucketUs = 5L)
+      .orderBy("channel", "bucket")
+      .select("channel", "v")
+      .as[(String, Double)]
+      .collect()
+      .toList
+    // buckets [0,5) avg=2, [5,10) avg=7; Cz avg=1
+    out shouldBe List(("F3<->Cz", 1.0), ("F3<->Cz", 6.0), ("Fp1<->Cz", 1.0), ("Fp1<->Cz", 6.0))
+  }
+}
