@@ -88,13 +88,16 @@ object Dedup {
 
   /** MinHash signatures as 64 partial-aggregated min columns over the
     * exploded shingle rows: sig_s = min(xxhash64(shingle, s)). One
-    * shuffle on doc_id; each min combines map-side.
+    * shuffle on doc_id; each min combines map-side. The same pass also
+    * emits the shingle-set size `n` (rows are distinct per doc), which
+    * the Jaccard verify needs — no separate counting pass.
     */
   def minhashSignatures(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id"))
       .agg(
         min(xxhash64(col("shingle"), lit(0))).as("h0"),
-        (1 until MinhashSeeds).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s")): _*
+        (1 until MinhashSeeds).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s")) :+
+          count(lit(1)).as("n"): _*
       )
 
   /** Candidate pairs from LSH banding over the signature columns: band b
@@ -120,10 +123,11 @@ object Dedup {
 
   /** Exact set Jaccard for candidate pairs, computed relationally over
     * exploded element rows: |A∩B| = count of equal-element joins,
-    * |A∪B| = |A| + |B| - |A∩B|.
+    * |A∪B| = |A| + |B| - |A∩B|. `sizes` (doc_id, n) carries the
+    * per-doc element counts — pass it from an aggregation that already
+    * ran (e.g. minhashSignatures) to avoid an extra pass over elems.
     */
-  def setJaccard(pairs: DataFrame, elems: DataFrame, elemCol: String): DataFrame = {
-    val sizes = elems.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  def setJaccard(pairs: DataFrame, elems: DataFrame, elemCol: String, sizes: DataFrame): DataFrame = {
     val inter = pairs
       .join(elems.select(col("doc_id").as("doc_a"), col(elemCol).as("__e")), "doc_a")
       .join(elems.select(col("doc_id").as("doc_b"), col(elemCol).as("__e")), Seq("doc_b", "__e"))
@@ -151,9 +155,15 @@ object Dedup {
     tau: Double = 0.5,
     maxBucketSize: Int = 64
   ): DataFrame = {
+    // the shingle derivation (regex + split + shingling of every doc) is
+    // consumed by three branches (signatures + both verify joins);
+    // persist so one pass feeds all — at production scale this
+    // intermediate would be checkpointed to storage instead
     val sh = shingleRows(docs.select(col("doc_id"), col("text")), w)
-    val pairs = lshCandidates(minhashSignatures(sh), bands, maxBucketSize)
-    setJaccard(pairs, sh, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(sh)
+    val pairs = lshCandidates(sigs, bands, maxBucketSize)
+    setJaccard(pairs, sh, "shingle", sigs.select(col("doc_id"), col("n")))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -216,8 +226,11 @@ object Dedup {
     * blocking strategy.
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
-    val grams = docs.select(col("doc_id"), explode(charNgrams(n)).as("gram"))
-    setJaccard(pairs, grams, "gram")
+    val grams = docs
+      .select(col("doc_id"), explode(charNgrams(n)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    setJaccard(pairs, grams, "gram", sizes)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 

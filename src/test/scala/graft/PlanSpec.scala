@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Relational, Similarity, Timeseries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Plan-hygiene assertions: the properties that keep these operators
+  * viable at 100 TB — filter/column pushdown reaching the scan,
+  * partial (map-side) aggregation, broadcast of small sides, bounded
+  * shuffle counts — asserted against the actual physical plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countShuffles(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    root.collectWithSubqueries { case s: ShuffleExchangeExec => s }.size
+  }
+
+  "q1_agg" should "push the shipdate filter into the parquet scan" in {
+    val plan = planString(Relational.q1Agg(spark, sfDir))
+    plan should include("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+  }
+
+  it should "aggregate partially before its single pre-sort shuffle" in {
+    val df = Relational.q1Agg(spark, sfDir)
+    planString(df) should include("partial_sum")
+    // one shuffle for the aggregate, one range partitioning for the
+    // deterministic output ORDER BY
+    countShuffles(df) should be <= 2
+  }
+
+  "ts_downsample" should "read only the three needed columns and partial-aggregate" in {
+    val df = Timeseries.tsDownsample(spark, sfDir)
+    val plan = planString(df)
+    plan should include("ReadSchema: struct<ts:bigint,event_type:string,value:double>")
+    plan should include("partial_min")
+    countShuffles(df) should be <= 2
+  }
+
+  "ts_range" should "push both channel and time predicates to the scan" in {
+    val plan = planString(Timeseries.tsRange(spark, sfDir))
+    plan should include("PushedFilters:")
+    plan should include("In(event_type")
+  }
+
+  "q2_join" should "broadcast every dimension table (no shuffle join)" in {
+    val df = Relational.q2Join(spark, sfDir)
+    val plan = planString(df)
+    plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") shouldBe 3
+    plan should not include "SortMergeJoin"
+  }
+
+  "q3_topk" should "use TakeOrdered instead of a global sort" in {
+    planString(Relational.q3TopK(spark, sfDir)) should include("TakeOrderedAndProject")
+  }
+
+  "ann_bruteforce" should "broadcast the query side, pre-rank with WindowGroupLimit, and use vec_dot" in {
+    val emb = Tables.embeddings(spark, sfDir)
+    val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    val plan = planString(df)
+    plan should include("BroadcastNestedLoopJoin")
+    // top-k per query is limited partially before the shuffle
+    plan should include("WindowGroupLimit")
+    // the cosine kernel is the native expression (BNLJ stages fall out
+    // of whole-stage codegen; VecDot's compiled eval loop still applies —
+    // the codegen path itself is asserted in VectorMathSpec)
+    plan should include("vec_dot")
+  }
+
+  "ts_asof" should "avoid any unpartitioned global-sort window over the data" in {
+    val df = Timeseries.tsAsof(spark, sfDir)
+    // the only unpartitioned window runs over the tiny per-bucket
+    // summary (one row per bucket), never over the event stream: every
+    // Window over full-width rows must carry a partition spec
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows should not be empty
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    // unpartitioned windows allowed only on the bucket-summary branch
+    unpartitioned.foreach { w =>
+      w.output.map(_.name) should contain("__carry")
+    }
+  }
+}

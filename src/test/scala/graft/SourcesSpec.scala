@@ -50,6 +50,30 @@ class SourcesSpec extends SparkSpec {
     trimmed.agg(min("v"), max("v")).as[(Double, Double)].head() shouldBe ((11.0, 20.0))
   }
 
+  "TsLayout" should "prune partitions for channel/time range queries and match the flat-scan result" in {
+    import graft.sources.TsLayout
+    val dir = Files.createTempDirectory("graft-layout").toFile.toString
+    val ts = Tables.ts(spark, sfDir).select("channel", "t", "v")
+    TsLayout.write(ts, dir, bucketUs = TsLayout.DayUs)
+
+    val layout = TsLayout.read(spark, dir)
+    val start = 1704412800000000L
+    val end = 1705708800000000L
+    val q = TsLayout.rangeQuery(layout, Seq("click", "error"), start, end)
+
+    // partition pruning visible in the plan: only matching dirs scanned
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters:")
+    plan should include("p_channel")
+
+    // result equality against the flat scan
+    val expected = graft.operators.Timeseries
+      .rangeQuery(ts, Seq("click", "error"), start, end)
+      .select("channel", "t", "v")
+    q.count() shouldBe expected.count()
+    q.exceptAll(expected).count() shouldBe 0L
+  }
+
   "readCsv/readJson" should "load secondary formats" in {
     val dir = Files.createTempDirectory("graft-ing").toFile
     Files.writeString(new java.io.File(dir, "x.csv").toPath, "channel,t,v\na,1,2.5\nb,2,3.5\n")

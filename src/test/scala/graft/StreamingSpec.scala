@@ -38,6 +38,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "RealtimeResample" should "keep the resampled stream gap-free across segments (reference IngestSegmentSpec property)" in {
+    import graft.streaming.RealtimeResample
+    import RealtimeResample.IngestSegment
+    // a contiguous run of ingest segments at samplePeriod 100 resampled
+    // to pixel duration 500 must produce contiguous min/max chunks
+    val samplePeriod = 100.0
+    val perPacket = 50
+    val packets = (0 until 100).map { i =>
+      IngestSegment("ch", (i.toLong * perPacket * samplePeriod.toLong), samplePeriod,
+        (0 until perPacket).map(j => math.sin((i * perPacket + j) / 10.0)))
+    }
+    val segs = packets.map(RealtimeResample.resampleMessage(_, 500))
+    segs.foreach { s =>
+      s.isMinMax shouldBe true
+      s.nrPoints shouldBe 10 // 50 samples * 100 µs / 500 µs
+      s.data.length shouldBe 20
+    }
+    // reconstruct chunk times: startTs + k * samplePeriod; consecutive
+    // segments must abut exactly (no gaps, no overlap)
+    val chunkTimes = segs.flatMap(s => (0 until s.nrPoints).map(k => s.startTs + k * s.samplePeriod))
+    chunkTimes.sliding(2).foreach { case Seq(a, b) => (b - a) shouldBe 500.0 +- 1e-9 }
+  }
+
+  it should "cut into balanced chunks and pass through slow segments unchanged" in {
+    import graft.streaming.RealtimeResample
+    import RealtimeResample.IngestSegment
+    // reference `cut`: boundaries at round(x*m/n) — 10 items into 3 ->
+    // sizes 3,4,3
+    RealtimeResample.cut((1 to 10).toVector, 3).map(_.length) shouldBe Vector(3, 4, 3)
+    RealtimeResample.resample(Vector(5.0, 1.0, 9.0, 2.0), 2) shouldBe Seq((1.0, 5.0), (2.0, 9.0))
+    // samplePeriod >= pixelDuration -> passthrough
+    val slow = RealtimeResample.resampleMessage(IngestSegment("c", 0L, 1000.0, Seq(1.0, 2.0)), 500)
+    slow.isMinMax shouldBe false
+    slow.data shouldBe Seq(1.0, 2.0)
+  }
+
+  it should "apply as a typed map over a streaming Dataset" in {
+    import graft.streaming.RealtimeResample
+    import RealtimeResample.IngestSegment
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[IngestSegment]
+    val mem = MemoryStream[IngestSegment]
+    val out = RealtimeResample.stream(mem.toDS(), 500)
+    val q = out.writeStream.format("memory").queryName("rs_out").outputMode("append").start()
+    try {
+      mem.addData(IngestSegment("ch", 0L, 100.0, (1 to 50).map(_.toDouble)))
+      q.processAllAvailable()
+      val rows = spark.table("rs_out").collect()
+      rows.length shouldBe 1
+      rows(0).getAs[Int]("nrPoints") shouldBe 10
+      rows(0).getAs[Boolean]("isMinMax") shouldBe true
+    } finally q.stop()
+  }
+
   "RealtimeDownsample.sessionSpans" should "split sessions at the gap threshold" in {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
