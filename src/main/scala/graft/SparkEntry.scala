@@ -42,7 +42,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _), // rows-only + TextAnalysisSpec
     "text_fingerprint" -> (TextAnalysis.textFingerprint _), // rows-only + TextAnalysisSpec
-    "mm_decode" -> (Multimodal.mmDecode _) // rows-only + MultimodalSpec (stubbed decode kernel)
+    "mm_decode" -> (Multimodal.mmDecode _), // rows-only + MultimodalSpec (stubbed decode kernel)
+    "ts_waveforms" -> (Timeseries.tsWaveforms _) // rows-only + TimeseriesSpec (balanced-cut resample)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

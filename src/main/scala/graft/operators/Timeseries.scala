@@ -167,6 +167,57 @@ object Timeseries {
         col("n")
       )
 
+  /** The reference's resample decision: only downsample when at least
+    * 3 datapoints land in one pixel (reference:
+    * query/TimeSeriesQueryUtils.scala:175-182).
+    */
+  def shouldResample(rate: Double, microsecondsPerPixel: Long): Boolean = {
+    val microsecondPerDatapoints = 1e6 / rate
+    microsecondsPerPixel.toDouble / microsecondPerDatapoints > 3.0
+  }
+
+  /** Retrieval cap: refuse queries whose expected sample count exceeds
+    * the limit (reference: query/TimeSeriesQueryUtils.scala:362-369).
+    */
+  def overLimit(startUs: Long, endUs: Long, rate: Double, limit: Long): Either[String, Unit] = {
+    val samples = ((endUs - startUs) / 1e6) * rate
+    if (samples <= limit) Right(()) else Left(s"exceeded retrieval limit of $limit")
+  }
+
+  /** Spike waveform snippets: group each channel's ordered samples into
+    * waveforms of `spikeDataPointCount` and resample each to
+    * `chunkCount` (min,max) pairs with the reference's balanced-cut
+    * semantics (reference: query/WsClient.scala:85-97 — grouped +
+    * resample). Emits one row per chunk. Waveforms shuffle by
+    * (channel, waveform id), so arbitrarily many resample in parallel.
+    */
+  def spikeWaveforms(
+    spark: SparkSession,
+    ts: DataFrame,
+    spikeDataPointCount: Int,
+    chunkCount: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val byT = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
+    ts.select(
+      col("channel"),
+      col("t"),
+      col("v"),
+      col("event_id"),
+      ((row_number().over(byT) - 1) / spikeDataPointCount).cast("long").as("wf")
+    ).as[(String, Long, Double, Long, Long)]
+      .groupByKey { case (ch, _, _, _, wf) => (ch, wf) }
+      .flatMapSortedGroups($"t", $"event_id") { case ((ch, wf), rows) =>
+        val data = rows.map(_._3).toVector
+        graft.streaming.RealtimeResample
+          .resample(data, chunkCount)
+          .iterator
+          .zipWithIndex
+          .map { case ((mn, mx), i) => (ch, wf, i.toLong, mn, mx) }
+      }
+      .toDF("channel", "wf", "chunk", "wmin", "wmax")
+  }
+
   /** Rising threshold crossings per channel: v > thresh and previous
     * v <= thresh (unit-channel spike analog).
     */
@@ -406,6 +457,15 @@ object Timeseries {
       |  FROM events WHERE event_type = 'error' GROUP BY 1) b
       |ON epoch_us(a.ts) >= b.rt
       |ORDER BY a.event_id""".stripMargin
+
+  /** Fixed waveform query: 100-sample waveforms resampled to 10
+    * (min,max) chunks — rows-only (the balanced-cut boundary function
+    * is not cleanly SQL-expressible; TimeseriesSpec verifies against
+    * the sequential reference semantics).
+    */
+  def tsWaveforms(spark: SparkSession, dir: String): DataFrame =
+    spikeWaveforms(spark, Tables.ts(spark, dir), spikeDataPointCount = 100, chunkCount = 10)
+      .orderBy(col("channel"), col("wf"), col("chunk"))
 
   def tsStats(spark: SparkSession, dir: String): DataFrame =
     channelStats(Tables.ts(spark, dir)).orderBy(col("channel"))

@@ -109,6 +109,45 @@ class TimeseriesSpec extends SparkSpec {
     merged shouldBe List((1L, 12L, 2L), (20L, 30L, 2L), (40L, 41L, 1L))
   }
 
+  "shouldResample" should "require more than 3 datapoints per pixel (reference ratio)" in {
+    // reference: query/TimeSeriesQueryUtils.scala:175-182
+    Timeseries.shouldResample(rate = 250.0, microsecondsPerPixel = 4000) shouldBe false // ratio 1
+    Timeseries.shouldResample(rate = 250.0, microsecondsPerPixel = 12000) shouldBe false // ratio 3
+    Timeseries.shouldResample(rate = 250.0, microsecondsPerPixel = 12001) shouldBe true
+  }
+
+  "overLimit" should "cap expected sample counts (reference retrieval limit)" in {
+    // 10 s at 100 Hz = 1000 samples
+    Timeseries.overLimit(0L, 10000000L, 100.0, 1000L) shouldBe Right(())
+    Timeseries.overLimit(0L, 10000000L, 100.0, 999L).isLeft shouldBe true
+  }
+
+  "spikeWaveforms" should "match the sequential grouped+resample reference semantics" in {
+    val n = 1030 // deliberately not a multiple of the waveform size
+    val df = mkTs((0L until n.toLong).map(t => ("ch", t, math.sin(t / 3.0) * t)))
+    val got = Timeseries
+      .spikeWaveforms(spark, df, spikeDataPointCount = 100, chunkCount = 10)
+      .orderBy("wf", "chunk")
+      .select("wf", "chunk", "wmin", "wmax")
+      .as[(Long, Long, Double, Double)]
+      .collect()
+      .toList
+
+    // reference: data.grouped(spikeDataPointCount).map(g => resample(g, chunkCount))
+    val expected = (0L until n.toLong)
+      .map(t => math.sin(t / 3.0) * t)
+      .grouped(100)
+      .zipWithIndex
+      .flatMap { case (g, wf) =>
+        graft.streaming.RealtimeResample
+          .resample(g.toVector, 10)
+          .zipWithIndex
+          .map { case ((mn, mx), c) => (wf.toLong, c.toLong, mn, mx) }
+      }
+      .toList
+    got shouldBe expected
+  }
+
   "rangeQuery" should "trim to the window and keep pushable predicates" in {
     val df = Timeseries.tsRange(spark, sfDir)
     df.count() should be > 0L
