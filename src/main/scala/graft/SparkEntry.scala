@@ -38,6 +38,7 @@ object SparkEntry {
     "dedup_embed" -> (Dedup.dedupEmbed _),
     "ann_bruteforce" -> (Similarity.annBruteforce _),
     "ann_lsh" -> (Similarity.annLsh _), // rows-only + SimilaritySpec recall
+    "ann_ivf" -> (Similarity.annIvf _), // rows-only + SimilaritySpec recall
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _), // rows-only + TextAnalysisSpec

@@ -109,6 +109,56 @@ object Similarity {
       )
   }
 
+  /** IVF-style ANN: a deterministic sample of corpus vectors serves as
+    * the coarse quantizer ("centroids" — at scale these come from a
+    * proper k-means job and are persisted as the index). Every corpus
+    * vector is assigned to its nearest centroid in one codegen'd
+    * projection (C vec_dot columns + argmax, no shuffle); queries probe
+    * the `nProbe` nearest centroid lists and rank those candidates by
+    * exact cosine. The scan touches ~nProbe/C of the corpus.
+    */
+  def ivfTopK(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: Int,
+    nCentroids: Int = 16,
+    nProbe: Int = 4
+  ): DataFrame = {
+    // index build: deterministic hash-ranked sample as centroids
+    val centroids: Array[(Long, Seq[Double])] = corpus
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(nCentroids)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    def simStructs(v: Column): Seq[Column] = centroids.zipWithIndex.map { case ((_, cv), i) =>
+      struct(VectorMath.dot(v, typedlit(cv)).as("sim"), lit(i).as("cid"))
+    }
+
+    val c = prepped(corpus, "neighbor_id", "vc", "nc")
+      .withColumn("cid", greatest(simStructs(col("vc")): _*).getField("cid"))
+    val q = prepped(queries, "query_id", "vq", "nq")
+      .withColumn(
+        "cid",
+        explode(
+          slice(reverse(array_sort(array(simStructs(col("vq")): _*))), 1, nProbe).getField("cid")
+        )
+      )
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorMath.cosine(col("vq"), col("vc"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine")
+      )
+  }
+
   // ---------------------------------------------------------------------
   // Fixed driver queries
   // ---------------------------------------------------------------------
@@ -144,6 +194,12 @@ object Similarity {
     // planes sized for the testdata corpus density (2^4 buckets);
     // larger corpora raise planes to keep per-bucket candidate counts flat
     lshTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK, planes = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
       .orderBy(col("query_id"), col("rank"))
   }
 }

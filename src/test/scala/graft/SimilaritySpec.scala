@@ -66,4 +66,26 @@ class SimilaritySpec extends SparkSpec {
     val top1Hits = exactAll.count { case (q, top1) => lsh.getOrElse(q, Set.empty).contains(top1) }
     top1Hits.toDouble / exactAll.size should be >= 0.25
   }
+
+  "ivfTopK" should "beat the probe fraction's random-recall baseline" in {
+    val exactAll = Similarity
+      .bruteForceTopK(emb, emb, 1)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val ivf = Similarity
+      .ivfTopK(emb, emb, 5, nCentroids = 8, nProbe = 3)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    ivf.keySet shouldBe exactAll.keySet
+    // probing 3 of 8 lists scans ~38% of the corpus; nearest-centroid
+    // locality must beat that chance level for the true top-1
+    val top1Hits = exactAll.count { case (q, top1) => ivf.getOrElse(q, Set.empty).contains(top1) }
+    top1Hits.toDouble / exactAll.size should be >= 0.45
+  }
 }
