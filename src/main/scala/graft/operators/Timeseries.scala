@@ -87,6 +87,12 @@ object Timeseries {
     * exactly like the reference (`grouped(n).take(floor(total/n))`).
     * The row_number window is the one per-channel sort; chunk agg after
     * it is partial.
+    *
+    * Scale note: the window sort concentrates each channel in one task —
+    * fine for many channels, skewed for few huge ones. Uniform-rate
+    * channels (the reference's actual storage model) should use
+    * [[resampleChunksUniform]], where the chunk id is pure arithmetic on
+    * t and the plan is scan → partial agg → one shuffle, no sort.
     */
   def resampleChunks(ts: DataFrame, chunkSize: Int): DataFrame = {
     val w = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
@@ -99,6 +105,27 @@ object Timeseries {
       .agg(min(col("v")).as("cmin"), max(col("v")).as("cmax"), count(lit(1)).as("n"))
       .filter(col("n") === chunkSize)
   }
+
+  /** Sort-free resample for uniform-rate channels: with period known,
+    * the sample index is (t - t0) / period, so the chunk id is
+    * arithmetic and the whole operator is scan → map-side partial agg →
+    * one shuffle on (channel, chunk) — no per-channel sort, no skew
+    * (chunks subdivide time). Trailing partial chunks are dropped like
+    * the reference.
+    */
+  def resampleChunksUniform(
+    ts: DataFrame,
+    t0Us: Long,
+    periodUs: Long,
+    chunkSize: Int
+  ): DataFrame =
+    ts.select(
+      col("channel"),
+      col("v"),
+      ((col("t") - t0Us) / periodUs / chunkSize).cast("long").as("chunk")
+    ).groupBy(col("channel"), col("chunk"))
+      .agg(min(col("v")).as("cmin"), max(col("v")).as("cmax"), count(lit(1)).as("n"))
+      .filter(col("n") === chunkSize)
 
   /** Contiguous-span detection (`contig`): split each channel's stream
     * where consecutive samples are >= gapUs apart (the reference's

@@ -46,6 +46,32 @@ class TimeseriesSpec extends SparkSpec {
     chunks.head.getAs[Double]("cmax") shouldBe 100.0
   }
 
+  "resampleChunksUniform" should "match the sorted path on uniform-rate data without any window sort" in {
+    val period = 4000L
+    val df = mkTs((0L until 250L).map(i => ("ch", 1000000L + i * period, math.cos(i / 5.0))))
+    val uniform = Timeseries
+      .resampleChunksUniform(df, t0Us = 1000000L, periodUs = period, chunkSize = 100)
+      .orderBy("chunk")
+      .select("chunk", "cmin", "cmax", "n")
+      .as[(Long, Double, Double, Long)]
+      .collect()
+      .toList
+    val sorted = Timeseries
+      .resampleChunks(df, 100)
+      .orderBy("chunk")
+      .select("chunk", "cmin", "cmax", "n")
+      .as[(Long, Double, Double, Long)]
+      .collect()
+      .toList
+    uniform shouldBe sorted
+    // and the plan must contain no Window (pure agg)
+    Timeseries
+      .resampleChunksUniform(df, 1000000L, period, 100)
+      .queryExecution
+      .optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w } shouldBe empty
+  }
+
   "montage" should "subtract secondary from lead per bucket" in {
     val df = mkTs(
       Seq(("a", 10L, 5.0), ("a", 20L, 7.0), ("b", 15L, 2.0), ("b", 25L, 2.0))
