@@ -21,6 +21,14 @@ import org.apache.spark.sql.types.DecimalType
 object Relational {
   private val d204 = DecimalType(20, 4)
   private val d384 = DecimalType(38, 4)
+  private val d2710 = DecimalType(27, 10)
+
+  /** Order-independent average (exact decimal sum, then one double
+    * division) — plain avg() of doubles depends on partial-aggregation
+    * order and can flip a round(...,6) boundary vs the oracle.
+    */
+  private def detAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(d2710)).cast("double") / count(lit(1))
 
   /** TPC-H Q1-style pricing summary: scan → filter (pushed down) →
     * partial agg → final agg.
@@ -36,8 +44,8 @@ object Relational {
         sum(col("l_extendedprice").cast(d204) * (lit(1).cast(d204) - col("l_discount").cast(d204)))
           .cast(d384)
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(detAvg(col("l_quantity")), 6).as("avg_qty"),
+        round(detAvg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order")
       )
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -47,8 +55,8 @@ object Relational {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  ROUND(AVG(l_quantity), 6) AS avg_qty,
-      |  ROUND(AVG(l_discount), 6) AS avg_disc,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

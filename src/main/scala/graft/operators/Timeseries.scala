@@ -48,6 +48,17 @@ object Timeseries {
   private def microsBucket(t: Column, width: Long): Column =
     floor(t / lit(width)).cast("long")
 
+  /** Deterministic average: double summation order varies with Spark's
+    * partial-aggregation partitioning, so a plain avg() can flip a
+    * round(...,6) boundary against any sequential oracle (observed at
+    * sf0.1). Summing through DECIMAL is exact and order-independent;
+    * the final double division is then deterministic. Matching oracle
+    * form: CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*).
+    */
+  private val dec2710 = org.apache.spark.sql.types.DecimalType(27, 10)
+  private def detSum(c: Column): Column = sum(c.cast(dec2710)).cast("double")
+  private def detAvg(c: Column): Column = detSum(c) / count(lit(1))
+
   // ---------------------------------------------------------------------
   // Generic operators
   // ---------------------------------------------------------------------
@@ -70,7 +81,7 @@ object Timeseries {
         min(col("v")).as("vmin"),
         max(col("v")).as("vmax"),
         count(lit(1)).as("n"),
-        round(avg(col("v")), 6).as("vavg")
+        round(detAvg(col("v")), 6).as("vavg")
       )
       .select(
         col("channel"),
@@ -164,7 +175,7 @@ object Timeseries {
     val b = ts
       .filter(col("channel").isin(chans: _*))
       .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
-      .agg(avg(col("v")).as("av"))
+      .agg(detAvg(col("v")).as("av"))
     val pairDf = pairs.toDF("lead", "sec")
     val l = b.select(col("channel").as("lead"), col("bucket"), col("av").as("lead_av"))
     val r = b.select(col("channel").as("sec_ch"), col("bucket").as("rbucket"), col("av").as("sec_av"))
@@ -318,19 +329,30 @@ object Timeseries {
       )
   }
 
-  /** Per-channel stream statistics (count/avg/stddev/rms/min/max/rate). */
-  def channelStats(ts: DataFrame): DataFrame =
+  /** Per-channel stream statistics (count/avg/stddev/rms/min/max/rate).
+    * avg/std/rms are computed from exact decimal sums (S1, S2) so the
+    * results are independent of partial-aggregation order — the same
+    * closed forms the oracle uses.
+    */
+  def channelStats(ts: DataFrame): DataFrame = {
+    val n = count(lit(1))
+    val s1 = detSum(col("v"))
+    val s2 = detSum(col("v") * col("v"))
     ts.groupBy(col("channel"))
       .agg(
-        count(lit(1)).as("n"),
-        round(avg(col("v")), 6).as("vavg"),
-        round(stddev_samp(col("v")), 6).as("vstd"),
-        round(sqrt(avg(col("v") * col("v"))), 6).as("vrms"),
+        n.as("n"),
+        round(s1 / n, 6).as("vavg"),
+        round(
+          when(n > 1, sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0)))),
+          6
+        ).as("vstd"),
+        round(sqrt(s2 / n), 6).as("vrms"),
         min(col("v")).as("vmin"),
         max(col("v")).as("vmax"),
         min(col("t")).as("t0"),
         max(col("t")).as("t1")
       )
+  }
 
   /** Channel catalog (VirtualChannelInfo analog): start/end/counts. */
   def channelCatalog(ts: DataFrame): DataFrame =
@@ -384,7 +406,7 @@ object Timeseries {
        |  CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket,
        |  CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) * $BucketUs AS bucket_start,
        |  MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n,
-       |  ROUND(AVG(value), 6) AS vavg
+       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS vavg
        |FROM events
        |GROUP BY 1, 2
        |ORDER BY channel, bucket""".stripMargin
@@ -427,7 +449,8 @@ object Timeseries {
 
   val tsMontageSql: String =
     s"""WITH b AS (
-       |  SELECT event_type AS ch, CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket, AVG(value) AS av
+       |  SELECT event_type AS ch, CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket,
+       |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS av
        |  FROM events GROUP BY 1, 2),
        |p(lead, sec) AS (VALUES ('click','view'), ('error','purchase'), ('signup','click'))
        |SELECT p.lead || '<->' || p.sec AS channel, l.bucket AS bucket, ROUND(l.av - r.av, 6) AS v
@@ -470,7 +493,7 @@ object Timeseries {
     val right = ts
       .filter(col("channel") === "error")
       .groupBy(col("t"))
-      .agg(avg(col("v")).as("rv"))
+      .agg(detAvg(col("v")).as("rv"))
     asofJoin(left, right, BucketUs)
       .select(col("event_id"), col("t"), col("v"), round(col("rv"), 6).as("last_error_v"))
       .orderBy(col("event_id"))
@@ -480,7 +503,8 @@ object Timeseries {
     """SELECT a.event_id, epoch_us(a.ts) AS t, a.value AS v, ROUND(b.rv, 6) AS last_error_v
       |FROM (SELECT * FROM events WHERE event_type = 'click') a
       |ASOF LEFT JOIN (
-      |  SELECT epoch_us(ts) AS rt, AVG(value) AS rv
+      |  SELECT epoch_us(ts) AS rt,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS rv
       |  FROM events WHERE event_type = 'error' GROUP BY 1) b
       |ON epoch_us(a.ts) >= b.rt
       |ORDER BY a.event_id""".stripMargin
@@ -498,14 +522,20 @@ object Timeseries {
     channelStats(Tables.ts(spark, dir)).orderBy(col("channel"))
 
   val tsStatsSql: String =
-    """SELECT event_type AS channel, COUNT(*) AS n,
-      |  ROUND(AVG(value), 6) AS vavg,
-      |  ROUND(STDDEV_SAMP(value), 6) AS vstd,
-      |  ROUND(SQRT(AVG(value * value)), 6) AS vrms,
-      |  MIN(value) AS vmin, MAX(value) AS vmax,
-      |  MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
-      |FROM events
-      |GROUP BY 1
+    """WITH s AS (
+      |  SELECT event_type AS channel, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(27,10))) AS DOUBLE) AS s2,
+      |    MIN(value) AS vmin, MAX(value) AS vmax,
+      |    MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+      |  FROM events
+      |  GROUP BY 1)
+      |SELECT channel, n,
+      |  ROUND(s1 / n, 6) AS vavg,
+      |  ROUND(CASE WHEN n > 1 THEN SQRT(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0)) END, 6) AS vstd,
+      |  ROUND(SQRT(s2 / n), 6) AS vrms,
+      |  vmin, vmax, t0, t1
+      |FROM s
       |ORDER BY channel""".stripMargin
 
   def tsChannels(spark: SparkSession, dir: String): DataFrame =
