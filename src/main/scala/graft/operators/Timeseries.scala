@@ -475,7 +475,9 @@ object Timeseries {
 
   def tsSpikes(spark: SparkSession, dir: String): DataFrame =
     spikes(Tables.ts(spark, dir), SpikeThreshold)
-      .orderBy(col("channel"), col("t"))
+      // order by every output column: equal-t rows with different v
+      // would otherwise interleave engine-dependently
+      .orderBy(col("channel"), col("t"), col("v"))
 
   val tsSpikesSql: String =
     s"""SELECT channel, t, v FROM (
@@ -483,7 +485,7 @@ object Timeseries {
        |    LAG(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS pv
        |  FROM events) a
        |WHERE v > $SpikeThreshold AND pv <= $SpikeThreshold
-       |ORDER BY channel, t""".stripMargin
+       |ORDER BY channel, t, v""".stripMargin
 
   def tsAsof(spark: SparkSession, dir: String): DataFrame = {
     val ts = Tables.ts(spark, dir)
