@@ -7,13 +7,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions entry point: makes the engine's native
-  * Catalyst expressions available to ANY session (including pure-SQL
-  * users) via
+  * Catalyst expressions and optimizer rules available to ANY session
+  * (including pure-SQL users) via
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
   *   SELECT vec_dot(a, b)            -- codegen'd float/double dot product
   *   SELECT winnow(text, 8, 4)       -- Rabin-Karp winnowing fingerprints
+  *
+  * plus graft.plans.DeriveBucketFilter, which turns plain `t` range
+  * predicates over the partitioned ts layout into partition-pruning
+  * p_bucket predicates automatically.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -43,5 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       )
     )
+    ext.injectOptimizerRule(_ => graft.plans.DeriveBucketFilter())
   }
 }

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: derive partition-key predicates from time
+  * predicates on the partitioned ts layout (graft.sources.TsLayout).
+  *
+  * The layout stores p_bucket = t / bucketUs as a partition directory
+  * key. A user querying `t >= a AND t < b` doesn't mention p_bucket,
+  * so the scan would list every partition; this rule conjoins the
+  * implied `p_bucket >= a/bucketUs AND p_bucket <= (b-1)/bucketUs`,
+  * which Spark then turns into partition pruning — the automatic
+  * version of the reference's Postgres range-index lookup.
+  *
+  * Correctness: for non-negative t and bucketUs > 0, t >= a implies
+  * t/bucketUs >= floor(a/bucketUs) (floor is monotone) and t < b
+  * implies t/bucketUs <= floor((b-1)/bucketUs), so the added
+  * predicates never reject a row the original filter accepts — they
+  * only prune partitions that cannot contain matches.
+  *
+  * The bucket width is read from `spark.graft.ts.bucketUs` (SQL conf,
+  * default one day); the rule fires only on plans that expose BOTH a
+  * long column `t` and a long partition column `p_bucket`, and is
+  * idempotent (skips filters that already constrain p_bucket).
+  */
+case class DeriveBucketFilter() extends Rule[LogicalPlan] {
+
+  private val BucketConfKey = "spark.graft.ts.bucketUs"
+  private val DefaultBucketUs = 86400000000L
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val bucketUs =
+      try conf.getConfString(BucketConfKey, DefaultBucketUs.toString).toLong
+      catch { case _: NumberFormatException => DefaultBucketUs }
+
+    plan.transform {
+      case f @ Filter(cond, child) =>
+        val tAttr = child.output.find(a => a.name == "t" && a.dataType == LongType)
+        // partition directory values are type-inferred on read, so the
+        // bucket column may come back as int
+        val bAttr = child.output.find(a =>
+          a.name == "p_bucket" && (a.dataType == LongType || a.dataType == IntegerType)
+        )
+        (tAttr, bAttr) match {
+          case (Some(t), Some(b)) if !mentions(cond, b) =>
+            val derived = deriveBounds(cond, t, b, bucketUs)
+            if (derived.isEmpty) f
+            else Filter(derived.foldLeft(cond)(And), child)
+          case _ => f
+        }
+    }
+  }
+
+  private def mentions(e: Expression, a: Attribute): Boolean =
+    e.references.contains(a)
+
+  /** Collect t-bounds from top-level conjuncts and translate each into
+    * a p_bucket bound.
+    */
+  private def deriveBounds(
+    cond: Expression,
+    t: Attribute,
+    bucket: Attribute,
+    bucketUs: Long
+  ): Seq[Expression] = {
+    def lit(v: Long): Literal =
+      if (bucket.dataType == IntegerType) Literal(v.toInt) else Literal(v)
+    splitConjuncts(cond).flatMap {
+      case GreaterThanOrEqual(a, Literal(v: Long, LongType)) if a.semanticEquals(t) =>
+        Some(GreaterThanOrEqual(bucket, lit(Math.floorDiv(v, bucketUs))))
+      case GreaterThan(a, Literal(v: Long, LongType)) if a.semanticEquals(t) =>
+        Some(GreaterThanOrEqual(bucket, lit(Math.floorDiv(v + 1, bucketUs))))
+      case LessThan(a, Literal(v: Long, LongType)) if a.semanticEquals(t) =>
+        Some(LessThanOrEqual(bucket, lit(Math.floorDiv(v - 1, bucketUs))))
+      case LessThanOrEqual(a, Literal(v: Long, LongType)) if a.semanticEquals(t) =>
+        Some(LessThanOrEqual(bucket, lit(Math.floorDiv(v, bucketUs))))
+      case EqualTo(a, Literal(v: Long, LongType)) if a.semanticEquals(t) =>
+        Some(EqualTo(bucket, lit(Math.floorDiv(v, bucketUs))))
+      case _ => None
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}

@@ -32,4 +32,42 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       SparkSession.setActiveSession(base)
     }
   }
+
+  it should "derive p_bucket partition filters from plain t predicates" in {
+    import org.apache.spark.sql.functions._
+    val base = SparkSpec.session
+    // write a small partitioned layout first (hour buckets)
+    val bucketUs = 3600000000L
+    val dir: String = java.nio.file.Files.createTempDirectory("graft-rule").toString
+    graft.sources.TsLayout.write(
+      Tables.ts(base, "/root/testdata/sf0.001").select("channel", "t", "v"),
+      dir,
+      bucketUs
+    )
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession
+      .builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      ext.conf.set("spark.graft.ts.bucketUs", bucketUs.toString)
+      val start = 1704412800000000L
+      val end = 1704499200000000L
+      // user filters ONLY on t — no mention of p_bucket
+      val q = ext.read.parquet(dir).filter(col("t") >= start && col("t") < end)
+      val plan = q.queryExecution.executedPlan.toString
+      plan should include regex """PartitionFilters: \[.*p_bucket.*>=.*"""
+      // and results equal the un-extended session's answer
+      val expected = base.read.parquet(dir).filter(col("t") >= start && col("t") < end).count()
+      q.count() shouldBe expected
+      expected should be > 0L
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
