@@ -79,6 +79,18 @@ object Butterworth {
       java.util.Arrays.fill(v2, 0.0)
     }
 
+    /** Export the delay-line state (for persistence across streaming
+      * micro-batches).
+      */
+    def save(): (Array[Double], Array[Double]) = (v1.clone(), v2.clone())
+
+    /** Restore a previously saved delay-line state. */
+    def load(nv1: Array[Double], nv2: Array[Double]): Unit = {
+      require(nv1.length == n && nv2.length == n, s"state length must be $n")
+      System.arraycopy(nv1, 0, v1, 0, n)
+      System.arraycopy(nv2, 0, v2, 0, n)
+    }
+
     def filter(x: Double): Double = {
       var acc = x * cascade.gain
       var i = 0

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.functions.Butterworth
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming per-channel IIR filtering with persistent state — the
+  * Structured Streaming analog of the reference's session filter map
+  * (server/FilterStateTracker.scala + TimeSeriesFlow channelFilters):
+  * each channel owns a live filter cascade whose delay-line state
+  * carries across incoming batches, and the filter RESETS with a
+  * reflected prewarm whenever the next samples are not contiguous with
+  * the last seen timestamp (reference: query/TimeSeriesQueryRawHttp
+  * .scala:158-177 resets when the gap exceeds the threshold).
+  *
+  * State per key is O(2 × biquads) doubles + one timestamp — constant,
+  * so the state store stays tiny no matter how long the stream runs.
+  */
+object StreamingFilter {
+
+  case class Sample(channel: String, t: Long, v: Double)
+  case class Filtered(channel: String, t: Long, v: Double, fv: Double)
+
+  /** Persisted per-channel state: biquad delay lines + last timestamp. */
+  case class FilterState(v1: Seq[Double], v2: Seq[Double], lastT: Long)
+
+  implicit val filteredEncoder: Encoder[Filtered] = Encoders.product[Filtered]
+  implicit val sampleEncoder: Encoder[Sample] = Encoders.product[Sample]
+  implicit val stateEncoder: Encoder[FilterState] = Encoders.product[FilterState]
+  implicit val stringEncoder: Encoder[String] = Encoders.STRING
+
+  /** Apply `cascade` to a stream of samples grouped by channel. Samples
+    * within a batch are processed in t order; state persists across
+    * batches; a gap > gapUs (vs the last processed timestamp) resets
+    * the filter and re-warms it from the new block's reflected head.
+    */
+  def apply(
+    samples: Dataset[Sample],
+    cascade: Butterworth.Cascade,
+    padLength: Int,
+    gapUs: Long
+  ): Dataset[Filtered] = {
+    val nBq = cascade.biquads.length
+    samples
+      .groupByKey(_.channel)
+      .flatMapGroupsWithState[FilterState, Filtered](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (channel: String, rows: Iterator[Sample], state: GroupState[FilterState]) =>
+        val batch = rows.toArray.sortBy(s => (s.t, s.v))
+        if (batch.isEmpty) Iterator.empty
+        else {
+          val st = new Butterworth.State(cascade)
+          var lastT = Long.MinValue
+          var warmed = false
+          state.getOption.foreach { fs =>
+            st.load(fs.v1.toArray, fs.v2.toArray)
+            lastT = fs.lastT
+            warmed = true
+          }
+          val out = new Array[Filtered](batch.length)
+          var i = 0
+          while (i < batch.length) {
+            val s = batch(i)
+            val gap = warmed && lastT != Long.MinValue && (s.t - lastT) > gapUs
+            if (!warmed || gap) {
+              // clean/reset state: reflected prewarm from this block's head
+              st.reset()
+              val head = batch.drop(i).map(_.v)
+              Butterworth.reflectedPrewarm(head, padLength).foreach(st.filter)
+              warmed = true
+            }
+            out(i) = Filtered(s.channel, s.t, s.v, st.filter(s.v))
+            lastT = s.t
+            i += 1
+          }
+          val (v1, v2) = st.save()
+          state.update(FilterState(v1.toSeq, v2.toSeq, lastT))
+          out.iterator
+        }
+      }
+  }
+}

@@ -92,6 +92,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "StreamingFilter" should "carry filter state across micro-batches exactly like one continuous run" in {
+    import graft.streaming.StreamingFilter
+    import StreamingFilter.Sample
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Sample]
+
+    val cascade = graft.functions.Butterworth.lowPass(4, 250.0, 20.0)
+    val signal = (0 until 600).map(i => math.sin(i / 9.0))
+
+    val mem = MemoryStream[Sample]
+    val out = StreamingFilter(mem.toDS(), cascade, padLength = 40, gapUs = 100L)
+    val q = out.writeStream.format("memory").queryName("sf_out").outputMode("append").start()
+    try {
+      // three micro-batches of one contiguous stream (t stride 1 <= gap)
+      mem.addData((0 until 200).map(i => Sample("a", i.toLong, signal(i))): _*)
+      q.processAllAvailable()
+      mem.addData((200 until 400).map(i => Sample("a", i.toLong, signal(i))): _*)
+      q.processAllAvailable()
+      mem.addData((400 until 600).map(i => Sample("a", i.toLong, signal(i))): _*)
+      q.processAllAvailable()
+
+      val got = spark
+        .table("sf_out")
+        .orderBy("t")
+        .select("fv")
+        .as[Double]
+        .collect()
+
+      // expected: ONE continuous filter run with the same initial prewarm
+      val st = new graft.functions.Butterworth.State(cascade)
+      graft.functions.Butterworth
+        .reflectedPrewarm(signal.take(200).toArray, 40)
+        .foreach(st.filter)
+      val exp = signal.map(st.filter)
+
+      got.length shouldBe 600
+      got.zip(exp).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+    } finally q.stop()
+  }
+
+  it should "reset and re-warm on a stream gap" in {
+    import graft.streaming.StreamingFilter
+    import StreamingFilter.Sample
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Sample]
+
+    val cascade = graft.functions.Butterworth.lowPass(4, 250.0, 20.0)
+    val mem = MemoryStream[Sample]
+    val out = StreamingFilter(mem.toDS(), cascade, padLength = 20, gapUs = 10L)
+    val q = out.writeStream.format("memory").queryName("sf_gap").outputMode("append").start()
+    try {
+      mem.addData((0 until 100).map(i => Sample("a", i.toLong, math.cos(i / 4.0))): _*)
+      q.processAllAvailable()
+      // second batch far beyond the gap: filter must reset + prewarm fresh
+      mem.addData((0 until 100).map(i => Sample("a", 1000L + i, math.cos(i / 4.0))): _*)
+      q.processAllAvailable()
+
+      val got = spark.table("sf_gap").orderBy("t").select("fv").as[Double].collect()
+      val expBlock = {
+        val st = new graft.functions.Butterworth.State(cascade)
+        val block = (0 until 100).map(i => math.cos(i / 4.0)).toArray
+        graft.functions.Butterworth.reflectedPrewarm(block, 20).foreach(st.filter)
+        block.map(st.filter)
+      }
+      // both blocks identical input after a reset -> identical output
+      got.take(100).zip(expBlock).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+      got.drop(100).zip(expBlock).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+    } finally q.stop()
+  }
+
   "RealtimeDownsample.sessionSpans" should "split sessions at the gap threshold" in {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
