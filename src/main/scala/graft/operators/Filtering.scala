@@ -55,12 +55,16 @@ object Filtering {
         sum($"brk").over(byT.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       )
       // cap contiguous-run length: chunk restarts filter state with the
-      // reference's reset+prewarm policy, keeping executor memory bounded
+      // reference's reset+prewarm policy, keeping executor memory
+      // bounded (the row_number window is skipped entirely when no cap
+      // is requested)
       .withColumn(
         "chunk",
-        ((row_number().over(
-          Window.partitionBy($"channel", $"block").orderBy($"t", $"event_id")
-        ) - 1) / maxBlockSamples).cast("long")
+        if (maxBlockSamples == Int.MaxValue) lit(0L)
+        else
+          ((row_number().over(
+            Window.partitionBy($"channel", $"block").orderBy($"t", $"event_id")
+          ) - 1) / maxBlockSamples).cast("long")
       )
       .select($"channel", $"block", $"chunk", $"t", $"v", $"event_id")
       .as[(String, Long, Long, Long, Double, Long)]

@@ -40,6 +40,17 @@ object RealtimeDownsample {
         col("vavg")
       )
 
+  /** Streaming exact dedup: drop repeated documents within the
+    * watermark horizon, keyed by content hash — the streaming front-door
+    * of the batch dedup pipeline (state is bounded by the watermark;
+    * exact-forever dedup needs the batch job downstream).
+    * Input: streaming (doc_hash string/long, ts timestamp, ...).
+    */
+  def dedupStream(input: DataFrame, watermarkDelay: String): DataFrame =
+    input
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_hash")
+
   /** Streaming gap detector: flags samples that arrive more than
     * `gapSeconds` after the previous sample on the same channel —
     * the realtime analog of contiguous-span splitting, implemented

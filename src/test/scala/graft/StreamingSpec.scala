@@ -162,6 +162,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "RealtimeDownsample.dedupStream" should "drop repeated doc hashes within the watermark" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val out = graft.streaming.RealtimeDownsample.dedupStream(
+      mem.toDF().toDF("doc_hash", "ts"),
+      watermarkDelay = "10 seconds"
+    )
+    val q = out.writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    try {
+      mem.addData(("h1", ts(1)), ("h2", ts(2)), ("h1", ts(3)))
+      q.processAllAvailable()
+      mem.addData(("h1", ts(4)), ("h3", ts(5)))
+      q.processAllAvailable()
+      val hashes = spark.table("dd_out").select("doc_hash").as[String].collect().sorted
+      hashes shouldBe Array("h1", "h2", "h3")
+    } finally q.stop()
+  }
+
   "RealtimeDownsample.sessionSpans" should "split sessions at the gap threshold" in {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
