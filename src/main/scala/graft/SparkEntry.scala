@@ -22,6 +22,7 @@ object SparkEntry {
     "ts_resample_chunk" -> (Timeseries.tsResampleChunk _),
     "ts_gaps" -> (Timeseries.tsGaps _),
     "ts_montage" -> (Timeseries.tsMontage _),
+    "ts_montage_aligned" -> (Timeseries.tsMontageAligned _),
     "ts_eventbin" -> (Timeseries.tsEventBin _),
     "ts_spikes" -> (Timeseries.tsSpikes _),
     "ts_asof" -> (Timeseries.tsAsof _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "ts_resample_chunk" -> Timeseries.tsResampleChunkSql,
     "ts_gaps" -> Timeseries.tsGapsSql,
     "ts_montage" -> Timeseries.tsMontageSql,
+    "ts_montage_aligned" -> Timeseries.tsMontageAlignedSql,
     "ts_eventbin" -> Timeseries.tsEventBinSql,
     "ts_spikes" -> Timeseries.tsSpikesSql,
     "ts_asof" -> Timeseries.tsAsofSql,

@@ -188,6 +188,34 @@ object Timeseries {
       )
   }
 
+  /** Sample-aligned montage: subtract the secondary channel from the
+    * lead at each exact timestamp — the set analog of the reference's
+    * sample-by-sample stream zip for rate-aligned channels
+    * (query/TimeSeriesQueryRawHttp.scala:326-334 subtracts the
+    * secondary stream element-wise). An equi-join on t; at scale both
+    * sides come from the same time-bucket-partitioned layout so the
+    * join is co-partitioned, and the tiny pair table is broadcast.
+    */
+  def montageAligned(
+    spark: SparkSession,
+    ts: DataFrame,
+    pairs: Seq[(String, String)]
+  ): DataFrame = {
+    import spark.implicits._
+    val chans = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val base = ts.filter(col("channel").isin(chans: _*)).select(col("channel"), col("t"), col("v"))
+    val pairDf = pairs.toDF("lead", "sec")
+    val l = base.select(col("channel").as("lead"), col("t"), col("v").as("lv"))
+    val r = base.select(col("channel").as("sec"), col("t"), col("v").as("rv"))
+    l.join(broadcast(pairDf), "lead")
+      .join(r, Seq("sec", "t"))
+      .select(
+        concat(col("lead"), lit("<->"), col("sec")).as("channel"),
+        col("t"),
+        round(col("lv") - col("rv"), 6).as("v")
+      )
+  }
+
   /** Unit-event binning: EventSummary(minTime, maxTime, avgTime =
     * (min+max)/2 integer, count) per (channel, pixel bucket) — the
     * reference's unit-channel summary, where here every event row is an
@@ -458,6 +486,35 @@ object Timeseries {
        |JOIN b l ON l.ch = p.lead
        |JOIN b r ON r.ch = p.sec AND r.bucket = l.bucket
        |ORDER BY channel, bucket""".stripMargin
+
+  /** Fixed aligned-montage query: irregular event timestamps never
+    * collide exactly, so (as in practice with differing-rate channels)
+    * each channel is first resampled onto a common grid (hour buckets,
+    * deterministic average), then montaged sample-aligned on the grid
+    * timestamps via the exact-t join.
+    */
+  def tsMontageAligned(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables
+      .ts(spark, dir)
+      .groupBy(col("channel"), microsBucket(col("t"), BucketUs).as("bucket"))
+      .agg(detAvg(col("v")).as("v"))
+      .select(col("channel"), (col("bucket") * BucketUs).as("t"), col("v"))
+    montageAligned(spark, grid, MontagePairs)
+      .orderBy(col("channel"), col("t"), col("v"))
+  }
+
+  val tsMontageAlignedSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type AS channel,
+       |    CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) * $BucketUs AS t,
+       |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS v
+       |  FROM events GROUP BY 1, 2),
+       |p(lead, sec) AS (VALUES ('click','view'), ('error','purchase'), ('signup','click'))
+       |SELECT p.lead || '<->' || p.sec AS channel, l.t AS t, ROUND(l.v - r.v, 6) AS v
+       |FROM p
+       |JOIN g l ON l.channel = p.lead
+       |JOIN g r ON r.channel = p.sec AND r.t = l.t
+       |ORDER BY channel, t, v""".stripMargin
 
   def tsEventBin(spark: SparkSession, dir: String): DataFrame =
     eventBins(Tables.ts(spark, dir), BucketUs)

@@ -82,6 +82,21 @@ class TimeseriesSpec extends SparkSpec {
     m.head.getAs[Double]("v") shouldBe 4.0 // avg(5,7) - avg(2,2)
   }
 
+  "montageAligned" should "subtract at exact shared timestamps only" in {
+    val df = mkTs(
+      Seq(("a", 10L, 5.0), ("a", 20L, 7.0), ("a", 30L, 1.0), ("b", 10L, 2.0), ("b", 30L, 4.0))
+    )
+    val m = Timeseries
+      .montageAligned(spark, df, Seq(("a", "b")))
+      .orderBy("t")
+      .select("channel", "t", "v")
+      .as[(String, Long, Double)]
+      .collect()
+      .toList
+    // t=20 has no b sample -> dropped; t=10: 5-2, t=30: 1-4
+    m shouldBe List(("a<->b", 10L, 3.0), ("a<->b", 30L, -3.0))
+  }
+
   "asofJoin" should "match a brute-force as-of join on real data" in {
     val ts = Tables.ts(spark, sfDir)
     val left = ts.filter($"channel" === "click").select($"event_id", $"t", $"v")
