@@ -127,7 +127,10 @@ object Dedup {
     * per-doc element counts — pass it from an aggregation that already
     * ran (e.g. minhashSignatures) to avoid an extra pass over elems.
     */
-  def setJaccard(pairs: DataFrame, elems: DataFrame, elemCol: String, sizes: DataFrame): DataFrame = {
+  def setJaccard(pairsIn: DataFrame, elems: DataFrame, elemCol: String, sizes: DataFrame): DataFrame = {
+    // the candidate-pair table is consumed twice (intersection join +
+    // left join for zero-intersection pairs) and is tiny — persist it
+    val pairs = pairsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = pairs
       .join(elems.select(col("doc_id").as("doc_a"), col(elemCol).as("__e")), "doc_a")
       .join(elems.select(col("doc_id").as("doc_b"), col(elemCol).as("__e")), Seq("doc_b", "__e"))
@@ -161,7 +164,10 @@ object Dedup {
     // intermediate would be checkpointed to storage instead
     val sh = shingleRows(docs.select(col("doc_id"), col("text")), w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per doc (65 columns): consumed by banding AND the size
+    // lookup — persist so the 64-min aggregation runs once
     val sigs = minhashSignatures(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidates(sigs, bands, maxBucketSize)
     setJaccard(pairs, sh, "shingle", sigs.select(col("doc_id"), col("n")))
       .filter(col("jaccard") >= tau)
