@@ -35,13 +35,19 @@ object Filtering {
     */
   def applyCascade(
     spark: SparkSession,
-    ts: DataFrame,
+    tsIn: DataFrame,
     cascade: Butterworth.Cascade,
     padLength: Int,
     gapUs: Long,
     maxBlockSamples: Int = 1 << 22
   ): DataFrame = {
     import spark.implicits._
+
+    // sources without per-row ids (blob-decoded uniform-rate data) get
+    // a constant tie-break; t is unique per channel there
+    val ts =
+      if (tsIn.columns.contains("event_id")) tsIn
+      else tsIn.withColumn("event_id", lit(0L))
 
     val byT = Window.partitionBy($"channel").orderBy($"t", $"event_id")
     val withBlocks = ts

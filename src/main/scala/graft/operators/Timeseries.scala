@@ -59,6 +59,14 @@ object Timeseries {
   private def detSum(c: Column): Column = sum(c.cast(dec2710)).cast("double")
   private def detAvg(c: Column): Column = detSum(c) / count(lit(1))
 
+  /** Operators that need a stable within-timestamp order use event_id
+    * as the tie-break; sources without per-row ids (e.g. blob-decoded
+    * uniform-rate data, where t is unique per channel) get a constant
+    * so the same code applies.
+    */
+  private def withTieBreak(df: DataFrame): DataFrame =
+    if (df.columns.contains("event_id")) df else df.withColumn("event_id", lit(0L))
+
   // ---------------------------------------------------------------------
   // Generic operators
   // ---------------------------------------------------------------------
@@ -105,7 +113,8 @@ object Timeseries {
     * [[resampleChunksUniform]], where the chunk id is pure arithmetic on
     * t and the plan is scan → partial agg → one shuffle, no sort.
     */
-  def resampleChunks(ts: DataFrame, chunkSize: Int): DataFrame = {
+  def resampleChunks(tsIn: DataFrame, chunkSize: Int): DataFrame = {
+    val ts = withTieBreak(tsIn)
     val w = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
     ts.select(
       col("channel"),
@@ -259,11 +268,12 @@ object Timeseries {
     */
   def spikeWaveforms(
     spark: SparkSession,
-    ts: DataFrame,
+    tsIn: DataFrame,
     spikeDataPointCount: Int,
     chunkCount: Int
   ): DataFrame = {
     import spark.implicits._
+    val ts = withTieBreak(tsIn)
     val byT = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
     ts.select(
       col("channel"),
@@ -287,7 +297,8 @@ object Timeseries {
   /** Rising threshold crossings per channel: v > thresh and previous
     * v <= thresh (unit-channel spike analog).
     */
-  def spikes(ts: DataFrame, thresh: Double): DataFrame = {
+  def spikes(tsIn: DataFrame, thresh: Double): DataFrame = {
+    val ts = withTieBreak(tsIn)
     val byT = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
     ts.select(col("channel"), col("t"), col("v"), lag(col("v"), 1).over(byT).as("pv"))
       .filter(col("v") > thresh && col("pv") <= thresh)

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Dedup, Filtering, TextAnalysis, Timeseries}
+import graft.functions.Butterworth
+import org.apache.spark.sql.functions._
+
+/** Robustness at the edges: id-less sources, empty inputs, null text. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyTs =
+    Seq.empty[(String, Long, Double)].toDF("channel", "t", "v")
+
+  "operators needing a tie-break" should "accept id-less (blob-style) ts data" in {
+    val ts = (0L until 300L).map(i => ("c", i * 1000L, math.sin(i / 7.0))).toDF("channel", "t", "v")
+    Timeseries.resampleChunks(ts, 100).count() shouldBe 3L
+    Timeseries.spikes(ts, 0.9).count() should be > 0L
+    Timeseries.spikeWaveforms(spark, ts, 100, 10).count() shouldBe 30L
+    Filtering
+      .applyCascade(spark, ts, Butterworth.lowPass(2, 250.0, 20.0), padLength = 20, gapUs = 10000L)
+      .count() shouldBe 300L
+  }
+
+  "timeseries operators" should "return empty results (not fail) on empty input" in {
+    Timeseries.downsample(emptyTs, 1000L).count() shouldBe 0L
+    Timeseries.contiguousSpans(emptyTs, 10L).count() shouldBe 0L
+    Timeseries.resampleChunks(emptyTs, 10).count() shouldBe 0L
+    Timeseries.spikes(emptyTs, 1.0).count() shouldBe 0L
+    Timeseries.channelStats(emptyTs).count() shouldBe 0L
+    Filtering
+      .applyCascade(spark, emptyTs, Butterworth.lowPass(2, 250.0, 20.0), 20, 1000L)
+      .count() shouldBe 0L
+  }
+
+  "text and dedup operators" should "tolerate null and empty text" in {
+    val docs = Seq(
+      (1L, "normal document with words"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "")
+    ).toDF("doc_id", "text")
+
+    // no exceptions; null/empty rows degrade gracefully
+    TextAnalysis.tokenCounts(docs).count() shouldBe 3L
+    TextAnalysis.langId(docs).count() shouldBe 3L
+    TextAnalysis.fingerprints(docs, 8, 4).filter($"doc_id" === 1L).count() should be > 0L
+    Dedup.exact(docs).count() shouldBe 3L // null and '' are distinct groups
+    // null and empty text both normalize to empty content, which IS a
+    // trivial near-duplicate pair — defined (and sensible) behavior
+    Dedup
+      .minhashNearDups(docs)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toList shouldBe List((2L, 3L, 1.0))
+  }
+
+  "butterworth kernels" should "handle degenerate block sizes" in {
+    val c = Butterworth.lowPass(4, 250.0, 20.0)
+    Butterworth.filterBlock(c, Array.empty[Double], 10) shouldBe empty
+    Butterworth.filterBlock(c, Array(1.0), 10).length shouldBe 1
+    graft.functions.Winnow.fingerprints("", 8, 4) shouldBe empty
+    graft.functions.Winnow.fingerprints("ab", 8, 4).length shouldBe 1
+  }
+}
