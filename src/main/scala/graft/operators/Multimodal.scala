@@ -88,6 +88,67 @@ object Multimodal {
       .toDF("doc_id", "format", "width", "height", "n_bytes", "checksum", "byte_mean", "byte_std")
   }
 
+  /** STUB resize kernel: deterministic byte-decimation standing in for
+    * an image resampling codec — keeps (outW × outH) bytes by striding
+    * the payload. The real kernel drops in without touching the
+    * plumbing.
+    */
+  private[graft] def resizeStub(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val n = math.max(outW * outH, 1)
+    val out = new Array[Byte](math.min(n, math.max(payload.length, 1)))
+    if (payload.isEmpty) return out
+    val stride = math.max(payload.length / out.length, 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = payload(math.min(i * stride, payload.length - 1))
+      i += 1
+    }
+    out
+  }
+
+  /** Batched resize: same typed-mapPartitions shape as decodeFeatures;
+    * emits the resized payload with updated metadata.
+    */
+  def resize(spark: SparkSession, withPayload: DataFrame, outW: Int, outH: Int, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"), col("meta.format").as("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload, format) =>
+            val resized = resizeStub(payload, outW, outH)
+            (id, format, outW, outH, resized.length.toLong, resized)
+          }
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "n_bytes", "payload")
+  }
+
+  /** Frame sampling for video-like payloads: treat the payload as a
+    * sequence of fixed-size frames and keep every `everyK`-th one, each
+    * emitted as its own row (the exploded shape downstream per-frame
+    * decode consumes). Frame slicing is a pure expression; at scale the
+    * explode multiplies rows map-side with no shuffle.
+    */
+  def sampleFrames(withPayload: DataFrame, frameBytes: Int, everyK: Int): DataFrame =
+    withPayload
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, greatest(int(length(payload) / $frameBytes) - 1, 0), $everyK), " +
+              s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"
+          )
+        ).as(Seq("frame_idx", "frame"))
+      )
+      .select(
+        col("doc_id"),
+        (col("frame_idx") * everyK).cast("long").as("frame_no"),
+        col("frame"),
+        length(col("frame")).cast("long").as("frame_bytes")
+      )
+
   // ---------------------------------------------------------------------
   // Fixed driver query (rows-only: the decode stub is not SQL semantics;
   // schema/batching correctness is covered by MultimodalSpec)

@@ -26,6 +26,31 @@ class MultimodalSpec extends SparkSpec {
     f1 shouldBe f2 // batch shape must not affect results
   }
 
+  "resize" should "emit resized payloads with updated metadata" in {
+    val p = Multimodal.withPayloads(Tables.documents(spark, sfDir))
+    val r = Multimodal.resize(spark, p, outW = 8, outH = 8)
+    r.count() shouldBe p.count()
+    r.filter($"n_bytes" > 64).count() shouldBe 0L
+    r.select("width").distinct().as[Int].collect().toList shouldBe List(8)
+    // deterministic: same input -> same resized bytes
+    val a = r.orderBy("doc_id").select("payload").as[Array[Byte]].first()
+    val b = Multimodal.resize(spark, p, 8, 8).orderBy("doc_id").select("payload").as[Array[Byte]].first()
+    a.toSeq shouldBe b.toSeq
+  }
+
+  "sampleFrames" should "keep every k-th fixed-size frame as its own row" in {
+    val payload = (0 until 100).map(_.toByte).toArray // 10 frames of 10 bytes
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val frames = Multimodal
+      .sampleFrames(df, frameBytes = 10, everyK = 3)
+      .orderBy("frame_no")
+      .collect()
+    frames.map(_.getAs[Long]("frame_no")).toList shouldBe List(0L, 3L, 6L, 9L)
+    frames.foreach(_.getAs[Long]("frame_bytes") shouldBe 10L)
+    // frame 3 starts at byte 30
+    frames(1).getAs[Array[Byte]]("frame")(0) shouldBe 30.toByte
+  }
+
   it should "match the stub kernel run directly on the payload bytes" in {
     val payload = "hello multimodal".getBytes("UTF-8")
     val (checksum, mean, std) = Multimodal.decodeStub(payload)
