@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   *  - mega buckets (boilerplate that collides everywhere) are dropped by
   *    a bucket-size cap, the standard guard against O(n²) pair blowup
   *    inside one bucket.
+  *
+  * Note on persistence: the near-dup operators persist their multi-
+  * consumer intermediates (shingle rows, signatures, candidate pairs)
+  * with MEMORY_AND_DISK. Cached blocks live until session end / LRU
+  * eviction; long-running sessions processing many corpora should call
+  * spark.catalog.clearCache() between jobs, and at production scale
+  * these intermediates belong in checkpointed storage instead.
   */
 object Dedup {
 
@@ -106,6 +113,10 @@ object Dedup {
     * dropped (boilerplate guard).
     */
   def lshCandidates(sigs: DataFrame, bands: Int, maxBucketSize: Int): DataFrame = {
+    require(
+      bands > 0 && bands <= MinhashSeeds && MinhashSeeds % bands == 0,
+      s"bands must evenly divide $MinhashSeeds signature values, got $bands"
+    )
     val rowsPerBand = MinhashSeeds / bands
     val bandHashes = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"h$s")): _*)

@@ -106,8 +106,11 @@ object Multimodal {
     out
   }
 
-  /** Batched resize: same typed-mapPartitions shape as decodeFeatures;
-    * emits the resized payload with updated metadata.
+  /** Batched resize: same typed-mapPartitions shape as decodeFeatures.
+    * Output keeps the (payload, meta) struct contract established by
+    * withPayloads — width/height carry the target dims, n_bytes the
+    * actual resized byte count — so resize composes with decodeFeatures
+    * and sampleFrames.
     */
   def resize(spark: SparkSession, withPayload: DataFrame, outW: Int, outH: Int, batchSize: Int = 64): DataFrame = {
     import spark.implicits._
@@ -118,11 +121,21 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, payload, format) =>
             val resized = resizeStub(payload, outW, outH)
-            (id, format, outW, outH, resized.length.toLong, resized)
+            (id, resized, format)
           }
         }
       }
-      .toDF("doc_id", "format", "width", "height", "n_bytes", "payload")
+      .toDF("doc_id", "payload", "format")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          col("format"),
+          lit(outW).as("width"),
+          lit(outH).as("height"),
+          length(col("payload")).cast("long").as("n_bytes")
+        ).as("meta")
+      )
   }
 
   /** Frame sampling for video-like payloads: treat the payload as a
@@ -136,9 +149,13 @@ object Multimodal {
       .select(
         col("doc_id"),
         posexplode(
+          // payloads with no complete frame yield zero rows (trailing
+          // partial frames are dropped for full payloads, so short ones
+          // must not sneak an undersized frame through)
           expr(
-            s"transform(sequence(0, greatest(int(length(payload) / $frameBytes) - 1, 0), $everyK), " +
-              s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"
+            s"CASE WHEN length(payload) < $frameBytes THEN array() " +
+              s"ELSE transform(sequence(0, int(length(payload) / $frameBytes) - 1, $everyK), " +
+              s"i -> substring(payload, i * $frameBytes + 1, $frameBytes)) END"
           )
         ).as(Seq("frame_idx", "frame"))
       )

@@ -81,8 +81,10 @@ object Similarity {
     * queries probe their own bucket plus every bucket at hamming
     * distance 1, then rank candidates by exact cosine and keep top-k.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8): DataFrame = {
-    val dim = 64
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+    // dim must cover the embedding length: VecDot loops over the
+    // shorter array, so undersized hyperplanes would silently bucket on
+    // a truncated dot product
     val hp = hyperplanes(planes, dim)
     val c = prepped(corpus, "neighbor_id", "vc", "nc")
       .withColumn("bucket", hyperplaneBucket(col("vc"), hp))

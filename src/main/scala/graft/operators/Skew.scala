@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `left` and `right` on `key`, spreading each left key
-    * across `salt` partitions. The salt is derived deterministically
-    * from xxhash64 of the whole left row (uniform, reproducible — no
-    * rand() so retries and the oracle agree); the right side is
-    * replicated `salt` times via a posexplode.
+    * across `salt` partitions. The salt mixes the row content with a
+    * per-row id (monotonically_increasing_id), so even byte-identical
+    * duplicate rows — the typical hot-key shape in training data —
+    * spread across reducers; the join RESULT is unaffected by which
+    * salt a row gets. The right side is replicated `salt` times.
     *
     * Semantics are exactly those of `left.join(right, key)` (inner).
     */
@@ -28,7 +29,7 @@ object Skew {
     val leftCols: Seq[Column] = left.columns.map(col).toSeq
     val l = left.withColumn(
       "__salt",
-      pmod(xxhash64(leftCols: _*), lit(salt.toLong)).cast("int")
+      pmod(xxhash64(leftCols :+ monotonically_increasing_id(): _*), lit(salt.toLong)).cast("int")
     )
     val r = right.withColumn(
       "__salt",
@@ -51,7 +52,10 @@ object Skew {
     combine: Seq[Column]
   ): DataFrame = {
     require(salt > 0, "salt must be positive")
-    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salt.toLong)))
+    df.withColumn(
+      "__salt",
+      pmod(xxhash64(df.columns.map(col).toSeq :+ monotonically_increasing_id(): _*), lit(salt.toLong))
+    )
       .groupBy(col(key), col("__salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col(key))

@@ -58,12 +58,14 @@ object TextAnalysis {
         col("doc_id"),
         col("n_chars"),
         col("n_words"),
-        round(col("n_stop").cast("double") / col("n_words"), 6).as("stop_ratio"),
-        round(col("n_alpha").cast("double") / col("n_chars"), 6).as("alpha_ratio"),
-        round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+        // divide by NULLIF(...,0): empty text must yield NULL in BOTH
+        // engines (Spark's non-ANSI x/0 is NULL but DuckDB's is inf/NaN)
+        round(col("n_stop").cast("double") / nullif(col("n_words"), lit(0)), 6).as("stop_ratio"),
+        round(col("n_alpha").cast("double") / nullif(col("n_chars"), lit(0)), 6).as("alpha_ratio"),
+        round(col("n_punct").cast("double") / nullif(col("n_chars"), lit(0)), 6).as("punct_ratio"),
         round(
-          col("n_alpha").cast("double") / col("n_chars") * 0.5 +
-            col("n_stop").cast("double") / col("n_words") * 0.3 +
+          col("n_alpha").cast("double") / nullif(col("n_chars"), lit(0)) * 0.5 +
+            col("n_stop").cast("double") / nullif(col("n_words"), lit(0)) * 0.3 +
             least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.2,
           6
         ).as("quality")
@@ -156,11 +158,11 @@ object TextAnalysis {
        |    LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) AS n_punct
        |  FROM documents)
        |SELECT doc_id, n_chars, n_words,
-       |  ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
-       |  ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
-       |  ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-       |  ROUND(CAST(n_alpha AS DOUBLE) / n_chars * 0.5 +
-       |        CAST(n_stop AS DOUBLE) / n_words * 0.3 +
+       |  ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0), 6) AS stop_ratio,
+       |  ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_chars, 0), 6) AS alpha_ratio,
+       |  ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0), 6) AS punct_ratio,
+       |  ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_chars, 0) * 0.5 +
+       |        CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0) * 0.3 +
        |        LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
        |FROM t
        |ORDER BY doc_id""".stripMargin

@@ -21,20 +21,24 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * predicates never reject a row the original filter accepts — they
   * only prune partitions that cannot contain matches.
   *
-  * The bucket width is read from `spark.graft.ts.bucketUs` (SQL conf,
-  * default one day); the rule fires only on plans that expose BOTH a
-  * long column `t` and a long partition column `p_bucket`, and is
-  * idempotent (skips filters that already constrain p_bucket).
+  * The bucket width MUST be set explicitly via `spark.graft.ts.bucketUs`
+  * and MUST match the width the layout was written with — the rule is a
+  * NO-OP when the conf is unset, because deriving bounds with a wrong
+  * width silently drops matching rows. The rule fires only on plans
+  * that expose BOTH a long column `t` and a long partition column
+  * `p_bucket`, and is idempotent (skips filters that already constrain
+  * p_bucket).
   */
 case class DeriveBucketFilter() extends Rule[LogicalPlan] {
 
   private val BucketConfKey = "spark.graft.ts.bucketUs"
-  private val DefaultBucketUs = 86400000000L
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val bucketUs =
-      try conf.getConfString(BucketConfKey, DefaultBucketUs.toString).toLong
-      catch { case _: NumberFormatException => DefaultBucketUs }
+    val bucketOpt =
+      try Option(conf.getConfString(BucketConfKey, null)).map(_.toLong).filter(_ > 0)
+      catch { case _: NumberFormatException => None }
+    if (bucketOpt.isEmpty) return plan
+    val bucketUs = bucketOpt.get
 
     plan.transform {
       case f @ Filter(cond, child) =>

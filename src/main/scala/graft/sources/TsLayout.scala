@@ -24,7 +24,9 @@ object TsLayout {
     */
   def write(ts: DataFrame, path: String, bucketUs: Long = DayUs): Unit =
     ts.withColumn("p_channel", col("channel"))
-      .withColumn("p_bucket", (col("t") / lit(bucketUs)).cast("long"))
+      // floor (not truncate-toward-zero) so negative timestamps land in
+      // the bucket DeriveBucketFilter derives with Math.floorDiv
+      .withColumn("p_bucket", floor(col("t") / lit(bucketUs.toDouble)).cast("long"))
       .repartition(col("p_channel"), col("p_bucket")) // one writer task per partition dir
       .write
       .partitionBy("p_channel", "p_bucket")

@@ -64,9 +64,13 @@ object StreamingFilter {
             val s = batch(i)
             val gap = warmed && lastT != Long.MinValue && (s.t - lastT) > gapUs
             if (!warmed || gap) {
-              // clean/reset state: reflected prewarm from this block's head
+              // clean/reset state: reflected prewarm from THIS contiguous
+              // block's head only (stop at the next intra-batch gap) —
+              // matching the batch path and the reference's per-block policy
               st.reset()
-              val head = batch.drop(i).map(_.v)
+              var j = i + 1
+              while (j < batch.length && batch(j).t - batch(j - 1).t <= gapUs) j += 1
+              val head = batch.slice(i, j).map(_.v)
               Butterworth.reflectedPrewarm(head, padLength).foreach(st.filter)
               warmed = true
             }

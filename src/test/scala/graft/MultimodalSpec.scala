@@ -26,16 +26,24 @@ class MultimodalSpec extends SparkSpec {
     f1 shouldBe f2 // batch shape must not affect results
   }
 
-  "resize" should "emit resized payloads with updated metadata" in {
+  "resize" should "emit resized payloads keeping the composable (payload, meta) shape" in {
     val p = Multimodal.withPayloads(Tables.documents(spark, sfDir))
     val r = Multimodal.resize(spark, p, outW = 8, outH = 8)
     r.count() shouldBe p.count()
-    r.filter($"n_bytes" > 64).count() shouldBe 0L
-    r.select("width").distinct().as[Int].collect().toList shouldBe List(8)
+    r.filter($"meta.n_bytes" > 64).count() shouldBe 0L
+    r.select($"meta.width").distinct().as[Int].collect().toList shouldBe List(8)
+    // composes with the other payload operators
+    Multimodal.decodeFeatures(spark, r).count() shouldBe p.count()
     // deterministic: same input -> same resized bytes
     val a = r.orderBy("doc_id").select("payload").as[Array[Byte]].first()
     val b = Multimodal.resize(spark, p, 8, 8).orderBy("doc_id").select("payload").as[Array[Byte]].first()
     a.toSeq shouldBe b.toSeq
+  }
+
+  "sampleFrames" should "emit no rows for payloads without one complete frame" in {
+    val df = Seq((1L, Array.tabulate(5)(_.toByte)), (2L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    Multimodal.sampleFrames(df, frameBytes = 10, everyK = 1).count() shouldBe 0L
   }
 
   "sampleFrames" should "keep every k-th fixed-size frame as its own row" in {
