@@ -243,7 +243,15 @@ object Dedup {
     * blocking strategy.
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
+    // only docs that appear in a candidate pair need their grams —
+    // a semi-join before the explode skips the (usually much larger)
+    // rest of the corpus entirely
+    val candidateIds = pairs
+      .select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
     val grams = docs
+      .join(candidateIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(charNgrams(n)).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
