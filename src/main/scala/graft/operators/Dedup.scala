@@ -180,7 +180,14 @@ object Dedup {
     val sigs = minhashSignatures(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidates(sigs, bands, maxBucketSize)
-    setJaccard(pairs, sh, "shingle", sigs.select(col("doc_id"), col("n")))
+    // verify joins only probe docs that appear in a candidate pair —
+    // semi-join the (persisted) shingle rows down before joining
+    val candidateIds = pairs
+      .select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shVerify = sh.join(candidateIds, Seq("doc_id"), "left_semi")
+    setJaccard(pairs, shVerify, "shingle", sigs.select(col("doc_id"), col("n")))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
