@@ -90,4 +90,26 @@ object Montages {
     */
   def apply(spark: SparkSession, ts: DataFrame, mt: MontageType, bucketUs: Long): DataFrame =
     Timeseries.montage(spark, ts, mt.pairs, bucketUs)
+
+  /** Virtual-channel listing (reference GetChannelsQuery analog): the
+    * montage's virtual channels with the time range over which both
+    * underlying channels exist — physical catalog rows joined pairwise
+    * through the broadcast pair table.
+    */
+  def virtualChannels(spark: SparkSession, catalog: DataFrame, mt: MontageType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairDf = mt.pairs.toDF("lead", "sec")
+    val l = catalog.select(col("channel").as("lead"), col("start").as("ls"), col("end").as("le"))
+    val r = catalog.select(col("channel").as("sec"), col("start").as("rs"), col("end").as("re"))
+    broadcast(pairDf)
+      .join(l, "lead")
+      .join(r, "sec")
+      .select(
+        concat(col("lead"), lit(Separator), col("sec")).as("channel"),
+        greatest(col("ls"), col("rs")).as("start"),
+        least(col("le"), col("re")).as("end")
+      )
+      .filter(col("start") <= col("end"))
+  }
 }

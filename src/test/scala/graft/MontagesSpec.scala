@@ -28,6 +28,20 @@ class MontagesSpec extends SparkSpec {
     Montages.validate(Set.empty, Montages.NotMontaged) shouldBe Right(())
   }
 
+  "virtualChannels" should "list montage channels with the overlapping time range" in {
+    val catalog = Seq(
+      ("Fp1", 0L, 100L),
+      ("Cz", 50L, 150L),
+      ("F3", 200L, 300L) // no overlap with Cz
+    ).toDF("channel", "start", "end")
+    val vc = Montages
+      .virtualChannels(spark, catalog, Montages.Custom(Seq("Fp1" -> "Cz", "F3" -> "Cz")))
+      .as[(String, Long, Long)]
+      .collect()
+      .toList
+    vc shouldBe List(("Fp1<->Cz", 50L, 100L)) // F3<->Cz dropped: ranges disjoint
+  }
+
   "apply" should "produce one virtual stream per pair over synthetic EEG channels" in {
     val mt = Montages.Custom(Seq("Fp1" -> "Cz", "F3" -> "Cz"))
     val rows = for {
