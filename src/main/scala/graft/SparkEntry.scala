@@ -33,19 +33,21 @@ object SparkEntry {
     // sequential-equivalence coverage lives in Butterworth/FilteringSpec
     "ts_butterworth" -> (Filtering.tsButterworth _),
     "dedup_exact" -> (Dedup.dedupExact _),
-    "dedup_minhash" -> (Dedup.dedupMinhash _), // rows-only + DedupSpec
-    "dedup_simhash" -> (Dedup.dedupSimhash _), // rows-only + DedupSpec
-    "dedup_ngram" -> (Dedup.dedupNgram _), // rows-only + DedupSpec
+    // rows-only + DedupSpec: signatures are xxhash64-derived, which the
+    // oracle engine cannot reproduce; planted-pair recovery is the spec
+    "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_embed" -> (Dedup.dedupEmbed _),
     "ann_bruteforce" -> (Similarity.annBruteforce _),
     "ann_lsh" -> (Similarity.annLsh _), // rows-only + SimilaritySpec recall
     "ann_ivf" -> (Similarity.annIvf _), // rows-only + SimilaritySpec recall
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
-    "text_langid" -> (TextAnalysis.textLangid _), // rows-only + TextAnalysisSpec
+    "text_langid" -> (TextAnalysis.textLangid _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _), // rows-only + TextAnalysisSpec
     "mm_decode" -> (Multimodal.mmDecode _), // rows-only + MultimodalSpec (stubbed decode kernel)
-    "ts_waveforms" -> (Timeseries.tsWaveforms _) // rows-only + TimeseriesSpec (balanced-cut resample)
+    "ts_waveforms" -> (Timeseries.tsWaveforms _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,10 +71,14 @@ object SparkEntry {
     "ts_stats" -> Timeseries.tsStatsSql,
     "ts_channels" -> Timeseries.tsChannelsSql,
     "ts_annotations" -> Timeseries.tsAnnotationsSql,
+    "ts_waveforms" -> Timeseries.tsWaveformsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_ngram" -> Dedup.dedupNgramSql,
     "dedup_embed" -> Dedup.dedupEmbedSql,
     "ann_bruteforce" -> Similarity.annBruteforceSql,
     "text_tokens" -> TextAnalysis.textTokensSql,
-    "text_quality" -> TextAnalysis.textQualitySql
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "text_langid" -> TextAnalysis.textLangidSql
   )
 }

@@ -94,16 +94,24 @@ object Dedup {
     docs.select(col("doc_id"), explode(shingles(w)).as("shingle"))
 
   /** MinHash signatures as 64 partial-aggregated min columns over the
-    * exploded shingle rows: sig_s = min(xxhash64(shingle, s)). One
-    * shuffle on doc_id; each min combines map-side. The same pass also
-    * emits the shingle-set size `n` (rows are distinct per doc), which
-    * the Jaccard verify needs — no separate counting pass.
+    * exploded shingle rows. The variable-length shingle STRING is hashed
+    * exactly once; the 64 per-seed values are derived by re-hashing that
+    * fixed 8-byte base hash (h_s = xxhash64(h1, s)) — per-seed cost is a
+    * few multiplications over one long instead of a full pass over the
+    * string, so signature cost no longer scales with shingle length.
+    * (The classic h1 + s·h2 mod 2⁶⁴ construction needs wrapping
+    * arithmetic, which ANSI mode rejects; re-hashing the base long has
+    * the same constant per-seed cost and strictly better mixing.)
+    * One shuffle on doc_id; each min combines map-side. The same pass
+    * also emits the shingle-set size `n` (rows are distinct per doc),
+    * which the Jaccard verify needs — no separate counting pass.
     */
   def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id"))
+    sh.select(col("doc_id"), xxhash64(col("shingle")).as("h1"))
+      .groupBy(col("doc_id"))
       .agg(
-        min(xxhash64(col("shingle"), lit(0))).as("h0"),
-        (1 until MinhashSeeds).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s")) :+
+        min(xxhash64(col("h1"), lit(0))).as("h0"),
+        (1 until MinhashSeeds).map(s => min(xxhash64(col("h1"), lit(s))).as(s"h$s")) :+
           count(lit(1)).as("n"): _*
       )
 
@@ -111,6 +119,14 @@ object Dedup {
     * hashes signature values [b*r, b*r+r); docs colliding on any band
     * hash become a candidate pair. Buckets above maxBucketSize are
     * dropped (boilerplate guard).
+    *
+    * No bucket is EVER materialized as a single row: bucket sizes are
+    * counted first (algebraic agg, map-side combined), inadmissible
+    * buckets are dropped, and pairs come from a self-join of the
+    * surviving (band, bandHash, doc_id) rows on the bucket key. A
+    * boilerplate mega-bucket therefore costs one count row — not a
+    * collect_list the size of the bucket — so no executor ever holds a
+    * bucket in memory.
     */
   def lshCandidates(sigs: DataFrame, bands: Int, maxBucketSize: Int): DataFrame = {
     require(
@@ -121,14 +137,25 @@ object Dedup {
     val bandHashes = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"h$s")): _*)
     }
-    sigs
+    // (band, bandHash, doc_id) rows: consumed by the count and both
+    // sides of the self-join — persist so banding hashes compute once
+    val bucketRows = sigs
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val admissible = bucketRows
       .groupBy(col("band"), col("bandHash"))
-      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > 1 && col("sz") <= maxBucketSize)
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .select(col("band"), col("bandHash"))
+    val member = bucketRows.join(admissible, Seq("band", "bandHash"), "left_semi")
+    member
+      .select(col("band"), col("bandHash"), col("doc_id").as("doc_a"))
+      .join(
+        member.select(col("band"), col("bandHash"), col("doc_id").as("doc_b")),
+        Seq("band", "bandHash")
+      )
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
@@ -199,16 +226,27 @@ object Dedup {
   /** 64-bit SimHash per doc: explode words, hash each once, then 64
     * sum-aggregated bit votes (±1 per word per bit) folded into one
     * long. One shuffle on doc_id, map-side combined.
+    *
+    * The 64 word-hash bits are two 32-bit limbs of md5(word) — a hash
+    * BOTH engines derive identically from the hex digest
+    * (`CAST('0x'||substr(md5(w),p,8) AS BIGINT)` in DuckDB), which is
+    * what makes the whole pipeline oracle-checkable end to end.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val hashed = docs
       .select(col("doc_id"), explode(expr(WordsSql)).as("word"))
-      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+      .select(
+        col("doc_id"),
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("hTop"),
+        conv(substring(md5(col("word")), 9, 8), 16, 10).cast("long").as("hLo")
+      )
+    def bit(j: Int): Column =
+      (if (j < 32) shiftright(col("hLo"), j) else shiftright(col("hTop"), j - 32)).bitwiseAND(1)
     val votes = hashed
       .groupBy(col("doc_id"))
       .agg(
-        sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("v0"),
-        (1 until 64).map(j => sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")): _*
+        sum(bit(0) * 2 - 1).as("v0"),
+        (1 until 64).map(j => sum(bit(j) * 2 - 1).as(s"v$j")): _*
       )
     val sig = (0 until 64)
       .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
@@ -224,18 +262,29 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
     val signed = simhashSignatures(docs)
     val chunks = (0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(65535))
-    signed
+    // same counted-bucket shape as lshCandidates: no bucket is ever one
+    // row — count, drop inadmissible, left-semi, self-join on bucket key
+    val bucketRows = signed
       .select(col("doc_id"), col("sig"), posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val admissible = bucketRows
       .groupBy(col("band"), col("chunk"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"), count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > 1 && col("sz") <= maxBucketSize)
-      .select(explode(col("xs")).as("a"), col("xs"))
-      .select(col("a"), explode(col("xs")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("band"), col("chunk"))
+    val member = bucketRows.join(admissible, Seq("band", "chunk"), "left_semi")
+    member
+      .select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(
+        member.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("band", "chunk")
+      )
+      .filter(col("doc_a") < col("doc_b"))
       .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming")
+        col("doc_a"),
+        col("doc_b"),
+        // long, not int: the DuckDB oracle's SUM yields int64
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming")
       )
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -327,6 +376,59 @@ object Dedup {
     simhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), maxHamming = 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** The planted corpus as a DuckDB CTE — mirror of withPlantedNearDups. */
+  private val PlantedCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Full-pipeline SimHash oracle: md5-limb word bits → ±1 votes →
+    * per-band 16-bit chunks → bucket cap → candidate pairs → hamming.
+    * Long format (doc_id, j, bit) instead of a packed 64-bit signature
+    * so plain SQL aggregation expresses the fold.
+    */
+  val dedupSimhashSql: String =
+    s"""WITH $PlantedCorpusSql,
+       |words AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |  FROM corpus),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS htop,
+       |    CAST('0x' || substr(md5(word), 9, 8) AS BIGINT) AS hlo
+       |  FROM words),
+       |votes AS (
+       |  SELECT doc_id, js.j AS j,
+       |    SUM((CASE WHEN js.j < 32 THEN (hlo >> js.j) & 1 ELSE (htop >> (js.j - 32)) & 1 END) * 2 - 1) AS v
+       |  FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 64)) AS j) js
+       |  GROUP BY doc_id, js.j),
+       |bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+       |chunks AS (
+       |  SELECT doc_id, j // 16 AS band, SUM(bit << (j % 16)) AS chunk
+       |  FROM bits GROUP BY doc_id, j // 16),
+       |admissible AS (
+       |  SELECT band, chunk FROM chunks GROUP BY band, chunk
+       |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+       |member AS (
+       |  SELECT c.doc_id, c.band, c.chunk FROM chunks c
+       |  JOIN admissible a ON c.band = a.band AND c.chunk = a.chunk),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM member x JOIN member y ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
+       |ham AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN bits ba ON ba.doc_id = c.doc_a
+       |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.j = ba.j
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = withPlantedNearDups(Tables.documents(spark, dir))
     val pairs = docs
@@ -334,6 +436,36 @@ object Dedup {
       .select((col("doc_id") - 1000000L).as("doc_a"), col("doc_id").as("doc_b"))
     ngramJaccard(docs, pairs, n = 3).orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Exact char-3-gram Jaccard oracle over the planted pairs: distinct
+    * grams per doc, relational intersection count, |A∪B| by
+    * inclusion-exclusion — mirrors charNgrams + setJaccard.
+    */
+  val dedupNgramSql: String =
+    s"""WITH $PlantedCorpusSql,
+       |normed AS (
+       |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS s FROM corpus),
+       |idx AS (
+       |  SELECT doc_id, s, UNNEST(range(1, GREATEST(LENGTH(s) - 2, 1) + 1)) AS i FROM normed),
+       |grams AS (SELECT DISTINCT doc_id, substr(s, i, 3) AS gram FROM idx),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+       |  FROM pairs p
+       |  JOIN grams ga ON ga.doc_id = p.doc_a
+       |  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT p.doc_a, p.doc_b,
+       |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |        (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+       |FROM pairs p
+       |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |JOIN sizes sa ON sa.doc_id = p.doc_a
+       |JOIN sizes sb ON sb.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     embedNearDups(Tables.embeddings(spark, dir), tau = 0.4)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
   private val d204 = DecimalType(20, 4)
-  private val d384 = DecimalType(38, 4)
+  private val d184 = DecimalType(18, 4)
   private val d2710 = DecimalType(27, 10)
 
   /** Order-independent average (exact decimal sum, then one double
@@ -39,11 +39,21 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(d204)).cast(d384).as("sum_qty"),
-        sum(col("l_extendedprice").cast(d204)).cast(d384).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(d204) * (lit(1).cast(d204) - col("l_discount").cast(d204)))
-          .cast(d384)
-          .as("sum_disc_price"),
+        // Exact decimal sums internally; final cast to DOUBLE so both engines
+        // derive the double from the same exact decimal (hash-stable across
+        // DuckDB/pyarrow decimal representations). Product factors pinned to
+        // DECIMAL(18,4) so the (37,8) product needs no engine-dependent
+        // precision-overflow rescale.
+        sum(col("l_quantity").cast(d204)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(d204)).cast("double").as("sum_base_price"),
+        // scale-8 product sum is rounded (HALF_UP, both engines) to
+        // scale 4 BEFORE the double cast: at scale 8 the unscaled value
+        // exceeds 2⁵³ and DuckDB's hugeint→double→÷10⁸ double-rounds,
+        // drifting 1 ulp from the correctly-rounded decimal→double
+        round(
+          sum(col("l_extendedprice").cast(d184) * (lit(1).cast(d184) - col("l_discount").cast(d184))),
+          4
+        ).cast("double").as("sum_disc_price"),
         round(detAvg(col("l_quantity")), 6).as("avg_qty"),
         round(detAvg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order")
@@ -52,9 +62,9 @@ object Relational {
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
       |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
       |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
       |  COUNT(*) AS count_order
@@ -79,14 +89,14 @@ object Relational {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("order_count"),
-        sum(col("o_totalprice").cast(d204)).cast(d384).as("total_price")
+        sum(col("o_totalprice").cast(d204)).cast("double").as("total_price")
       )
       .orderBy(col("r_name"), col("n_name"))
   }
 
   val q2Sql: String =
     """SELECT r_name, n_name, COUNT(*) AS order_count,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS total_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -102,20 +112,23 @@ object Relational {
       .lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(
-        sum(col("l_extendedprice").cast(d204) * (lit(1).cast(d204) - col("l_discount").cast(d204)))
-          .cast(d384)
-          .as("revenue")
+        // Rank on the exact decimal (engine-stable ordering), emit DOUBLE.
+        sum(col("l_extendedprice").cast(d184) * (lit(1).cast(d184) - col("l_discount").cast(d184)))
+          .as("revenue_dec")
       )
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .orderBy(col("revenue_dec").desc, col("l_orderkey"))
       .limit(10)
+      // same scale-4 rescale as q1's sum_disc_price before the double cast
+      .select(col("l_orderkey"), round(col("revenue_dec"), 4).cast("double").as("revenue"))
 
   val q3Sql: String =
-    """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(38,4)) AS revenue
-      |FROM lineitem
-      |GROUP BY l_orderkey
-      |ORDER BY revenue DESC, l_orderkey
-      |LIMIT 10""".stripMargin
+    """SELECT l_orderkey, CAST(ROUND(revenue_dec, 4) AS DOUBLE) AS revenue FROM (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue_dec
+      |  FROM lineitem
+      |  GROUP BY l_orderkey
+      |  ORDER BY revenue_dec DESC, l_orderkey
+      |  LIMIT 10) t""".stripMargin
 
   /** Window functions: rank orders by price within customer; single
     * shuffle on the partition key.

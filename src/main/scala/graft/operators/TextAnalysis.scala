@@ -171,6 +171,42 @@ object TextAnalysis {
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     langId(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** Language-ID oracle: same stopword-hit / CJK-char ratios; the
+    * greatest-struct argmax becomes a (score DESC, lang DESC) ranking —
+    * identical tie semantics to Spark's struct comparison.
+    */
+  val textLangidSql: String = {
+    val scoreCols = LangProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      val inList = stops.map(s => s"'$s'").mkString(", ")
+      s"    CAST(len(list_filter(words, x -> x IN ($inList))) AS DOUBLE) / GREATEST(len(words), 1) AS score_$lang"
+    }
+    val valueRows = ("zh" +: LangProfiles.keys.toSeq.sorted)
+      .map(l => s"('$l', score_$l)")
+      .mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS words,
+       |    CAST(LENGTH(REGEXP_REPLACE(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+       |      / GREATEST(LENGTH(text), 1) AS score_zh
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, score_zh,
+       |${scoreCols.mkString(",\n")}
+       |  FROM w),
+       |u AS (
+       |  SELECT doc_id, t.lang, t.score
+       |  FROM s CROSS JOIN LATERAL (VALUES $valueRows) t(lang, score)),
+       |r AS (
+       |  SELECT doc_id, lang, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rnk
+       |  FROM u)
+       |SELECT doc_id,
+       |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       |  ROUND(score, 6) AS score
+       |FROM r WHERE rnk = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.documents(spark, dir)).orderBy(col("doc_id"), col("fingerprint"))
 }

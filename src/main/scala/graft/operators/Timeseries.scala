@@ -580,13 +580,39 @@ object Timeseries {
       |ORDER BY a.event_id""".stripMargin
 
   /** Fixed waveform query: 100-sample waveforms resampled to 10
-    * (min,max) chunks — rows-only (the balanced-cut boundary function
-    * is not cleanly SQL-expressible; TimeseriesSpec verifies against
-    * the sequential reference semantics).
+    * (min,max) chunks (balanced-cut semantics; TimeseriesSpec also
+    * verifies against the sequential reference kernel).
     */
   def tsWaveforms(spark: SparkSession, dir: String): DataFrame =
     spikeWaveforms(spark, Tables.ts(spark, dir), spikeDataPointCount = 100, chunkCount = 10)
       .orderBy(col("channel"), col("wf"), col("chunk"))
+
+  /** Balanced-cut oracle. The boundary round(x·m/n) (Scala math.round =
+    * floor(x+0.5) for positives) equals the pure-integer (x·m + n/2)//n,
+    * so a 0-based position p lands in raw chunk c iff
+    * (c·m+5)//10 <= p < ((c+1)·m+5)//10; empty chunks vanish and
+    * surviving chunks re-index densely — exactly spikeWaveforms.
+    */
+  val tsWaveformsSql: String =
+    """WITH base AS (
+      |  SELECT event_type AS channel, value AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) - 1 AS rn
+      |  FROM events),
+      |wfed AS (
+      |  SELECT channel, v, rn // 100 AS wf, rn % 100 AS p,
+      |    COUNT(*) OVER (PARTITION BY channel, rn // 100) AS m
+      |  FROM base),
+      |chunked AS (
+      |  SELECT w.channel, w.wf, cs.c AS c, w.v
+      |  FROM wfed w JOIN (SELECT UNNEST(range(0, 10)) AS c) cs
+      |    ON w.p >= (cs.c * w.m + 5) // 10 AND w.p < ((cs.c + 1) * w.m + 5) // 10),
+      |aggd AS (
+      |  SELECT channel, wf, c, MIN(v) AS wmin, MAX(v) AS wmax
+      |  FROM chunked GROUP BY channel, wf, c)
+      |SELECT channel, wf,
+      |  DENSE_RANK() OVER (PARTITION BY channel, wf ORDER BY c) - 1 AS chunk, wmin, wmax
+      |FROM aggd
+      |ORDER BY channel, wf, chunk""".stripMargin
 
   def tsStats(spark: SparkSession, dir: String): DataFrame =
     channelStats(Tables.ts(spark, dir)).orderBy(col("channel"))

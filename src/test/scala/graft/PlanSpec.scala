@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, Similarity, Timeseries}
+import graft.operators.{Dedup, Relational, Similarity, Timeseries}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -74,6 +74,15 @@ class PlanSpec extends SparkSpec {
     // of whole-stage codegen; VecDot's compiled eval loop still applies —
     // the codegen path itself is asserted in VectorMathSpec)
     plan should include("vec_dot")
+  }
+
+  "dedup LSH candidate generation" should "never materialize a bucket as a single row" in {
+    // a boilerplate mega-bucket must cost one COUNT row, not a
+    // collect_list the size of the bucket — assert the counted-bucket
+    // shape holds in both banding-based candidate generators
+    val docs = Dedup.withPlantedNearDups(Tables.documents(spark, sfDir))
+    planString(Dedup.minhashNearDups(docs)) should not include "collect_list"
+    planString(Dedup.simhashNearDups(docs)) should not include "collect_list"
   }
 
   "ts_asof" should "avoid any unpartitioned global-sort window over the data" in {

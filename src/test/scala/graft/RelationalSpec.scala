@@ -29,7 +29,7 @@ class RelationalSpec extends SparkSpec {
   "q3_topk" should "return exactly 10 orders in descending revenue" in {
     val rows = Relational.q3TopK(spark, sfDir).collect()
     rows.length shouldBe 10
-    val revs = rows.map(_.getDecimal(1).doubleValue())
+    val revs = rows.map(_.getDouble(1))
     revs.sliding(2).foreach { case Array(a, b) => a should be >= b }
   }
 
