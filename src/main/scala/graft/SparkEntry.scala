@@ -47,6 +47,9 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _), // rows-only + TextAnalysisSpec
     "mm_decode" -> (Multimodal.mmDecode _), // rows-only + MultimodalSpec (stubbed decode kernel)
+    "mm_frames" -> (Multimodal.mmFrames _), // rows-only + MultimodalSpec (frame-sample → decode chain)
+    // rows-only + FilteringSpec sequential-equivalence (montage → IIR chain)
+    "ts_montage_filter" -> (Filtering.tsMontageFilter _),
     "ts_waveforms" -> (Timeseries.tsWaveforms _)
   )
 

@@ -111,4 +111,25 @@ object Filtering {
       Timeseries.GapUs
     ).select(col("channel"), col("t"), round(col("fv"), 6).as("fv"))
       .orderBy(col("channel"), col("t"))
+
+  /** Montage→filter chain: virtual channels (lead − secondary on the
+    * aligned sample grid) flow straight into the Butterworth cascade —
+    * the reference's filtered-montage streaming path applies the same
+    * filter flow to montaged output as to raw channels
+    * (query/TimeSeriesQueryRawHttp.scala:326-334). The montage output
+    * (channel, t, v) IS applyCascade's input contract, so composition
+    * is a function call: no re-keying, the filter blocks shuffle by the
+    * virtual channel exactly as they would for physical ones. Gap
+    * threshold is 2 grid steps: consecutive hourly grid points are
+    * contiguous, a missing bucket resets filter state.
+    */
+  def tsMontageFilter(spark: SparkSession, dir: String): DataFrame =
+    applyCascade(
+      spark,
+      Timeseries.tsMontageAligned(spark, dir),
+      FixedCascade,
+      FixedPad,
+      gapUs = 2 * Timeseries.BucketUs
+    ).select(col("channel"), col("t"), round(col("fv"), 6).as("fv"))
+      .orderBy(col("channel"), col("t"))
 }

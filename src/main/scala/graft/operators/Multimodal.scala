@@ -184,4 +184,35 @@ object Multimodal {
         round(col("byte_std"), 6).as("byte_std")
       )
       .orderBy(col("doc_id"))
+
+  /** Pipeline composition: sampleFrames → per-frame decodeFeatures.
+    * Each sampled frame is re-wrapped in the (doc_id, payload, meta)
+    * contract — (doc_id, frame_no) packed into one key — so the SAME
+    * batched decode stage consumes whole payloads and exploded frames
+    * interchangeably. Map-side end to end: explode, slice, decode all
+    * pipeline inside one stage with no shuffle before the final sort.
+    */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val frames = sampleFrames(withPayloads(Tables.documents(spark, dir)), frameBytes = 64, everyK = 4)
+    val framePayloads = frames.select(
+      (col("doc_id") * 1000000L + col("frame_no")).as("doc_id"),
+      col("frame").as("payload"),
+      struct(
+        lit("frame").as("format"),
+        lit(8).as("width"),
+        lit(8).as("height"),
+        col("frame_bytes").as("n_bytes")
+      ).as("meta")
+    )
+    decodeFeatures(spark, framePayloads)
+      .select(
+        floor(col("doc_id") / 1000000L).cast("long").as("doc_id"),
+        (col("doc_id") % 1000000L).as("frame_no"),
+        col("n_bytes"),
+        col("checksum"),
+        round(col("byte_mean"), 6).as("byte_mean"),
+        round(col("byte_std"), 6).as("byte_std")
+      )
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
 }

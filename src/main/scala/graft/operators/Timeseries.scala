@@ -153,10 +153,30 @@ object Timeseries {
     * query/TimeSeriesQueryUtils.scala:316), then emit one row per span.
     * lag + running-sum windows share one (channel) sort.
     */
-  def contiguousSpans(ts: DataFrame, gapUs: Long): DataFrame = {
+  def contiguousSpans(ts: DataFrame, gapUs: Long): DataFrame =
+    contiguousSpansByThreshold(ts.select(col("channel"), col("t"), lit(gapUs).as("__gap")))
+
+  /** Rate-driven contiguous spans: each channel splits at its OWN
+    * threshold floor(gapMultiple · 1e6 / rate) — the reference's
+    * normal case, where a 10 kHz channel's 1 ms hole is a gap but a
+    * 1 Hz channel's isn't (timeGapThreshold,
+    * query/TimeSeriesQueryUtils.scala:333-349). `rates` is a
+    * (channel, rate) table — channel-catalog scale, broadcast.
+    */
+  def contiguousSpans(ts: DataFrame, rates: DataFrame, gapMultiple: Double): DataFrame =
+    contiguousSpansByThreshold(
+      ts.join(broadcast(rates.select(col("channel"), col("rate"))), Seq("channel"))
+        .select(
+          col("channel"),
+          col("t"),
+          floor(lit(gapMultiple) * lit(1e6) / col("rate")).cast("long").as("__gap")
+        )
+    )
+
+  private def contiguousSpansByThreshold(ts: DataFrame): DataFrame = {
     val byT = Window.partitionBy(col("channel")).orderBy(col("t"))
     val newSpan =
-      when(col("t") - lag(col("t"), 1).over(byT) >= gapUs, 1L).otherwise(0L)
+      when(col("t") - lag(col("t"), 1).over(byT) >= col("__gap"), 1L).otherwise(0L)
     ts.select(col("channel"), col("t"), newSpan.as("brk"))
       .select(
         col("channel"),

@@ -44,6 +44,40 @@ object BinarySegments {
     vals
   }
 
+  /** Decode only samples [dropSamples, dropSamples + takeSamples) of a
+    * gzipped big-endian float64 blob. Leading samples are decompressed
+    * into a scratch buffer and discarded (gzip has no random access);
+    * decompression STOPS at the end offset, so the compressed tail
+    * after the query range is never inflated — a range query over a
+    * long blob pays for the range, not the blob.
+    */
+  def decodeBlobRange(bytes: Array[Byte], dropSamples: Long, takeSamples: Long): Array[Double] = {
+    if (takeSamples <= 0) return Array.emptyDoubleArray
+    val gz = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val buf = new Array[Byte](8192)
+      var toSkip = dropSamples * 8
+      var eof = false
+      while (toSkip > 0 && !eof) {
+        val n = gz.read(buf, 0, math.min(toSkip, buf.length.toLong).toInt)
+        if (n < 0) eof = true else toSkip -= n
+      }
+      val need = takeSamples * 8
+      var got = 0L
+      val out = new java.io.ByteArrayOutputStream()
+      while (got < need && !eof) {
+        val n = gz.read(buf, 0, math.min(need - got, buf.length.toLong).toInt)
+        if (n < 0) eof = true else { out.write(buf, 0, n); got += n }
+      }
+      val raw = out.toByteArray
+      val bb = ByteBuffer.wrap(raw)
+      val vals = new Array[Double](raw.length / 8)
+      var i = 0
+      while (i < vals.length) { vals(i) = bb.getDouble(i * 8); i += 1 }
+      vals
+    } finally gz.close()
+  }
+
   /** Write helper (tests / ingest demo): values → gzipped BE float64. */
   def writeBlob(path: String, values: Array[Double]): Unit = {
     val os = new GZIPOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
@@ -79,6 +113,60 @@ object BinarySegments {
         }
       }
       .toDF("channel", "t", "v")
+  }
+
+  /** Range read: only blobs whose index row overlaps [startUs, endUs)
+    * are scanned, and only the in-range slice of each blob is decoded
+    * (reference: query/QuerySequencer.scala:68-107 trims each lookup
+    * hit with query/TimeSeriesQueryUtils.scala:114-154 before decoding
+    * downstream).
+    *
+    * `index` must carry (channel, file, start_us, end_us, rate) — the
+    * range-table analog with the blob's [min, max] span. Pruning is
+    * driver-side over the (tiny, broadcast-scale) index: non-overlapping
+    * blob FILES never enter the binaryFile scan, so their bytes are
+    * never read, and within each surviving blob the decode drops
+    * leading samples and stops inflating at the range end. At extreme
+    * index cardinality, lay the blob tree out as
+    * channel/time-bucket directories and prune by path instead.
+    */
+  def readRange(
+    spark: SparkSession,
+    blobDir: String,
+    index: DataFrame,
+    startUs: Long,
+    endUs: Long
+  ): DataFrame = {
+    import spark.implicits._
+    val hits = index
+      .select(col("channel"), col("file"), col("start_us"), col("end_us"), col("rate"))
+      .filter(col("end_us") >= startUs && col("start_us") < endUs)
+    val files = hits.select(col("file")).distinct().as[String].collect()
+    if (files.isEmpty)
+      return spark.emptyDataset[(String, Long, Double)].toDF("channel", "t", "v")
+    val blobs = spark.read
+      .format("binaryFile")
+      .load(files.map(f => s"$blobDir/$f").toIndexedSeq: _*)
+      .select(substring_index(col("path"), "/", -1).as("file"), col("content"))
+    blobs
+      .join(broadcast(hits), Seq("file"))
+      .select(col("channel"), col("start_us"), col("rate"), col("content"))
+      .as[(String, Long, Double, Array[Byte])]
+      .flatMap { case (channel, blobStart, rate, content) =>
+        val period = Math.round(1e6 / rate)
+        // reference trim: drop round((queryStart-resultStart)/period)
+        // leading samples, take to the query end (one extra sample of
+        // slack; the exact [startUs, endUs) cut is the filter below)
+        val drop =
+          if (startUs > blobStart) Math.round((startUs - blobStart).toDouble / period) else 0L
+        val firstT = blobStart + drop * period
+        val take = Math.round((endUs - firstT).toDouble / period) + 1
+        decodeBlobRange(content, drop, take).iterator.zipWithIndex.map { case (v, i) =>
+          (channel, firstT + i * period, v)
+        }
+      }
+      .toDF("channel", "t", "v")
+      .filter(col("t") >= startUs && col("t") < endUs)
   }
 
   /** Secondary ingest formats — thin, schema-checked loaders. */

@@ -72,4 +72,40 @@ class FilteringSpec extends SparkSpec {
     out.count() shouldBe Tables.ts(spark, sfDir).count()
     out.filter(col("fv").isNull).count() shouldBe 0L
   }
+
+  "tsMontageFilter" should "filter montaged virtual channels identically to the sequential kernel" in {
+    val got = Filtering
+      .tsMontageFilter(spark, sfDir)
+      .as[(String, Long, Double)]
+      .collect()
+    got.length should be > 0
+
+    // sequential expectation: per virtual channel, split the montage
+    // grid at the chain's gap threshold, filterBlock each block
+    val gapUs = 2 * graft.operators.Timeseries.BucketUs
+    val mont = graft.operators.Timeseries
+      .tsMontageAligned(spark, sfDir)
+      .select($"channel", $"t", $"v")
+      .as[(String, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+    val expected = mont.flatMap { case (ch, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val blocks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+      var prev = Long.MinValue
+      sorted.foreach { case (_, t, v) =>
+        if (prev != Long.MinValue && t - prev > gapUs)
+          blocks += scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        blocks.last += ((t, v))
+        prev = t
+      }
+      blocks.flatMap { b =>
+        val out = Butterworth.filterBlock(Filtering.FixedCascade, b.map(_._2).toArray, Filtering.FixedPad)
+        b.zip(out).map { case ((t, _), fv) => (ch, t) -> fv }
+      }
+    }.toMap
+
+    got.length shouldBe expected.size
+    got.foreach { case (ch, t, fv) => fv shouldBe expected((ch, t)) +- 1e-6 }
+  }
 }

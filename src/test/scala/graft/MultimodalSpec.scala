@@ -70,4 +70,19 @@ class MultimodalSpec extends SparkSpec {
     row.getAs[Double]("byte_mean") shouldBe mean +- 1e-12
     row.getAs[Double]("byte_std") shouldBe std +- 1e-12
   }
+
+  "mmFrames" should "decode exactly the sampled frames with per-frame stub features" in {
+    val frames = Multimodal
+      .sampleFrames(Multimodal.withPayloads(Tables.documents(spark, sfDir)), frameBytes = 64, everyK = 4)
+      .as[(Long, Long, Array[Byte], Long)]
+      .collect()
+    frames.length should be > 0
+    val got = Multimodal.mmFrames(spark, sfDir).collect()
+    got.length shouldBe frames.length
+    // every output row's checksum is the stub kernel on that frame slice
+    val expected = frames.map { case (id, no, frame, _) => (id, no) -> Multimodal.decodeStub(frame)._1 }.toMap
+    got.foreach { r =>
+      r.getAs[Long]("checksum") shouldBe expected((r.getAs[Long]("doc_id"), r.getAs[Long]("frame_no")))
+    }
+  }
 }

@@ -50,6 +50,38 @@ class SourcesSpec extends SparkSpec {
     trimmed.agg(min("v"), max("v")).as[(Double, Double)].head() shouldBe ((11.0, 20.0))
   }
 
+  it should "decode only blobs and samples overlapping a range query" in {
+    val dir = Files.createTempDirectory("graft-blobs3").toFile
+    // two real blobs at 1 kHz (period 1000 µs): A covers [0, 100ms),
+    // B covers [100ms, 200ms)
+    BinarySegments.writeBlob(s"$dir/a.gz", (0 until 100).map(_.toDouble).toArray)
+    BinarySegments.writeBlob(s"$dir/b.gz", (100 until 200).map(_.toDouble).toArray)
+    // a third indexed blob OUTSIDE the range that is not even valid
+    // gzip: if the scan touched it, the query would throw — proof the
+    // index pre-filter prunes the file before any bytes are read
+    Files.write(new java.io.File(dir, "poison.gz").toPath, Array[Byte](1, 2, 3, 4))
+    val index = Seq(
+      ("c", "a.gz", 0L, 99000L, 1000.0),
+      ("c", "b.gz", 100000L, 199000L, 1000.0),
+      ("c", "poison.gz", 1000000L, 1099000L, 1000.0)
+    ).toDF("channel", "file", "start_us", "end_us", "rate")
+
+    val got = BinarySegments
+      .readRange(spark, dir.toString, index, 50000L, 150000L)
+      .orderBy("t")
+      .as[(String, Long, Double)]
+      .collect()
+      .toList
+    // samples 50..99 from A (trailing half decoded after a skipped
+    // prefix) and 100..149 from B (decode early-stops mid-blob)
+    got.map(_._3) shouldBe (50 until 150).map(_.toDouble).toList
+    got.head shouldBe (("c", 50000L, 50.0))
+    got.last shouldBe (("c", 149000L, 149.0))
+
+    // disjoint range: nothing decoded, empty result, still no poison
+    BinarySegments.readRange(spark, dir.toString, index, 300000L, 400000L).count() shouldBe 0L
+  }
+
   "TsLayout" should "prune partitions for channel/time range queries and match the flat-scan result" in {
     import graft.sources.TsLayout
     val dir = Files.createTempDirectory("graft-layout").toFile.toString

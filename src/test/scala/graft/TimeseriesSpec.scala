@@ -30,6 +30,29 @@ class TimeseriesSpec extends SparkSpec {
     spans shouldBe List((1L, 8L), (10L, 18L))
   }
 
+  it should "split mixed-rate channels at their own rate-driven thresholds" in {
+    // reference timeGapThreshold = floor(gapMultiple * 1e6 / rate)
+    // (query/TimeSeriesQueryUtils.scala:333-335): at gapMultiple=2 a
+    // 1000 Hz channel splits at >= 2000 µs while a 10 Hz channel
+    // tolerates up to 200 ms — the SAME 5 ms hole in both channels
+    // must split only the fast one
+    val fast = Seq(0L, 1000L, 2000L, 7000L, 8000L).map(t => ("fast", t, 1.0))
+    val slow = Seq(0L, 100000L, 200000L, 205000L, 305000L).map(t => ("slow", t, 1.0))
+    val rates = Seq(("fast", 1000.0), ("slow", 10.0)).toDF("channel", "rate")
+    val spans = Timeseries
+      .contiguousSpans(mkTs(fast ++ slow), rates, gapMultiple = 2.0)
+      .orderBy("channel", "span_id")
+      .select("channel", "span_start", "span_end")
+      .as[(String, Long, Long)]
+      .collect()
+      .toList
+    spans shouldBe List(
+      ("fast", 0L, 2000L),
+      ("fast", 7000L, 8000L),
+      ("slow", 0L, 305000L)
+    )
+  }
+
   "downsample" should "produce per-bucket min/max covering all rows" in {
     val df = Tables.ts(spark, sfDir)
     val ds = Timeseries.downsample(df, Timeseries.BucketUs)
