@@ -40,30 +40,17 @@ object Dedup {
   private val NormSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
   private val WordsSql = s"split($NormSql, ' ')"
 
-  /** Distinct word w-shingles of normalized `text`. The words array is
-    * bound ONCE as a lambda variable (transform over a 1-element array)
-    * so the inner lambda never re-evaluates the split/regex per index.
+  /** Distinct word w-shingles of normalized `text` — the native
+    * single-pass kernel (graft.functions.Shingling); the former
+    * interpreted-HOF formulation was the top cost of dedup_minhash.
     * Short documents fall back to one whole-text shingle.
     */
   def shingles(w: Int): Column =
-    array_distinct(
-      expr(
-        s"""transform(array($WordsSql), ws ->
-           |  CASE WHEN size(ws) >= $w
-           |    THEN transform(sequence(1, size(ws) - ${w - 1}), i -> concat_ws(' ', slice(ws, i, $w)))
-           |    ELSE array(concat_ws(' ', ws)) END)[0]""".stripMargin
-      )
-    )
+    graft.functions.Shingling.wordShingles(normText(col("text")), w)
 
-  /** Distinct character n-grams of normalized `text` (norm bound once). */
+  /** Distinct character n-grams of normalized `text` (native kernel). */
   def charNgrams(n: Int): Column =
-    array_distinct(
-      expr(
-        s"""transform(array($NormSql), s ->
-           |  transform(sequence(1, greatest(length(s) - ${n - 1}, 1)), i -> substring(s, i, $n)))[0]"""
-          .stripMargin
-      )
-    )
+    graft.functions.Shingling.charNgrams(normText(col("text")), n)
 
   // ---------------------------------------------------------------------
   // Exact dedup
@@ -137,11 +124,12 @@ object Dedup {
     val bandHashes = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"h$s")): _*)
     }
-    // (band, bandHash, doc_id) rows: consumed by the count and both
-    // sides of the self-join — persist so banding hashes compute once
+    // (band, bandHash, doc_id) rows feed the count and both sides of
+    // the self-join. NOT persisted: callers persist `sigs` (one row per
+    // doc), and re-deriving the band hashes from cached signatures is
+    // cheaper than materializing docs×bands rows into the block store
     val bucketRows = sigs
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val admissible = bucketRows
       .groupBy(col("band"), col("bandHash"))
       .agg(count(lit(1)).as("sz"))
@@ -260,13 +248,15 @@ object Dedup {
     * bit_count(xor) <= maxHamming.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
+    // one row per doc, re-read by every bucket-shape branch below —
+    // persist the signatures, not the docs×bands bucket rows
     val signed = simhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(65535))
     // same counted-bucket shape as lshCandidates: no bucket is ever one
     // row — count, drop inadmissible, left-semi, self-join on bucket key
     val bucketRows = signed
       .select(col("doc_id"), col("sig"), posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val admissible = bucketRows
       .groupBy(col("band"), col("chunk"))
       .agg(count(lit(1)).as("sz"))
