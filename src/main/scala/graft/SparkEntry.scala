@@ -45,7 +45,7 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
-    "text_fingerprint" -> (TextAnalysis.textFingerprint _), // rows-only + TextAnalysisSpec
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "mm_decode" -> (Multimodal.mmDecode _), // rows-only + MultimodalSpec (stubbed decode kernel)
     "mm_frames" -> (Multimodal.mmFrames _), // rows-only + MultimodalSpec (frame-sample → decode chain)
     // rows-only + FilteringSpec sequential-equivalence (montage → IIR chain)
@@ -82,6 +82,7 @@ object SparkEntry {
     "ann_bruteforce" -> Similarity.annBruteforceSql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,
-    "text_langid" -> TextAnalysis.textLangidSql
+    "text_langid" -> TextAnalysis.textLangidSql,
+    "text_fingerprint" -> TextAnalysis.textFingerprintSql
   )
 }

@@ -43,14 +43,42 @@ case class Winnow(child: Expression, k: Int, win: Int)
 }
 
 object Winnow {
-  /** Rabin-Karp base (odd multiplier with good bit diffusion mod 2^64). */
-  private val Base = 0x100000001b3L
+  /** Rabin-Karp polynomial base (any value < P with spread bits). */
+  private[graft] val Base = 0x100000001b3L
+
+  /** Modulus 2^61-1 (Mersenne prime). Hash arithmetic is mod P rather
+    * than the usual wrap-around mod 2^64 so the fingerprints are
+    * EXACTLY reproducible in ANSI SQL engines with 128-bit integers
+    * (DuckDB HUGEINT) — what makes text_fingerprint oracle-checkable
+    * end to end. The Mersenne form keeps the JVM side branch-light:
+    * a 128-bit product folds with two shifts and an add.
+    */
+  private[graft] val P = (1L << 61) - 1
+
+  /** (a * b) mod P via Math.multiplyHigh: x = hi·2^64 + lo and
+    * 2^61 ≡ 1 (mod P), so x ≡ (lo & P) + (lo >>> 61 | hi << 3).
+    * Requires a, b < P (hi < 2^58, so the shifted chunks are disjoint).
+    */
+  private[graft] def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var s = (lo & P) + ((lo >>> 61) | (hi << 3))
+    while (s >= P) s -= P
+    s
+  }
+
+  private def addmod(a: Long, b: Long): Long = {
+    val s = a + b
+    if (s >= P) s - P else s
+  }
 
   /** Distinct winnowing fingerprints of s: min rolling-hash of every
     * window of `win` consecutive k-gram hashes, first-occurrence order.
+    * Grams are codepoint-counted (SQL substring semantics).
     */
   def fingerprints(s: String, k: Int, win: Int): Array[Long] = {
-    val n = s.length
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n == 0) return Array.empty
     val grams = math.max(n - k + 1, 1)
     val hashes = new Array[Long](grams)
@@ -58,21 +86,21 @@ object Winnow {
       // short doc: hash the whole text as one gram
       var h = 0L
       var i = 0
-      while (i < n) { h = h * Base + s.charAt(i); i += 1 }
-      hashes(0) = finalize(h)
+      while (i < n) { h = addmod(mulmod(h, Base), cps(i)); i += 1 }
+      hashes(0) = h
     } else {
       // pow = Base^(k-1) for the rolling update
       var pow = 1L
       var i = 0
-      while (i < k - 1) { pow *= Base; i += 1 }
+      while (i < k - 1) { pow = mulmod(pow, Base); i += 1 }
       var h = 0L
       i = 0
-      while (i < k) { h = h * Base + s.charAt(i); i += 1 }
-      hashes(0) = finalize(h)
+      while (i < k) { h = addmod(mulmod(h, Base), cps(i)); i += 1 }
+      hashes(0) = h
       i = k
       while (i < n) {
-        h = (h - s.charAt(i - k) * pow) * Base + s.charAt(i)
-        hashes(i - k + 1) = finalize(h)
+        h = addmod(mulmod(addmod(h, P - mulmod(cps(i - k), pow)), Base), cps(i))
+        hashes(i - k + 1) = h
         i += 1
       }
     }
@@ -97,16 +125,9 @@ object Winnow {
     res
   }
 
-  /** Final bit mix (splitmix64 tail) — raw polynomial hashes of short
-    * alphabets cluster in low bits; the mix spreads them so bucket joins
-    * on fingerprints distribute evenly.
-    */
-  private def finalize(x: Long): Long = {
-    var z = x
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // (no final bit mix: mod-P values feed hash-partitioned joins, and
+  // Spark's shuffle hasher re-mixes them; a mix here would break oracle
+  // reproducibility for nothing)
 
   /** Column API. */
   def winnow(text: Column, k: Int, win: Int): Column =

@@ -209,4 +209,47 @@ object TextAnalysis {
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.documents(spark, dir)).orderBy(col("doc_id"), col("fingerprint"))
+
+  /** Winnowing oracle: Winnow's hash is polynomial mod 2⁶¹−1 exactly so
+    * this SQL can reproduce it — each k-gram hash is a list_reduce fold
+    * in HUGEINT (128-bit, exact), the winnow selection is a 4-row
+    * sliding MIN (full windows only), and docs with fewer than `win`
+    * grams take the min over all their grams (the kernel's
+    * w = min(win, grams) clamp).
+    */
+  val textFingerprintSql: String = {
+    val k = 8
+    val base = graft.functions.Winnow.Base
+    val p = graft.functions.Winnow.P
+    s"""WITH normed AS (
+       |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS s FROM documents
+       |  WHERE LENGTH(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) > 0),
+       |pos AS (
+       |  SELECT doc_id, s,
+       |    UNNEST(range(1, GREATEST(LENGTH(s) - $k + 1, 1) + 1)) AS i,
+       |    LENGTH(s) AS n
+       |  FROM normed),
+       |grams AS (
+       |  SELECT doc_id, i,
+       |    list_reduce(
+       |      list_transform(range(i, i + LEAST(n - i + 1, $k)),
+       |                     j -> CAST(unicode(substr(s, CAST(j AS INT), 1)) AS HUGEINT)),
+       |      (h, c) -> (h * $base + c) % $p) AS h,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS grams_n
+       |  FROM pos),
+       |fps AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT doc_id, grams_n,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+       |      MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+       |    FROM grams) w
+       |  WHERE grams_n >= 4 AND rn >= 4
+       |  UNION ALL
+       |  SELECT doc_id, MIN(h) AS fp FROM grams
+       |  GROUP BY doc_id HAVING COUNT(*) < 4)
+       |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fingerprint
+       |FROM fps
+       |ORDER BY doc_id, fingerprint""".stripMargin
+  }
 }

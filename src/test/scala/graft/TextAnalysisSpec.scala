@@ -47,14 +47,12 @@ class TextAnalysisSpec extends SparkSpec {
     import graft.functions.Winnow
     val s = "the quick brown fox jumps over the lazy dog 0123456789"
     val k = 8
-    // direct (non-rolling) recomputation of each k-gram's polynomial hash
+    // direct (non-rolling) recomputation of each k-gram's polynomial
+    // hash mod 2^61-1 via BigInt — independent of the kernel's
+    // multiplyHigh fold
     def direct(g: String): Long = {
-      var h = 0L
-      g.foreach(c => h = h * 0x100000001b3L + c)
-      var z = h
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
+      val P = BigInt((1L << 61) - 1)
+      g.foldLeft(BigInt(0))((h, c) => (h * BigInt(0x100000001b3L) + BigInt(c.toInt)) mod P).toLong
     }
     val expected = (0 to s.length - k).map(i => direct(s.substring(i, i + k))).distinct
     Winnow.fingerprints(s, k, 1).toSeq shouldBe expected
