@@ -40,8 +40,8 @@ object SparkEntry {
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_embed" -> (Dedup.dedupEmbed _),
     "ann_bruteforce" -> (Similarity.annBruteforce _),
-    "ann_lsh" -> (Similarity.annLsh _), // rows-only + SimilaritySpec recall
-    "ann_ivf" -> (Similarity.annIvf _), // rows-only + SimilaritySpec recall
+    "ann_lsh" -> (Similarity.annLsh _),
+    "ann_ivf" -> (Similarity.annIvf _),
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
@@ -80,6 +80,8 @@ object SparkEntry {
     "dedup_ngram" -> Dedup.dedupNgramSql,
     "dedup_embed" -> Dedup.dedupEmbedSql,
     "ann_bruteforce" -> Similarity.annBruteforceSql,
+    "ann_lsh" -> Similarity.annLshSql,
+    "ann_ivf" -> Similarity.annIvfSql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,

@@ -127,8 +127,10 @@ object Similarity {
     nProbe: Int = 4
   ): DataFrame = {
     // index build: deterministic hash-ranked sample as centroids
+    // (ranked by md5 of the id string — a hash both engines derive
+    // identically, keeping the whole index build oracle-reproducible)
     val centroids: Array[(Long, Seq[Double])] = corpus
-      .orderBy(xxhash64(col("vec_id")))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
       .collect()
@@ -199,9 +201,90 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** LSH oracle: the hyperplanes are driver-side constants, so the SQL
+    * simply inlines them (shortest-repr double literals round-trip to
+    * the identical binary64 in both parsers); bucket bits, the 1-bit
+    * probe fan-out, and the cosine ranking mirror lshTopK. Probe
+    * buckets are pairwise distinct, so no candidate dedup is needed on
+    * either side.
+    */
+  val annLshSql: String = {
+    val planes = 4
+    val hp = hyperplanes(planes, 64)
+    def bucketExpr(v: String): String =
+      hp.zipWithIndex
+        .map { case (p, i) =>
+          val lit = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product($v, $lit) > 0.0 THEN ${1L << i} ELSE 0 END)"
+        }
+        .mkString("(", " + ", ")") // bits are disjoint: + == OR
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS neighbor_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n),
+       |q0 AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq, ${bucketExpr("v")} AS b0
+       |       FROM n WHERE vec_id < $QueryCount),
+       |q AS (SELECT query_id, vq, nq,
+       |        UNNEST([b0${(0 until planes).map(p => s", xor(b0, ${1L << p})").mkString}]) AS bucket
+       |      FROM q0),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         list_dot_product(q.vq, c.v) / (q.nq * c.nrm) AS cos_raw
+       |  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF oracle: rebuilds the same index the operator builds — centroid
+    * sample ranked by md5 of the id string (engine-portable), argmax
+    * centroid assignment with the (sim, cid) tie order of
+    * greatest-struct, nProbe=4 query probes, cosine top-k.
+    */
+  val annIvfSql: String = {
+    val nCentroids = 16
+    val nProbe = 4
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT v AS cv,
+       |         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+       |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCentroids) s),
+       |casg AS (
+       |  SELECT neighbor_id, v, nrm, cid FROM (
+       |    SELECT n.vec_id AS neighbor_id, n.v, n.nrm, cent.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                              ORDER BY list_dot_product(n.v, cent.cv) DESC, cent.cid DESC) AS rn
+       |    FROM n CROSS JOIN cent) a WHERE rn = 1),
+       |qasg AS (
+       |  SELECT query_id, vq, nq, cid FROM (
+       |    SELECT n.vec_id AS query_id, n.v AS vq, n.nrm AS nq, cent.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                              ORDER BY list_dot_product(n.v, cent.cv) DESC, cent.cid DESC) AS rn
+       |    FROM n CROSS JOIN cent WHERE n.vec_id < $QueryCount) a WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         list_dot_product(q.vq, c.v) / (q.nq * c.nrm) AS cos_raw
+       |  FROM qasg q JOIN casg c ON q.cid = c.cid AND q.query_id <> c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
   }
 }
