@@ -33,8 +33,6 @@ object SparkEntry {
     // sequential-equivalence coverage lives in Butterworth/FilteringSpec
     "ts_butterworth" -> (Filtering.tsButterworth _),
     "dedup_exact" -> (Dedup.dedupExact _),
-    // rows-only + DedupSpec: signatures are xxhash64-derived, which the
-    // oracle engine cannot reproduce; planted-pair recovery is the spec
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram" -> (Dedup.dedupNgram _),
@@ -46,8 +44,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
-    "mm_decode" -> (Multimodal.mmDecode _), // rows-only + MultimodalSpec (stubbed decode kernel)
-    "mm_frames" -> (Multimodal.mmFrames _), // rows-only + MultimodalSpec (frame-sample → decode chain)
+    "mm_decode" -> (Multimodal.mmDecode _), // decode kernel is the sanctioned stub; features oracled
+    "mm_frames" -> (Multimodal.mmFrames _), // frame-sample → decode chain
     // rows-only + FilteringSpec sequential-equivalence (montage → IIR chain)
     "ts_montage_filter" -> (Filtering.tsMontageFilter _),
     "ts_waveforms" -> (Timeseries.tsWaveforms _)
@@ -76,6 +74,7 @@ object SparkEntry {
     "ts_annotations" -> Timeseries.tsAnnotationsSql,
     "ts_waveforms" -> Timeseries.tsWaveformsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_ngram" -> Dedup.dedupNgramSql,
     "dedup_embed" -> Dedup.dedupEmbedSql,
@@ -85,6 +84,8 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
-    "text_fingerprint" -> TextAnalysis.textFingerprintSql
+    "text_fingerprint" -> TextAnalysis.textFingerprintSql,
+    "mm_decode" -> Multimodal.mmDecodeSql,
+    "mm_frames" -> Multimodal.mmFramesSql
   )
 }

@@ -67,7 +67,7 @@ object Winnow {
     s
   }
 
-  private def addmod(a: Long, b: Long): Long = {
+  private[graft] def addmod(a: Long, b: Long): Long = {
     val s = a + b
     if (s >= P) s - P else s
   }

@@ -82,23 +82,21 @@ object Dedup {
 
   /** MinHash signatures as 64 partial-aggregated min columns over the
     * exploded shingle rows. The variable-length shingle STRING is hashed
-    * exactly once; the 64 per-seed values are derived by re-hashing that
-    * fixed 8-byte base hash (h_s = xxhash64(h1, s)) — per-seed cost is a
-    * few multiplications over one long instead of a full pass over the
-    * string, so signature cost no longer scales with shingle length.
-    * (The classic h1 + s·h2 mod 2⁶⁴ construction needs wrapping
-    * arithmetic, which ANSI mode rejects; re-hashing the base long has
-    * the same constant per-seed cost and strictly better mixing.)
+    * exactly once (polynomial mod 2⁶¹−1); the 64 per-seed values are
+    * affine derivations of that base hash, produced as ONE array by the
+    * native MinhashSeedHashes kernel — per-seed cost is a multiply-mod
+    * over one long, not a pass over the string, and the whole family is
+    * reproducible in the DuckDB oracle (graft.functions.MinhashHash).
     * One shuffle on doc_id; each min combines map-side. The same pass
     * also emits the shingle-set size `n` (rows are distinct per doc),
     * which the Jaccard verify needs — no separate counting pass.
     */
   def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), xxhash64(col("shingle")).as("h1"))
+    sh.select(col("doc_id"), graft.functions.MinhashHash.seedHashes(col("shingle")).as("hs"))
       .groupBy(col("doc_id"))
       .agg(
-        min(xxhash64(col("h1"), lit(0))).as("h0"),
-        (1 until MinhashSeeds).map(s => min(xxhash64(col("h1"), lit(s))).as(s"h$s")) :+
+        min(element_at(col("hs"), 1)).as("h0"),
+        (1 until MinhashSeeds).map(s => min(element_at(col("hs"), s + 1)).as(s"h$s")) :+
           count(lit(1)).as("n"): _*
       )
 
@@ -121,26 +119,31 @@ object Dedup {
       s"bands must evenly divide $MinhashSeeds signature values, got $bands"
     )
     val rowsPerBand = MinhashSeeds / bands
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"h$s")): _*)
+    // bucket key = the band's signature values THEMSELVES (array), not
+    // a hash of them: collisions are impossible, so the oracle's
+    // bucket-equality semantics match exactly. rowsPerBand longs of
+    // shuffle key width is a fine trade for exactness; re-hash the key
+    // at ingest if a 100 TB corpus makes the extra bytes matter.
+    val bandKeys = (0 until bands).map { b =>
+      array((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"h$s")): _*)
     }
-    // (band, bandHash, doc_id) rows feed the count and both sides of
+    // (band, bandKey, doc_id) rows feed the count and both sides of
     // the self-join. NOT persisted: callers persist `sigs` (one row per
-    // doc), and re-deriving the band hashes from cached signatures is
+    // doc), and re-deriving the band keys from cached signatures is
     // cheaper than materializing docs×bands rows into the block store
     val bucketRows = sigs
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bandKey")))
     val admissible = bucketRows
-      .groupBy(col("band"), col("bandHash"))
+      .groupBy(col("band"), col("bandKey"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > 1 && col("sz") <= maxBucketSize)
-      .select(col("band"), col("bandHash"))
-    val member = bucketRows.join(admissible, Seq("band", "bandHash"), "left_semi")
+      .select(col("band"), col("bandKey"))
+    val member = bucketRows.join(admissible, Seq("band", "bandKey"), "left_semi")
     member
-      .select(col("band"), col("bandHash"), col("doc_id").as("doc_a"))
+      .select(col("band"), col("bandKey"), col("doc_id").as("doc_a"))
       .join(
-        member.select(col("band"), col("bandHash"), col("doc_id").as("doc_b")),
-        Seq("band", "bandHash")
+        member.select(col("band"), col("bandKey"), col("doc_id").as("doc_b")),
+        Seq("band", "bandKey")
       )
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -374,6 +377,75 @@ object Dedup {
       |  SELECT doc_id + 1000000 AS doc_id,
       |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Full-pipeline MinHash oracle: word shingles → polynomial base hash
+    * mod 2⁶¹−1 (list_reduce in HUGEINT) → 64 affine seed minima (the
+    * A/B constants are inlined literals from MinhashHash) → 16
+    * four-value band keys → bucket cap → candidate pairs → exact
+    * Jaccard ≥ τ. Every stage mirrors minhashNearDups exactly; band
+    * keys are the signature-value lists themselves on both sides, so
+    * bucket equality is hash-free and identical.
+    */
+  val dedupMinhashSql: String = {
+    import graft.functions.{MinhashHash, Winnow}
+    val aLit = MinhashHash.multipliers.mkString("[", ", ", "]")
+    val bLit = MinhashHash.offsets.mkString("[", ", ", "]")
+    s"""WITH $PlantedCorpusSql,
+       |normed AS (
+       |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm FROM corpus),
+       |words AS (SELECT doc_id, string_split(nm, ' ') AS ws FROM normed),
+       |shpos AS (
+       |  SELECT doc_id, ws, UNNEST(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS i FROM words),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN len(ws) >= 3 THEN array_to_string(ws[i:i+2], ' ')
+       |         ELSE array_to_string(ws, ' ') END AS shingle
+       |  FROM shpos),
+       |h1 AS (
+       |  SELECT doc_id, shingle,
+       |    CASE WHEN LENGTH(shingle) = 0 THEN CAST(0 AS HUGEINT)
+       |         ELSE list_reduce(
+       |           list_transform(range(1, LENGTH(shingle) + 1),
+       |                          j -> CAST(unicode(substr(shingle, CAST(j AS INT), 1)) AS HUGEINT)),
+       |           (h, c) -> (h * ${Winnow.Base} + c) % ${Winnow.P}) END AS h1
+       |  FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |mins AS (
+       |  SELECT doc_id, seeds.s AS s,
+       |    MIN((CAST(list_extract($aLit, seeds.s + 1) AS HUGEINT) * h1
+       |         + list_extract($bLit, seeds.s + 1)) % ${Winnow.P}) AS mh
+       |  FROM h1 CROSS JOIN (SELECT UNNEST(range(0, ${MinhashHash.Seeds})) AS s) seeds
+       |  GROUP BY doc_id, seeds.s),
+       |bandkeys AS (
+       |  SELECT doc_id, s // 4 AS band, list(mh ORDER BY s) AS bk
+       |  FROM mins GROUP BY doc_id, s // 4),
+       |admissible AS (
+       |  SELECT band, bk FROM bandkeys GROUP BY band, bk
+       |  HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
+       |member AS (
+       |  SELECT m.doc_id, m.band, m.bk FROM bandkeys m
+       |  JOIN admissible a ON m.band = a.band AND m.bk = a.bk),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM member x JOIN member y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |jac AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |      (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS j
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac
+       |WHERE j >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Full-pipeline SimHash oracle: md5-limb word bits → ±1 votes →
     * per-band 16-bit chunks → bucket cap → candidate pairs → hamming.

@@ -41,23 +41,27 @@ object Multimodal {
   /** STUB decode kernel — deterministic byte statistics standing in for
     * a real image decode + feature extraction. Replace the body with a
     * codec call (e.g. JNI image lib) without touching the Spark
-    * plumbing.
+    * plumbing. The checksum is a ×31 polynomial mod 2⁶¹−1 (not
+    * wrap-around mod 2⁶⁴) and the moments are exact integer sums in
+    * doubles, so the whole stub is reproducible by the SQL oracle from
+    * hex-sliced payload bytes.
     */
   private[graft] def decodeStub(payload: Array[Byte]): (Long, Double, Double) = {
+    import graft.functions.Winnow.{addmod, mulmod}
     var checksum = 0L
-    var sum = 0.0
-    var sumSq = 0.0
+    var sum = 0L
+    var sumSq = 0L
     var i = 0
     while (i < payload.length) {
       val b = payload(i) & 0xff
-      checksum = checksum * 31 + b
+      checksum = addmod(mulmod(checksum, 31L), b.toLong)
       sum += b
-      sumSq += b.toDouble * b
+      sumSq += b.toLong * b
       i += 1
     }
     val n = math.max(payload.length, 1)
-    val mean = sum / n
-    (checksum, mean, math.sqrt(math.max(sumSq / n - mean * mean, 0.0)))
+    val mean = sum.toDouble / n
+    (checksum, mean, math.sqrt(math.max(sumSq.toDouble / n - mean * mean, 0.0)))
   }
 
   /** Batched decode: typed mapPartitions that accumulates `batchSize`
@@ -185,6 +189,41 @@ object Multimodal {
       )
       .orderBy(col("doc_id"))
 
+  /** Stub-decode oracle: payload bytes are recovered in SQL by hex-ing
+    * the UTF-8 blob and slicing two hex digits per byte; the checksum
+    * is the same ×31 polynomial mod 2⁶¹−1 (list_reduce in HUGEINT) and
+    * the moments are exact integer sums, so every feature value matches
+    * the kernel bit for bit. Empty payloads degrade to (0, 0, 0) as in
+    * the kernel.
+    */
+  val mmDecodeSql: String = {
+    val p = graft.functions.Winnow.P
+    s"""WITH p AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
+       |    list_extract(['png', 'jpeg', 'webp'], CAST(doc_id % 3 + 1 AS INT)) AS format,
+       |    CAST(doc_id % 32 + 16 AS INT) AS width,
+       |    CAST(doc_id % 24 + 12 AS INT) AS height
+       |  FROM documents),
+       |bvals AS (
+       |  SELECT doc_id, i,
+       |    CAST(('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2)) AS INT) AS b
+       |  FROM (SELECT doc_id, hx, UNNEST(range(0, nb)) AS i FROM p) t),
+       |stats AS (
+       |  SELECT doc_id, COUNT(*) AS cnt, SUM(b) AS s1, SUM(CAST(b AS BIGINT) * b) AS s2,
+       |    CAST(list_reduce(list(CAST(b AS HUGEINT) ORDER BY i),
+       |                     (h, c) -> (h * 31 + c) % $p) AS BIGINT) AS chk
+       |  FROM bvals GROUP BY doc_id)
+       |SELECT p.doc_id, p.format, p.width, p.height,
+       |  CAST(p.nb AS BIGINT) AS n_bytes,
+       |  COALESCE(s.chk, 0) AS checksum,
+       |  ROUND(CAST(COALESCE(s.s1, 0) AS DOUBLE) / GREATEST(p.nb, 1), 6) AS byte_mean,
+       |  ROUND(SQRT(GREATEST(CAST(COALESCE(s.s2, 0) AS DOUBLE) / GREATEST(p.nb, 1)
+       |    - (CAST(COALESCE(s.s1, 0) AS DOUBLE) / GREATEST(p.nb, 1))
+       |      * (CAST(COALESCE(s.s1, 0) AS DOUBLE) / GREATEST(p.nb, 1)), 0.0)), 6) AS byte_std
+       |FROM p LEFT JOIN stats s ON s.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   /** Pipeline composition: sampleFrames → per-frame decodeFeatures.
     * Each sampled frame is re-wrapped in the (doc_id, payload, meta)
     * contract — (doc_id, frame_no) packed into one key — so the SAME
@@ -214,5 +253,34 @@ object Multimodal {
         round(col("byte_std"), 6).as("byte_std")
       )
       .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  /** Frame-chain oracle: every 4th complete 64-byte frame, features by
+    * the same hex-sliced byte recovery as mmDecodeSql — frame f's byte
+    * j sits at hex offset 2·(64f + j).
+    */
+  val mmFramesSql: String = {
+    val p = graft.functions.Winnow.P
+    s"""WITH p AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+       |sampled AS (
+       |  SELECT doc_id, fno, hx
+       |  FROM (SELECT doc_id, hx, UNNEST(range(0, nb // 64)) AS fno FROM p) t
+       |  WHERE fno % 4 = 0),
+       |fvals AS (
+       |  SELECT doc_id, fno, j,
+       |    CAST(('0x' || substr(hx, CAST(2 * (fno * 64 + j) + 1 AS INT), 2)) AS INT) AS b
+       |  FROM (SELECT doc_id, fno, hx, UNNEST(range(0, 64)) AS j FROM sampled) t),
+       |stats AS (
+       |  SELECT doc_id, fno, SUM(b) AS s1, SUM(CAST(b AS BIGINT) * b) AS s2,
+       |    CAST(list_reduce(list(CAST(b AS HUGEINT) ORDER BY j),
+       |                     (h, c) -> (h * 31 + c) % $p) AS BIGINT) AS chk
+       |  FROM fvals GROUP BY doc_id, fno)
+       |SELECT doc_id, fno AS frame_no, CAST(64 AS BIGINT) AS n_bytes, chk AS checksum,
+       |  ROUND(CAST(s1 AS DOUBLE) / 64, 6) AS byte_mean,
+       |  ROUND(SQRT(GREATEST(CAST(s2 AS DOUBLE) / 64
+       |    - (CAST(s1 AS DOUBLE) / 64) * (CAST(s1 AS DOUBLE) / 64), 0.0)), 6) AS byte_std
+       |FROM stats
+       |ORDER BY doc_id, frame_no""".stripMargin
   }
 }
