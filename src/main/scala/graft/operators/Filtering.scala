@@ -120,8 +120,10 @@ object Filtering {
     * (channel, t, v) IS applyCascade's input contract, so composition
     * is a function call: no re-keying, the filter blocks shuffle by the
     * virtual channel exactly as they would for physical ones. Gap
-    * threshold is 2 grid steps: consecutive hourly grid points are
-    * contiguous, a missing bucket resets filter state.
+    * threshold is ONE grid step (applyCascade splits on t−prev >
+    * gapUs, strictly): consecutive hourly grid points sit exactly
+    * BucketUs apart and stay contiguous, while a single missing bucket
+    * (2·BucketUs) resets filter state.
     */
   def tsMontageFilter(spark: SparkSession, dir: String): DataFrame =
     applyCascade(
@@ -129,7 +131,7 @@ object Filtering {
       Timeseries.tsMontageAligned(spark, dir),
       FixedCascade,
       FixedPad,
-      gapUs = 2 * Timeseries.BucketUs
+      gapUs = Timeseries.BucketUs
     ).select(col("channel"), col("t"), round(col("fv"), 6).as("fv"))
       .orderBy(col("channel"), col("t"))
 }

@@ -233,8 +233,11 @@ object Multimodal {
     */
   def mmFrames(spark: SparkSession, dir: String): DataFrame = {
     val frames = sampleFrames(withPayloads(Tables.documents(spark, dir)), frameBytes = 64, everyK = 4)
+    // (doc_id, frame_no) packed as doc_id·2³² | frame_no: sound for
+    // doc_id < 2³¹ and frame_no < 2³² (a 2³²-frame payload is 256 GB —
+    // beyond any single-blob design point)
     val framePayloads = frames.select(
-      (col("doc_id") * 1000000L + col("frame_no")).as("doc_id"),
+      (shiftleft(col("doc_id"), 32).bitwiseOR(col("frame_no"))).as("doc_id"),
       col("frame").as("payload"),
       struct(
         lit("frame").as("format"),
@@ -245,8 +248,8 @@ object Multimodal {
     )
     decodeFeatures(spark, framePayloads)
       .select(
-        floor(col("doc_id") / 1000000L).cast("long").as("doc_id"),
-        (col("doc_id") % 1000000L).as("frame_no"),
+        shiftrightunsigned(col("doc_id"), 32).as("doc_id"),
+        col("doc_id").bitwiseAND(lit(0xffffffffL)).as("frame_no"),
         col("n_bytes"),
         col("checksum"),
         round(col("byte_mean"), 6).as("byte_mean"),

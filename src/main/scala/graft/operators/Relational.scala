@@ -49,7 +49,12 @@ object Relational {
         // scale-8 product sum is rounded (HALF_UP, both engines) to
         // scale 4 BEFORE the double cast: at scale 8 the unscaled value
         // exceeds 2⁵³ and DuckDB's hugeint→double→÷10⁸ double-rounds,
-        // drifting 1 ulp from the correctly-rounded decimal→double
+        // drifting 1 ulp from the correctly-rounded decimal→double.
+        // VALIDITY BOUND: scale-4 unscaled values re-cross 2⁵³ when a
+        // group's sum exceeds ~9·10¹¹ (sf ≳ 15 for q1's 4 groups) —
+        // oracle comparisons beyond that need the rescale lowered to
+        // scale 2 or a decimal-string compare; Spark's own result stays
+        // correctly rounded at any scale
         round(
           sum(col("l_extendedprice").cast(d184) * (lit(1).cast(d184) - col("l_discount").cast(d184))),
           4
@@ -118,8 +123,12 @@ object Relational {
       )
       .orderBy(col("revenue_dec").desc, col("l_orderkey"))
       .limit(10)
-      // same scale-4 rescale as q1's sum_disc_price before the double cast
+      // same scale-4 rescale as q1's sum_disc_price before the double
+      // cast; the final output re-sorts on the PROJECTED (double, key)
+      // columns so row order is contractual on both engines rather than
+      // relying on order preservation through the projection
       .select(col("l_orderkey"), round(col("revenue_dec"), 4).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
 
   val q3Sql: String =
     """SELECT l_orderkey, CAST(ROUND(revenue_dec, 4) AS DOUBLE) AS revenue FROM (
@@ -128,7 +137,8 @@ object Relational {
       |  FROM lineitem
       |  GROUP BY l_orderkey
       |  ORDER BY revenue_dec DESC, l_orderkey
-      |  LIMIT 10) t""".stripMargin
+      |  LIMIT 10) t
+      |ORDER BY revenue DESC, l_orderkey""".stripMargin
 
   /** Window functions: rank orders by price within customer; single
     * shuffle on the partition key.

@@ -165,11 +165,19 @@ object Timeseries {
     */
   def contiguousSpans(ts: DataFrame, rates: DataFrame, gapMultiple: Double): DataFrame =
     contiguousSpansByThreshold(
-      ts.join(broadcast(rates.select(col("channel"), col("rate"))), Seq("channel"))
+      // LEFT join + raise_error: a channel missing from the rate
+      // catalog fails the job with a clear message instead of silently
+      // vanishing from the span output (an inner join would drop it)
+      ts.join(broadcast(rates.select(col("channel"), col("rate"))), Seq("channel"), "left")
         .select(
           col("channel"),
           col("t"),
-          floor(lit(gapMultiple) * lit(1e6) / col("rate")).cast("long").as("__gap")
+          when(
+            col("rate").isNull,
+            raise_error(concat(lit("contiguousSpans: no rate for channel "), col("channel")))
+          ).otherwise(floor(lit(gapMultiple) * lit(1e6) / col("rate")))
+            .cast("long")
+            .as("__gap")
         )
     )
 

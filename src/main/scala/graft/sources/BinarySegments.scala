@@ -96,12 +96,26 @@ object BinarySegments {
     * broadcast (it is the Postgres-range-table analog — tiny next to
     * the data).
     */
+  /** The scan's `path` is a file URI ("file:/…"); the index's `file` is
+    * a path RELATIVE to blobDir. Stripping the blobDir URI prefix from
+    * the scan side recovers that exact relative path, so the join is a
+    * plain (broadcast hash) equi-join that stays correct for
+    * subdirectory layouts — the recommended channel/time-bucket tree —
+    * including blobs in different directories that share a basename.
+    */
+  private def relPath(blobDir: String): org.apache.spark.sql.Column = {
+    val base = new java.io.File(blobDir).getCanonicalFile.toURI.toString
+    val prefix = if (base.endsWith("/")) base else base + "/"
+    expr(s"substring(path, ${prefix.length + 1})")
+  }
+
   def read(spark: SparkSession, blobDir: String, index: DataFrame): DataFrame = {
     import spark.implicits._
     val blobs = spark.read
       .format("binaryFile")
+      .option("recursiveFileLookup", "true")
       .load(blobDir)
-      .select(substring_index(col("path"), "/", -1).as("file"), col("content"))
+      .select(relPath(blobDir).as("file"), col("content"))
     blobs
       .join(broadcast(index.select(col("channel"), col("file"), col("start_us"), col("rate"))), Seq("file"))
       .select(col("channel"), col("start_us"), col("rate"), col("content"))
@@ -147,7 +161,7 @@ object BinarySegments {
     val blobs = spark.read
       .format("binaryFile")
       .load(files.map(f => s"$blobDir/$f").toIndexedSeq: _*)
-      .select(substring_index(col("path"), "/", -1).as("file"), col("content"))
+      .select(relPath(blobDir).as("file"), col("content"))
     blobs
       .join(broadcast(hits), Seq("file"))
       .select(col("channel"), col("start_us"), col("rate"), col("content"))

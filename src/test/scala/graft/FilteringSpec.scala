@@ -81,8 +81,9 @@ class FilteringSpec extends SparkSpec {
     got.length should be > 0
 
     // sequential expectation: per virtual channel, split the montage
-    // grid at the chain's gap threshold, filterBlock each block
-    val gapUs = 2 * graft.operators.Timeseries.BucketUs
+    // grid at the chain's gap threshold (one grid step; a single
+    // missing bucket resets), filterBlock each block
+    val gapUs = graft.operators.Timeseries.BucketUs
     val mont = graft.operators.Timeseries
       .tsMontageAligned(spark, sfDir)
       .select($"channel", $"t", $"v")

@@ -53,16 +53,20 @@ class SourcesSpec extends SparkSpec {
   it should "decode only blobs and samples overlapping a range query" in {
     val dir = Files.createTempDirectory("graft-blobs3").toFile
     // two real blobs at 1 kHz (period 1000 µs): A covers [0, 100ms),
-    // B covers [100ms, 200ms)
+    // B covers [100ms, 200ms); B lives in a channel/time-bucket
+    // subdirectory and is indexed by its relative path
     BinarySegments.writeBlob(s"$dir/a.gz", (0 until 100).map(_.toDouble).toArray)
-    BinarySegments.writeBlob(s"$dir/b.gz", (100 until 200).map(_.toDouble).toArray)
+    Files.createDirectories(new java.io.File(dir, "c/2024").toPath)
+    BinarySegments.writeBlob(s"$dir/c/2024/a.gz", (100 until 200).map(_.toDouble).toArray)
     // a third indexed blob OUTSIDE the range that is not even valid
     // gzip: if the scan touched it, the query would throw — proof the
     // index pre-filter prunes the file before any bytes are read
     Files.write(new java.io.File(dir, "poison.gz").toPath, Array[Byte](1, 2, 3, 4))
     val index = Seq(
       ("c", "a.gz", 0L, 99000L, 1000.0),
-      ("c", "b.gz", 100000L, 199000L, 1000.0),
+      // same basename as a.gz in a subdirectory: relative-path matching
+      // must keep the two apart
+      ("c", "c/2024/a.gz", 100000L, 199000L, 1000.0),
       ("c", "poison.gz", 1000000L, 1099000L, 1000.0)
     ).toDF("channel", "file", "start_us", "end_us", "rate")
 
