@@ -76,6 +76,30 @@ class PlanSpec extends SparkSpec {
     plan should include("vec_dot")
   }
 
+  "BucketedLayout" should "plan channel-keyed aggregation and self-join with zero shuffles" in {
+    import graft.sources.BucketedLayout
+    BucketedLayout.writeBucketed(
+      Tables.ts(spark, sfDir).select(col("channel"), col("t"), col("v")),
+      "ts_bucketed_planspec",
+      8
+    )
+    val t = BucketedLayout.readTable(spark, "ts_bucketed_planspec")
+    // aggregation keyed by the bucket column: the scan already
+    // satisfies the hash distribution
+    val agg = t.groupBy(col("channel")).agg(avg(col("v")).as("m"), count(lit(1)).as("n"))
+    countShuffles(agg) shouldBe 0
+    // channel self-join (raw stream against per-channel summary):
+    // both sides read pre-bucketed data — no exchange anywhere
+    val joined = t.join(
+      BucketedLayout.readTable(spark, "ts_bucketed_planspec")
+        .groupBy(col("channel"))
+        .agg(max(col("t")).as("mt")),
+      Seq("channel")
+    )
+    countShuffles(joined) shouldBe 0
+    joined.count() shouldBe t.count()
+  }
+
   "dedup LSH candidate generation" should "never materialize a bucket as a single row" in {
     // a boilerplate mega-bucket must cost one COUNT row, not a
     // collect_list the size of the bucket — assert the counted-bucket
