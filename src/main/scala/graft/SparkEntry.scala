@@ -37,6 +37,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_embed" -> (Dedup.dedupEmbed _),
+    "dedup_embed_blocked" -> (Dedup.dedupEmbedBlocked _),
     "ann_bruteforce" -> (Similarity.annBruteforce _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_ngram" -> Dedup.dedupNgramSql,
     "dedup_embed" -> Dedup.dedupEmbedSql,
+    "dedup_embed_blocked" -> Dedup.dedupEmbedBlockedSql,
     "ann_bruteforce" -> Similarity.annBruteforceSql,
     "ann_lsh" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,

@@ -332,6 +332,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** The 100 TB path for embedding near-dup mining: random-hyperplane
+    * blocking instead of the all-pairs product. Each vector lands in
+    * one sign-pattern bucket; candidate pairs are same-bucket pairs
+    * plus 1-bit-probe pairs (catching near-dups straddling one
+    * hyperplane), and only candidates pay the exact-cosine verify.
+    * Expected verify cost ≈ n²·(probes+1)/2^planes instead of n²/2 —
+    * planes tunes the trade between recall and candidate volume.
+    * Same counted-bucket discipline as the text LSH: mega-buckets are
+    * dropped by cap before any pair is formed.
+    */
+  def embedNearDupsBlocked(
+    emb: DataFrame,
+    tau: Double,
+    planes: Int = 8,
+    maxBucketSize: Int = 4096
+  ): DataFrame = {
+    import graft.functions.VectorMath
+    val hp = Similarity.hyperplanes(planes, 64)
+    val prepped = emb
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", VectorMath.norm(col("v")))
+      .withColumn("b0", Similarity.hyperplaneBucket(col("v"), hp))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe buckets: own bucket + each 1-bit flip; a pair straddling
+    // one hyperplane meets in the flipped bucket of exactly one side
+    val probes = col("b0") +: (0 until planes).map(p => col("b0").bitwiseXOR(lit(1L << p)))
+    val probed = prepped.select(
+      col("vec_id"),
+      col("v"),
+      col("nrm"),
+      col("b0"),
+      explode(array(probes: _*)).as("bucket")
+    )
+    val admissible = prepped
+      .groupBy(col("b0").as("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBucketSize)
+      .select(col("bucket"))
+    // left side probes, right side sits in its exact bucket; the
+    // bucket join shuffles only (bucket, id) rows — vectors rejoin
+    // AFTER the id-pair distinct so symmetric probe hits are deduped
+    // on 16 bytes, not on embedding arrays
+    val lhs = probed
+      .select(col("bucket"), col("vec_id").as("id_a"))
+      .join(admissible, Seq("bucket"), "left_semi")
+    val rhs = prepped
+      .select(col("b0").as("bucket"), col("vec_id").as("id_b"))
+      .join(admissible, Seq("bucket"), "left_semi")
+    val cand = lhs
+      .join(rhs, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(prepped.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(prepped.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", VectorMath.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   // ---------------------------------------------------------------------
   // Fixed driver queries
   // ---------------------------------------------------------------------
@@ -532,6 +593,47 @@ object Dedup {
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     embedNearDups(Tables.embeddings(spark, dir), tau = 0.4)
       .orderBy(col("id_a"), col("id_b"))
+
+  def dedupEmbedBlocked(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupsBlocked(Tables.embeddings(spark, dir), tau = 0.4, planes = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Blocked-embedding oracle: same inlined-hyperplane bucket bits as
+    * the ann_lsh oracle, 1-bit probe fan-out, bucket cap, id-pair
+    * dedup, exact-cosine verify.
+    */
+  val dedupEmbedBlockedSql: String = {
+    val planes = 4
+    val hp = Similarity.hyperplanes(planes, 64)
+    val bucketExpr =
+      hp.zipWithIndex
+        .map { case (p, i) =>
+          val pl = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $pl) > 0.0 THEN ${1L << i} ELSE 0 END)"
+        }
+        .mkString("(", " + ", ")")
+    val probeList =
+      s"[b0${(0 until planes).map(p => s", xor(b0, ${1L << p})").mkString}]"
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |bkt AS (SELECT vec_id, v, nrm, $bucketExpr AS b0 FROM n),
+       |admissible AS (SELECT b0 AS bucket FROM bkt GROUP BY b0 HAVING COUNT(*) <= 4096),
+       |probed AS (SELECT vec_id, UNNEST($probeList) AS bucket FROM bkt),
+       |lhs AS (SELECT p.bucket, p.vec_id AS id_a FROM probed p JOIN admissible a ON p.bucket = a.bucket),
+       |rhs AS (SELECT b.b0 AS bucket, b.vec_id AS id_b FROM bkt b JOIN admissible a ON b.b0 = a.bucket),
+       |cand AS (
+       |  SELECT DISTINCT l.id_a, r.id_b
+       |  FROM lhs l JOIN rhs r ON l.bucket = r.bucket AND l.id_a < r.id_b)
+       |SELECT c.id_a, c.id_b,
+       |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |FROM cand c
+       |JOIN n a ON a.vec_id = c.id_a
+       |JOIN n b ON b.vec_id = c.id_b
+       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
 
   val dedupEmbedSql: String =
     """WITH n AS (

@@ -76,6 +76,28 @@ class DedupSpec extends SparkSpec {
     out(1)._3 should be < 0.1
   }
 
+  "embedNearDupsBlocked" should "return a pure subset of the exact pairs with usable recall" in {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Dedup
+      .embedNearDups(emb, tau = 0.3)
+      .select($"id_a", $"id_b", $"cosine")
+      .as[(Long, Long, Double)]
+      .collect()
+      .map { case (a, b, c) => (a, b) -> c }
+      .toMap
+    val blocked = Dedup
+      .embedNearDupsBlocked(emb, tau = 0.3, planes = 2)
+      .select($"id_a", $"id_b", $"cosine")
+      .as[(Long, Long, Double)]
+      .collect()
+    blocked.length should be > 0
+    // precision 1.0: every blocked pair is an exact pair with the same cosine
+    blocked.foreach { case (a, b, c) => exact((a, b)) shouldBe c }
+    // recall: 2 planes + 1-bit probes keeps 1-(1-p)^2 of pairs,
+    // p = 1 - θ/π ≈ .6-.7 at τ=0.3 — comfortably above half
+    blocked.length.toDouble / exact.size should be >= 0.5
+  }
+
   "embedNearDups" should "match a driver-side brute force on real embeddings" in {
     val emb = Tables.embeddings(spark, sfDir)
     val got = Dedup

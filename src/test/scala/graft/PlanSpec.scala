@@ -78,6 +78,17 @@ class PlanSpec extends SparkSpec {
 
   "BucketedLayout" should "plan channel-keyed aggregation and self-join with zero shuffles" in {
     import graft.sources.BucketedLayout
+    // a previous JVM's warehouse dir survives while the in-memory
+    // catalog does not — clear both so the overwrite is well-defined
+    spark.sql("DROP TABLE IF EXISTS ts_bucketed_planspec")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "ts_bucketed_planspec")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
     BucketedLayout.writeBucketed(
       Tables.ts(spark, sfDir).select(col("channel"), col("t"), col("v")),
       "ts_bucketed_planspec",
