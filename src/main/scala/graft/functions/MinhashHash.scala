@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** The MinHash hash family, engine-portable: a polynomial base hash of
   * the shingle mod 2⁶¹−1 (same Mersenne arithmetic as Winnow) followed
@@ -18,9 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * multiply-mod for the seeds) — what makes dedup_minhash
   * oracle-checkable end to end.
   *
-  * One interpreted call per shingle row computes the whole 64-value
-  * array (~70 mulmods over longs — trivial next to the string scan);
-  * the surrounding projection and the 64 min-aggregates stay codegen'd.
+  * One interpreted call per DOCUMENT computes the whole 64-value
+  * signature (one polynomial scan + 64 mulmods per shingle); the
+  * surrounding projection (normalization, shingling, element
+  * extraction) stays codegen'd.
   */
 object MinhashHash {
   val Seeds = 64
@@ -56,31 +56,56 @@ object MinhashHash {
     h
   }
 
-  def seedHashes(s: String): Array[Long] = {
-    val h1 = polyHash(s)
-    Array.tabulate(Seeds)(i => Winnow.addmod(Winnow.mulmod(multipliers(i), h1), offsets(i)))
+  /** Whole-signature kernel: the 64 per-seed MINIMA over a document's
+    * shingle set, in one pass over the array — the signature of a doc
+    * is a pure function of its own row, so signatures need NO
+    * explode-and-reaggregate shuffle at all (map-side projection).
+    */
+  def signature(shingles: Array[String]): Array[Long] = {
+    val mins = Array.fill(Seeds)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val h1 = polyHash(shingles(i))
+      var s = 0
+      while (s < Seeds) {
+        val h = Winnow.addmod(Winnow.mulmod(multipliers(s), h1), offsets(s))
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    mins
   }
 
   /** Column API. */
-  def seedHashes(shingle: Column): Column =
-    GraftSqlBridge.column(MinhashSeedHashes(GraftSqlBridge.expression(shingle)))
+  def signature(shingles: Column): Column =
+    GraftSqlBridge.column(MinhashSignature(GraftSqlBridge.expression(shingles)))
 }
 
-case class MinhashSeedHashes(child: Expression)
+case class MinhashSignature(child: Expression)
     extends UnaryExpression
     with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"minhash_seed_hashes expects a string, got ${child.dataType.catalogString}")
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"minhash_signature expects array<string>, got ${other.catalogString}")
+    }
 
-  override def nullSafeEval(input: Any): Any =
-    ArrayData.toArrayData(MinhashHash.seedHashes(input.asInstanceOf[UTF8String].toString))
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val strs = new Array[String](arr.numElements())
+    var i = 0
+    while (i < strs.length) { strs(i) = arr.getUTF8String(i).toString; i += 1 }
+    ArrayData.toArrayData(MinhashHash.signature(strs))
+  }
 
-  override protected def withNewChildInternal(newChild: Expression): MinhashSeedHashes =
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
 
-  override def prettyName: String = "minhash_seed_hashes"
+  override def prettyName: String = "minhash_signature"
 }
+

@@ -80,24 +80,30 @@ object Dedup {
   def shingleRows(docs: DataFrame, w: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(w)).as("shingle"))
 
-  /** MinHash signatures as 64 partial-aggregated min columns over the
-    * exploded shingle rows. The variable-length shingle STRING is hashed
-    * exactly once (polynomial mod 2⁶¹−1); the 64 per-seed values are
-    * affine derivations of that base hash, produced as ONE array by the
-    * native MinhashSeedHashes kernel — per-seed cost is a multiply-mod
-    * over one long, not a pass over the string, and the whole family is
-    * reproducible in the DuckDB oracle (graft.functions.MinhashHash).
-    * One shuffle on doc_id; each min combines map-side. The same pass
-    * also emits the shingle-set size `n` (rows are distinct per doc),
-    * which the Jaccard verify needs — no separate counting pass.
+  /** MinHash signatures as a pure MAP-SIDE projection — no shuffle.
+    * A document's signature is a function of its own shingle set, which
+    * already lives in one row, so exploding to rows and re-aggregating
+    * 64 mins through a shuffle (the previous shape) moved data for
+    * nothing. The MinhashSignature kernel computes all 64 per-seed
+    * minima in one pass (shingle hashed once, polynomial mod 2⁶¹−1;
+    * seeds are affine derivations — reproducible in the DuckDB oracle,
+    * graft.functions.MinhashHash); `n` is the shingle-set size the
+    * Jaccard verify needs. At 100 TB the signature stage is an
+    * embarrassingly parallel scan that pipelines into the banding
+    * shuffle.
     */
-  def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), graft.functions.MinhashHash.seedHashes(col("shingle")).as("hs"))
-      .groupBy(col("doc_id"))
-      .agg(
-        min(element_at(col("hs"), 1)).as("h0"),
-        (1 until MinhashSeeds).map(s => min(element_at(col("hs"), s + 1)).as(s"h$s")) :+
-          count(lit(1)).as("n"): _*
+  def minhashSignatures(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .select(col("doc_id"), shingles(w).as("__sh"))
+      .select(
+        col("doc_id"),
+        graft.functions.MinhashHash.signature(col("__sh")).as("__sig"),
+        size(col("__sh")).cast("long").as("n")
+      )
+      .select(
+        col("doc_id") +:
+          (0 until MinhashSeeds).map(s => element_at(col("__sig"), s + 1).as(s"h$s")) :+
+          col("n"): _*
       )
 
   /** Candidate pairs from LSH banding over the signature columns: band b
@@ -187,24 +193,22 @@ object Dedup {
     tau: Double = 0.5,
     maxBucketSize: Int = 64
   ): DataFrame = {
-    // the shingle derivation (regex + split + shingling of every doc) is
-    // consumed by three branches (signatures + both verify joins);
-    // persist so one pass feeds all — at production scale this
-    // intermediate would be checkpointed to storage instead
-    val sh = shingleRows(docs.select(col("doc_id"), col("text")), w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one row per doc (65 columns): consumed by banding AND the size
-    // lookup — persist so the 64-min aggregation runs once
-    val sigs = minhashSignatures(sh)
+    val docsSel = docs.select(col("doc_id"), col("text"))
+    // one row per doc (66 columns), computed map-side: consumed by
+    // banding AND the size lookup — persist so the kernel runs once
+    val sigs = minhashSignatures(docsSel, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidates(sigs, bands, maxBucketSize)
     // verify joins only probe docs that appear in a candidate pair —
-    // semi-join the (persisted) shingle rows down before joining
+    // semi-join the corpus down BEFORE shingles ever explode to rows,
+    // so the exploded relation exists only for the candidate subset
     val candidateIds = pairs
       .select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
-    val shVerify = sh.join(candidateIds, Seq("doc_id"), "left_semi")
+    val shVerify = docsSel
+      .join(candidateIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(shingles(w)).as("shingle"))
     setJaccard(pairs, shVerify, "shingle", sigs.select(col("doc_id"), col("n")))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
