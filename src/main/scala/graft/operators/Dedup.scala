@@ -218,36 +218,21 @@ object Dedup {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash per doc: explode words, hash each once, then 64
-    * sum-aggregated bit votes (±1 per word per bit) folded into one
-    * long. One shuffle on doc_id, map-side combined.
-    *
-    * The 64 word-hash bits are two 32-bit limbs of md5(word) — a hash
-    * BOTH engines derive identically from the hex digest
-    * (`CAST('0x'||substr(md5(w),p,8) AS BIGINT)` in DuckDB), which is
-    * what makes the whole pipeline oracle-checkable end to end.
+  /** 64-bit SimHash per doc as a pure MAP-SIDE projection — no
+    * shuffle: a doc's signature is a function of its own word multiset,
+    * so the SimhashSignature kernel accumulates the 64 ±1 bit votes in
+    * one pass over the words array instead of exploding words to rows
+    * and re-voting through a groupBy (the previous shape). The word
+    * bits are two 32-bit md5 limbs — a hash BOTH engines derive
+    * identically from the hex digest (`CAST('0x'||substr(md5(w),p,8)
+    * AS BIGINT)` in DuckDB), which is what makes the whole pipeline
+    * oracle-checkable end to end. Null text drops out, as exploding
+    * a null array always did.
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .select(col("doc_id"), explode(expr(WordsSql)).as("word"))
-      .select(
-        col("doc_id"),
-        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("hTop"),
-        conv(substring(md5(col("word")), 9, 8), 16, 10).cast("long").as("hLo")
-      )
-    def bit(j: Int): Column =
-      (if (j < 32) shiftright(col("hLo"), j) else shiftright(col("hTop"), j - 32)).bitwiseAND(1)
-    val votes = hashed
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(bit(0) * 2 - 1).as("v0"),
-        (1 until 64).map(j => sum(bit(j) * 2 - 1).as(s"v$j")): _*
-      )
-    val sig = (0 until 64)
-      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_ bitwiseOR _)
-    votes.select(col("doc_id"), sig.as("sig"))
-  }
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.SimhashSig.signature(expr(WordsSql)).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
     * chunks (any-equal-chunk ⇒ candidate; by pigeonhole this catches all
