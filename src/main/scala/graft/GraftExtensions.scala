@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{VecDot, Winnow}
+import graft.functions.{CharNgrams, MinhashSignature, SimhashSignature, VecDot, Winnow, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -12,8 +12,12 @@ import org.apache.spark.sql.types.IntegerType
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  *   SELECT vec_dot(a, b)            -- codegen'd float/double dot product
-  *   SELECT winnow(text, 8, 4)       -- Rabin-Karp winnowing fingerprints
+  *   SELECT vec_dot(a, b)              -- codegen'd float/double dot product
+  *   SELECT winnow(text, 8, 4)         -- Rabin-Karp winnowing fingerprints
+  *   SELECT word_shingles(norm, 3)     -- distinct word w-shingles, one pass
+  *   SELECT char_ngrams(norm, 3)       -- distinct char n-grams, one pass
+  *   SELECT minhash_signature(shs)     -- 64 per-seed minima of a shingle set
+  *   SELECT simhash_signature(words)   -- 64-bit SimHash of a word array
   *
   * plus graft.plans.DeriveBucketFilter, which turns plain `t` range
   * predicates over the partitioned ts layout into partition-pruning
@@ -44,6 +48,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         { exprs: Seq[Expression] =>
           require(exprs.length == 3, "winnow(text, k, win) takes exactly 3 arguments")
           Winnow(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "win"))
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("word_shingles"),
+        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 2, "word_shingles(norm_text, w) takes exactly 2 arguments")
+          WordShingles(exprs.head, intLit(exprs(1), "w"))
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("char_ngrams"),
+        new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 2, "char_ngrams(norm_text, n) takes exactly 2 arguments")
+          CharNgrams(exprs.head, intLit(exprs(1), "n"))
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_signature"),
+        new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 1, "minhash_signature(shingles) takes exactly 1 argument")
+          MinhashSignature(exprs.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash_signature"),
+        new ExpressionInfo(classOf[SimhashSignature].getName, "simhash_signature"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 1, "simhash_signature(words) takes exactly 1 argument")
+          SimhashSignature(exprs.head)
         }
       )
     )

@@ -9,21 +9,23 @@ import org.apache.spark.sql.functions._
   * embedding-cosine near-dup.
   *
   * Shape discipline (the 100 TB design):
-  *  - per-token work is EXPLODED to rows and runs as flat, codegen'd
-  *    projections (xxhash64 on a column), never as nested higher-order
-  *    lambdas — Spark HOF lambdas are interpreted and re-evaluate inner
-  *    expressions per element, which turns layered signature/banding
-  *    expressions into a multiplicative blowup;
-  *  - signatures are 64 partial-aggregate `min(...)` columns in ONE
-  *    groupBy — map-side combined, one shuffle per stage;
+  *  - per-document signature work (MinHash minima, SimHash votes) is a
+  *    MAP-SIDE kernel over that document's own token array — a
+  *    signature is a function of one row, so no explode/re-aggregate
+  *    shuffle exists in any signature stage;
+  *  - per-token work that must cross rows (Jaccard verify) is EXPLODED
+  *    to rows and runs as flat, codegen'd projections and joins, never
+  *    as nested higher-order lambdas — Spark HOF lambdas are
+  *    interpreted and re-evaluate inner expressions per element;
   *  - set intersections (Jaccard verify) are relational: join exploded
-  *    element rows on the element and count — no recomputed arrays;
-  *  - mega buckets (boilerplate that collides everywhere) are dropped by
-  *    a bucket-size cap, the standard guard against O(n²) pair blowup
-  *    inside one bucket.
+  *    element rows on the element and count — no recomputed arrays —
+  *    and the exploded relation exists only for candidate docs;
+  *  - mega buckets (boilerplate that collides everywhere) are dropped
+  *    by a counted bucket-size cap BEFORE any bucket materializes, the
+  *    guard against O(n²) pair blowup inside one bucket.
   *
   * Note on persistence: the near-dup operators persist their multi-
-  * consumer intermediates (shingle rows, signatures, candidate pairs)
+  * consumer intermediates (signatures, candidate pairs)
   * with MEMORY_AND_DISK. Cached blocks live until session end / LRU
   * eviction; long-running sessions processing many corpora should call
   * spark.catalog.clearCache() between jobs, and at production scale

@@ -25,6 +25,24 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       val fps = ext.sql("SELECT winnow('abcdefghijklmnop', 4, 2) AS f").collect()(0).getSeq[Long](0)
       fps should not be empty
       fps.toSet shouldBe graft.functions.Winnow.fingerprints("abcdefghijklmnop", 4, 2).toSet
+      ext
+        .sql("SELECT word_shingles('a b c d', 3) AS s")
+        .collect()(0)
+        .getSeq[String](0) shouldBe Seq("a b c", "b c d")
+      ext
+        .sql("SELECT char_ngrams('abcd', 3) AS g")
+        .collect()(0)
+        .getSeq[String](0) shouldBe Seq("abc", "bcd")
+      ext
+        .sql("SELECT minhash_signature(word_shingles('a b c d', 3)) AS m")
+        .collect()(0)
+        .getSeq[Long](0) shouldBe graft.functions.MinhashHash
+        .signature(Array("a b c", "b c d"))
+        .toSeq
+      ext
+        .sql("SELECT simhash_signature(array('a', 'b')) AS s")
+        .collect()(0)
+        .getLong(0) shouldBe graft.functions.SimhashSig.signature(Array("a", "b"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
