@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.functions.MinhashHash
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate candidate detection over a document
+  * stream — the streaming front-door of the batch MinHash pipeline.
+  *
+  * The map-side signature kernel is what makes this streamable: each
+  * arriving document is a STATELESS projection to its 64-value
+  * signature and 16 band keys (no shuffle-and-reaggregate stage to
+  * re-run per micro-batch), so the only state in the query is the
+  * per-bucket membership list. A later document colliding with an
+  * earlier one on any band key emits the candidate pair immediately.
+  *
+  * State discipline (the always-on deployment):
+  *  - per-bucket id lists are capped at maxBucketSize — the streaming
+  *    analog of the batch counted-bucket guard: a boilerplate bucket
+  *    stops accumulating and stops emitting pairs instead of growing
+  *    O(stream) state and O(n²) output;
+  *  - idle buckets expire by processing-time timeout, bounding total
+  *    state by the active working set;
+  *  - pairs may repeat across bands (as in batch before the distinct);
+  *    the downstream exact-Jaccard verify — batch or per-micro-batch —
+  *    dedups and filters exactly like the batch pipeline.
+  */
+object StreamingNearDup {
+
+  /** Candidate pairs (doc_a < doc_b) from a streaming (doc_id, text)
+    * input. `idleTimeout` (e.g. Some("1 hour")) expires buckets not hit
+    * since — the right setting for an always-on deployment. NOTE:
+    * processing-time timeouts make the engine run continuous empty
+    * micro-batches to fire them, so bounded replays/tests (anything
+    * that waits for quiescence with processAllAvailable) should pass
+    * None, which keeps state until the query stops.
+    */
+  def candidates(
+    spark: SparkSession,
+    input: DataFrame,
+    w: Int = 3,
+    bands: Int = 16,
+    maxBucketSize: Int = 64,
+    idleTimeout: Option[String] = Some("1 hour")
+  ): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    require(
+      bands > 0 && bands <= Dedup.MinhashSeeds && Dedup.MinhashSeeds % bands == 0,
+      s"bands must evenly divide ${Dedup.MinhashSeeds} signature values, got $bands"
+    )
+    val rowsPerBand = Dedup.MinhashSeeds / bands
+    val bandKeys = (0 until bands).map { b =>
+      array((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => element_at(col("__sig"), s + 1)): _*)
+    }
+    input
+      .select(col("doc_id"), MinhashHash.signature(Dedup.shingles(w)).as("__sig"))
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      .as[(Long, Int, Seq[Long])]
+      .groupByKey { case (_, band, key) => (band, key) }
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append,
+        idleTimeout.fold[GroupStateTimeout](GroupStateTimeout.NoTimeout)(_ =>
+          GroupStateTimeout.ProcessingTimeTimeout
+        )
+      ) { case (_, rows, state: GroupState[Seq[Long]]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long)]
+          rows.foreach { case (id, _, _) =>
+            if (!seen.contains(id) && seen.size < maxBucketSize) {
+              seen.foreach { other =>
+                out += (if (id < other) (id, other) else (other, id))
+              }
+              seen = seen :+ id
+            }
+          }
+          state.update(seen)
+          idleTimeout.foreach(state.setTimeoutDuration)
+          out.result().iterator
+        }
+      }
+      .toDF("doc_a", "doc_b")
+      .as[(Long, Long)]
+  }
+}

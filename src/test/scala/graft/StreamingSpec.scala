@@ -180,6 +180,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "StreamingNearDup.candidates" should "pair colliding docs across micro-batches, skip unrelated ones" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // idleTimeout = None: processing-time timeouts spin continuous
+    // empty micro-batches, which defeats processAllAvailable
+    val out = graft.streaming.StreamingNearDup.candidates(
+      spark,
+      mem.toDF().toDF("doc_id", "text"),
+      idleTimeout = None
+    )
+    val q = out.toDF().writeStream.format("memory").queryName("nd_out").outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      mem.addData((1L, base), (2L, "completely unrelated text about spark physical plans and shuffles"))
+      q.processAllAvailable()
+      // near-copy of doc 1 arrives in a LATER micro-batch: per-bucket
+      // state must still hold doc 1's membership
+      mem.addData((3L, base + " tonight"))
+      q.processAllAvailable()
+
+      val pairs = spark
+        .table("nd_out")
+        .select($"doc_a", $"doc_b")
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+      pairs should contain((1L, 3L))
+      pairs.flatMap(p => Set(p._1, p._2)) should not contain 2L
+    } finally q.stop()
+  }
+
   "RealtimeDownsample.sessionSpans" should "split sessions at the gap threshold" in {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
