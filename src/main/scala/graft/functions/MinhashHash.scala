@@ -60,17 +60,22 @@ object MinhashHash {
     * shingle set, in one pass over the array — the signature of a doc
     * is a pure function of its own row, so signatures need NO
     * explode-and-reaggregate shuffle at all (map-side projection).
+    * Null elements are skipped; a signature over zero shingles is
+    * undefined and the expression returns NULL for it (a sentinel
+    * value would make every empty input collide in every LSH band).
     */
   def signature(shingles: Array[String]): Array[Long] = {
     val mins = Array.fill(Seeds)(Long.MaxValue)
     var i = 0
     while (i < shingles.length) {
-      val h1 = polyHash(shingles(i))
-      var s = 0
-      while (s < Seeds) {
-        val h = Winnow.addmod(Winnow.mulmod(multipliers(s), h1), offsets(s))
-        if (h < mins(s)) mins(s) = h
-        s += 1
+      if (shingles(i) != null) {
+        val h1 = polyHash(shingles(i))
+        var s = 0
+        while (s < Seeds) {
+          val h = Winnow.addmod(Winnow.mulmod(multipliers(s), h1), offsets(s))
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
       }
       i += 1
     }
@@ -88,6 +93,8 @@ case class MinhashSignature(child: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -99,8 +106,13 @@ case class MinhashSignature(child: Expression)
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val strs = new Array[String](arr.numElements())
     var i = 0
-    while (i < strs.length) { strs(i) = arr.getUTF8String(i).toString; i += 1 }
-    ArrayData.toArrayData(MinhashHash.signature(strs))
+    var nonNull = 0
+    while (i < strs.length) {
+      if (!arr.isNullAt(i)) { strs(i) = arr.getUTF8String(i).toString; nonNull += 1 }
+      i += 1
+    }
+    if (nonNull == 0) null
+    else ArrayData.toArrayData(MinhashHash.signature(strs))
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =

@@ -22,23 +22,28 @@ import org.apache.spark.sql.types._
   */
 object SimhashSig {
 
+  /** Null words are skipped; a signature over zero words is undefined
+    * and the expression returns NULL for it.
+    */
   def signature(words: Array[String]): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](64)
     var i = 0
     while (i < words.length) {
-      md.reset()
-      val d = md.digest(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // hex chars 1-8 = bytes 0-3 (high limb), chars 9-16 = bytes 4-7
-      val hTop = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val hLo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-      var j = 0
-      while (j < 64) {
-        val bit =
-          if (j < 32) (hLo >>> j) & 1L
-          else (hTop >>> (j - 32)) & 1L
-        votes(j) += (if (bit == 1L) 1 else -1)
-        j += 1
+      if (words(i) != null) {
+        md.reset()
+        val d = md.digest(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // hex chars 1-8 = bytes 0-3 (high limb), chars 9-16 = bytes 4-7
+        val hTop = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val hLo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var j = 0
+        while (j < 64) {
+          val bit =
+            if (j < 32) (hLo >>> j) & 1L
+            else (hTop >>> (j - 32)) & 1L
+          votes(j) += (if (bit == 1L) 1 else -1)
+          j += 1
+        }
       }
       i += 1
     }
@@ -62,6 +67,8 @@ case class SimhashSignature(child: Expression)
 
   override def dataType: DataType = LongType
 
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -73,8 +80,13 @@ case class SimhashSignature(child: Expression)
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val strs = new Array[String](arr.numElements())
     var i = 0
-    while (i < strs.length) { strs(i) = arr.getUTF8String(i).toString; i += 1 }
-    SimhashSig.signature(strs)
+    var nonNull = 0
+    while (i < strs.length) {
+      if (!arr.isNullAt(i)) { strs(i) = arr.getUTF8String(i).toString; nonNull += 1 }
+      i += 1
+    }
+    if (nonNull == 0) null
+    else SimhashSig.signature(strs)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimhashSignature =

@@ -76,12 +76,6 @@ object Dedup {
 
   val MinhashSeeds = 64
 
-  /** Exploded (doc_id, shingle) rows — the base relation for signatures
-    * and exact Jaccard verification. Codegen'd scan-side work only.
-    */
-  def shingleRows(docs: DataFrame, w: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(w)).as("shingle"))
-
   /** MinHash signatures as a pure MAP-SIDE projection — no shuffle.
     * A document's signature is a function of its own shingle set, which
     * already lives in one row, so exploding to rows and re-aggregating
@@ -346,8 +340,10 @@ object Dedup {
       .withColumn("nrm", VectorMath.norm(col("v")))
       .withColumn("b0", Similarity.hyperplaneBucket(col("v"), hp))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // probe buckets: own bucket + each 1-bit flip; a pair straddling
-    // one hyperplane meets in the flipped bucket of exactly one side
+    // probe buckets: own bucket + each 1-bit flip; for a pair
+    // straddling one hyperplane, EACH side's flipped probe lands in
+    // the other's home bucket, so the pair survives as long as either
+    // home bucket is admissible
     val probes = col("b0") +: (0 until planes).map(p => col("b0").bitwiseXOR(lit(1L << p)))
     val probed = prepped.select(
       col("vec_id"),
@@ -364,17 +360,21 @@ object Dedup {
     // left side probes, right side sits in its exact bucket; the
     // bucket join shuffles only (bucket, id) rows — vectors rejoin
     // AFTER the id-pair distinct so symmetric probe hits are deduped
-    // on 16 bytes, not on embedding arrays
+    // on 16 bytes, not on embedding arrays. Pairs are canonicalized
+    // with least/greatest AFTER the join (not pre-filtered by id
+    // order): a straddling pair meets in BOTH flipped-bucket
+    // orientations, and when one side's home bucket is over the cap
+    // the surviving orientation may carry the ids in either order
     val lhs = probed
-      .select(col("bucket"), col("vec_id").as("id_a"))
+      .select(col("bucket"), col("vec_id").as("id_l"))
       .join(admissible, Seq("bucket"), "left_semi")
     val rhs = prepped
-      .select(col("b0").as("bucket"), col("vec_id").as("id_b"))
+      .select(col("b0").as("bucket"), col("vec_id").as("id_r"))
       .join(admissible, Seq("bucket"), "left_semi")
     val cand = lhs
       .join(rhs, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"), greatest(col("id_l"), col("id_r")).as("id_b"))
       .distinct()
     cand
       .join(prepped.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
@@ -612,11 +612,11 @@ object Dedup {
        |bkt AS (SELECT vec_id, v, nrm, $bucketExpr AS b0 FROM n),
        |admissible AS (SELECT b0 AS bucket FROM bkt GROUP BY b0 HAVING COUNT(*) <= 4096),
        |probed AS (SELECT vec_id, UNNEST($probeList) AS bucket FROM bkt),
-       |lhs AS (SELECT p.bucket, p.vec_id AS id_a FROM probed p JOIN admissible a ON p.bucket = a.bucket),
-       |rhs AS (SELECT b.b0 AS bucket, b.vec_id AS id_b FROM bkt b JOIN admissible a ON b.b0 = a.bucket),
+       |lhs AS (SELECT p.bucket, p.vec_id AS id_l FROM probed p JOIN admissible a ON p.bucket = a.bucket),
+       |rhs AS (SELECT b.b0 AS bucket, b.vec_id AS id_r FROM bkt b JOIN admissible a ON b.b0 = a.bucket),
        |cand AS (
-       |  SELECT DISTINCT l.id_a, r.id_b
-       |  FROM lhs l JOIN rhs r ON l.bucket = r.bucket AND l.id_a < r.id_b)
+       |  SELECT DISTINCT LEAST(l.id_l, r.id_r) AS id_a, GREATEST(l.id_l, r.id_r) AS id_b
+       |  FROM lhs l JOIN rhs r ON l.bucket = r.bucket AND l.id_l <> r.id_r)
        |SELECT c.id_a, c.id_b,
        |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
        |FROM cand c
