@@ -17,21 +17,31 @@ import org.apache.spark.sql.functions._
   * is exactly what licenses parallelism: every contiguous block is an
   * independent unit of sequential work.
   *
-  * Scale design (100 TB): one window pass keyed by channel assigns
-  * block ids (gap split) and caps block length at `maxBlockSamples`
-  * (oversized contiguous runs restart with the same reflected-prewarm
-  * policy the reference applies at resets, bounding executor memory);
-  * the blocks then shuffle by (channel, block, chunk) so thousands of
-  * blocks filter concurrently regardless of channel skew. The IIR
-  * kernel is the one genuinely sequential computation in the engine, so
-  * it runs in typed flatMapSortedGroups rather than Catalyst
-  * expressions.
+  * Scale design (100 TB): block assignment is TWO-PHASE — gap breaks,
+  * block ids, and within-block positions are all computed with
+  * (channel, time-bucket)-local windows plus a per-bucket summary
+  * (one row per non-empty bucket) that carries boundary state across
+  * buckets via a per-channel window over the tiny summary relation,
+  * broadcast back (the same stitch Timeseries' two-phase operators
+  * use) — so NO task ever sorts a whole channel. Block length is
+  * capped at `maxBlockSamples` (oversized contiguous runs restart with
+  * the same reflected-prewarm policy the reference applies at resets,
+  * bounding executor memory); the blocks then shuffle by
+  * (channel, block, chunk) so thousands of blocks filter concurrently
+  * regardless of channel skew. The IIR kernel is the one genuinely
+  * sequential computation in the engine, so it runs in typed
+  * flatMapSortedGroups rather than Catalyst expressions.
   */
 object Filtering {
 
   /** Apply a designed cascade to ts(channel, t, v): per contiguous
     * block (split where t - prev_t > gapUs), reset + reflect-prewarm +
     * filter. Emits (channel, t, v, fv).
+    *
+    * `stitchBucketUs` is the two-phase summary granularity — it must be
+    * coarse enough that each bucket holds many samples (the summary is
+    * one row per non-empty bucket) and is purely a parallelism knob:
+    * results are identical for any width.
     */
   def applyCascade(
     spark: SparkSession,
@@ -39,7 +49,8 @@ object Filtering {
     cascade: Butterworth.Cascade,
     padLength: Int,
     gapUs: Long,
-    maxBlockSamples: Int = 1 << 22
+    maxBlockSamples: Int = 1 << 22,
+    stitchBucketUs: Long = 86400000000L
   ): DataFrame = {
     import spark.implicits._
 
@@ -49,29 +60,73 @@ object Filtering {
       if (tsIn.columns.contains("event_id")) tsIn
       else tsIn.withColumn("event_id", lit(0L))
 
-    val byT = Window.partitionBy($"channel").orderBy($"t", $"event_id")
-    val withBlocks = ts
+    val bkted = ts
       .select($"channel", $"t", $"v", $"event_id")
+      .withColumn("__bkt", floor($"t" / lit(stitchBucketUs)).cast("long"))
+    val wLoc = Window.partitionBy($"channel", $"__bkt").orderBy($"t", $"event_id")
+    val wLocRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSum = Window.partitionBy($"channel").orderBy($"__bkt")
+    val wSumPrev = wSum.rowsBetween(Window.unboundedPreceding, -1)
+
+    // Phase A: each bucket's last timestamp, lagged per channel over
+    // the tiny summary → the predecessor of every bucket's FIRST row.
+    val prevT = bkted
+      .groupBy($"channel", $"__bkt")
+      .agg(max($"t").as("__last_t"))
+      .select($"channel", $"__bkt", lag($"__last_t", 1).over(wSum).as("__pb_prev_t"))
+
+    // Local pass: gap breaks, local block index (running break count),
+    // local row number, and the local row number of the latest break —
+    // all within (channel, __bkt), arbitrarily parallel.
+    val local = bkted
+      .join(broadcast(prevT), Seq("channel", "__bkt"))
+      .withColumn("__rnl", row_number().over(wLoc).cast("long"))
       .withColumn(
-        "brk",
-        when($"t" - lag($"t", 1).over(byT) > gapUs, 1L).otherwise(0L)
+        "__prev_t",
+        when($"__rnl" === 1L, $"__pb_prev_t").otherwise(lag($"t", 1).over(wLoc))
       )
-      .withColumn(
-        "block",
-        sum($"brk").over(byT.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      .withColumn("__brk", when($"t" - $"__prev_t" > gapUs, 1L).otherwise(0L))
+      .withColumn("__blkl", sum($"__brk").over(wLocRun))
+      .withColumn("__bsrnl", max(when($"__brk" === 1L, $"__rnl")).over(wLocRun))
+
+    // Phase B: per-bucket totals → per-channel prefixes over the tiny
+    // summary: row-count prefix (globalizes row numbers), break-count
+    // prefix (globalizes block ids), and the carry of the latest
+    // block-start row number from preceding buckets (for rows whose
+    // block began before their bucket) — asofJoin's carry trick.
+    val prefixed = local
+      .groupBy($"channel", $"__bkt")
+      .agg(
+        count(lit(1)).as("__cnt"),
+        sum($"__brk").as("__bsum"),
+        max(when($"__brk" === 1L, $"__rnl")).as("__mbr")
       )
-      // cap contiguous-run length: chunk restarts filter state with the
-      // reference's reset+prewarm policy, keeping executor memory
-      // bounded (the row_number window is skipped entirely when no cap
-      // is requested)
-      .withColumn(
-        "chunk",
-        if (maxBlockSamples == Int.MaxValue) lit(0L)
-        else
-          ((row_number().over(
-            Window.partitionBy($"channel", $"block").orderBy($"t", $"event_id")
-          ) - 1) / maxBlockSamples).cast("long")
-      )
+      // window expressions aliased directly (PlanSpec's __pb_ marker on
+      // the Window node); nulls from empty preceding-frames coalesce at
+      // use sites below
+      .withColumn("__pb_rnprefix0", sum($"__cnt").over(wSumPrev))
+      .withColumn("__pb_rnprefix", coalesce($"__pb_rnprefix0", lit(0L)))
+      .withColumn("__pb_blkprefix0", sum($"__bsum").over(wSumPrev))
+      .withColumn("__pb_blkprefix", coalesce($"__pb_blkprefix0", lit(0L)))
+      .withColumn("__gbr", $"__mbr" + $"__pb_rnprefix")
+      .withColumn("__pb_carry", last($"__gbr", ignoreNulls = true).over(wSumPrev))
+      .select($"channel", $"__bkt", $"__pb_rnprefix", $"__pb_blkprefix", $"__pb_carry")
+
+    // cap contiguous-run length: chunk restarts filter state with the
+    // reference's reset+prewarm policy. Within-block position = global
+    // row number − the block's first row number (its latest break, or
+    // the channel's first row when no break precedes).
+    val chunkCol =
+      if (maxBlockSamples == Int.MaxValue) lit(0L)
+      else {
+        val rn = $"__rnl" + $"__pb_rnprefix"
+        val blockStart = coalesce($"__bsrnl" + $"__pb_rnprefix", $"__pb_carry", lit(1L))
+        ((rn - blockStart) / maxBlockSamples).cast("long")
+      }
+    val withBlocks = local
+      .join(broadcast(prefixed), Seq("channel", "__bkt"))
+      .withColumn("block", $"__blkl" + $"__pb_blkprefix")
+      .withColumn("chunk", chunkCol)
       .select($"channel", $"block", $"chunk", $"t", $"v", $"event_id")
       .as[(String, Long, Long, Long, Double, Long)]
 

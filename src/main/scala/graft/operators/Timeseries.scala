@@ -68,6 +68,106 @@ object Timeseries {
     if (df.columns.contains("event_id")) df else df.withColumn("event_id", lit(0L))
 
   // ---------------------------------------------------------------------
+  // Two-phase window machinery (no per-channel single-task sorts)
+  // ---------------------------------------------------------------------
+  //
+  // Window.partitionBy("channel") concentrates each channel's entire
+  // history into ONE task's sort: at the 100 TB design point
+  // parallelism collapses to #channels and a hot channel spills or
+  // dies. Every sequential per-channel quantity this engine needs —
+  // lag, row_number, running sums — decomposes into a
+  // (channel, time-bucket)-LOCAL window plus a per-bucket summary that
+  // is orders of magnitude smaller than the data: the local pass runs
+  // over (channel, bucket) partitions (arbitrarily parallel — buckets
+  // subdivide time, so a hot channel splits across tasks), and the
+  // summary (one row per non-empty bucket) carries the cross-bucket
+  // boundary state through a per-channel window over the TINY summary
+  // relation, broadcast back onto the stream. This is the same shape
+  // asofJoin has always used for its carry values.
+  //
+  // Naming convention: every column a summary branch contributes is
+  // prefixed __pb_ ("per bucket") — PlanSpec keys off the prefix to
+  // machine-assert that the only channel-partitioned windows left in
+  // these plans run over summary relations, never over the data
+  // stream.
+
+  /** Stitch-bucket width for the two-phase operators: 1 hour. Summary
+    * size is (#channels × span/width); at 1 h a decade-long channel
+    * costs ~88 k summary rows — trivially window-able and broadcast-
+    * able — while the data-side partitions stay small and uniform.
+    */
+  val StitchBucketUs: Long = BucketUs
+
+  /** Adds `__bkt` plus, for each of `cols`, `__prev_<col>` = that
+    * column's value on the previous row in (t, tieBreak) order within
+    * the channel — the exact semantics of
+    * lag(col) over (partition by channel order by t, tieBreak) — with
+    * NO per-channel sort: a (channel, __bkt)-local lag covers every
+    * row but the bucket's first, and that one takes its predecessor
+    * from the per-bucket summary (each bucket's last row, lagged per
+    * channel over the summary and broadcast back). Channel-first rows
+    * get null, as lag gives.
+    */
+  private def withStitchedPrev(
+    df: DataFrame,
+    cols: Seq[String],
+    bucketUs: Long,
+    tieBreak: Seq[String]
+  ): DataFrame = {
+    val ord = col("t") +: tieBreak.map(col)
+    val ordKey = struct(ord: _*)
+    val bkted = df.withColumn("__bkt", microsBucket(col("t"), bucketUs))
+    val wLoc = Window.partitionBy(col("channel"), col("__bkt")).orderBy(ord: _*)
+    val lastAggs = cols.map(c => max_by(col(c), ordKey).as(s"__last_$c"))
+    val wSum = Window.partitionBy(col("channel")).orderBy(col("__bkt"))
+    val prevSummary = bkted
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(lastAggs.head, lastAggs.tail: _*)
+      .select(
+        col("channel") +: col("__bkt") +:
+          cols.map(c => lag(col(s"__last_$c"), 1).over(wSum).as(s"__pb_$c")): _*
+      )
+    val first = row_number().over(wLoc) === 1
+    cols
+      .foldLeft(bkted.join(broadcast(prevSummary), Seq("channel", "__bkt"))) { (d, c) =>
+        d.withColumn(s"__prev_$c", when(first, col(s"__pb_$c")).otherwise(lag(col(c), 1).over(wLoc)))
+      }
+      .drop(cols.map(c => s"__pb_$c"): _*)
+  }
+
+  /** Adds `__bkt` and `__rn` = 1-based per-channel row number in
+    * (t, tieBreak) order, computed as a (channel, __bkt)-local
+    * row_number plus the channel's running row count over strictly
+    * preceding buckets (a sum over the tiny per-bucket summary,
+    * broadcast back). Identical to
+    * row_number() over (partition by channel order by t, tieBreak)
+    * with no per-channel sort anywhere.
+    */
+  private def withGlobalRowNumber(df: DataFrame, bucketUs: Long, tieBreak: Seq[String]): DataFrame = {
+    val ord = col("t") +: tieBreak.map(col)
+    val bkted = df.withColumn("__bkt", microsBucket(col("t"), bucketUs))
+    val wLoc = Window.partitionBy(col("channel"), col("__bkt")).orderBy(ord: _*)
+    val wPrev = Window
+      .partitionBy(col("channel"))
+      .orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bkted
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      // aliased directly on the window expression (not inside a
+      // coalesce) so the __pb_ marker lands on the Window node itself —
+      // PlanSpec keys off it; null (first bucket) coalesces at use
+      .select(col("channel"), col("__bkt"), sum(col("__cnt")).over(wPrev).as("__pb_rnprefix"))
+    bkted
+      .join(broadcast(prefix), Seq("channel", "__bkt"))
+      .withColumn(
+        "__rn",
+        row_number().over(wLoc).cast("long") + coalesce(col("__pb_rnprefix"), lit(0L))
+      )
+      .drop("__pb_rnprefix")
+  }
+
+  // ---------------------------------------------------------------------
   // Generic operators
   // ---------------------------------------------------------------------
 
@@ -104,24 +204,18 @@ object Timeseries {
   /** Index-chunked resample: group every `chunkSize` consecutive samples
     * per channel and emit (min,max), dropping the trailing partial chunk
     * exactly like the reference (`grouped(n).take(floor(total/n))`).
-    * The row_number window is the one per-channel sort; chunk agg after
-    * it is partial.
-    *
-    * Scale note: the window sort concentrates each channel in one task —
-    * fine for many channels, skewed for few huge ones. Uniform-rate
-    * channels (the reference's actual storage model) should use
-    * [[resampleChunksUniform]], where the chunk id is pure arithmetic on
-    * t and the plan is scan → partial agg → one shuffle, no sort.
+    * The per-channel sample index comes from the two-phase
+    * [[withGlobalRowNumber]] — bucket-local row_number + summary-carry
+    * prefix — so no task ever sorts a whole channel; the chunk agg
+    * after it is partial. Uniform-rate channels (the reference's actual
+    * storage model) can still use [[resampleChunksUniform]], where the
+    * chunk id is pure arithmetic on t and no window exists at all.
     */
   def resampleChunks(tsIn: DataFrame, chunkSize: Int): DataFrame = {
-    val ts = withTieBreak(tsIn)
-    val w = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
-    ts.select(
-      col("channel"),
-      col("t"),
-      col("v"),
-      ((row_number().over(w) - 1) / lit(chunkSize)).cast("long").as("chunk")
-    ).groupBy(col("channel"), col("chunk"))
+    val ts = withTieBreak(tsIn).select(col("channel"), col("t"), col("v"), col("event_id"))
+    withGlobalRowNumber(ts, StitchBucketUs, Seq("event_id"))
+      .select(col("channel"), col("v"), expr(s"(__rn - 1) div $chunkSize").as("chunk"))
+      .groupBy(col("channel"), col("chunk"))
       .agg(min(col("v")).as("cmin"), max(col("v")).as("cmax"), count(lit(1)).as("n"))
       .filter(col("n") === chunkSize)
   }
@@ -181,15 +275,34 @@ object Timeseries {
         )
     )
 
+  /** Two-phase span assembly: the gap test (lag t) and the running
+    * break count both run (channel, __bkt)-locally; the bucket's first
+    * row takes its predecessor from the summary, and the running count
+    * adds the channel's break total over strictly preceding buckets —
+    * so span ids are globally identical to the single-window
+    * formulation with no per-channel sort anywhere.
+    */
   private def contiguousSpansByThreshold(ts: DataFrame): DataFrame = {
-    val byT = Window.partitionBy(col("channel")).orderBy(col("t"))
-    val newSpan =
-      when(col("t") - lag(col("t"), 1).over(byT) >= col("__gap"), 1L).otherwise(0L)
-    ts.select(col("channel"), col("t"), newSpan.as("brk"))
+    val withBrk = withStitchedPrev(ts, Seq("t"), StitchBucketUs, Nil)
+      .withColumn("__brk", when(col("t") - col("__prev_t") >= col("__gap"), 1L).otherwise(0L))
+    val wLoc = Window.partitionBy(col("channel"), col("__bkt")).orderBy(col("t"))
+    val wPrev = Window
+      .partitionBy(col("channel"))
+      .orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spanPrefix = withBrk
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(sum(col("__brk")).as("__bsum"))
+      // window expression aliased directly (PlanSpec marker) — nulls
+      // from the empty preceding-frame coalesce at use
+      .select(col("channel"), col("__bkt"), sum(col("__bsum")).over(wPrev).as("__pb_spanprefix"))
+    withBrk
+      .join(broadcast(spanPrefix), Seq("channel", "__bkt"))
       .select(
         col("channel"),
         col("t"),
-        sum(col("brk")).over(byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("span_id")
+        (sum(col("__brk")).over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + coalesce(col("__pb_spanprefix"), lit(0L))).as("span_id")
       )
       .groupBy(col("channel"), col("span_id"))
       .agg(min(col("t")).as("span_start"), max(col("t")).as("span_end"), count(lit(1)).as("n"))
@@ -301,15 +414,16 @@ object Timeseries {
     chunkCount: Int
   ): DataFrame = {
     import spark.implicits._
-    val ts = withTieBreak(tsIn)
-    val byT = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
-    ts.select(
-      col("channel"),
-      col("t"),
-      col("v"),
-      col("event_id"),
-      ((row_number().over(byT) - 1) / spikeDataPointCount).cast("long").as("wf")
-    ).as[(String, Long, Double, Long, Long)]
+    val ts = withTieBreak(tsIn).select(col("channel"), col("t"), col("v"), col("event_id"))
+    withGlobalRowNumber(ts, StitchBucketUs, Seq("event_id"))
+      .select(
+        col("channel"),
+        col("t"),
+        col("v"),
+        col("event_id"),
+        expr(s"(__rn - 1) div $spikeDataPointCount").as("wf")
+      )
+      .as[(String, Long, Double, Long, Long)]
       .groupByKey { case (ch, _, _, _, wf) => (ch, wf) }
       .flatMapSortedGroups($"t", $"event_id") { case ((ch, wf), rows) =>
         val data = rows.map(_._3).toVector
@@ -323,13 +437,13 @@ object Timeseries {
   }
 
   /** Rising threshold crossings per channel: v > thresh and previous
-    * v <= thresh (unit-channel spike analog).
+    * v <= thresh (unit-channel spike analog). The previous value comes
+    * from the two-phase stitched lag — no per-channel sort.
     */
   def spikes(tsIn: DataFrame, thresh: Double): DataFrame = {
-    val ts = withTieBreak(tsIn)
-    val byT = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
-    ts.select(col("channel"), col("t"), col("v"), lag(col("v"), 1).over(byT).as("pv"))
-      .filter(col("v") > thresh && col("pv") <= thresh)
+    val ts = withTieBreak(tsIn).select(col("channel"), col("t"), col("v"), col("event_id"))
+    withStitchedPrev(ts, Seq("v"), StitchBucketUs, Seq("event_id"))
+      .filter(col("v") > thresh && col("__prev_v") <= thresh)
       .select(col("channel"), col("t"), col("v"))
   }
 

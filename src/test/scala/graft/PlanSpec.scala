@@ -120,6 +120,43 @@ class PlanSpec extends SparkSpec {
     planString(Dedup.simhashNearDups(docs)) should not include "collect_list"
   }
 
+  "two-phase ts operators" should "never window the data stream by channel alone" in {
+    // the 100 TB constraint: a Window partitioned by channel alone
+    // concentrates each channel's history into one task. After the
+    // two-phase rewrite the ONLY channel-partitioned windows permitted
+    // in these plans run over per-bucket summary relations (one row
+    // per non-empty bucket — identified by their __pb_* outputs);
+    // every window over the data stream must carry a finer key, and
+    // nothing may window with no partitioning at all.
+    import graft.operators.Filtering
+    val plans = Seq(
+      "ts_gaps" -> Timeseries.tsGaps(spark, sfDir),
+      "ts_spikes" -> Timeseries.tsSpikes(spark, sfDir),
+      "ts_resample_chunk" -> Timeseries.tsResampleChunk(spark, sfDir),
+      "ts_waveforms" -> Timeseries.tsWaveforms(spark, sfDir),
+      "ts_butterworth" -> Filtering.tsButterworth(spark, sfDir),
+      "ts_montage_filter" -> Filtering.tsMontageFilter(spark, sfDir)
+    )
+    plans.foreach { case (name, df) =>
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      withClue(s"$name:") {
+        windows should not be empty
+        windows.foreach { w =>
+          withClue(s"window over ${w.partitionSpec}:") {
+            w.partitionSpec should not be empty
+            val parts = w.partitionSpec.collect {
+              case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+            }
+            if (parts == Seq("channel"))
+              w.output.map(_.name).count(_.startsWith("__pb_")) should be > 0
+          }
+        }
+      }
+    }
+  }
+
   "ts_asof" should "avoid any unpartitioned global-sort window over the data" in {
     val df = Timeseries.tsAsof(spark, sfDir)
     // the only unpartitioned window runs over the tiny per-bucket
