@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   * measures steady-state execution (codegen compilation, parquet
   * reader + shuffle machinery initialization, and JIT otherwise land
   * on whichever query happens to run first and distort it by seconds).
+  *
+  * Noise defenses (a one-sample bench is not defensible evidence):
+  *  - each query is timed SPARK_GRAFT_BENCH_REPS times (default 3) and
+  *    reports the per-query MINIMUM — the run least polluted by page
+  *    cache misses, GC pauses, or co-tenant load;
+  *  - the cache is cleared and a GC is requested between reps, so the
+  *    MEMORY_AND_DISK persists inside the dedup/embedding queries never
+  *    accumulate across queries and every rep pays (or re-warms) the
+  *    same cache state;
+  *  - driver heap is pinned by build.sbt's javaOptions (-Xmx from
+  *    SPARK_DRIVER_MEM, default 8g) rather than inherited ambience.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,6 +33,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -39,13 +51,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3).max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { execute(fn, sfDir); true }
-        catch { case _: Throwable => false }
-      // failed queries report -1 instead of masquerading as fast runs
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok =
+          try { execute(fn, sfDir); true }
+          catch { case _: Throwable => false }
+        // failed queries report -1 instead of masquerading as fast runs
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

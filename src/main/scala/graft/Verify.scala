@@ -17,6 +17,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // testdata events.ts is TIMESTAMP(NANOS), which Spark 4 otherwise rejects
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

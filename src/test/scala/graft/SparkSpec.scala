@@ -21,6 +21,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same extension set the driver mains run with: kernel SQL
+      // functions + the DeriveBucketFilter pruning rule (a no-op
+      // unless spark.graft.ts.bucketUs is set)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
