@@ -24,6 +24,10 @@ object SparkEntry {
     "ts_montage" -> (Timeseries.tsMontage _),
     "ts_montage_aligned" -> (Timeseries.tsMontageAligned _),
     "ts_eventbin" -> (Timeseries.tsEventBin _),
+    "ts_auto" -> (Timeseries.tsAuto _),
+    // the partitioned layout end to end: write once per JVM, read with
+    // rule-derived p_bucket partition pruning (DeriveBucketFilter)
+    "ts_layout_range" -> (graft.sources.TsLayout.tsLayoutRange _),
     "ts_spikes" -> (Timeseries.tsSpikes _),
     "ts_asof" -> (Timeseries.tsAsof _),
     "ts_stats" -> (Timeseries.tsStats _),
@@ -34,6 +38,7 @@ object SparkEntry {
     "ts_butterworth" -> (Filtering.tsButterworth _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_embed" -> (Dedup.dedupEmbed _),
@@ -68,6 +73,8 @@ object SparkEntry {
     "ts_montage" -> Timeseries.tsMontageSql,
     "ts_montage_aligned" -> Timeseries.tsMontageAlignedSql,
     "ts_eventbin" -> Timeseries.tsEventBinSql,
+    "ts_auto" -> Timeseries.tsAutoSql,
+    "ts_layout_range" -> graft.sources.TsLayout.tsLayoutRangeSql,
     "ts_spikes" -> Timeseries.tsSpikesSql,
     "ts_asof" -> Timeseries.tsAsofSql,
     "ts_stats" -> Timeseries.tsStatsSql,
@@ -76,6 +83,7 @@ object SparkEntry {
     "ts_waveforms" -> Timeseries.tsWaveformsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_clusters" -> Dedup.dedupClustersSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_ngram" -> Dedup.dedupNgramSql,
     "dedup_embed" -> Dedup.dedupEmbedSql,

@@ -9,27 +9,28 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** The MinHash hash family, engine-portable: a polynomial base hash of
-  * the shingle mod 2⁶¹−1 (same Mersenne arithmetic as Winnow) followed
-  * by 64 affine derivations h_s = (A_s·h1 + B_s) mod P — the classic
-  * universal-family construction. The A_s/B_s constants are driver-side
-  * literals, so an ANSI SQL engine with 128-bit integers reproduces
-  * every signature value exactly (list_reduce fold for h1, HUGEINT
-  * multiply-mod for the seeds) — what makes dedup_minhash
-  * oracle-checkable end to end.
+  * the shingle mod 2⁶¹−1 (same Mersenne arithmetic as Winnow), a
+  * second derived hash h2 = (A·h1 + B) mod P, then the classic two-hash
+  * construction h_s = (h1 + s·h2) mod P for s = 0..63 (Kirsch–
+  * Mitzenmacher: two hashes simulate a family of k) — computed
+  * incrementally, so a shingle costs ONE polynomial scan + ONE mulmod
+  * + 64 addmods instead of the 64 mulmods of a per-seed affine family.
+  * A/B are driver-side literals, so an ANSI SQL engine with 128-bit
+  * integers reproduces every signature value exactly (list_reduce fold
+  * for h1, one HUGEINT multiply-mod for h2, plain (h1 + s·h2) % P per
+  * seed) — what makes dedup_minhash oracle-checkable end to end.
   *
   * One interpreted call per DOCUMENT computes the whole 64-value
-  * signature (one polynomial scan + 64 mulmods per shingle); the
-  * surrounding projection (normalization, shingling, element
-  * extraction) stays codegen'd.
+  * signature; the surrounding projection (normalization, shingling,
+  * element extraction) stays codegen'd.
   */
 object MinhashHash {
   val Seeds = 64
 
-  /** Affine constants from one splitmix64 stream, reduced below P;
-    * multipliers forced nonzero (a zero multiplier would collapse a
-    * seed to a constant).
+  /** Derivation constants for h2, from one splitmix64 stream, reduced
+    * below P; the multiplier is forced nonzero.
     */
-  val (multipliers: Array[Long], offsets: Array[Long]) = {
+  val (deriveA: Long, deriveB: Long) = {
     var state = 0x51ab2e4c9d274f1bL
     def next(): Long = {
       state += 0x9e3779b97f4a7c15L
@@ -38,9 +39,7 @@ object MinhashHash {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    val mult = Array.fill(Seeds)(math.max((next() >>> 3) % Winnow.P, 1L))
-    val off = Array.fill(Seeds)((next() >>> 3) % Winnow.P)
-    (mult, off)
+    (math.max((next() >>> 3) % Winnow.P, 1L), (next() >>> 3) % Winnow.P)
   }
 
   /** Polynomial hash of the codepoints mod P (empty string → 0). */
@@ -70,10 +69,13 @@ object MinhashHash {
     while (i < shingles.length) {
       if (shingles(i) != null) {
         val h1 = polyHash(shingles(i))
+        val h2 = Winnow.addmod(Winnow.mulmod(deriveA, h1), deriveB)
+        // h_s = (h1 + s·h2) mod P, built incrementally: one addmod/seed
+        var h = h1
         var s = 0
         while (s < Seeds) {
-          val h = Winnow.addmod(Winnow.mulmod(multipliers(s), h1), offsets(s))
           if (h < mins(s)) mins(s) = h
+          h = Winnow.addmod(h, h2)
           s += 1
         }
       }

@@ -211,6 +211,79 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Cluster formation / survivor selection
+  // ---------------------------------------------------------------------
+
+  /** Group verified near-dup PAIRS into connected components — the step
+    * a real training-data dedup runs after pair mining: pairs (a,b),
+    * (b,c) form one cluster {a,b,c}; keep the min doc_id, drop the
+    * rest.
+    *
+    * Iterative min-label propagation: every node starts labeled with
+    * itself; each round every node takes the min of its own label and
+    * its neighbors' labels, until a round changes nothing (witnessed by
+    * an exact decimal label-sum, which strictly decreases until the
+    * fixpoint) or maxIter. Each round is one join + one
+    * partial-aggregated groupBy on the node id — no component ever has
+    * to fit in one task, which is what makes label propagation the
+    * scale-safe shape for >10⁹-edge graphs. Rounds ∝ component
+    * diameter; near-dup clusters are shallow (members share a
+    * template), so a handful of rounds suffices — if diameters ever
+    * grew, alternating large-star/small-star cuts rounds to O(log n).
+    * At production scale, checkpoint `labels` every few rounds to
+    * truncate lineage; here the per-round persist suffices.
+    *
+    * Output: (node, cluster) for every doc appearing in a pair, with
+    * cluster = the component's minimum doc_id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(sl)
+    var labels = edges
+      .select(col("u").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("cluster"))
+      .persist(sl)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("v"), col("cluster").as("nl")), "v")
+        .groupBy(col("u"))
+        .agg(min(col("nl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin.select(col("u").as("node"), col("nmin")), Seq("node"), "left")
+        .select(col("node"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .persist(sl)
+      val s = labelSum(updated)
+      converged = s.compareTo(prevSum) == 0
+      labels.unpersist()
+      labels = updated
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Components + survivor flag: survivor = the cluster's min doc_id. */
+  def clustersWithSurvivors(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .select(
+        col("node").as("doc_id"),
+        col("cluster"),
+        (col("node") === col("cluster")).as("survivor")
+      )
+
+  // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
 
@@ -431,18 +504,17 @@ object Dedup {
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   /** Full-pipeline MinHash oracle: word shingles → polynomial base hash
-    * mod 2⁶¹−1 (list_reduce in HUGEINT) → 64 affine seed minima (the
-    * A/B constants are inlined literals from MinhashHash) → 16
-    * four-value band keys → bucket cap → candidate pairs → exact
-    * Jaccard ≥ τ. Every stage mirrors minhashNearDups exactly; band
-    * keys are the signature-value lists themselves on both sides, so
-    * bucket equality is hash-free and identical.
+    * h1 mod 2⁶¹−1 (list_reduce in HUGEINT) → derived h2 = (A·h1+B) mod
+    * P (A/B inlined literals from MinhashHash) → 64 two-hash seed
+    * minima MIN((h1 + s·h2) mod P) → 16 four-value band keys → bucket
+    * cap → candidate pairs → exact Jaccard ≥ τ. Every stage mirrors
+    * minhashNearDups exactly; band keys are the signature-value lists
+    * themselves on both sides, so bucket equality is hash-free and
+    * identical.
     */
-  val dedupMinhashSql: String = {
+  private val MinhashPipelineCtes: String = {
     import graft.functions.{MinhashHash, Winnow}
-    val aLit = MinhashHash.multipliers.mkString("[", ", ", "]")
-    val bLit = MinhashHash.offsets.mkString("[", ", ", "]")
-    s"""WITH $PlantedCorpusSql,
+    s"""$PlantedCorpusSql,
        |normed AS (
        |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm FROM corpus),
        |words AS (SELECT doc_id, string_split(nm, ' ') AS ws FROM normed),
@@ -462,11 +534,14 @@ object Dedup {
        |           (h, c) -> (h * ${Winnow.Base} + c) % ${Winnow.P}) END AS h1
        |  FROM sh),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |h2 AS (
+       |  SELECT doc_id, h1,
+       |    (CAST(${MinhashHash.deriveA} AS HUGEINT) * h1 + ${MinhashHash.deriveB})
+       |      % ${Winnow.P} AS h2
+       |  FROM h1),
        |mins AS (
-       |  SELECT doc_id, seeds.s AS s,
-       |    MIN((CAST(list_extract($aLit, seeds.s + 1) AS HUGEINT) * h1
-       |         + list_extract($bLit, seeds.s + 1)) % ${Winnow.P}) AS mh
-       |  FROM h1 CROSS JOIN (SELECT UNNEST(range(0, ${MinhashHash.Seeds})) AS s) seeds
+       |  SELECT doc_id, seeds.s AS s, MIN((h1 + seeds.s * h2) % ${Winnow.P}) AS mh
+       |  FROM h2 CROSS JOIN (SELECT UNNEST(range(0, ${MinhashHash.Seeds})) AS s) seeds
        |  GROUP BY doc_id, seeds.s),
        |bandkeys AS (
        |  SELECT doc_id, s // 4 AS band, list(mh ORDER BY s) AS bk
@@ -493,11 +568,39 @@ object Dedup {
        |  FROM cand c
        |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
        |  JOIN sizes sa ON sa.doc_id = c.doc_a
-       |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b)""".stripMargin
+  }
+
+  val dedupMinhashSql: String =
+    s"""WITH $MinhashPipelineCtes
        |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac
        |WHERE j >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersWithSurvivors(
+      minhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), w = 3, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+    ).orderBy(col("doc_id"))
+
+  /** Cluster oracle: the full minhash pipeline CTEs feed a recursive
+    * transitive closure (UNION dedups, so cycles terminate); each
+    * node's cluster is the minimum id it can reach, survivor = itself.
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $MinhashPipelineCtes,
+       |vpairs AS (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |cedges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM vpairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM vpairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges) n
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN cedges e ON e.u = r.v)
+       |SELECT u AS doc_id, MIN(v) AS cluster, u = MIN(v) AS survivor
+       |FROM reach GROUP BY u
+       |ORDER BY doc_id""".stripMargin
 
   /** Full-pipeline SimHash oracle: md5-limb word bits → ±1 votes →
     * per-band 16-bit chunks → bucket cap → candidate pairs → hamming.

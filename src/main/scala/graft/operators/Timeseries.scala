@@ -392,6 +392,64 @@ object Timeseries {
     microsecondsPerPixel.toDouble / microsecondPerDatapoints > 3.0
   }
 
+  /** The reference's FRONT-DOOR behavior composed into one operator:
+    * per channel, return raw samples when fewer than ~3 datapoints
+    * land per pixel and the min/max-downsampled stream otherwise —
+    * [[shouldResample]]'s ratio test driven from the rate catalog
+    * (reference: query/BaseTimeSeriesQuery.scala:58-96 chooses the
+    * branch per request via TimeSeriesQueryUtils.shouldResample).
+    *
+    * `rates` is a (channel, rate) catalog — channel-catalog scale,
+    * broadcast; a channel missing from it fails loudly (raise_error)
+    * rather than silently vanishing. Output rows share one schema:
+    * (channel, mode, t, vmin, vmax, n) where raw rows carry
+    * t = sample time, vmin = vmax = v, n = 1 and resampled rows carry
+    * t = bucket start, the bucket min/max, and the bucket count. Both
+    * branches scan with the channel decision pushed as a join against
+    * the broadcast catalog; the resample branch is the usual one-
+    * shuffle partial aggregation on (channel, bucket).
+    */
+  def autoResample(ts: DataFrame, rates: DataFrame, pixelUs: Long): DataFrame = {
+    val decided = rates.select(
+      col("channel"),
+      (col("rate") * lit(pixelUs.toDouble) / lit(1e6) > lit(3.0)).as("__rs")
+    )
+    val tagged = ts
+      .join(broadcast(decided), Seq("channel"), "left")
+      .select(
+        col("channel"),
+        col("t"),
+        col("v"),
+        when(
+          col("__rs").isNull,
+          raise_error(concat(lit("autoResample: no rate for channel "), col("channel")))
+        ).otherwise(col("__rs")).as("__rs")
+      )
+    val raw = tagged
+      .filter(!col("__rs"))
+      .select(
+        col("channel"),
+        lit("raw").as("mode"),
+        col("t"),
+        col("v").as("vmin"),
+        col("v").as("vmax"),
+        lit(1L).as("n")
+      )
+    val resampled = tagged
+      .filter(col("__rs"))
+      .groupBy(col("channel"), microsBucket(col("t"), pixelUs).as("bucket"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"), count(lit(1)).as("n"))
+      .select(
+        col("channel"),
+        lit("resampled").as("mode"),
+        (col("bucket") * pixelUs).as("t"),
+        col("vmin"),
+        col("vmax"),
+        col("n")
+      )
+    raw.unionByName(resampled)
+  }
+
   /** Retrieval cap: refuse queries whose expected sample count exceeds
     * the limit (reference: query/TimeSeriesQueryUtils.scala:362-369).
     */
@@ -682,6 +740,44 @@ object Timeseries {
        |FROM events
        |GROUP BY 1, 2
        |ORDER BY channel, bucket""".stripMargin
+
+  /** Fixed auto raw-vs-resample query: 2-hour pixels against rates
+    * derived from the channel catalog itself (rate = (n−1)·10⁶/span —
+    * pure double arithmetic, identical in both engines). At sf0.01 the
+    * ratio clears 3 and every channel resamples; at sf0.001 all stay
+    * raw — the oracle follows the same CASE either way, and the
+    * mixed-rate path is pinned by TimeseriesSpec.
+    */
+  val AutoPixelUs = 7200000000L
+
+  def tsAuto(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Tables.ts(spark, dir)
+    val rates = ts
+      .groupBy(col("channel"))
+      .agg(
+        ((count(lit(1)) - 1).cast("double") * lit(1e6) /
+          (max(col("t")) - min(col("t"))).cast("double")).as("rate")
+      )
+    autoResample(ts, rates, AutoPixelUs)
+      .orderBy(col("channel"), col("t"), col("vmin"), col("vmax"), col("n"))
+  }
+
+  val tsAutoSql: String =
+    s"""WITH r AS (
+       |  SELECT event_type AS channel,
+       |    (COUNT(*) - 1) * 1000000.0 / (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) AS rate
+       |  FROM events GROUP BY 1),
+       |d AS (SELECT channel, rate * ${AutoPixelUs}.0 / 1000000.0 > 3.0 AS rs FROM r)
+       |SELECT e.event_type AS channel, 'raw' AS mode, epoch_us(e.ts) AS t,
+       |  e.value AS vmin, e.value AS vmax, CAST(1 AS BIGINT) AS n
+       |FROM events e JOIN d ON d.channel = e.event_type AND NOT d.rs
+       |UNION ALL
+       |SELECT e.event_type AS channel, 'resampled' AS mode,
+       |  CAST(FLOOR(epoch_us(e.ts) / $AutoPixelUs) AS BIGINT) * $AutoPixelUs AS t,
+       |  MIN(e.value) AS vmin, MAX(e.value) AS vmax, COUNT(*) AS n
+       |FROM events e JOIN d ON d.channel = e.event_type AND d.rs
+       |GROUP BY 1, 2, 3
+       |ORDER BY channel, t, vmin, vmax, n""".stripMargin
 
   def tsSpikes(spark: SparkSession, dir: String): DataFrame =
     spikes(Tables.ts(spark, dir), SpikeThreshold)

@@ -38,6 +38,39 @@ class DedupSpec extends SparkSpec {
     planted.subsetOf(found) shouldBe true
   }
 
+  "connectedComponents" should "collapse a planted chain a~b~c to one survivor" in {
+    // pairs (1,2),(2,3) form one component even though (1,3) was never
+    // mined; (10,11) is its own cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup
+      .clustersWithSurvivors(pairs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (1L, 1L, true),
+      (2L, 1L, false),
+      (3L, 1L, false),
+      (10L, 10L, true),
+      (11L, 10L, false)
+    )
+  }
+
+  it should "label every mined pair's docs on real data with min-id clusters" in {
+    val pairs = Dedup
+      .minhashNearDups(Dedup.withPlantedNearDups(Tables.documents(spark, sfDir)), w = 3, tau = 0.5)
+      .select($"doc_a", $"doc_b")
+    val labels = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val p = pairs.as[(Long, Long)].collect()
+    p should not be empty
+    // both ends labeled, same cluster, cluster <= both members
+    p.foreach { case (a, b) =>
+      labels(a) shouldBe labels(b)
+      labels(a) should be <= math.min(a, b)
+    }
+  }
+
   "simhashNearDups" should "find planted near-duplicates within hamming 3" in {
     val docs = Dedup.withPlantedNearDups(Tables.documents(spark, sfDir))
     val planted = docs

@@ -157,6 +157,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "ts_layout_range" should "prune layout partitions via rule-derived p_bucket bounds" in {
+    import graft.sources.TsLayout
+    val df = TsLayout.tsLayoutRange(spark, sfDir)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = root.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    scans should not be empty
+    val partFilters = scans.head.partitionFilters.map(_.toString).mkString(" ")
+    // the query never mentions p_bucket — DeriveBucketFilter must have
+    // conjoined both bounds, and the channel filter must also prune
+    partFilters should include("p_bucket")
+    partFilters should (include(">=") and include("<="))
+    partFilters should include("p_channel")
+    // and the derived bounds must be the right ones: only the
+    // [start, end) day-buckets of the two channels survive the listing
+    val lo = Timeseries.RangeStartUs / TsLayout.DayUs
+    val hi = (Timeseries.RangeEndUs - 1) / TsLayout.DayUs
+    val buckets = scans.head.selectedPartitions
+      .toPartitionArray
+      .map(_.urlEncodedPath)
+      .flatMap("p_bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong))
+    buckets should not be empty
+    all(buckets.toSeq) should (be >= lo and be <= hi)
+    // result equals the flat-table range scan (modulo event_id)
+    val expected = Tables
+      .ts(spark, sfDir)
+      .filter(
+        col("channel").isin("click", "error") &&
+          col("t") >= Timeseries.RangeStartUs && col("t") < Timeseries.RangeEndUs
+      )
+      .select(col("channel"), col("t"), col("v"))
+      .collect()
+      .map(_.toString)
+      .sorted
+    df.collect().map(_.toString).sorted shouldBe expected
+  }
+
   "ts_asof" should "avoid any unpartitioned global-sort window over the data" in {
     val df = Timeseries.tsAsof(spark, sfDir)
     // the only unpartitioned window runs over the tiny per-bucket

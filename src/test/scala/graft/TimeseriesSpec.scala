@@ -180,6 +180,51 @@ class TimeseriesSpec extends SparkSpec {
     Timeseries.shouldResample(rate = 250.0, microsecondsPerPixel = 12001) shouldBe true
   }
 
+  "autoResample" should "pick raw vs min/max per channel from the rate catalog" in {
+    // fast: 10 samples/pixel → resample; slow: 1 sample per 2 pixels → raw
+    val pixel = 1000000L
+    val fast = (0 until 100).map(i => ("fast", i * 100000L, i.toDouble))
+    val slow = (0 until 10).map(i => ("slow", i * 2000000L, i.toDouble))
+    val ts = (fast ++ slow).toDF("channel", "t", "v")
+    val rates = Seq(("fast", 10.0), ("slow", 0.5)).toDF("channel", "rate")
+    val out = Timeseries.autoResample(ts, rates, pixel)
+
+    val fastRows = out
+      .filter($"channel" === "fast")
+      .orderBy("t")
+      .select("mode", "t", "vmin", "vmax", "n")
+      .as[(String, Long, Double, Double, Long)]
+      .collect()
+      .toList
+    fastRows.map(_._1).distinct shouldBe List("resampled")
+    fastRows.length shouldBe 10 // 100 samples / 10 per pixel
+    fastRows.head shouldBe (("resampled", 0L, 0.0, 9.0, 10L))
+
+    val slowRows = out
+      .filter($"channel" === "slow")
+      .orderBy("t")
+      .select("mode", "t", "vmin", "vmax", "n")
+      .as[(String, Long, Double, Double, Long)]
+      .collect()
+      .toList
+    slowRows.map(_._1).distinct shouldBe List("raw")
+    slowRows.length shouldBe 10
+    slowRows.foreach { case (_, t, mn, mx, n) =>
+      mn shouldBe mx
+      n shouldBe 1L
+      t % 2000000L shouldBe 0L
+    }
+  }
+
+  it should "fail loudly on a channel missing from the rate catalog" in {
+    val ts = Seq(("orphan", 0L, 1.0)).toDF("channel", "t", "v")
+    val rates = Seq(("other", 1.0)).toDF("channel", "rate")
+    val e = intercept[Exception] {
+      Timeseries.autoResample(ts, rates, 1000000L).collect()
+    }
+    e.getMessage should include("no rate for channel")
+  }
+
   "overLimit" should "cap expected sample counts (reference retrieval limit)" in {
     // 10 s at 100 Hz = 1000 samples
     Timeseries.overLimit(0L, 10000000L, 100.0, 1000L) shouldBe Right(())
