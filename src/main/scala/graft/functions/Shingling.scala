@@ -93,19 +93,16 @@ case class WordShingles(child: Expression, w: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullable: Boolean = false
-
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"word_shingles expects a string, got ${child.dataType.catalogString}")
 
-  // null text degrades to the empty-content shingle set (null and ''
-  // normalize to the same trivial document — EdgeCaseSpec semantics)
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    val s = if (v == null) "" else v.asInstanceOf[UTF8String].toString
-    ArrayData.toArrayData(Shingling.wordShingles(s, w))
-  }
+  // null in → null out (standard expression semantics): a null-text doc
+  // contributes NO shingles, exactly as the SQL-oracle formulation
+  // (string_split(NULL) unnests to zero rows) and the former
+  // explode-based pipeline drop it — EdgeCaseSpec pins the contract
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(Shingling.wordShingles(input.asInstanceOf[UTF8String].toString, w))
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(child = newChild)
 
@@ -118,17 +115,13 @@ case class CharNgrams(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullable: Boolean = false
-
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"char_ngrams expects a string, got ${child.dataType.catalogString}")
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    val s = if (v == null) "" else v.asInstanceOf[UTF8String].toString
-    ArrayData.toArrayData(Shingling.charNgrams(s, n))
-  }
+  // null in → null out — see WordShingles
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(Shingling.charNgrams(input.asInstanceOf[UTF8String].toString, n))
 
   override protected def withNewChildInternal(newChild: Expression): CharNgrams = copy(child = newChild)
 

@@ -96,6 +96,10 @@ object Dedup {
         graft.functions.MinhashHash.signature(col("__sh")).as("__sig"),
         size(col("__sh")).cast("long").as("n")
       )
+      // null-text docs have no shingles and no signature — drop them
+      // (the oracle's string_split(NULL) does the same); keeping them
+      // would put every null doc in one all-null bucket per band
+      .filter(col("__sig").isNotNull)
       .select(
         col("doc_id") +:
           (0 until MinhashSeeds).map(s => element_at(col("__sig"), s + 1).as(s"h$s")) :+

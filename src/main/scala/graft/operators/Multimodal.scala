@@ -34,7 +34,10 @@ object Multimodal {
         element_at(array(lit("png"), lit("jpeg"), lit("webp")), (col("doc_id") % 3 + 1).cast("int")).as("format"),
         (col("doc_id") % 32 + 16).cast("int").as("width"),
         (col("doc_id") % 24 + 12).cast("int").as("height"),
-        length(col("text")).cast("long").as("n_bytes")
+        // byte length of the BINARY payload (length on binary counts
+        // octets) — length(text) would count characters and diverge
+        // from the oracle's octet_length on any non-ASCII document
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")
       ).as("meta")
     )
 

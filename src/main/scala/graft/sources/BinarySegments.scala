@@ -106,7 +106,18 @@ object BinarySegments {
   private def relPath(blobDir: String): org.apache.spark.sql.Column = {
     val base = new java.io.File(blobDir).getCanonicalFile.toURI.toString
     val prefix = if (base.endsWith("/")) base else base + "/"
-    expr(s"substring(path, ${prefix.length + 1})")
+    // guard the join key: if the scan's URI rendering ever differs from
+    // the computed prefix (non-local URI scheme, symlinked dir,
+    // percent-encoding of special chars), a blind substring would
+    // mis-key EVERY row and the index join would silently return an
+    // empty result — fail loudly instead
+    val p = lit(prefix)
+    when(
+      col("path").startsWith(p),
+      expr(s"substring(path, ${prefix.length + 1})")
+    ).otherwise(
+      raise_error(concat(lit(s"BinarySegments: blob path outside '$prefix': "), col("path")))
+    )
   }
 
   def read(spark: SparkSession, blobDir: String, index: DataFrame): DataFrame = {

@@ -36,6 +36,19 @@ object StreamingNearDup {
     * micro-batches to fire them, so bounded replays/tests (anything
     * that waits for quiescence with processAllAvailable) should pass
     * None, which keeps state until the query stops.
+    *
+    * Mega-bucket semantics DIVERGE from batch, deliberately: the batch
+    * pipeline counts a bucket first and drops an over-cap bucket
+    * entirely (zero pairs), but a stream cannot know a bucket's final
+    * size when its early members arrive, and Append mode cannot
+    * retract pairs already emitted — so the stream emits pairs among
+    * the first maxBucketSize arrivals and then stops accumulating.
+    * Replaying a corpus through both paths therefore differs exactly
+    * on over-cap (boilerplate) buckets: streaming keeps up to
+    * C(maxBucketSize, 2) of their pairs, batch keeps none. Buffering
+    * pairs until a watermark confirms the bucket under-cap would
+    * restore parity at the cost of emission latency; for candidate
+    * generation the early-member pairs are the more useful behavior.
     */
   def candidates(
     spark: SparkSession,
@@ -56,6 +69,10 @@ object StreamingNearDup {
     }
     input
       .select(col("doc_id"), MinhashHash.signature(Dedup.shingles(w)).as("__sig"))
+      // null-text docs have no signature (null) — drop them, as the
+      // batch pipeline does; without this every null doc would share
+      // the all-null band key and pair with every other null doc
+      .filter(col("__sig").isNotNull)
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
       .as[(Long, Int, Seq[Long])]
       .groupByKey { case (_, band, key) => (band, key) }
@@ -86,5 +103,83 @@ object StreamingNearDup {
       }
       .toDF("doc_a", "doc_b")
       .as[(Long, Long)]
+  }
+
+  /** VERIFIED near-dup pairs from a document stream: the per-bucket
+    * state additionally carries each member's full 64-value signature,
+    * and a colliding pair is emitted only when the MinHash ESTIMATE of
+    * its Jaccard — the fraction of agreeing signature slots, unbiased
+    * with σ = √(J(1−J)/64) — clears `tau`.
+    *
+    * This is the streaming counterpart of the batch pipeline's exact
+    * verify. Exact shingle-set intersection needs both documents'
+    * shingle sets, which for cross-micro-batch pairs would mean
+    * retaining document content in state indefinitely; the stream
+    * instead verifies on the signatures it already holds (64 longs per
+    * member, still bounded by maxBucketSize per bucket). Feed the
+    * surviving pairs to the batch `Dedup.setJaccard` offline when the
+    * exact value is required. A pair colliding in several bands is
+    * emitted once per colliding band (Append mode cannot dedup across
+    * state keys); downstream consumers dedup on (doc_a, doc_b).
+    */
+  def verified(
+    spark: SparkSession,
+    input: DataFrame,
+    w: Int = 3,
+    bands: Int = 16,
+    tau: Double = 0.5,
+    maxBucketSize: Int = 64,
+    idleTimeout: Option[String] = Some("1 hour")
+  ): Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    require(
+      bands > 0 && bands <= Dedup.MinhashSeeds && Dedup.MinhashSeeds % bands == 0,
+      s"bands must evenly divide ${Dedup.MinhashSeeds} signature values, got $bands"
+    )
+    val rowsPerBand = Dedup.MinhashSeeds / bands
+    val bandKeys = (0 until bands).map { b =>
+      array((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => element_at(col("__sig"), s + 1)): _*)
+    }
+    input
+      .select(col("doc_id"), MinhashHash.signature(Dedup.shingles(w)).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id"), col("__sig"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      .as[(Long, Seq[Long], Int, Seq[Long])]
+      .groupByKey { case (_, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double)](
+        OutputMode.Append,
+        idleTimeout.fold[GroupStateTimeout](GroupStateTimeout.NoTimeout)(_ =>
+          GroupStateTimeout.ProcessingTimeTimeout
+        )
+      ) { case (_, rows, state: GroupState[Seq[(Long, Seq[Long])]]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          rows.foreach { case (id, sig, _, _) =>
+            if (!seen.exists(_._1 == id) && seen.size < maxBucketSize) {
+              seen.foreach { case (oid, osig) =>
+                var m = 0
+                var i = 0
+                while (i < sig.length) {
+                  if (sig(i) == osig(i)) m += 1
+                  i += 1
+                }
+                val est = m.toDouble / sig.length
+                if (est >= tau)
+                  out += (if (id < oid) (id, oid, est) else (oid, id, est))
+              }
+              seen = seen :+ ((id, sig))
+            }
+          }
+          state.update(seen)
+          idleTimeout.foreach(state.setTimeoutDuration)
+          out.result().iterator
+        }
+      }
+      .toDF("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)]
   }
 }

@@ -44,14 +44,13 @@ class EdgeCaseSpec extends SparkSpec {
     TextAnalysis.langId(docs).count() shouldBe 3L
     TextAnalysis.fingerprints(docs, 8, 4).filter($"doc_id" === 1L).count() should be > 0L
     Dedup.exact(docs).count() shouldBe 3L // null and '' are distinct groups
-    // null and empty text both normalize to empty content, which IS a
-    // trivial near-duplicate pair — defined (and sensible) behavior
-    Dedup
-      .minhashNearDups(docs)
-      .select($"doc_a", $"doc_b", $"jaccard")
-      .as[(Long, Long, Double)]
-      .collect()
-      .toList shouldBe List((2L, 3L, 1.0))
+    // null-text docs contribute NO shingles and drop out of the
+    // near-dup pipeline entirely — the same semantics as the DuckDB
+    // oracle (string_split(NULL) unnests to zero rows), so Spark and
+    // oracle agree by construction on corpora containing NULLs.
+    // Empty text still participates (its shingle set is {''}).
+    Dedup.minhashSignatures(docs, 3).select($"doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+    Dedup.minhashNearDups(docs).count() shouldBe 0L
   }
 
   "butterworth kernels" should "handle degenerate block sizes" in {

@@ -211,6 +211,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "StreamingNearDup.verified" should "emit cross-batch verified pairs and reject low-estimate collisions" in {
+    implicit val sqlCtx = spark.sqlContext
+
+    // fixture preconditions, computed from the same kernels the stream
+    // uses (deterministic hash family): the near copy must band-collide
+    // with high signature agreement; the mostly-replaced doc must STILL
+    // band-collide (so the verify stage — not banding — rejects it)
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again today while the sun sets slowly behind the tall green hills"
+    val near = base + " tonight"
+    val mostlyReplaced =
+      (base.split(" ").dropRight(12) ++ Seq.fill(12)("replaced")).mkString(" ")
+    def sig(text: String): Seq[Long] =
+      graft.functions.MinhashHash
+        .signature(graft.functions.Shingling.wordShingles(text, 3).map(_.toString))
+        .toSeq
+    def sharedBands(a: Seq[Long], b: Seq[Long]): Int =
+      a.grouped(4).toSeq.zip(b.grouped(4).toSeq).count { case (x, y) => x == y }
+    def est(a: Seq[Long], b: Seq[Long]): Double = a.zip(b).count(x => x._1 == x._2) / 64.0
+    sharedBands(sig(base), sig(near)) should be > 0
+    est(sig(base), sig(near)) should be >= 0.6
+    sharedBands(sig(base), sig(mostlyReplaced)) should be > 0
+    est(sig(base), sig(mostlyReplaced)) should be < 0.6
+
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingNearDup.verified(
+      spark,
+      mem.toDF().toDF("doc_id", "text"),
+      tau = 0.6,
+      idleTimeout = None
+    )
+    val q = out.toDF().writeStream.format("memory").queryName("ndv_out").outputMode("append").start()
+    try {
+      mem.addData((1L, base), (2L, mostlyReplaced))
+      q.processAllAvailable()
+      // the true near-dup arrives in a LATER micro-batch
+      mem.addData((3L, near))
+      q.processAllAvailable()
+
+      val got = spark
+        .table("ndv_out")
+        .select($"doc_a", $"doc_b", $"est_jaccard")
+        .as[(Long, Long, Double)]
+        .collect()
+      val pairs = got.map(r => (r._1, r._2)).toSet
+      // cross-batch near-dup survives verify with the exact estimate
+      pairs should contain((1L, 3L))
+      got.filter(r => (r._1, r._2) == ((1L, 3L))).foreach {
+        _._3 shouldBe est(sig(base), sig(near)) +- 1e-12
+      }
+      // the banding collision with low agreement is rejected
+      pairs should not contain ((1L, 2L))
+    } finally q.stop()
+  }
+
   "RealtimeDownsample.sessionSpans" should "split sessions at the gap threshold" in {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
