@@ -240,22 +240,34 @@ object Dedup {
     * Output: (node, cluster) for every doc appearing in a pair, with
     * cluster = the component's minimum doc_id.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairsIn: DataFrame, maxIter: Int = 25): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the pair relation feeds both edge orientations — persist it so
+    // an expensive upstream pipeline (minhash verify) runs once
+    val pairs = pairsIn.persist(sl)
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(sl)
+    // labels live on LOCALLY CHECKPOINTED rdds, not chained persists:
+    // uncaching round i's labels would force Spark to re-cache round
+    // i+1's entry from scratch (buffers of dependents are invalidated,
+    // not kept), so a persist/unpersist chain re-runs the whole
+    // upstream pipeline EVERY round — and lineage would grow per
+    // round besides. localCheckpoint(eager) both materializes the
+    // round and truncates its plan to the stored blocks.
     var labels = edges
       .select(col("u").as("node"))
       .distinct()
       .select(col("node"), col("node").as("cluster"))
-      .persist(sl)
+      .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0)
         .getDecimal(0)
-    var prevSum = labelSum(labels)
+    // no up-front sum job: the first round always runs, so compare
+    // from the second round on
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -266,14 +278,16 @@ object Dedup {
       val updated = labels
         .join(neighborMin.select(col("u").as("node"), col("nmin")), Seq("node"), "left")
         .select(col("node"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .persist(sl)
+        .localCheckpoint(true)
       val s = labelSum(updated)
-      converged = s.compareTo(prevSum) == 0
-      labels.unpersist()
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       labels = updated
       prevSum = s
       iter += 1
     }
+    // the final labels are self-contained checkpointed blocks, so the
+    // upstream caches can go
+    pairs.unpersist()
     edges.unpersist()
     labels
   }

@@ -110,6 +110,48 @@ class SourcesSpec extends SparkSpec {
     q.exceptAll(expected).count() shouldBe 0L
   }
 
+  "SegmentSink" should "emit reference-vocabulary segments split at gaps and the point cap" in {
+    import graft.sources.SegmentSink
+    // downsample-shaped rows: channel a has a 3-bucket run then a gap
+    // then a 2-bucket run; cap = 2 points per segment
+    val down = Seq(
+      ("a", 0L, 1.0, 2.0),
+      ("a", 1L, 3.0, 4.0),
+      ("a", 2L, 5.0, 6.0),
+      ("a", 5L, 7.0, 8.0),
+      ("a", 6L, 9.0, 10.0),
+      ("b", 10L, -1.0, 1.0)
+    ).toDF("channel", "bucket", "vmin", "vmax")
+    val segs = SegmentSink
+      .toSegments(spark, down, pixelUs = 1000L, maxPointsPerSegment = 2)
+      .collect()
+      .sortBy(s => (s.source, s.startTs))
+    segs.map(s => (s.source, s.startTs, s.nrPoints, s.data)) shouldBe Array(
+      ("a", 0L, 2, Seq(1.0, 2.0, 3.0, 4.0)),
+      ("a", 2000L, 1, Seq(5.0, 6.0)),
+      ("a", 5000L, 2, Seq(7.0, 8.0, 9.0, 10.0)),
+      ("b", 10000L, 1, Seq(-1.0, 1.0))
+    )
+    segs.foreach { s =>
+      s.isMinMax shouldBe true
+      s.samplePeriod shouldBe 1000.0
+      s.requestedSamplePeriod shouldBe 1000L
+      s.segmentType shouldBe "continuous"
+      s.data.length shouldBe s.nrPoints * 2
+    }
+    // composes directly with the batch downsample path on real data
+    val real = SegmentSink
+      .toSegments(
+        spark,
+        graft.operators.Timeseries.downsample(Tables.ts(spark, sfDir), 3600000000L),
+        3600000000L
+      )
+      .collect()
+    real should not be empty
+    real.map(_.nrPoints).sum.toLong shouldBe
+      graft.operators.Timeseries.downsample(Tables.ts(spark, sfDir), 3600000000L).count()
+  }
+
   "readCsv/readJson" should "load secondary formats" in {
     val dir = Files.createTempDirectory("graft-ing").toFile
     Files.writeString(new java.io.File(dir, "x.csv").toPath, "channel,t,v\na,1,2.5\nb,2,3.5\n")
