@@ -67,6 +67,68 @@ class FilteringSpec extends SparkSpec {
     got.zip(exp).foreach { case (g, e) => g shouldBe e +- 1e-12 }
   }
 
+  it should "stitch blocks across stitch-bucket boundaries exactly like the sequential kernel" in {
+    // stitchBucketUs = 400: the fixture crosses several summary
+    // buckets with every boundary shape the two-phase stitch must get
+    // right: a contiguous block CROSSING a bucket edge (no reset), a
+    // gap landing exactly on a bucket's first row, an entirely empty
+    // bucket inside a gap (the carry must reach back 2 buckets), and
+    // a block that starts mid-bucket after a gap
+    val blocks = Seq(
+      (0L until 350L).map(i => (i, math.sin(i / 7.0))),          // crosses the 0/400 edge? no: 0-349 in bucket 0
+      (350L until 900L).map(i => (i, math.cos(i / 5.0))),        // contiguous with prev (gap 1) — one block 0..899 crossing buckets 0,1,2
+      (2000L until 2100L).map(i => (i, math.sin(i / 3.0))),      // gap 1101 µs: empty bucket 3/4 skipped, block restarts at bucket 5
+      (2300L until 2700L).map(i => (i, math.cos(i / 9.0)))       // gap 200 > 100: restart exactly near bucket edge
+    )
+    val rows = blocks.flatten.zipWithIndex
+      .map { case ((t, v), i) => ("a", t, v, 0L, i.toLong) }
+    val df = rows.toDF("channel", "t", "v", "user_id", "event_id")
+
+    val pad = 40
+    val got = Filtering
+      .applyCascade(spark, df, cascade, pad, gapUs = 100L, stitchBucketUs = 400L)
+      .select($"t", $"fv")
+      .as[(Long, Double)]
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+
+    // sequential reference: blocks split ONLY by the >100µs gaps —
+    // buckets must leave no trace in the output
+    val seqBlocks = Seq(
+      (0L until 900L).map(i => if (i < 350) math.sin(i / 7.0) else math.cos(i / 5.0)),
+      (2000L until 2100L).map(i => math.sin(i / 3.0)),
+      (2300L until 2700L).map(i => math.cos(i / 9.0))
+    )
+    val exp = seqBlocks.flatMap(b => Butterworth.filterBlock(cascade, b.toArray, pad)).toArray
+    got.length shouldBe exp.length
+    got.zip(exp).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+  }
+
+  it should "restart capped chunks consistently when blocks span stitch buckets" in {
+    // one long contiguous run across many 300µs stitch buckets with a
+    // 150-sample cap: chunk boundaries derive from the GLOBAL position
+    // within the block, which crosses bucket summaries
+    val df = (0L until 1000L).zipWithIndex
+      .map { case (t, i) => ("a", t, math.sin(t / 5.0), 0L, i.toLong) }
+      .toSeq
+      .toDF("channel", "t", "v", "user_id", "event_id")
+    val pad = 40
+    val got = Filtering
+      .applyCascade(spark, df, cascade, pad, gapUs = 100L, maxBlockSamples = 150, stitchBucketUs = 300L)
+      .select($"t", $"fv")
+      .as[(Long, Double)]
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val exp = (0L until 1000L)
+      .map(t => math.sin(t / 5.0))
+      .grouped(150)
+      .flatMap(chunk => Butterworth.filterBlock(cascade, chunk.toArray, pad))
+      .toArray
+    got.zip(exp).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+  }
+
   "tsButterworth" should "produce one output row per input row" in {
     val out = Filtering.tsButterworth(spark, sfDir)
     out.count() shouldBe Tables.ts(spark, sfDir).count()

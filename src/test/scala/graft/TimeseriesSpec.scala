@@ -180,6 +180,92 @@ class TimeseriesSpec extends SparkSpec {
     Timeseries.shouldResample(rate = 250.0, microsecondsPerPixel = 12001) shouldBe true
   }
 
+  "two-phase stitching" should "match sequential single-window semantics across 1h stitch buckets" in {
+    // The two-phase operators stitch (channel, 1h-bucket)-local windows
+    // with per-bucket summaries. This fixture spreads samples over 7
+    // hours with every boundary shape: samples exactly ON bucket edges,
+    // empty buckets mid-stream (carry reaches back >1 bucket),
+    // duplicate timestamps at a boundary, and channels with different
+    // occupancy patterns.
+    val B = Timeseries.StitchBucketUs
+    val tsA = Seq(
+      0L, 10L, B - 1, B, B + 1, // dense run across the 0/1 edge
+      3 * B, 3 * B + 5, // buckets 1(tail)/2 empty → carry skips
+      3 * B + 5, // duplicate timestamp
+      6 * B - 1, 6 * B // edge-straddling pair after another hole
+    )
+    val tsB = Seq(B + 2, B + 3, 5 * B)
+    val rows =
+      tsA.zipWithIndex.map { case (t, i) => ("a", t, math.sin(i.toDouble) * 50) } ++
+        tsB.zipWithIndex.map { case (t, i) => ("b", t, i * 60.0) }
+    val df = mkTs(rows)
+
+    // sequential references
+    def seqByChannel[T](f: Seq[(Long, Double, Long)] => T): Map[String, T] =
+      rows.zipWithIndex
+        .map { case ((c, t, v), i) => (c, t, v, i.toLong) }
+        .groupBy(_._1)
+        .map { case (c, rs) => c -> f(rs.map(r => (r._2, r._3, r._4)).sortBy(r => (r._1, r._3))) }
+
+    // gaps at threshold B/2: expected spans from a straight scan
+    val expSpans = seqByChannel { rs =>
+      val ts = rs.map(_._1)
+      val spans = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+      var start = ts.head
+      var prev = ts.head
+      var n = 0L
+      for (t <- ts) {
+        if (t - prev >= B / 2) { spans += ((start, prev, n)); start = t; n = 0L }
+        prev = t
+        n += 1
+      }
+      spans += ((start, prev, n))
+      spans.toList
+    }
+    val gotSpans = Timeseries
+      .contiguousSpans(df, B / 2)
+      .orderBy("channel", "span_id")
+      .select("channel", "span_start", "span_end", "n")
+      .as[(String, Long, Long, Long)]
+      .collect()
+      .toList
+      .groupBy(_._1)
+      .map { case (c, rs) => c -> rs.map(r => (r._2, r._3, r._4)) }
+    gotSpans shouldBe expSpans
+
+    // spikes at threshold 55: prev-v must cross bucket holes
+    val expSpikes = seqByChannel { rs =>
+      rs.zip(rs.drop(1)).collect { case ((_, pv, _), (t, v, _)) if v > 55.0 && pv <= 55.0 => (t, v) }.toList
+    }
+    val gotSpikes = Timeseries
+      .spikes(df, 55.0)
+      .orderBy("channel", "t", "v")
+      .as[(String, Long, Double)]
+      .collect()
+      .toList
+      .groupBy(_._1)
+      .map { case (c, rs) => c -> rs.map(r => (r._2, r._3)).sortBy(identity) }
+    gotSpikes shouldBe expSpikes.map { case (c, l) => c -> l.sortBy(identity) }.filter(_._2.nonEmpty)
+
+    // chunked resample (chunk = 4): global row numbers must be exact
+    // across buckets or chunk contents shift
+    val expChunks = seqByChannel { rs =>
+      rs.map(_._2).grouped(4).zipWithIndex.collect {
+        case (g, i) if g.length == 4 => (i.toLong, g.min, g.max)
+      }.toList
+    }.filter(_._2.nonEmpty)
+    val gotChunks = Timeseries
+      .resampleChunks(df, 4)
+      .orderBy("channel", "chunk")
+      .select("channel", "chunk", "cmin", "cmax")
+      .as[(String, Long, Double, Double)]
+      .collect()
+      .toList
+      .groupBy(_._1)
+      .map { case (c, rs) => c -> rs.map(r => (r._2, r._3, r._4)) }
+    gotChunks shouldBe expChunks
+  }
+
   "autoResample" should "pick raw vs min/max per channel from the rate catalog" in {
     // fast: 10 samples/pixel → resample; slow: 1 sample per 2 pixels → raw
     val pixel = 1000000L
