@@ -180,24 +180,11 @@ class TimeseriesSpec extends SparkSpec {
     Timeseries.shouldResample(rate = 250.0, microsecondsPerPixel = 12001) shouldBe true
   }
 
-  "two-phase stitching" should "match sequential single-window semantics across 1h stitch buckets" in {
-    // The two-phase operators stitch (channel, 1h-bucket)-local windows
-    // with per-bucket summaries. This fixture spreads samples over 7
-    // hours with every boundary shape: samples exactly ON bucket edges,
-    // empty buckets mid-stream (carry reaches back >1 bucket),
-    // duplicate timestamps at a boundary, and channels with different
-    // occupancy patterns.
+  /** Compares the three two-phase operators against straight sequential
+    * single-pass references on arbitrary (channel, t, v) rows.
+    */
+  private def assertTwoPhaseMatchesSequential(rows: Seq[(String, Long, Double)]): Unit = {
     val B = Timeseries.StitchBucketUs
-    val tsA = Seq(
-      0L, 10L, B - 1, B, B + 1, // dense run across the 0/1 edge
-      3 * B, 3 * B + 5, // buckets 1(tail)/2 empty → carry skips
-      3 * B + 5, // duplicate timestamp
-      6 * B - 1, 6 * B // edge-straddling pair after another hole
-    )
-    val tsB = Seq(B + 2, B + 3, 5 * B)
-    val rows =
-      tsA.zipWithIndex.map { case (t, i) => ("a", t, math.sin(i.toDouble) * 50) } ++
-        tsB.zipWithIndex.map { case (t, i) => ("b", t, i * 60.0) }
     val df = mkTs(rows)
 
     // sequential references
@@ -264,6 +251,39 @@ class TimeseriesSpec extends SparkSpec {
       .groupBy(_._1)
       .map { case (c, rs) => c -> rs.map(r => (r._2, r._3, r._4)) }
     gotChunks shouldBe expChunks
+  }
+
+  "two-phase stitching" should "match sequential single-window semantics across 1h stitch buckets" in {
+    // curated boundary shapes: samples exactly ON bucket edges, empty
+    // buckets mid-stream (carry reaches back >1 bucket), duplicate
+    // timestamps at a boundary, channels with different occupancy
+    val B = Timeseries.StitchBucketUs
+    val tsA = Seq(
+      0L, 10L, B - 1, B, B + 1, // dense run across the 0/1 edge
+      3 * B, 3 * B + 5, // buckets 1(tail)/2 empty → carry skips
+      3 * B + 5, // duplicate timestamp
+      6 * B - 1, 6 * B // edge-straddling pair after another hole
+    )
+    val tsB = Seq(B + 2, B + 3, 5 * B)
+    assertTwoPhaseMatchesSequential(
+      tsA.zipWithIndex.map { case (t, i) => ("a", t, math.sin(i.toDouble) * 50) } ++
+        tsB.zipWithIndex.map { case (t, i) => ("b", t, i * 60.0) }
+    )
+  }
+
+  it should "match sequential semantics on seeded random multi-bucket channels" in {
+    // randomized coverage beyond the curated shapes: 8 channels with
+    // varying density over 0..8 buckets, duplicate timestamps likely;
+    // fixed seed keeps the case reproducible
+    val rnd = new scala.util.Random(20260812L)
+    val B = Timeseries.StitchBucketUs
+    val rows = (0 until 8).flatMap { c =>
+      val n = 30 + rnd.nextInt(120)
+      Seq.fill(n)(
+        (s"ch$c", (rnd.nextDouble() * 8 * B).toLong / 1000L * 1000L, rnd.nextGaussian() * 60)
+      )
+    }
+    assertTwoPhaseMatchesSequential(rows)
   }
 
   "autoResample" should "pick raw vs min/max per channel from the rate catalog" in {
