@@ -109,6 +109,19 @@ class PlanSpec extends SparkSpec {
     )
     countShuffles(joined) shouldBe 0
     joined.count() shouldBe t.count()
+    // §5's montage claim, machine-checked: the sample-aligned montage
+    // equi-join on (sec, t) is CO-PARTITIONED by the channel bucketing
+    // (subset-key compatibility), so even as a sort-merge join — the
+    // 100 TB shape, forced here by disabling auto-broadcast — it plans
+    // zero exchanges end to end
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val m = Timeseries.montageAligned(spark, t, Seq(("click", "view")))
+      m.collect()
+      countShuffles(m) shouldBe 0
+      planString(m) should include("SortMergeJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   "dedup LSH candidate generation" should "never materialize a bucket as a single row" in {
