@@ -261,10 +261,16 @@ object Dedup {
       .distinct()
       .select(col("node"), col("node").as("cluster"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+    // empty input sums to SQL NULL — normalize to zero so an empty
+    // pair set converges after one round instead of burning maxIter
+    // no-op rounds on never-equal nulls
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df
+        .agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0)
         .getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     // no up-front sum job: the first round always runs, so compare
     // from the second round on
     var prevSum: java.math.BigDecimal = null

@@ -57,6 +57,11 @@ class DedupSpec extends SparkSpec {
     )
   }
 
+  it should "return an empty labeling for an empty pair set without spinning rounds" in {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    Dedup.clustersWithSurvivors(empty).count() shouldBe 0L
+  }
+
   it should "label every mined pair's docs on real data with min-id clusters" in {
     val pairs = Dedup
       .minhashNearDups(Dedup.withPlantedNearDups(Tables.documents(spark, sfDir)), w = 3, tau = 0.5)
