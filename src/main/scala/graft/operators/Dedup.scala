@@ -291,6 +291,16 @@ object Dedup {
       prevSum = s
       iter += 1
     }
+    // unconverged labels are WRONG labels (nodes >maxIter hops from
+    // their component minimum keep intermediate values) — fail loudly
+    // rather than silently mis-clustering; real near-dup components
+    // are shallow, so hitting this means the graph (or maxIter) needs
+    // attention, not that the caller should trust the output
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds; " +
+          "raise maxIter (diameter-bound) for unusually deep components"
+      )
     // the final labels are self-contained checkpointed blocks, so the
     // upstream caches can go
     pairs.unpersist()

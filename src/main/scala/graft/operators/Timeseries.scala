@@ -90,6 +90,19 @@ object Timeseries {
   // machine-assert that the only channel-partitioned windows left in
   // these plans run over summary relations, never over the data
   // stream.
+  //
+  // Cost model, measured: the summary branch and the main branch share
+  // one scan and one shuffle (exchange reuse — records-read confirms
+  // the table is scanned twice total: once full-width for the data
+  // exchange, once column-pruned for summaries), but the bucket-local
+  // SORT + window compute runs once per branch that needs windowed
+  // output (operators whose summary aggregates windowed columns, e.g.
+  // span prefixes, pay it twice). That is the deliberate trade: ~2×
+  // partition-local sort CPU on bucket-sized runs buys unbounded
+  // per-channel parallelism, where the old single-window shape
+  // serialized a whole channel into one task. Persisting the windowed
+  // stream would trade executor memory/spill for that CPU — wrong at
+  // the 100 TB design point.
 
   /** Stitch-bucket width for the two-phase operators: 1 hour. Summary
     * size is (#channels × span/width); at 1 h a decade-long channel
@@ -259,21 +272,28 @@ object Timeseries {
     */
   def contiguousSpans(ts: DataFrame, rates: DataFrame, gapMultiple: Double): DataFrame =
     contiguousSpansByThreshold(
-      // LEFT join + raise_error: a channel missing from the rate
-      // catalog fails the job with a clear message instead of silently
-      // vanishing from the span output (an inner join would drop it)
-      ts.join(broadcast(rates.select(col("channel"), col("rate"))), Seq("channel"), "left")
+      withRateCatalog(ts, rates, "contiguousSpans")
         .select(
           col("channel"),
           col("t"),
-          when(
-            col("rate").isNull,
-            raise_error(concat(lit("contiguousSpans: no rate for channel "), col("channel")))
-          ).otherwise(floor(lit(gapMultiple) * lit(1e6) / col("rate")))
-            .cast("long")
-            .as("__gap")
+          floor(lit(gapMultiple) * lit(1e6) / col("rate")).cast("long").as("__gap")
         )
     )
+
+  /** LEFT-joins the broadcast (channel, rate) catalog and fails loudly
+    * on channels missing from it — an inner join would silently drop
+    * them from the output, which is how data vanishes unnoticed. One
+    * guard shared by every rate-driven operator.
+    */
+  private def withRateCatalog(ts: DataFrame, rates: DataFrame, op: String): DataFrame =
+    ts.join(broadcast(rates.select(col("channel"), col("rate"))), Seq("channel"), "left")
+      .withColumn(
+        "rate",
+        when(
+          col("rate").isNull,
+          raise_error(concat(lit(s"$op: no rate for channel "), col("channel")))
+        ).otherwise(col("rate"))
+      )
 
   /** Two-phase span assembly: the gap test (lag t) and the running
     * break count both run (channel, __bkt)-locally; the bucket's first
@@ -410,20 +430,12 @@ object Timeseries {
     * shuffle partial aggregation on (channel, bucket).
     */
   def autoResample(ts: DataFrame, rates: DataFrame, pixelUs: Long): DataFrame = {
-    val decided = rates.select(
-      col("channel"),
-      (col("rate") * lit(pixelUs.toDouble) / lit(1e6) > lit(3.0)).as("__rs")
-    )
-    val tagged = ts
-      .join(broadcast(decided), Seq("channel"), "left")
+    val tagged = withRateCatalog(ts, rates, "autoResample")
       .select(
         col("channel"),
         col("t"),
         col("v"),
-        when(
-          col("__rs").isNull,
-          raise_error(concat(lit("autoResample: no rate for channel "), col("channel")))
-        ).otherwise(col("__rs")).as("__rs")
+        (col("rate") * lit(pixelUs.toDouble) / lit(1e6) > lit(3.0)).as("__rs")
       )
     val raw = tagged
       .filter(!col("__rs"))
@@ -752,11 +764,18 @@ object Timeseries {
 
   def tsAuto(spark: SparkSession, dir: String): DataFrame = {
     val ts = Tables.ts(spark, dir)
+    // single-sample / zero-span channels get rate 0 (⇒ raw): the raw
+    // formula would divide 0/0 into NULL/NaN, which raise_errors the
+    // guard on the Spark side and silently NULL-drops the channel on
+    // the oracle side — an engine divergence on a legal corpus
+    val n = count(lit(1))
+    val span = (max(col("t")) - min(col("t"))).cast("double")
     val rates = ts
       .groupBy(col("channel"))
       .agg(
-        ((count(lit(1)) - 1).cast("double") * lit(1e6) /
-          (max(col("t")) - min(col("t"))).cast("double")).as("rate")
+        when(n > 1 && span > 0, (n - 1).cast("double") * lit(1e6) / span)
+          .otherwise(lit(0.0))
+          .as("rate")
       )
     autoResample(ts, rates, AutoPixelUs)
       .orderBy(col("channel"), col("t"), col("vmin"), col("vmax"), col("n"))
@@ -765,7 +784,9 @@ object Timeseries {
   val tsAutoSql: String =
     s"""WITH r AS (
        |  SELECT event_type AS channel,
-       |    (COUNT(*) - 1) * 1000000.0 / (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) AS rate
+       |    CASE WHEN COUNT(*) > 1 AND MAX(epoch_us(ts)) - MIN(epoch_us(ts)) > 0
+       |         THEN (COUNT(*) - 1) * 1000000.0 / (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+       |         ELSE 0.0 END AS rate
        |  FROM events GROUP BY 1),
        |d AS (SELECT channel, rate * ${AutoPixelUs}.0 / 1000000.0 > 3.0 AS rs FROM r)
        |SELECT e.event_type AS channel, 'raw' AS mode, epoch_us(e.ts) AS t,

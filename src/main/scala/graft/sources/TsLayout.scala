@@ -69,7 +69,12 @@ object TsLayout {
   def layoutFor(spark: SparkSession, dir: String): String =
     layoutCache.getOrElseUpdate(
       dir, {
-        val path = s"/root/repo/target/ts_layout/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        // relative to the working directory (repo root under the
+        // driver), not a hardcoded absolute checkout path
+        val path = new java.io.File(
+          "target/ts_layout",
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        ).getAbsolutePath
         write(graft.Tables.ts(spark, dir).select(col("channel"), col("t"), col("v")), path)
         path
       }
@@ -83,6 +88,15 @@ object TsLayout {
     * partition key. PlanSpec asserts the scan's partition filters
     * carry the derived p_bucket bounds; the oracle checks the result
     * against the flat events table.
+    *
+    * NOTE: `spark.graft.ts.bucketUs` is a SESSION-scoped width and the
+    * rule applies it to every plan exposing (t, p_bucket) — it cannot
+    * be restored after this call because the returned plan optimizes
+    * lazily. The invariant this object maintains is that every layout
+    * it writes uses [[DayUs]], so conf and layouts stay consistent; a
+    * session mixing p_bucket layouts of DIFFERENT widths must not use
+    * the rule (a wrong width prunes matching rows — see the rule's
+    * scaladoc).
     */
   def tsLayoutRange(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Timeseries
