@@ -37,6 +37,7 @@ object SparkEntry {
     // sequential-equivalence coverage lives in Butterworth/FilteringSpec
     "ts_butterworth" -> (Filtering.tsButterworth _),
     "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_exact_hash" -> (Dedup.dedupExactHash _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "ts_annotations" -> Timeseries.tsAnnotationsSql,
     "ts_waveforms" -> Timeseries.tsWaveformsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_exact_hash" -> Dedup.dedupExactHashSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,

@@ -70,6 +70,26 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** The 100 TB exact-dedup shape: group on a 60-bit prefix of
+    * md5(normalized text) instead of the text itself, so the shuffle
+    * key is 8 bytes rather than the document (the whole corpus no
+    * longer moves through the exchange). Collisions are ~n²/2⁶¹ —
+    * vanishing below 10¹⁰⁄₂-doc corpora, and a collision only merges
+    * two groups (keeps min id), never loses rows. 15 hex digits keep
+    * the key within a signed 64-bit value in BOTH engines, which is
+    * what makes this variant oracle-checkable (DuckDB
+    * CAST('0x'||substr(md5(norm),1,15) AS BIGINT)).
+    */
+  def exactByHash(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        expr(s"cast(conv(substring(md5($NormSql), 1, 15), 16, 10) as bigint)").as("__h")
+      )
+      .groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
   // ---------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------
@@ -502,6 +522,18 @@ object Dedup {
     """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
       |FROM documents
       |GROUP BY LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))
+      |ORDER BY doc_id""".stripMargin
+
+  def dedupExactHash(spark: SparkSession, dir: String): DataFrame =
+    exactByHash(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val dedupExactHashSql: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))), 1, 15) AS BIGINT) AS h
+      |  FROM documents) t
+      |GROUP BY h
       |ORDER BY doc_id""".stripMargin
 
   /** The synthetic corpus has no real near-dups, so the fixed minhash /

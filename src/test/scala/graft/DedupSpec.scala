@@ -38,6 +38,13 @@ class DedupSpec extends SparkSpec {
     planted.subsetOf(found) shouldBe true
   }
 
+  "exactByHash" should "produce identical groups to text-keyed exact dedup" in {
+    val docs = Tables.documents(spark, sfDir)
+    val byText = Dedup.exact(docs).orderBy("doc_id").as[(Long, Long)].collect().toList
+    val byHash = Dedup.exactByHash(docs).orderBy("doc_id").as[(Long, Long)].collect().toList
+    byHash shouldBe byText
+  }
+
   "connectedComponents" should "collapse a planted chain a~b~c to one survivor" in {
     // pairs (1,2),(2,3) form one component even though (1,3) was never
     // mined; (10,11) is its own cluster
