@@ -51,6 +51,10 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "corpus_stats" -> (TextAnalysis.corpusStatsQ _),
+    "text_split" -> (TextAnalysis.textSplit _),
+    "dedup_cross_source" -> (Dedup.dedupCrossSource _),
+    "ann_knn_label" -> (Similarity.annKnnLabel _),
     "mm_decode" -> (Multimodal.mmDecode _), // decode kernel is the sanctioned stub; features oracled
     "mm_frames" -> (Multimodal.mmFrames _), // frame-sample → decode chain
     // rows-only + FilteringSpec sequential-equivalence (montage → IIR chain)
@@ -97,6 +101,10 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
+    "corpus_stats" -> TextAnalysis.corpusStatsSql,
+    "text_split" -> TextAnalysis.textSplitSql,
+    "dedup_cross_source" -> Dedup.dedupCrossSourceSql,
+    "ann_knn_label" -> Similarity.annKnnLabelSql,
     "mm_decode" -> Multimodal.mmDecodeSql,
     "mm_frames" -> Multimodal.mmFramesSql
   )

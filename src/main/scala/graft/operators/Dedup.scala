@@ -90,6 +90,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** Cross-source contamination report: exact-duplicate groups whose
+    * members span MORE THAN ONE source — the check a training pipeline
+    * runs to catch benchmark/eval text leaking into training corpora
+    * (identical text appearing under several origins). Same one-shuffle
+    * group shape as [[exact]] with a distinct-source count; only
+    * spanning groups survive.
+    */
+  def crossSourceExactDups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(normText(col("text")).as("norm"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources")
+      )
+      .filter(col("n_sources") > 1)
+      .select(col("doc_id"), col("n_copies"), col("n_sources"))
+
   // ---------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------
@@ -551,6 +569,32 @@ object Dedup {
       )
     docs.select(col("doc_id"), col("text")).unionByName(planted)
   }
+
+  /** The raw corpus has no cross-source duplicates, so the fixed query
+    * plants them from the data itself: for doc_id % 7 == 0 an exact
+    * copy under source 'planted-mirror' is added as doc_id + 2000000 —
+    * the operator must report exactly those groups.
+    */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val planted = docs
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), lit("planted-mirror").as("source"))
+    crossSourceExactDups(docs.unionByName(planted)).orderBy(col("doc_id"))
+  }
+
+  val dedupCrossSourceSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text, 'planted-mirror' AS source
+      |  FROM documents WHERE doc_id % 7 = 0)
+      |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM corpus
+      |GROUP BY LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))
+      |HAVING COUNT(DISTINCT source) > 1
+      |ORDER BY doc_id""".stripMargin
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), w = 3, tau = 0.5)

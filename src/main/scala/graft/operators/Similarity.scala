@@ -163,6 +163,28 @@ object Similarity {
       )
   }
 
+  /** k-NN label vote: classify each query vector by the majority label
+    * among its k exact nearest neighbors — the standard embedding-space
+    * eval a pipeline runs over a labeled slice. Composes
+    * [[bruteForceTopK]] (queries broadcast, corpus scanned once) with a
+    * label join where the SMALL side is the neighbor list
+    * (queries × k rows — broadcast), so the corpus-scale label catalog
+    * is never shuffled. Ties break deterministically on (votes desc,
+    * label asc).
+    */
+  def knnLabelVote(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val nn = bruteForceTopK(emb, queries, k)
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("label"))
+    emb
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+      .join(broadcast(nn.select(col("query_id"), col("neighbor_id"))), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__r", row_number().over(byQuery))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+  }
+
   // ---------------------------------------------------------------------
   // Fixed driver queries
   // ---------------------------------------------------------------------
@@ -287,4 +309,38 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  def annKnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    knnLabelVote(emb, emb.filter(col("vec_id") < QueryCount), TopK)
+      .orderBy(col("query_id"))
+  }
+
+  /** Same ranked-neighbor CTEs as the bruteforce oracle, extended with
+    * a label join and a deterministic (votes desc, label asc) vote.
+    */
+  val annKnnLabelSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS label,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+       |  FROM n q JOIN n c ON q.vec_id < $QueryCount AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, label,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, label, COUNT(*) AS votes
+       |  FROM ranked WHERE rank <= $TopK
+       |  GROUP BY query_id, label),
+       |picked AS (
+       |  SELECT query_id, label, votes,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS r
+       |  FROM votes)
+       |SELECT query_id, label AS predicted_label, votes
+       |FROM picked WHERE r = 1
+       |ORDER BY query_id""".stripMargin
 }

@@ -252,4 +252,74 @@ object TextAnalysis {
        |FROM fps
        |ORDER BY doc_id, fingerprint""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Corpus reporting and deterministic splits
+  // ---------------------------------------------------------------------
+
+  /** Per-(source, lang) corpus report — the first thing a pipeline run
+    * prints: document counts and character-length distribution. Plain
+    * algebraic aggregation: one shuffle of (source, lang)-keyed partial
+    * aggregates; the sum is exact integer arithmetic so the average is
+    * deterministic in both engines.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")
+      )
+
+  /** Deterministic train/val/test assignment: bucket = a 60-bit md5
+    * prefix of the doc id string, mod 100 — stable across runs,
+    * machines, and engines (no RNG, no row order dependence), the
+    * standard way a pipeline splits a corpus reproducibly. Map-side
+    * only.
+    */
+  def deterministicSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+          .as("__b")
+      )
+      .select(
+        col("doc_id"),
+        when(col("__b") < trainPct, "train")
+          .when(col("__b") < trainPct + valPct, "val")
+          .otherwise("test")
+          .as("split")
+      )
+
+  // ---------------------------------------------------------------------
+  // Fixed driver queries
+  // ---------------------------------------------------------------------
+
+  def corpusStatsQ(spark: SparkSession, dir: String): DataFrame =
+    corpusStats(Tables.documents(spark, dir)).orderBy(col("source"), col("lang"))
+
+  val corpusStatsSql: String =
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY source, lang""".stripMargin
+
+  def textSplit(spark: SparkSession, dir: String): DataFrame =
+    deterministicSplit(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val textSplitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
 }

@@ -45,6 +45,26 @@ class DedupSpec extends SparkSpec {
     byHash shouldBe byText
   }
 
+  "crossSourceExactDups" should "report exactly the planted cross-source mirrors" in {
+    val planted = Tables
+      .documents(spark, sfDir)
+      .filter($"doc_id" % 7 === 0)
+      .select($"doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    planted should not be empty
+    val got = Dedup
+      .dedupCrossSource(spark, sfDir)
+      .as[(Long, Long, Long)]
+      .collect()
+    got.map(_._1).toSet shouldBe planted // min doc_id of each group = the original
+    got.foreach { case (_, nCopies, nSources) =>
+      nCopies shouldBe 2L
+      nSources shouldBe 2L
+    }
+  }
+
   "connectedComponents" should "collapse a planted chain a~b~c to one survivor" in {
     // pairs (1,2),(2,3) form one component even though (1,3) was never
     // mined; (10,11) is its own cluster

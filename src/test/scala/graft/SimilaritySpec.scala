@@ -88,4 +88,23 @@ class SimilaritySpec extends SparkSpec {
     val top1Hits = exactAll.count { case (q, top1) => ivf.getOrElse(q, Set.empty).contains(top1) }
     top1Hits.toDouble / exactAll.size should be >= 0.45
   }
+
+  "knnLabelVote" should "predict the dominant neighbor label with deterministic ties" in {
+    // two tight clusters with distinct labels; the query sits in cluster 1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.005f), 1),
+      (1L, Array(1.0f, 0.01f), 1),
+      (2L, Array(1.0f, -0.01f), 1),
+      (3L, Array(0.99f, 0.0f), 1),
+      (4L, Array(0.0f, 1.0f), 2),
+      (5L, Array(0.01f, 1.0f), 2),
+      (6L, Array(-0.01f, 0.99f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .knnLabelVote(vecs, vecs.filter($"vec_id" === 0L), k = 3)
+      .as[(Long, Int, Long)]
+      .collect()
+      .toList
+    got shouldBe List((0L, 1, 3L))
+  }
 }

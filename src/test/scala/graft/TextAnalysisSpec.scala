@@ -86,4 +86,32 @@ class TextAnalysisSpec extends SparkSpec {
     (fps(1L) intersect fps(2L)) should not be empty
     (fps(1L) intersect fps(3L)) shouldBe empty
   }
+
+  "corpusStats" should "sum to the corpus totals per (source, lang)" in {
+    val docs = Tables.documents(spark, sfDir)
+    val st = TextAnalysis
+      .corpusStats(docs)
+      .select($"n_docs", $"total_chars", $"min_chars", $"max_chars", $"avg_chars")
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+    st.map(_._1).sum shouldBe docs.count()
+    st.map(_._2).sum shouldBe docs.agg(sum($"n_chars")).as[Long].collect()(0)
+    st.foreach { case (n, total, mn, mx, avg) =>
+      mn should be <= mx
+      avg should (be >= mn.toDouble - 1e-6 and be <= mx.toDouble + 1e-6)
+      total should be >= n * mn
+    }
+  }
+
+  "deterministicSplit" should "assign stable, roughly-proportional buckets" in {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = TextAnalysis.deterministicSplit(docs).as[(Long, String)].collect().toMap
+    val s2 = TextAnalysis.deterministicSplit(docs).as[(Long, String)].collect().toMap
+    s1 shouldBe s2 // no RNG, no row-order dependence
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).map { case (k, v) => k -> v.size / n }
+    frac("train") should (be >= 0.70 and be <= 0.90)
+    frac.getOrElse("val", 0.0) should be <= 0.20
+    frac.getOrElse("test", 0.0) should be <= 0.20
+  }
 }
