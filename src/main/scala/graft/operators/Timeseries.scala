@@ -762,22 +762,27 @@ object Timeseries {
     */
   val AutoPixelUs = 7200000000L
 
-  def tsAuto(spark: SparkSession, dir: String): DataFrame = {
-    val ts = Tables.ts(spark, dir)
-    // single-sample / zero-span channels get rate 0 (⇒ raw): the raw
-    // formula would divide 0/0 into NULL/NaN, which raise_errors the
-    // guard on the Spark side and silently NULL-drops the channel on
-    // the oracle side — an engine divergence on a legal corpus
+  /** Rate catalog derived from the data itself: rate = (n−1)·10⁶/span.
+    * Single-sample / zero-span channels get rate 0 (⇒ raw): the raw
+    * formula would divide 0/0 into NULL/NaN, which raise_errors the
+    * catalog guard on the Spark side and silently NULL-drops the
+    * channel on the oracle side — an engine divergence on a legal
+    * corpus.
+    */
+  def deriveRates(ts: DataFrame): DataFrame = {
     val n = count(lit(1))
     val span = (max(col("t")) - min(col("t"))).cast("double")
-    val rates = ts
-      .groupBy(col("channel"))
+    ts.groupBy(col("channel"))
       .agg(
         when(n > 1 && span > 0, (n - 1).cast("double") * lit(1e6) / span)
           .otherwise(lit(0.0))
           .as("rate")
       )
-    autoResample(ts, rates, AutoPixelUs)
+  }
+
+  def tsAuto(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Tables.ts(spark, dir)
+    autoResample(ts, deriveRates(ts), AutoPixelUs)
       .orderBy(col("channel"), col("t"), col("vmin"), col("vmax"), col("n"))
   }
 

@@ -322,6 +322,24 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  it should "route single-sample and zero-span channels to raw instead of erroring" in {
+    // (n-1)/span would be 0/0 here; deriveRates must yield 0 (=> raw)
+    val ts = Seq(("solo", 100L, 7.0), ("flat", 50L, 1.0), ("flat", 50L, 2.0))
+      .toDF("channel", "t", "v")
+    val out = Timeseries
+      .autoResample(ts, Timeseries.deriveRates(ts), 1000000L)
+      .orderBy("channel", "t", "vmin")
+      .select("channel", "mode", "vmin", "n")
+      .as[(String, String, Double, Long)]
+      .collect()
+      .toList
+    out shouldBe List(
+      ("flat", "raw", 1.0, 1L),
+      ("flat", "raw", 2.0, 1L),
+      ("solo", "raw", 7.0, 1L)
+    )
+  }
+
   it should "fail loudly on a channel missing from the rate catalog" in {
     val ts = Seq(("orphan", 0L, 1.0)).toDF("channel", "t", "v")
     val rates = Seq(("other", 1.0)).toDF("channel", "rate")
