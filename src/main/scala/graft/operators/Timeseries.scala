@@ -104,10 +104,17 @@ object Timeseries {
   // stream would trade executor memory/spill for that CPU — wrong at
   // the 100 TB design point.
 
-  /** Stitch-bucket width for the two-phase operators: 1 hour. Summary
-    * size is (#channels × span/width); at 1 h a decade-long channel
-    * costs ~88 k summary rows — trivially window-able and broadcast-
-    * able — while the data-side partitions stay small and uniform.
+  /** Default stitch-bucket width for the two-phase operators: 1 hour.
+    * Summary size is (#channels × span/width); at 1 h a decade-long
+    * channel costs ~88 k summary rows — trivially window-able and
+    * broadcast-able — while the data-side partitions stay small and
+    * uniform. Every two-phase operator exposes the width as a
+    * parameter: it is a pure parallelism/memory knob (results are
+    * identical for any width) — pick width ≫ the sample period (so
+    * summaries stay tiny relative to data) and small enough that one
+    * bucket of the fastest channel fits an executor's sort budget
+    * (e.g. minutes for kHz-rate channels, the 1 h default for
+    * event-scale streams).
     */
   val StitchBucketUs: Long = BucketUs
 
@@ -224,9 +231,9 @@ object Timeseries {
     * storage model) can still use [[resampleChunksUniform]], where the
     * chunk id is pure arithmetic on t and no window exists at all.
     */
-  def resampleChunks(tsIn: DataFrame, chunkSize: Int): DataFrame = {
+  def resampleChunks(tsIn: DataFrame, chunkSize: Int, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
     val ts = withTieBreak(tsIn).select(col("channel"), col("t"), col("v"), col("event_id"))
-    withGlobalRowNumber(ts, StitchBucketUs, Seq("event_id"))
+    withGlobalRowNumber(ts, stitchBucketUs, Seq("event_id"))
       .select(col("channel"), col("v"), expr(s"(__rn - 1) div $chunkSize").as("chunk"))
       .groupBy(col("channel"), col("chunk"))
       .agg(min(col("v")).as("cmin"), max(col("v")).as("cmax"), count(lit(1)).as("n"))
@@ -260,8 +267,11 @@ object Timeseries {
     * query/TimeSeriesQueryUtils.scala:316), then emit one row per span.
     * lag + running-sum windows share one (channel) sort.
     */
-  def contiguousSpans(ts: DataFrame, gapUs: Long): DataFrame =
-    contiguousSpansByThreshold(ts.select(col("channel"), col("t"), lit(gapUs).as("__gap")))
+  def contiguousSpans(ts: DataFrame, gapUs: Long, stitchBucketUs: Long = StitchBucketUs): DataFrame =
+    contiguousSpansByThreshold(
+      ts.select(col("channel"), col("t"), lit(gapUs).as("__gap")),
+      stitchBucketUs
+    )
 
   /** Rate-driven contiguous spans: each channel splits at its OWN
     * threshold floor(gapMultiple · 1e6 / rate) — the reference's
@@ -271,13 +281,22 @@ object Timeseries {
     * (channel, rate) table — channel-catalog scale, broadcast.
     */
   def contiguousSpans(ts: DataFrame, rates: DataFrame, gapMultiple: Double): DataFrame =
+    contiguousSpans(ts, rates, gapMultiple, StitchBucketUs)
+
+  def contiguousSpans(
+    ts: DataFrame,
+    rates: DataFrame,
+    gapMultiple: Double,
+    stitchBucketUs: Long
+  ): DataFrame =
     contiguousSpansByThreshold(
       withRateCatalog(ts, rates, "contiguousSpans")
         .select(
           col("channel"),
           col("t"),
           floor(lit(gapMultiple) * lit(1e6) / col("rate")).cast("long").as("__gap")
-        )
+        ),
+      stitchBucketUs
     )
 
   /** LEFT-joins the broadcast (channel, rate) catalog and fails loudly
@@ -302,8 +321,8 @@ object Timeseries {
     * so span ids are globally identical to the single-window
     * formulation with no per-channel sort anywhere.
     */
-  private def contiguousSpansByThreshold(ts: DataFrame): DataFrame = {
-    val withBrk = withStitchedPrev(ts, Seq("t"), StitchBucketUs, Nil)
+  private def contiguousSpansByThreshold(ts: DataFrame, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    val withBrk = withStitchedPrev(ts, Seq("t"), stitchBucketUs, Nil)
       .withColumn("__brk", when(col("t") - col("__prev_t") >= col("__gap"), 1L).otherwise(0L))
     val wLoc = Window.partitionBy(col("channel"), col("__bkt")).orderBy(col("t"))
     val wPrev = Window
@@ -481,11 +500,12 @@ object Timeseries {
     spark: SparkSession,
     tsIn: DataFrame,
     spikeDataPointCount: Int,
-    chunkCount: Int
+    chunkCount: Int,
+    stitchBucketUs: Long = StitchBucketUs
   ): DataFrame = {
     import spark.implicits._
     val ts = withTieBreak(tsIn).select(col("channel"), col("t"), col("v"), col("event_id"))
-    withGlobalRowNumber(ts, StitchBucketUs, Seq("event_id"))
+    withGlobalRowNumber(ts, stitchBucketUs, Seq("event_id"))
       .select(
         col("channel"),
         col("t"),
@@ -510,9 +530,9 @@ object Timeseries {
     * v <= thresh (unit-channel spike analog). The previous value comes
     * from the two-phase stitched lag — no per-channel sort.
     */
-  def spikes(tsIn: DataFrame, thresh: Double): DataFrame = {
+  def spikes(tsIn: DataFrame, thresh: Double, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
     val ts = withTieBreak(tsIn).select(col("channel"), col("t"), col("v"), col("event_id"))
-    withStitchedPrev(ts, Seq("v"), StitchBucketUs, Seq("event_id"))
+    withStitchedPrev(ts, Seq("v"), stitchBucketUs, Seq("event_id"))
       .filter(col("v") > thresh && col("__prev_v") <= thresh)
       .select(col("channel"), col("t"), col("v"))
   }

@@ -286,6 +286,32 @@ class TimeseriesSpec extends SparkSpec {
     assertTwoPhaseMatchesSequential(rows)
   }
 
+  "stitchBucketUs" should "be a pure parallelism knob — identical results at any width" in {
+    val B = Timeseries.StitchBucketUs
+    val rows = Seq(
+      ("a", 0L, 1.0), ("a", 10L, 120.0), ("a", B, 2.0), ("a", 3 * B, 130.0), ("a", 3 * B + 1, 1.0),
+      ("b", B + 2, 50.0), ("b", 5 * B, 140.0)
+    )
+    val df = mkTs(rows)
+    for (width <- Seq(B / 7, B, 5 * B)) {
+      Timeseries
+        .contiguousSpans(df, B / 2, width)
+        .orderBy("channel", "span_id")
+        .collect()
+        .toList shouldBe Timeseries.contiguousSpans(df, B / 2).orderBy("channel", "span_id").collect().toList
+      Timeseries
+        .spikes(df, 100.0, width)
+        .orderBy("channel", "t")
+        .collect()
+        .toList shouldBe Timeseries.spikes(df, 100.0).orderBy("channel", "t").collect().toList
+      Timeseries
+        .resampleChunks(df, 2, width)
+        .orderBy("channel", "chunk")
+        .collect()
+        .toList shouldBe Timeseries.resampleChunks(df, 2).orderBy("channel", "chunk").collect().toList
+    }
+  }
+
   "autoResample" should "pick raw vs min/max per channel from the rate catalog" in {
     // fast: 10 samples/pixel → resample; slow: 1 sample per 2 pixels → raw
     val pixel = 1000000L
