@@ -39,6 +39,19 @@ object Dedup {
   def normText(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** 60-bit md5-prefix key, identical in both engines: 15 hex digits
+    * keep the value inside a SIGNED 64-bit long on each side, which is
+    * the load-bearing portability invariant — widen the prefix and the
+    * DuckDB 0x-cast overflows. One definition feeds every consumer
+    * (hash-keyed exact dedup, deterministic splits) on both the Spark
+    * and the oracle side.
+    */
+  private[operators] def md5Prefix60Sql(x: String): String =
+    s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
+
+  private[operators] def md5Prefix60Duck(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
   private val NormSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
   private val WordsSql = s"split($NormSql, ' ')"
 
@@ -82,10 +95,7 @@ object Dedup {
     */
   def exactByHash(docs: DataFrame): DataFrame =
     docs
-      .select(
-        col("doc_id"),
-        expr(s"cast(conv(substring(md5($NormSql), 1, 15), 16, 10) as bigint)").as("__h")
-      )
+      .select(col("doc_id"), expr(md5Prefix60Sql(NormSql)).as("__h"))
       .groupBy(col("__h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
@@ -546,13 +556,13 @@ object Dedup {
     exactByHash(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   val dedupExactHashSql: String =
-    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-      |FROM (
-      |  SELECT doc_id,
-      |    CAST('0x' || substr(md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))), 1, 15) AS BIGINT) AS h
-      |  FROM documents) t
-      |GROUP BY h
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+       |FROM (
+       |  SELECT doc_id,
+       |    ${md5Prefix60Duck("LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))")} AS h
+       |  FROM documents) t
+       |GROUP BY h
+       |ORDER BY doc_id""".stripMargin
 
   /** The synthetic corpus has no real near-dups, so the fixed minhash /
     * simhash / ngram queries plant them deterministically from the data
@@ -570,10 +580,13 @@ object Dedup {
     docs.select(col("doc_id"), col("text")).unionByName(planted)
   }
 
-  /** The raw corpus has no cross-source duplicates, so the fixed query
-    * plants them from the data itself: for doc_id % 7 == 0 an exact
-    * copy under source 'planted-mirror' is added as doc_id + 2000000 —
-    * the operator must report exactly those groups.
+  /** The fixed query plants guaranteed cross-source duplicates from
+    * the data itself (for doc_id % 7 == 0 an exact copy under source
+    * 'planted-mirror' is added as doc_id + 2000000) so the query has
+    * rows at every scale factor. The operator reports ALL spanning
+    * groups — planted mirrors plus any naturally-occurring cross-source
+    * duplicates (sf0.1 ships 8 such groups); that is its purpose, and
+    * the oracle mirrors the same corpus.
     */
   def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))

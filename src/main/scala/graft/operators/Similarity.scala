@@ -169,8 +169,12 @@ object Similarity {
     * [[bruteForceTopK]] (queries broadcast, corpus scanned once) with a
     * label join where the SMALL side is the neighbor list
     * (queries × k rows — broadcast), so the corpus-scale label catalog
-    * is never shuffled. Ties break deterministically on (votes desc,
-    * label asc).
+    * is never shuffled. The label lookup is a SECOND scan of the
+    * table, but a column-pruned one — parquet reads only
+    * (vec_id, label), ~1% of the embedding-column bytes the first scan
+    * pays (PlanSpec asserts the pruned ReadSchema) — kept in
+    * preference to threading label through bruteForceTopK's ranking
+    * columns. Ties break deterministically on (votes desc, label asc).
     */
   def knnLabelVote(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val nn = bruteForceTopK(emb, queries, k)

@@ -284,8 +284,7 @@ object TextAnalysis {
     docs
       .select(
         col("doc_id"),
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
-          .as("__b")
+        expr(s"${Dedup.md5Prefix60Sql("cast(doc_id as string)")} % 100").as("__b")
       )
       .select(
         col("doc_id"),
@@ -315,11 +314,11 @@ object TextAnalysis {
     deterministicSplit(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   val textSplitSql: String =
-    """SELECT doc_id,
-      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-      |FROM (
-      |  SELECT doc_id,
-      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
-      |  FROM documents) t
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id,
+       |    ${Dedup.md5Prefix60Duck("CAST(doc_id AS VARCHAR)")} % 100 AS b
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
 }

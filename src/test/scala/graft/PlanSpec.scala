@@ -76,6 +76,13 @@ class PlanSpec extends SparkSpec {
     plan should include("vec_dot")
   }
 
+  "ann_knn_label" should "column-prune the label lookup scan to (vec_id, label)" in {
+    // the second table scan exists only for labels — it must not
+    // re-read the embedding column (the dominant bytes)
+    val plan = planString(Similarity.annKnnLabel(spark, sfDir))
+    plan should include("ReadSchema: struct<vec_id:bigint,label:int>")
+  }
+
   "BucketedLayout" should "plan channel-keyed aggregation and self-join with zero shuffles" in {
     import graft.sources.BucketedLayout
     // a previous JVM's warehouse dir survives while the in-memory
