@@ -45,14 +45,23 @@ object Bench {
       fn(spark, dir).queryExecution.toRdd.count(): Unit
     }
 
+    // optional focus set for profiling single queries
+    // (SPARK_GRAFT_BENCH_ONLY=dedup_clusters,dedup_minhash)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+
     val warmupDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try execute(fn, warmupDir)
       catch { case _: Throwable => () }
     }
 
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3).max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         System.gc()

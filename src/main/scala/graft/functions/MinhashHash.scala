@@ -23,6 +23,22 @@ import org.apache.spark.sql.types._
   * One interpreted call per DOCUMENT computes the whole 64-value
   * signature; the surrounding projection (normalization, shingling,
   * element extraction) stays codegen'd.
+  *
+  * QUALITY TRADE (explicit): the two-hash construction makes every
+  * seed hash an affine function of h1 with pairwise-CORRELATED
+  * coefficients — strictly weaker min-wise independence than 64
+  * independent affine constants. Kirsch–Mitzenmacher proved the
+  * construction for Bloom-filter false-positive rates, not for MinHash
+  * estimator variance, so on adversarially structured corpora the
+  * Jaccard estimate can be noisier than the independent family at the
+  * same seed count. The estimator stays UNBIASED per seed (each h_s is
+  * still a universal hash), the slots are what correlate. DedupSpec's
+  * estimator-quality case pins the observed behavior on real data:
+  * the 64-slot estimate tracks exact shingle Jaccard within the
+  * binomial error envelope on every verified near-dup pair. If a
+  * corpus ever shows estimator drift, revert to per-seed independent
+  * affine constants — one line here plus the oracle's `mins` CTE — at
+  * 64 mulmods per shingle instead of 1.
   */
 object MinhashHash {
   val Seeds = 64

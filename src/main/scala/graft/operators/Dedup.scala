@@ -271,10 +271,15 @@ object Dedup {
     * (b,c) form one cluster {a,b,c}; keep the min doc_id, drop the
     * rest.
     *
-    * Iterative min-label propagation: every node starts labeled with
-    * itself; each round every node takes the min of its own label and
-    * its neighbors' labels, until a round changes nothing (witnessed by
-    * an exact decimal label-sum, which strictly decreases until the
+    * Iterative min-label propagation over the edge set EXTENDED WITH
+    * SELF-LOOPS: with (u,u) present for every node, one
+    * join-on-v + groupBy-u + min computes
+    * newLabel(u) = min(label(u), min over neighbors) directly — no
+    * second per-round join to merge a node's own label back in, and
+    * round 0 needs no initialization join at all (labels(v) = v
+    * initially, so round 0 is a single aggregation over the edges
+    * themselves). Rounds run until a round changes nothing (witnessed
+    * by an exact decimal label-sum, which strictly decreases until the
     * fixpoint) or maxIter. Each round is one join + one
     * partial-aggregated groupBy on the node id — no component ever has
     * to fit in one task, which is what makes label propagation the
@@ -293,9 +298,14 @@ object Dedup {
     // the pair relation feeds both edge orientations — persist it so
     // an expensive upstream pipeline (minhash verify) runs once
     val pairs = pairsIn.persist(sl)
-    val edges = pairs
+    // both orientations + one self-loop per oriented row ((u,u) appears
+    // deg(u) times — duplicates don't affect min, and skipping the
+    // dedup keeps setup shuffle-free)
+    val oriented = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val edges = oriented
+      .union(oriented.select(col("u"), col("u").as("v")))
       .persist(sl)
     // labels live on LOCALLY CHECKPOINTED rdds, not chained persists:
     // uncaching round i's labels would force Spark to re-cache round
@@ -304,10 +314,21 @@ object Dedup {
     // upstream pipeline EVERY round — and lineage would grow per
     // round besides. localCheckpoint(eager) both materializes the
     // round and truncates its plan to the stored blocks.
+    // handle on the block-store RDD behind a locally checkpointed
+    // Dataset, so a superseded round's blocks can be released as soon
+    // as the next round is materialized — without this, a long-lived
+    // driver retains up to maxIter label copies until GC
+    def checkpointBlocks(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
+    // round 0, fused with initialization: labels(v) = v initially, so
+    // min over the self-looped neighborhood is a plain aggregation —
+    // no distinct-nodes job and no join
     var labels = edges
-      .select(col("u").as("node"))
-      .distinct()
-      .select(col("node"), col("node").as("cluster"))
+      .groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("cluster"))
       .localCheckpoint(true)
     // empty input sums to SQL NULL — normalize to zero so an empty
     // pair set converges after one round instead of burning maxIter
@@ -319,41 +340,54 @@ object Dedup {
         .getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-    // no up-front sum job: the first round always runs, so compare
-    // from the second round on
-    var prevSum: java.math.BigDecimal = null
-    var iter = 0
+    // round 0 always ran above — its sum seeds the witness; compare
+    // from round 1 on
+    var prevSum: java.math.BigDecimal = labelSum(labels)
+    var iter = 1
     var converged = false
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("node").as("v"), col("cluster").as("nl")), "v")
-        .groupBy(col("u"))
-        .agg(min(col("nl")).as("nmin"))
-      val updated = labels
-        .join(neighborMin.select(col("u").as("node"), col("nmin")), Seq("node"), "left")
-        .select(col("node"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
-      val s = labelSum(updated)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
-      labels = updated
-      prevSum = s
-      iter += 1
+    // try/finally so a mid-loop failure (including the non-convergence
+    // throw below) releases every block this call pinned — pairs,
+    // edges, and the in-flight label round — instead of leaking them
+    // for the life of the driver
+    var succeeded = false
+    try {
+      while (!converged && iter < maxIter) {
+        // self-loops make the neighborhood min include the node's own
+        // label, so the aggregation output IS the new label relation
+        val updated = edges
+          .join(labels.select(col("node").as("v"), col("cluster")), "v")
+          .groupBy(col("u").as("node"))
+          .agg(min(col("cluster")).as("cluster"))
+          .localCheckpoint(true)
+        val s = labelSum(updated)
+        converged = s.compareTo(prevSum) == 0
+        // `updated` is fully materialized into its own blocks (eager
+        // checkpoint), so the superseded round's copy can go now
+        checkpointBlocks(labels).foreach(_.unpersist(false))
+        labels = updated
+        prevSum = s
+        iter += 1
+      }
+      // unconverged labels are WRONG labels (nodes >maxIter hops from
+      // their component minimum keep intermediate values) — fail loudly
+      // rather than silently mis-clustering; real near-dup components
+      // are shallow, so hitting this means the graph (or maxIter) needs
+      // attention, not that the caller should trust the output
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIter rounds; " +
+            "raise maxIter (diameter-bound) for unusually deep components"
+        )
+      succeeded = true
+      labels
+    } finally {
+      // the final labels are self-contained checkpointed blocks, so the
+      // upstream caches always go; the labels themselves only survive a
+      // successful return
+      pairs.unpersist()
+      edges.unpersist()
+      if (!succeeded) checkpointBlocks(labels).foreach(_.unpersist(false))
     }
-    // unconverged labels are WRONG labels (nodes >maxIter hops from
-    // their component minimum keep intermediate values) — fail loudly
-    // rather than silently mis-clustering; real near-dup components
-    // are shallow, so hitting this means the graph (or maxIter) needs
-    // attention, not that the caller should trust the output
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter rounds; " +
-          "raise maxIter (diameter-bound) for unusually deep components"
-      )
-    // the final labels are self-contained checkpointed blocks, so the
-    // upstream caches can go
-    pairs.unpersist()
-    edges.unpersist()
-    labels
   }
 
   /** Components + survivor flag: survivor = the cluster's min doc_id. */

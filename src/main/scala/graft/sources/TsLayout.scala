@@ -18,11 +18,23 @@ object TsLayout {
   /** Default partition granularity: one day of microseconds. */
   val DayUs: Long = 86400000000L
 
+  /** Session conf key [[graft.plans.DeriveBucketFilter]] reads its
+    * bucket width from; [[write]] records the width it used in a marker
+    * file and [[read]] cross-checks the two (see read's scaladoc).
+    */
+  val BucketUsConfKey = "spark.graft.ts.bucketUs"
+
+  /** Marker file recording the bucket width a layout was written with. */
+  private val BucketMarker = "_graft_bucket_us"
+
   /** Write ts rows into the partitioned layout. Directory keys are
     * duplicated from data columns (p_channel, p_bucket) so the data
-    * columns survive in the files untouched.
+    * columns survive in the files untouched. The bucket width is
+    * recorded in a `_graft_bucket_us` marker inside the layout so
+    * [[read]] can refuse a session whose DeriveBucketFilter width
+    * disagrees (a mismatched width silently prunes matching rows).
     */
-  def write(ts: DataFrame, path: String, bucketUs: Long = DayUs): Unit =
+  def write(ts: DataFrame, path: String, bucketUs: Long = DayUs): Unit = {
     ts.withColumn("p_channel", col("channel"))
       // floor (not truncate-toward-zero) so negative timestamps land in
       // the bucket DeriveBucketFilter derives with Math.floorDiv
@@ -32,9 +44,42 @@ object TsLayout {
       .partitionBy("p_channel", "p_bucket")
       .mode("overwrite")
       .parquet(path)
+    val marker = new org.apache.hadoop.fs.Path(path, BucketMarker)
+    val fs = marker.getFileSystem(ts.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(marker, true)
+    try out.write(bucketUs.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  /** Read a layout, enforcing bucket-width consistency: if the layout
+    * carries a width marker and the session already pins
+    * [[BucketUsConfKey]] to a DIFFERENT width, fail loudly — the
+    * DeriveBucketFilter rule would prune with the wrong bounds and
+    * silently drop matching rows. If the session has no width yet, the
+    * marker's width is adopted, so a plain read()+filter gets correct
+    * derived pruning with no manual conf step. Markerless layouts
+    * (written by something other than [[write]]) pass through untouched.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(path, BucketMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val written =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toLong
+        finally in.close()
+      spark.conf.getOption(BucketUsConfKey).map(_.toLong) match {
+        case Some(conf) if conf != written =>
+          throw new IllegalStateException(
+            s"layout at $path was written with bucketUs=$written but the session pins " +
+              s"$BucketUsConfKey=$conf; DeriveBucketFilter would mis-prune — use one width per session"
+          )
+        case Some(_) => // consistent
+        case None => spark.conf.set(BucketUsConfKey, written.toString)
+      }
+    }
     spark.read.parquet(path)
+  }
 
   /** Range query that drives partition pruning: channel set + time
     * window, expressed against both the partition keys (pruning) and
@@ -70,10 +115,20 @@ object TsLayout {
     layoutCache.getOrElseUpdate(
       dir, {
         // relative to the working directory (repo root under the
-        // driver), not a hardcoded absolute checkout path
+        // driver), not a hardcoded absolute checkout path. The
+        // sanitized name alone is NOT injective ('data/sf0.1' and
+        // 'data_sf0.1' collide), so a canonical-path hash suffix keeps
+        // distinct source dirs in distinct layout dirs
+        val canonical = new java.io.File(dir).getCanonicalPath
+        val tag = java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(canonical.getBytes("UTF-8"))
+          .take(4)
+          .map(b => f"$b%02x")
+          .mkString
         val path = new java.io.File(
           "target/ts_layout",
-          dir.replaceAll("[^A-Za-z0-9.]", "_")
+          dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + tag
         ).getAbsolutePath
         write(graft.Tables.ts(spark, dir).select(col("channel"), col("t"), col("v")), path)
         path
@@ -89,19 +144,18 @@ object TsLayout {
     * carry the derived p_bucket bounds; the oracle checks the result
     * against the flat events table.
     *
-    * NOTE: `spark.graft.ts.bucketUs` is a SESSION-scoped width and the
+    * NOTE: [[BucketUsConfKey]] is a SESSION-scoped width and the
     * rule applies it to every plan exposing (t, p_bucket) — it cannot
     * be restored after this call because the returned plan optimizes
-    * lazily. The invariant this object maintains is that every layout
-    * it writes uses [[DayUs]], so conf and layouts stay consistent; a
-    * session mixing p_bucket layouts of DIFFERENT widths must not use
-    * the rule (a wrong width prunes matching rows — see the rule's
-    * scaladoc).
+    * lazily. Conf/layout consistency is ENFORCED, not conventional:
+    * every layout [[write]] records its width in a marker and [[read]]
+    * throws on a mismatched session width, so a session mixing layouts
+    * of different widths fails loudly instead of mis-pruning.
     */
   def tsLayoutRange(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Timeseries
     val path = layoutFor(spark, dir)
-    spark.conf.set("spark.graft.ts.bucketUs", DayUs.toString)
+    spark.conf.set(BucketUsConfKey, DayUs.toString)
     read(spark, path)
       .filter(
         col("p_channel").isin("click", "error") &&
