@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: derive partition-key predicates from time
@@ -21,24 +22,28 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * predicates never reject a row the original filter accepts — they
   * only prune partitions that cannot contain matches.
   *
-  * The bucket width MUST be set explicitly via `spark.graft.ts.bucketUs`
-  * and MUST match the width the layout was written with — the rule is a
-  * NO-OP when the conf is unset, because deriving bounds with a wrong
-  * width silently drops matching rows. The rule fires only on plans
-  * that expose BOTH a long column `t` and a long partition column
-  * `p_bucket`, and is idempotent (skips filters that already constrain
-  * p_bucket).
+  * The bucket width is resolved PER RELATION: every layout written by
+  * [[graft.sources.TsLayout.write]] carries its width in a
+  * `_graft_bucket_us` marker, and the rule reads the marker of the
+  * scan under each filter (cached lookup), so one session can mix
+  * layouts of different widths and each prunes with its own. The
+  * session conf `spark.graft.ts.bucketUs` is only a fallback for
+  * markerless layouts; with neither marker nor conf the rule is a
+  * NO-OP, because deriving bounds with a wrong width silently drops
+  * matching rows (and if the scan's marker and other scanned markers
+  * conflict within one filter's subtree, the rule also declines). The
+  * rule fires only on plans that expose BOTH a long column `t` and a
+  * long partition column `p_bucket`, and is idempotent (skips filters
+  * that already constrain p_bucket).
   */
 case class DeriveBucketFilter() extends Rule[LogicalPlan] {
 
   private val BucketConfKey = "spark.graft.ts.bucketUs"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val bucketOpt =
+    val confWidth =
       try Option(conf.getConfString(BucketConfKey, null)).map(_.toLong).filter(_ > 0)
       catch { case _: NumberFormatException => None }
-    if (bucketOpt.isEmpty) return plan
-    val bucketUs = bucketOpt.get
 
     plan.transform {
       case f @ Filter(cond, child) =>
@@ -48,13 +53,39 @@ case class DeriveBucketFilter() extends Rule[LogicalPlan] {
         val bAttr = child.output.find(a =>
           a.name == "p_bucket" && (a.dataType == LongType || a.dataType == IntegerType)
         )
-        (tAttr, bAttr) match {
-          case (Some(t), Some(b)) if !mentions(cond, b) =>
+        (tAttr, bAttr, widthFor(child, confWidth)) match {
+          case (Some(t), Some(b), Some(bucketUs)) if !mentions(cond, b) =>
             val derived = deriveBounds(cond, t, b, bucketUs)
             if (derived.isEmpty) f
             else Filter(derived.foldLeft(cond)(And), child)
           case _ => f
         }
+    }
+  }
+
+  /** The width the filtered relation was written with: the marker of
+    * the file scan(s) under the filter when they agree, else the
+    * session conf, else None (rule declines). Marker lookups go through
+    * [[graft.sources.TsLayout.markerWidth]]'s cache, so this is a map
+    * probe on every optimization after the first.
+    */
+  private def widthFor(child: LogicalPlan, confWidth: Option[Long]): Option[Long] = {
+    val markerWidths = child
+      .collectLeaves()
+      .flatMap {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(p =>
+            graft.sources.TsLayout
+              .markerWidth(p.toString, fs.sparkSession.sessionState.newHadoopConf())
+          )
+        case _ => Seq.empty
+      }
+      .flatten
+      .distinct
+    markerWidths match {
+      case Seq(w) => Some(w)
+      case Seq() => confWidth
+      case _ => None // conflicting widths under one filter — refuse to guess
     }
   }
 

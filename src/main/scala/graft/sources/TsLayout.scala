@@ -18,21 +18,55 @@ object TsLayout {
   /** Default partition granularity: one day of microseconds. */
   val DayUs: Long = 86400000000L
 
-  /** Session conf key [[graft.plans.DeriveBucketFilter]] reads its
-    * bucket width from; [[write]] records the width it used in a marker
-    * file and [[read]] cross-checks the two (see read's scaladoc).
+  /** Session conf key [[graft.plans.DeriveBucketFilter]] falls back to
+    * for layouts that carry no width marker (i.e. layouts written by
+    * something other than [[write]]). Marker-carrying layouts resolve
+    * their width per relation via [[markerWidth]], so sessions can mix
+    * layouts of different widths safely.
     */
   val BucketUsConfKey = "spark.graft.ts.bucketUs"
 
   /** Marker file recording the bucket width a layout was written with. */
   private val BucketMarker = "_graft_bucket_us"
 
+  /** Cached marker lookups, keyed by layout root path as it appears in
+    * the scan (misses cached too — the optimizer asks on every query).
+    */
+  private val widthCache = scala.collection.concurrent.TrieMap[String, Option[Long]]()
+
+  /** The bucket width recorded in a layout's `_graft_bucket_us` marker,
+    * None for markerless paths. This is how [[graft.plans.DeriveBucketFilter]]
+    * learns each scanned layout's OWN width instead of trusting a
+    * session-global number — the session conf is only a fallback for
+    * markerless layouts.
+    */
+  def markerWidth(rootPath: String, hadoopConf: org.apache.hadoop.conf.Configuration): Option[Long] =
+    widthCache.getOrElseUpdate(
+      rootPath, {
+        try {
+          val marker = new org.apache.hadoop.fs.Path(rootPath, BucketMarker)
+          val fs = marker.getFileSystem(hadoopConf)
+          if (!fs.exists(marker)) None
+          else {
+            val in = fs.open(marker)
+            val bytes =
+              try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+              finally in.close()
+            val w = new String(bytes, "UTF-8").trim.toLong
+            if (w > 0) Some(w) else None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    )
+
   /** Write ts rows into the partitioned layout. Directory keys are
     * duplicated from data columns (p_channel, p_bucket) so the data
     * columns survive in the files untouched. The bucket width is
-    * recorded in a `_graft_bucket_us` marker inside the layout so
-    * [[read]] can refuse a session whose DeriveBucketFilter width
-    * disagrees (a mismatched width silently prunes matching rows).
+    * recorded in a `_graft_bucket_us` marker inside the layout (an
+    * underscore-prefixed file, so parquet listing ignores it) so
+    * [[graft.plans.DeriveBucketFilter]] derives each layout's pruning
+    * bounds with that layout's OWN width — mixing widths in one session
+    * is safe.
     */
   def write(ts: DataFrame, path: String, bucketUs: Long = DayUs): Unit = {
     ts.withColumn("p_channel", col("channel"))
@@ -49,37 +83,18 @@ object TsLayout {
     val out = fs.create(marker, true)
     try out.write(bucketUs.toString.getBytes("UTF-8"))
     finally out.close()
+    // a rewrite with a different width must invalidate the cached lookup
+    widthCache.remove(path)
+    widthCache.remove(new java.io.File(path).getCanonicalPath)
   }
 
-  /** Read a layout, enforcing bucket-width consistency: if the layout
-    * carries a width marker and the session already pins
-    * [[BucketUsConfKey]] to a DIFFERENT width, fail loudly — the
-    * DeriveBucketFilter rule would prune with the wrong bounds and
-    * silently drop matching rows. If the session has no width yet, the
-    * marker's width is adopted, so a plain read()+filter gets correct
-    * derived pruning with no manual conf step. Markerless layouts
-    * (written by something other than [[write]]) pass through untouched.
+  /** Read a layout. Width handling needs no session step: the rule
+    * resolves each scan's width from the layout's marker (see
+    * [[markerWidth]]); markerless layouts fall back to
+    * [[BucketUsConfKey]] or get no derived pruning at all.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val marker = new org.apache.hadoop.fs.Path(path, BucketMarker)
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val written =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toLong
-        finally in.close()
-      spark.conf.getOption(BucketUsConfKey).map(_.toLong) match {
-        case Some(conf) if conf != written =>
-          throw new IllegalStateException(
-            s"layout at $path was written with bucketUs=$written but the session pins " +
-              s"$BucketUsConfKey=$conf; DeriveBucketFilter would mis-prune — use one width per session"
-          )
-        case Some(_) => // consistent
-        case None => spark.conf.set(BucketUsConfKey, written.toString)
-      }
-    }
+  def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
-  }
 
   /** Range query that drives partition pruning: channel set + time
     * window, expressed against both the partition keys (pruning) and
@@ -144,18 +159,13 @@ object TsLayout {
     * carry the derived p_bucket bounds; the oracle checks the result
     * against the flat events table.
     *
-    * NOTE: [[BucketUsConfKey]] is a SESSION-scoped width and the
-    * rule applies it to every plan exposing (t, p_bucket) — it cannot
-    * be restored after this call because the returned plan optimizes
-    * lazily. Conf/layout consistency is ENFORCED, not conventional:
-    * every layout [[write]] records its width in a marker and [[read]]
-    * throws on a mismatched session width, so a session mixing layouts
-    * of different widths fails loudly instead of mis-pruning.
+    * The rule learns the width from the layout's own marker (written by
+    * [[write]]), so no session conf step is needed and other layouts in
+    * the same session — of any width — prune with their own widths.
     */
   def tsLayoutRange(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Timeseries
     val path = layoutFor(spark, dir)
-    spark.conf.set(BucketUsConfKey, DayUs.toString)
     read(spark, path)
       .filter(
         col("p_channel").isin("click", "error") &&

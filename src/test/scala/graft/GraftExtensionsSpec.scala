@@ -77,8 +77,13 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       val q = ext.read.parquet(dir).filter(col("t") >= start && col("t") < end)
       val plan = q.queryExecution.executedPlan.toString
       plan should include regex """PartitionFilters: \[.*p_bucket.*>=.*"""
-      // and results equal the un-extended session's answer
-      val expected = base.read.parquet(dir).filter(col("t") >= start && col("t") < end).count()
+      // and results equal the raw-row answer with derived pruning
+      // disabled (select away p_bucket so the rule cannot fire)
+      val expected = base.read
+        .parquet(dir)
+        .select("channel", "t", "v")
+        .filter(col("t") >= start && col("t") < end)
+        .count()
       q.count() shouldBe expected
       expected should be > 0L
     } finally {
@@ -87,5 +92,29 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
     }
+  }
+
+  it should "prune two layouts of DIFFERENT widths correctly in one session" in {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSpec.session // carries the extensions already
+    val src = Tables.ts(spark, "/root/testdata/sf0.001").select("channel", "t", "v")
+    val hourDir = java.nio.file.Files.createTempDirectory("graft-hour").toString
+    val dayDir = java.nio.file.Files.createTempDirectory("graft-day").toString
+    graft.sources.TsLayout.write(src, hourDir, bucketUs = 3600000000L)
+    graft.sources.TsLayout.write(src, dayDir, bucketUs = graft.sources.TsLayout.DayUs)
+    val start = 1704412800000000L
+    val end = 1704499200000000L
+    def pruned(dir: String) = {
+      val q = spark.read.parquet(dir).filter(col("t") >= start && col("t") < end)
+      val plan = q.queryExecution.executedPlan.toString
+      plan should include regex """PartitionFilters: \[.*p_bucket.*>=.*"""
+      q.count()
+    }
+    val truth = src.filter(col("t") >= start && col("t") < end).count()
+    truth should be > 0L
+    // each layout's marker drives its own bounds — a session-global
+    // width would mis-prune one of the two to zero
+    pruned(hourDir) shouldBe truth
+    pruned(dayDir) shouldBe truth
   }
 }
