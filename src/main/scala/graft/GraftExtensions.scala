@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgrams, MinhashSignature, SimhashSignature, VecDot, Winnow, WordShingles}
+import graft.functions.{CharNgrams, MinhashBandKeys, MinhashSignature, SimhashSignature, VecDot, Winnow, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -88,6 +88,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         { exprs: Seq[Expression] =>
           require(exprs.length == 1, "simhash_signature(words) takes exactly 1 argument")
           SimhashSignature(exprs.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("band_pack"),
+        new ExpressionInfo(classOf[MinhashBandKeys].getName, "band_pack"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 2, "band_pack(signature, bands) takes exactly 2 arguments")
+          MinhashBandKeys(exprs.head, intLit(exprs(1), "bands"))
         }
       )
     )

@@ -103,6 +103,72 @@ object MinhashHash {
   /** Column API. */
   def signature(shingles: Column): Column =
     GraftSqlBridge.column(MinhashSignature(GraftSqlBridge.expression(shingles)))
+
+  /** Pack each LSH band's signature slice into ONE long: a polynomial
+    * fold of the band's values mod 2⁶¹−1 (same Base/P as every other
+    * portable hash here). The packed key is what shuffles during
+    * banding — 8 bytes instead of rowsPerBand longs of array key, which
+    * is the difference between moving 8 B and ~50 B per (doc, band) row
+    * at corpus scale. Collisions between distinct bands are possible in
+    * principle (that is what makes it a hash), but the DuckDB oracle
+    * computes the IDENTICAL fold in HUGEINT, so both engines agree on
+    * every bucket bit-for-bit and the correctness gate still checks the
+    * whole pipeline end to end.
+    */
+  def bandPack(sig: Array[Long], bands: Int): Array[Long] = {
+    val rowsPerBand = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0L
+      var i = b * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) {
+        h = Winnow.addmod(Winnow.mulmod(h, Winnow.Base), sig(i))
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** Column API over a full signature array. */
+  def bandKeys(sig: Column, bands: Int): Column =
+    GraftSqlBridge.column(MinhashBandKeys(GraftSqlBridge.expression(sig), bands))
+}
+
+/** `band_pack(signature, bands)`: the per-band packed bucket keys of a
+  * 64-value MinHash signature (see [[MinhashHash.bandPack]]).
+  */
+case class MinhashBandKeys(child: Expression, bands: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) if bands > 0 && MinhashHash.Seeds % bands == 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckFailure(s"bands must evenly divide ${MinhashHash.Seeds}, got $bands")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"band_pack expects array<long>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = arr.toLongArray()
+    ArrayData.toArrayData(MinhashHash.bandPack(sig, bands))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "band_pack"
 }
 
 case class MinhashSignature(child: Expression)

@@ -172,21 +172,20 @@ object Dedup {
       bands > 0 && bands <= MinhashSeeds && MinhashSeeds % bands == 0,
       s"bands must evenly divide $MinhashSeeds signature values, got $bands"
     )
-    val rowsPerBand = MinhashSeeds / bands
-    // bucket key = the band's signature values THEMSELVES (array), not
-    // a hash of them: collisions are impossible, so the oracle's
-    // bucket-equality semantics match exactly. rowsPerBand longs of
-    // shuffle key width is a fine trade for exactness; re-hash the key
-    // at ingest if a 100 TB corpus makes the extra bytes matter.
-    val bandKeys = (0 until bands).map { b =>
-      array((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"h$s")): _*)
-    }
+    // bucket key = the band's signature slice PACKED into one long by a
+    // polynomial fold mod 2⁶¹−1 (MinhashHash.bandPack): what shuffles
+    // per (doc, band) row is 8 bytes of key, not rowsPerBand longs of
+    // array. The DuckDB oracle computes the identical HUGEINT fold, so
+    // bucket equality stays bit-for-bit engine-portable even across the
+    // (astronomically unlikely) packing collisions.
+    val packed = graft.functions.MinhashHash
+      .bandKeys(array((0 until MinhashSeeds).map(s => col(s"h$s")): _*), bands)
     // (band, bandKey, doc_id) rows feed the count and both sides of
     // the self-join. NOT persisted: callers persist `sigs` (one row per
     // doc), and re-deriving the band keys from cached signatures is
     // cheaper than materializing docs×bands rows into the block store
     val bucketRows = sigs
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bandKey")))
+      .select(col("doc_id"), posexplode(packed).as(Seq("band", "bandKey")))
     val admissible = bucketRows
       .groupBy(col("band"), col("bandKey"))
       .agg(count(lit(1)).as("sz"))
@@ -663,11 +662,12 @@ object Dedup {
   /** Full-pipeline MinHash oracle: word shingles → polynomial base hash
     * h1 mod 2⁶¹−1 (list_reduce in HUGEINT) → derived h2 = (A·h1+B) mod
     * P (A/B inlined literals from MinhashHash) → 64 two-hash seed
-    * minima MIN((h1 + s·h2) mod P) → 16 four-value band keys → bucket
-    * cap → candidate pairs → exact Jaccard ≥ τ. Every stage mirrors
-    * minhashNearDups exactly; band keys are the signature-value lists
-    * themselves on both sides, so bucket equality is hash-free and
-    * identical.
+    * minima MIN((h1 + s·h2) mod P) → 16 packed band keys (polynomial
+    * fold of each band's 4 values mod P, the same fold
+    * MinhashHash.bandPack runs) → bucket cap → candidate pairs → exact
+    * Jaccard ≥ τ. Every stage mirrors minhashNearDups exactly,
+    * including the packing, so bucket equality is bit-for-bit
+    * identical across engines.
     */
   private val MinhashPipelineCtes: String = {
     import graft.functions.{MinhashHash, Winnow}
@@ -701,7 +701,9 @@ object Dedup {
        |  FROM h2 CROSS JOIN (SELECT UNNEST(range(0, ${MinhashHash.Seeds})) AS s) seeds
        |  GROUP BY doc_id, seeds.s),
        |bandkeys AS (
-       |  SELECT doc_id, s // 4 AS band, list(mh ORDER BY s) AS bk
+       |  SELECT doc_id, s // 4 AS band,
+       |    CAST(list_reduce(list(mh ORDER BY s),
+       |                     (h, x) -> (h * ${Winnow.Base} + x) % ${Winnow.P}) AS BIGINT) AS bk
        |  FROM mins GROUP BY doc_id, s // 4),
        |admissible AS (
        |  SELECT band, bk FROM bandkeys GROUP BY band, bk

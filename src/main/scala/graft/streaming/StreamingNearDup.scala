@@ -63,18 +63,17 @@ object StreamingNearDup {
       bands > 0 && bands <= Dedup.MinhashSeeds && Dedup.MinhashSeeds % bands == 0,
       s"bands must evenly divide ${Dedup.MinhashSeeds} signature values, got $bands"
     )
-    val rowsPerBand = Dedup.MinhashSeeds / bands
-    val bandKeys = (0 until bands).map { b =>
-      array((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => element_at(col("__sig"), s + 1)): _*)
-    }
     input
       .select(col("doc_id"), MinhashHash.signature(Dedup.shingles(w)).as("__sig"))
       // null-text docs have no signature (null) — drop them, as the
       // batch pipeline does; without this every null doc would share
       // the all-null band key and pair with every other null doc
       .filter(col("__sig").isNotNull)
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-      .as[(Long, Int, Seq[Long])]
+      // packed band keys (one long per band — MinhashHash.bandPack),
+      // the same bucket identity the batch path shuffles on: 8-byte
+      // state-store keys instead of rowsPerBand-long arrays
+      .select(col("doc_id"), posexplode(MinhashHash.bandKeys(col("__sig"), bands)).as(Seq("band", "key")))
+      .as[(Long, Int, Long)]
       .groupByKey { case (_, band, key) => (band, key) }
       .flatMapGroupsWithState[Seq[Long], (Long, Long)](
         OutputMode.Append,
@@ -136,15 +135,12 @@ object StreamingNearDup {
       bands > 0 && bands <= Dedup.MinhashSeeds && Dedup.MinhashSeeds % bands == 0,
       s"bands must evenly divide ${Dedup.MinhashSeeds} signature values, got $bands"
     )
-    val rowsPerBand = Dedup.MinhashSeeds / bands
-    val bandKeys = (0 until bands).map { b =>
-      array((b * rowsPerBand until (b + 1) * rowsPerBand).map(s => element_at(col("__sig"), s + 1)): _*)
-    }
     input
       .select(col("doc_id"), MinhashHash.signature(Dedup.shingles(w)).as("__sig"))
       .filter(col("__sig").isNotNull)
-      .select(col("doc_id"), col("__sig"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-      .as[(Long, Seq[Long], Int, Seq[Long])]
+      // packed band keys, as in `candidates`
+      .select(col("doc_id"), col("__sig"), posexplode(MinhashHash.bandKeys(col("__sig"), bands)).as(Seq("band", "key")))
+      .as[(Long, Seq[Long], Int, Long)]
       .groupByKey { case (_, _, band, key) => (band, key) }
       .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double)](
         OutputMode.Append,
