@@ -59,7 +59,13 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.mmFrames _), // frame-sample → decode chain
     // rows-only + FilteringSpec sequential-equivalence (montage → IIR chain)
     "ts_montage_filter" -> (Filtering.tsMontageFilter _),
-    "ts_waveforms" -> (Timeseries.tsWaveforms _)
+    "ts_waveforms" -> (Timeseries.tsWaveforms _),
+    "ts_histogram" -> (Timeseries.tsHistogram _),
+    "ts_acf" -> (Timeseries.tsAcf _),
+    "pii_detect" -> (Curation.piiDetect _),
+    "sample_stratified" -> (Curation.sampleStratifiedQ _),
+    // end-to-end manifest: dedup survivors + quality + langid + tokens + split
+    "train_mix" -> (Curation.trainMixQ _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,6 +112,11 @@ object SparkEntry {
     "dedup_cross_source" -> Dedup.dedupCrossSourceSql,
     "ann_knn_label" -> Similarity.annKnnLabelSql,
     "mm_decode" -> Multimodal.mmDecodeSql,
-    "mm_frames" -> Multimodal.mmFramesSql
+    "mm_frames" -> Multimodal.mmFramesSql,
+    "ts_histogram" -> Timeseries.tsHistogramSql,
+    "ts_acf" -> Timeseries.tsAcfSql,
+    "pii_detect" -> Curation.piiDetectSql,
+    "sample_stratified" -> Curation.sampleStratifiedSql,
+    "train_mix" -> Curation.trainMixSql
   )
 }

@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * beyond dedup: PII detection/redaction, deterministic stratified
+  * sampling, and the end-to-end training-mix manifest that composes
+  * dedup + quality + language-ID + token budget + split into the final
+  * per-(split, lang) report.
+  *
+  * Scale shape: every per-document feature here is a pure map-side
+  * projection (regexp counts, md5 keys, quality/langid expressions from
+  * [[TextAnalysis]]); the only shuffles are the ones the semantics
+  * force — one row_number window per stratified sample (pushed to a
+  * map-side group-limit by Spark's WindowGroupLimit) and one
+  * hash-partition + one aggregation for the training-mix manifest.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------------
+  // PII detection / redaction
+  // ---------------------------------------------------------------------
+
+  /** PII patterns, deliberately restricted to syntax Java regex (Spark)
+    * and RE2 (the DuckDB oracle) evaluate identically: no backrefs, no
+    * lookaround, explicit classes. Leftmost non-overlapping match
+    * semantics agree between the engines, so counts and replacements
+    * are bit-for-bit comparable.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhonePattern = "\\+?\\(?\\d{3}\\)?[ -]\\d{3}[ -]\\d{4}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Patterns in REDACTION ORDER (emails first: they embed digit runs
+    * and dots that the looser numeric patterns could otherwise chew
+    * on; then the most specific numeric shapes). The order is part of
+    * the operator contract — both engines must apply it identically.
+    */
+  val RedactionOrder: Seq[(String, String)] = Seq(
+    EmailPattern -> "[EMAIL]",
+    SsnPattern -> "[SSN]",
+    PhonePattern -> "[PHONE]",
+    Ipv4Pattern -> "[IP]"
+  )
+
+  /** Redacted text as a column: every pattern replaced in order. */
+  def redactedColumn(text: Column): Column =
+    RedactionOrder.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** Per-document PII scan: match counts per category, a total, and the
+    * md5 of the redacted text (the hash keeps the oracle row narrow
+    * while still pinning the exact redaction output). Pure map-side.
+    */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val counts = Seq(
+      "n_email" -> EmailPattern,
+      "n_ssn" -> SsnPattern,
+      "n_phone" -> PhonePattern,
+      "n_ip" -> Ipv4Pattern
+    )
+    docs.select(
+      col("doc_id") +:
+        counts.map { case (name, pat) => regexp_count(col("text"), lit(pat)).cast("long").as(name) } :+
+        counts.map { case (_, pat) => regexp_count(col("text"), lit(pat)).cast("long") }
+          .reduce(_ + _).as("n_pii") :+
+        md5(redactedColumn(col("text"))).as("redacted_md5"): _*
+    )
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic stratified sampling
+  // ---------------------------------------------------------------------
+
+  /** k documents per (source, lang) stratum, chosen by the 60-bit md5
+    * key of the doc id — a deterministic, engine-portable "random"
+    * sample that is stable across runs and machines (no RNG, no row
+    * order dependence). The rank filter compiles to a map-side
+    * WindowGroupLimit: each task keeps at most k rows per stratum
+    * before the shuffle, so the window never sorts a whole stratum in
+    * one task.
+    */
+  def sampleStratified(docs: DataFrame, k: Int): DataFrame = {
+    val key = expr(Dedup.md5Prefix60Sql("cast(doc_id as string)"))
+    val w = Window.partitionBy(col("source"), col("lang")).orderBy(col("__k"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), col("lang"), key.as("__k"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      // long: DuckDB's ROW_NUMBER is BIGINT and the driver compares schemas
+      .select(col("doc_id"), col("source"), col("lang"), col("rk").cast("long").as("rk"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Training-mix manifest (the end-to-end composition)
+  // ---------------------------------------------------------------------
+
+  /** The final manifest a training-data pipeline produces: documents
+    * are exact-deduped (hash-keyed survivor selection — keep min doc_id
+    * per normalized-text group), quality-filtered, language-identified,
+    * token-counted, split-assigned, and rolled up per (split, lang):
+    * document counts, total token budget, average quality.
+    *
+    * Dedup precedes the quality filter (the survivor represents its
+    * duplicate group, so its quality decides for the group — the usual
+    * pipeline order).
+    *
+    * Plan shape: ONE scan computes every per-row feature (all map-side
+    * projections), one 8-byte-key shuffle ranks each hash group for
+    * survivor selection (row_number, WindowGroupLimit-capped), and one
+    * partially-aggregated groupBy produces the manifest. No self-join:
+    * survivor selection happens in the same stream that carries the
+    * features.
+    */
+  def trainMix(
+    docs: DataFrame,
+    minQuality: Double = 0.5,
+    trainPct: Int = 80,
+    valPct: Int = 10
+  ): DataFrame = {
+    val normSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    docs
+      .select(
+        col("doc_id"),
+        expr(Dedup.md5Prefix60Sql(normSql)).as("__h"),
+        TextAnalysis.splitColumn(trainPct, valPct).as("split"),
+        TextAnalysis.langPredColumn.as("lang_pred"),
+        TextAnalysis.qualityColumn.as("quality"),
+        TextAnalysis.reTokensColumn.as("n_tokens")
+      )
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("quality") >= minQuality && col("lang_pred") =!= "und")
+      .groupBy(col("split"), col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        // decimal-summed average: order-independent, so it matches the
+        // sequential oracle bit-for-bit (see Timeseries.detAvg)
+        round(
+          sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(27, 10)))
+            .cast("double") / count(lit(1)),
+          6
+        ).as("avg_quality")
+      )
+  }
+
+  // ---------------------------------------------------------------------
+  // Fixed driver queries + oracles
+  // ---------------------------------------------------------------------
+
+  def piiDetect(spark: SparkSession, dir: String): DataFrame =
+    piiScan(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val piiDetectSql: String = {
+    def n(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
+    val redacted = RedactionOrder.foldLeft("text") { case (s, (pat, rep)) =>
+      s"regexp_replace($s, '$pat', '$rep', 'g')"
+    }
+    s"""SELECT doc_id,
+       |  ${n(EmailPattern)} AS n_email,
+       |  ${n(SsnPattern)} AS n_ssn,
+       |  ${n(PhonePattern)} AS n_phone,
+       |  ${n(Ipv4Pattern)} AS n_ip,
+       |  ${n(EmailPattern)} + ${n(SsnPattern)} + ${n(PhonePattern)} + ${n(Ipv4Pattern)} AS n_pii,
+       |  md5($redacted) AS redacted_md5
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def sampleStratifiedQ(spark: SparkSession, dir: String): DataFrame =
+    sampleStratified(Tables.documents(spark, dir), k = 20)
+      .orderBy(col("source"), col("lang"), col("rk"))
+
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, source, lang, rk FROM (
+       |  SELECT doc_id, source, lang,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY source, lang
+       |      ORDER BY ${Dedup.md5Prefix60Duck("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= 20
+       |ORDER BY source, lang, rk""".stripMargin
+
+  def trainMixQ(spark: SparkSession, dir: String): DataFrame =
+    trainMix(Tables.documents(spark, dir)).orderBy(col("split"), col("lang_pred"))
+
+  /** Oracle: the same one-pass feature CTE (reusing the langid
+    * greatest-struct semantics as a ranked lateral), survivor selection
+    * as the identical hash-group row_number, then the rollup.
+    */
+  val trainMixSql: String = {
+    val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    val scoreCols = TextAnalysis.LangProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      val inList = stops.map(s => s"'$s'").mkString(", ")
+      s"    CAST(len(list_filter(words, x -> x IN ($inList))) AS DOUBLE) / GREATEST(len(words), 1) AS score_$lang"
+    }
+    val valueRows = ("zh" +: TextAnalysis.LangProfiles.keys.toSeq.sorted)
+      .map(l => s"('$l', score_$l)")
+      .mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, text,
+       |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS words,
+       |    CAST(LENGTH(REGEXP_REPLACE(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+       |      / GREATEST(LENGTH(text), 1) AS score_zh
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, text, words, score_zh,
+       |${scoreCols.mkString(",\n")}
+       |  FROM w),
+       |lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+       |  FROM (
+       |    SELECT doc_id, t.lang, t.score,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rnk
+       |    FROM s CROSS JOIN LATERAL (VALUES $valueRows) t(lang, score)) r
+       |  WHERE rnk = 1),
+       |feats AS (
+       |  SELECT s.doc_id,
+       |    ${Dedup.md5Prefix60Duck("LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))")} AS h,
+       |    CASE WHEN ${Dedup.md5Prefix60Duck("CAST(s.doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+       |         WHEN ${Dedup.md5Prefix60Duck("CAST(s.doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    lang.lang_pred AS lang_pred,
+       |    ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / NULLIF(LENGTH(text), 0) * 0.5 +
+       |          CAST(len(list_filter(words, x -> x IN ($stopList))) AS DOUBLE) / NULLIF(len(words), 0) * 0.3 +
+       |          LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality,
+       |    len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS n_tokens
+       |  FROM s JOIN lang ON lang.doc_id = s.doc_id),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT feats.*, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |    FROM feats) f
+       |  WHERE rn = 1 AND quality >= 0.5 AND lang_pred <> 'und')
+       |SELECT split, lang_pred, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  ROUND(CAST(SUM(CAST(quality AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+       |FROM kept
+       |GROUP BY 1, 2
+       |ORDER BY split, lang_pred""".stripMargin
+  }
+}

@@ -86,31 +86,66 @@ object TextAnalysis {
     * for zh; returns (doc_id, lang_pred, score). "und" when nothing
     * matches.
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val scored = LangProfiles.foldLeft(
-      docs.select(
-        col("doc_id"),
-        expr(WordsSql).as("__words"),
-        (length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")).cast("double") /
-          greatest(length(col("text")), lit(1)).cast("double")).as("score_zh")
-      )
-    ) { case (df, (lang, stops)) =>
-      val inList = stops.map(s => s"'$s'").mkString(", ")
-      df.withColumn(
-        s"score_$lang",
-        expr(s"size(filter(__words, w -> w IN ($inList)))").cast("double") /
-          greatest(size(col("__words")), lit(1)).cast("double")
-      )
-    }
-    val langs = "zh" +: LangProfiles.keys.toSeq.sorted
-    val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
-    scored
-      .withColumn("__best", greatest(best: _*))
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), langBestColumn.as("__best"))
       .select(
         col("doc_id"),
         when(col("__best.score") > 0, col("__best.lang")).otherwise(lit("und")).as("lang_pred"),
         round(col("__best.score"), 6).as("score")
       )
+
+  // ---------------------------------------------------------------------
+  // Per-row feature COLUMNS (shared by the standalone queries above and
+  // the training-mix composition in Curation — all pure map-side)
+  // ---------------------------------------------------------------------
+
+  /** The composite quality score as a single column over `text` — the
+    * same formula qualityScores emits (deterministic expressions over
+    * the same inputs, so the two agree bit-for-bit).
+    */
+  def qualityColumn: Column = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    val nWords = size(expr(WordsSql))
+    val nStop = expr(s"size(filter($WordsSql, w -> w IN ($inList)))")
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    round(
+      nAlpha.cast("double") / nullif(length(col("text")), lit(0)) * 0.5 +
+        nStop.cast("double") / nullif(nWords, lit(0)) * 0.3 +
+        least(nWords.cast("double") / 100.0, lit(1.0)) * 0.2,
+      6
+    )
+  }
+
+  /** The winning (score, lang) struct of the language-ID heuristic as a
+    * single column (argmax via greatest-struct, ties to the larger lang
+    * string — the exact semantics langId uses).
+    */
+  def langBestColumn: Column = {
+    val zh = (length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")).cast("double") /
+      greatest(length(col("text")), lit(1)).cast("double"))
+    val scores = ("zh" -> zh) +: LangProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      val inList = stops.map(s => s"'$s'").mkString(", ")
+      lang -> (expr(s"size(filter($WordsSql, w -> w IN ($inList)))").cast("double") /
+        greatest(size(expr(WordsSql)), lit(1)).cast("double"))
+    }
+    greatest(scores.map { case (l, s) => struct(s.as("score"), lit(l).as("lang")) }: _*)
+  }
+
+  /** Predicted language ("und" when nothing scores). */
+  def langPredColumn: Column = {
+    val best = langBestColumn
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** BPE-ish regex token count. */
+  def reTokensColumn: Column =
+    regexp_count(col("text"), lit(TokenPattern)).cast("long")
+
+  /** Deterministic split assignment as a column (see deterministicSplit). */
+  def splitColumn(trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = expr(s"${Dedup.md5Prefix60Sql("cast(doc_id as string)")} % 100")
+    when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
   }
 
   /** Winnowing document fingerprint: Rabin-Karp rolling hash over
@@ -281,18 +316,7 @@ object TextAnalysis {
     * only.
     */
   def deterministicSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
-    docs
-      .select(
-        col("doc_id"),
-        expr(s"${Dedup.md5Prefix60Sql("cast(doc_id as string)")} % 100").as("__b")
-      )
-      .select(
-        col("doc_id"),
-        when(col("__b") < trainPct, "train")
-          .when(col("__b") < trainPct + valPct, "val")
-          .otherwise("test")
-          .as("split")
-      )
+    docs.select(col("doc_id"), splitColumn(trainPct, valPct).as("split"))
 
   // ---------------------------------------------------------------------
   // Fixed driver queries

@@ -422,6 +422,57 @@ object Timeseries {
         col("n")
       )
 
+  /** Fixed-width value histogram per channel: bin = floor(v / width),
+    * counts per (channel, bin). One shuffle, algebraic aggregate with
+    * map-side combine — the distribution report a monitoring pipeline
+    * runs over every channel. The bin arithmetic is a single double
+    * division + floor, identical in any engine (width defaults to a
+    * power of two so the division is exact).
+    */
+  def valueHistogram(ts: DataFrame, binWidth: Double = 0.25): DataFrame =
+    ts.groupBy(col("channel"), floor(col("v") / lit(binWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("channel"), col("bin"), (col("bin") * lit(binWidth)).as("bin_lo"), col("n"))
+
+  /** Per-channel lag-1 sample autocorrelation: Pearson correlation of
+    * (v, previous v) over consecutive samples in (t, v) order. The
+    * consecutive pairing uses the two-phase stitched lag (bucket-local
+    * window + per-bucket boundary carry — no per-channel single-task
+    * sort), and every sum the correlation needs is DECIMAL-routed so
+    * partial-aggregation order cannot move the result (see detSum).
+    * Ordering by (t, v) is total up to fully-identical rows, whose
+    * exchange cannot change any product — so the statistic is
+    * deterministic even with duplicate timestamps.
+    */
+  def lagCorrelation(ts: DataFrame, bucketUs: Long = StitchBucketUs): DataFrame = {
+    val paired = withStitchedPrev(ts.select(col("channel"), col("t"), col("v")), Seq("v"), bucketUs, Seq("v"))
+      .filter(col("__prev_v").isNotNull)
+    val x = col("__prev_v")
+    val y = col("v")
+    paired
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        detSum(x).as("sx"),
+        detSum(y).as("sy"),
+        detSum(x * x).as("sxx"),
+        detSum(y * y).as("syy"),
+        detSum(x * y).as("sxy")
+      )
+      .select(
+        col("channel"),
+        col("n_pairs"),
+        round(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(
+              (col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+            ),
+          6
+        ).as("acf1")
+      )
+  }
+
   /** The reference's resample decision: only downsample when at least
     * 3 datapoints land in one pixel (reference:
     * query/TimeSeriesQueryUtils.scala:175-182).
@@ -915,6 +966,44 @@ object Timeseries {
       |  ROUND(CASE WHEN n > 1 THEN SQRT(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0)) END, 6) AS vstd,
       |  ROUND(SQRT(s2 / n), 6) AS vrms,
       |  vmin, vmax, t0, t1
+      |FROM s
+      |ORDER BY channel""".stripMargin
+
+  def tsHistogram(spark: SparkSession, dir: String): DataFrame =
+    valueHistogram(Tables.ts(spark, dir)).orderBy(col("channel"), col("bin"))
+
+  val tsHistogramSql: String =
+    """SELECT event_type AS channel,
+      |  CAST(FLOOR(value / 0.25) AS BIGINT) AS bin,
+      |  CAST(FLOOR(value / 0.25) AS BIGINT) * CAST(0.25 AS DOUBLE) AS bin_lo,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY channel, bin""".stripMargin
+
+  def tsAcf(spark: SparkSession, dir: String): DataFrame =
+    lagCorrelation(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** Sequential-window oracle for the two-phase stitched pairing: the
+    * same (t, v)-ordered lag and the same decimal-exact sums.
+    */
+  val tsAcfSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS channel, value AS y,
+      |    LAG(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), value) AS x
+      |  FROM events),
+      |s AS (
+      |  SELECT channel, COUNT(*) AS n_pairs,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(27,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(27,10))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(27,10))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(27,10))) AS DOUBLE) AS sxy
+      |  FROM p WHERE x IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT channel, n_pairs,
+      |  ROUND((n_pairs * sxy - sx * sy) /
+      |        SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6) AS acf1
       |FROM s
       |ORDER BY channel""".stripMargin
 

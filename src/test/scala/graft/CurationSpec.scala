@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))
+
+  "piiScan" should "count and redact planted PII of every category" in {
+    val df = docs(
+      1L -> "contact alice.smith+test@example-mail.co and bob@site.org today",
+      2L -> "ssn 123-45-6789 phone (555) 123-4567 ip 10.0.255.7 end",
+      3L -> "no pii here at all",
+      4L -> "dial 555-123-4567 or +1 555 234-5678"
+    )
+    val out = Curation.piiScan(df).orderBy("doc_id").collect()
+    out(0).getAs[Long]("n_email") shouldBe 2L
+    out(0).getAs[Long]("n_pii") shouldBe 2L
+    out(1).getAs[Long]("n_ssn") shouldBe 1L
+    out(1).getAs[Long]("n_phone") shouldBe 1L
+    out(1).getAs[Long]("n_ip") shouldBe 1L
+    out(2).getAs[Long]("n_pii") shouldBe 0L
+    out(3).getAs[Long]("n_phone") shouldBe 2L
+    // the redacted text itself (not just its hash) drops every match
+    val red = df
+      .select(col("doc_id"), Curation.redactedColumn(col("text")).as("r"))
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    red(1L) shouldBe "contact [EMAIL] and [EMAIL] today"
+    red(2L) shouldBe "ssn [SSN] phone [PHONE] ip [IP] end"
+    red(3L) shouldBe "no pii here at all"
+    // an unchanged doc hashes to md5 of the original text
+    Curation
+      .piiScan(df)
+      .filter(col("doc_id") === 3L)
+      .select(col("redacted_md5"))
+      .collect()(0)
+      .getString(0) shouldBe
+      df.filter(col("doc_id") === 3L).select(md5(col("text"))).collect()(0).getString(0)
+  }
+
+  "sampleStratified" should "keep exactly k per stratum, deterministically" in {
+    val df = (1L to 100L)
+      .map(i => (i, s"text $i", if (i % 2 == 0) "web" else "book", if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = Curation.sampleStratified(df, k = 5)
+    out.groupBy("source", "lang").count().collect().foreach(_.getLong(2) shouldBe 5L)
+    // rank is 1..k within each stratum
+    out.select(max(col("rk"))).collect()(0).getLong(0) shouldBe 5L
+    // deterministic: a second run picks the identical ids
+    val a = out.orderBy("source", "lang", "rk").select("doc_id").as[Long].collect()
+    val b = Curation
+      .sampleStratified(df, k = 5)
+      .orderBy("source", "lang", "rk")
+      .select("doc_id")
+      .as[Long]
+      .collect()
+    a.toSeq shouldBe b.toSeq
+  }
+
+  "trainMix" should "dedup before quality-filtering and roll up per (split, lang)" in {
+    // three exact duplicates (differing only in whitespace) + one
+    // distinct doc; the survivor is the min doc_id and represents the
+    // group, so the manifest counts the group once
+    val good =
+      "the cat and the dog are in the house with a friend of the family for a visit to the park " * 3
+    val df = docs(
+      10L -> good,
+      11L -> good.replace(" ", "  "), // same normalized text
+      12L -> good,
+      20L -> ("der hund und die katze ist nicht ein haus mit für von zu " * 4)
+    )
+    val out = Curation.trainMix(df, minQuality = 0.3).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    total shouldBe 2L // one survivor of {10,11,12} + doc 20
+    // language composition survives the rollup
+    val langs = out.map(_.getAs[String]("lang_pred")).toSet
+    langs should contain("en")
+    langs should contain("de")
+    // token budget is the survivors' token count, not the group's sum
+    val enRow = out.find(_.getAs[String]("lang_pred") == "en").get
+    val enTokens = graft.operators.TextAnalysis
+      .tokenCounts(df.filter(col("doc_id") === 10L))
+      .collect()(0)
+      .getAs[Long]("n_re_tokens")
+    enRow.getAs[Long]("total_tokens") shouldBe enTokens
+  }
+
+  it should "drop below-threshold survivors entirely" in {
+    val df = docs(1L -> "zzz qqq xxx", 2L -> ("the cat and a dog of the house " * 10))
+    val out = Curation.trainMix(df, minQuality = 0.5).collect()
+    out.map(_.getAs[Long]("n_docs")).sum shouldBe 1L
+  }
+}

@@ -155,7 +155,8 @@ class PlanSpec extends SparkSpec {
       "ts_resample_chunk" -> Timeseries.tsResampleChunk(spark, sfDir),
       "ts_waveforms" -> Timeseries.tsWaveforms(spark, sfDir),
       "ts_butterworth" -> Filtering.tsButterworth(spark, sfDir),
-      "ts_montage_filter" -> Filtering.tsMontageFilter(spark, sfDir)
+      "ts_montage_filter" -> Filtering.tsMontageFilter(spark, sfDir),
+      "ts_acf" -> Timeseries.tsAcf(spark, sfDir)
     )
     plans.foreach { case (name, df) =>
       val windows = df.queryExecution.optimizedPlan.collect {
@@ -175,6 +176,26 @@ class PlanSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  "sample_stratified" should "push the per-stratum rank limit below the shuffle" in {
+    // WindowGroupLimit keeps at most k rows per stratum on the map
+    // side, so no task ever sorts a whole stratum
+    planString(graft.operators.Curation.sampleStratifiedQ(spark, sfDir)) should
+      include("WindowGroupLimit")
+  }
+
+  "train_mix" should "compute the whole manifest from ONE corpus scan with no join" in {
+    val df = graft.operators.Curation.trainMixQ(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j } shouldBe empty
+    val scans = plan.collectLeaves()
+    scans should have size 1
+    // survivor selection windows on the hash group (8-byte key), never
+    // on an unpartitioned or low-cardinality spec
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    windows should not be empty
+    windows.foreach(_.partitionSpec should not be empty)
   }
 
   "ts_layout_range" should "prune layout partitions via rule-derived p_bucket bounds" in {

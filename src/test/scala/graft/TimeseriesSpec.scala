@@ -413,4 +413,42 @@ class TimeseriesSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     plan should include("PushedFilters")
   }
+
+  "valueHistogram" should "bin values with floor semantics, negatives included" in {
+    val df = mkTs(Seq(("a", 1L, 0.0), ("a", 2L, 0.24), ("a", 3L, 0.25), ("a", 4L, -0.1), ("b", 5L, 1.0)))
+    val got = Timeseries
+      .valueHistogram(df, binWidth = 0.25)
+      .orderBy("channel", "bin")
+      .select("channel", "bin", "n")
+      .as[(String, Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List(("a", -1L, 1L), ("a", 0L, 2L), ("a", 1L, 1L), ("b", 4L, 1L))
+  }
+
+  "lagCorrelation" should "match the sequential pearson over consecutive pairs" in {
+    val vals = (0 until 500).map(i => math.sin(i / 7.0) * 10 + (i % 13))
+    val df = mkTs(vals.zipWithIndex.map { case (v, i) => ("ch", i.toLong * 1000L, v) })
+    // tiny stitch bucket so the two-phase carry is exercised repeatedly
+    val got = Timeseries
+      .lagCorrelation(df, bucketUs = 50000L)
+      .collect()(0)
+    got.getAs[Long]("n_pairs") shouldBe 499L
+    val pairs = vals.sliding(2).map { case Seq(x, y) => (x, y) }.toList
+    val n = pairs.size.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val r = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    got.getAs[Double]("acf1") shouldBe (r +- 1e-5)
+  }
+
+  it should "be invariant to the stitch-bucket width" in {
+    val df = mkTs((0 until 300).map(i => ("ch", i.toLong * 777L, math.cos(i / 5.0) * (i % 7))))
+    val a = Timeseries.lagCorrelation(df, bucketUs = 10000L).collect()(0)
+    val b = Timeseries.lagCorrelation(df, bucketUs = 1000000L).collect()(0)
+    a.getAs[Long]("n_pairs") shouldBe b.getAs[Long]("n_pairs")
+    a.getAs[Double]("acf1") shouldBe b.getAs[Double]("acf1")
+  }
 }
