@@ -65,7 +65,9 @@ object SparkEntry {
     "pii_detect" -> (Curation.piiDetect _),
     "sample_stratified" -> (Curation.sampleStratifiedQ _),
     // end-to-end manifest: dedup survivors + quality + langid + tokens + split
-    "train_mix" -> (Curation.trainMixQ _)
+    "train_mix" -> (Curation.trainMixQ _),
+    "ts_sessions" -> (Timeseries.tsSessions _),
+    "ts_quantiles" -> (Timeseries.tsQuantiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,6 +119,8 @@ object SparkEntry {
     "ts_acf" -> Timeseries.tsAcfSql,
     "pii_detect" -> Curation.piiDetectSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
-    "train_mix" -> Curation.trainMixSql
+    "train_mix" -> Curation.trainMixSql,
+    "ts_sessions" -> Timeseries.tsSessionsSql,
+    "ts_quantiles" -> Timeseries.tsQuantilesSql
   )
 }

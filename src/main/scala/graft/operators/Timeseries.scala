@@ -473,6 +473,61 @@ object Timeseries {
       )
   }
 
+  /** Sessionization over any id column (users here, the classic
+    * pipeline op): a session breaks when an id's inter-event gap
+    * reaches gapUs; each event gets its id's 1-based session ordinal.
+    * Fully two-phase — the break flag comes from the stitched prev-t
+    * (bucket-local lag + boundary carry) and the ordinal is a running
+    * sum of flags computed as bucket-local cumsum + a per-bucket flag
+    * count prefix — so no per-id single-task sort exists anywhere, the
+    * same discipline every other windowed operator here follows.
+    */
+  def sessionize(ts: DataFrame, gapUs: Long, bucketUs: Long = StitchBucketUs): DataFrame = {
+    val byUser = withTieBreak(ts.select(col("user_id").as("channel"), col("t"), col("event_id")))
+    val flagged = withStitchedPrev(byUser, Seq("t"), bucketUs, Seq("event_id"))
+      .withColumn(
+        "__flag",
+        when(col("__prev_t").isNull || (col("t") - col("__prev_t")) >= gapUs, 1L).otherwise(0L)
+      )
+    val wLoc = Window
+      .partitionBy(col("channel"), col("__bkt"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window
+      .partitionBy(col("channel"))
+      .orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = flagged
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(sum(col("__flag")).as("__cnt"))
+      // aliased directly on the window expression — the __pb_ marker
+      // identifies the tiny summary branch (PlanSpec keys off it)
+      .select(col("channel"), col("__bkt"), sum(col("__cnt")).over(wPrev).as("__pb_flagprefix"))
+    flagged
+      .join(broadcast(prefix), Seq("channel", "__bkt"))
+      .withColumn(
+        "session_id",
+        sum(col("__flag")).over(wLoc) + coalesce(col("__pb_flagprefix"), lit(0L))
+      )
+      .select(col("channel").as("user_id"), col("t"), col("session_id"))
+  }
+
+  /** Per-channel exact quantiles (linear interpolation at rank
+    * p·(n−1) — the quantile_cont definition both engines share).
+    * NOTE the scale trade, stated honestly: Spark's exact percentile
+    * buffers each group's values, so this is the small-group/report
+    * shape; at 100 TB per-channel cardinality, swap in
+    * approx_percentile (t-digest, bounded memory, mergeable) — same
+    * call shape, documented accuracy bound — or derive quantiles from
+    * the valueHistogram sketch.
+    */
+  def channelQuantiles(ts: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    ts.groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        ps.map(p => round(expr(s"percentile(v, $p)"), 6).as(s"p${math.round(p * 100)}")): _*
+      )
+
   /** The reference's resample decision: only downsample when at least
     * 3 datapoints land in one pixel (reference:
     * query/TimeSeriesQueryUtils.scala:175-182).
@@ -1005,6 +1060,45 @@ object Timeseries {
       |  ROUND((n_pairs * sxy - sx * sy) /
       |        SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6) AS acf1
       |FROM s
+      |ORDER BY channel""".stripMargin
+
+  /** 30-minute user sessions over the event stream. */
+  def tsSessions(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.ts(spark, dir), gapUs = 1800000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("t")).as("start"), max(col("t")).as("end"), count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end") - col("start"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Sequential-window oracle for the two-phase flag + prefix-sum. */
+  val tsSessionsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+      |f AS (
+      |  SELECT user_id, t, event_id,
+      |    CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+      |           OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) >= 1800000000
+      |         THEN 1 ELSE 0 END AS flag
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, t,
+      |    CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM f)
+      |SELECT user_id, session_id, MIN(t) AS start, MAX(t) AS "end",
+      |  COUNT(*) AS n_events, MAX(t) - MIN(t) AS duration_us
+      |FROM s GROUP BY 1, 2
+      |ORDER BY user_id, session_id""".stripMargin
+
+  def tsQuantiles(spark: SparkSession, dir: String): DataFrame =
+    channelQuantiles(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  val tsQuantilesSql: String =
+    """SELECT event_type AS channel, COUNT(*) AS n,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events
+      |GROUP BY 1
       |ORDER BY channel""".stripMargin
 
   def tsChannels(spark: SparkSession, dir: String): DataFrame =

@@ -156,7 +156,8 @@ class PlanSpec extends SparkSpec {
       "ts_waveforms" -> Timeseries.tsWaveforms(spark, sfDir),
       "ts_butterworth" -> Filtering.tsButterworth(spark, sfDir),
       "ts_montage_filter" -> Filtering.tsMontageFilter(spark, sfDir),
-      "ts_acf" -> Timeseries.tsAcf(spark, sfDir)
+      "ts_acf" -> Timeseries.tsAcf(spark, sfDir),
+      "ts_sessions" -> Timeseries.tsSessions(spark, sfDir)
     )
     plans.foreach { case (name, df) =>
       val windows = df.queryExecution.optimizedPlan.collect {

@@ -451,4 +451,58 @@ class TimeseriesSpec extends SparkSpec {
     a.getAs[Long]("n_pairs") shouldBe b.getAs[Long]("n_pairs")
     a.getAs[Double]("acf1") shouldBe b.getAs[Double]("acf1")
   }
+
+  "sessionize" should "break sessions at the gap and number them per user" in {
+    // user 1: events at 0,10,20 | gap | 100,105 | gap | 300
+    // user 2: single event
+    val rows = Seq(
+      (1L, 0L), (1L, 10L), (1L, 20L), (1L, 100L), (1L, 105L), (1L, 300L),
+      (2L, 50L)
+    ).zipWithIndex.map { case ((u, t), i) => ("x", t, 0.0, u, i.toLong) }
+    val df = rows.toDF("channel", "t", "v", "user_id", "event_id")
+    val got = Timeseries
+      .sessionize(df, gapUs = 50L, bucketUs = 7L) // tiny buckets: many stitches
+      .orderBy("user_id", "t")
+      .select("user_id", "t", "session_id")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (1L, 0L, 1L), (1L, 10L, 1L), (1L, 20L, 1L),
+      (1L, 100L, 2L), (1L, 105L, 2L),
+      (1L, 300L, 3L),
+      (2L, 50L, 1L)
+    )
+  }
+
+  it should "assign session ids invariant to the stitch-bucket width" in {
+    val rows = (0 until 400).map { i =>
+      ("x", i.toLong * 31L + (i % 5) * 200L, 0.0, (i % 3).toLong, i.toLong)
+    }
+    val df = rows.toDF("channel", "t", "v", "user_id", "event_id")
+    def run(w: Long) =
+      Timeseries.sessionize(df, gapUs = 120L, bucketUs = w)
+        .orderBy("user_id", "t", "session_id")
+        .collect()
+        .map(_.toString)
+        .toList
+    run(97L) shouldBe run(100000L)
+  }
+
+  "channelQuantiles" should "match sequential linear-interpolation quantiles" in {
+    val vals = (0 until 101).map(i => (i * 37 % 101).toDouble)
+    val df = mkTs(vals.zipWithIndex.map { case (v, i) => ("ch", i.toLong, v) })
+    val row = Timeseries.channelQuantiles(df).collect()(0)
+    def q(p: Double): Double = {
+      val sorted = vals.sorted
+      val rank = p * (sorted.size - 1)
+      val lo = sorted(rank.toInt)
+      val hi = sorted(math.min(rank.toInt + 1, sorted.size - 1))
+      lo + (hi - lo) * (rank - rank.toInt)
+    }
+    row.getAs[Long]("n") shouldBe 101L
+    row.getAs[Double]("p50") shouldBe (q(0.5) +- 1e-6)
+    row.getAs[Double]("p90") shouldBe (q(0.9) +- 1e-6)
+    row.getAs[Double]("p99") shouldBe (q(0.99) +- 1e-6)
+  }
 }
