@@ -67,7 +67,8 @@ object SparkEntry {
     // end-to-end manifest: dedup survivors + quality + langid + tokens + split
     "train_mix" -> (Curation.trainMixQ _),
     "ts_sessions" -> (Timeseries.tsSessions _),
-    "ts_quantiles" -> (Timeseries.tsQuantiles _)
+    "ts_quantiles" -> (Timeseries.tsQuantiles _),
+    "ts_bandpower" -> (Timeseries.tsBandpower _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,6 +122,7 @@ object SparkEntry {
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "train_mix" -> Curation.trainMixSql,
     "ts_sessions" -> Timeseries.tsSessionsSql,
-    "ts_quantiles" -> Timeseries.tsQuantilesSql
+    "ts_quantiles" -> Timeseries.tsQuantilesSql,
+    "ts_bandpower" -> Timeseries.tsBandpowerSql
   )
 }

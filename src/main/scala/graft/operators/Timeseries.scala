@@ -473,6 +473,51 @@ object Timeseries {
       )
   }
 
+  /** Windowed DFT band power: for each (channel, window, harmonic k)
+    * the normalized spectral power
+    * ((Σ v·cos(2πk·frac))/n)² + ((Σ v·sin(2πk·frac))/n)², frac =
+    * (t mod W)/W — the per-band energy report an EEG pipeline derives
+    * (delta/theta/alpha/beta analog on the harmonic axis). One shuffle,
+    * algebraic partial aggregation; the harmonic explode multiplies
+    * rows ×|ks| BEFORE the aggregation, map-side.
+    *
+    * Cross-engine float discipline: frac is exact integer-mod then one
+    * division; 2π is the same double literal both sides; cos/sin args
+    * stay < 2π·max(k) (no large-argument reduction, where libms
+    * diverge); the products are DECIMAL-summed (order-independent) and
+    * NORMALIZED by n before squaring so a last-ulp libm difference
+    * stays ~10 orders below the ROUND(…,6) boundary.
+    */
+  def bandPower(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame = {
+    val twoPi = 6.283185307179586
+    val frac = (col("t") % lit(windowUs)).cast("double") / lit(windowUs.toDouble)
+    val arg = lit(twoPi) * col("k") * col("__frac")
+    ts.select(
+      col("channel"),
+      floor(col("t") / lit(windowUs)).cast("long").as("win"),
+      col("v"),
+      frac.as("__frac")
+    )
+      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
+      .groupBy(col("channel"), col("win"), col("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        detSum(col("v") * cos(arg)).as("__c"),
+        detSum(col("v") * sin(arg)).as("__s")
+      )
+      .select(
+        col("channel"),
+        col("win"),
+        col("k"),
+        col("n"),
+        round(
+          (col("__c") / col("n")) * (col("__c") / col("n")) +
+            (col("__s") / col("n")) * (col("__s") / col("n")),
+          6
+        ).as("power")
+      )
+  }
+
   /** Sessionization over any id column (users here, the classic
     * pipeline op): a session breaks when an id's inter-event gap
     * reaches gapUs; each event gets its id's 1-based session ordinal.
@@ -1088,6 +1133,30 @@ object Timeseries {
       |  COUNT(*) AS n_events, MAX(t) - MIN(t) AS duration_us
       |FROM s GROUP BY 1, 2
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Daily-window band power at harmonics 1..4. */
+  def tsBandpower(spark: SparkSession, dir: String): DataFrame =
+    bandPower(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("channel"), col("win"), col("k"))
+
+  val tsBandpowerSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win, value AS v,
+      |    CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0 AS frac
+      |  FROM events),
+      |e AS (
+      |  SELECT channel, win, v, frac, ks.k AS k
+      |  FROM x CROSS JOIN (SELECT UNNEST(range(1, 5)) AS k) ks),
+      |a AS (
+      |  SELECT channel, win, k, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v * cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c,
+      |    CAST(SUM(CAST(v * sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s
+      |  FROM e GROUP BY 1, 2, 3)
+      |SELECT channel, win, k, n,
+      |  ROUND((c / n) * (c / n) + (s / n) * (s / n), 6) AS power
+      |FROM a
+      |ORDER BY channel, win, k""".stripMargin
 
   def tsQuantiles(spark: SparkSession, dir: String): DataFrame =
     channelQuantiles(Tables.ts(spark, dir)).orderBy(col("channel"))

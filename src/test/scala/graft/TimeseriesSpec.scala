@@ -489,6 +489,25 @@ class TimeseriesSpec extends SparkSpec {
     run(97L) shouldBe run(100000L)
   }
 
+  "bandPower" should "concentrate a pure harmonic's power at its own k" in {
+    val w = 1000000L // window width in µs
+    val n = 500
+    // v = cos(2π·3·frac): all power at k=3, (1/2)² normalized
+    val rows = (0 until n).map { i =>
+      val t = i.toLong * (w / n)
+      ("ch", t, math.cos(2 * math.Pi * 3 * (t.toDouble / w)))
+    }
+    val out = Timeseries
+      .bandPower(mkTs(rows), windowUs = w, ks = 1 to 4)
+      .orderBy("k")
+      .select("k", "power")
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    out(3L) shouldBe (0.25 +- 1e-3)
+    Seq(1L, 2L, 4L).foreach(k => out(k) should be < 1e-3)
+  }
+
   "channelQuantiles" should "match sequential linear-interpolation quantiles" in {
     val vals = (0 until 101).map(i => (i * 37 % 101).toDouble)
     val df = mkTs(vals.zipWithIndex.map { case (v, i) => ("ch", i.toLong, v) })
