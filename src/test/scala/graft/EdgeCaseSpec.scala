@@ -53,6 +53,29 @@ class EdgeCaseSpec extends SparkSpec {
     Dedup.minhashNearDups(docs).count() shouldBe 0L
   }
 
+  "curation operators" should "tolerate null and empty text" in {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "reach me at a@b.co"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "")
+    ).toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))
+
+    // null text → null counts and null hash (regexp/md5 null-propagate
+    // identically in DuckDB), never an exception or a phantom zero
+    val pii = Curation.piiScan(docs).orderBy("doc_id").collect()
+    pii(0).getAs[Long]("n_email") shouldBe 1L
+    pii(1).isNullAt(pii(1).fieldIndex("n_pii")) shouldBe true
+    pii(1).isNullAt(pii(1).fieldIndex("redacted_md5")) shouldBe true
+    pii(2).getAs[Long]("n_pii") shouldBe 0L
+    // stratified sampling keys on doc_id, so null text still samples
+    Curation.sampleStratified(docs, k = 5).count() shouldBe 3L
+    // the manifest drops null docs (null quality fails the filter, as
+    // the oracle's NULL comparison does) and keeps real survivors
+    val mix = Curation.trainMix(docs, minQuality = 0.0).collect()
+    mix.map(_.getAs[Long]("n_docs")).sum should be <= 2L
+  }
+
   "butterworth kernels" should "handle degenerate block sizes" in {
     val c = Butterworth.lowPass(4, 250.0, 20.0)
     Butterworth.filterBlock(c, Array.empty[Double], 10) shouldBe empty
