@@ -68,7 +68,9 @@ object SparkEntry {
     "train_mix" -> (Curation.trainMixQ _),
     "ts_sessions" -> (Timeseries.tsSessions _),
     "ts_quantiles" -> (Timeseries.tsQuantiles _),
-    "ts_bandpower" -> (Timeseries.tsBandpower _)
+    "ts_bandpower" -> (Timeseries.tsBandpower _),
+    "text_repetition" -> (TextAnalysis.textRepetition _),
+    "text_decontam" -> (Curation.textDecontam _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,6 +125,8 @@ object SparkEntry {
     "train_mix" -> Curation.trainMixSql,
     "ts_sessions" -> Timeseries.tsSessionsSql,
     "ts_quantiles" -> Timeseries.tsQuantilesSql,
-    "ts_bandpower" -> Timeseries.tsBandpowerSql
+    "ts_bandpower" -> Timeseries.tsBandpowerSql,
+    "text_repetition" -> TextAnalysis.textRepetitionSql,
+    "text_decontam" -> Curation.textDecontamSql
   )
 }

@@ -95,6 +95,44 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------------
+
+  /** N-gram benchmark decontamination (the GPT-3/PaLM-style eval-overlap
+    * scan): flag every training document sharing at least one word
+    * w-gram with the evaluation set, reporting the overlap fraction.
+    * `evalDocs` carries (doc_id, text); shingles come from the same
+    * native kernel the dedup pipelines use (distinct per doc,
+    * whole-text fallback below w words), so a verbatim excerpt of
+    * length ≥ w words is guaranteed to hit.
+    *
+    * Scale shape: eval sets are benchmark-sized — their distinct gram
+    * set BROADCASTS, so the corpus-side stream is a map-side hash-join
+    * probe (the corpus never shuffles a gram row that misses) and the
+    * per-doc rollup aggregates only hits, keyed by doc_id. At larger
+    * eval sets, swap the gram strings for their 60-bit md5 keys (same
+    * [[Dedup.md5Prefix60Sql]] both engines) to shrink the broadcast —
+    * identity of the report is unchanged up to hash collisions.
+    */
+  def decontaminate(corpusDocs: DataFrame, evalDocs: DataFrame, w: Int = 8): DataFrame = {
+    def sh(d: DataFrame) = d
+      .select(col("doc_id"), Dedup.shingles(w).as("__sh"))
+      .filter(col("__sh").isNotNull)
+    val evalGrams = sh(evalDocs).select(explode(col("__sh")).as("g")).distinct()
+    sh(corpusDocs)
+      .select(col("doc_id"), size(col("__sh")).as("__n"), explode(col("__sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"), col("__n"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(
+        col("doc_id"),
+        col("__n").cast("long").as("n_grams"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("__n"), 6).as("contam_frac")
+      )
+  }
+
+  // ---------------------------------------------------------------------
   // Training-mix manifest (the end-to-end composition)
   // ---------------------------------------------------------------------
 
@@ -184,6 +222,46 @@ object Curation {
        |  FROM documents) t
        |WHERE rk <= 20
        |ORDER BY source, lang, rk""".stripMargin
+
+  /** Fixed decontamination query: the planted mirror docs (doc_id ≥ 1e6,
+    * each a verbatim suffix of a corpus doc — [[Dedup.withPlantedNearDups]])
+    * play the benchmark set, so contamination exists at every scale
+    * factor by construction; the corpus side is the raw table.
+    */
+  def textDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Dedup.withPlantedNearDups(Tables.documents(spark, dir))
+    decontaminate(
+      planted.filter(col("doc_id") < 1000000L),
+      planted.filter(col("doc_id") >= 1000000L)
+    ).orderBy(col("doc_id"))
+  }
+
+  /** Same shingle CTE shape as the minhash oracle at w=8, over the same
+    * planted corpus split into corpus/eval halves.
+    */
+  val textDecontamSql: String =
+    s"""WITH ${Dedup.PlantedCorpusSql},
+       |normed AS (
+       |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm
+       |  FROM corpus WHERE text IS NOT NULL),
+       |words AS (SELECT doc_id, string_split(nm, ' ') AS ws FROM normed),
+       |shpos AS (
+       |  SELECT doc_id, ws, UNNEST(range(1, GREATEST(len(ws) - 7, 1) + 1)) AS i FROM words),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN len(ws) >= 8 THEN array_to_string(ws[i:i+7], ' ')
+       |         ELSE array_to_string(ws, ' ') END AS g
+       |  FROM shpos),
+       |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id >= 1000000),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh WHERE doc_id < 1000000 GROUP BY 1),
+       |hit AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_hit
+       |  FROM sh s JOIN ev USING (g)
+       |  WHERE s.doc_id < 1000000 GROUP BY 1)
+       |SELECT h.doc_id, t.n_grams, h.n_hit,
+       |  ROUND(CAST(h.n_hit AS DOUBLE) / t.n_grams, 6) AS contam_frac
+       |FROM hit h JOIN tot t USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   def trainMixQ(spark: SparkSession, dir: String): DataFrame =
     trainMix(Tables.documents(spark, dir)).orderBy(col("split"), col("lang_pred"))

@@ -651,7 +651,7 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** The planted corpus as a DuckDB CTE — mirror of withPlantedNearDups. */
-  private val PlantedCorpusSql: String =
+  private[operators] val PlantedCorpusSql: String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

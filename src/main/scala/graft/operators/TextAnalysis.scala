@@ -288,6 +288,54 @@ object TextAnalysis {
        |ORDER BY doc_id, fingerprint""".stripMargin
   }
 
+  /** Within-document repetition signals — the Gopher/RefinedWeb-style
+    * "repetitious text" filters (Rae et al. 2021 §A1.1): the fraction
+    * of word occurrences that are repeats, the same for word bigrams,
+    * and the share of the single most frequent bigram. High values mark
+    * boilerplate / spam / generation loops that a training-data
+    * pipeline drops before dedup even runs.
+    *
+    * Scale shape: the gram stream shuffles keyed by (doc_id, gram) —
+    * the key includes the document id, so the shuffle is uniform by
+    * construction (no hot key can exceed one document's grams) and
+    * partial aggregation collapses within-partition repeats map-side;
+    * the per-document rollup then rides a second small shuffle keyed by
+    * doc_id alone, whose input is already one row per distinct gram.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    // tagged unigram + bigram stream: (k=1, word) and (k=2, "w_i w_i+1")
+    val grams = expr(
+      s"""concat(
+         |  transform($WordsSql, x -> named_struct('k', 1, 'g', x)),
+         |  if(size($WordsSql) < 2, cast(array() as array<struct<k:int,g:string>>),
+         |     transform(sequence(1, size($WordsSql) - 1),
+         |               i -> named_struct('k', 2,
+         |                 'g', concat(element_at($WordsSql, i), ' ', element_at($WordsSql, i + 1)))))
+         |)""".stripMargin
+    )
+    docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(grams).as("kg"))
+      .groupBy(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("k") === 1, col("c"))).as("__nw"),
+        sum(when(col("k") === 1, lit(1L))).as("__dw"),
+        sum(when(col("k") === 2, col("c"))).as("__nb"),
+        sum(when(col("k") === 2, lit(1L))).as("__db"),
+        max(when(col("k") === 2, col("c"))).as("__mb")
+      )
+      .select(
+        col("doc_id"),
+        col("__nw").as("n_words"),
+        round((col("__nw") - col("__dw")).cast("double") / col("__nw"), 6).as("dup_word_frac"),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        round((col("__nb") - col("__db")).cast("double") / col("__nb"), 6).as("dup_bigram_frac"),
+        round(col("__mb").cast("double") / col("__nb"), 6).as("top_bigram_frac")
+      )
+  }
+
   // ---------------------------------------------------------------------
   // Corpus reporting and deterministic splits
   // ---------------------------------------------------------------------
@@ -345,4 +393,44 @@ object TextAnalysis {
        |    ${Dedup.md5Prefix60Duck("CAST(doc_id AS VARCHAR)")} % 100 AS b
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Repetition oracle: the identical tagged unigram/bigram stream via
+    * UNNEST (bigram i spans words[i], words[i+1]; range(1, len) is
+    * empty below 2 words, matching the Spark guard), the same two-level
+    * count, and integer-derived double ratios — all arithmetic exact
+    * until the final ROUND.
+    */
+  val textRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0),
+      |uni AS (SELECT doc_id, 1 AS k, u.g FROM t, UNNEST(w) AS u(g)),
+      |bi AS (
+      |  SELECT doc_id, 2 AS k, w[CAST(r.i AS INT)] || ' ' || w[CAST(r.i AS INT) + 1] AS g
+      |  FROM t, UNNEST(range(1, len(w))) AS r(i)),
+      |c AS (
+      |  SELECT doc_id, k, g, COUNT(*) AS c
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+      |  GROUP BY 1, 2, 3),
+      |a AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN k = 1 THEN c END) AS nw,
+      |    COUNT(CASE WHEN k = 1 THEN 1 END) AS dw,
+      |    SUM(CASE WHEN k = 2 THEN c END) AS nb,
+      |    COUNT(CASE WHEN k = 2 THEN 1 END) AS db,
+      |    MAX(CASE WHEN k = 2 THEN c END) AS mb
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(nw AS BIGINT) AS n_words,
+      |  ROUND(CAST(nw - dw AS DOUBLE) / nw, 6) AS dup_word_frac,
+      |  CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+      |  ROUND(CAST(nb - db AS DOUBLE) / nb, 6) AS dup_bigram_frac,
+      |  ROUND(CAST(mb AS DOUBLE) / nb, 6) AS top_bigram_frac
+      |FROM a
+      |ORDER BY doc_id""".stripMargin
 }
