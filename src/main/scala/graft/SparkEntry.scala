@@ -70,7 +70,8 @@ object SparkEntry {
     "ts_quantiles" -> (Timeseries.tsQuantiles _),
     "ts_bandpower" -> (Timeseries.tsBandpower _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
-    "text_decontam" -> (Curation.textDecontam _)
+    "text_decontam" -> (Curation.textDecontam _),
+    "bm25_search" -> (Search.bm25Search _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,6 +128,7 @@ object SparkEntry {
     "ts_quantiles" -> Timeseries.tsQuantilesSql,
     "ts_bandpower" -> Timeseries.tsBandpowerSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
-    "text_decontam" -> Curation.textDecontamSql
+    "text_decontam" -> Curation.textDecontamSql,
+    "bm25_search" -> Search.bm25SearchSql
   )
 }
