@@ -71,7 +71,8 @@ object SparkEntry {
     "ts_bandpower" -> (Timeseries.tsBandpower _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "text_decontam" -> (Curation.textDecontam _),
-    "bm25_search" -> (Search.bm25Search _)
+    "bm25_search" -> (Search.bm25Search _),
+    "embed_kmeans" -> (Similarity.embedKmeans _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,6 +130,7 @@ object SparkEntry {
     "ts_bandpower" -> Timeseries.tsBandpowerSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_decontam" -> Curation.textDecontamSql,
-    "bm25_search" -> Search.bm25SearchSql
+    "bm25_search" -> Search.bm25SearchSql,
+    "embed_kmeans" -> Similarity.embedKmeansSql
   )
 }

@@ -189,6 +189,76 @@ object Similarity {
       .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
   }
 
+  /** Lloyd k-means over the embedding corpus — the clustering primitive
+    * under corpus cartography, IVF index builds, and SemDeDup-style
+    * semantic dedup. A FIXED number of iterations from a deterministic
+    * seed keeps the whole trajectory engine-reproducible: init is the
+    * md5-ranked sample ivfTopK already uses, assignment breaks distance
+    * ties on the lower centroid id, and centroid updates are per-
+    * dimension exact-decimal means — so every iteration's centroids
+    * (and hence the final assignment) are bit-identical in both
+    * engines.
+    *
+    * Scale shape: per iteration the corpus is SCANNED once and never
+    * shuffled — assignment is a codegen'd projection against k literal
+    * centroid vectors, and the update is a partial aggregation that
+    * collapses to k·dim rows per task before the (k·dim)-key exchange.
+    * The driver materializes k·dim doubles per round (the Lloyd
+    * broadcast-update shape; same index-scale collect ivfTopK does).
+    * Distance uses d² = v·v − 2·v·c + c·c so the per-row work is two
+    * cached dot products per centroid.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val base = emb.select(col("vec_id"), col("embedding").as("v"))
+
+    def assignStruct(cents: Seq[(Int, Seq[Double])]): Column =
+      least(cents.map { case (cid, cv) =>
+        // c·c folded left-to-right like list_dot_product / VecDot
+        val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(
+          (VectorMath.dot(col("v"), col("v"))
+            - lit(2.0) * VectorMath.dot(col("v"), typedlit(cv)) + lit(cc)).as("d"),
+          lit(cid).as("cid")
+        )
+      }: _*)
+
+    var cents: Seq[(Int, Seq[Double])] = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .collect()
+      .toSeq
+      .map(_.getSeq[Double](0))
+      .zipWithIndex
+      .map { case (v, i) => (i, v) }
+
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        cents = base
+          .withColumn("cid", assignStruct(cents).getField("cid"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg((sum(col("x").cast("double").cast(dec)).cast("double") / count(lit(1))).as("m"))
+          .collect()
+          .toSeq
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+          .groupBy(_._1)
+          .toSeq
+          .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3)) }
+          .sortBy(_._1)
+      }
+    } finally base.unpersist()
+
+    val fin = assignStruct(cents)
+    base.select(
+      col("vec_id"),
+      fin.getField("cid").cast("long").as("cluster"),
+      round(fin.getField("d"), 6).as("dist2")
+    )
+  }
+
   // ---------------------------------------------------------------------
   // Fixed driver queries
   // ---------------------------------------------------------------------
@@ -312,6 +382,60 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 6) AS cosine
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val KmeansK = 8
+  val KmeansIters = 3
+  val KmeansDim = 64
+
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(Tables.embeddings(spark, dir), KmeansK, KmeansIters)
+      .orderBy(col("vec_id"))
+
+  /** K-means oracle: the identical fixed trajectory unrolled as CTEs —
+    * md5-ranked init, per-iteration argmin assignment (distance then
+    * cid, exactly the least-struct order), per-dimension DECIMAL-mean
+    * centroid update rebuilt as an ordered list — then the final
+    * assignment. Every double on the trajectory is identical across
+    * engines, so cluster ids and distances hash-match.
+    */
+  val embedKmeansSql: String = {
+    def distExpr(v: String, c: String) =
+      s"list_dot_product($v, $v) - 2.0 * list_dot_product($v, $c) + list_dot_product($c, $c)"
+    val iterCtes = (1 to KmeansIters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""asg$i AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT n.vec_id, n.v, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |                         ORDER BY ${distExpr("n.v", "c.cv")}, c.cid) AS rn
+         |    FROM n CROSS JOIN $prev c) a
+         |  WHERE rn = 1),
+         |cent$i AS (
+         |  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+         |    SELECT cid, g.dim AS dim,
+         |      CAST(SUM(CAST(v[CAST(g.dim AS INT)] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM asg$i, generate_series(1, $KmeansDim) AS g(dim)
+         |    GROUP BY 1, 2) t
+         |  GROUP BY cid)""".stripMargin
+    }
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+       |         v AS cv
+       |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KmeansK) s),
+       |${iterCtes.mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, cid, d FROM (
+       |    SELECT n.vec_id, c.cid, ${distExpr("n.v", "c.cv")} AS d,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                         ORDER BY ${distExpr("n.v", "c.cv")}, c.cid) AS rn
+       |    FROM n CROSS JOIN cent$KmeansIters c) a
+       |  WHERE rn = 1)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(d, 6) AS dist2
+       |FROM fin
+       |ORDER BY vec_id""".stripMargin
   }
 
   def annKnnLabel(spark: SparkSession, dir: String): DataFrame = {
