@@ -72,7 +72,8 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "text_decontam" -> (Curation.textDecontam _),
     "bm25_search" -> (Search.bm25Search _),
-    "embed_kmeans" -> (Similarity.embedKmeans _)
+    "embed_kmeans" -> (Similarity.embedKmeans _),
+    "ts_xcorr" -> (Timeseries.tsXcorr _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,6 +132,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_decontam" -> Curation.textDecontamSql,
     "bm25_search" -> Search.bm25SearchSql,
-    "embed_kmeans" -> Similarity.embedKmeansSql
+    "embed_kmeans" -> Similarity.embedKmeansSql,
+    "ts_xcorr" -> Timeseries.tsXcorrSql
   )
 }

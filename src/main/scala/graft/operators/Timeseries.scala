@@ -1196,6 +1196,113 @@ object Timeseries {
     mergeAnnotationSpans(spans).orderBy(col("channel"), col("island"))
   }
 
+  /** Lagged cross-correlation between channel pairs over the aligned
+    * time-bucket grid — the multi-channel coupling analysis (EEG
+    * coherence screening, metric lead/lag discovery) the reference's
+    * montage subtraction is the 1-lag special case of. Each channel is
+    * first reduced to its per-bucket mean (the montage grid), then pair
+    * (a, b) at lag L correlates a's bucket series against b's shifted
+    * by L buckets.
+    *
+    * Scale shape: ONE (channel, bucket)-keyed partial aggregation
+    * reduces the stream to grid size; the pair×lag fan-out joins grid
+    * against grid keyed by bucket (co-partitioned at scale when the
+    * table is time-bucket partitioned) with the tiny pair×lag relation
+    * broadcast; the final rollup has #pairs·#lags groups. All
+    * correlation sums route through DECIMAL so r is
+    * aggregation-order-independent; sqrt is IEEE-exact in both
+    * engines.
+    */
+  def crossCorrelation(
+    spark: SparkSession,
+    ts: DataFrame,
+    pairs: Seq[(String, String)],
+    bucketUs: Long,
+    maxLag: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val chans = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val grid = ts
+      .filter(col("channel").isin(chans: _*))
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bkt"))
+      .agg(detAvg(col("v")).as("m"))
+    val pairLags = pairs
+      .flatMap { case (a, b) => (-maxLag to maxLag).map(l => (a, b, l.toLong)) }
+      .toDF("cha", "chb", "lag")
+    val x = grid.select(col("channel").as("cha"), col("bkt"), col("m").as("x"))
+    val y = grid.select(col("channel").as("__ych"), col("bkt").as("ybkt"), col("m").as("y"))
+    val n = count(lit(1))
+    val sx = detSum(col("x"))
+    val sy = detSum(col("y"))
+    val sxy = detSum(col("x") * col("y"))
+    val sxx = detSum(col("x") * col("x"))
+    val syy = detSum(col("y") * col("y"))
+    x.join(broadcast(pairLags), "cha")
+      .join(y, col("__ych") === col("chb") && col("ybkt") === col("bkt") + col("lag"))
+      .groupBy(col("cha"), col("chb"), col("lag"))
+      .agg(n.as("n"), sx.as("sx"), sy.as("sy"), sxy.as("sxy"), sxx.as("sxx"), syy.as("syy"))
+      .select(
+        col("cha"),
+        col("chb"),
+        col("lag"),
+        col("n"),
+        round(
+          when(
+            (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt(
+                (col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))
+              )
+          ),
+          6
+        ).as("r")
+      )
+  }
+
+  /** 6-hour grid, lags -2..2, over the montage pair list. */
+  val XcorrBucketUs = 21600000000L
+  val XcorrMaxLag = 2
+
+  def tsXcorr(spark: SparkSession, dir: String): DataFrame =
+    crossCorrelation(spark, Tables.ts(spark, dir), MontagePairs, XcorrBucketUs, XcorrMaxLag)
+      .orderBy(col("cha"), col("chb"), col("lag"))
+
+  val tsXcorrSql: String = {
+    val pairVals = MontagePairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+    s"""WITH g AS (
+       |  SELECT event_type AS channel,
+       |    CAST(FLOOR(epoch_us(ts) / $XcorrBucketUs) AS BIGINT) AS bkt,
+       |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM events
+       |  GROUP BY 1, 2),
+       |pl AS (
+       |  SELECT p.cha, p.chb, l.lag
+       |  FROM (VALUES $pairVals) p(cha, chb)
+       |  CROSS JOIN (SELECT UNNEST(range(-$XcorrMaxLag, $XcorrMaxLag + 1)) AS lag) l),
+       |j AS (
+       |  SELECT pl.cha, pl.chb, pl.lag, x.m AS x, y.m AS y
+       |  FROM pl
+       |  JOIN g x ON x.channel = pl.cha
+       |  JOIN g y ON y.channel = pl.chb AND y.bkt = x.bkt + pl.lag),
+       |s AS (
+       |  SELECT cha, chb, lag, COUNT(*) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(27,10))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(27,10))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(27,10))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(y * y AS DECIMAL(27,10))) AS DOUBLE) AS syy
+       |  FROM j GROUP BY 1, 2, 3)
+       |SELECT cha, chb, lag, n,
+       |  ROUND(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+       |             THEN (n * sxy - sx * sy) /
+       |                  SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+       |        END, 6) AS r
+       |FROM s
+       |ORDER BY cha, chb, lag""".stripMargin
+  }
+
   val tsAnnotationsSql: String =
     """SELECT channel, island, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n FROM (
       |  SELECT channel, s, e,
