@@ -73,7 +73,8 @@ object SparkEntry {
     "text_decontam" -> (Curation.textDecontam _),
     "bm25_search" -> (Search.bm25Search _),
     "embed_kmeans" -> (Similarity.embedKmeans _),
-    "ts_xcorr" -> (Timeseries.tsXcorr _)
+    "ts_xcorr" -> (Timeseries.tsXcorr _),
+    "ts_interp" -> (Timeseries.tsInterp _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,6 +134,7 @@ object SparkEntry {
     "text_decontam" -> Curation.textDecontamSql,
     "bm25_search" -> Search.bm25SearchSql,
     "embed_kmeans" -> Similarity.embedKmeansSql,
-    "ts_xcorr" -> Timeseries.tsXcorrSql
+    "ts_xcorr" -> Timeseries.tsXcorrSql,
+    "ts_interp" -> Timeseries.tsInterpSql
   )
 }

@@ -1261,6 +1261,154 @@ object Timeseries {
       )
   }
 
+  /** Linear interpolation onto a uniform time grid — the resampling
+    * mode the reference's nearest/min-max paths don't cover: each grid
+    * point g takes v = v0 + (v1−v0)·(g−t0)/(t1−t0) from its bracketing
+    * samples (t0 = latest sample ≤ g, t1 = earliest sample > g; a
+    * sample exactly at g contributes (g−t0) = 0 and returns its own
+    * value). Grid points without both neighbors are dropped (interior
+    * contract).
+    *
+    * Scale shape: the two-sided as-of lookup runs TWO-PHASE like every
+    * sequential per-channel quantity here (§5): grid points and
+    * samples union into one (channel, time-bucket)-partitioned stream;
+    * bucket-local cumulative windows fill the previous/next sample
+    * (value, time) in each direction, and rows whose bracket lies
+    * outside their bucket take it from the per-bucket summary (last /
+    * first sample per bucket, carried per channel across the TINY
+    * summary relation and broadcast back). No per-channel single-task
+    * sort anywhere; a hot channel splits across its buckets.
+    */
+  def interpolateGrid(
+    ts: DataFrame,
+    channels: Seq[String],
+    startUs: Long,
+    endUs: Long,
+    stepUs: Long,
+    bucketUs: Long = StitchBucketUs
+  ): DataFrame = {
+    val samples = ts
+      .filter(col("channel").isin(channels: _*))
+      .select(col("channel"), col("t"), lit(0).as("src"), col("v").as("sv"))
+    val grid = ts.sparkSession
+      .range(1)
+      .select(explode(typedlit(channels)).as("channel"))
+      .select(
+        col("channel"),
+        explode(sequence(lit(startUs), lit(endUs - 1), lit(stepUs))).as("t"),
+        lit(1).as("src"),
+        lit(null).cast("double").as("sv")
+      )
+    val u = samples
+      .unionByName(grid)
+      .withColumn("__bkt", microsBucket(col("t"), bucketUs))
+
+    // bucket-local cumulative fills, both directions; at equal t the
+    // asc pass orders the sample BEFORE the grid point (an exact hit is
+    // its own predecessor) and the desc pass orders the grid point
+    // first (the next-neighbor is strictly later)
+    val wAsc = Window
+      .partitionBy(col("channel"), col("__bkt"))
+      .orderBy(col("t"), col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window
+      .partitionBy(col("channel"), col("__bkt"))
+      .orderBy(col("t").desc, col("src").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = when(col("sv").isNotNull, col("t"))
+    val filled = u
+      .withColumn("__pv", last(col("sv"), ignoreNulls = true).over(wAsc))
+      .withColumn("__pt", last(st, ignoreNulls = true).over(wAsc))
+      .withColumn("__nv", last(col("sv"), ignoreNulls = true).over(wDesc))
+      .withColumn("__nt", last(st, ignoreNulls = true).over(wDesc))
+
+    // per-bucket sample extremes, carried across buckets per channel
+    // over the summary relation (one row per non-empty bucket)
+    val perBucket = u
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(
+        max_by(col("sv"), st).as("__lv"),
+        max(st).as("__lt"),
+        min_by(col("sv"), st).as("__fv"),
+        min(st).as("__ft")
+      )
+    val wPrev = Window.partitionBy(col("channel")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("channel")).orderBy(col("__bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = broadcast(
+      perBucket.select(
+        col("channel"),
+        col("__bkt"),
+        last(col("__lv"), ignoreNulls = true).over(wPrev).as("__pb_pv"),
+        last(col("__lt"), ignoreNulls = true).over(wPrev).as("__pb_pt"),
+        last(col("__fv"), ignoreNulls = true).over(wNext).as("__pb_nv"),
+        last(col("__ft"), ignoreNulls = true).over(wNext).as("__pb_nt")
+      )
+    )
+
+    val pt = coalesce(col("__pt"), col("__pb_pt"))
+    val pv = coalesce(col("__pv"), col("__pb_pv"))
+    val nt = coalesce(col("__nt"), col("__pb_nt"))
+    val nv = coalesce(col("__nv"), col("__pb_nv"))
+    filled
+      .join(carry, Seq("channel", "__bkt"))
+      .filter(col("src") === 1 && pt.isNotNull && nt.isNotNull)
+      .select(
+        col("channel"),
+        col("t"),
+        round(pv + (nv - pv) * ((col("t") - pt).cast("double") / (nt - pt).cast("double")), 6)
+          .as("v"),
+        (nt - pt).as("gap_us")
+      )
+  }
+
+  /** All five testdata channels on a 1-hour grid over the fixed range
+    * window.
+    */
+  val InterpChannels: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  val InterpStepUs = 3600000000L
+
+  def tsInterp(spark: SparkSession, dir: String): DataFrame =
+    interpolateGrid(Tables.ts(spark, dir), InterpChannels, RangeStartUs, RangeEndUs, InterpStepUs)
+      .orderBy(col("channel"), col("t"))
+
+  /** Sequential-window oracle: one union stream per channel, cumulative
+    * IGNORE NULLS fills in both directions, identical lerp arithmetic.
+    */
+  val tsInterpSql: String = {
+    val chans = InterpChannels.map(c => s"'$c'").mkString(", ")
+    s"""WITH p AS (
+       |  SELECT event_type AS channel, epoch_us(ts) AS t, value AS v
+       |  FROM events WHERE event_type IN ($chans)),
+       |grid AS (
+       |  SELECT c.channel, g.t
+       |  FROM (SELECT UNNEST([$chans]) AS channel) c
+       |  CROSS JOIN (SELECT UNNEST(range($RangeStartUs, $RangeEndUs, $InterpStepUs)) AS t) g),
+       |u AS (
+       |  SELECT channel, t, 0 AS src, v AS sv FROM p
+       |  UNION ALL
+       |  SELECT channel, t, 1 AS src, NULL AS sv FROM grid),
+       |f AS (
+       |  SELECT channel, t, src,
+       |    last_value(sv IGNORE NULLS) OVER w_asc AS pv,
+       |    last_value(CASE WHEN sv IS NOT NULL THEN t END IGNORE NULLS) OVER w_asc AS pt,
+       |    last_value(sv IGNORE NULLS) OVER w_desc AS nv,
+       |    last_value(CASE WHEN sv IS NOT NULL THEN t END IGNORE NULLS) OVER w_desc AS nt
+       |  FROM u
+       |  WINDOW
+       |    w_asc AS (PARTITION BY channel ORDER BY t, src
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    w_desc AS (PARTITION BY channel ORDER BY t DESC, src DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT channel, t,
+       |  ROUND(pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 6) AS v,
+       |  nt - pt AS gap_us
+       |FROM f
+       |WHERE src = 1 AND pt IS NOT NULL AND nt IS NOT NULL
+       |ORDER BY channel, t""".stripMargin
+  }
+
   /** 6-hour grid, lags -2..2, over the montage pair list. */
   val XcorrBucketUs = 21600000000L
   val XcorrMaxLag = 2

@@ -157,7 +157,8 @@ class PlanSpec extends SparkSpec {
       "ts_butterworth" -> Filtering.tsButterworth(spark, sfDir),
       "ts_montage_filter" -> Filtering.tsMontageFilter(spark, sfDir),
       "ts_acf" -> Timeseries.tsAcf(spark, sfDir),
-      "ts_sessions" -> Timeseries.tsSessions(spark, sfDir)
+      "ts_sessions" -> Timeseries.tsSessions(spark, sfDir),
+      "ts_interp" -> Timeseries.tsInterp(spark, sfDir)
     )
     plans.foreach { case (name, df) =>
       val windows = df.queryExecution.optimizedPlan.collect {
