@@ -212,8 +212,8 @@ object Similarity {
     val dec = org.apache.spark.sql.types.DecimalType(27, 10)
     val base = emb.select(col("vec_id"), col("embedding").as("v"))
 
-    def assignStruct(cents: Seq[(Int, Seq[Double])]): Column =
-      least(cents.map { case (cid, cv) =>
+    def assignStruct(cents: Seq[(Int, Seq[Double])]): Column = {
+      val structs = cents.map { case (cid, cv) =>
         // c·c folded left-to-right like list_dot_product / VecDot
         val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
         struct(
@@ -221,7 +221,9 @@ object Similarity {
             - lit(2.0) * VectorMath.dot(col("v"), typedlit(cv)) + lit(cc)).as("d"),
           lit(cid).as("cid")
         )
-      }: _*)
+      }
+      if (structs.size == 1) structs.head else least(structs: _*)
+    }
 
     var cents: Seq[(Int, Seq[Double])] = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))

@@ -96,4 +96,28 @@ class CurationSpec extends SparkSpec {
     val out = Curation.trainMix(df, minQuality = 0.5).collect()
     out.map(_.getAs[Long]("n_docs")).sum shouldBe 1L
   }
+
+  "decontaminate" should "flag exactly the docs sharing a w-gram with the eval set" in {
+    val w10 = (1 to 10).map(i => s"w$i").mkString(" ") // w1..w10
+    val corpus = docs(
+      1L -> w10, // shares the 8-gram w2..w9 with the eval excerpt
+      2L -> "totally different words here that never overlap anything at all"
+    )
+    val eval = docs(100L -> (2 to 9).map(i => s"w$i").mkString(" ")) // verbatim excerpt
+    val out = Curation.decontaminate(corpus, eval, w = 8).collect()
+    out.length shouldBe 1
+    out(0).getAs[Long]("doc_id") shouldBe 1L
+    out(0).getAs[Long]("n_grams") shouldBe 3L // 10 words → 3 distinct 8-grams
+    out(0).getAs[Long]("n_hit") shouldBe 1L
+    out(0).getAs[Double]("contam_frac") shouldBe 0.333333 +- 1e-9
+  }
+
+  it should "hit short documents via the whole-text shingle fallback" in {
+    val short = "only five words right here"
+    val corpus = docs(1L -> short, 2L -> "five other words sit here")
+    val eval = docs(100L -> short)
+    val out = Curation.decontaminate(corpus, eval, w = 8).collect()
+    out.map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(1L)
+    out(0).getAs[Double]("contam_frac") shouldBe 1.0
+  }
 }

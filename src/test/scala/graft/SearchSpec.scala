@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  "bm25TopK" should "rank by term frequency under equal length and keep only matching docs" in {
+    val df = docs(
+      1L -> "rare rare rare pad pad",
+      2L -> "rare pad pad pad pad",
+      3L -> "common common pad pad pad"
+    )
+    val out = Search
+      .bm25TopK(spark, df, Seq("q" -> Seq("rare")), k = 10)
+      .orderBy("rank")
+      .collect()
+    out.map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(1L, 2L) // doc 3 never matches
+    out.map(_.getAs[Long]("rank")).toSeq shouldBe Seq(1L, 2L)
+    out(0).getAs[Double]("score") should be > out(1).getAs[Double]("score")
+  }
+
+  it should "downweight ubiquitous terms via idf" in {
+    // same tf (1) and same doc length everywhere; "pad" appears in all
+    // docs (df=3) while "rare" appears in one (df=1) → the rare match
+    // must outscore the ubiquitous one
+    val df = docs(
+      1L -> "rare pad x1 x2",
+      2L -> "pad y1 y2 y3",
+      3L -> "pad z1 z2 z3"
+    )
+    val out = Search
+      .bm25TopK(spark, df, Seq("q_rare" -> Seq("rare"), "q_pad" -> Seq("pad")), k = 10)
+      .collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id")) -> r.getAs[Double]("score"))
+      .toMap
+    out(("q_rare", 1L)) should be > out(("q_pad", 1L))
+  }
+
+  it should "sum per-term contributions for multi-term queries" in {
+    val df = docs(1L -> "alpha beta pad pad", 2L -> "alpha pad pad pad", 3L -> "beta pad pad pad")
+    val out = Search
+      .bm25TopK(spark, df, Seq("q" -> Seq("alpha", "beta")), k = 10)
+      .orderBy("rank")
+      .collect()
+    // the doc matching both terms outranks either single-term doc
+    out(0).getAs[Long]("doc_id") shouldBe 1L
+    out.length shouldBe 3
+    // deterministic across runs
+    val again = Search
+      .bm25TopK(spark, df, Seq("q" -> Seq("alpha", "beta")), k = 10)
+      .orderBy("rank")
+      .collect()
+    out.map(_.toSeq).toSeq shouldBe again.map(_.toSeq).toSeq
+  }
+}

@@ -107,4 +107,30 @@ class SimilaritySpec extends SparkSpec {
       .toList
     got shouldBe List((0L, 1, 3L))
   }
+
+  "kmeansAssign" should "compute exact distances to the single-cluster mean" in {
+    // k=1: after one update the centroid is the decimal-exact mean
+    // (2, 0); d² = v·v − 2·v·c + c·c gives 4, 0, 4
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f)),
+      (2L, Array(4.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(vecs, k = 1, iters = 1).orderBy("vec_id").collect()
+    out.map(_.getAs[Long]("cluster")).toSeq shouldBe Seq(0L, 0L, 0L)
+    out.map(_.getAs[Double]("dist2")).toSeq shouldBe Seq(4.0, 0.0, 4.0)
+  }
+
+  it should "separate well-separated planted clusters deterministically" in {
+    val a = (0L until 4L).map(i => (i, Array(100.0f + i, 0.0f)))
+    val b = (4L until 8L).map(i => (i, Array(-100.0f - i, 0.0f)))
+    val vecs = (a ++ b).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(vecs, k = 2, iters = 4).collect()
+    val byCluster = out.groupBy(_.getAs[Long]("cluster")).view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    byCluster.values.toSet shouldBe Set((0L until 4L).toSet, (4L until 8L).toSet)
+    // bit-identical across runs (no RNG anywhere in the trajectory)
+    val again = Similarity.kmeansAssign(vecs, k = 2, iters = 4).collect()
+    out.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]) shouldBe
+      again.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+  }
 }

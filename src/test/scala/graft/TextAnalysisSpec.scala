@@ -103,6 +103,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  "repetitionSignals" should "measure within-document duplication exactly" in {
+    val df = Seq(
+      (1L, "a a b"),          // 3 words / 2 distinct; bigrams "a a","a b" all distinct
+      (2L, "x y x y x"),      // 5/2 words; bigrams: "x y"×2, "y x"×2 → 4/2
+      (3L, "solo"),           // one word: no bigrams → null bigram ratios
+      (4L, "   ")             // whitespace-only: dropped entirely
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .repetitionSignals(df)
+      .orderBy("doc_id")
+      .collect()
+    out.length shouldBe 3
+    out(0).getAs[Long]("n_words") shouldBe 3L
+    out(0).getAs[Double]("dup_word_frac") shouldBe 0.333333 +- 1e-9
+    out(0).getAs[Long]("n_bigrams") shouldBe 2L
+    out(0).getAs[Double]("dup_bigram_frac") shouldBe 0.0
+    out(0).getAs[Double]("top_bigram_frac") shouldBe 0.5
+    out(1).getAs[Double]("dup_word_frac") shouldBe 0.6
+    out(1).getAs[Double]("dup_bigram_frac") shouldBe 0.5
+    out(1).getAs[Double]("top_bigram_frac") shouldBe 0.5
+    out(2).getAs[Long]("n_words") shouldBe 1L
+    out(2).getAs[Long]("n_bigrams") shouldBe 0L
+    out(2).isNullAt(out(2).fieldIndex("dup_bigram_frac")) shouldBe true
+    out(2).isNullAt(out(2).fieldIndex("top_bigram_frac")) shouldBe true
+  }
+
   "deterministicSplit" should "assign stable, roughly-proportional buckets" in {
     val docs = Tables.documents(spark, sfDir)
     val s1 = TextAnalysis.deterministicSplit(docs).as[(Long, String)].collect().toMap

@@ -524,4 +524,60 @@ class TimeseriesSpec extends SparkSpec {
     row.getAs[Double]("p90") shouldBe (q(0.9) +- 1e-6)
     row.getAs[Double]("p99") shouldBe (q(0.99) +- 1e-6)
   }
+
+  "crossCorrelation" should "find the exact lead-lag relation between channels" in {
+    // one sample per bucket; b's series is a's delayed by ONE bucket
+    // (y_k = x_{k-1} with x_k = k² — nonlinear, so only the true lag
+    // lines up to a perfectly linear relation)
+    val bk = 1000000L
+    val a = (0L until 12L).map(k => ("a", k * bk + 10L, (k * k).toDouble))
+    val b = (0L until 12L).map(k => ("b", k * bk + 20L, ((k - 1) * (k - 1)).toDouble))
+    val ts = mkTs(a ++ b)
+    val out = Timeseries
+      .crossCorrelation(spark, ts, Seq("a" -> "b"), bk, maxLag = 2)
+      .collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("r"))
+      .toMap
+    out(1L) shouldBe 1.0
+    out(0L) should be < 1.0
+    out(-1L) should be < out(1L)
+  }
+
+  "interpolateGrid" should "lerp across bucket boundaries and return exact hits" in {
+    // samples in buckets 0, 2 and 10 (bucket = 1000 µs); grid points in
+    // the empty middle buckets must take their bracket from the
+    // cross-bucket carry, a grid point ON a sample returns its value,
+    // and points outside the bracketed range are dropped
+    val ts = mkTs(Seq(("c", 500L, 1.0), ("c", 2000L, 5.0), ("c", 10500L, 3.0)))
+    val out = Timeseries
+      .interpolateGrid(ts, Seq("c"), 0L, 12000L, 1000L, bucketUs = 1000L)
+      .collect()
+      .map(r => r.getAs[Long]("t") -> r.getAs[Double]("v"))
+      .toMap
+    // g=0 (before first sample) and g=11000 (after last) are dropped
+    out.keySet shouldBe (1000L to 10000L by 1000L).toSet
+    def lerp(g: Long, t0: Long, v0: Double, t1: Long, v1: Double): Double =
+      BigDecimal(v0 + (v1 - v0) * ((g - t0).toDouble / (t1 - t0).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    out(1000L) shouldBe lerp(1000L, 500L, 1.0, 2000L, 5.0)
+    out(2000L) shouldBe 5.0 // exact hit: its own predecessor
+    out(3000L) shouldBe lerp(3000L, 2000L, 5.0, 10500L, 3.0)
+    out(10000L) shouldBe lerp(10000L, 2000L, 5.0, 10500L, 3.0)
+  }
+
+  it should "be invariant to the stitch-bucket width" in {
+    val ts = mkTs(
+      (0L until 40L).map(i => ("c", i * 777L + 3L, math.sin(i * 0.7) * 10)) ++
+        (0L until 25L).map(i => ("d", i * 1311L + 9L, (i % 7).toDouble))
+    )
+    def run(w: Long) = Timeseries
+      .interpolateGrid(ts, Seq("c", "d"), 0L, 30000L, 500L, bucketUs = w)
+      .orderBy("channel", "t")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    run(1000L) shouldBe run(7000L)
+    run(1000L) shouldBe run(1000000L) // one bucket = the sequential shape
+  }
 }
