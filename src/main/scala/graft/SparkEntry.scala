@@ -74,7 +74,8 @@ object SparkEntry {
     "bm25_search" -> (Search.bm25Search _),
     "embed_kmeans" -> (Similarity.embedKmeans _),
     "ts_xcorr" -> (Timeseries.tsXcorr _),
-    "ts_interp" -> (Timeseries.tsInterp _)
+    "ts_interp" -> (Timeseries.tsInterp _),
+    "dedup_semantic" -> (Similarity.dedupSemantic _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,6 +136,7 @@ object SparkEntry {
     "bm25_search" -> Search.bm25SearchSql,
     "embed_kmeans" -> Similarity.embedKmeansSql,
     "ts_xcorr" -> Timeseries.tsXcorrSql,
-    "ts_interp" -> Timeseries.tsInterpSql
+    "ts_interp" -> Timeseries.tsInterpSql,
+    "dedup_semantic" -> Similarity.dedupSemanticSql
   )
 }

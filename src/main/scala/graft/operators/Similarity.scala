@@ -394,14 +394,13 @@ object Similarity {
     kmeansAssign(Tables.embeddings(spark, dir), KmeansK, KmeansIters)
       .orderBy(col("vec_id"))
 
-  /** K-means oracle: the identical fixed trajectory unrolled as CTEs —
-    * md5-ranked init, per-iteration argmin assignment (distance then
-    * cid, exactly the least-struct order), per-dimension DECIMAL-mean
-    * centroid update rebuilt as an ordered list — then the final
-    * assignment. Every double on the trajectory is identical across
-    * engines, so cluster ids and distances hash-match.
+  /** K-means trajectory as reusable oracle CTEs — md5-ranked init,
+    * per-iteration argmin assignment (distance then cid, exactly the
+    * least-struct order), per-dimension DECIMAL-mean centroid update
+    * rebuilt as an ordered list, and the final assignment `kasg`.
+    * Every double on the trajectory is identical across engines.
     */
-  val embedKmeansSql: String = {
+  private[operators] val KmeansCtes: String = {
     def distExpr(v: String, c: String) =
       s"list_dot_product($v, $v) - 2.0 * list_dot_product($v, $c) + list_dot_product($c, $c)"
     val iterCtes = (1 to KmeansIters).map { i =>
@@ -421,24 +420,72 @@ object Similarity {
          |    GROUP BY 1, 2) t
          |  GROUP BY cid)""".stripMargin
     }
-    s"""WITH n AS (
+    s"""n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
        |         v AS cv
        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KmeansK) s),
        |${iterCtes.mkString(",\n")},
-       |fin AS (
+       |kasg AS (
        |  SELECT vec_id, cid, d FROM (
        |    SELECT n.vec_id, c.cid, ${distExpr("n.v", "c.cv")} AS d,
        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |                         ORDER BY ${distExpr("n.v", "c.cv")}, c.cid) AS rn
        |    FROM n CROSS JOIN cent$KmeansIters c) a
-       |  WHERE rn = 1)
-       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(d, 6) AS dist2
-       |FROM fin
-       |ORDER BY vec_id""".stripMargin
+       |  WHERE rn = 1)""".stripMargin
   }
+
+  val embedKmeansSql: String =
+    s"""WITH $KmeansCtes
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(d, 6) AS dist2
+       |FROM kasg
+       |ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    * clusters are the BLOCKING key — near-duplicate pairs are mined by
+    * exact cosine only WITHIN a cluster, shrinking the pair product
+    * from n² to Σ|cluster|². Emits verified pairs
+    * (cluster, vec_a, vec_b, cosine ≥ τ); survivor selection composes
+    * downstream exactly like the other pair-mining dedups (feed
+    * [[Dedup.connectedComponents]] or keep min vec_id per pair).
+    *
+    * Scale shape: assignment is the kmeansAssign projection (corpus
+    * never shuffled); the pair join shuffles keyed by cluster id. At
+    * the design point k grows with the corpus (~√n clusters — SemDeDup
+    * runs 50k clusters on web scale), keeping clusters bounded; for
+    * skew-hard corpora compose the counted-bucket cap the blocked
+    * embedding dedup uses before any pair forms.
+    */
+  def semanticDedup(emb: DataFrame, k: Int = 8, iters: Int = 3, tau: Double = 0.4): DataFrame = {
+    val asg = kmeansAssign(emb, k, iters).select(col("vec_id"), col("cluster"))
+    val p = prepped(emb, "vec_id", "v", "nrm").join(asg, "vec_id")
+    val a = p.select(col("cluster"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = p.select(col("cluster"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorMath.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("cluster"), col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(spark, dir))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** The kmeans trajectory CTEs + within-cluster cosine pairs, the
+    * same raw-threshold-then-round contract as the embed dedup oracle.
+    */
+  val dedupSemanticSql: String =
+    s"""WITH $KmeansCtes,
+       |p AS (
+       |  SELECT k.vec_id, k.cid, n.v, SQRT(list_dot_product(n.v, n.v)) AS nrm
+       |  FROM kasg k JOIN n USING (vec_id))
+       |SELECT a.cid AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |FROM p a JOIN p b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   def annKnnLabel(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

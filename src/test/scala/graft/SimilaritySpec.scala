@@ -133,4 +133,23 @@ class SimilaritySpec extends SparkSpec {
     out.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]) shouldBe
       again.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
   }
+
+  "semanticDedup" should "mine cosine pairs within clusters and respect the threshold" in {
+    // two far-apart groups; one near-identical pair planted in each,
+    // plus an angular outlier per group that must stay below τ
+    val vecs = Seq(
+      (0L, Array(100.0f, 0.0f)),
+      (1L, Array(100.0f, 0.01f)),
+      (2L, Array(100.0f, 60.0f)),
+      (4L, Array(-100.0f, 0.0f)),
+      (5L, Array(-100.0f, -0.01f)),
+      (6L, Array(-100.0f, 60.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .semanticDedup(vecs, k = 2, iters = 3, tau = 0.9)
+      .collect()
+    out.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet shouldBe
+      Set((0L, 1L), (4L, 5L))
+    out.foreach(_.getAs[Double]("cosine") should be >= 0.99)
+  }
 }
