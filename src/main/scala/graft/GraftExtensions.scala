@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgrams, MinhashBandKeys, MinhashSignature, SimhashSignature, VecDot, Winnow, WordShingles}
+import graft.functions.{CharNgrams, MinhashBandKeys, MinhashSignature, RepetitionStats, SimhashSignature, VecDot, Winnow, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -88,6 +88,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         { exprs: Seq[Expression] =>
           require(exprs.length == 1, "simhash_signature(words) takes exactly 1 argument")
           SimhashSignature(exprs.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("repetition_stats"),
+        new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 1, "repetition_stats(norm_text) takes exactly 1 argument")
+          RepetitionStats(exprs.head)
         }
       )
     )

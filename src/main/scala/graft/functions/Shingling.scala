@@ -85,6 +85,9 @@ object Shingling {
 
   def charNgrams(normText: Column, n: Int): Column =
     GraftSqlBridge.column(CharNgrams(GraftSqlBridge.expression(normText), n))
+
+  def repetitionStats(normText: Column): Column =
+    GraftSqlBridge.column(RepetitionStats(GraftSqlBridge.expression(normText)))
 }
 
 case class WordShingles(child: Expression, w: Int)
@@ -126,4 +129,80 @@ case class CharNgrams(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): CharNgrams = copy(child = newChild)
 
   override def prettyName: String = "char_ngrams"
+}
+
+/** One-pass within-document repetition statistics over normalized
+  * text: word and word-bigram occurrence/distinct counts plus the
+  * modal bigram count, in a single scan with a reused counting map —
+  * the kernel behind TextAnalysis.repetitionSignals. Per-document
+  * statistics need NO shuffle: the explode→(doc, gram)-groupBy
+  * formulation this replaces shuffled one row per gram occurrence and
+  * ran an interpreted lambda per word (profiled 7.3 s at sf0.1; the
+  * kernel runs at scan speed). Counts are exact integers, so the
+  * SQL-oracle formulation (UNNEST + two-level GROUP BY) reproduces
+  * every output bit-for-bit.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = RepetitionStats.Schema
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"repetition_stats expects a string, got ${child.dataType.catalogString}"
+      )
+
+  // null in → null out — see WordShingles
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val wc = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < words.length) {
+      wc.merge(words(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var maxBigram = 0L
+    var distinctBigrams = 0L
+    val nBigrams: Long = math.max(words.length - 1, 0).toLong
+    if (words.length >= 2) {
+      val bc = new java.util.HashMap[String, Int]()
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j + 1 < words.length) {
+        sb.setLength(0)
+        sb.append(words(j)).append(' ').append(words(j + 1))
+        val c = bc.merge(sb.toString, 1, (a, b) => a + b)
+        if (c > maxBigram) maxBigram = c.toLong
+        j += 1
+      }
+      distinctBigrams = bc.size.toLong
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      words.length.toLong,
+      wc.size.toLong,
+      nBigrams,
+      distinctBigrams,
+      maxBigram
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStats {
+  val Schema: StructType = StructType(
+    Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_distinct_words", LongType, nullable = false),
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("n_distinct_bigrams", LongType, nullable = false),
+      StructField("max_bigram", LongType, nullable = false)
+    )
+  )
 }

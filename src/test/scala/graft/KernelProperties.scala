@@ -89,4 +89,28 @@ object KernelProperties extends Properties("graft.kernels") {
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0)), Gen.choose(1, 64)) { (data, pad) =>
       Butterworth.reflectedPrewarm(data.toArray, pad).length == pad
     }
+
+  // ---------------------------------------------------- repetition stats
+  private val wordsGen = for {
+    n <- Gen.choose(1, 60)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "xyz"))
+  } yield ws
+
+  property("repetition_stats matches the brute-force gram model") = forAll(wordsGen) { ws =>
+    val s = ws.mkString(" ")
+    val row = graft.functions
+      .RepetitionStats(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(s, org.apache.spark.sql.types.StringType)
+      )
+      .eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val bigrams = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toList
+    row.getLong(0) == ws.length.toLong &&
+    row.getLong(1) == ws.distinct.length.toLong &&
+    row.getLong(2) == bigrams.length.toLong &&
+    row.getLong(3) == bigrams.distinct.length.toLong &&
+    row.getLong(4) == (if (bigrams.isEmpty) 0L
+                       else bigrams.groupBy(identity).values.map(_.size).max.toLong)
+  }
 }
