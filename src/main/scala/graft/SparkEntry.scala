@@ -75,7 +75,8 @@ object SparkEntry {
     "embed_kmeans" -> (Similarity.embedKmeans _),
     "ts_xcorr" -> (Timeseries.tsXcorr _),
     "ts_interp" -> (Timeseries.tsInterp _),
-    "dedup_semantic" -> (Similarity.dedupSemantic _)
+    "dedup_semantic" -> (Similarity.dedupSemantic _),
+    "ts_props" -> (Timeseries.tsProps _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,6 +138,7 @@ object SparkEntry {
     "embed_kmeans" -> Similarity.embedKmeansSql,
     "ts_xcorr" -> Timeseries.tsXcorrSql,
     "ts_interp" -> Timeseries.tsInterpSql,
-    "dedup_semantic" -> Similarity.dedupSemanticSql
+    "dedup_semantic" -> Similarity.dedupSemanticSql,
+    "ts_props" -> Timeseries.tsPropsSql
   )
 }

@@ -1196,6 +1196,43 @@ object Timeseries {
     mergeAnnotationSpans(spans).orderBy(col("channel"), col("island"))
   }
 
+  /** Semi-structured event properties: parse the JSON `props` payload
+    * with an explicit schema (`from_json` — schema-on-read, the Spark
+    * path for the reference's untyped event metadata) and roll the
+    * extracted field up per channel. Parsing is map-side in the scan
+    * projection; the rollup is one partially-aggregated channel-keyed
+    * shuffle with algebraic aggregates only (integer sums ⇒ the
+    * average is deterministic without the decimal route).
+    */
+  def propsRollup(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type").as("channel"),
+        from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k")
+      )
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("ksum"),
+        min(col("k")).as("kmin"),
+        max(col("k")).as("kmax"),
+        round(sum(col("k")).cast("double") / count(lit(1)), 6).as("kavg")
+      )
+
+  def tsProps(spark: SparkSession, dir: String): DataFrame =
+    propsRollup(Tables.events(spark, dir)).orderBy(col("channel"))
+
+  val tsPropsSql: String =
+    """SELECT event_type AS channel, COUNT(*) AS n, COUNT(k) AS n_k,
+      |  CAST(SUM(k) AS BIGINT) AS ksum, MIN(k) AS kmin, MAX(k) AS kmax,
+      |  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS kavg
+      |FROM (
+      |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events) t
+      |GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
   /** Lagged cross-correlation between channel pairs over the aligned
     * time-bucket grid — the multi-channel coupling analysis (EEG
     * coherence screening, metric lead/lag discovery) the reference's
