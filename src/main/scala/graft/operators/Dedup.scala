@@ -322,26 +322,29 @@ object Dedup {
         case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
         case _ => None
       }
+    // ONE job per round: the convergence witness (exact decimal label
+    // sum) rides the SAME action that materializes the checkpoint,
+    // via an Observation on the label stream — the former separate
+    // labelSum aggregation doubled the job count of every round.
+    // Empty input sums to SQL NULL — normalize to zero so an empty
+    // pair set converges after one round instead of burning maxIter
+    // no-op rounds on never-equal nulls.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df
+        .observe(obs, sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+        .localCheckpoint(true)
+      val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
+      (ck, if (s == null) java.math.BigDecimal.ZERO else s)
+    }
     // round 0, fused with initialization: labels(v) = v initially, so
     // min over the self-looped neighborhood is a plain aggregation —
-    // no distinct-nodes job and no join
-    var labels = edges
-      .groupBy(col("u").as("node"))
-      .agg(min(col("v")).as("cluster"))
-      .localCheckpoint(true)
-    // empty input sums to SQL NULL — normalize to zero so an empty
-    // pair set converges after one round instead of burning maxIter
-    // no-op rounds on never-equal nulls
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df
-        .agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .collect()(0)
-        .getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    // round 0 always ran above — its sum seeds the witness; compare
-    // from round 1 on
-    var prevSum: java.math.BigDecimal = labelSum(labels)
+    // no distinct-nodes job and no join; its sum seeds the witness
+    var (labels, prevSum) = checkpointWithSum(
+      edges
+        .groupBy(col("u").as("node"))
+        .agg(min(col("v")).as("cluster"))
+    )
     var iter = 1
     var converged = false
     // try/finally so a mid-loop failure (including the non-convergence
@@ -353,12 +356,12 @@ object Dedup {
       while (!converged && iter < maxIter) {
         // self-loops make the neighborhood min include the node's own
         // label, so the aggregation output IS the new label relation
-        val updated = edges
-          .join(labels.select(col("node").as("v"), col("cluster")), "v")
-          .groupBy(col("u").as("node"))
-          .agg(min(col("cluster")).as("cluster"))
-          .localCheckpoint(true)
-        val s = labelSum(updated)
+        val (updated, s) = checkpointWithSum(
+          edges
+            .join(labels.select(col("node").as("v"), col("cluster")), "v")
+            .groupBy(col("u").as("node"))
+            .agg(min(col("cluster")).as("cluster"))
+        )
         converged = s.compareTo(prevSum) == 0
         // `updated` is fully materialized into its own blocks (eager
         // checkpoint), so the superseded round's copy can go now
