@@ -180,6 +180,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "text_repetition" should "compute every signal with ZERO shuffles" in {
+    // per-document statistics are a pure map-side kernel projection;
+    // the only exchange permitted is the output ORDER BY's range
+    // partitioning
+    val df = graft.operators.TextAnalysis.textRepetition(spark, sfDir)
+    countShuffles(df) should be <= 1
+    planString(df) should include("repetition_stats")
+  }
+
+  "text_decontam" should "broadcast the eval gram set and probe it map-side" in {
+    val df = graft.operators.Curation.textDecontam(spark, sfDir)
+    val plan = planString(df)
+    plan should include("BroadcastHashJoin")
+    // corpus side: no shuffle before the broadcast probe — the only
+    // exchanges are the eval-side distinct, the per-doc hit rollup,
+    // and the output ordering
+    countShuffles(df) should be <= 3
+  }
+
+  "bm25_search" should "cap per-query candidates map-side and broadcast the small relations" in {
+    val df = graft.operators.Search.bm25Search(spark, sfDir)
+    val plan = planString(df)
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  "embed_kmeans" should "assign without shuffling the corpus" in {
+    // final assignment = projection against literal centroids; the
+    // plan has NO exchange except the output ORDER BY
+    val df = Similarity.embedKmeans(spark, sfDir)
+    countShuffles(df) should be <= 1
+    planString(df) should include("vec_dot")
+  }
+
+  "ts_xcorr" should "broadcast the pair/lag relation and partial-aggregate the grid" in {
+    val df = Timeseries.tsXcorr(spark, sfDir)
+    val plan = planString(df)
+    plan should include("BroadcastHashJoin")
+    plan should include("partial_")
+  }
+
   "sample_stratified" should "push the per-stratum rank limit below the shuffle" in {
     // WindowGroupLimit keeps at most k rows per stratum on the map
     // side, so no task ever sorts a whole stratum
