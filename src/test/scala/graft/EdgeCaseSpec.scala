@@ -76,6 +76,25 @@ class EdgeCaseSpec extends SparkSpec {
     mix.map(_.getAs[Long]("n_docs")).sum should be <= 2L
   }
 
+  "round-5 text operators" should "tolerate null and empty text" in {
+    import graft.operators.{Curation, Search}
+    val docs = Seq(
+      (1L, "normal document with words and words"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "")
+    ).toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))
+
+    // repetition: null AND empty docs drop (no words), matching the
+    // oracle's WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    TextAnalysis.repetitionSignals(docs).select($"doc_id").as[Long].collect().toSet shouldBe
+      Set(1L)
+    // decontamination: null-text docs contribute no shingles on either
+    // side and never throw
+    Curation.decontaminate(docs, docs.filter($"doc_id" === 2L), w = 8).count() shouldBe 0L
+    // bm25 drops null-text docs from the corpus stats and tf stream
+    Search.bm25TopK(spark, docs, Seq("q" -> Seq("words")), k = 5).count() shouldBe 1L
+  }
+
   "butterworth kernels" should "handle degenerate block sizes" in {
     val c = Butterworth.lowPass(4, 250.0, 20.0)
     Butterworth.filterBlock(c, Array.empty[Double], 10) shouldBe empty
