@@ -76,7 +76,8 @@ object SparkEntry {
     "ts_xcorr" -> (Timeseries.tsXcorr _),
     "ts_interp" -> (Timeseries.tsInterp _),
     "dedup_semantic" -> (Similarity.dedupSemantic _),
-    "ts_props" -> (Timeseries.tsProps _)
+    "ts_props" -> (Timeseries.tsProps _),
+    "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,6 +140,7 @@ object SparkEntry {
     "ts_xcorr" -> Timeseries.tsXcorrSql,
     "ts_interp" -> Timeseries.tsInterpSql,
     "dedup_semantic" -> Similarity.dedupSemanticSql,
-    "ts_props" -> Timeseries.tsPropsSql
+    "ts_props" -> Timeseries.tsPropsSql,
+    "ann_ivf_kmeans" -> Similarity.annIvfKmeansSql
   )
 }

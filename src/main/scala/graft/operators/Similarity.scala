@@ -208,23 +208,31 @@ object Similarity {
     * Distance uses d² = v·v − 2·v·c + c·c so the per-row work is two
     * cached dot products per centroid.
     */
-  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  /** (squared-distance, cid) argmin struct against literal centroids —
+    * d² = v·v − 2·v·c + c·c with every dot product (and the driver-side
+    * c·c fold) accumulating left-to-right like list_dot_product, ties
+    * to the lower cid (least-struct order).
+    */
+  private def kmeansAssignStruct(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val structs = cents.map { case (cid, cv) =>
+      val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct(
+        (VectorMath.dot(v, v) - lit(2.0) * VectorMath.dot(v, typedlit(cv)) + lit(cc)).as("d"),
+        lit(cid).as("cid")
+      )
+    }
+    if (structs.size == 1) structs.head else least(structs: _*)
+  }
+
+  /** The Lloyd trajectory itself: returns the centroids after `iters`
+    * fixed iterations from the md5-ranked deterministic init. Each
+    * round is one corpus scan (assignment = literal-centroid
+    * projection, update = k·dim-group partial aggregation) plus a
+    * k·dim-row driver collect — the standard broadcast-update shape.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 10)
     val base = emb.select(col("vec_id"), col("embedding").as("v"))
-
-    def assignStruct(cents: Seq[(Int, Seq[Double])]): Column = {
-      val structs = cents.map { case (cid, cv) =>
-        // c·c folded left-to-right like list_dot_product / VecDot
-        val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
-        struct(
-          (VectorMath.dot(col("v"), col("v"))
-            - lit(2.0) * VectorMath.dot(col("v"), typedlit(cv)) + lit(cc)).as("d"),
-          lit(cid).as("cid")
-        )
-      }
-      if (structs.size == 1) structs.head else least(structs: _*)
-    }
-
     var cents: Seq[(Int, Seq[Double])] = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
@@ -239,7 +247,7 @@ object Similarity {
     try {
       for (_ <- 1 to iters) {
         cents = base
-          .withColumn("cid", assignStruct(cents).getField("cid"))
+          .withColumn("cid", kmeansAssignStruct(col("v"), cents).getField("cid"))
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy(col("cid"), col("dim"))
           .agg((sum(col("x").cast("double").cast(dec)).cast("double") / count(lit(1))).as("m"))
@@ -252,13 +260,19 @@ object Similarity {
           .sortBy(_._1)
       }
     } finally base.unpersist()
+    cents
+  }
 
-    val fin = assignStruct(cents)
-    base.select(
-      col("vec_id"),
-      fin.getField("cid").cast("long").as("cluster"),
-      round(fin.getField("d"), 6).as("dist2")
-    )
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(emb, k, iters)
+    val fin = kmeansAssignStruct(col("v"), cents)
+    emb
+      .select(col("vec_id"), col("embedding").as("v"))
+      .select(
+        col("vec_id"),
+        fin.getField("cid").cast("long").as("cluster"),
+        round(fin.getField("d"), 6).as("dist2")
+      )
   }
 
   // ---------------------------------------------------------------------
@@ -486,6 +500,91 @@ object Similarity {
        |FROM p a JOIN p b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** IVF ANN over a PROPER k-means coarse quantizer — the index build
+    * ivfTopK's docstring promises at scale, composed from
+    * [[kmeansCentroids]]: corpus vectors live in their euclid-argmin
+    * cell, queries probe the nProbe nearest cells BY THE SAME metric,
+    * candidates rank by exact cosine. Same scan economics as ivfTopK
+    * (~nProbe/k of the corpus), better cell balance than the sampled
+    * quantizer.
+    */
+  def ivfKmeansTopK(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: Int,
+    kClusters: Int = 8,
+    iters: Int = 3,
+    nProbe: Int = 2
+  ): DataFrame = {
+    val cents = kmeansCentroids(corpus, kClusters, iters)
+    def cellStructs(v: Column): Column =
+      array(cents.map { case (cid, cv) =>
+        val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(
+          (VectorMath.dot(v, v) - lit(2.0) * VectorMath.dot(v, typedlit(cv)) + lit(cc)).as("d"),
+          lit(cid).as("cid")
+        )
+      }: _*)
+    val c = prepped(corpus, "neighbor_id", "vc", "nc")
+      .withColumn("cid", kmeansAssignStruct(col("vc"), cents).getField("cid"))
+    val q = prepped(queries, "query_id", "vq", "nq")
+      .withColumn(
+        "cid",
+        explode(slice(array_sort(cellStructs(col("vq"))), 1, nProbe).getField("cid"))
+      )
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorMath.cosine(col("vq"), col("vc"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine")
+      )
+  }
+
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfKmeansTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The kmeans trajectory CTEs (kasg = corpus cell assignment) plus
+    * the ivf probe/rank shape with euclid-ordered probes.
+    */
+  val annIvfKmeansSql: String = {
+    val nProbe = 2
+    s"""WITH $KmeansCtes,
+       |c AS (
+       |  SELECT k.vec_id AS neighbor_id, k.cid, n.v,
+       |         SQRT(list_dot_product(n.v, n.v)) AS nrm
+       |  FROM kasg k JOIN n USING (vec_id)),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS vq, nrm AS nq, cid FROM (
+       |    SELECT n.vec_id, n.v,
+       |      SQRT(list_dot_product(n.v, n.v)) AS nrm, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        list_dot_product(n.v, n.v) - 2.0 * list_dot_product(n.v, cent.cv)
+       |          + list_dot_product(cent.cv, cent.cv), cent.cid) AS rn
+       |    FROM n CROSS JOIN cent$KmeansIters cent
+       |    WHERE n.vec_id < $QueryCount) a
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         list_dot_product(q.vq, c.v) / (q.nq * c.nrm) AS cos_raw
+       |  FROM q JOIN c ON q.cid = c.cid AND q.query_id <> c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   def annKnnLabel(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
