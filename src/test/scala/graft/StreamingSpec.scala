@@ -291,4 +291,39 @@ class StreamingSpec extends SparkSpec {
       rows shouldBe List(("a", 2L), ("a", 1L))
     } finally q.stop()
   }
+
+  "StreamingCuration.curate" should "gate a document stream map-side with no state store" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingCuration.curate(
+      mem.toDF().toDF("doc_id", "text"),
+      minQuality = 0.3,
+      maxDupBigramFrac = 0.5
+    )
+    val q = out.writeStream.format("memory").queryName("cur_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the cat and the dog are in the house with a friend of the family for a visit"),
+        (2L, "spam spam spam spam spam spam spam spam"), // repetition ceiling
+        (3L, null.asInstanceOf[String]) // dropped, never throws
+      )
+      q.processAllAvailable()
+      // a later micro-batch still passes the same stateless gate, and
+      // PII is redacted on the way out
+      mem.addData((4L, "the cat and the dog wrote to a@b.co about the house of the family"))
+      q.processAllAvailable()
+      val rows = spark
+        .table("cur_out")
+        .orderBy("doc_id")
+        .select($"doc_id", $"text")
+        .as[(Long, String)]
+        .collect()
+        .toList
+      rows.map(_._1) shouldBe List(1L, 4L)
+      rows(1)._2 should include("[EMAIL]")
+      rows(1)._2 should not include "a@b.co"
+      // stateless: the executed streaming plan carries no state store
+      q.lastProgress.stateOperators.length shouldBe 0
+    } finally q.stop()
+  }
 }
