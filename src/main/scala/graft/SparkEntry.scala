@@ -77,7 +77,9 @@ object SparkEntry {
     "ts_interp" -> (Timeseries.tsInterp _),
     "dedup_semantic" -> (Similarity.dedupSemantic _),
     "ts_props" -> (Timeseries.tsProps _),
-    "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _)
+    "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
+    "ts_funnel" -> (Timeseries.tsFunnel _),
+    "corpus_drift" -> (TextAnalysis.corpusDriftQ _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,6 +143,8 @@ object SparkEntry {
     "ts_interp" -> Timeseries.tsInterpSql,
     "dedup_semantic" -> Similarity.dedupSemanticSql,
     "ts_props" -> Timeseries.tsPropsSql,
-    "ann_ivf_kmeans" -> Similarity.annIvfKmeansSql
+    "ann_ivf_kmeans" -> Similarity.annIvfKmeansSql,
+    "ts_funnel" -> Timeseries.tsFunnelSql,
+    "corpus_drift" -> TextAnalysis.corpusDriftSql
   )
 }

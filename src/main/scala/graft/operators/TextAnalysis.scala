@@ -382,6 +382,94 @@ object TextAnalysis {
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus drift: Jensen–Shannon divergence between the word
+    * distributions of two corpus slices (here: language pairs) — the
+    * distribution-shift report a pipeline runs when a new crawl or
+    * source lands. JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q); zero-
+    * probability terms contribute 0 by the usual convention.
+    *
+    * Scale shape: ONE (slice, word)-keyed partial aggregation reduces
+    * the corpus to vocabulary size; everything after (totals, the
+    * slice-pair × vocab grid, the divergence rollup) operates on
+    * vocabulary-scale relations — broadcast joins, no data-scale
+    * shuffle. Portability: probabilities are exact-integer ratios, the
+    * one transcendental (ln) is ROUNDed to 9 decimals on identical
+    * inputs, and per-word terms sum through DECIMAL.
+    */
+  def corpusDrift(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+    val w = d
+      .select(col("lang"), explode(expr(WordsSql)).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val tot = w.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val p = w.join(broadcast(tot), "lang").select(
+      col("lang"),
+      col("word"),
+      (col("c").cast("double") / col("n")).as("p")
+    )
+    val langs = d.select(col("lang")).distinct()
+    val prs = langs
+      .select(col("lang").as("la"))
+      .join(langs.select(col("lang").as("lb")), col("la") < col("lb"))
+    val grid = prs.crossJoin(w.select(col("word")).distinct())
+    val pa = p.select(col("lang").as("la"), col("word"), col("p").as("pa"))
+    val pb = p.select(col("lang").as("lb"), col("word"), col("p").as("pb"))
+    val g = grid
+      .join(broadcast(pa), Seq("la", "word"), "left")
+      .join(broadcast(pb), Seq("lb", "word"), "left")
+      .select(
+        col("la"),
+        col("lb"),
+        coalesce(col("pa"), lit(0.0)).as("pa"),
+        coalesce(col("pb"), lit(0.0)).as("pb")
+      )
+    val m = (col("pa") + col("pb")) / lit(2.0)
+    val term =
+      when(col("pa") > 0, col("pa") * round(log(col("pa") / m), 9)).otherwise(lit(0.0)) +
+        when(col("pb") > 0, col("pb") * round(log(col("pb") / m), 9)).otherwise(lit(0.0))
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    g.select(col("la"), col("lb"), term.as("t"), col("pa"), col("pb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(
+        round(lit(0.5) * sum(col("t").cast(dec)).cast("double"), 6).as("js_divergence"),
+        sum(when(col("pa") > 0 && col("pb") > 0, 1L).otherwise(0L)).as("n_shared_words")
+      )
+  }
+
+  def corpusDriftQ(spark: SparkSession, dir: String): DataFrame =
+    corpusDrift(Tables.documents(spark, dir)).orderBy(col("la"), col("lb"))
+
+  val corpusDriftSql: String =
+    """WITH d AS (SELECT lang, text FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT lang, u.word, COUNT(*) AS c
+      |  FROM (SELECT lang, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws FROM d) t,
+      |       UNNEST(ws) AS u(word)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT lang, SUM(c) AS n FROM w GROUP BY 1),
+      |p AS (SELECT w.lang, w.word, CAST(c AS DOUBLE) / n AS p FROM w JOIN tot ON w.lang = tot.lang),
+      |langs AS (SELECT DISTINCT lang FROM d),
+      |prs AS (SELECT a.lang AS la, b.lang AS lb FROM langs a JOIN langs b ON a.lang < b.lang),
+      |grid AS (SELECT la, lb, word FROM prs CROSS JOIN (SELECT DISTINCT word FROM w) v),
+      |g AS (
+      |  SELECT grid.la, grid.lb,
+      |    COALESCE(pa.p, 0.0) AS pa, COALESCE(pb.p, 0.0) AS pb
+      |  FROM grid
+      |  LEFT JOIN p pa ON pa.lang = grid.la AND pa.word = grid.word
+      |  LEFT JOIN p pb ON pb.lang = grid.lb AND pb.word = grid.word),
+      |terms AS (
+      |  SELECT la, lb, pa, pb,
+      |    (CASE WHEN pa > 0 THEN pa * ROUND(LN(pa / ((pa + pb) / 2.0)), 9) ELSE 0.0 END +
+      |     CASE WHEN pb > 0 THEN pb * ROUND(LN(pb / ((pa + pb) / 2.0)), 9) ELSE 0.0 END) AS t
+      |  FROM g)
+      |SELECT la, lb,
+      |  ROUND(0.5 * CAST(SUM(CAST(t AS DECIMAL(27,10))) AS DOUBLE), 6) AS js_divergence,
+      |  CAST(SUM(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_words
+      |FROM terms
+      |GROUP BY 1, 2
+      |ORDER BY la, lb""".stripMargin
+
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     repetitionSignals(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 

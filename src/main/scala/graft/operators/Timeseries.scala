@@ -1196,6 +1196,78 @@ object Timeseries {
     mergeAnnotationSpans(spans).orderBy(col("channel"), col("island"))
   }
 
+  /** Ordered conversion funnel over the event stream: how many users
+    * perform step₁, then step₂ AFTER their first step₁, then step₃
+    * after that, …; plus the mean lag between consecutive stages. The
+    * strict after-the-previous-step ordering is the standard funnel
+    * contract (an unordered min-per-step comparison overcounts users
+    * who purchased before signing up).
+    *
+    * Scale shape: one channel-pushed-down scan per step (the step
+    * predicate reaches the parquet scan / prunes the channel
+    * partition), each reduced by a partial min-aggregation keyed by
+    * user BEFORE the next step joins it — every join is between the
+    * full step-k stream and the one-row-per-user stage relation, keyed
+    * by user_id, so co-partitioning carries through the whole chain
+    * and no per-user window over the data stream exists anywhere.
+    */
+  def funnel(ts: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // stage k relation: (user_id, tk) = first step-k event after tk-1
+    val stages: Seq[DataFrame] = steps.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val evts = ts.filter(col("channel") === step).select(col("user_id"), col("t"))
+        val stage =
+          if (i == 0) evts.groupBy(col("user_id")).agg(min(col("t")).as("t0"))
+          else {
+            val prev = acc.last.select(col("user_id"), col(s"t${i - 1}"))
+            evts
+              .join(prev, "user_id")
+              .filter(col("t") > col(s"t${i - 1}"))
+              .groupBy(col("user_id"))
+              .agg(min(col("t")).as(s"t$i"), min(col(s"t${i - 1}")).as(s"__p$i"))
+          }
+        acc :+ stage
+    }
+    val rows = stages.zipWithIndex.map { case (st, i) =>
+      val lag =
+        if (i == 0) lit(null).cast("double")
+        else round(detAvg(col(s"t$i") - col(s"__p$i")), 6)
+      st.agg(count(lit(1)).as("n_users"), lag.as("avg_lag_us"))
+        .select(lit(i + 1).as("stage"), lit(steps(i)).as("step"), col("n_users"), col("avg_lag_us"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  /** signup → click → purchase over user_id. */
+  val FunnelSteps: Seq[String] = Seq("signup", "click", "purchase")
+
+  def tsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.ts(spark, dir), FunnelSteps).orderBy(col("stage"))
+
+  val tsFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type AS channel, epoch_us(ts) AS t FROM events),
+      |s1 AS (SELECT user_id, MIN(t) AS t0 FROM e WHERE channel = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.t) AS t1, MIN(s1.t0) AS p1
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.channel = 'click' AND e.t > s1.t0
+      |  GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.t) AS t2, MIN(s2.t1) AS p2
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.channel = 'purchase' AND e.t > s2.t1
+      |  GROUP BY 1)
+      |SELECT 1 AS stage, 'signup' AS step, COUNT(*) AS n_users,
+      |  CAST(NULL AS DOUBLE) AS avg_lag_us FROM s1
+      |UNION ALL
+      |SELECT 2, 'click', COUNT(*),
+      |  ROUND(CAST(SUM(CAST(t1 - p1 AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) FROM s2
+      |UNION ALL
+      |SELECT 3, 'purchase', COUNT(*),
+      |  ROUND(CAST(SUM(CAST(t2 - p2 AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) FROM s3
+      |ORDER BY stage""".stripMargin
+
   /** Semi-structured event properties: parse the JSON `props` payload
     * with an explicit schema (`from_json` — schema-on-read, the Spark
     * path for the reference's untyped event metadata) and roll the

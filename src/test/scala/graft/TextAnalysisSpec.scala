@@ -129,6 +129,27 @@ class TextAnalysisSpec extends SparkSpec {
     out(2).isNullAt(out(2).fieldIndex("top_bigram_frac")) shouldBe true
   }
 
+  "corpusDrift" should "score identical slices at zero and disjoint slices at ln 2" in {
+    val df = Seq(
+      (1L, "alpha beta gamma", "x"),
+      (2L, "alpha beta gamma", "y"), // y identical to x
+      (3L, "delta epsilon zeta", "z") // z disjoint from both
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis
+      .corpusDrift(df)
+      .collect()
+      .map(r => (r.getAs[String]("la"), r.getAs[String]("lb")) -> r.getAs[Double]("js_divergence"))
+      .toMap
+    out(("x", "y")) shouldBe 0.0
+    out(("x", "z")) shouldBe 0.693147 +- 1e-6 // ln 2: maximal JS divergence
+    TextAnalysis
+      .corpusDrift(df)
+      .filter($"la" === "x" && $"lb" === "y")
+      .select($"n_shared_words")
+      .as[Long]
+      .collect()(0) shouldBe 3L
+  }
+
   "deterministicSplit" should "assign stable, roughly-proportional buckets" in {
     val docs = Tables.documents(spark, sfDir)
     val s1 = TextAnalysis.deterministicSplit(docs).as[(Long, String)].collect().toMap

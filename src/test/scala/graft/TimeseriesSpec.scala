@@ -525,6 +525,28 @@ class TimeseriesSpec extends SparkSpec {
     row.getAs[Double]("p99") shouldBe (q(0.99) +- 1e-6)
   }
 
+  "funnel" should "require each step strictly after the user's previous step" in {
+    val rows = Seq(
+      // user 1: clean ordered funnel
+      ("signup", 100L, 1L), ("click", 200L, 1L), ("purchase", 300L, 1L),
+      // user 2: purchased BEFORE signup — reaches stage 2 only
+      ("purchase", 50L, 2L), ("signup", 100L, 2L), ("click", 400L, 2L),
+      // user 3: signup only
+      ("signup", 700L, 3L),
+      // user 4: click but never signed up — not even stage 1
+      ("click", 100L, 4L)
+    ).zipWithIndex.map { case ((c, t, u), i) => (c, t, 0.0, u, i.toLong) }
+      .toDF("channel", "t", "v", "user_id", "event_id")
+    val out = Timeseries
+      .funnel(rows, Seq("signup", "click", "purchase"))
+      .orderBy("stage")
+      .collect()
+    out.map(_.getAs[Long]("n_users")).toSeq shouldBe Seq(3L, 2L, 1L)
+    // stage-2 mean lag: user1 200-100=100, user2 400-100=300 → 200
+    out(1).getAs[Double]("avg_lag_us") shouldBe 200.0
+    out(2).getAs[Double]("avg_lag_us") shouldBe 100.0
+  }
+
   "crossCorrelation" should "find the exact lead-lag relation between channels" in {
     // one sample per bucket; b's series is a's delayed by ONE bucket
     // (y_k = x_{k-1} with x_k = k² — nonlinear, so only the true lag
