@@ -79,7 +79,10 @@ object SparkEntry {
     "ts_props" -> (Timeseries.tsProps _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
     "ts_funnel" -> (Timeseries.tsFunnel _),
-    "corpus_drift" -> (TextAnalysis.corpusDriftQ _)
+    "corpus_drift" -> (TextAnalysis.corpusDriftQ _),
+    // format-agnosticism proof: same range query served from an ORC
+    // copy of the layout, oracled against the original parquet
+    "ts_orc_range" -> (graft.sources.OrcLayout.tsOrcRange _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -145,6 +148,7 @@ object SparkEntry {
     "ts_props" -> Timeseries.tsPropsSql,
     "ann_ivf_kmeans" -> Similarity.annIvfKmeansSql,
     "ts_funnel" -> Timeseries.tsFunnelSql,
-    "corpus_drift" -> TextAnalysis.corpusDriftSql
+    "corpus_drift" -> TextAnalysis.corpusDriftSql,
+    "ts_orc_range" -> graft.sources.OrcLayout.tsOrcRangeSql
   )
 }

@@ -222,6 +222,12 @@ class PlanSpec extends SparkSpec {
     plan should include("partial_")
   }
 
+  "ts_orc_range" should "push channel and time predicates into the ORC scan" in {
+    val plan = planString(graft.sources.OrcLayout.tsOrcRange(spark, sfDir))
+    plan should include("PushedFilters:")
+    plan should include("In(channel")
+  }
+
   "sample_stratified" should "push the per-stratum rank limit below the shuffle" in {
     // WindowGroupLimit keeps at most k rows per stratum on the map
     // side, so no task ever sorts a whole stratum
