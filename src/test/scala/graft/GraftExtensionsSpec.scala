@@ -43,6 +43,11 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
         .sql("SELECT simhash_signature(array('a', 'b')) AS s")
         .collect()(0)
         .getLong(0) shouldBe graft.functions.SimhashSig.signature(Array("a", "b"))
+      val rep = ext
+        .sql("SELECT repetition_stats('a a b') AS r")
+        .selectExpr("r.n_words", "r.n_distinct_words", "r.n_bigrams", "r.n_distinct_bigrams", "r.max_bigram")
+        .collect()(0)
+      rep.toSeq shouldBe Seq(3L, 2L, 2L, 2L, 1L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
