@@ -82,7 +82,8 @@ object SparkEntry {
     "corpus_drift" -> (TextAnalysis.corpusDriftQ _),
     // format-agnosticism proof: same range query served from an ORC
     // copy of the layout, oracled against the original parquet
-    "ts_orc_range" -> (graft.sources.OrcLayout.tsOrcRange _)
+    "ts_orc_range" -> (graft.sources.OrcLayout.tsOrcRange _),
+    "corpus_keywords" -> (TextAnalysis.corpusKeywordsQ _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,6 +150,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> Similarity.annIvfKmeansSql,
     "ts_funnel" -> Timeseries.tsFunnelSql,
     "corpus_drift" -> TextAnalysis.corpusDriftSql,
-    "ts_orc_range" -> graft.sources.OrcLayout.tsOrcRangeSql
+    "ts_orc_range" -> graft.sources.OrcLayout.tsOrcRangeSql,
+    "corpus_keywords" -> TextAnalysis.corpusKeywordsSql
   )
 }

@@ -470,6 +470,68 @@ object TextAnalysis {
       |GROUP BY 1, 2
       |ORDER BY la, lb""".stripMargin
 
+  /** Distinctive keywords per corpus slice: tf-idf over slice word
+    * distributions (tf = within-slice frequency ratio, idf over the
+    * slices containing the word, +1-smoothed), top-k per slice — the
+    * "what characterizes this source" report next to [[corpusDrift]]'s
+    * "how far apart are they".
+    *
+    * Same scale shape as corpusDrift: one (slice, word) partial
+    * aggregation reduces the corpus to vocabulary size; scoring and
+    * ranking run on vocabulary-scale relations (df/totals broadcast,
+    * top-k compiles to WindowGroupLimit). ln is ROUNDed to 9 decimals
+    * on exact-integer-ratio inputs; tf ratios are exact divisions —
+    * engine-portable like the BM25 discipline.
+    */
+  def corpusKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+    val w = d
+      .select(col("lang"), explode(expr(WordsSql)).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val tot = w.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val dfc = w.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nSlices = w.select(col("lang")).distinct().agg(count(lit(1)).as("s"))
+    val score =
+      (col("c").cast("double") / col("n")) *
+        round(log((col("s") + lit(1.0)) / (col("df") + lit(1.0))), 9)
+    val bySlice = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("word"))
+    w.join(broadcast(tot), "lang")
+      .join(broadcast(dfc), "word")
+      .crossJoin(broadcast(nSlices))
+      .select(col("lang"), col("word"), score.as("score"))
+      .withColumn("rank", row_number().over(bySlice))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("word"), round(col("score"), 6).as("score"))
+  }
+
+  def corpusKeywordsQ(spark: SparkSession, dir: String): DataFrame =
+    corpusKeywords(Tables.documents(spark, dir)).orderBy(col("lang"), col("rank"))
+
+  val corpusKeywordsSql: String =
+    """WITH d AS (SELECT lang, text FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT lang, u.word, COUNT(*) AS c
+      |  FROM (SELECT lang, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws FROM d) t,
+      |       UNNEST(ws) AS u(word)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT lang, SUM(c) AS n FROM w GROUP BY 1),
+      |dfc AS (SELECT word, COUNT(*) AS df FROM w GROUP BY 1),
+      |s AS (SELECT COUNT(DISTINCT lang) AS s FROM w),
+      |scored AS (
+      |  SELECT w.lang, w.word,
+      |    (CAST(c AS DOUBLE) / n) * ROUND(LN((s.s + 1.0) / (df + 1.0)), 9) AS score
+      |  FROM w JOIN tot ON w.lang = tot.lang JOIN dfc ON w.word = dfc.word CROSS JOIN s),
+      |ranked AS (
+      |  SELECT lang, word, score,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, word) AS rank
+      |  FROM scored)
+      |SELECT lang, rank, word, ROUND(score, 6) AS score
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     repetitionSignals(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
