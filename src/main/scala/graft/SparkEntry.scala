@@ -83,7 +83,8 @@ object SparkEntry {
     // format-agnosticism proof: same range query served from an ORC
     // copy of the layout, oracled against the original parquet
     "ts_orc_range" -> (graft.sources.OrcLayout.tsOrcRange _),
-    "corpus_keywords" -> (TextAnalysis.corpusKeywordsQ _)
+    "corpus_keywords" -> (TextAnalysis.corpusKeywordsQ _),
+    "ts_zscore" -> (Timeseries.tsZscore _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,6 +152,7 @@ object SparkEntry {
     "ts_funnel" -> Timeseries.tsFunnelSql,
     "corpus_drift" -> TextAnalysis.corpusDriftSql,
     "ts_orc_range" -> graft.sources.OrcLayout.tsOrcRangeSql,
-    "corpus_keywords" -> TextAnalysis.corpusKeywordsSql
+    "corpus_keywords" -> TextAnalysis.corpusKeywordsSql,
+    "ts_zscore" -> Timeseries.tsZscoreSql
   )
 }

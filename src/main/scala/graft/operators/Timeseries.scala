@@ -1196,6 +1196,66 @@ object Timeseries {
     mergeAnnotationSpans(spans).orderBy(col("channel"), col("island"))
   }
 
+  /** Per-bucket z-score anomaly detection: each sample scored against
+    * its own (channel, time-bucket) mean/std; rows with |z| above the
+    * threshold are the anomaly report (the cheap distributional screen
+    * that runs before any model-based detector).
+    *
+    * Scale shape: bucket statistics are ONE partially-aggregated
+    * (channel, bucket)-keyed shuffle; the score join is keyed by the
+    * same (channel, bucket), so the exchange is reused/co-partitioned
+    * and no window over the data stream exists at all — anomalies are
+    * a pure filter. Stats route through decimal sums so z is
+    * deterministic; sqrt is IEEE-exact.
+    */
+  def zscoreAnomalies(ts: DataFrame, bucketUs: Long, threshold: Double): DataFrame = {
+    val n = count(lit(1))
+    val s1 = detSum(col("v"))
+    val s2 = detSum(col("v") * col("v"))
+    val stats = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("__bkt"))
+      .agg(
+        n.as("__n"),
+        (s1 / n).as("__mean"),
+        sqrt(greatest((s2 - s1 * s1 / n) / n, lit(0.0))).as("__std")
+      )
+    val z = (col("v") - col("__mean")) / nullif(col("__std"), lit(0.0))
+    ts.withColumn("__bkt", microsBucket(col("t"), bucketUs))
+      .join(stats, Seq("channel", "__bkt"))
+      .filter(abs(z) >= threshold && col("__n") >= 3)
+      .select(
+        col("channel"),
+        col("t"),
+        col("v"),
+        col("__bkt").as("bucket"),
+        round(z, 6).as("z")
+      )
+  }
+
+  /** Daily buckets, |z| ≥ 3. */
+  def tsZscore(spark: SparkSession, dir: String): DataFrame =
+    zscoreAnomalies(Tables.ts(spark, dir), bucketUs = 86400000000L, threshold = 3.0)
+      .orderBy(col("channel"), col("t"))
+
+  val tsZscoreSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS channel, epoch_us(ts) AS t, value AS v,
+      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS bucket
+      |  FROM events),
+      |st AS (
+      |  SELECT channel, bucket, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(27,10))) AS DOUBLE) AS s2
+      |  FROM e GROUP BY 1, 2),
+      |j AS (
+      |  SELECT e.channel, e.t, e.v, e.bucket, st.n,
+      |    (e.v - s1 / n) / NULLIF(SQRT(GREATEST((s2 - s1 * s1 / n) / n, 0.0)), 0.0) AS z
+      |  FROM e JOIN st ON e.channel = st.channel AND e.bucket = st.bucket)
+      |SELECT channel, t, v, bucket, ROUND(z, 6) AS z
+      |FROM j
+      |WHERE ABS(z) >= 3.0 AND n >= 3
+      |ORDER BY channel, t""".stripMargin
+
   /** Ordered conversion funnel over the event stream: how many users
     * perform step₁, then step₂ AFTER their first step₁, then step₃
     * after that, …; plus the mean lag between consecutive stages. The
