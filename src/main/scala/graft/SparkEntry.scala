@@ -84,7 +84,8 @@ object SparkEntry {
     // copy of the layout, oracled against the original parquet
     "ts_orc_range" -> (graft.sources.OrcLayout.tsOrcRange _),
     "corpus_keywords" -> (TextAnalysis.corpusKeywordsQ _),
-    "ts_zscore" -> (Timeseries.tsZscore _)
+    "ts_zscore" -> (Timeseries.tsZscore _),
+    "dedup_semantic_clusters" -> (Similarity.dedupSemanticClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -153,6 +154,7 @@ object SparkEntry {
     "corpus_drift" -> TextAnalysis.corpusDriftSql,
     "ts_orc_range" -> graft.sources.OrcLayout.tsOrcRangeSql,
     "corpus_keywords" -> TextAnalysis.corpusKeywordsSql,
-    "ts_zscore" -> Timeseries.tsZscoreSql
+    "ts_zscore" -> Timeseries.tsZscoreSql,
+    "dedup_semantic_clusters" -> Similarity.dedupSemanticClustersSql
   )
 }

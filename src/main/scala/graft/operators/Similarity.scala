@@ -586,6 +586,44 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The full semantic-dedup PIPELINE ending: verified within-cluster
+    * pairs grouped into connected components (the same bounded-round
+    * min-label propagation dedup_clusters uses) with one survivor per
+    * component — what a user actually deletes on.
+    */
+  def dedupSemanticClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .clustersWithSurvivors(
+        semanticDedup(Tables.embeddings(spark, dir))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      )
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("survivor"))
+      .orderBy(col("vec_id"))
+
+  /** Semantic pair CTEs + recursive transitive closure (the
+    * dedup_clusters oracle shape over the kmeans blocking).
+    */
+  val dedupSemanticClustersSql: String =
+    s"""WITH RECURSIVE $KmeansCtes,
+       |p AS (
+       |  SELECT k.vec_id, k.cid, n.v, SQRT(list_dot_product(n.v, n.v)) AS nrm
+       |  FROM kasg k JOIN n USING (vec_id)),
+       |vpairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM p a JOIN p b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+       |cedges AS (
+       |  SELECT va AS u, vb AS v FROM vpairs
+       |  UNION
+       |  SELECT vb AS u, va AS v FROM vpairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges) nn
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN cedges e ON e.u = r.v)
+       |SELECT u AS vec_id, MIN(v) AS cluster, u = MIN(v) AS survivor
+       |FROM reach GROUP BY u
+       |ORDER BY vec_id""".stripMargin
+
   def annKnnLabel(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     knnLabelVote(emb, emb.filter(col("vec_id") < QueryCount), TopK)
