@@ -1475,14 +1475,17 @@ object Timeseries {
     // bucket-local cumulative fills, both directions; at equal t the
     // asc pass orders the sample BEFORE the grid point (an exact hit is
     // its own predecessor) and the desc pass orders the grid point
-    // first (the next-neighbor is strictly later)
+    // first (the next-neighbor is strictly later). The trailing sv key
+    // pins the degenerate two-samples-at-one-µs case to a
+    // deterministic pick in both engines (it never orders null against
+    // non-null: grid rows are unique at their (t, src))
     val wAsc = Window
       .partitionBy(col("channel"), col("__bkt"))
-      .orderBy(col("t"), col("src"))
+      .orderBy(col("t"), col("src"), col("sv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wDesc = Window
       .partitionBy(col("channel"), col("__bkt"))
-      .orderBy(col("t").desc, col("src").desc)
+      .orderBy(col("t").desc, col("src").desc, col("sv").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val st = when(col("sv").isNotNull, col("t"))
     val filled = u
@@ -1496,9 +1499,11 @@ object Timeseries {
     val perBucket = u
       .groupBy(col("channel"), col("__bkt"))
       .agg(
-        max_by(col("sv"), st).as("__lv"),
+        // ordering key (t, sv) — null for grid rows, so they never win —
+        // matches the windows' sv tie-break on duplicate timestamps
+        max_by(col("sv"), when(col("sv").isNotNull, struct(col("t"), col("sv")))).as("__lv"),
         max(st).as("__lt"),
-        min_by(col("sv"), st).as("__fv"),
+        min_by(col("sv"), when(col("sv").isNotNull, struct(col("t"), col("sv")))).as("__fv"),
         min(st).as("__ft")
       )
     val wPrev = Window.partitionBy(col("channel")).orderBy(col("__bkt"))
@@ -1566,9 +1571,9 @@ object Timeseries {
        |    last_value(CASE WHEN sv IS NOT NULL THEN t END IGNORE NULLS) OVER w_desc AS nt
        |  FROM u
        |  WINDOW
-       |    w_asc AS (PARTITION BY channel ORDER BY t, src
+       |    w_asc AS (PARTITION BY channel ORDER BY t, src, sv
        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-       |    w_desc AS (PARTITION BY channel ORDER BY t DESC, src DESC
+       |    w_desc AS (PARTITION BY channel ORDER BY t DESC, src DESC, sv DESC
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT channel, t,
        |  ROUND(pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 6) AS v,

@@ -588,6 +588,19 @@ class TimeseriesSpec extends SparkSpec {
     out(10000L) shouldBe lerp(10000L, 2000L, 5.0, 10500L, 3.0)
   }
 
+  it should "break duplicate-timestamp ties deterministically (prev=max v, next=min v)" in {
+    val ts = mkTs(
+      Seq(("c", 100L, 1.0), ("c", 100L, 9.0), ("c", 200L, 2.0), ("c", 200L, 8.0))
+    )
+    val out = Timeseries
+      .interpolateGrid(ts, Seq("c"), 150L, 151L, 1L, bucketUs = 1000L)
+      .collect()
+    out.length shouldBe 1
+    // bracket: (100, 9.0) — the max-v duplicate — to (200, 2.0) — the
+    // min-v duplicate; lerp midpoint = 9 + (2-9)*0.5
+    out(0).getAs[Double]("v") shouldBe 5.5
+  }
+
   it should "be invariant to the stitch-bucket width" in {
     val ts = mkTs(
       (0L until 40L).map(i => ("c", i * 777L + 3L, math.sin(i * 0.7) * 10)) ++
