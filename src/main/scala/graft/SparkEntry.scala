@@ -17,6 +17,7 @@ object SparkEntry {
     "q3_topk" -> (Relational.q3TopK _),
     "q4_window" -> (Relational.q4Window _),
     "q5_semi" -> (Relational.q5Semi _),
+    "q6_filter" -> (Relational.q6Forecast _),
     "ts_range" -> (Timeseries.tsRange _),
     "ts_downsample" -> (Timeseries.tsDownsample _),
     "ts_resample_chunk" -> (Timeseries.tsResampleChunk _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "q3_topk" -> Relational.q3Sql,
     "q4_window" -> Relational.q4Sql,
     "q5_semi" -> Relational.q5Sql,
+    "q6_filter" -> Relational.q6Sql,
     "ts_range" -> Timeseries.tsRangeSql,
     "ts_downsample" -> Timeseries.tsDownsampleSql,
     "ts_resample_chunk" -> Timeseries.tsResampleChunkSql,

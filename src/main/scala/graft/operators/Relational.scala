@@ -78,6 +78,36 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q6-style revenue forecast: the pure filter-and-sum shape —
+    * every predicate (date range, discount band, quantity cap) pushes
+    * to the parquet scan, and the single global aggregate is one
+    * partial-agg reduction with no grouping shuffle at all. The
+    * product sum uses q1's decimal discipline.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24
+      )
+      .agg(
+        round(sum(col("l_extendedprice").cast(d184) * col("l_discount").cast(d184)), 4)
+          .cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_rows")
+      )
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   /** Multi-way join: fact (orders) joined to broadcast dimensions.
     * nation/region/customer are tiny relative to orders ⇒ explicit
     * broadcast keeps this a single-stage, shuffle-free join chain on
