@@ -86,7 +86,10 @@ object SparkEntry {
     "ts_orc_range" -> (graft.sources.OrcLayout.tsOrcRange _),
     "corpus_keywords" -> (TextAnalysis.corpusKeywordsQ _),
     "ts_zscore" -> (Timeseries.tsZscore _),
-    "dedup_semantic_clusters" -> (Similarity.dedupSemanticClusters _)
+    "dedup_semantic_clusters" -> (Similarity.dedupSemanticClusters _),
+    // reference blob format end to end: gzip BE-f64 store + range index
+    // built from events, read through BinarySegments.readRange
+    "ts_blob_range" -> (graft.sources.BlobStore.tsBlobRange _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -157,6 +160,7 @@ object SparkEntry {
     "ts_orc_range" -> graft.sources.OrcLayout.tsOrcRangeSql,
     "corpus_keywords" -> TextAnalysis.corpusKeywordsSql,
     "ts_zscore" -> Timeseries.tsZscoreSql,
-    "dedup_semantic_clusters" -> Similarity.dedupSemanticClustersSql
+    "dedup_semantic_clusters" -> Similarity.dedupSemanticClustersSql,
+    "ts_blob_range" -> graft.sources.BlobStore.tsBlobRangeSql
   )
 }
