@@ -213,14 +213,17 @@ object Similarity {
     * c·c fold) accumulating left-to-right like list_dot_product, ties
     * to the lower cid (least-struct order).
     */
-  private def kmeansAssignStruct(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
-    val structs = cents.map { case (cid, cv) =>
+  private def centroidStructs(v: Column, cents: Seq[(Int, Seq[Double])]): Seq[Column] =
+    cents.map { case (cid, cv) =>
       val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
       struct(
         (VectorMath.dot(v, v) - lit(2.0) * VectorMath.dot(v, typedlit(cv)) + lit(cc)).as("d"),
         lit(cid).as("cid")
       )
     }
+
+  private def kmeansAssignStruct(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val structs = centroidStructs(v, cents)
     if (structs.size == 1) structs.head else least(structs: _*)
   }
 
@@ -518,14 +521,7 @@ object Similarity {
     nProbe: Int = 2
   ): DataFrame = {
     val cents = kmeansCentroids(corpus, kClusters, iters)
-    def cellStructs(v: Column): Column =
-      array(cents.map { case (cid, cv) =>
-        val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
-        struct(
-          (VectorMath.dot(v, v) - lit(2.0) * VectorMath.dot(v, typedlit(cv)) + lit(cc)).as("d"),
-          lit(cid).as("cid")
-        )
-      }: _*)
+    def cellStructs(v: Column): Column = array(centroidStructs(v, cents): _*)
     val c = prepped(corpus, "neighbor_id", "vc", "nc")
       .withColumn("cid", kmeansAssignStruct(col("vc"), cents).getField("cid"))
     val q = prepped(queries, "query_id", "vq", "nq")

@@ -1232,10 +1232,13 @@ object Timeseries {
       )
   }
 
-  /** Daily buckets, |z| ≥ 3. */
+  /** Daily buckets, |z| ≥ 3. Output order carries v as the final key:
+    * (channel, t) alone is not total when two samples share a
+    * timestamp (the same degenerate case ts_interp tie-breaks on).
+    */
   def tsZscore(spark: SparkSession, dir: String): DataFrame =
     zscoreAnomalies(Tables.ts(spark, dir), bucketUs = 86400000000L, threshold = 3.0)
-      .orderBy(col("channel"), col("t"))
+      .orderBy(col("channel"), col("t"), col("v"))
 
   val tsZscoreSql: String =
     """WITH e AS (
@@ -1254,7 +1257,7 @@ object Timeseries {
       |SELECT channel, t, v, bucket, ROUND(z, 6) AS z
       |FROM j
       |WHERE ABS(z) >= 3.0 AND n >= 3
-      |ORDER BY channel, t""".stripMargin
+      |ORDER BY channel, t, v""".stripMargin
 
   /** Ordered conversion funnel over the event stream: how many users
     * perform step₁, then step₂ AFTER their first step₁, then step₃
@@ -1360,7 +1363,7 @@ object Timeseries {
       |  CAST(SUM(k) AS BIGINT) AS ksum, MIN(k) AS kmin, MAX(k) AS kmax,
       |  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS kavg
       |FROM (
-      |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
       |  FROM events) t
       |GROUP BY 1
       |ORDER BY channel""".stripMargin

@@ -31,17 +31,7 @@ object BlobStore {
   def storeFor(spark: SparkSession, dir: String): (String, Seq[(String, String, Long, Long, Double)]) =
     cache.getOrElseUpdate(
       dir, {
-        val canonical = new java.io.File(dir).getCanonicalPath
-        val tag = java.security.MessageDigest
-          .getInstance("MD5")
-          .digest(canonical.getBytes("UTF-8"))
-          .take(4)
-          .map(b => f"$b%02x")
-          .mkString
-        val root = new java.io.File(
-          "target/ts_blobs",
-          dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + tag
-        )
+        val root = CacheDirs.taggedCacheDir("target/ts_blobs", dir)
         if (root.exists()) {
           def del(f: java.io.File): Unit = {
             if (f.isDirectory) f.listFiles().foreach(del)
@@ -61,6 +51,13 @@ object BlobStore {
           .sortBy(_._1)
           .map { case ((ch, day), group) =>
             val values = group.sortBy { case (_, t, _, id) => (t, id) }.map(_._3)
+            // a 1 Hz day holds at most 86,400 samples; overflowing the
+            // boundary would collide with the next day's grid — fail
+            // loudly rather than emit duplicate timestamps
+            require(
+              values.length <= (DayUs / PeriodUs),
+              s"BlobStore: (${ch}, day $day) has ${values.length} events — exceeds the ${DayUs / PeriodUs}-sample day grid"
+            )
             val chDir = new java.io.File(root, ch)
             chDir.mkdirs()
             val rel = s"$ch/day_$day.bin"

@@ -21,24 +21,13 @@ object OrcLayout {
 
   private val orcCache = scala.collection.concurrent.TrieMap[String, String]()
 
-  /** Written-once-per-JVM ORC copy of the ts view (same canonical-path
-    * hashing discipline as TsLayout.layoutFor — sanitized names alone
-    * are not injective).
+  /** Written-once-per-JVM ORC copy of the ts view (shared
+    * [[CacheDirs.taggedCacheDir]] discipline).
     */
   def orcFor(spark: SparkSession, dir: String): String =
     orcCache.getOrElseUpdate(
       dir, {
-        val canonical = new java.io.File(dir).getCanonicalPath
-        val tag = java.security.MessageDigest
-          .getInstance("MD5")
-          .digest(canonical.getBytes("UTF-8"))
-          .take(4)
-          .map(b => f"$b%02x")
-          .mkString
-        val path = new java.io.File(
-          "target/ts_orc",
-          dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + tag
-        ).getAbsolutePath
+        val path = CacheDirs.taggedCacheDir("target/ts_orc", dir).getAbsolutePath
         graft.Tables
           .ts(spark, dir)
           .select(col("channel"), col("t"), col("v"), col("event_id"))

@@ -129,22 +129,7 @@ object TsLayout {
   def layoutFor(spark: SparkSession, dir: String): String =
     layoutCache.getOrElseUpdate(
       dir, {
-        // relative to the working directory (repo root under the
-        // driver), not a hardcoded absolute checkout path. The
-        // sanitized name alone is NOT injective ('data/sf0.1' and
-        // 'data_sf0.1' collide), so a canonical-path hash suffix keeps
-        // distinct source dirs in distinct layout dirs
-        val canonical = new java.io.File(dir).getCanonicalPath
-        val tag = java.security.MessageDigest
-          .getInstance("MD5")
-          .digest(canonical.getBytes("UTF-8"))
-          .take(4)
-          .map(b => f"$b%02x")
-          .mkString
-        val path = new java.io.File(
-          "target/ts_layout",
-          dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + tag
-        ).getAbsolutePath
+        val path = CacheDirs.taggedCacheDir("target/ts_layout", dir).getAbsolutePath
         write(graft.Tables.ts(spark, dir).select(col("channel"), col("t"), col("v")), path)
         path
       }
