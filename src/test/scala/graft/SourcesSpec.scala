@@ -152,6 +152,25 @@ class SourcesSpec extends SparkSpec {
       graft.operators.Timeseries.downsample(Tables.ts(spark, sfDir), 3600000000L).count()
   }
 
+  "BlobStore" should "refuse a (channel, day) group that overflows the 1 Hz day grid" in {
+    // 86,401 events in one day would collide with the next day's
+    // sample 0 — storeFor must fail loudly, not emit duplicate ts
+    import spark.implicits._
+    val dayNs = graft.sources.BlobStore.DayUs * 1000L
+    val n = graft.sources.BlobStore.DayUs / graft.sources.BlobStore.PeriodUs + 1
+    val dir = Files.createTempDirectory("graft-overflow").toString
+    (0L until n)
+      .map(i => (i, 100L * dayNs + i, 0L, "c", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.BlobStore.storeFor(spark, dir)
+    }
+    e.getMessage should include("exceeds")
+  }
+
   "readCsv/readJson" should "load secondary formats" in {
     val dir = Files.createTempDirectory("graft-ing").toFile
     Files.writeString(new java.io.File(dir, "x.csv").toPath, "channel,t,v\na,1,2.5\nb,2,3.5\n")
