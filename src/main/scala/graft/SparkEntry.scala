@@ -89,7 +89,9 @@ object SparkEntry {
     "dedup_semantic_clusters" -> (Similarity.dedupSemanticClusters _),
     // reference blob format end to end: gzip BE-f64 store + range index
     // built from events, read through BinarySegments.readRange
-    "ts_blob_range" -> (graft.sources.BlobStore.tsBlobRange _)
+    "ts_blob_range" -> (graft.sources.BlobStore.tsBlobRange _),
+    "corpus_rollup" -> (TextAnalysis.corpusRollupQ _),
+    "ts_pivot" -> (Timeseries.tsPivot _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,6 +163,8 @@ object SparkEntry {
     "corpus_keywords" -> TextAnalysis.corpusKeywordsSql,
     "ts_zscore" -> Timeseries.tsZscoreSql,
     "dedup_semantic_clusters" -> Similarity.dedupSemanticClustersSql,
-    "ts_blob_range" -> graft.sources.BlobStore.tsBlobRangeSql
+    "ts_blob_range" -> graft.sources.BlobStore.tsBlobRangeSql,
+    "corpus_rollup" -> TextAnalysis.corpusRollupSql,
+    "ts_pivot" -> Timeseries.tsPivotSql
   )
 }

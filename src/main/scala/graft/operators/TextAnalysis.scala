@@ -361,6 +361,43 @@ object TextAnalysis {
   def corpusStatsQ(spark: SparkSession, dir: String): DataFrame =
     corpusStats(Tables.documents(spark, dir)).orderBy(col("source"), col("lang"))
 
+  /** The corpus report with ROLLUP subtotals — per (source, lang),
+    * per source, and the grand total in ONE aggregation pass (Spark
+    * expands grouping sets inside the same partial-agg shuffle; no
+    * extra scan per level). NULL grouping keys are rendered as 'ALL'
+    * so the subtotal rows survive the engines' differing NULL sort
+    * orders.
+    */
+  def corpusRollup(docs: DataFrame): DataFrame =
+    docs
+      .rollup(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")
+      )
+      .select(
+        coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"),
+        col("total_chars"),
+        col("min_chars"),
+        col("max_chars")
+      )
+
+  def corpusRollupQ(spark: SparkSession, dir: String): DataFrame =
+    corpusRollup(Tables.documents(spark, dir)).orderBy(col("source"), col("lang"))
+
+  val corpusRollupSql: String =
+    """SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY ROLLUP (source, lang)
+      |ORDER BY source, lang""".stripMargin
+
   val corpusStatsSql: String =
     """SELECT source, lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -1259,6 +1259,35 @@ object Timeseries {
       |WHERE ABS(z) >= 3.0 AND n >= 3
       |ORDER BY channel, t, v""".stripMargin
 
+  /** Daily channel-count matrix via PIVOT: one row per day, one column
+    * per channel — the wide-format report shape. The channel value
+    * list is EXPLICIT, which keeps the pivot a single partial-agg
+    * shuffle (no extra distinct-values job) and the output schema
+    * deterministic; empty cells coalesce to 0 like the oracle's
+    * COUNT(*) FILTER.
+    */
+  def tsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val chans = Seq("click", "error", "purchase", "signup", "view")
+    Tables
+      .ts(spark, dir)
+      .groupBy(microsBucket(col("t"), 86400000000L).as("day"))
+      .pivot("channel", chans)
+      .agg(count(lit(1)))
+      .select(col("day") +: chans.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy(col("day"))
+  }
+
+  val tsPivotSql: String =
+    """SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   /** Ordered conversion funnel over the event stream: how many users
     * perform step₁, then step₂ AFTER their first step₁, then step₃
     * after that, …; plus the mean lag between consecutive stages. The
