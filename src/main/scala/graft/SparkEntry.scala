@@ -91,7 +91,8 @@ object SparkEntry {
     // built from events, read through BinarySegments.readRange
     "ts_blob_range" -> (graft.sources.BlobStore.tsBlobRange _),
     "corpus_rollup" -> (TextAnalysis.corpusRollupQ _),
-    "ts_pivot" -> (Timeseries.tsPivot _)
+    "ts_pivot" -> (Timeseries.tsPivot _),
+    "ts_retention" -> (Timeseries.tsRetention _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -165,6 +166,7 @@ object SparkEntry {
     "dedup_semantic_clusters" -> Similarity.dedupSemanticClustersSql,
     "ts_blob_range" -> graft.sources.BlobStore.tsBlobRangeSql,
     "corpus_rollup" -> TextAnalysis.corpusRollupSql,
-    "ts_pivot" -> Timeseries.tsPivotSql
+    "ts_pivot" -> Timeseries.tsPivotSql,
+    "ts_retention" -> Timeseries.tsRetentionSql
   )
 }

@@ -1259,6 +1259,42 @@ object Timeseries {
       |WHERE ABS(z) >= 3.0 AND n >= 3
       |ORDER BY channel, t, v""".stripMargin
 
+  /** Weekly cohort retention: users grouped by their FIRST active week
+    * (the cohort), counted per week offset from it — the classic
+    * retention triangle.
+    *
+    * Scale shape: one distinct over (user, week) — keyed by user+week,
+    * uniform — then a per-user min-week aggregation (one row per
+    * user, user-keyed and co-partitioned with the distinct's output),
+    * a user-keyed join back, and a (cohort, offset)-keyed count
+    * distinct. No window anywhere; every shuffle key contains user_id
+    * or the small (cohort, offset) pair.
+    */
+  def cohortRetention(ts: DataFrame, weekUs: Long = 604800000000L): DataFrame = {
+    val uw = ts
+      .select(col("user_id"), microsBucket(col("t"), weekUs).as("week"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  def tsRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables.ts(spark, dir)).orderBy(col("cohort"), col("week_offset"))
+
+  val tsRetentionSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS week
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY 1)
+      |SELECT f.cohort, uw.week - f.cohort AS week_offset,
+      |  COUNT(DISTINCT uw.user_id) AS n_users
+      |FROM uw JOIN f ON uw.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort, week_offset""".stripMargin
+
   /** Daily channel-count matrix via PIVOT: one row per day, one column
     * per channel — the wide-format report shape. The channel value
     * list is EXPLICIT, which keeps the pivot a single partial-agg
