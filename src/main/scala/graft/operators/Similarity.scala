@@ -468,18 +468,76 @@ object Similarity {
     * [[Dedup.connectedComponents]] or keep min vec_id per pair).
     *
     * Scale shape: assignment is the kmeansAssign projection (corpus
-    * never shuffled); the pair join shuffles keyed by cluster id. At
-    * the design point k grows with the corpus (~√n clusters — SemDeDup
-    * runs 50k clusters on web scale), keeping clusters bounded; for
-    * skew-hard corpora compose the counted-bucket cap the blocked
-    * embedding dedup uses before any pair forms.
+    * never shuffled); the pair join shuffles keyed by (cluster, block).
+    * At the design point k grows with the corpus (~√n clusters —
+    * SemDeDup runs 50k clusters on web scale), keeping clusters
+    * bounded — but k-means reliably produces mega-cells on exactly the
+    * near-duplicate-heavy corpora SemDeDup targets, so the quadratic
+    * guard cannot be left to k alone. This composes the counted-bucket
+    * discipline of [[Dedup.lshCandidates]] BEFORE any pair forms:
+    *
+    *  1. cell sizes are counted (algebraic agg, k rows, broadcast);
+    *  2. a cell over `maxCell` rows is sub-split by the
+    *     [[hyperplaneBucket]] signature (the dedup_embed_blocked
+    *     machinery) at an adaptive width — ceil(log2(size/maxCell))
+    *     bits, capped at `subPlanes` — so a cell 2× over the cap
+    *     splits in half while a web-scale mega-cell fans out to
+    *     2^subPlanes blocks;
+    *  3. (cluster, block) sizes are re-counted and blocks STILL over
+    *     `maxCell` (identical-direction mass no hyperplane separates)
+    *     are dropped by semi-join, same boilerplate guard as LSH
+    *     buckets.
+    *
+    * The worst pair bucket is therefore maxCell² by construction.
+    * Recall inside an oversize cell is traded for the bound —
+    * cross-block pairs are skipped, mirroring the blocked embed
+    * dedup's contract; cells under the cap are mined exactly (block
+    * is constant 0 and step 3 admits them whole).
     */
-  def semanticDedup(emb: DataFrame, k: Int = 8, iters: Int = 3, tau: Double = 0.4): DataFrame = {
+  def semanticDedup(
+    emb: DataFrame,
+    k: Int = 8,
+    iters: Int = 3,
+    tau: Double = 0.4,
+    maxCell: Long = 100000L,
+    subPlanes: Int = 16,
+    dim: Int = KmeansDim
+  ): DataFrame = {
+    require(maxCell > 0 && subPlanes > 0 && subPlanes < 63, s"bad cap ($maxCell, $subPlanes)")
     val asg = kmeansAssign(emb, k, iters).select(col("vec_id"), col("cluster"))
-    val p = prepped(emb, "vec_id", "v", "nrm").join(asg, "vec_id")
-    val a = p.select(col("cluster"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = p.select(col("cluster"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("cluster"))
+    val p0 = prepped(emb, "vec_id", "v", "nrm").join(asg, "vec_id")
+    val cellSizes = p0.groupBy(col("cluster")).agg(count(lit(1)).as("__cellSz"))
+    val hp = hyperplanes(subPlanes, dim)
+    val width = least(
+      lit(subPlanes),
+      greatest(
+        lit(1),
+        ceil(log(2.0, col("__cellSz").cast("double") / lit(maxCell.toDouble))).cast("int")
+      )
+    )
+    val p = p0
+      .join(broadcast(cellSizes), "cluster")
+      .withColumn("__w", width)
+      .withColumn(
+        "block",
+        when(
+          col("__cellSz") > maxCell,
+          hyperplaneBucket(col("v"), hp)
+            .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), __w) - 1"))
+        ).otherwise(lit(0L))
+      )
+      .select(col("cluster"), col("block"), col("vec_id"), col("v"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ k + (oversize cells)·2^subPlanes rows — broadcast admission
+    val admissible = p
+      .groupBy(col("cluster"), col("block"))
+      .agg(count(lit(1)).as("__blkSz"))
+      .filter(col("__blkSz") <= maxCell)
+      .select(col("cluster"), col("block"))
+    val m = p.join(broadcast(admissible), Seq("cluster", "block"), "left_semi")
+    val a = m.select(col("cluster"), col("block"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = m.select(col("cluster"), col("block"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster", "block"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", VectorMath.cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= tau)

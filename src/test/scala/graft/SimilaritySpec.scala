@@ -152,4 +152,75 @@ class SimilaritySpec extends SparkSpec {
       Set((0L, 1L), (4L, 5L))
     out.foreach(_.getAs[Double]("cosine") should be >= 0.99)
   }
+
+  it should "sub-block a mega-cell so no quadratic pair bucket forms" in {
+    // 48 direction-diverse vectors forced into ONE k-means cell (k=1);
+    // maxCell=8 → adaptive width ceil(log2(48/8)) = 3 hyperplane bits
+    val n = 48
+    val vecs = (0 until n).map { i =>
+      val ang = i * 2.0 * math.Pi / n
+      (
+        i.toLong,
+        Array(
+          (math.cos(ang) * 10.0).toFloat,
+          (math.sin(ang) * 10.0).toFloat,
+          ((i % 5) - 2).toFloat,
+          ((i % 7) - 3).toFloat
+        )
+      )
+    }.toDF("vec_id", "embedding")
+    val out = Similarity
+      .semanticDedup(vecs, k = 1, iters = 1, tau = -1.0, maxCell = 8, subPlanes = 4, dim = 4)
+      .collect()
+    // replicate the expected blocking: 3-bit hyperplane bucket, blocks
+    // over the cap dropped, admitted blocks mined exactly (tau=-1)
+    val hp = Similarity.hyperplanes(4, 4)
+    val blockSizes = vecs
+      .select(Similarity.hyperplaneBucket(col("embedding"), hp).bitwiseAND(lit(7L)).as("b"))
+      .groupBy($"b")
+      .count()
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val expectedPairs = blockSizes.values.filter(_ <= 8).map(sz => sz * (sz - 1) / 2).sum
+    out.length.toLong shouldBe expectedPairs
+    expectedPairs should be < n.toLong * (n - 1) / 2
+    // and every emitted pair must share a block
+    val blockOf = vecs
+      .select(
+        $"vec_id",
+        Similarity.hyperplaneBucket(col("embedding"), hp).bitwiseAND(lit(7L)).as("b")
+      )
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    out.foreach { r =>
+      blockOf(r.getAs[Long]("vec_a")) shouldBe blockOf(r.getAs[Long]("vec_b"))
+    }
+  }
+
+  it should "drop identical-direction mass no hyperplane can split" in {
+    // 16 copies of one direction: sub-blocking keeps them together, so
+    // the residual counted-block guard must drop the bucket whole
+    val same = (0 until 16)
+      .map(i => (i.toLong, Array(1.0f, 0.5f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity
+      .semanticDedup(same, k = 1, iters = 1, tau = -1.0, maxCell = 8, subPlanes = 4, dim = 4)
+      .count() shouldBe 0L
+  }
+
+  it should "mine under-cap cells exactly (block stays constant)" in {
+    val vecs = Seq(
+      (0L, Array(100.0f, 0.0f)),
+      (1L, Array(100.0f, 0.01f)),
+      (4L, Array(-100.0f, 0.0f)),
+      (5L, Array(-100.0f, -0.01f))
+    ).toDF("vec_id", "embedding")
+    val capped = Similarity
+      .semanticDedup(vecs, k = 2, iters = 3, tau = 0.9, maxCell = 4, subPlanes = 4, dim = 2)
+      .collect()
+    capped.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet shouldBe
+      Set((0L, 1L), (4L, 5L))
+  }
 }
