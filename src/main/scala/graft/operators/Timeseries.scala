@@ -573,6 +573,32 @@ object Timeseries {
         ps.map(p => round(expr(s"percentile(v, $p)"), 6).as(s"p${math.round(p * 100)}")): _*
       )
 
+  /** Per-channel APPROXIMATE quantiles — the 100 TB path for
+    * [[channelQuantiles]]. `approx_percentile`'s mergeable
+    * Greenwald–Khanna sketch keeps per-group aggregation state bounded
+    * by `accuracy` (not by group cardinality), so a hot channel's full
+    * history never buffers in one aggregation buffer and partial
+    * sketches map-side combine like any algebraic agg. Accuracy bound:
+    * the returned value's RANK is within n/accuracy of the requested
+    * rank — ±0.01% of the group at the default 10⁴. Same output
+    * schema as the exact variant (which stays the small-group/oracle
+    * shape), so it is a drop-in swap; values are actual data points
+    * (nearest-rank) rather than interpolated, the standard sketch
+    * trade.
+    */
+  def channelQuantilesApprox(
+    ts: DataFrame,
+    ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+    accuracy: Int = 10000
+  ): DataFrame =
+    ts.groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        ps.map(p =>
+          round(expr(s"approx_percentile(v, $p, $accuracy)"), 6).as(s"p${math.round(p * 100)}")
+        ): _*
+      )
+
   /** The reference's resample decision: only downsample when at least
     * 3 datapoints land in one pixel (reference:
     * query/TimeSeriesQueryUtils.scala:175-182).
@@ -1396,19 +1422,21 @@ object Timeseries {
       |  ROUND(CAST(SUM(CAST(t2 - p2 AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) FROM s3
       |ORDER BY stage""".stripMargin
 
-  /** Semi-structured event properties: parse the JSON `props` payload
-    * with an explicit schema (`from_json` — schema-on-read, the Spark
-    * path for the reference's untyped event metadata) and roll the
-    * extracted field up per channel. Parsing is map-side in the scan
-    * projection; the rollup is one partially-aggregated channel-keyed
-    * shuffle with algebraic aggregates only (integer sums ⇒ the
-    * average is deterministic without the decimal route).
+  /** Semi-structured event properties: extract the JSON `props` field
+    * as a STRING (`get_json_object` — the same string-extraction
+    * semantics as the oracle's json_extract_string, so a quoted
+    * numeric payload {"k":"5"} yields 5 on BOTH engines where a typed
+    * from_json schema would yield NULL only here) and try_cast it,
+    * then roll the field up per channel. Extraction is map-side in
+    * the scan projection; the rollup is one partially-aggregated
+    * channel-keyed shuffle with algebraic aggregates only (integer
+    * sums ⇒ the average is deterministic without the decimal route).
     */
   def propsRollup(events: DataFrame): DataFrame =
     events
       .select(
         col("event_type").as("channel"),
-        from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k")
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k")
       )
       .groupBy(col("channel"))
       .agg(

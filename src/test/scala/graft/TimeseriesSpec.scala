@@ -525,6 +525,51 @@ class TimeseriesSpec extends SparkSpec {
     row.getAs[Double]("p99") shouldBe (q(0.99) +- 1e-6)
   }
 
+  "channelQuantilesApprox" should "stay within the sketch's rank-error bound of exact" in {
+    // real sf data per channel; the sketch guarantee is on RANK: the
+    // returned value (an actual data point) sits within ~n/accuracy
+    // ranks of the requested rank. Assert that directly against the
+    // sorted per-channel values (2εn + 2 slack: GK compression plus
+    // the p·n vs p·(n−1) rank-definition gap).
+    val ts = Tables.ts(spark, sfDir)
+    val acc = 1000
+    val approx = Timeseries
+      .channelQuantilesApprox(ts, accuracy = acc)
+      .collect()
+      .map(r => r.getAs[String]("channel") -> r)
+      .toMap
+    approx should not be empty
+    val byChannel = ts
+      .select($"channel", $"v")
+      .as[(String, Double)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (ch, xs) => ch -> xs.map(_._2).sorted }
+    byChannel.foreach { case (ch, sorted) =>
+      val n = sorted.length
+      val slack = 2.0 * n / acc + 2.0
+      Seq(0.5, 0.9, 0.99).foreach { p =>
+        val v = approx(ch).getAs[Double](s"p${math.round(p * 100)}")
+        val firstIdx = sorted.indexWhere(_ >= v - 1e-9)
+        val lastIdx = sorted.lastIndexWhere(_ <= v + 1e-9)
+        firstIdx should be >= 0
+        val target = p * (n - 1)
+        (target >= firstIdx - slack && target <= lastIdx + slack) shouldBe true
+      }
+    }
+  }
+
+  it should "carry no full-value percentile buffer in its plan" in {
+    val plan = Timeseries
+      .channelQuantilesApprox(Tables.ts(spark, sfDir))
+      .queryExecution
+      .executedPlan
+      .toString
+    plan should include("approx_percentile")
+    // the exact variant's unbounded-buffer aggregate must be absent
+    plan.replace("approx_percentile", "__ap") should not include "percentile("
+  }
+
   "funnel" should "require each step strictly after the user's previous step" in {
     val rows = Seq(
       // user 1: clean ordered funnel
