@@ -365,13 +365,18 @@ object TextAnalysis {
     * per source, and the grand total in ONE aggregation pass (Spark
     * expands grouping sets inside the same partial-agg shuffle; no
     * extra scan per level). NULL grouping keys are rendered as 'ALL'
-    * so the subtotal rows survive the engines' differing NULL sort
-    * orders.
+    * for readability, and `lvl` (grouping_id: bit 2 = source rolled
+    * up, bit 1 = lang rolled up) is carried as an output AND sort
+    * column so a subtotal row can never collide with a real group
+    * that happens to contain a NULL or literal 'ALL' key — the
+    * (source, lang, lvl) order is total by construction.
     */
   def corpusRollup(docs: DataFrame): DataFrame =
     docs
       .rollup(col("source"), col("lang"))
       .agg(
+        // grouping_id is only resolvable inside the rollup aggregate
+        grouping_id().cast("long").as("lvl"),
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         min(col("n_chars")).as("min_chars"),
@@ -380,6 +385,7 @@ object TextAnalysis {
       .select(
         coalesce(col("source"), lit("ALL")).as("source"),
         coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("lvl"),
         col("n_docs"),
         col("total_chars"),
         col("min_chars"),
@@ -387,16 +393,17 @@ object TextAnalysis {
       )
 
   def corpusRollupQ(spark: SparkSession, dir: String): DataFrame =
-    corpusRollup(Tables.documents(spark, dir)).orderBy(col("source"), col("lang"))
+    corpusRollup(Tables.documents(spark, dir)).orderBy(col("source"), col("lang"), col("lvl"))
 
   val corpusRollupSql: String =
     """SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+      |  CAST(GROUPING(source, lang) AS BIGINT) AS lvl,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM documents
       |GROUP BY ROLLUP (source, lang)
-      |ORDER BY source, lang""".stripMargin
+      |ORDER BY source, lang, lvl""".stripMargin
 
   val corpusStatsSql: String =
     """SELECT source, lang, COUNT(*) AS n_docs,
