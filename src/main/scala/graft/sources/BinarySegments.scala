@@ -173,8 +173,65 @@ object BinarySegments {
       .format("binaryFile")
       .load(files.map(f => s"$blobDir/$f").toIndexedSeq: _*)
       .select(relPath(blobDir).as("file"), col("content"))
-    blobs
-      .join(broadcast(hits), Seq("file"))
+    decodeRangeRows(
+      blobs.join(broadcast(hits), Seq("file")),
+      startUs,
+      endUs
+    )
+  }
+
+  /** Range read over a HIVE-PARTITIONED blob tree
+    * (`channel=<ch>/<bucket>=<n>/…`, bucket = t div bucketUs): the time
+    * predicate becomes a PARTITION FILTER evaluated against directory
+    * paths during listing/planning, so non-matching directories are
+    * never opened and no file list is ever collected to the driver —
+    * the index-cardinality fix [[readRange]]'s docstring promises
+    * (readRange stays the flat-store/ad-hoc-index path). The (tiny)
+    * range index is still broadcast-joined for each blob's
+    * (start_us, rate) decode parameters and exact end trimming. At
+    * catalog scale the listing itself runs as a Spark job
+    * (parallelPartitionDiscovery), and a production deployment fronts
+    * the same layout with a metastore table — identical pruning
+    * semantics, persisted file index.
+    */
+  def readRangePartitioned(
+    spark: SparkSession,
+    blobDir: String,
+    index: DataFrame,
+    startUs: Long,
+    endUs: Long,
+    bucketUs: Long
+  ): DataFrame = {
+    import spark.implicits._
+    require(endUs > startUs, s"empty range [$startUs, $endUs)")
+    val hits = index
+      .select(col("channel"), col("bucket"), col("start_us"), col("end_us"), col("rate"))
+      .filter(col("end_us") >= startUs && col("start_us") < endUs)
+    val blobs = spark.read
+      .format("binaryFile")
+      .load(blobDir)
+      // partition-path pruning: bucket (and channel) are directory-
+      // derived columns, so this filter selects directories, not bytes
+      .filter(col("bucket") >= lit(startUs / bucketUs) && col("bucket") <= lit((endUs - 1) / bucketUs))
+      .select(
+        col("channel").cast("string").as("channel"),
+        col("bucket").cast("long").as("bucket"),
+        col("content")
+      )
+    decodeRangeRows(
+      blobs.join(broadcast(hits), Seq("channel", "bucket")).drop("bucket"),
+      startUs,
+      endUs
+    )
+  }
+
+  /** Shared decode tail of the range readers: joined rows carrying
+    * (channel, start_us, rate, content) become trimmed ts rows.
+    */
+  private def decodeRangeRows(joined: DataFrame, startUs: Long, endUs: Long): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    joined
       .select(col("channel"), col("start_us"), col("rate"), col("content"))
       .as[(String, Long, Double, Array[Byte])]
       .flatMap { case (channel, blobStart, rate, content) =>

@@ -165,10 +165,86 @@ class SourcesSpec extends SparkSpec {
       .write
       .mode("overwrite")
       .parquet(s"$dir/events.parquet")
-    val e = intercept[IllegalArgumentException] {
+    // the guard now fires inside the executor task that writes the
+    // blob, so Spark surfaces it wrapped — match on the message
+    val e = intercept[Exception] {
       graft.sources.BlobStore.storeFor(spark, dir)
     }
     e.getMessage should include("exceeds")
+  }
+
+  it should "build the store distributed and serve reads by partition-path pruning" in {
+    import graft.sources.BlobStore
+    val (root, index) = BlobStore.storeFor(spark, sfDir)
+
+    // hive-partitioned layout on disk: channel=<ch>/bucket=<day>/data.bin
+    val chDirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+    chDirs should not be empty
+    chDirs.foreach(_.getName should startWith("channel="))
+    chDirs.head.listFiles().head.getName should startWith("bucket=")
+
+    // the build is one (channel, bucket)-keyed exchange feeding the
+    // blob-writing mapPartitions — no data-row collect exists: the
+    // returned relation IS the index, one row per blob
+    val buildPlan = BlobStore
+      .buildStore(
+        Tables.ts(spark, sfDir).select($"channel", $"t", $"v", $"event_id"),
+        Files.createTempDirectory("graft-blob-plan").toString
+      )
+      .queryExecution
+      .executedPlan
+      .toString
+    buildPlan should include("hashpartitioning(channel")
+    val nGroups = Tables
+      .ts(spark, sfDir)
+      .select($"channel", expr(s"t div ${BlobStore.DayUs}"))
+      .distinct()
+      .count()
+    index.length.toLong shouldBe nGroups
+
+    // the read prunes by partition path: the day predicate appears as
+    // a PartitionFilter, not a data filter, and no file list is
+    // collected to the driver
+    val q = graft.sources.BinarySegments.readRangePartitioned(
+      spark,
+      root,
+      index.toDF("channel", "bucket", "start_us", "end_us", "rate"),
+      graft.operators.Timeseries.RangeStartUs,
+      graft.operators.Timeseries.RangeEndUs,
+      BlobStore.DayUs
+    )
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters:")
+    plan should include("bucket")
+  }
+
+  it should "never open partitions outside the queried range" in {
+    import graft.sources.{BinarySegments, BlobStore}
+    val root = Files.createTempDirectory("graft-blob-poison").toFile
+    // a valid 1 kHz blob in bucket 0 and POISON bytes (not gzip) in
+    // bucket 5: if partition pruning ever touched bucket 5's bytes the
+    // query would throw
+    Files.createDirectories(new java.io.File(root, "channel=c/bucket=0").toPath)
+    Files.createDirectories(new java.io.File(root, "channel=c/bucket=5").toPath)
+    BinarySegments.writeBlob(
+      s"$root/channel=c/bucket=0/data.bin",
+      (0 until 100).map(_.toDouble).toArray
+    )
+    Files.write(
+      new java.io.File(root, "channel=c/bucket=5/data.bin").toPath,
+      Array[Byte](1, 2, 3, 4)
+    )
+    val bucketUs = 100000L // 100 ms buckets (1 kHz × 100 samples)
+    val index = Seq(
+      ("c", 0L, 0L, 99000L, 1000.0),
+      ("c", 5L, 500000L, 599000L, 1000.0)
+    ).toDF("channel", "bucket", "start_us", "end_us", "rate")
+    val got = BinarySegments
+      .readRangePartitioned(spark, root.toString, index, 50000L, 100000L, bucketUs)
+      .orderBy("t")
+      .as[(String, Long, Double)]
+      .collect()
+    got.map(_._3).toList shouldBe (50 until 100).map(_.toDouble).toList
   }
 
   "readCsv/readJson" should "load secondary formats" in {
