@@ -92,7 +92,10 @@ object SparkEntry {
     "ts_blob_range" -> (graft.sources.BlobStore.tsBlobRange _),
     "corpus_rollup" -> (TextAnalysis.corpusRollupQ _),
     "ts_pivot" -> (Timeseries.tsPivot _),
-    "ts_retention" -> (Timeseries.tsRetention _)
+    "ts_retention" -> (Timeseries.tsRetention _),
+    // GetChannelsQuery + Montage.validate composed: virtual channels
+    // with validity, overlap window, rate and coverage
+    "ts_montage_channels" -> (Timeseries.tsMontageChannels _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -167,6 +170,7 @@ object SparkEntry {
     "ts_blob_range" -> graft.sources.BlobStore.tsBlobRangeSql,
     "corpus_rollup" -> TextAnalysis.corpusRollupSql,
     "ts_pivot" -> Timeseries.tsPivotSql,
-    "ts_retention" -> Timeseries.tsRetentionSql
+    "ts_retention" -> Timeseries.tsRetentionSql,
+    "ts_montage_channels" -> Timeseries.tsMontageChannelsSql
   )
 }

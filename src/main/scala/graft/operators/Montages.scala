@@ -91,6 +91,56 @@ object Montages {
   def apply(spark: SparkSession, ts: DataFrame, mt: MontageType, bucketUs: Long): DataFrame =
     Timeseries.montage(spark, ts, mt.pairs, bucketUs)
 
+  /** Full virtual-channel CATALOG (reference GetChannelsQuery +
+    * Montage.validate composed): every montage pair becomes a row with
+    * a `valid` flag — false when a physical channel is missing from
+    * the catalog or the pair's spans don't overlap (the reference's
+    * montageability check, surfaced as data instead of a thrown
+    * error) — and, for valid rows, the overlap window, the event count
+    * feeding the virtual channel, its event rate over the overlap, and
+    * the overlap's share of the pair's union span.
+    *
+    * Scale shape: the pair table is a literal broadcast relation; the
+    * physical catalog is channel-cardinality (itself one partial agg
+    * over the stream), so the whole listing is broadcast-join-only —
+    * no data-scale shuffle.
+    */
+  def virtualChannelCatalog(spark: SparkSession, catalog: DataFrame, mt: MontageType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairDf = mt.pairs.toDF("lead", "sec")
+    val l = catalog.select(
+      col("channel").as("lead"),
+      col("start").as("ls"),
+      col("end").as("le"),
+      col("n_events").as("ln")
+    )
+    val r = catalog.select(
+      col("channel").as("sec"),
+      col("start").as("rs"),
+      col("end").as("re"),
+      col("n_events").as("rn")
+    )
+    val js = greatest(col("ls"), col("rs"))
+    val je = least(col("le"), col("re"))
+    val valid = col("ls").isNotNull && col("rs").isNotNull && js <= je
+    val span = (je - js).cast("double")
+    val union = (greatest(col("le"), col("re")) - least(col("ls"), col("rs"))).cast("double")
+    broadcast(pairDf)
+      .join(l, Seq("lead"), "left")
+      .join(r, Seq("sec"), "left")
+      .select(
+        concat(col("lead"), lit(Separator), col("sec")).as("channel"),
+        valid.as("valid"),
+        when(valid, js).as("start"),
+        when(valid, je).as("end"),
+        when(valid, col("ln") + col("rn")).as("n_events"),
+        when(valid && span > 0.0, round((col("ln") + col("rn")) * lit(86400000000.0) / span, 6))
+          .as("events_per_day"),
+        when(valid && union > 0.0, round(span / union, 6)).as("coverage")
+      )
+  }
+
   /** Virtual-channel listing (reference GetChannelsQuery analog): the
     * montage's virtual channels with the time range over which both
     * underlying channels exist — physical catalog rows joined pairwise

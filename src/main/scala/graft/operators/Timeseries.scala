@@ -1207,6 +1207,50 @@ object Timeseries {
       |GROUP BY 1
       |ORDER BY channel""".stripMargin
 
+  /** The montage-expanded virtual-channel catalog (reference
+    * GetChannelsQuery + Montage.validate composed): [[MontagePairs]]
+    * plus one pair referencing a channel absent from the data, so the
+    * validation path is exercised at every scale factor.
+    */
+  val MontageCatalogPairs: Seq[(String, String)] =
+    MontagePairs :+ ("view" -> "missing_ref")
+
+  def tsMontageChannels(spark: SparkSession, dir: String): DataFrame =
+    Montages
+      .virtualChannelCatalog(
+        spark,
+        channelCatalog(Tables.ts(spark, dir)),
+        Montages.Custom(MontageCatalogPairs)
+      )
+      .orderBy(col("channel"))
+
+  val tsMontageChannelsSql: String = {
+    val pairVals = MontageCatalogPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT event_type AS channel, MIN(epoch_us(ts)) AS s,
+       |    MAX(epoch_us(ts)) AS e, COUNT(*) AS n
+       |  FROM events GROUP BY 1),
+       |j AS (
+       |  SELECT p.lead || '<->' || p.sec AS channel,
+       |    (l.channel IS NOT NULL AND r.channel IS NOT NULL
+       |      AND GREATEST(l.s, r.s) <= LEAST(l.e, r.e)) AS valid,
+       |    GREATEST(l.s, r.s) AS js, LEAST(l.e, r.e) AS je,
+       |    GREATEST(l.e, r.e) - LEAST(l.s, r.s) AS un, l.n + r.n AS n
+       |  FROM (VALUES $pairVals) p(lead, sec)
+       |  LEFT JOIN c l ON l.channel = p.lead
+       |  LEFT JOIN c r ON r.channel = p.sec)
+       |SELECT channel, valid,
+       |  CASE WHEN valid THEN js END AS start,
+       |  CASE WHEN valid THEN je END AS "end",
+       |  CASE WHEN valid THEN n END AS n_events,
+       |  CASE WHEN valid AND je > js
+       |    THEN ROUND(n * 86400000000.0 / (je - js), 6) END AS events_per_day,
+       |  CASE WHEN valid AND un > 0
+       |    THEN ROUND(CAST(je - js AS DOUBLE) / un, 6) END AS coverage
+       |FROM j
+       |ORDER BY channel""".stripMargin
+  }
+
   /** Annotation spans derived from error events: [t, t + value minutes]. */
   def tsAnnotations(spark: SparkSession, dir: String): DataFrame = {
     val spans = Tables

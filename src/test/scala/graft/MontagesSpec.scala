@@ -42,6 +42,38 @@ class MontagesSpec extends SparkSpec {
     vc shouldBe List(("Fp1<->Cz", 50L, 100L)) // F3<->Cz dropped: ranges disjoint
   }
 
+  "virtualChannelCatalog" should "surface validation as a valid flag with rate and coverage" in {
+    val catalog = Seq(
+      ("Fp1", 0L, 100L, 11L),
+      ("Cz", 50L, 150L, 21L),
+      ("F3", 200L, 300L, 5L) // no overlap with Cz
+    ).toDF("channel", "start", "end", "n_events")
+    val vc = Montages
+      .virtualChannelCatalog(
+        spark,
+        catalog,
+        Montages.Custom(Seq("Fp1" -> "Cz", "F3" -> "Cz", "Fp1" -> "Nope"))
+      )
+      .orderBy("channel")
+      .collect()
+      .map(r => r.getAs[String]("channel") -> r)
+      .toMap
+
+    // disjoint spans: listed, invalid, metrics null
+    vc("F3<->Cz").getAs[Boolean]("valid") shouldBe false
+    vc("F3<->Cz").isNullAt(vc("F3<->Cz").fieldIndex("start")) shouldBe true
+    // missing physical channel: listed, invalid
+    vc("Fp1<->Nope").getAs[Boolean]("valid") shouldBe false
+    // overlapping pair: window [50,100], 32 events, coverage 50/150
+    val ok = vc("Fp1<->Cz")
+    ok.getAs[Boolean]("valid") shouldBe true
+    ok.getAs[Long]("start") shouldBe 50L
+    ok.getAs[Long]("end") shouldBe 100L
+    ok.getAs[Long]("n_events") shouldBe 32L
+    ok.getAs[Double]("events_per_day") shouldBe (32.0 * 86400000000.0 / 50.0 +- 1e-6)
+    ok.getAs[Double]("coverage") shouldBe (50.0 / 150.0 +- 1e-6)
+  }
+
   "apply" should "produce one virtual stream per pair over synthetic EEG channels" in {
     val mt = Montages.Custom(Seq("Fp1" -> "Cz", "F3" -> "Cz"))
     val rows = for {
