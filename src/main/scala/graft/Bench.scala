@@ -20,8 +20,41 @@ import org.apache.spark.sql.SparkSession
   *    same cache state;
   *  - driver heap is pinned by build.sbt's javaOptions (-Xmx from
   *    SPARK_DRIVER_MEM, default 8g) rather than inherited ambience.
+  *  - the JSON carries the box's BOOT ID plus a fixed single-thread
+  *    calibration loop's wall time: same-code totals have measured
+  *    15-25% swings across VM boots, so two bench files are only
+  *    comparable when boot_id matches — when it doesn't, calib_sec
+  *    quantifies how much of the gap is the box, not the code.
   */
 object Bench {
+
+  /** Fixed single-thread splitmix64 workload (~1 s): a pure-CPU yard
+    * stick for cross-boot comparisons.
+    */
+  private def calibrate(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var acc = 0L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 400000000L) {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      acc ^= z ^ (z >>> 31)
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) Console.err.println("calibration sentinel") // defeat DCE
+    sec
+  }
+
+  private def bootId(): String =
+    try {
+      val p = java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")
+      new String(java.nio.file.Files.readAllBytes(p)).trim
+    } catch { case _: Throwable => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env
@@ -77,7 +110,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val calib = calibrate()
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""boot_id":"${bootId()}","calib_sec":$calib}"""
+    )
     spark.stop()
   }
 }
