@@ -21,8 +21,10 @@ object StreamingFilter {
   case class Sample(channel: String, t: Long, v: Double)
   case class Filtered(channel: String, t: Long, v: Double, fv: Double)
 
-  /** Persisted per-channel state: biquad delay lines + last timestamp. */
-  case class FilterState(v1: Seq[Double], v2: Seq[Double], lastT: Long)
+  /** Persisted per-channel state: biquad delay lines, last timestamp,
+    * and the id of the filter CONFIGURATION that produced them.
+    */
+  case class FilterState(v1: Seq[Double], v2: Seq[Double], lastT: Long, configId: Long)
 
   implicit val filteredEncoder: Encoder[Filtered] = Encoders.product[Filtered]
   implicit val sampleEncoder: Encoder[Sample] = Encoders.product[Sample]
@@ -33,12 +35,24 @@ object StreamingFilter {
     * within a batch are processed in t order; state persists across
     * batches; a gap > gapUs (vs the last processed timestamp) resets
     * the filter and re-warms it from the new block's reflected head.
+    *
+    * `configId` identifies the filter CONFIGURATION. The reference
+    * swaps a channel's filter mid-session by replacing its tracker
+    * with a freshly-built cascade (server/TimeSeriesFlow.scala:914
+    * put(channelId, buildFilter(…)); state machinery in
+    * server/FilterStateTracker.scala:19-97) — the old delay lines
+    * never leak into the new filter. Operationally a swap here is a
+    * query restart with the new cascade and a bumped configId over the
+    * same checkpoint: persisted state stamped with a different
+    * configId is discarded, so the first post-swap block resets and
+    * re-prewarms exactly like a fresh start.
     */
   def apply(
     samples: Dataset[Sample],
     cascade: Butterworth.Cascade,
     padLength: Int,
-    gapUs: Long
+    gapUs: Long,
+    configId: Long = 0L
   ): Dataset[Filtered] = {
     val nBq = cascade.biquads.length
     samples
@@ -53,7 +67,10 @@ object StreamingFilter {
           val st = new Butterworth.State(cascade)
           var lastT = Long.MinValue
           var warmed = false
-          state.getOption.foreach { fs =>
+          // state from another configId is a filter/montage swap: its
+          // delay lines belong to the OLD cascade — leave this run
+          // clean so the first block resets + re-prewarms fresh
+          state.getOption.filter(_.configId == configId).foreach { fs =>
             st.load(fs.v1.toArray, fs.v2.toArray)
             lastT = fs.lastT
             warmed = true
@@ -79,7 +96,7 @@ object StreamingFilter {
             i += 1
           }
           val (v1, v2) = st.save()
-          state.update(FilterState(v1.toSeq, v2.toSeq, lastT))
+          state.update(FilterState(v1.toSeq, v2.toSeq, lastT, configId))
           out.iterator
         }
       }

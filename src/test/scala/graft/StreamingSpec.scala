@@ -162,6 +162,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "reset and re-prewarm when the filter configuration swaps mid-stream" in {
+    import graft.streaming.StreamingFilter
+    // a mid-session filter swap (reference: TimeSeriesFlow puts a
+    // freshly-built tracker for the channel) is a restart over the
+    // same checkpoint with a new cascade + bumped configId; the old
+    // cascade's delay lines must NOT leak into the new filter
+    val in = java.nio.file.Files.createTempDirectory("graft-fsw-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-fsw-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-fsw-ck").toString
+    val cascadeA = graft.functions.Butterworth.lowPass(4, 250.0, 20.0)
+    val cascadeB = graft.functions.Butterworth.lowPass(4, 250.0, 60.0)
+    val signal = (0 until 400).map(i => math.sin(i / 7.0) + math.cos(i / 3.0))
+
+    def addBlock(name: String, range: Range): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(in, s"$name.json"),
+        range.map(i => s"""{"channel":"a","t":$i,"v":${signal(i)}}""").mkString("\n")
+      )
+    def start(cascade: graft.functions.Butterworth.Cascade, configId: Long) =
+      StreamingFilter(
+        spark.readStream
+          .schema("channel STRING, t LONG, v DOUBLE")
+          .json(in)
+          .as[StreamingFilter.Sample],
+        cascade,
+        padLength = 40,
+        gapUs = 10L,
+        configId = configId
+      ).writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+
+    // session 1: filter A over [0, 200)
+    addBlock("b1", 0 until 200)
+    val q1 = start(cascadeA, configId = 1L)
+    try q1.processAllAvailable()
+    finally q1.stop()
+
+    // swap to filter B; the suffix continues CONTIGUOUSLY (t stride 1
+    // <= gapUs) so a gap reset cannot mask the config reset
+    addBlock("b2", 200 until 400)
+    val q2 = start(cascadeB, configId = 2L)
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val got = spark.read
+      .parquet(out)
+      .filter($"t" >= 200)
+      .orderBy("t")
+      .select("fv")
+      .as[Double]
+      .collect()
+
+    // expected: a FRESH filter B run on just the suffix (reset +
+    // reflected prewarm from the suffix head)
+    val st = new graft.functions.Butterworth.State(cascadeB)
+    val suffix = (200 until 400).map(signal).toArray
+    graft.functions.Butterworth.reflectedPrewarm(suffix, 40).foreach(st.filter)
+    val exp = suffix.map(st.filter)
+
+    got.length shouldBe 200
+    got.zip(exp).foreach { case (g, e) => g shouldBe e +- 1e-12 }
+  }
+
   "RealtimeDownsample.dedupStream" should "drop repeated doc hashes within the watermark" in {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
@@ -289,6 +356,38 @@ class StreamingSpec extends SparkSpec {
         .collect()
         .toList
       rows shouldBe List(("a", 2L), ("a", 1L))
+    } finally q.stop()
+  }
+
+  "StreamingNearDup.incrementalClusters" should "merge components across micro-batches" in {
+    import graft.streaming.StreamingNearDup
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val out = StreamingNearDup.incrementalClusters(spark, mem.toDS())
+    val q = out.writeStream.format("memory").queryName("inc_cc").outputMode("append").start()
+    try {
+      // batch 1: two separate components {1,2} and {4,5}
+      mem.addData((1L, 2L), (4L, 5L))
+      q.processAllAvailable()
+      // batch 2: a bridge pair merges them; an unrelated pair starts {7,8}
+      mem.addData((2L, 4L), (7L, 8L))
+      q.processAllAvailable()
+
+      val rows = spark
+        .table("inc_cc")
+        .select($"doc_id", $"cluster")
+        .as[(Long, Long)]
+        .collect()
+        .zipWithIndex
+      // latest-wins per doc (Append re-emits on merge)
+      val latest = rows
+        .groupBy(_._1._1)
+        .map { case (d, xs) => d -> xs.maxBy(_._2)._1._2 }
+      // the cross-batch merge: docs 4 and 5 (clustered as 4 in batch 1)
+      // must end up under min-label 1
+      latest shouldBe Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L)
+      // and batch 1 really did assign {4,5} to 4 before the merge
+      rows.map(_._1).toSet should contain((4L, 4L))
     } finally q.stop()
   }
 
