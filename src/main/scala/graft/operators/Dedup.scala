@@ -392,6 +392,108 @@ object Dedup {
     }
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the DEEP-GRAPH option behind the same
+    * (node, cluster) contract as [[connectedComponents]]. Min-label
+    * propagation converges in O(diameter) rounds, the right trade for
+    * shallow near-dup components; a path-shaped graph (chained
+    * near-dups, reference chains, citation threads) makes diameter —
+    * and therefore rounds — O(n). Star contraction converges in
+    * O(log n) rounds regardless of diameter:
+    *
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its neighborhood (including itself);
+    *  - small-star: every node links its SMALLER neighbors (and
+    *    itself) to the minimum of those.
+    *
+    * Each half-round is one groupBy(min) + one join on the node id —
+    * the same partial-agg/shuffle shape as a min-label round, no
+    * component ever in one task. At the fixpoint the edge set IS the
+    * star (component-min → member), read off directly as labels.
+    * Rounds localCheckpoint like the min-label loop (lineage
+    * truncation + superseded-block release); convergence is an exact
+    * set check (counts equal + one-sided exceptAll empty — equal-size
+    * distinct sets with an empty difference are equal), and
+    * non-convergence within maxIter throws loudly for the same reason
+    * connectedComponents does.
+    *
+    * Contract notes: input pairs are undirected (a, b); self-pairs are
+    * ignored (a node only ever paired with itself has no edge — unlike
+    * [[connectedComponents]], which labels it a singleton).
+    */
+  def connectedComponentsStar(pairsIn: DataFrame, maxIter: Int = 30): DataFrame = {
+    def checkpointBlocks(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
+    def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+    var edges = ck(
+      pairsIn
+        .select(
+          least(col("doc_a"), col("doc_b")).as("a"),
+          greatest(col("doc_a"), col("doc_b")).as("b")
+        )
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    )
+    var iter = 0
+    var converged = edges.isEmpty
+    var succeeded = false
+    try {
+      while (!converged && iter < maxIter) {
+        // large-star: m(u) = min(N(u) ∪ {u}); emit (m(u), v) for v > u
+        val nbrs = edges
+          .select(col("a").as("u"), col("b").as("v"))
+          .union(edges.select(col("b").as("u"), col("a").as("v")))
+        val mins = nbrs
+          .groupBy(col("u"))
+          .agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val large = nbrs
+          .join(mins, "u")
+          .filter(col("v") > col("u"))
+          // m ≤ u < v, so (m, v) is already canonical
+          .select(col("m").as("a"), col("v").as("b"))
+          .distinct()
+        // small-star over the large output: m(u) = min of the SMALLER
+        // neighbors; emit (m, v) for the other small neighbors + (m, u)
+        val nbrs2 = large
+          .select(col("a").as("u"), col("b").as("v"))
+          .union(large.select(col("b").as("u"), col("a").as("v")))
+        val lower = nbrs2.filter(col("v") < col("u"))
+        val mins2 = lower.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val small = lower
+          .join(mins2, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("m").as("a"), col("v").as("b"))
+          .union(mins2.select(col("m").as("a"), col("u").as("b")))
+          .distinct()
+        val next = ck(small)
+        val sameCount = next.count() == edges.count()
+        converged = sameCount && next.exceptAll(edges).isEmpty
+        checkpointBlocks(edges).foreach(_.unpersist(false))
+        edges = next
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponentsStar did not converge within $maxIter rounds — " +
+            "O(log n) bound exceeded; inspect the edge distribution"
+        )
+      succeeded = true
+      // fixpoint edges are (component-min, member): read labels off
+      edges
+        .select(col("b").as("node"), col("a").as("cluster"))
+        .union(edges.select(col("a").as("node"), col("a").as("cluster")))
+        .distinct()
+    } finally {
+      if (!succeeded) checkpointBlocks(edges).foreach(_.unpersist(false))
+    }
+  }
+
   /** Components + survivor flag: survivor = the cluster's min doc_id. */
   def clustersWithSurvivors(pairs: DataFrame): DataFrame =
     connectedComponents(pairs)

@@ -92,6 +92,38 @@ class DedupSpec extends SparkSpec {
     Dedup.clustersWithSurvivors(empty).count() shouldBe 0L
   }
 
+  "connectedComponentsStar" should "converge on a 1000-deep chain without raising maxIter" in {
+    // a path graph has diameter n: min-label would need ~1000 rounds
+    // (far past its maxIter=25 default); star contraction must finish
+    // within its O(log n) default budget
+    val n = 1000
+    val pairs = (0 until n).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val labels = Dedup
+      .connectedComponentsStar(pairs)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    labels.size shouldBe n + 1
+    labels.values.toSet shouldBe Set(0L)
+  }
+
+  it should "agree with min-label propagation on arbitrary shallow graphs" in {
+    // deterministic pseudo-random multi-component graph
+    var seed = 0xdeadbeefL
+    def next(m: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % m) + m).toInt % m
+    }
+    val pairs = (0 until 120)
+      .map(_ => (next(60).toLong, next(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+      .persist()
+    val star = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    val ml = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    star shouldBe ml
+  }
+
   it should "label every mined pair's docs on real data with min-id clusters" in {
     val pairs = Dedup
       .minhashNearDups(Dedup.withPlantedNearDups(Tables.documents(spark, sfDir)), w = 3, tau = 0.5)
