@@ -95,7 +95,13 @@ object SparkEntry {
     "ts_retention" -> (Timeseries.tsRetention _),
     // GetChannelsQuery + Montage.validate composed: virtual channels
     // with validity, overlap window, rate and coverage
-    "ts_montage_channels" -> (Timeseries.tsMontageChannels _)
+    "ts_montage_channels" -> (Timeseries.tsMontageChannels _),
+    // deep-graph star-contraction CC over the same mined pairs —
+    // must match dedup_clusters' transitive-closure oracle exactly
+    "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
+    // product-quantization ANN: m sliced codebooks, byte codes,
+    // asymmetric-distance ranking
+    "ann_pq" -> (Similarity.annPq _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -171,6 +177,10 @@ object SparkEntry {
     "corpus_rollup" -> TextAnalysis.corpusRollupSql,
     "ts_pivot" -> Timeseries.tsPivotSql,
     "ts_retention" -> Timeseries.tsRetentionSql,
-    "ts_montage_channels" -> Timeseries.tsMontageChannelsSql
+    "ts_montage_channels" -> Timeseries.tsMontageChannelsSql,
+    // the dedup_clusters oracle verbatim: star contraction and
+    // min-label propagation must agree on the clustering
+    "dedup_clusters_star" -> Dedup.dedupClustersSql,
+    "ann_pq" -> Similarity.annPqSql
   )
 }

@@ -847,6 +847,22 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"))
     ).orderBy(col("doc_id"))
 
+  /** The same mined-pair pipeline as [[dedupClusters]] with components
+    * formed by the O(log n) [[connectedComponentsStar]] rounds instead
+    * of min-label propagation — the deep-graph option proven end to
+    * end against the IDENTICAL transitive-closure oracle (both
+    * algorithms must produce the same min-label clustering).
+    */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    connectedComponentsStar(
+      minhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), w = 3, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+    ).select(
+      col("node").as("doc_id"),
+      col("cluster"),
+      (col("node") === col("cluster")).as("survivor")
+    ).orderBy(col("doc_id"))
+
   /** Cluster oracle: the full minhash pipeline CTEs feed a recursive
     * transitive closure (UNION dedups, so cycles terminate); each
     * node's cluster is the minimum id it can reach, survivor = itself.

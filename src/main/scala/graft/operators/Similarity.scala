@@ -459,6 +459,253 @@ object Similarity {
        |FROM kasg
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Product quantization
+  // ---------------------------------------------------------------------
+
+  val PqSubspaces = 4
+  val PqCentroids = 8
+  val PqIters = 2
+
+  /** The [[KmeansCtes]] trajectory generalized to a SLICE of the
+    * embedding ([lo, hi], 1-based inclusive) with suffixed CTE names,
+    * so several independent sub-quantizers can live in one oracle
+    * query. Ends in `kasg$sfx` (vec_id, cid) and `cent$iters$sfx`
+    * (cid, cv).
+    */
+  private[operators] def kmeansCtesSliced(
+    sfx: String,
+    lo: Int,
+    hi: Int,
+    k: Int,
+    iters: Int
+  ): String = {
+    def distExpr(v: String, c: String) =
+      s"list_dot_product($v, $v) - 2.0 * list_dot_product($v, $c) + list_dot_product($c, $c)"
+    val dim = hi - lo + 1
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"cent${i - 1}$sfx"
+      s"""asg$i$sfx AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT n.vec_id, n.v, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |                         ORDER BY ${distExpr("n.v", "c.cv")}, c.cid) AS rn
+         |    FROM n$sfx n CROSS JOIN $prev c) a
+         |  WHERE rn = 1),
+         |cent$i$sfx AS (
+         |  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+         |    SELECT cid, g.dim AS dim,
+         |      CAST(SUM(CAST(v[CAST(g.dim AS INT)] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM asg$i$sfx, generate_series(1, $dim) AS g(dim)
+         |    GROUP BY 1, 2) t
+         |  GROUP BY cid)""".stripMargin
+    }
+    s"""n$sfx AS (
+       |  SELECT vec_id, (CAST(embedding AS DOUBLE[]))[$lo:$hi] AS v FROM embeddings),
+       |cent0$sfx AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+       |         v AS cv
+       |  FROM (SELECT * FROM n$sfx ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k) s),
+       |${iterCtes.mkString(",\n")},
+       |kasg$sfx AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT n.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                         ORDER BY ${distExpr("n.v", "c.cv")}, c.cid) AS rn
+       |    FROM n$sfx n CROSS JOIN cent$iters$sfx c) a
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** All `m` sub-quantizer codebooks trained in ONE Lloyd loop: per
+    * iteration the corpus is scanned ONCE — every subspace's argmin
+    * assignment is a column of the same codegen'd projection, the
+    * exploded (subspace, cid, subdim) means reduce in one partial
+    * aggregation, and one m·k·(dim/m)-row collect updates all
+    * codebooks — where m independent [[kmeansCentroids]] calls would
+    * scan the corpus m times per iteration. Each subspace's
+    * trajectory (md5-ranked init rows, least-struct ties, decimal
+    * means) is bit-identical to the per-subspace run, so the oracle
+    * reproduces it subspace by subspace.
+    */
+  def pqCodebooks(
+    corpus: DataFrame,
+    m: Int,
+    dim: Int,
+    k: Int,
+    iters: Int
+  ): Seq[(Int, Seq[(Int, Seq[Double])])] = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val subLen = dim / m
+    def sub(c: Column, s: Int): Column = slice(c, s * subLen + 1, subLen)
+    // init rows are ranked by vec_id hash only, so every subspace
+    // samples the SAME rows — identical to the per-subspace init
+    val initRows: Seq[Seq[Double]] = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .collect()
+      .toSeq
+      .map(_.getSeq[Double](0))
+    var books: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      initRows.zipWithIndex.map { case (v, i) => (i, v.slice(s * subLen, s * subLen + subLen)) }
+    }
+    // subvectors materialize ONCE per row here (m slices); assignment
+    // structs then reference plain columns — inlining the slice into
+    // every centroid struct would blow the generated method up m·k·2×
+    val base = corpus
+      .select(col("vec_id") +: (0 until m).map(s => sub(col("embedding"), s).as(s"v$s")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val rows = base
+          .select((0 until m).map { s =>
+            struct(
+              kmeansAssignStruct(col(s"v$s"), books(s)).getField("cid").as("cid"),
+              col(s"v$s").as("sv")
+            ).as(s"p$s")
+          }: _*)
+          .select(posexplode(array((0 until m).map(s => col(s"p$s")): _*)).as(Seq("s", "p")))
+          .select(col("s"), col("p.cid").as("cid"), posexplode(col("p.sv")).as(Seq("subdim", "x")))
+          .groupBy(col("s"), col("cid"), col("subdim"))
+          .agg((sum(col("x").cast("double").cast(dec)).cast("double") / count(lit(1))).as("mn"))
+          .collect()
+          .toSeq
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        books = (0 until m).map { s =>
+          rows
+            .filter(_._1 == s)
+            .groupBy(_._2)
+            .toSeq
+            .map { case (cid, xs) => (cid, xs.sortBy(_._3).map(_._4)) }
+            .sortBy(_._1)
+        }
+      }
+    } finally base.unpersist()
+    books.zipWithIndex.map { case (b, s) => (s, b) }
+  }
+
+  /** Product-quantization ANN (Jégou et al. 2011): the embedding is
+    * split into `m` subspaces, each sub-quantized by an independent
+    * deterministic k-means codebook; a corpus vector is ENCODED as m
+    * small codes (m bytes at k ≤ 256 — a 512× compression of a 64-dim
+    * float32 embedding, the index that fits in memory at 10⁹ vectors
+    * when raw vectors cannot), and a query ranks candidates by
+    * ASYMMETRIC DISTANCE: the sum over subspaces of the exact distance
+    * from the query's sub-vector to the corpus code's centroid — one
+    * lookup per subspace into the query's m×k distance table, never a
+    * full-dimension vector op per candidate.
+    *
+    * Scale shape: codebooks are m·k·(dim/m) doubles (driver-built like
+    * every index here, broadcast as literals); corpus encoding is a
+    * codegen'd argmin projection (ONE scan, no shuffle — and at ingest
+    * time the codes persist as the index); the query side broadcasts
+    * per-query lookup tables, so the ADC scan is one pass over m-byte
+    * codes with k·m distance evaluations per QUERY, not per candidate.
+    */
+  def pqTopK(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: Int,
+    m: Int = PqSubspaces,
+    dim: Int = KmeansDim,
+    kCent: Int = PqCentroids,
+    iters: Int = PqIters
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subLen = dim / m
+    def sub(c: Column, s: Int): Column = slice(c, s * subLen + 1, subLen)
+    val books = pqCodebooks(corpus, m, dim, kCent, iters)
+    // corpus → m argmin codes (pure projection against literal books);
+    // subvectors project once per row, then the code structs reference
+    // plain columns (slice inlined per centroid would bloat codegen)
+    val subCols = (0 until m).map(s => sub(col("embedding"), s).as(s"v$s"))
+    val coded = corpus
+      .select(col("vec_id").as("neighbor_id") +: subCols: _*)
+      .select(
+        col("neighbor_id") +:
+          books.map { case (s, cents) =>
+            kmeansAssignStruct(col(s"v$s"), cents).getField("cid").as(s"c$s")
+          }: _*
+      )
+    // query → per-subspace distance tables (k entries each, evaluated
+    // once per query); ADC = Σ_s lut_s[code_s], left-to-right
+    val withLuts = queries
+      .select(col("vec_id").as("query_id") +: subCols: _*)
+      .select(
+        col("query_id") +:
+          books.map { case (s, cents) =>
+            array(cents.map { case (_, cv) =>
+              val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+              val qs = col(s"v$s")
+              VectorMath.dot(qs, qs) - lit(2.0) * VectorMath.dot(qs, typedlit(cv)) + lit(cc)
+            }: _*).as(s"lut$s")
+          }: _*
+      )
+    val adist = (0 until m)
+      .map(s => element_at(col(s"lut$s"), col(s"c$s").cast("int") + 1))
+      .reduce(_ + _)
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    coded
+      .join(broadcast(withLuts), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("adist"), 6).as("adist")
+      )
+  }
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** m independent sliced-kmeans trajectories; corpus codes from
+    * kasg_s, ADC summed left-to-right over subspaces like the Spark
+    * plan.
+    */
+  val annPqSql: String = {
+    val subLen = KmeansDim / PqSubspaces
+    val ctes = (0 until PqSubspaces)
+      .map(s => kmeansCtesSliced(s"_s$s", s * subLen + 1, (s + 1) * subLen, PqCentroids, PqIters))
+      .mkString(",\n")
+    val dists = (0 until PqSubspaces).map { s =>
+      s"""(list_dot_product(q.v_s$s, q.v_s$s)
+         |   - 2.0 * list_dot_product(q.v_s$s, cb$s.cv)
+         |   + list_dot_product(cb$s.cv, cb$s.cv))""".stripMargin
+    }
+    val qCols = (0 until PqSubspaces).map(s => s"n_s$s.v AS v_s$s").mkString(", ")
+    val qJoins = (1 until PqSubspaces)
+      .map(s => s"JOIN n_s$s ON n_s$s.vec_id = n_s0.vec_id")
+      .mkString("\n       |  ")
+    val cJoins = (0 until PqSubspaces)
+      .map(s => s"JOIN kasg_s$s k$s ON k$s.vec_id = c.vec_id JOIN cent${PqIters}_s$s cb$s ON cb$s.cid = k$s.cid")
+      .mkString("\n       |  ")
+    s"""WITH $ctes,
+       |q AS (
+       |  SELECT n_s0.vec_id AS query_id, $qCols
+       |  FROM n_s0 $qJoins
+       |  WHERE n_s0.vec_id < $QueryCount),
+       |c AS (SELECT vec_id FROM embeddings),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${dists.map(d => s"($d)").mkString(" + ")} AS adist
+       |  FROM q CROSS JOIN c
+       |  $cJoins
+       |  WHERE q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(adist, 6) AS adist
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
     * clusters are the BLOCKING key — near-duplicate pairs are mined by
     * exact cosine only WITHIN a cluster, shrinking the pair product

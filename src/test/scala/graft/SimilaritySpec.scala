@@ -134,6 +134,55 @@ class SimilaritySpec extends SparkSpec {
       again.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
   }
 
+  "pqTopK" should "emit complete rank lists ordered by asymmetric distance" in {
+    val out = Similarity
+      .pqTopK(emb, emb, 5)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("adist"))
+      )
+    // complete rank lists with non-decreasing ADC per query
+    val byQ = out.groupBy(_._1)
+    byQ.foreach { case (_, xs) =>
+      xs.map(_._2).sorted.toList shouldBe (1L to 5L).toList
+      xs.sortBy(_._2).map(_._4).toSeq.sliding(2).foreach {
+        case Seq(a, b) => a should be <= b
+        case _ => ()
+      }
+    }
+  }
+
+  it should "recover planted cluster structure with high recall" in {
+    // uniform-random embeddings are PQ's worst case (distance
+    // concentration), so recall is asserted on PLANTED structure:
+    // 8 well-separated prototypes + small deterministic noise — the
+    // codebooks must recover the prototypes and ADC must surface
+    // same-cluster members
+    val dim = 16
+    val protos = (0 until 8).map(c => (0 until dim).map(d => ((c * 31 + d * 7) % 13) * 3.0))
+    val vecs = (0 until 64).map { i =>
+      val p = protos(i % 8)
+      (i.toLong, p.indices.map(d => (p(d) + 0.01 * ((i * (d + 1)) % 7 - 3)).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity
+      .pqTopK(df, df, 5, m = 4, dim = dim, kCent = 8, iters = 3)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    // exact L2 top-1 is always a same-cluster member; PQ's top-5 must
+    // contain one same-cluster member for almost every query
+    val hits = out.count { case (q, nbrs) => nbrs.exists(n => n % 8 == q % 8 && n != q) }
+    hits.toDouble / out.size should be >= 0.9
+  }
+
+  it should "never shuffle the corpus (codes scan once, luts broadcast)" in {
+    val plan = Similarity.pqTopK(emb, queries, 5).queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+  }
+
   "semanticDedup" should "mine cosine pairs within clusters and respect the threshold" in {
     // two far-apart groups; one near-identical pair planted in each,
     // plus an angular outlier per group that must stay below τ
