@@ -101,7 +101,10 @@ object SparkEntry {
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     // product-quantization ANN: m sliced codebooks, byte codes,
     // asymmetric-distance ranking
-    "ann_pq" -> (Similarity.annPq _)
+    "ann_pq" -> (Similarity.annPq _),
+    // substring-level dup signal: per-doc fraction of word 5-grams
+    // shared with any other document
+    "dedup_spans" -> (Dedup.dedupSpans _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -181,6 +184,7 @@ object SparkEntry {
     // the dedup_clusters oracle verbatim: star contraction and
     // min-label propagation must agree on the clustering
     "dedup_clusters_star" -> Dedup.dedupClustersSql,
-    "ann_pq" -> Similarity.annPqSql
+    "ann_pq" -> Similarity.annPqSql,
+    "dedup_spans" -> Dedup.dedupSpansSql
   )
 }

@@ -261,6 +261,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Per-document duplicated-SPAN statistics (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * substring-level signal document-level dedup misses): for every
+    * document, the fraction of its distinct word w-grams that appear
+    * in at least one OTHER document. Boilerplate headers, license
+    * blocks and templated text score high even when no whole document
+    * duplicates.
+    *
+    * Scale shape: one gram-keyed partial-agg shuffle counts documents
+    * per gram; the gram→count join is keyed identically (exchange
+    * reuse / co-partition); the per-doc rollup is one doc-keyed
+    * partial agg. Nothing is ever collected, no bucket materializes
+    * as a row. At 100 TB the exchange key compresses to the 8-byte
+    * polynomial gram hash (MinhashHash.polyHash — collision odds
+    * ~n²/2⁶¹) with the string dropped after hashing; the string key
+    * here keeps the oracle exact.
+    */
+  def spanDupStats(docs: DataFrame, w: Int = 5): DataFrame = {
+    val grams = docs.select(col("doc_id"), explode(shingles(w)).as("gram"))
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("__nd"))
+    grams
+      .join(counts, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_grams")
+      )
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6).as("dup_frac")
+      )
+  }
+
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    spanDupStats(withPlantedNearDups(Tables.documents(spark, dir))).orderBy(col("doc_id"))
+
+  /** Distinct word-5-gram sets per doc (the minhash shingle shape at
+    * w=5), doc counts per gram, per-doc dup fraction. Lazy:
+    * PlantedCorpusSql is declared further down the file.
+    */
+  lazy val dedupSpansSql: String =
+    s"""WITH $PlantedCorpusSql,
+       |normed AS (
+       |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm FROM corpus),
+       |words AS (SELECT doc_id, string_split(nm, ' ') AS ws FROM normed),
+       |shpos AS (
+       |  SELECT doc_id, ws, UNNEST(range(1, GREATEST(len(ws) - 4, 1) + 1)) AS i FROM words),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN len(ws) >= 5 THEN array_to_string(ws[i:i+4], ' ')
+       |         ELSE array_to_string(ws, ' ') END AS gram
+       |  FROM shpos),
+       |cnt AS (SELECT gram, COUNT(*) AS nd FROM sh GROUP BY gram)
+       |SELECT s.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  ROUND(CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+       |FROM sh s JOIN cnt c USING (gram)
+       |GROUP BY s.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Cluster formation / survivor selection
   // ---------------------------------------------------------------------

@@ -92,6 +92,31 @@ class DedupSpec extends SparkSpec {
     Dedup.clustersWithSurvivors(empty).count() shouldBe 0L
   }
 
+  "spanDupStats" should "score shared word spans without whole-doc duplication" in {
+    // doc 1 and 2 share one 5-word span (boilerplate) inside otherwise
+    // different text; doc 3 shares nothing
+    val boiler = "all rights reserved by the"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"one two three four $boiler nine ten"),
+      (3L, "completely different words with no overlap here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .spanDupStats(docs, w = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toList
+    // the shared GRAM is the exact 5-word boiler window, present in
+    // both docs; every other window mixes in surrounding words
+    got.head._2 shouldBe 6L // doc 1: 10 words -> 6 grams
+    got.head._3 shouldBe 1L
+    got(1)._2 shouldBe 7L // doc 2: 11 words -> 7 grams
+    got(1)._3 shouldBe 1L
+    got(2)._3 shouldBe 0L // doc 3: nothing shared
+    got.head._4 shouldBe (1.0 / 6.0 +- 1e-6) // rounded to 6 decimals
+  }
+
   "connectedComponentsStar" should "converge on a 1000-deep chain without raising maxIter" in {
     // a path graph has diameter n: min-label would need ~1000 rounds
     // (far past its maxIter=25 default); star contraction must finish
