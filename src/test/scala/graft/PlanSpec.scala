@@ -289,6 +289,49 @@ class PlanSpec extends SparkSpec {
     df.collect().map(_.toString).sorted shouldBe expected
   }
 
+  "dedup_spans" should "roll up gram dup counts with partial aggregation and no cross join" in {
+    val df = graft.operators.Dedup.dedupSpans(spark, sfDir)
+    val plan = planString(df)
+    plan should include("partial_count")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // gram counts and the join back share the gram key; the per-doc
+    // rollup and output order add the rest — data-scale exchanges stay
+    // bounded and key-partial-aggregated
+    countShuffles(df) should be <= 5
+  }
+
+  "ann_pq" should "scan byte codes once against broadcast query tables" in {
+    val emb = Tables.embeddings(spark, sfDir)
+    val df = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    val plan = planString(df)
+    // corpus side: encode projection + broadcast join, never shuffled
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("WindowGroupLimit")
+    plan should include("vec_dot")
+    plan should not include "SortMergeJoin"
+  }
+
+  "dedup_semantic" should "broadcast the counted-cell admission relations" in {
+    val df = Similarity.dedupSemantic(spark, sfDir)
+    val plan = planString(df)
+    // cell sizes (k rows) and block admission (≤ k·2^subPlanes rows)
+    // join broadcast; the corpus-scale pair join is the (cluster,
+    // block)-keyed hash join
+    plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") should be >= 2
+  }
+
+  "ts_montage_channels" should "stay broadcast-join-only over the channel catalog" in {
+    val df = Timeseries.tsMontageChannels(spark, sfDir)
+    val plan = planString(df)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    // exchanges: the channel-keyed catalog agg appears once per join
+    // side in the static plan (identical subtrees — ReuseExchange
+    // collapses them to one at runtime) + the output ordering
+    countShuffles(df) should be <= 3
+  }
+
   "ts_asof" should "avoid any unpartitioned global-sort window over the data" in {
     val df = Timeseries.tsAsof(spark, sfDir)
     // the only unpartitioned window runs over the tiny per-bucket
