@@ -178,4 +178,73 @@ object StreamingNearDup {
       .toDF("doc_a", "doc_b", "est_jaccard")
       .as[(Long, Long, Double)]
   }
+
+  /** Incremental connected components over a streamed pair feed — the
+    * streaming analog of the batch [[Dedup.connectedComponents]]: a
+    * union-find forest carried in state, unioned with each
+    * micro-batch's pairs, so components MERGE ACROSS BATCHES instead
+    * of restarting per batch. Union-by-min keeps every root the
+    * component's minimum doc_id — the same min-label cluster identity
+    * (and survivor convention: doc_id == cluster) the batch pipeline
+    * emits.
+    *
+    * Each batch emits the CURRENT (doc_id, cluster) assignment for
+    * every document in a component touched this batch; Append mode
+    * cannot retract, so a merge re-emits its members under the new
+    * root and consumers keep the latest row per doc_id (the same
+    * latest-wins contract as any CDC-style stream).
+    *
+    * Scale shape, stated honestly: the pair feed is the VERIFIED
+    * near-dup output — events orders of magnitude rarer than
+    * documents — and the forest holds only docs that appeared in some
+    * pair (the duplicate working set), capped loudly at `maxDocs`.
+    * The single state key serializes union application exactly like
+    * the reference's per-session tracker map; shard by corpus
+    * namespace upstream when one working set outgrows a task.
+    */
+  def incrementalClusters(
+    spark: SparkSession,
+    pairs: Dataset[(Long, Long)],
+    maxDocs: Int = 1 << 20
+  ): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    pairs
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Map[Long, Long], (Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { case (_, rows, state: GroupState[Map[Long, Long]]) =>
+        val parent = scala.collection.mutable.Map[Long, Long]() ++
+          state.getOption.getOrElse(Map.empty[Long, Long])
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          // path compression keeps chains flat across batches
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val touchedRoots = scala.collection.mutable.Set[Long]()
+        rows.foreach { case (a, b) =>
+          require(
+            parent.size < maxDocs || (parent.contains(a) && parent.contains(b)),
+            s"StreamingNearDup.incrementalClusters: union-find exceeds $maxDocs docs — shard the pair stream upstream"
+          )
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          val root = math.min(ra, rb)
+          parent(ra) = root
+          parent(rb) = root
+          touchedRoots += root
+        }
+        // re-root every member once so the state map stays one hop deep
+        val members = parent.keys.toSeq.map(d => (d, find(d)))
+        state.update(members.toMap.map { case (d, r) => d -> r })
+        members.filter { case (_, r) => touchedRoots(r) }.iterator
+      }
+      .toDF("doc_id", "cluster")
+      .as[(Long, Long)]
+  }
 }
