@@ -104,7 +104,9 @@ object SparkEntry {
     "ann_pq" -> (Similarity.annPq _),
     // substring-level dup signal: per-doc fraction of word 5-grams
     // shared with any other document
-    "dedup_spans" -> (Dedup.dedupSpans _)
+    "dedup_spans" -> (Dedup.dedupSpans _),
+    // corpus-LM nats/token quality proxy (KenLM-style document prior)
+    "text_perplexity" -> (TextAnalysis.textPerplexity _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -185,6 +187,7 @@ object SparkEntry {
     // min-label propagation must agree on the clustering
     "dedup_clusters_star" -> Dedup.dedupClustersSql,
     "ann_pq" -> Similarity.annPqSql,
-    "dedup_spans" -> Dedup.dedupSpansSql
+    "dedup_spans" -> Dedup.dedupSpansSql,
+    "text_perplexity" -> TextAnalysis.textPerplexitySql
   )
 }

@@ -358,6 +358,59 @@ object TextAnalysis {
   // Fixed driver queries
   // ---------------------------------------------------------------------
 
+  /** Corpus-LM negative log-likelihood per document — the KenLM/CCNet
+    * quality-filter proxy as a pure relational job: a unigram word
+    * model is estimated FROM THE CORPUS ITSELF (count/total), and each
+    * document scores its mean −ln P(w) in nats/token. Rare-word-heavy
+    * documents (OCR noise, gibberish, lorem) score high; templated/
+    * common text scores low — the standard "document prior" screen
+    * before a real LM filter exists.
+    *
+    * Scale shape: one word-keyed partial-agg shuffle estimates the
+    * model; the score join is keyed identically (co-partitioned); the
+    * per-doc rollup is one doc-keyed partial agg; the model total is a
+    * 1-row broadcast (the bm25 stats-relation pattern). Portability:
+    * ln of an identical rational rounds to 9 decimals on both engines
+    * (the ln-round-9 discipline), and per-doc sums route through
+    * DECIMAL so addition order can't drift.
+    */
+  def tokenPerplexity(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val words = docs.select(col("doc_id"), explode(expr(WordsSql)).as("w"))
+    val model = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = model.agg(sum(col("c")).cast("double").as("total"))
+    words
+      .join(model, "w")
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        round(log(col("c").cast("double") / col("total")), 9).as("lp")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-sum(col("lp").cast(dec)).cast("double") / count(lit(1)), 6).as("nll")
+      )
+  }
+
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame =
+    tokenPerplexity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val textPerplexitySql: String =
+    s"""WITH normed AS (
+       |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm
+       |  FROM documents),
+       |w AS (SELECT doc_id, UNNEST(string_split(nm, ' ')) AS w FROM normed),
+       |m AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+       |tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM m),
+       |s AS (
+       |  SELECT w.doc_id, ROUND(LN(CAST(m.c AS DOUBLE) / tt.total), 9) AS lp
+       |  FROM w JOIN m USING (w) CROSS JOIN tt)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  ROUND(-CAST(SUM(CAST(lp AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS nll
+       |FROM s GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def corpusStatsQ(spark: SparkSession, dir: String): DataFrame =
     corpusStats(Tables.documents(spark, dir)).orderBy(col("source"), col("lang"))
 

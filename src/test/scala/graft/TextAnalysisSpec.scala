@@ -103,6 +103,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  "tokenPerplexity" should "score rare-word docs above common-word docs" in {
+    // corpus of 6 docs of common words + 1 doc of hapaxes: the model
+    // assigns the common words high probability, so the hapax doc's
+    // mean -ln P must dominate
+    val common = "the cat sat on the mat"
+    val docs = ((1L to 6L).map(i => (i, common)) :+ (7L, "qzx wvj plk mnb")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .tokenPerplexity(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)]
+      .collect()
+    got.length shouldBe 7
+    got.take(6).foreach { case (_, n, nll) =>
+      n shouldBe 6L
+      nll shouldBe got.head._3 // identical docs, identical score
+    }
+    got.last._2 shouldBe 4L
+    got.last._3 should be > got.head._3 * 2
+    // exact value for the hapax doc: every word has count 1 of 40
+    got.last._3 shouldBe (math.log(40.0) +- 1e-5)
+  }
+
   "repetitionSignals" should "measure within-document duplication exactly" in {
     val df = Seq(
       (1L, "a a b"),          // 3 words / 2 distinct; bigrams "a a","a b" all distinct
