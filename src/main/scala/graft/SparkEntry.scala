@@ -106,7 +106,9 @@ object SparkEntry {
     // shared with any other document
     "dedup_spans" -> (Dedup.dedupSpans _),
     // corpus-LM nats/token quality proxy (KenLM-style document prior)
-    "text_perplexity" -> (TextAnalysis.textPerplexity _)
+    "text_perplexity" -> (TextAnalysis.textPerplexity _),
+    // concat-and-chunk sequence packing via two-phase prefix sum
+    "pack_sequences" -> (Packing.packSequencesQ _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,6 +190,7 @@ object SparkEntry {
     "dedup_clusters_star" -> Dedup.dedupClustersSql,
     "ann_pq" -> Similarity.annPqSql,
     "dedup_spans" -> Dedup.dedupSpansSql,
-    "text_perplexity" -> TextAnalysis.textPerplexitySql
+    "text_perplexity" -> TextAnalysis.textPerplexitySql,
+    "pack_sequences" -> Packing.packSequencesSql
   )
 }

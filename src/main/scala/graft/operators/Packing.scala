@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training — the concat-and-chunk layout
+  * every autoregressive pretraining pipeline runs last: documents are
+  * concatenated in a canonical order and the token stream is cut into
+  * fixed-length training sequences ("bins"). The operator assigns each
+  * document its global token offset and the bin span it lands in, so a
+  * downstream writer can materialize shards knowing exactly which docs
+  * (and which parts of split docs) belong to every sequence.
+  *
+  * The core is a GLOBAL prefix sum over a corpus-scale relation —
+  * exactly the computation a naive `Window.orderBy(doc_id)` with no
+  * partitioning would serialize into one task. This implementation is
+  * the classic two-phase distributed scan instead:
+  *
+  *   1. shard the corpus deterministically on the key itself
+  *      (`doc_id div shardWidth`) and run the running sum PER SHARD —
+  *      a partitioned window, parallel across shards;
+  *   2. roll shard totals up to one row per shard (partial agg), turn
+  *      them into exclusive shard base offsets, and broadcast-join the
+  *      bases back.
+  *
+  * The only unpartitioned window runs over the shard-totals relation —
+  * cardinality = number of shards (metadata scale, ~10⁶ rows for a
+  * 10⁹-doc corpus at width 10³), the same driver-size argument as a
+  * k-means centroid update. The corpus itself moves through exactly one
+  * hash exchange (the shard window) and one broadcast join; the result
+  * is bit-identical to the single-task global window for every
+  * shardWidth, which the spec proves by sweeping widths.
+  *
+  * Reference framing: the reference chunks samples into fixed
+  * pixel-width segments per channel (`TimeSeriesFlow.scala:
+  * resampleMessage` cutting continuous data into chunks); this is the
+  * corpus-scale analog over token streams.
+  */
+object Packing {
+
+  /** Per-document packing assignment: global token offset and bin span.
+    *
+    * Output: (doc_id, n_tokens, t_offset, bin_first, bin_last, n_bins)
+    * where bins are `seqLen`-token training sequences and a document
+    * spanning `n_bins > 1` is split across consecutive sequences.
+    * An empty document occupies zero tokens but is assigned the bin at
+    * its offset point (span of max(n,1)-1 ≡ its own offset's bin).
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, shardWidth: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    val toks = docs.select(
+      col("doc_id"),
+      coalesce(size(expr(TextAnalysis.WordsSql)).cast("long"), lit(0L)).as("n_tokens"),
+      expr(s"doc_id div ${shardWidth}L").as("shard")
+    )
+    // phase 1: parallel running sum within each deterministic shard
+    val w = Window
+      .partitionBy("shard")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = toks.withColumn("local_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    // phase 2: shard totals -> exclusive base offsets (shard-count
+    // cardinality; the lone unpartitioned window runs post-reduction)
+    val wb = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = toks
+      .groupBy("shard")
+      .agg(sum(col("n_tokens")).as("shard_n"))
+      .select(col("shard"), coalesce(sum(col("shard_n")).over(wb), lit(0L)).as("base"))
+    local
+      .join(broadcast(bases), "shard")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("base") + col("local_off")).as("t_offset")
+      )
+      .withColumn("bin_first", expr(s"t_offset div ${seqLen}L"))
+      .withColumn("bin_last", expr(s"(t_offset + greatest(n_tokens, 1L) - 1L) div ${seqLen}L"))
+      .withColumn("n_bins", col("bin_last") - col("bin_first") + lit(1L))
+  }
+
+  def packSequencesQ(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), seqLen = 128, shardWidth = 64L)
+      .orderBy(col("doc_id"))
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    COALESCE(CAST(LEN(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT), 0) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS t_offset
+      |  FROM t)
+      |SELECT doc_id, n_tokens, t_offset,
+      |  t_offset // 128 AS bin_first,
+      |  (t_offset + GREATEST(n_tokens, 1) - 1) // 128 AS bin_last,
+      |  (t_offset + GREATEST(n_tokens, 1) - 1) // 128 - t_offset // 128 + 1 AS n_bins
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+}

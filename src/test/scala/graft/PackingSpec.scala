@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  "packSequences" should "assign offsets and bin spans of the concatenated token stream" in {
+    // token counts: 3, 4, 2, 6 -> offsets 0, 3, 7, 9; seqLen 4 bins:
+    // doc 1 [0,2] bin 0; doc 2 [3,6] bins 0-1 (split); doc 3 [7,8]
+    // bins 1-2 (split); doc 4 [9,14] bins 2-3 (split)
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "d e f g"),
+      (3L, "h i"),
+      (4L, "j k l m n o")
+    ).toDF("doc_id", "text")
+    val got = Packing
+      .packSequences(docs, seqLen = 4, shardWidth = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "t_offset", "bin_first", "bin_last", "n_bins")
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 4L, 3L, 0L, 1L, 2L),
+      (3L, 2L, 7L, 1L, 2L, 2L),
+      (4L, 6L, 9L, 2L, 3L, 2L)
+    )
+  }
+
+  it should "be bit-identical for every shard width (two-phase scan == global scan)" in {
+    // the distributed prefix sum must not depend on how the corpus is
+    // sharded: sweep widths from per-doc shards to one giant shard
+    val docs = Tables.documents(spark, sfDir)
+    val reference = Packing
+      .packSequences(docs, seqLen = 128, shardWidth = 1L)
+      .orderBy("doc_id")
+      .collect()
+      .toSeq
+    Seq(7L, 64L, 1000000L).foreach { w =>
+      val got = Packing
+        .packSequences(docs, seqLen = 128, shardWidth = w)
+        .orderBy("doc_id")
+        .collect()
+        .toSeq
+      withClue(s"shardWidth=$w:") { got shouldBe reference }
+    }
+  }
+
+  it should "handle empty documents as zero-width spans at their offset" in {
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "c d e")
+    ).toDF("doc_id", "text")
+    val got = Packing
+      .packSequences(docs, seqLen = 4, shardWidth = 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "t_offset", "n_bins")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toList
+    // null text -> 0 tokens, occupies no stream space: doc 3 starts at
+    // 2 and its tokens [2,4] straddle the bin-1 boundary
+    got shouldBe List((1L, 2L, 0L, 1L), (2L, 0L, 2L, 1L), (3L, 3L, 2L, 2L))
+  }
+
+  it should "never run an unpartitioned window over the corpus stream" in {
+    // the 100 TB constraint: the only empty-partitionSpec window
+    // permitted is the shard-base rollup, which runs POST-REDUCTION
+    // (its subtree aggregates the corpus down to one row per shard)
+    val df = Packing.packSequencesQ(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    windows should not be empty
+    windows.foreach { w =>
+      if (w.partitionSpec.isEmpty) {
+        val aggs = w.collect { case a: Aggregate => a }
+        withClue(s"unpartitioned window must sit above the shard rollup: $w") {
+          aggs should not be empty
+        }
+      }
+    }
+    // and at least one window IS the parallel per-shard scan
+    windows.exists(_.partitionSpec.nonEmpty) shouldBe true
+  }
+}
