@@ -108,7 +108,10 @@ object SparkEntry {
     // corpus-LM nats/token quality proxy (KenLM-style document prior)
     "text_perplexity" -> (TextAnalysis.textPerplexity _),
     // concat-and-chunk sequence packing via two-phase prefix sum
-    "pack_sequences" -> (Packing.packSequencesQ _)
+    "pack_sequences" -> (Packing.packSequencesQ _),
+    // asymmetric containment dedup: subsumption pairs Jaccard misses,
+    // mined by rare-shingle blocking with the counted-df cap
+    "dedup_containment" -> (Dedup.dedupContainment _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,6 +194,7 @@ object SparkEntry {
     "ann_pq" -> Similarity.annPqSql,
     "dedup_spans" -> Dedup.dedupSpansSql,
     "text_perplexity" -> TextAnalysis.textPerplexitySql,
-    "pack_sequences" -> Packing.packSequencesSql
+    "pack_sequences" -> Packing.packSequencesSql,
+    "dedup_containment" -> Dedup.dedupContainmentSql
   )
 }

@@ -1026,6 +1026,139 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = p.doc_b
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Containment (asymmetric) near-dup
+  // ---------------------------------------------------------------------
+
+  /** Containment near-dup mining: pairs where one document's shingle
+    * set is (mostly) a SUBSET of the other's — `C(A,B) = |A∩B| / |A|`.
+    * Symmetric Jaccard misses exactly these: a quote, excerpt, or
+    * truncated mirror of a long document has Jaccard ≈ |A|/|B| (small)
+    * but containment ≈ 1. This is the screen for subsumption dups —
+    * boilerplate-wrapped article copies, chapter extractions, quoted
+    * posts — that survive a MinHash pass.
+    *
+    * Candidates come from RARE-SHINGLE blocking, not all pairs: a
+    * shingle's document frequency is counted first (one shingle-keyed
+    * partial agg — algebraic, map-side combined), only shingles with
+    * `2 <= df <= maxDf` admit their postings, and pairs form by
+    * self-joining the admitted postings on the shingle key. A stopword
+    * shingle shared by half the corpus costs ONE count row and admits
+    * nothing; worst bucket fan-out is maxDf² by construction — the
+    * same counted-bucket discipline as [[lshCandidates]]. Any true
+    * containment pair shares (almost) all of the contained doc's
+    * shingles, so it only escapes mining if EVERY shared shingle is
+    * corpus-common — at which point the contained doc is boilerplate,
+    * not content. Verification computes exact containment over
+    * candidate pairs only.
+    */
+  def containmentNearDups(docs: DataFrame, w: Int, tau: Double, maxDf: Int): DataFrame = {
+    require(w > 0 && maxDf > 1, s"need w > 0 and maxDf > 1, got w=$w maxDf=$maxDf")
+    val sh = docs.select(col("doc_id"), explode(shingles(w)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val admissible = sh
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .select(col("shingle"))
+    val member = sh.join(admissible, "shingle")
+    val cand = member
+      .as("x")
+      .join(member.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      // the filter runs on the UNROUNDED ratio (identical int/int
+      // division on both engines); rounding is presentation only
+      .filter(
+        greatest(
+          col("n_inter").cast("double") / col("na"),
+          col("n_inter").cast("double") / col("nb")
+        ) >= tau
+      )
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("n_inter").cast("double") / col("na"), 6).as("cont_a"),
+        round(col("n_inter").cast("double") / col("nb"), 6).as("cont_b")
+      )
+  }
+
+  /** Corpus with planted PREFIX TRUNCATIONS: for doc_id % 9 == 0 the
+    * first ⌈n/3⌉ (min 3) words are re-issued as doc_id + 3000000 — a
+    * subsumption dup with Jaccard ≈ 1/3 (below the MinHash query's
+    * τ = 0.5) but containment 1.0. Exactly the pair class this
+    * operator exists to catch.
+    */
+  private[operators] def withPlantedContainment(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
+    val planted = base
+      .filter(col("doc_id") % 9 === 0)
+      .select(
+        (col("doc_id") + 3000000L).as("doc_id"),
+        expr("slice(ws, 1, greatest(cast(ceil(size(ws) / 3.0) as int), 3))").as("ws")
+      )
+    base.unionByName(planted).select(col("doc_id"), array_join(col("ws"), " ").as("text"))
+  }
+
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentNearDups(withPlantedContainment(Tables.documents(spark, dir)), w = 3, tau = 0.9, maxDf = 256)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Full-pipeline containment oracle: planted prefix corpus → distinct
+    * word 3-shingles (short-doc whole-text fallback, mirroring the
+    * Shingling kernel) → df-admissible postings → candidate pairs →
+    * exact intersection → containment ratios, filtered unrounded.
+    */
+  val dedupContainmentSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, ws FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id,
+      |    ws[1:GREATEST(CAST(CEIL(len(ws) / 3.0) AS INT), 3)] AS ws
+      |  FROM base WHERE doc_id % 9 = 0),
+      |shpos AS (
+      |  SELECT doc_id, ws, UNNEST(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS i FROM corpus),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(ws) >= 3 THEN array_to_string(ws[i:i+2], ' ')
+      |         ELSE array_to_string(ws, ' ') END AS shingle
+      |  FROM shpos),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |adm AS (
+      |  SELECT shingle FROM sh GROUP BY shingle
+      |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+      |member AS (SELECT s.doc_id, s.shingle FROM sh s JOIN adm USING (shingle)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM member x JOIN member y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY c.doc_a, c.doc_b)
+      |SELECT i.doc_a, i.doc_b,
+      |  ROUND(CAST(n_inter AS DOUBLE) / sa.n, 6) AS cont_a,
+      |  ROUND(CAST(n_inter AS DOUBLE) / sb.n, 6) AS cont_b
+      |FROM inter i
+      |JOIN sizes sa ON sa.doc_id = i.doc_a
+      |JOIN sizes sb ON sb.doc_id = i.doc_b
+      |WHERE GREATEST(CAST(n_inter AS DOUBLE) / sa.n, CAST(n_inter AS DOUBLE) / sb.n) >= 0.9
+      |ORDER BY i.doc_a, i.doc_b""".stripMargin
+
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     embedNearDups(Tables.embeddings(spark, dir), tau = 0.4)
       .orderBy(col("id_a"), col("id_b"))

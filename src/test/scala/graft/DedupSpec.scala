@@ -38,6 +38,40 @@ class DedupSpec extends SparkSpec {
     planted.subsetOf(found) shouldBe true
   }
 
+  "containmentNearDups" should "catch a subsumption pair whose Jaccard is far below the MinHash gate" in {
+    // doc 2 = the first third of doc 1 (12 of 36 words): Jaccard ~ 1/3
+    // but containment C(2,1) = 1.0 — exactly what the operator exists
+    // to find. doc 3 is unrelated filler.
+    val long = (1 to 36).map(i => s"w$i").mkString(" ")
+    val prefix = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long),
+      (2L, prefix),
+      (3L, "entirely different content with no overlap at all here now today")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .containmentNearDups(docs, w = 3, tau = 0.9, maxDf = 64)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Double, Double)]
+      .collect()
+      .toList
+    // doc 2 has 10 shingles, all inside doc 1's 34 -> cont_a(1) = 10/34
+    // below tau, cont_b(2) = 1.0 above it
+    got shouldBe List((1L, 2L, math.round(10.0 / 34.0 * 1e6) / 1e6, 1.0))
+    // symmetric Jaccard on the same pair stays under the 0.5 gate
+    (10.0 / 34.0) should be < 0.5
+  }
+
+  it should "admit nothing from a corpus-common shingle (counted-df cap)" in {
+    // every doc shares the same boilerplate 3 words, plus unique tails
+    // with no 3-shingle overlap: with maxDf below the corpus size the
+    // boilerplate shingle is inadmissible, so NO pairs form at all
+    val docs = (1L to 8L)
+      .map(i => (i, s"common boiler plate unique${i}a unique${i}b unique${i}c unique${i}d"))
+      .toDF("doc_id", "text")
+    Dedup.containmentNearDups(docs, w = 3, tau = 0.5, maxDf = 4).count() shouldBe 0L
+  }
+
   "exactByHash" should "produce identical groups to text-keyed exact dedup" in {
     val docs = Tables.documents(spark, sfDir)
     val byText = Dedup.exact(docs).orderBy("doc_id").as[(Long, Long)].collect().toList
