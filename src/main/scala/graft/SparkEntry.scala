@@ -111,7 +111,9 @@ object SparkEntry {
     "pack_sequences" -> (Packing.packSequencesQ _),
     // asymmetric containment dedup: subsumption pairs Jaccard misses,
     // mined by rare-shingle blocking with the counted-df cap
-    "dedup_containment" -> (Dedup.dedupContainment _)
+    "dedup_containment" -> (Dedup.dedupContainment _),
+    // DSIR hashed-ngram importance weights vs the en target slice
+    "train_dsir" -> (Curation.trainDsir _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,6 +197,7 @@ object SparkEntry {
     "dedup_spans" -> Dedup.dedupSpansSql,
     "text_perplexity" -> TextAnalysis.textPerplexitySql,
     "pack_sequences" -> Packing.packSequencesSql,
-    "dedup_containment" -> Dedup.dedupContainmentSql
+    "dedup_containment" -> Dedup.dedupContainmentSql,
+    "train_dsir" -> Curation.trainDsirSql
   )
 }

@@ -136,6 +136,50 @@ object MinhashHash {
   /** Column API over a full signature array. */
   def bandKeys(sig: Column, bands: Int): Column =
     GraftSqlBridge.column(MinhashBandKeys(GraftSqlBridge.expression(sig), bands))
+
+  /** Column API: element-wise [[polyHash]] of a string array — the
+    * portable mod-2⁶¹−1 hash each feature-hashing operator (DSIR
+    * importance weights) folds features through. One pass, map-side;
+    * null elements hash to null.
+    */
+  def polyHashes(features: Column): Column =
+    GraftSqlBridge.column(PolyHashes(GraftSqlBridge.expression(features)))
+}
+
+/** `poly_hashes(array<string>)`: element-wise polynomial codepoint hash
+  * mod 2⁶¹−1 (see [[MinhashHash.polyHash]]); the DuckDB oracle computes
+  * the identical fold via list_reduce in HUGEINT.
+  */
+case class PolyHashes(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"poly_hashes expects array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      if (!arr.isNullAt(i)) out(i) = MinhashHash.polyHash(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "poly_hashes"
 }
 
 /** `band_pack(signature, bands)`: the per-band packed bucket keys of a

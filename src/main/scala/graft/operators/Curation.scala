@@ -321,4 +321,128 @@ object Curation {
        |GROUP BY 1, 2
        |ORDER BY split, lang_pred""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // DSIR importance weights
+  // ---------------------------------------------------------------------
+
+  /** Hashed n-gram importance weights (DSIR, Xie et al. 2023): score
+    * every raw document by how target-like it looks under two
+    * bag-of-hashed-ngrams models — `w(d) = Σ_f c_f(d) · (ln p̂_t(f) −
+    * ln p̂_r(f))` with Laplace smoothing — the importance-resampling
+    * selector used to pick pretraining data that matches a target
+    * domain. The target here is the corpus's own `lang = 'en'` slice;
+    * raw is everything.
+    *
+    * The defining trick is FEATURE HASHING: word unigrams+bigrams fold
+    * through the portable polynomial hash into `buckets` counts, so
+    * both models are fixed-size vectors no matter how large the corpus
+    * vocabulary grows — the models stay broadcastable at 100 TB by
+    * construction. Scale shape: feature extraction + hashing is a
+    * map-side kernel projection; per-doc bucket counts are one
+    * (doc, bucket)-keyed partial agg; both models reduce to `buckets`
+    * rows in a second partial agg and come back as a broadcast join;
+    * the final score is one doc-keyed partial agg. The corpus is never
+    * self-joined and never shuffled wider than (doc_id, bucket, count).
+    *
+    * Portability: bucket = polyHash(feature) mod 2⁶¹−1 mod buckets
+    * (HUGEINT fold in the oracle); each model's ln runs on an identical
+    * rational and is rounded to 9 decimals before the subtraction; the
+    * per-doc sum routes through DECIMAL so addition order can't drift.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en", buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val withFeatures = docs
+      .select(
+        col("doc_id"),
+        col("lang"),
+        split(expr(TextAnalysis.NormSql), " ").as("ws")
+      )
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr(
+          """concat(ws,
+            |  case when size(ws) >= 2
+            |       then transform(sequence(1, size(ws) - 1),
+            |                      i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+            |       else cast(array() as array<string>) end)""".stripMargin
+        ).as("feats")
+      )
+    val counts = withFeatures
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(graft.functions.MinhashHash.polyHashes(col("feats"))).as("h")
+      )
+      .select(col("doc_id"), col("lang"), (col("h") % buckets).as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val model = counts
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("c")).as("cr"),
+        sum(when(col("lang") === targetLang, col("c")).otherwise(0L)).as("ct")
+      )
+    val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val logRatio = model
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        (round(log((col("ct") + 1L).cast("double") / (col("nt") + buckets).cast("double")), 9) -
+          round(log((col("cr") + 1L).cast("double") / (col("nr") + buckets).cast("double")), 9))
+          .as("lr")
+      )
+    counts
+      .join(broadcast(logRatio), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_feats"),
+        round(sum((col("c").cast("double") * col("lr")).cast(dec)).cast("double"), 6).as("dsir_w")
+      )
+  }
+
+  def trainDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val trainDsirSql: String = {
+    import graft.functions.Winnow
+    val b = 4096
+    s"""WITH wsa AS (
+       |  SELECT doc_id, lang,
+       |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, lang,
+       |    UNNEST(list_concat(ws,
+       |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS f
+       |  FROM wsa),
+       |hashed AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN LENGTH(f) = 0 THEN CAST(0 AS HUGEINT)
+       |         ELSE list_reduce(
+       |           list_transform(range(1, LENGTH(f) + 1),
+       |                          j -> CAST(unicode(substr(f, CAST(j AS INT), 1)) AS HUGEINT)),
+       |           (h, c) -> (h * ${Winnow.Base} + c) % ${Winnow.P}) END AS h
+       |  FROM feats),
+       |counts AS (
+       |  SELECT doc_id, lang, CAST(h % $b AS BIGINT) AS bucket, COUNT(*) AS c
+       |  FROM hashed GROUP BY doc_id, lang, h % $b),
+       |model AS (
+       |  SELECT bucket, SUM(c) AS cr,
+       |    SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct
+       |  FROM counts GROUP BY bucket),
+       |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model),
+       |lr AS (
+       |  SELECT bucket,
+       |    ROUND(LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + $b AS DOUBLE)), 9) -
+       |    ROUND(LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + $b AS DOUBLE)), 9) AS lr
+       |  FROM model CROSS JOIN tot)
+       |SELECT c.doc_id, SUM(c.c) AS n_feats,
+       |  ROUND(CAST(SUM(CAST(CAST(c.c AS DOUBLE) * lr.lr AS DECIMAL(27,10))) AS DOUBLE), 6) AS dsir_w
+       |FROM counts c JOIN lr ON lr.bucket = c.bucket
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
 }

@@ -9,6 +9,40 @@ class CurationSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))
 
+  "dsirWeights" should "rank target-like documents above off-target ones" in {
+    // target slice (lang=en) speaks vocabulary A; off-target docs
+    // speak vocabulary B. An unlabeled doc written in A must carry a
+    // HIGHER importance weight than one written in B — that ordering
+    // is the whole point of DSIR selection.
+    val a = "the model trains on clean english text with many common words"
+    val b = "zzq vvx wwk rrj ppl mmn bbv ccx ddz ffq"
+    val corpus = (
+      (1L to 5L).map(i => (i, a, "en")) ++
+        (6L to 10L).map(i => (i, b, "xx")) ++
+        Seq((11L, a, null.asInstanceOf[String]), (12L, b, null.asInstanceOf[String]))
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation
+      .dsirWeights(corpus, targetLang = "en", buckets = 512)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)]
+      .collect()
+    got.length shouldBe 12
+    val w = got.map(r => r._1 -> r._3).toMap
+    // the unlabeled A-doc scores like the target, the B-doc like raw
+    w(11L) should be > w(12L)
+    w(11L) should be > 0.0 // target-heavy features: p_t > p_r
+    w(12L) should be < 0.0 // target never saw vocabulary B
+  }
+
+  it should "score through a broadcast model with no corpus self-join" in {
+    // both models reduce to <= buckets rows before rejoining the
+    // per-doc counts: the join must be broadcast, never sort-merge
+    val df = Curation.trainDsir(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   "piiScan" should "count and redact planted PII of every category" in {
     val df = docs(
       1L -> "contact alice.smith+test@example-mail.co and bob@site.org today",
