@@ -113,7 +113,9 @@ object SparkEntry {
     // mined by rare-shingle blocking with the counted-df cap
     "dedup_containment" -> (Dedup.dedupContainment _),
     // DSIR hashed-ngram importance weights vs the en target slice
-    "train_dsir" -> (Curation.trainDsir _)
+    "train_dsir" -> (Curation.trainDsir _),
+    // the whole curation pipeline as one cumulative-stage funnel
+    "corpus_funnel" -> (Curation.corpusFunnelQ _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,6 +200,7 @@ object SparkEntry {
     "text_perplexity" -> TextAnalysis.textPerplexitySql,
     "pack_sequences" -> Packing.packSequencesSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
-    "train_dsir" -> Curation.trainDsirSql
+    "train_dsir" -> Curation.trainDsirSql,
+    "corpus_funnel" -> Curation.corpusFunnelSql
   )
 }

@@ -270,15 +270,25 @@ object Curation {
     * greatest-struct semantics as a ranked lateral), survivor selection
     * as the identical hash-group row_number, then the rollup.
     */
-  val trainMixSql: String = {
-    val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
-    val scoreCols = TextAnalysis.LangProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+  /** Shared oracle fragments: per-language score columns and the
+    * lateral VALUES rows of the lang-ID argmax (used by trainMixSql
+    * and corpusFunnelSql — identical text, identical semantics).
+    */
+  private def langScoreColsSql: Seq[String] =
+    TextAnalysis.LangProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
       val inList = stops.map(s => s"'$s'").mkString(", ")
       s"    CAST(len(list_filter(words, x -> x IN ($inList))) AS DOUBLE) / GREATEST(len(words), 1) AS score_$lang"
     }
-    val valueRows = ("zh" +: TextAnalysis.LangProfiles.keys.toSeq.sorted)
+
+  private def langValueRowsSql: String =
+    ("zh" +: TextAnalysis.LangProfiles.keys.toSeq.sorted)
       .map(l => s"('$l', score_$l)")
       .mkString(", ")
+
+  val trainMixSql: String = {
+    val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    val scoreCols = langScoreColsSql
+    val valueRows = langValueRowsSql
     s"""WITH w AS (
        |  SELECT doc_id, text,
        |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS words,
@@ -444,5 +454,155 @@ object Curation {
        |FROM counts c JOIN lr ON lr.bucket = c.bucket
        |GROUP BY c.doc_id
        |ORDER BY c.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // End-to-end curation funnel
+  // ---------------------------------------------------------------------
+
+  /** The whole curation pipeline as ONE query — the number every data
+    * team reports first: how many documents (and tokens) survive each
+    * cumulative stage of raw → quality gate → language-ID → exact-dedup
+    * survivor selection → eval-set decontamination. The eval set is the
+    * planted derived corpus (ids ≥ 1000000), matching text_decontam's
+    * convention.
+    *
+    * Plan shape: one scan computes every per-doc feature map-side
+    * (quality, lang argmax, token count, 60-bit md5 dedup key); one
+    * 8-byte-key window ranks survivors WITHIN each (hash, passed-gates)
+    * group — rank among gate-passers only, so a failing earlier copy
+    * can't absorb the group's survivorship; the decontam probe is a
+    * broadcast semi-join of 8-gram hits rolled up per doc; the funnel
+    * itself is ONE partial aggregation emitting five conditional sums,
+    * unpivoted with `stack`. The corpus is scanned twice (features +
+    * decontam grams) and never self-joined.
+    */
+  def corpusFunnel(docs: DataFrame, minQuality: Double = 0.3, maxContam: Double = 0.2): DataFrame = {
+    val normSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    val evalDocs = Dedup.withPlantedNearDups(docs).filter(col("doc_id") >= 1000000L)
+    val contam = decontaminate(docs, evalDocs).select(col("doc_id"), col("contam_frac"))
+    val base = docs
+      .select(
+        col("doc_id"),
+        expr(Dedup.md5Prefix60Sql(normSql)).as("__h"),
+        TextAnalysis.qualityColumn.as("quality"),
+        TextAnalysis.langPredColumn.as("lang_pred"),
+        TextAnalysis.reTokensColumn.as("n_tokens")
+      )
+      .withColumn("s1", col("quality") >= minQuality)
+      .withColumn("s2", col("s1") && col("lang_pred") =!= "und")
+    val ranked = base.withColumn(
+      "__rn",
+      row_number().over(Window.partitionBy(col("__h"), col("s2")).orderBy(col("doc_id")))
+    )
+    val flags = ranked
+      .withColumn("s3", col("s2") && col("__rn") === 1)
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("s4", col("s3") && (col("contam_frac").isNull || col("contam_frac") < maxContam))
+    def d(flag: Column) = coalesce(sum(when(flag, 1L)), lit(0L))
+    def t(flag: Column) = sum(when(flag, col("n_tokens")))
+    flags
+      .agg(
+        count(lit(1)).as("d0"),
+        sum(col("n_tokens")).as("t0"),
+        d(col("s1")).as("d1"),
+        t(col("s1")).as("t1"),
+        d(col("s2")).as("d2"),
+        t(col("s2")).as("t2"),
+        d(col("s3")).as("d3"),
+        t(col("s3")).as("t3"),
+        d(col("s4")).as("d4"),
+        t(col("s4")).as("t4")
+      )
+      .selectExpr(
+        """stack(5,
+          |  0L, 'raw',      d0, t0,
+          |  1L, 'quality',  d1, t1,
+          |  2L, 'language', d2, t2,
+          |  3L, 'dedup',    d3, t3,
+          |  4L, 'decontam', d4, t4
+          |) as (stage, stage_name, n_docs, total_tokens)""".stripMargin
+      )
+      .orderBy(col("stage"))
+  }
+
+  def corpusFunnelQ(spark: SparkSession, dir: String): DataFrame =
+    corpusFunnel(Tables.documents(spark, dir))
+
+  /** Oracle: the trainMix feature CTEs (same lang argmax + quality
+    * formula), the (hash, gate)-partitioned survivor rank, the
+    * textDecontam 8-gram probe, then five conditional aggregates
+    * unioned into the funnel.
+    */
+  val corpusFunnelSql: String = {
+    val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    val scoreCols = langScoreColsSql
+    val valueRows = langValueRowsSql
+    s"""WITH w AS (
+       |  SELECT doc_id, text,
+       |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS words,
+       |    CAST(LENGTH(REGEXP_REPLACE(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+       |      / GREATEST(LENGTH(text), 1) AS score_zh
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, text, words, score_zh,
+       |${scoreCols.mkString(",\n")}
+       |  FROM w),
+       |lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+       |  FROM (
+       |    SELECT doc_id, t.lang, t.score,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rnk
+       |    FROM s CROSS JOIN LATERAL (VALUES $valueRows) t(lang, score)) r
+       |  WHERE rnk = 1),
+       |feats AS (
+       |  SELECT s.doc_id,
+       |    ${Dedup.md5Prefix60Duck("LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))")} AS h,
+       |    lang.lang_pred AS lang_pred,
+       |    ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / NULLIF(LENGTH(text), 0) * 0.5 +
+       |          CAST(len(list_filter(words, x -> x IN ($stopList))) AS DOUBLE) / NULLIF(len(words), 0) * 0.3 +
+       |          LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality,
+       |    len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS n_tokens
+       |  FROM s JOIN lang ON lang.doc_id = s.doc_id),
+       |gated AS (
+       |  SELECT *,
+       |    (quality >= 0.3) AS s1,
+       |    ((quality >= 0.3) AND lang_pred <> 'und') AS s2
+       |  FROM feats),
+       |rnk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY h, s2 ORDER BY doc_id) AS rn FROM gated),
+       |${Dedup.PlantedCorpusSql},
+       |normed2 AS (
+       |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm
+       |  FROM corpus WHERE text IS NOT NULL),
+       |words2 AS (SELECT doc_id, string_split(nm, ' ') AS ws FROM normed2),
+       |shpos2 AS (
+       |  SELECT doc_id, ws, UNNEST(range(1, GREATEST(len(ws) - 7, 1) + 1)) AS i FROM words2),
+       |sh2 AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN len(ws) >= 8 THEN array_to_string(ws[i:i+7], ' ')
+       |         ELSE array_to_string(ws, ' ') END AS g
+       |  FROM shpos2),
+       |ev AS (SELECT DISTINCT g FROM sh2 WHERE doc_id >= 1000000),
+       |tot2 AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh2 WHERE doc_id < 1000000 GROUP BY 1),
+       |hit2 AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_hit
+       |  FROM sh2 s JOIN ev USING (g)
+       |  WHERE s.doc_id < 1000000 GROUP BY 1),
+       |contam AS (
+       |  SELECT h.doc_id, ROUND(CAST(h.n_hit AS DOUBLE) / t.n_grams, 6) AS cf
+       |  FROM hit2 h JOIN tot2 t USING (doc_id)),
+       |flags AS (
+       |  SELECT f.*, (f.s3 AND (c.cf IS NULL OR c.cf < 0.2)) AS s4
+       |  FROM (SELECT r.*, (s2 AND rn = 1) AS s3 FROM rnk r) f
+       |  LEFT JOIN contam c ON c.doc_id = f.doc_id)
+       |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM flags
+       |UNION ALL SELECT CAST(1 AS BIGINT), 'quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM flags WHERE s1
+       |UNION ALL SELECT CAST(2 AS BIGINT), 'language', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM flags WHERE s2
+       |UNION ALL SELECT CAST(3 AS BIGINT), 'dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM flags WHERE s3
+       |UNION ALL SELECT CAST(4 AS BIGINT), 'decontam', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM flags WHERE s4
+       |ORDER BY stage""".stripMargin
   }
 }

@@ -43,6 +43,38 @@ class CurationSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  "corpusFunnel" should "drop documents at exactly the stage that disqualifies them" in {
+    // doc 1: clean english, survives everything. doc 2: gibberish ->
+    // fails quality/language. doc 3: exact copy of doc 1 -> dies at
+    // dedup (doc 1 is the survivor). doc 10: clean and unique but a
+    // multiple of 10, so the planted eval derivation contaminates it.
+    val good = "the cat and the dog are in the house with a friend of the family for a visit"
+    val docs = Seq(
+      (1L, good),
+      (2L, "%%% ### !!! ???"),
+      (3L, good),
+      (10L, "a completely different clean sentence about the weather in the hills today with the sun out and the wind calm")
+    ).toDF("doc_id", "text")
+    val got = Curation
+      .corpusFunnel(docs)
+      .select("stage_name", "n_docs")
+      .as[(String, Long)]
+      .collect()
+      .toList
+    got shouldBe List(
+      ("raw", 4L),
+      ("quality", 3L), // doc 2 out (punctuation-only scores ~0)
+      ("language", 3L),
+      ("dedup", 2L), // doc 3 collapses into doc 1
+      ("decontam", 1L) // doc 10's planted eval twin knocks it out
+    )
+  }
+
+  it should "probe the eval grams through a broadcast join" in {
+    val plan = Curation.corpusFunnelQ(spark, sfDir).queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   "piiScan" should "count and redact planted PII of every category" in {
     val df = docs(
       1L -> "contact alice.smith+test@example-mail.co and bob@site.org today",
