@@ -115,7 +115,9 @@ object SparkEntry {
     // DSIR hashed-ngram importance weights vs the en target slice
     "train_dsir" -> (Curation.trainDsir _),
     // the whole curation pipeline as one cumulative-stage funnel
-    "corpus_funnel" -> (Curation.corpusFunnelQ _)
+    "corpus_funnel" -> (Curation.corpusFunnelQ _),
+    // lexical + semantic retrieval fused by reciprocal rank
+    "search_hybrid" -> (Search.searchHybrid _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -201,6 +203,7 @@ object SparkEntry {
     "pack_sequences" -> Packing.packSequencesSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
     "train_dsir" -> Curation.trainDsirSql,
-    "corpus_funnel" -> Curation.corpusFunnelSql
+    "corpus_funnel" -> Curation.corpusFunnelSql,
+    "search_hybrid" -> Search.searchHybridSql
   )
 }

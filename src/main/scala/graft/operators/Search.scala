@@ -133,4 +133,142 @@ object Search {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Hybrid search (reciprocal rank fusion)
+  // ---------------------------------------------------------------------
+
+  /** Hybrid retrieval by RECIPROCAL RANK FUSION (Cormack, Clarke &
+    * Buettcher 2009): fuse a LEXICAL ranking (word-set Jaccard to the
+    * query document) with a SEMANTIC ranking (embedding cosine) as
+    * `rrf(d) = Σ_lists 1/(kRrf + rank_list(d))` — the standard way
+    * production search stacks combine BM25-style and vector retrieval
+    * without score calibration, because ranks are scale-free.
+    *
+    * Candidates are the docs∩embeddings pool; query docs are the first
+    * `nQueries` of it. Scale shape: both rankings are query-broadcast
+    * corpus scans (the declared-exact baseline shape of ann_bruteforce
+    * — swap in the LSH/IVF rankers for the sub-scan path); each list is
+    * cut to `kIn` per query by a WindowGroupLimit rank BEFORE fusion,
+    * so fusion itself joins two (queries × kIn) relations — driver-size
+    * inputs regardless of corpus size.
+    *
+    * Portability: ranks are exact ints; 1/(kRrf+rank) is an identical
+    * rational on both engines; the two-term sum is order-safe IEEE;
+    * ties on equal rrf break by doc_id.
+    */
+  def hybridTopK(
+    docs: DataFrame,
+    embeds: DataFrame,
+    nQueries: Int,
+    kIn: Int,
+    kOut: Int,
+    kRrf: Int = 60
+  ): DataFrame = {
+    val corpus = docs
+      .join(embeds, docs("doc_id") === embeds("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    // semantic list: cosine brute-force over the shared pool
+    val sem = Similarity
+      .bruteForceTopK(
+        corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+        corpus.filter(col("doc_id") < nQueries).select(col("doc_id").as("vec_id"), col("embedding")),
+        kIn
+      )
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("r_sem"))
+    // lexical list: distinct-word Jaccard to the query doc, ranked;
+    // only docs sharing >= 1 word are rankable (identical both engines)
+    val words = corpus
+      .select(col("doc_id"), explode(graft.functions.Shingling.wordShingles(Dedup.normText(col("text")), 1)).as("w"))
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val qwords = words
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("w"))
+    val inter = words
+      .join(broadcast(qwords), Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val byQueryJ = Window.partitionBy(col("query_id")).orderBy(col("jac").desc, col("doc_id"))
+    val lex = inter
+      .join(sizes.select(col("doc_id"), col("n").as("nc")), "doc_id")
+      .join(broadcast(sizes.select(col("doc_id").as("query_id"), col("n").as("nq"))), "query_id")
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        (col("n_inter").cast("double") / (col("nc") + col("nq") - col("n_inter"))).as("jac")
+      )
+      .withColumn("r_lex", row_number().over(byQueryJ))
+      .filter(col("r_lex") <= kIn)
+      .select(col("query_id"), col("doc_id"), col("r_lex"))
+    // fusion: full outer on the two driver-size lists
+    val byQueryR = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    lex
+      .join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        (coalesce(lit(1.0) / (col("r_lex") + kRrf), lit(0.0)) +
+          coalesce(lit(1.0) / (col("r_sem") + kRrf), lit(0.0))).as("rrf")
+      )
+      .withColumn("rank", row_number().over(byQueryR))
+      .filter(col("rank") <= kOut)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("doc_id"),
+        round(col("rrf"), 6).as("rrf_score")
+      )
+  }
+
+  def searchHybrid(spark: SparkSession, dir: String): DataFrame =
+    hybridTopK(Tables.documents(spark, dir), Tables.embeddings(spark, dir), nQueries = 5, kIn = 20, kOut = 10)
+      .orderBy(col("query_id"), col("rank"))
+
+  val searchHybridSql: String =
+    """WITH corpus AS (
+      |  SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |n AS (
+      |  SELECT doc_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM corpus),
+      |sem_scored AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+      |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+      |  FROM n q JOIN n c ON q.doc_id < 5 AND q.doc_id <> c.doc_id),
+      |sem AS (
+      |  SELECT query_id, doc_id, rank AS r_sem FROM (
+      |    SELECT query_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, doc_id) AS rank
+      |    FROM sem_scored) r
+      |  WHERE rank <= 20),
+      |words AS (
+      |  SELECT DISTINCT doc_id,
+      |    UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |  FROM corpus),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+      |inter AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id, COUNT(*) AS n_inter
+      |  FROM words c JOIN words q ON q.w = c.w AND q.doc_id < 5 AND c.doc_id <> q.doc_id
+      |  GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT query_id, doc_id, rank AS r_lex FROM (
+      |    SELECT i.query_id, i.doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY i.query_id ORDER BY
+      |        CAST(i.n_inter AS DOUBLE) / (sc.n + sq.n - i.n_inter) DESC, i.doc_id) AS rank
+      |    FROM inter i
+      |    JOIN sizes sc ON sc.doc_id = i.doc_id
+      |    JOIN sizes sq ON sq.doc_id = i.query_id) r
+      |  WHERE rank <= 20),
+      |fused AS (
+      |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+      |         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+      |         COALESCE(1.0 / (l.r_lex + 60), 0.0) + COALESCE(1.0 / (s.r_sem + 60), 0.0) AS rrf
+      |  FROM lex l FULL OUTER JOIN sem s
+      |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+      |SELECT query_id, rank, doc_id, ROUND(rrf, 6) AS rrf_score FROM (
+      |  SELECT query_id, doc_id, rrf,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+      |  FROM fused) f
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 }

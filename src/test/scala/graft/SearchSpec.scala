@@ -8,6 +8,38 @@ class SearchSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  "hybridTopK" should "fuse lexical and semantic ranks by reciprocal rank" in {
+    // query doc 0. doc 1 agrees with it on BOTH text and embedding;
+    // doc 2 shares the text but points the opposite way in embedding
+    // space; doc 3 shares the embedding direction but not the text.
+    // RRF must put the doubly-agreeing doc 1 first.
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(-1.0f, 0.05f)),
+      (3L, Array(0.95f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val got = Search
+      .hybridTopK(d, e, nQueries = 1, kIn = 10, kOut = 10)
+      .orderBy("rank")
+      .select("doc_id", "rrf_score")
+      .as[(Long, Double)]
+      .collect()
+      .toList
+    got.map(_._1).head shouldBe 1L
+    // doc 1: r_lex=1 (jac 4/5, tie to lower doc_id) and r_sem=2 (doc 3
+    // edges it on cosine but has zero lexical support)
+    got.head._2 shouldBe math.round((1.0 / 61 + 1.0 / 62) * 1e6) / 1e6 +- 1e-9
+    // every fused score is positive and non-increasing
+    got.map(_._2).sliding(2).foreach { case Seq(a, b) => a should be >= b }
+  }
+
   "bm25TopK" should "rank by term frequency under equal length and keep only matching docs" in {
     val df = docs(
       1L -> "rare rare rare pad pad",
