@@ -117,7 +117,9 @@ object SparkEntry {
     // the whole curation pipeline as one cumulative-stage funnel
     "corpus_funnel" -> (Curation.corpusFunnelQ _),
     // lexical + semantic retrieval fused by reciprocal rank
-    "search_hybrid" -> (Search.searchHybrid _)
+    "search_hybrid" -> (Search.searchHybrid _),
+    // cross-channel spectral coherence averaged over day windows
+    "ts_coherence" -> (Timeseries.tsCoherence _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -204,6 +206,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.dedupContainmentSql,
     "train_dsir" -> Curation.trainDsirSql,
     "corpus_funnel" -> Curation.corpusFunnelSql,
-    "search_hybrid" -> Search.searchHybridSql
+    "search_hybrid" -> Search.searchHybridSql,
+    "ts_coherence" -> Timeseries.tsCoherenceSql
   )
 }

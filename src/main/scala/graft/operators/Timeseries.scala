@@ -518,6 +518,77 @@ object Timeseries {
       )
   }
 
+  /** Welch-style cross-channel spectral coherence — the standard
+    * neuro-analytics coupling measure between recording channels:
+    * `coh²(a,b,k) = |Σ_w X_a(w)·conj(X_b(w))|² / (Σ_w|X_a(w)|² ·
+    * Σ_w|X_b(w)|²)` where X(w) are the per-window DFT components the
+    * [[bandPower]] kernel already computes and w runs over the
+    * segments being averaged. 1.0 = the channels hold a fixed phase
+    * relation at that frequency across every window; near 0 = no
+    * coupling. (With a single window the estimate is identically 1 —
+    * averaging across windows is what makes it informative.)
+    *
+    * Scale shape: the sample stream collapses FIRST into per
+    * (channel, window, k) components — one partial agg, sample-scale
+    * work identical to bandPower; everything after runs on the
+    * summary relation (channels × windows × |ks| rows). The pair join
+    * is keyed by (window, k) and fans out only channel² within a key
+    * — channel-count scale, never sample scale — and the final
+    * reduction is one (pair, k)-keyed partial agg. Portability: same
+    * trig-on-identical-rationals + DECIMAL-routed sums as bandPower.
+    */
+  def spectralCoherence(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame = {
+    val twoPi = 6.283185307179586
+    val frac = (col("t") % lit(windowUs)).cast("double") / lit(windowUs.toDouble)
+    val arg = lit(twoPi) * col("k") * col("__frac")
+    val comps = ts
+      .select(
+        col("channel"),
+        floor(col("t") / lit(windowUs)).cast("long").as("win"),
+        col("v"),
+        frac.as("__frac")
+      )
+      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
+      .groupBy(col("channel"), col("win"), col("k"))
+      .agg(detSum(col("v") * cos(arg)).as("c"), detSum(col("v") * sin(arg)).as("s"))
+    val lhs = comps.select(
+      col("channel").as("ch_a"),
+      col("win"),
+      col("k"),
+      col("c").as("ca"),
+      col("s").as("sa")
+    )
+    val rhs = comps.select(
+      col("channel").as("ch_b"),
+      col("win"),
+      col("k"),
+      col("c").as("cb"),
+      col("s").as("sb")
+    )
+    lhs
+      .join(rhs, Seq("win", "k"))
+      .filter(col("ch_a") < col("ch_b"))
+      .groupBy(col("ch_a"), col("ch_b"), col("k"))
+      .agg(
+        count(lit(1)).as("n_win"),
+        detSum(col("ca") * col("cb") + col("sa") * col("sb")).as("__p"),
+        detSum(col("sa") * col("cb") - col("ca") * col("sb")).as("__q"),
+        detSum(col("ca") * col("ca") + col("sa") * col("sa")).as("__paa"),
+        detSum(col("cb") * col("cb") + col("sb") * col("sb")).as("__pbb")
+      )
+      .select(
+        col("ch_a"),
+        col("ch_b"),
+        col("k"),
+        col("n_win"),
+        round(
+          (col("__p") * col("__p") + col("__q") * col("__q")) /
+            nullif(col("__paa") * col("__pbb"), lit(0.0)),
+          6
+        ).as("coherence")
+      )
+  }
+
   /** Sessionization over any id column (users here, the classic
     * pipeline op): a session breaks when an id's inter-event gap
     * reaches gapUs; each event gets its id's 1-based session ordinal.
@@ -1183,6 +1254,37 @@ object Timeseries {
       |  ROUND((c / n) * (c / n) + (s / n) * (s / n), 6) AS power
       |FROM a
       |ORDER BY channel, win, k""".stripMargin
+
+  def tsCoherence(spark: SparkSession, dir: String): DataFrame =
+    spectralCoherence(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("ch_a"), col("ch_b"), col("k"))
+
+  val tsCoherenceSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win, value AS v,
+      |    CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0 AS frac
+      |  FROM events),
+      |e AS (
+      |  SELECT channel, win, v, frac, ks.k AS k
+      |  FROM x CROSS JOIN (SELECT UNNEST(range(1, 5)) AS k) ks),
+      |a AS (
+      |  SELECT channel, win, k,
+      |    CAST(SUM(CAST(v * cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c,
+      |    CAST(SUM(CAST(v * sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s
+      |  FROM e GROUP BY 1, 2, 3),
+      |pr AS (
+      |  SELECT l.channel AS ch_a, r.channel AS ch_b, l.k, COUNT(*) AS n_win,
+      |    CAST(SUM(CAST(l.c * r.c + l.s * r.s AS DECIMAL(27,10))) AS DOUBLE) AS p,
+      |    CAST(SUM(CAST(l.s * r.c - l.c * r.s AS DECIMAL(27,10))) AS DOUBLE) AS q,
+      |    CAST(SUM(CAST(l.c * l.c + l.s * l.s AS DECIMAL(27,10))) AS DOUBLE) AS paa,
+      |    CAST(SUM(CAST(r.c * r.c + r.s * r.s AS DECIMAL(27,10))) AS DOUBLE) AS pbb
+      |  FROM a l JOIN a r ON l.win = r.win AND l.k = r.k AND l.channel < r.channel
+      |  GROUP BY 1, 2, 3)
+      |SELECT ch_a, ch_b, k, n_win,
+      |  ROUND((p * p + q * q) / NULLIF(paa * pbb, 0.0), 6) AS coherence
+      |FROM pr
+      |ORDER BY ch_a, ch_b, k""".stripMargin
 
   def tsQuantiles(spark: SparkSession, dir: String): DataFrame =
     channelQuantiles(Tables.ts(spark, dir)).orderBy(col("channel"))

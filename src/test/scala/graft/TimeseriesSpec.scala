@@ -508,6 +508,42 @@ class TimeseriesSpec extends SparkSpec {
     Seq(1L, 2L, 4L).foreach(k => out(k) should be < 1e-3)
   }
 
+  "spectralCoherence" should "read 1 for phase-locked channels and 0 for phase-flipping ones" in {
+    val w = 100L
+    val nWin = 4
+    // base harmonic at k=1 of the window; 'lock' copies it exactly;
+    // 'flip' negates it on odd windows (phase flips by π every window,
+    // so the cross-spectral sum cancels over an even window count)
+    val rows = (0 until (nWin * 100)).flatMap { i =>
+      val t = i.toLong
+      val v = math.cos(2 * math.Pi * ((t % w).toDouble / w))
+      val sign = if ((t / w) % 2 == 0) 1.0 else -1.0
+      Seq(("base", t, v), ("lock", t, v), ("flip", t, sign * v))
+    }
+    val out = Timeseries
+      .spectralCoherence(mkTs(rows), windowUs = w, ks = Seq(1))
+      .select("ch_a", "ch_b", "coherence")
+      .as[(String, String, Double)]
+      .collect()
+      .map(r => (r._1, r._2) -> r._3)
+      .toMap
+    out(("base", "lock")) shouldBe (1.0 +- 1e-9) // identical signals
+    out(("base", "flip")) should be < 1e-9 // alternating phase cancels
+    out(("flip", "lock")) should be < 1e-9
+  }
+
+  it should "be identically 1 over a single window (the degenerate estimate)" in {
+    val rows = (0 until 100).flatMap { i =>
+      Seq(("a", i.toLong, math.sin(i / 3.0)), ("b", i.toLong, math.cos(i / 7.0) + 0.3))
+    }
+    val out = Timeseries
+      .spectralCoherence(mkTs(rows), windowUs = 1000L, ks = Seq(1, 2))
+      .select("coherence")
+      .as[Double]
+      .collect()
+    out.foreach(_ shouldBe (1.0 +- 1e-6))
+  }
+
   "channelQuantiles" should "match sequential linear-interpolation quantiles" in {
     val vals = (0 until 101).map(i => (i * 37 % 101).toDouble)
     val df = mkTs(vals.zipWithIndex.map { case (v, i) => ("ch", i.toLong, v) })
