@@ -119,7 +119,9 @@ object SparkEntry {
     // lexical + semantic retrieval fused by reciprocal rank
     "search_hybrid" -> (Search.searchHybrid _),
     // cross-channel spectral coherence averaged over day windows
-    "ts_coherence" -> (Timeseries.tsCoherence _)
+    "ts_coherence" -> (Timeseries.tsCoherence _),
+    // corpus 1/2/3-gram count table, top-k heavy hitters per order
+    "corpus_ngrams" -> (TextAnalysis.corpusNgrams _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -207,6 +209,7 @@ object SparkEntry {
     "train_dsir" -> Curation.trainDsirSql,
     "corpus_funnel" -> Curation.corpusFunnelSql,
     "search_hybrid" -> Search.searchHybridSql,
-    "ts_coherence" -> Timeseries.tsCoherenceSql
+    "ts_coherence" -> Timeseries.tsCoherenceSql,
+    "corpus_ngrams" -> TextAnalysis.corpusNgramsSql
   )
 }

@@ -604,6 +604,74 @@ object TextAnalysis {
       .select(col("lang"), col("rank").cast("long").as("rank"), col("word"), round(col("score"), 6).as("score"))
   }
 
+  /** Corpus n-gram count table — the raw material of a KenLM-style
+    * count-based LM and of the classic "top n-grams" corpus report:
+    * positional word 1/2/3-grams (occurrences, NOT distinct — counts
+    * are the point) counted corpus-wide, top-k heavy hitters per
+    * order. One scan: each row emits a single tagged (n, gram) struct
+    * array built map-side, so the three orders don't triple-scan the
+    * corpus; the count is one gram-keyed partial agg (map-side
+    * combined — skewed stopword grams partial-aggregate before the
+    * exchange); the per-order top-k rank compiles to WindowGroupLimit
+    * over the aggregated vocabulary relation, which is
+    * vocabulary-scale, not corpus-scale.
+    */
+  def ngramCounts(docs: DataFrame, k: Int = 20): DataFrame = {
+    val grams = docs
+      .filter(col("text").isNotNull)
+      .select(split(expr(NormSql), " ").as("ws"))
+      .select(
+        explode(
+          expr(
+            """concat(
+              |  transform(ws, g -> struct(1L as n, g as gram)),
+              |  case when size(ws) >= 2
+              |       then transform(sequence(1, size(ws) - 1),
+              |                      i -> struct(2L as n, concat(element_at(ws, i), ' ', element_at(ws, i + 1)) as gram))
+              |       else cast(array() as array<struct<n:bigint,gram:string>>) end,
+              |  case when size(ws) >= 3
+              |       then transform(sequence(1, size(ws) - 2),
+              |                      i -> struct(3L as n, concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)) as gram))
+              |       else cast(array() as array<struct<n:bigint,gram:string>>) end
+              |)""".stripMargin
+          )
+        ).as("g")
+      )
+      .select(col("g.n").as("n"), col("g.gram").as("gram"))
+    val byOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n"))
+      .orderBy(col("cnt").desc, col("gram"))
+    grams
+      .groupBy(col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(byOrder))
+      .filter(col("rank") <= k)
+      .select(col("n"), col("rank").cast("long").as("rank"), col("gram"), col("cnt"))
+  }
+
+  def corpusNgrams(spark: SparkSession, dir: String): DataFrame =
+    ngramCounts(Tables.documents(spark, dir)).orderBy(col("n"), col("rank"))
+
+  val corpusNgramsSql: String =
+    """WITH wsa AS (
+      |  SELECT string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT CAST(1 AS BIGINT) AS n, UNNEST(ws) AS gram FROM wsa
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT),
+      |    UNNEST(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) FROM wsa
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT),
+      |    UNNEST(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) FROM wsa),
+      |c AS (SELECT n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |r AS (
+      |  SELECT n, gram, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, gram) AS rank
+      |  FROM c)
+      |SELECT n, rank, gram, cnt FROM r WHERE rank <= 20
+      |ORDER BY n, rank""".stripMargin
+
   def corpusKeywordsQ(spark: SparkSession, dir: String): DataFrame =
     corpusKeywords(Tables.documents(spark, dir)).orderBy(col("lang"), col("rank"))
 

@@ -125,6 +125,26 @@ class TextAnalysisSpec extends SparkSpec {
     got.last._3 shouldBe (math.log(40.0) +- 1e-5)
   }
 
+  "ngramCounts" should "count positional occurrences per order and keep top-k" in {
+    // "a b a b a": unigrams a×3 b×2; bigrams "a b"×2 "b a"×2 (tie ->
+    // gram order); trigrams "a b a"×2 "b a b"×1
+    val docs = Seq((1L, "a b a b a"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .ngramCounts(docs, k = 2)
+      .orderBy("n", "rank")
+      .as[(Long, Long, String, Long)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (1L, 1L, "a", 3L),
+      (1L, 2L, "b", 2L),
+      (2L, 1L, "a b", 2L),
+      (2L, 2L, "b a", 2L),
+      (3L, 1L, "a b a", 2L),
+      (3L, 2L, "b a b", 1L)
+    )
+  }
+
   "repetitionSignals" should "measure within-document duplication exactly" in {
     val df = Seq(
       (1L, "a a b"),          // 3 words / 2 distinct; bigrams "a a","a b" all distinct
