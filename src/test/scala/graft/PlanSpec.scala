@@ -347,4 +347,54 @@ class PlanSpec extends SparkSpec {
       w.output.map(_.name) should contain("__carry")
     }
   }
+
+  "dedup_containment" should "count shingle document frequency before any pair forms" in {
+    val df = Dedup.dedupContainment(spark, sfDir)
+    val plan = planString(df)
+    // the counted-df admission: partial counts feed the filter that
+    // gates the posting self-join, and no bucket ever materializes as
+    // a row (no collect_list anywhere)
+    plan should include("partial_count")
+    plan should not include "collect_list"
+  }
+
+  "corpus_ngrams" should "emit all three orders from ONE corpus scan with a group-limited rank" in {
+    val df = graft.operators.TextAnalysis.corpusNgrams(spark, sfDir)
+    val plan = planString(df)
+    // the tagged-struct concat keeps it to a single documents scan —
+    // a UNION shape would scan three times
+    plan.sliding("Scan parquet".length).count(_ == "Scan parquet") shouldBe 1
+    plan should include("WindowGroupLimit")
+    plan should include("partial_count")
+  }
+
+  "search_hybrid" should "broadcast the query side of both rankings" in {
+    val plan = planString(graft.operators.Search.searchHybrid(spark, sfDir))
+    // queries (vectors and word sets) broadcast; the corpus is scanned,
+    // never shuffled against itself by a sort-merge join
+    plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") should be >= 2
+    plan should include("WindowGroupLimit")
+  }
+
+  "ts_coherence" should "join channel pairs only after the sample stream has reduced" in {
+    val df = Timeseries.tsCoherence(spark, sfDir)
+    // every join input must sit above an Aggregate: the pair fan-out
+    // touches (channel, window, k) summaries, never raw samples
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    joins should not be empty
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        side.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a } should not be empty
+      }
+    }
+  }
+
+  "train_dsir" should "aggregate feature counts partially and never explode past the bucket width" in {
+    val df = graft.operators.Curation.trainDsir(spark, sfDir)
+    val plan = planString(df)
+    plan should include("partial_count")
+    plan should not include "SortMergeJoin"
+  }
 }
