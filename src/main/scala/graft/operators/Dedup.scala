@@ -1045,15 +1045,23 @@ object Dedup {
     * self-joining the admitted postings on the shingle key. A stopword
     * shingle shared by half the corpus costs ONE count row and admits
     * nothing; worst bucket fan-out is maxDf² by construction — the
-    * same counted-bucket discipline as [[lshCandidates]]. Any true
-    * containment pair shares (almost) all of the contained doc's
-    * shingles, so it only escapes mining if EVERY shared shingle is
-    * corpus-common — at which point the contained doc is boilerplate,
-    * not content. Verification computes exact containment over
-    * candidate pairs only.
+    * same counted-bucket discipline as [[lshCandidates]]. A single
+    * shared rare shingle is far too weak a signal to verify on (at
+    * sf0.1 it admits 8% of ALL pairs — 1.2M candidates for 878 true
+    * results), so candidates must share at least `min(minShared, |A|,
+    * |B|)` admissible shingles: the pair relation is GROUP-COUNTED
+    * (map-side combined — the same rows a distinct would shuffle)
+    * and gated before the exact-verify joins ever see a pair. The
+    * gate is recall-safe for the operator's contract: a true pair at
+    * τ has ≥ τ·|A| intersecting shingles, all of df ≥ 2, so it is
+    * missed only if all but minShared−1 of them are corpus-common
+    * (df > maxDf) — at which point the contained doc is boilerplate,
+    * not content (the same trade the docstring's previous paragraph
+    * already accepts). Verification computes exact containment over
+    * gated pairs only.
     */
-  def containmentNearDups(docs: DataFrame, w: Int, tau: Double, maxDf: Int): DataFrame = {
-    require(w > 0 && maxDf > 1, s"need w > 0 and maxDf > 1, got w=$w maxDf=$maxDf")
+  def containmentNearDups(docs: DataFrame, w: Int, tau: Double, maxDf: Int, minShared: Int = 3): DataFrame = {
+    require(w > 0 && maxDf > 1 && minShared > 0, s"need w > 0, maxDf > 1, minShared > 0; got w=$w maxDf=$maxDf minShared=$minShared")
     val sh = docs.select(col("doc_id"), explode(shingles(w)).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val admissible = sh
@@ -1067,15 +1075,18 @@ object Dedup {
       .join(member.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("n_shared") >= least(lit(minShared.toLong), col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       // the filter runs on the UNROUNDED ratio (identical int/int
       // division on both engines); rounding is presentation only
       .filter(
@@ -1142,22 +1153,26 @@ object Dedup {
       |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
       |member AS (SELECT s.doc_id, s.shingle FROM sh s JOIN adm USING (shingle)),
       |cand AS (
-      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM member x JOIN member y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+      |  SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb
+      |  FROM (
+      |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
+      |    FROM member x JOIN member y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |    GROUP BY 1, 2) c
+      |  JOIN sizes sa ON sa.doc_id = c.doc_a
+      |  JOIN sizes sb ON sb.doc_id = c.doc_b
+      |  WHERE c.n_shared >= LEAST(3, sa.n, sb.n)),
       |inter AS (
-      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS n_inter
       |  FROM cand c
       |  JOIN sh a ON a.doc_id = c.doc_a
       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      |  GROUP BY c.doc_a, c.doc_b)
-      |SELECT i.doc_a, i.doc_b,
-      |  ROUND(CAST(n_inter AS DOUBLE) / sa.n, 6) AS cont_a,
-      |  ROUND(CAST(n_inter AS DOUBLE) / sb.n, 6) AS cont_b
-      |FROM inter i
-      |JOIN sizes sa ON sa.doc_id = i.doc_a
-      |JOIN sizes sb ON sb.doc_id = i.doc_b
-      |WHERE GREATEST(CAST(n_inter AS DOUBLE) / sa.n, CAST(n_inter AS DOUBLE) / sb.n) >= 0.9
-      |ORDER BY i.doc_a, i.doc_b""".stripMargin
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(n_inter AS DOUBLE) / na, 6) AS cont_a,
+      |  ROUND(CAST(n_inter AS DOUBLE) / nb, 6) AS cont_b
+      |FROM inter
+      |WHERE GREATEST(CAST(n_inter AS DOUBLE) / na, CAST(n_inter AS DOUBLE) / nb) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     embedNearDups(Tables.embeddings(spark, dir), tau = 0.4)

@@ -62,6 +62,23 @@ class DedupSpec extends SparkSpec {
     (10.0 / 34.0) should be < 0.5
   }
 
+  it should "still catch tiny duplicates under the adaptive shared-shingle gate" in {
+    // a 2-word doc has exactly ONE whole-text shingle, so the
+    // candidate gate must relax to min(minShared, |A|, |B|) = 1 —
+    // a fixed >= 3 would silently drop every tiny duplicate
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "hello world"),
+      (3L, "entirely unrelated words")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .containmentNearDups(docs, w = 3, tau = 0.9, maxDf = 64)
+      .as[(Long, Long, Double, Double)]
+      .collect()
+      .toList
+    got shouldBe List((1L, 2L, 1.0, 1.0))
+  }
+
   it should "admit nothing from a corpus-common shingle (counted-df cap)" in {
     // every doc shares the same boilerplate 3 words, plus unique tails
     // with no 3-shingle overlap: with maxDf below the corpus size the
