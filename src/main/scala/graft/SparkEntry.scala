@@ -121,7 +121,9 @@ object SparkEntry {
     // cross-channel spectral coherence averaged over day windows
     "ts_coherence" -> (Timeseries.tsCoherence _),
     // corpus 1/2/3-gram count table, top-k heavy hitters per order
-    "corpus_ngrams" -> (TextAnalysis.corpusNgrams _)
+    "corpus_ngrams" -> (TextAnalysis.corpusNgrams _),
+    // thumbnail stage: resize (stride-decimation stub) -> decode
+    "mm_resize" -> (Multimodal.mmResize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -210,6 +212,7 @@ object SparkEntry {
     "corpus_funnel" -> Curation.corpusFunnelSql,
     "search_hybrid" -> Search.searchHybridSql,
     "ts_coherence" -> Timeseries.tsCoherenceSql,
-    "corpus_ngrams" -> TextAnalysis.corpusNgramsSql
+    "corpus_ngrams" -> TextAnalysis.corpusNgramsSql,
+    "mm_resize" -> Multimodal.mmResizeSql
   )
 }

@@ -227,6 +227,64 @@ object Multimodal {
        |ORDER BY p.doc_id""".stripMargin
   }
 
+  /** Pipeline composition: resize → decodeFeatures — the thumbnail
+    * stage every vision-data pipeline runs, exercising the struct
+    * contract BETWEEN multimodal operators (resize output feeds the
+    * same batched decode that whole payloads do). Map-side end to end.
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, resize(spark, withPayloads(Tables.documents(spark, dir)), outW = 8, outH = 8))
+      .select(
+        col("doc_id"),
+        col("format"),
+        col("width"),
+        col("height"),
+        col("n_bytes"),
+        col("checksum"),
+        round(col("byte_mean"), 6).as("byte_mean"),
+        round(col("byte_std"), 6).as("byte_std")
+      )
+      .orderBy(col("doc_id"))
+
+  /** Resize-chain oracle: the stub's stride decimation reproduced on
+    * hex-sliced bytes — resized byte i = payload[min(i·stride, nb−1)]
+    * with out_len = min(64, max(nb, 1)), stride = max(nb // out_len,
+    * 1) — then the same decode features as mmDecodeSql over the
+    * decimated bytes (an empty payload degrades to one zero byte,
+    * exactly as the kernel allocates).
+    */
+  val mmResizeSql: String = {
+    val p = graft.functions.Winnow.P
+    s"""WITH p AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
+       |    list_extract(['png', 'jpeg', 'webp'], CAST(doc_id % 3 + 1 AS INT)) AS format
+       |  FROM documents),
+       |dims AS (
+       |  SELECT doc_id, hx, nb,
+       |    LEAST(64, GREATEST(nb, 1)) AS out_len,
+       |    GREATEST(nb // LEAST(64, GREATEST(nb, 1)), 1) AS stride
+       |  FROM p),
+       |rvals AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN nb = 0 THEN 0
+       |         ELSE CAST(('0x' || substr(hx, CAST(2 * LEAST(i * stride, nb - 1) + 1 AS INT), 2)) AS INT)
+       |    END AS b
+       |  FROM (SELECT doc_id, hx, nb, stride, UNNEST(range(0, out_len)) AS i FROM dims) t),
+       |stats AS (
+       |  SELECT doc_id, COUNT(*) AS cnt, SUM(b) AS s1, SUM(CAST(b AS BIGINT) * b) AS s2,
+       |    CAST(list_reduce(list(CAST(b AS HUGEINT) ORDER BY i),
+       |                     (h, c) -> (h * 31 + c) % $p) AS BIGINT) AS chk
+       |  FROM rvals GROUP BY doc_id)
+       |SELECT p.doc_id, p.format, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       |  CAST(s.cnt AS BIGINT) AS n_bytes,
+       |  s.chk AS checksum,
+       |  ROUND(CAST(s.s1 AS DOUBLE) / s.cnt, 6) AS byte_mean,
+       |  ROUND(SQRT(GREATEST(CAST(s.s2 AS DOUBLE) / s.cnt
+       |    - (CAST(s.s1 AS DOUBLE) / s.cnt) * (CAST(s.s1 AS DOUBLE) / s.cnt), 0.0)), 6) AS byte_std
+       |FROM p JOIN stats s ON s.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   /** Pipeline composition: sampleFrames → per-frame decodeFeatures.
     * Each sampled frame is re-wrapped in the (doc_id, payload, meta)
     * contract — (doc_id, frame_no) packed into one key — so the SAME
