@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgrams, MinhashBandKeys, MinhashSignature, RepetitionStats, SimhashSignature, VecDot, Winnow, WordShingles}
+import graft.functions.{CharNgrams, MinhashBandKeys, MinhashSignature, PolyHashes, RepetitionStats, SimhashSignature, VecDot, Winnow, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.IntegerType
   *   SELECT char_ngrams(norm, 3)       -- distinct char n-grams, one pass
   *   SELECT minhash_signature(shs)     -- 64 per-seed minima of a shingle set
   *   SELECT simhash_signature(words)   -- 64-bit SimHash of a word array
+  *   SELECT poly_hashes(features)      -- element-wise mod-2⁶¹−1 string hash
   *
   * plus graft.plans.DeriveBucketFilter, which turns plain `t` range
   * predicates over the partitioned ts layout into partition-pruning
@@ -108,6 +109,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         { exprs: Seq[Expression] =>
           require(exprs.length == 2, "band_pack(signature, bands) takes exactly 2 arguments")
           MinhashBandKeys(exprs.head, intLit(exprs(1), "bands"))
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("poly_hashes"),
+        new ExpressionInfo(classOf[PolyHashes].getName, "poly_hashes"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 1, "poly_hashes(strings) takes exactly 1 argument")
+          PolyHashes(exprs.head)
         }
       )
     )

@@ -48,6 +48,13 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
         .selectExpr("r.n_words", "r.n_distinct_words", "r.n_bigrams", "r.n_distinct_bigrams", "r.max_bigram")
         .collect()(0)
       rep.toSeq shouldBe Seq(3L, 2L, 2L, 2L, 1L)
+      ext
+        .sql("SELECT poly_hashes(array('ab', 'cd')) AS h")
+        .collect()(0)
+        .getSeq[Long](0) shouldBe Seq(
+        graft.functions.MinhashHash.polyHash("ab"),
+        graft.functions.MinhashHash.polyHash("cd")
+      )
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
