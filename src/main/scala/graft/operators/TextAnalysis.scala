@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private[operators] val NormSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
-  private[operators] val WordsSql = s"split($NormSql, ' ')"
+  private[graft] val NormSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+  private[graft] val WordsSql = s"split($NormSql, ' ')"
 
   /** BPE-ish token pattern: letter runs, digit runs, or single
     * non-alphanumeric marks — a portable approximation of byte-pair

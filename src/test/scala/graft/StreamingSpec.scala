@@ -391,6 +391,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "StreamingPacking.pack" should "continue the batch packer's token stream across micro-batches" in {
+    import graft.streaming.StreamingPacking
+    implicit val sqlCtx = spark.sqlContext
+    val allDocs = Seq(
+      (1L, "a b c"),
+      (2L, "d e f g"),
+      (3L, "h i"),
+      (4L, "j k l m n o"),
+      (5L, "p q r")
+    )
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingPacking.pack(spark, mem.toDF().toDF("doc_id", "text"), seqLen = 4)
+    val q = out.toDF().writeStream.format("memory").queryName("pk_out").outputMode("append").start()
+    try {
+      // the same corpus, split across three micro-batches (unsorted
+      // within a batch — intra-batch order must not matter)
+      mem.addData(allDocs(1), allDocs(0))
+      q.processAllAvailable()
+      mem.addData(allDocs(2))
+      q.processAllAvailable()
+      mem.addData(allDocs(4), allDocs(3))
+      q.processAllAvailable()
+
+      val streamed = spark
+        .table("pk_out")
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .collect()
+        .toList
+      // oracle: the BATCH packer over the whole corpus at once
+      val batch = graft.operators.Packing
+        .packSequences(allDocs.toDF("doc_id", "text"), seqLen = 4, shardWidth = 2L)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .collect()
+        .toList
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   "a checkpointed file-source pipeline" should "recover across restarts exactly once" in {
     val in = java.nio.file.Files.createTempDirectory("graft-ck-in").toString
     val out = java.nio.file.Files.createTempDirectory("graft-ck-out").toString
