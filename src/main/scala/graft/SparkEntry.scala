@@ -123,7 +123,9 @@ object SparkEntry {
     // corpus 1/2/3-gram count table, top-k heavy hitters per order
     "corpus_ngrams" -> (TextAnalysis.corpusNgrams _),
     // thumbnail stage: resize (stride-decimation stub) -> decode
-    "mm_resize" -> (Multimodal.mmResize _)
+    "mm_resize" -> (Multimodal.mmResize _),
+    // pagerank centrality over the verified near-dup graph
+    "graph_pagerank" -> (Dedup.graphPagerank _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -213,6 +215,7 @@ object SparkEntry {
     "search_hybrid" -> Search.searchHybridSql,
     "ts_coherence" -> Timeseries.tsCoherenceSql,
     "corpus_ngrams" -> TextAnalysis.corpusNgramsSql,
-    "mm_resize" -> Multimodal.mmResizeSql
+    "mm_resize" -> Multimodal.mmResizeSql,
+    "graph_pagerank" -> Dedup.graphPagerankSql
   )
 }

@@ -168,6 +168,34 @@ class DedupSpec extends SparkSpec {
     got.head._4 shouldBe (1.0 / 6.0 +- 1e-6) // rounded to 6 decimals
   }
 
+  "pageRank" should "rank a star's hub above its leaves and keep total mass 1" in {
+    // star: hub 1 paired with leaves 2..6; undirected, d=0.85, 8 iters
+    val pairs = (2L to 6L).map(l => (1L, l)).toDF("doc_a", "doc_b")
+    val got = Dedup
+      .pageRank(pairs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toList
+    got.map(_._1) shouldBe (1L to 6L).toList
+    got.head._2 shouldBe 5L // hub degree
+    val hub = got.head._3
+    got.tail.foreach { case (_, d, r) =>
+      d shouldBe 1L
+      hub should be > r * 2 // hub dominates every leaf
+      r shouldBe got(1)._3 // leaves are symmetric
+    }
+    // power iteration preserves total probability mass
+    got.map(_._3).sum shouldBe (1.0 +- 1e-4)
+  }
+
+  it should "give uniform rank on a symmetric cycle" in {
+    val n = 5L
+    val pairs = (1L to n).map(i => (i, i % n + 1)).map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toDF("doc_a", "doc_b")
+    val ranks = Dedup.pageRank(pairs).select("pagerank").as[Double].collect()
+    ranks.foreach(_ shouldBe (1.0 / n +- 1e-9))
+  }
+
   "connectedComponentsStar" should "converge on a 1000-deep chain without raising maxIter" in {
     // a path graph has diameter n: min-label would need ~1000 rounds
     // (far past its maxIter=25 default); star contraction must finish
