@@ -365,9 +365,16 @@ object Dedup {
     val oriented = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // edges are LOCALLY CHECKPOINTED, not merely persisted: a persist
+    // leaves the whole upstream mining pipeline's logical plan under
+    // every round, and Catalyst re-analyzes/re-optimizes that tree for
+    // each round's fresh QueryExecution — measured on the pageRank
+    // sibling loop as ~3 s of DRIVER time per round vs ~0.02 s of
+    // executor time. The checkpoint truncates each round's plan to
+    // (LogicalRDD join LogicalRDD).
     val edges = oriented
       .union(oriented.select(col("u"), col("u").as("v")))
-      .persist(sl)
+      .localCheckpoint(true)
     // labels live on LOCALLY CHECKPOINTED rdds, not chained persists:
     // uncaching round i's labels would force Spark to re-cache round
     // i+1's entry from scratch (buffers of dependents are invalidated,
@@ -449,7 +456,7 @@ object Dedup {
       // upstream caches always go; the labels themselves only survive a
       // successful return
       pairs.unpersist()
-      edges.unpersist()
+      checkpointBlocks(edges).foreach(_.unpersist(false))
       if (!succeeded) checkpointBlocks(labels).foreach(_.unpersist(false))
     }
   }
