@@ -125,7 +125,9 @@ object SparkEntry {
     // thumbnail stage: resize (stride-decimation stub) -> decode
     "mm_resize" -> (Multimodal.mmResize _),
     // pagerank centrality over the verified near-dup graph
-    "graph_pagerank" -> (Dedup.graphPagerank _)
+    "graph_pagerank" -> (Dedup.graphPagerank _),
+    // top principal component of the embedding table (power iteration)
+    "embed_pca" -> (Similarity.embedPca _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -216,6 +218,7 @@ object SparkEntry {
     "ts_coherence" -> Timeseries.tsCoherenceSql,
     "corpus_ngrams" -> TextAnalysis.corpusNgramsSql,
     "mm_resize" -> Multimodal.mmResizeSql,
-    "graph_pagerank" -> Dedup.graphPagerankSql
+    "graph_pagerank" -> Dedup.graphPagerankSql,
+    "embed_pca" -> Similarity.embedPcaSql
   )
 }

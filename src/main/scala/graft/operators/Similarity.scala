@@ -958,4 +958,132 @@ object Similarity {
        |SELECT query_id, label AS predicted_label, votes
        |FROM picked WHERE r = 1
        |ORDER BY query_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Top principal component (power iteration)
+  // ---------------------------------------------------------------------
+
+  /** Top principal component of the (mean-centered) embedding table by
+    * POWER ITERATION — the embedding-diagnostics primitive behind
+    * whitening, anisotropy measurement ("all my embeddings point one
+    * way"), and rank-1 debiasing. `v ← normalize(Σ_i x̃_i (x̃_i·v))`
+    * for a fixed iteration count from the deterministic uniform start
+    * `1/√d`.
+    *
+    * Scale shape — the Lloyd-loop discipline of [[deterministicKmeans]]:
+    * each iteration is ONE corpus scan computing, map-side in a single
+    * projection, the row's score (codegen'd VecDot against the literal
+    * direction, minus the literal μ·v) alongside its posexploded
+    * (dim, value) pairs; the only shuffle is the d-key partial agg
+    * (d·partitions rows). The corpus is never shuffled, never joined.
+    * Driver holds d-sized vectors only (the centroid-collect shape).
+    *
+    * Portability: per-dim sums route through DECIMAL (order-free);
+    * dot products are left-to-right (VecDot == list_dot_product, and
+    * the driver folds μ·v in the same order); the norm is an ordered
+    * d-element fold on BOTH engines (fixed order, not order-free —
+    * deterministic because the order is pinned); sqrt is
+    * correctly-rounded IEEE. The whole trajectory is bit-identical,
+    * so the oracle simply unrolls the same iterations as CTEs.
+    */
+  def topPrincipalComponent(embeds: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val e = embeds
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = e.select(size(col("x"))).first().getInt(0)
+      // mean per dimension: exact-decimal sum / count (matches the
+      // oracle's DECIMAL route bit for bit)
+      val mu: Array[Double] = e
+        .select(posexplode(col("x")).as(Seq("d", "val")))
+        .groupBy(col("d"))
+        .agg((sum(col("val").cast(dec)).cast("double") / count(lit(1))).as("m"))
+        .orderBy(col("d"))
+        .select(col("m"))
+        .collect()
+        .map(_.getDouble(0))
+      def orderedFold(xs: Array[Double]): Double = {
+        // left-to-right, matching list_reduce / list_dot_product
+        var acc = 0.0; var i = 0
+        while (i < xs.length) { acc += xs(i); i += 1 }
+        acc
+      }
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var lastUpd: DataFrame = null
+      var lastNorm = 0.0
+      var i = 0
+      while (i < iters) {
+        val muDotV = orderedFold(mu.zip(v).map { case (a, b) => a * b })
+        val upd = e
+          .select(
+            (VectorMath.dot(col("x"), typedlit(v)) - lit(muDotV)).as("score"),
+            posexplode(col("x")).as(Seq("d", "val"))
+          )
+          .groupBy(col("d"))
+          .agg(
+            sum(((col("val") - element_at(typedlit(mu), col("d") + 1)) * col("score")).cast(dec))
+              .cast("double")
+              .as("s")
+          )
+        val s = upd.orderBy(col("d")).select(col("s")).collect().map(_.getDouble(0))
+        lastNorm = math.sqrt(orderedFold(s.map(z => z * z)))
+        v = s.map(_ / lastNorm)
+        lastUpd = upd
+        i += 1
+      }
+      lastUpd
+        .select(col("d").cast("long").as("dim"), round(col("s") / lit(lastNorm), 6).as("loading"))
+        .orderBy(col("dim"))
+    } finally e.unpersist(false)
+  }
+
+  def embedPca(spark: SparkSession, dir: String): DataFrame =
+    topPrincipalComponent(Tables.embeddings(spark, dir))
+
+  /** Power-iteration oracle: the same trajectory unrolled — DECIMAL
+    * per-dim sums, left-to-right dots, ordered-fold norms.
+    */
+  val embedPcaSql: String = {
+    val iters = 8
+    val iterCtes = (1 to iters)
+      .map { i =>
+        s"""s$i AS MATERIALIZED (
+           |  SELECT e.vec_id,
+           |    list_dot_product(e.x, v.v) - list_dot_product(ml.m, v.v) AS score
+           |  FROM e CROSS JOIN v${i - 1} v CROSS JOIN mulist ml),
+           |u$i AS MATERIALIZED (
+           |  SELECT t.d,
+           |    CAST(SUM(CAST((t.val - mu.m) * s.score AS DECIMAL(27,10))) AS DOUBLE) AS s
+           |  FROM vals t
+           |  JOIN s$i s ON s.vec_id = t.vec_id
+           |  JOIN mu ON mu.d = t.d
+           |  GROUP BY t.d),
+           |n$i AS MATERIALIZED (
+           |  SELECT SQRT(list_reduce(list_transform(list(s ORDER BY d), z -> z * z),
+           |                          (a, b) -> a + b)) AS nrm
+           |  FROM u$i),
+           |v$i AS MATERIALIZED (SELECT list(u.s / n.nrm ORDER BY u.d) AS v FROM u$i u CROSS JOIN n$i n)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |vals AS MATERIALIZED (
+       |  SELECT vec_id, CAST(u.i - 1 AS INT) AS d, x[u.i] AS val
+       |  FROM e, UNNEST(range(1, len(x) + 1)) AS u(i)),
+       |mu AS MATERIALIZED (
+       |  SELECT d, CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM vals GROUP BY d),
+       |mulist AS MATERIALIZED (SELECT list(m ORDER BY d) AS m FROM mu),
+       |dims AS (SELECT COUNT(*) AS d FROM mu),
+       |v0 AS MATERIALIZED (
+       |  SELECT list_transform(range(1, CAST(dims.d AS INT) + 1),
+       |                        i -> 1.0 / SQRT(CAST(dims.d AS DOUBLE))) AS v
+       |  FROM dims),
+       |$iterCtes
+       |SELECT CAST(u.d AS BIGINT) AS dim, ROUND(u.s / n.nrm, 6) AS loading
+       |FROM u$iters u CROSS JOIN n$iters n
+       |ORDER BY dim""".stripMargin
+  }
 }

@@ -9,6 +9,26 @@ class SimilaritySpec extends SparkSpec {
   private lazy val emb = Tables.embeddings(spark, sfDir)
   private lazy val queries = emb.filter($"vec_id" < 10)
 
+  "topPrincipalComponent" should "recover a planted dominant direction as a unit vector" in {
+    // variance concentrated on dim 0 (spread -2..2), a little on dim 1,
+    // none elsewhere: the top PC must align with dim 0 and have norm 1
+    val rows = (0L until 40L).map { i =>
+      val a = (i % 5).toFloat - 2f
+      val b = (i % 3).toFloat * 0.1f - 0.1f
+      (i, Array(a, b, 0f, 0f))
+    }
+    val pc = Similarity
+      .topPrincipalComponent(rows.toDF("vec_id", "embedding"))
+      .orderBy("dim")
+      .as[(Long, Double)]
+      .collect()
+    pc.map(_._1).toList shouldBe List(0L, 1L, 2L, 3L)
+    math.abs(pc(0)._2) should be > 0.999
+    math.abs(pc(2)._2) should be < 1e-9
+    math.abs(pc(3)._2) should be < 1e-9
+    math.sqrt(pc.map(p => p._2 * p._2).sum) shouldBe (1.0 +- 1e-4)
+  }
+
   private lazy val exact: Map[Long, Seq[Long]] = Similarity
     .bruteForceTopK(emb, queries, 5)
     .select($"query_id", $"rank", $"neighbor_id")
