@@ -127,7 +127,9 @@ object SparkEntry {
     // pagerank centrality over the verified near-dup graph
     "graph_pagerank" -> (Dedup.graphPagerank _),
     // top principal component of the embedding table (power iteration)
-    "embed_pca" -> (Similarity.embedPca _)
+    "embed_pca" -> (Similarity.embedPca _),
+    // TPC-H Q7-shaped nation-pair shipping volume by year
+    "q7_volume" -> (Relational.q7Volume _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,6 +221,7 @@ object SparkEntry {
     "corpus_ngrams" -> TextAnalysis.corpusNgramsSql,
     "mm_resize" -> Multimodal.mmResizeSql,
     "graph_pagerank" -> Dedup.graphPagerankSql,
-    "embed_pca" -> Similarity.embedPcaSql
+    "embed_pca" -> Similarity.embedPcaSql,
+    "q7_volume" -> Relational.q7Sql
   )
 }

@@ -216,4 +216,56 @@ object Relational {
       |FROM orders
       |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 50000.0)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** TPC-H Q7-shaped shipping volume: revenue between every ordered
+    * (supplier nation, customer nation) pair per ship year — the
+    * deepest join chain in the relational set (lineitem ⋈ supplier ⋈
+    * orders ⋈ customer ⋈ nation ⋈ nation). Only the genuinely
+    * constant-size sides (the 25-row nation table, twice) carry
+    * broadcast HINTS; supplier/orders/customer are left to
+    * Catalyst/AQE — at test scale they broadcast, at 100 TB the
+    * lineitem⋈orders fact-fact join correctly shuffles on orderkey
+    * (or runs exchange-free over co-bucketed tables, the
+    * BucketedLayout pattern) rather than pretending an orders
+    * broadcast survives. Revenue follows q1's exact-decimal
+    * discipline.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n1 = Tables.nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    l.join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(
+          sum(col("l_extendedprice").cast(d184) * (lit(1).cast(d184) - col("l_discount").cast(d184))),
+          4
+        ).cast("double").as("revenue")
+      )
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year, COUNT(*) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 }

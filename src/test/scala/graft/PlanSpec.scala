@@ -391,6 +391,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "q7_volume" should "broadcast the nation sides and prune the fact scan to the needed columns" in {
+    val df = Relational.q7Volume(spark, sfDir)
+    val plan = planString(df)
+    plan should include("BroadcastHashJoin")
+    plan should include("partial_count")
+    // column pruning: the lineitem scan must not read unneeded columns
+    plan should not include "l_returnflag"
+    plan should not include "l_tax"
+  }
+
   "train_dsir" should "aggregate feature counts partially and never explode past the bucket width" in {
     val df = graft.operators.Curation.trainDsir(spark, sfDir)
     val plan = planString(df)
