@@ -54,6 +54,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "corpus_stats" -> (TextAnalysis.corpusStatsQ _),
     "text_split" -> (TextAnalysis.textSplit _),
+    "text_chunk" -> (TextAnalysis.textChunk _),
     "dedup_cross_source" -> (Dedup.dedupCrossSource _),
     "ann_knn_label" -> (Similarity.annKnnLabel _),
     "mm_decode" -> (Multimodal.mmDecode _), // decode kernel is the sanctioned stub; features oracled
@@ -174,6 +175,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
     "text_split" -> TextAnalysis.textSplitSql,
+    "text_chunk" -> TextAnalysis.textChunkSql,
     "dedup_cross_source" -> Dedup.dedupCrossSourceSql,
     "ann_knn_label" -> Similarity.annKnnLabelSql,
     "mm_decode" -> Multimodal.mmDecodeSql,

@@ -736,4 +736,82 @@ object TextAnalysis {
       |  ROUND(CAST(mb AS DOUBLE) / nb, 6) AS top_bigram_frac
       |FROM a
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // RAG chunking
+  // ---------------------------------------------------------------------
+
+  /** Sliding-window document chunker — the retrieval-corpus prep step
+    * (split every document into `window`-word chunks every `stride`
+    * words, overlap = window − stride) that feeds embedding and ANN
+    * indexing. Emits one row per chunk with its word offset, length,
+    * and a 60-bit content hash (the exact-dedup key: identical chunks
+    * collide, so chunk-level dedup composes downstream exactly like
+    * [[Dedup.exactDuplicates]] over documents).
+    *
+    * Chunk starts are 0, stride, 2·stride, … for every start < word
+    * count, so the tail chunk may be shorter than `window` but no
+    * word is ever dropped. (Reference analog: the streaming engine
+    * chunks timeseries into fixed spans the same way —
+    * reference/src/main/scala/.../TimeSeriesFlow.scala pages data by
+    * fixed-size spans; here the span unit is words.)
+    *
+    * Scale shape: one scan, zero shuffle — starts are generated and
+    * sliced inside a single codegen'd projection (`transform` over
+    * `sequence`, then one explode), so chunking pipelines into
+    * whatever consumes it without an exchange; the output carries
+    * hashes and offsets, not duplicated text, so the explode grows
+    * rows ~n_words/stride× but bytes stay O(corpus).
+    */
+  def chunkDocuments(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window, s"stride must be in [1, window], got $stride")
+    docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(expr(NormSql), " ").as("ws"))
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"""transform(sequence(0, size(ws) - 1, $stride),
+               |  st -> struct(st,
+               |               least($window, size(ws) - st) AS nw,
+               |               array_join(slice(ws, st + 1, $window), ' ') AS ctext))""".stripMargin
+          )
+        ).as("c")
+      )
+      .select(
+        col("doc_id"),
+        (col("c.st") / stride).cast("long").as("chunk_id"),
+        col("c.st").cast("long").as("start_word"),
+        col("c.nw").cast("long").as("n_words"),
+        length(col("c.ctext")).cast("long").as("n_chars"),
+        expr(Dedup.md5Prefix60Sql("c.ctext")).as("chunk_hash")
+      )
+  }
+
+  def textChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, dir)).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Chunk oracle: the identical start grid via range(0, len, stride),
+    * 1-based inclusive list slices matching Spark's slice(pos, len),
+    * and the shared md5-prefix hash.
+    */
+  val textChunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0),
+       |c AS (
+       |  SELECT doc_id, CAST(r.st AS BIGINT) AS start_word,
+       |    LEAST(64, len(ws) - CAST(r.st AS BIGINT)) AS nw,
+       |    array_to_string(ws[CAST(r.st AS INT) + 1 : CAST(r.st AS INT) + 64], ' ') AS ctext
+       |  FROM t, UNNEST(range(0, len(ws), 48)) AS r(st))
+       |SELECT doc_id, start_word // 48 AS chunk_id, start_word,
+       |  CAST(nw AS BIGINT) AS n_words,
+       |  CAST(LENGTH(ctext) AS BIGINT) AS n_chars,
+       |  ${Dedup.md5Prefix60Duck("ctext")} AS chunk_hash
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin
 }

@@ -43,6 +43,41 @@ class TextAnalysisSpec extends SparkSpec {
     preds shouldBe Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh")
   }
 
+  "chunkDocuments" should "cover every word with the declared overlap and a short tail" in {
+    val words = (1 to 150).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "tiny doc"), (3L, "   "), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis
+      .chunkDocuments(docs, window = 64, stride = 48)
+      .orderBy($"doc_id", $"chunk_id")
+      .collect()
+    // blank/null docs chunk to nothing
+    rows.map(_.getAs[Long]("doc_id")).distinct.sorted shouldBe Array(1L, 2L)
+    val d1 = rows.filter(_.getAs[Long]("doc_id") == 1L)
+    // starts at 0, 48, 96, 144 — ceil(150/48) = 4 chunks
+    d1.map(_.getAs[Long]("start_word")) shouldBe Array(0L, 48L, 96L, 144L)
+    d1.map(_.getAs[Long]("chunk_id")) shouldBe Array(0L, 1L, 2L, 3L)
+    // full windows until the tail, which keeps the 150 - 144 = 6 leftover words
+    d1.map(_.getAs[Long]("n_words")) shouldBe Array(64L, 64L, 54L, 6L)
+    // every word index is covered: union of [start, start + n_words) = [0, 150)
+    d1.flatMap(r => r.getAs[Long]("start_word") until (r.getAs[Long]("start_word") + r.getAs[Long]("n_words")))
+      .distinct.sorted shouldBe (0L until 150L).toArray
+    // single-chunk doc: whole text, one row
+    val d2 = rows.filter(_.getAs[Long]("doc_id") == 2L)
+    d2.map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_words"))) shouldBe Array((0L, 2L))
+  }
+
+  it should "give identical chunks identical hashes and chunk map-side (no exchange before the explode)" in {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, window = 8, stride = 8)
+    val hashes = out.select($"doc_id", $"chunk_hash").as[(Long, Long)].collect().toMap
+    hashes(1L) shouldBe hashes(2L)
+    hashes(1L) should not be hashes(3L)
+    // zero-shuffle plan: chunking is a pure projection + generator
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   "Winnow.fingerprints" should "compute rolling hashes identical to direct rehash (win=1 keeps every gram)" in {
     import graft.functions.Winnow
     val s = "the quick brown fox jumps over the lazy dog 0123456789"
