@@ -100,6 +100,7 @@ object SparkEntry {
     // deep-graph star-contraction CC over the same mined pairs —
     // must match dedup_clusters' transitive-closure oracle exactly
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
+    "dedup_report" -> (Dedup.dedupReport _),
     // product-quantization ANN: m sliced codebooks, byte codes,
     // asymmetric-distance ranking
     "ann_pq" -> (Similarity.annPq _),
@@ -211,6 +212,7 @@ object SparkEntry {
     // the dedup_clusters oracle verbatim: star contraction and
     // min-label propagation must agree on the clustering
     "dedup_clusters_star" -> Dedup.dedupClustersSql,
+    "dedup_report" -> Dedup.dedupReportSql,
     "ann_pq" -> Similarity.annPqSql,
     "dedup_spans" -> Dedup.dedupSpansSql,
     "text_perplexity" -> TextAnalysis.textPerplexitySql,

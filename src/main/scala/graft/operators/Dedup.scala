@@ -932,6 +932,85 @@ object Dedup {
       (col("node") === col("cluster")).as("survivor")
     ).orderBy(col("doc_id"))
 
+  /** Cluster-size histogram + singleton row from a corpus and its
+    * cluster labels — the run report every dedup job publishes: how
+    * many clusters of each size, how many documents they cover, and
+    * how many rows deletion removes (size − 1 per cluster). Row
+    * cluster_size = 1 counts documents in NO cluster, so n_docs sums
+    * to the corpus and Σ n_removed / corpus = the dedup ratio.
+    *
+    * Scale shape: two tiny aggregations over the label relation
+    * (cluster-count rows, then size-count rows) plus two 1-row count
+    * aggregates broadcast-crossed for the singleton row — nothing
+    * here is larger than the cluster count.
+    */
+  private[graft] def sizeReport(corpus: DataFrame, labels: DataFrame): DataFrame = {
+    val hist = labels
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_removed")
+      )
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"), col("n_removed"))
+    val singles = corpus
+      .agg(count(lit(1)).as("total"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("clustered"))))
+      .select(
+        lit(1L).as("cluster_size"),
+        (col("total") - col("clustered")).as("n_clusters"),
+        (col("total") - col("clustered")).as("n_docs"),
+        lit(0L).as("n_removed")
+      )
+    hist.unionByName(singles)
+  }
+
+  /** The [[dedupClusters]] pipeline summarized by [[sizeReport]]. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedNearDups(Tables.documents(spark, dir))
+    sizeReport(
+      corpus,
+      clustersWithSurvivors(
+        minhashNearDups(corpus, w = 3, tau = 0.5).select(col("doc_a"), col("doc_b"))
+      )
+    ).orderBy(col("cluster_size"))
+  }
+
+  /** Report oracle: the dedup_clusters transitive closure aggregated
+    * to (size → clusters/docs/removed) plus the corpus-minus-clustered
+    * singleton row; sums cast back to BIGINT (DuckDB SUM widens to
+    * HUGEINT).
+    */
+  val dedupReportSql: String =
+    s"""WITH RECURSIVE $MinhashPipelineCtes,
+       |vpairs AS (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |cedges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM vpairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM vpairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges) n
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN cedges e ON e.u = r.v),
+       |labels AS (SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u),
+       |hist AS (
+       |  SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+       |    CAST(SUM(sz) AS BIGINT) AS n_docs,
+       |    CAST(SUM(sz - 1) AS BIGINT) AS n_removed
+       |  FROM (SELECT cluster, COUNT(*) AS sz FROM labels GROUP BY cluster) c
+       |  GROUP BY sz),
+       |tot AS (SELECT COUNT(*) AS total FROM corpus),
+       |ctot AS (SELECT COUNT(*) AS clustered FROM labels)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS cluster_size, total - clustered AS n_clusters,
+       |    total - clustered AS n_docs, CAST(0 AS BIGINT) AS n_removed
+       |  FROM tot, ctot
+       |  UNION ALL
+       |  SELECT cluster_size, n_clusters, n_docs, n_removed FROM hist) r
+       |ORDER BY cluster_size""".stripMargin
+
   // ---------------------------------------------------------------------
   // PageRank over the near-dup graph
   // ---------------------------------------------------------------------

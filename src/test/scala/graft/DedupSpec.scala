@@ -327,4 +327,20 @@ class DedupSpec extends SparkSpec {
 
     got shouldBe exp
   }
+
+  "sizeReport" should "histogram cluster sizes and count singletons so docs sum to the corpus" in {
+    import spark.implicits._
+    // 10-doc corpus; clusters {1,2,3} and {5,6}; 5 docs in no cluster
+    val corpus = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster")
+    val rows = Dedup
+      .sizeReport(corpus, labels)
+      .orderBy("cluster_size")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    rows shouldBe Array((1L, 5L, 5L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L))
+    // invariant: n_docs sums to the corpus, removals = docs - clusters
+    rows.map(_._3).sum shouldBe 10L
+  }
 }
