@@ -116,6 +116,7 @@ object SparkEntry {
     "dedup_containment" -> (Dedup.dedupContainment _),
     // DSIR hashed-ngram importance weights vs the en target slice
     "train_dsir" -> (Curation.trainDsir _),
+    "train_classifier" -> (Curation.trainClassifier _),
     // the whole curation pipeline as one cumulative-stage funnel
     "corpus_funnel" -> (Curation.corpusFunnelQ _),
     // lexical + semantic retrieval fused by reciprocal rank
@@ -219,6 +220,7 @@ object SparkEntry {
     "pack_sequences" -> Packing.packSequencesSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
     "train_dsir" -> Curation.trainDsirSql,
+    "train_classifier" -> Curation.trainClassifierSql,
     "corpus_funnel" -> Curation.corpusFunnelSql,
     "search_hybrid" -> Search.searchHybridSql,
     "ts_coherence" -> Timeseries.tsCoherenceSql,

@@ -457,6 +457,165 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Quality-classifier training
+  // ---------------------------------------------------------------------
+
+  /** Logistic-regression classifier head trained by full-batch
+    * gradient descent over the embedding table — the linear probe a
+    * pipeline trains on frozen embeddings to score "belongs to the
+    * target domain" (y = one-vs-rest on `label == posLabel`; swap in
+    * any 0/1 labeling). Returns the per-epoch trajectory (epoch,
+    * loss, acc), each row measured with the weights BEFORE that
+    * epoch's update, so epoch 1 is the all-zero model (loss = ln 2)
+    * and the decline is the training curve a run report plots.
+    *
+    * Scale shape: the corpus is projected once to (id, y, x) and
+    * persisted; each epoch is two jobs over it — score + stats, then
+    * a dim-keyed partial aggregation for the gradient — with the
+    * weight vector riding along as a LITERAL (the same
+    * broadcast-update loop as [[Similarity.topPrincipalComponent]]
+    * and the Lloyd kmeans): the corpus is scanned per epoch but never
+    * shuffled, and the driver only ever holds dim-sized vectors.
+    *
+    * Portability: z = VecDot against the literal weights (left-to-
+    * right fold == list_dot_product); σ(z) and both ln's round to 9
+    * decimals on identical inputs (p clamped to [1e-9, 1−1e-9]
+    * before ln); gradient sums route through DECIMAL(27,10); weights
+    * and bias re-round to 9 decimals after every update — the whole
+    * trajectory is bit-identical in the oracle's unrolled CTEs.
+    */
+  def classifierTrajectory(
+    embeds: DataFrame,
+    posLabel: Int = 0,
+    epochs: Int = 4,
+    lr: Double = 2.0
+  ): DataFrame = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    val spark = embeds.sparkSession
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = embeds
+      .select(
+        col("vec_id"),
+        (col("label") === posLabel).cast("int").as("y"),
+        col("embedding").cast("array<double>").as("x")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = e.count()
+      val d = e.select(size(col("x"))).first().getInt(0)
+      var w = Array.fill(d)(0.0)
+      var bias = 0.0
+      val stats = scala.collection.mutable.Buffer.empty[(Long, Double, Double)]
+      for (ep <- 1 to epochs) {
+        val scored = e.select(
+          col("vec_id"),
+          col("y"),
+          col("x"),
+          least(
+            greatest(
+              round(
+                lit(1.0) /
+                  (lit(1.0) + exp(-(graft.functions.VectorMath.dot(col("x"), typedlit(w.toSeq)) + bias))),
+                9
+              ),
+              lit(1e-9)
+            ),
+            lit(1.0 - 1e-9)
+          ).as("p")
+        )
+        val st = scored
+          .agg(
+            round(
+              (-sum(
+                (col("y") * round(log(col("p")), 9) +
+                  (lit(1) - col("y")) * round(log(lit(1.0) - col("p")), 9)).cast(dec)
+              )).cast("double") / n,
+              6
+            ).as("loss"),
+            round(
+              sum(when((col("p") >= 0.5).cast("int") === col("y"), 1).otherwise(0))
+                .cast("double") / n,
+              6
+            ).as("acc"),
+            sum((col("p") - col("y")).cast(dec)).cast("double").as("gb")
+          )
+          .head()
+        val g = scored
+          .select((col("p") - col("y")).as("r"), posexplode(col("x")).as(Seq("d", "val")))
+          .groupBy(col("d"))
+          .agg(sum((col("r") * col("val")).cast(dec)).cast("double").as("g"))
+          .orderBy(col("d"))
+          .select(col("g"))
+          .collect()
+          .map(_.getDouble(0))
+        w = w.zip(g).map { case (wj, gj) => round9(wj - lr * gj / n) }
+        bias = round9(bias - lr * st.getAs[Double]("gb") / n)
+        stats += ((ep.toLong, st.getAs[Double]("loss"), st.getAs[Double]("acc")))
+      }
+      stats.toSeq.toDF("epoch", "loss", "acc")
+    } finally e.unpersist(false)
+  }
+
+  def trainClassifier(spark: SparkSession, dir: String): DataFrame =
+    classifierTrajectory(Tables.embeddings(spark, dir))
+
+  /** The trajectory unrolled epoch by epoch in MATERIALIZED CTEs (the
+    * oracle-side iteration discipline the kmeans/PageRank/PCA oracles
+    * established): identical left-to-right dots, DECIMAL gradient
+    * sums, round-9 sigmoid/ln/update arithmetic written in the same
+    * evaluation order as the Spark side.
+    */
+  val trainClassifierSql: String = {
+    val epochs = 4
+    val epochCtes = (1 to epochs).map { e =>
+      s"""p$e AS MATERIALIZED (
+         |  SELECT e.vec_id, e.y,
+         |    LEAST(GREATEST(ROUND(1.0 / (1.0 + EXP(-(list_dot_product(e.x, w.wv) + b.bias))), 9),
+         |                   0.000000001), 0.999999999) AS p
+         |  FROM e CROSS JOIN w${e - 1} w CROSS JOIN b${e - 1} b),
+         |stat$e AS (
+         |  SELECT CAST($e AS BIGINT) AS epoch,
+         |    ROUND(CAST(-SUM(CAST(y * ROUND(LN(p), 9)
+         |                         + (1 - y) * ROUND(LN(1.0 - p), 9) AS DECIMAL(27,10))) AS DOUBLE)
+         |          / (SELECT n FROM nn), 6) AS loss,
+         |    ROUND(CAST(SUM(CASE WHEN (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) = y
+         |                        THEN 1 ELSE 0 END) AS DOUBLE)
+         |          / (SELECT n FROM nn), 6) AS acc
+         |  FROM p$e),
+         |g$e AS MATERIALIZED (
+         |  SELECT t.d,
+         |    CAST(SUM(CAST((p.p - p.y) * t.val AS DECIMAL(27,10))) AS DOUBLE) AS g
+         |  FROM vals t JOIN p$e p ON p.vec_id = t.vec_id
+         |  GROUP BY t.d),
+         |w$e AS MATERIALIZED (
+         |  SELECT list(ROUND(w.wv[g.d + 1] - 2.0 * g.g / (SELECT n FROM nn), 9) ORDER BY g.d) AS wv
+         |  FROM g$e g CROSS JOIN w${e - 1} w),
+         |b$e AS (
+         |  SELECT ROUND((SELECT bias FROM b${e - 1})
+         |               - 2.0 * gb / (SELECT n FROM nn), 9) AS bias
+         |  FROM (SELECT CAST(SUM(CAST(p - y AS DECIMAL(27,10))) AS DOUBLE) AS gb FROM p$e) s)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+       |    CAST(embedding AS DOUBLE[]) AS x
+       |  FROM embeddings),
+       |vals AS MATERIALIZED (
+       |  SELECT vec_id, CAST(u.i - 1 AS INT) AS d, x[u.i] AS val
+       |  FROM e, UNNEST(range(1, len(x) + 1)) AS u(i)),
+       |nn AS (SELECT COUNT(*) AS n FROM e),
+       |dims AS (SELECT len(x) AS d FROM e LIMIT 1),
+       |w0 AS (SELECT list_transform(range(1, CAST(d AS INT) + 1), i -> 0.0) AS wv FROM dims),
+       |b0 AS (SELECT 0.0 AS bias),
+       |${epochCtes.mkString(",\n")}
+       |SELECT epoch, loss, acc FROM (
+       |${(1 to epochs).map(e => s"  SELECT * FROM stat$e").mkString("\n  UNION ALL\n")}) s
+       |ORDER BY epoch""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // End-to-end curation funnel
   // ---------------------------------------------------------------------
 

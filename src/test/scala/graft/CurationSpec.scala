@@ -186,4 +186,22 @@ class CurationSpec extends SparkSpec {
     out.map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(1L)
     out(0).getAs[Double]("contam_frac") shouldBe 1.0
   }
+
+  "classifierTrajectory" should "drive loss down to a separating model on separable embeddings" in {
+    // positives (label 0) point along +e1, negatives along -e1
+    val emb = (1 to 40).map { i =>
+      val lab = if (i % 2 == 0) 0 else 3
+      val base = if (lab == 0) 1.0f else -1.0f
+      (i.toLong, Array(base, 0.1f * (i % 5), -0.2f * (i % 3)), lab)
+    }.toDF("vec_id", "embedding", "label")
+    val tr = Curation
+      .classifierTrajectory(emb, posLabel = 0, epochs = 5, lr = 2.0)
+      .orderBy("epoch")
+      .collect()
+    val losses = tr.map(_.getAs[Double]("loss"))
+    // epoch 1 is the all-zero model: loss = ln 2 on any data
+    losses.head shouldBe 0.693147 +- 1e-6
+    losses.sliding(2).foreach(p => p(1) should be < p(0))
+    tr.last.getAs[Double]("acc") shouldBe 1.0
+  }
 }
