@@ -117,6 +117,7 @@ object SparkEntry {
     // DSIR hashed-ngram importance weights vs the en target slice
     "train_dsir" -> (Curation.trainDsir _),
     "train_classifier" -> (Curation.trainClassifier _),
+    "train_bpe" -> (Tokenizer.trainBpe _),
     // the whole curation pipeline as one cumulative-stage funnel
     "corpus_funnel" -> (Curation.corpusFunnelQ _),
     // lexical + semantic retrieval fused by reciprocal rank
@@ -221,6 +222,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.dedupContainmentSql,
     "train_dsir" -> Curation.trainDsirSql,
     "train_classifier" -> Curation.trainClassifierSql,
+    "train_bpe" -> Tokenizer.trainBpeSql,
     "corpus_funnel" -> Curation.corpusFunnelSql,
     "search_hybrid" -> Search.searchHybridSql,
     "ts_coherence" -> Timeseries.tsCoherenceSql,

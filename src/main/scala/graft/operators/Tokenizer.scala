@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016) — the
+  * merge-table learner every LLM data pipeline runs before anything
+  * else can count tokens. Each round counts adjacent symbol pairs
+  * across the corpus, picks the most frequent pair, and rewrites every
+  * occurrence into a merged symbol; the ranked merge list IS the
+  * tokenizer.
+  *
+  * Scale shape — the detail that makes BPE trainable at 100 TB: the
+  * corpus is scanned ONCE, reducing to a (word, freq) vocabulary
+  * relation (vocabulary-scale, zipf-bounded: orders of magnitude
+  * smaller than the corpus), and the entire merge loop runs over that
+  * relation — pair counting is a partial aggregation over vocab rows
+  * weighted by freq, the argmax is a 1-row collect (the Lloyd
+  * broadcast-update shape), and the rewrite is a pure codegen'd
+  * higher-order fold over each word's symbol array. No corpus rescan,
+  * no shuffle wider than the distinct-pair relation, per round. Vocab
+  * state is localCheckpoint'd each round so Catalyst never re-analyzes
+  * the growing rewrite lineage (the planner-bound-loop discipline the
+  * CC/PageRank loops established).
+  *
+  * Greedy left-to-right merge semantics: within a word the fold walks
+  * symbols once, merging a (lhs, rhs) adjacency only when the
+  * accumulator's LAST symbol is an unconsumed lhs — so "aaa" under
+  * merge (a,a) becomes [aa, a], never [a, aa], and a freshly merged
+  * symbol is never immediately re-merged. The DuckDB oracle replays
+  * the identical fold with list_reduce, so the whole merge trajectory
+  * is bit-identical across engines.
+  */
+object Tokenizer {
+
+  /** One merge round's rewrite of a symbol array, as a codegen'd fold.
+    * Single-symbol words pass through (slice of length 0 is avoided).
+    */
+  private def mergeFold(syms: Column, lhs: String, rhs: String): Column =
+    when(size(syms) === 1, syms).otherwise(
+      aggregate(
+        slice(syms, lit(2), size(syms) - 1),
+        array(element_at(syms, 1)),
+        (acc, s) =>
+          when(
+            element_at(acc, -1) === lit(lhs) && s === lit(rhs),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs)))
+          ).otherwise(concat(acc, array(s)))
+      )
+    )
+
+  /** Train `rounds` BPE merges over the normalized word stream of
+    * `docs`. Returns the ranked merge table (rank, lhs, rhs, merged,
+    * pair_count) — pair_count is the corpus-wide weighted adjacency
+    * count that won the round.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 10): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(explode(split(expr(TextAnalysis.NormSql), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(
+          col("freq"),
+          explode(
+            expr(
+              """transform(sequence(1, size(syms) - 1),
+                |  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))""".stripMargin
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) =
+          (best(0).getAs[String]("lhs"), best(0).getAs[String]("rhs"), best(0).getAs[Long]("cnt"))
+        merges += ((r.toLong, l, rr, l + rr, cnt))
+        val next = vocab.withColumn("syms", mergeFold(col("syms"), l, rr)).localCheckpoint(true)
+        vocab.unpersist(false)
+        vocab = next
+      }
+    }
+    vocab.unpersist(false)
+    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  def trainBpe(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.documents(spark, dir))
+
+  /** The merge trajectory unrolled round by round in MATERIALIZED CTEs:
+    * identical pair grid (1-based adjacent indices), identical
+    * (cnt DESC, lhs, rhs) argmax order, and the same greedy
+    * left-to-right fold via list_reduce over singleton-wrapped symbols
+    * (list_reduce seeds the accumulator with the first element, so
+    * symbols are wrapped to lists and unwrapped with cur[1]).
+    */
+  val trainBpeSql: String = {
+    val rounds = 10
+    val roundCtes = (1 to rounds).map { r =>
+      s"""pairs$r AS (
+         |  SELECT syms[CAST(u.i AS INT)] AS lhs, syms[CAST(u.i AS INT) + 1] AS rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM vocab${r - 1}, UNNEST(range(1, len(syms))) AS u(i)
+         |  WHERE len(syms) >= 2
+         |  GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, cnt FROM pairs$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |vocab$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    CASE WHEN len(syms) = 1 THEN syms
+         |         ELSE list_reduce(
+         |           list_transform(syms, s -> [s]),
+         |           (acc, cur) -> CASE WHEN acc[-1] = b.lhs AND cur[1] = b.rhs
+         |                              THEN list_append(acc[1:len(acc) - 1], b.lhs || b.rhs)
+         |                              ELSE list_append(acc, cur[1]) END) END AS syms
+         |  FROM vocab${r - 1} CROSS JOIN best$r b)""".stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS w
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT w AS word, COUNT(*) AS freq,
+       |    list_transform(range(1, LENGTH(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+       |  FROM words WHERE LENGTH(w) > 0 GROUP BY w),
+       |${roundCtes.mkString(",\n")}
+       |SELECT rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM (
+       |${(1 to rounds)
+        .map(r => s"  SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, cnt FROM best$r")
+        .mkString("\n  UNION ALL\n")}) s
+       |ORDER BY rank""".stripMargin
+  }
+}
