@@ -94,10 +94,10 @@ object Packing {
       |  SELECT doc_id, n_tokens,
       |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS t_offset
       |  FROM t)
-      |SELECT doc_id, n_tokens, t_offset,
-      |  t_offset // 128 AS bin_first,
-      |  (t_offset + GREATEST(n_tokens, 1) - 1) // 128 AS bin_last,
-      |  (t_offset + GREATEST(n_tokens, 1) - 1) // 128 - t_offset // 128 + 1 AS n_bins
+      |SELECT doc_id, n_tokens, CAST(t_offset AS BIGINT) AS t_offset,
+      |  CAST(t_offset // 128 AS BIGINT) AS bin_first,
+      |  CAST((t_offset + GREATEST(n_tokens, 1) - 1) // 128 AS BIGINT) AS bin_last,
+      |  CAST((t_offset + GREATEST(n_tokens, 1) - 1) // 128 - t_offset // 128 + 1 AS BIGINT) AS n_bins
       |FROM c
       |ORDER BY doc_id""".stripMargin
 }
