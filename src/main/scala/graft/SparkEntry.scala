@@ -133,7 +133,14 @@ object SparkEntry {
     // top principal component of the embedding table (power iteration)
     "embed_pca" -> (Similarity.embedPca _),
     // TPC-H Q7-shaped nation-pair shipping volume by year
-    "q7_volume" -> (Relational.q7Volume _)
+    "q7_volume" -> (Relational.q7Volume _),
+    // Gopher hard rule battery: per-doc flags + pass conjunction
+    "quality_gopher" -> (TextAnalysis.qualityGopher _),
+    // temperature-scaled source mixing weights (n^alpha rebalancing)
+    "sample_temperature" -> (Curation.sampleTemperature _),
+    // multi-resolution zoom pyramid, each tier rolled up from the
+    // tier below (one corpus-scale shuffle for the whole pyramid)
+    "ts_pyramid" -> (Timeseries.tsPyramid _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -230,6 +237,9 @@ object SparkEntry {
     "mm_resize" -> Multimodal.mmResizeSql,
     "graph_pagerank" -> Dedup.graphPagerankSql,
     "embed_pca" -> Similarity.embedPcaSql,
-    "q7_volume" -> Relational.q7Sql
+    "q7_volume" -> Relational.q7Sql,
+    "quality_gopher" -> TextAnalysis.qualityGopherSql,
+    "sample_temperature" -> Curation.sampleTemperatureSql,
+    "ts_pyramid" -> Timeseries.tsPyramidSql
   )
 }

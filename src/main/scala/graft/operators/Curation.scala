@@ -186,6 +186,37 @@ object Curation {
       )
   }
 
+  /** Temperature-scaled source mixing (the multilingual/multi-source
+    * sampling rule of Devlin et al. 2019 app. A / Conneau & Lample
+    * 2019 §3): source s is sampled proportionally to n_s^alpha, which
+    * flattens the source distribution toward uniform as alpha → 0 —
+    * the standard rebalancing step before drawing a training mix from
+    * heterogeneous corpora.
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to a
+    * source-cardinality relation; everything after (power weights,
+    * normalization, budget allocation) runs on k rows, with the
+    * normalizing sum as a window over the k-row aggregate — the only
+    * empty-partitionSpec window in the plan sits above the reduction,
+    * never above the corpus.
+    *
+    * Portability: n^alpha is computed as EXP(ROUND(LN(n),9)·alpha)
+    * with ROUND(…,9) after each transcendental (both engines' libm
+    * agree well under 1e-9 relative), and the normalizing sum routes
+    * through DECIMAL(38,9) so it is order-independent.
+    */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.3, budget: Long = 100000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 9)
+    docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", round(exp(round(log(col("n_docs")), 9) * lit(alpha)), 9))
+      .withColumn("__w_sum", sum(col("w_raw").cast(dec)).over(Window.partitionBy()).cast("double"))
+      .withColumn("weight", round(col("w_raw") / col("__w_sum"), 9))
+      .withColumn("target_docs", round(col("weight") * lit(budget), 0).cast("long"))
+      .select(col("source"), col("n_docs"), col("w_raw"), col("weight"), col("target_docs"))
+  }
+
   // ---------------------------------------------------------------------
   // Fixed driver queries + oracles
   // ---------------------------------------------------------------------
@@ -262,6 +293,24 @@ object Curation {
        |  ROUND(CAST(h.n_hit AS DOUBLE) / t.n_grams, 6) AS contam_frac
        |FROM hit h JOIN tot t USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(spark, dir)).orderBy(col("source"))
+
+  /** Oracle: same aggregate → round-9 transcendental chain → DECIMAL
+    * window sum → budget rounding, step for step.
+    */
+  val sampleTemperatureSql: String =
+    s"""WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs,
+       |  ROUND(EXP(ROUND(LN(n_docs), 9) * 0.3), 9) AS w_raw FROM s),
+       |t AS (SELECT source, n_docs, w_raw,
+       |  CAST(SUM(CAST(w_raw AS DECIMAL(38,9))) OVER () AS DOUBLE) AS w_sum FROM w)
+       |SELECT source, n_docs, w_raw,
+       |  ROUND(w_raw / w_sum, 9) AS weight,
+       |  CAST(ROUND(ROUND(w_raw / w_sum, 9) * 100000, 0) AS BIGINT) AS target_docs
+       |FROM t
+       |ORDER BY source""".stripMargin
 
   def trainMixQ(spark: SparkSession, dir: String): DataFrame =
     trainMix(Tables.documents(spark, dir)).orderBy(col("split"), col("lang_pred"))
@@ -449,7 +498,7 @@ object Curation {
        |    ROUND(LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + $b AS DOUBLE)), 9) -
        |    ROUND(LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + $b AS DOUBLE)), 9) AS lr
        |  FROM model CROSS JOIN tot)
-       |SELECT c.doc_id, SUM(c.c) AS n_feats,
+       |SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_feats,
        |  ROUND(CAST(SUM(CAST(CAST(c.c AS DOUBLE) * lr.lr AS DECIMAL(27,10))) AS DOUBLE), 6) AS dsir_w
        |FROM counts c JOIN lr ON lr.bucket = c.bucket
        |GROUP BY c.doc_id

@@ -72,6 +72,76 @@ object TextAnalysis {
       )
   }
 
+  /** The required-word list of the Gopher rule filter (Rae et al. 2021
+    * §A1.1): a document must contain at least two of these to pass the
+    * stopword gate.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style hard rule filter (Rae et al. 2021 §A1.1) — the gate
+    * battery web-scale pretraining pipelines apply before any
+    * model-based scoring. A document passes when ALL rules hold:
+    *
+    *   - r_words:   word count in [minWords, maxWords]
+    *   - r_wordlen: mean word length in [3, 10] characters
+    *   - r_symbol:  (hash chars + ellipses) per word <= 0.1
+    *   - r_alpha:   >= 80% of words contain an alphabetic character
+    *   - r_stop:    at least 2 distinct [[GopherStops]] words appear
+    *
+    * Scale shape: a pure map-side projection — higher-order array
+    * functions and regex counts only (whole-stage codegen, no UDF, no
+    * shuffle); the corpus is scanned once and the flags pipeline into
+    * whatever consumes them. Mean word length divides the normalized
+    * text's non-space character count by the word count, so no second
+    * pass over the word array is needed.
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 20, maxWords: Int = 100000): DataFrame = {
+    val reqList = GopherStops.map(s => s"'$s'").mkString(", ")
+    docs
+      .select(
+        col("doc_id"),
+        expr(NormSql).as("nm"),
+        size(expr(WordsSql)).cast("long").as("n_words"),
+        expr(s"size(filter($WordsSql, w -> w rlike '[A-Za-z]'))").cast("long").as("n_alpha_w"),
+        expr(s"size(filter(array($reqList), s -> array_contains($WordsSql, s)))")
+          .cast("long")
+          .as("n_req")
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(
+          length(regexp_replace(col("nm"), " ", "")).cast("double") / nullif(col("n_words"), lit(0)),
+          6
+        ).as("mean_word_len"),
+        round(
+          ((length(col("nm")) - length(regexp_replace(col("nm"), "#", ""))) +
+            regexp_count(col("nm"), lit("\\.\\.\\."))).cast("double") / nullif(col("n_words"), lit(0)),
+          6
+        ).as("symbol_ratio"),
+        round(col("n_alpha_w").cast("double") / nullif(col("n_words"), lit(0)), 6).as("alpha_ratio"),
+        col("n_req")
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("mean_word_len"),
+        col("symbol_ratio"),
+        col("alpha_ratio"),
+        col("n_req"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("r_words"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("r_wordlen"),
+        (col("symbol_ratio") <= 0.1).as("r_symbol"),
+        (col("alpha_ratio") >= 0.8).as("r_alpha"),
+        (col("n_req") >= 2).as("r_stop")
+      )
+      .withColumn(
+        "pass",
+        col("r_words") && col("r_wordlen") && col("r_symbol") && col("r_alpha") && col("r_stop")
+      )
+  }
+
   /** Stopword profiles for the language-ID heuristic (small public
     * function-word lists; zh is handled by CJK character ratio).
     */
@@ -200,6 +270,40 @@ object TextAnalysis {
        |        CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0) * 0.3 +
        |        LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
        |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Oracle: identical normalized-word features, identical ROUND(…, 6)
+    * ratios, identical rule thresholds — flags and the pass conjunction
+    * recomputed from the rounded ratios in both engines.
+    */
+  val qualityGopherSql: String = {
+    val reqList = GopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm,
+       |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS words
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    ROUND(CAST(LENGTH(REPLACE(nm, ' ', '')) AS DOUBLE) / NULLIF(len(words), 0), 6) AS mean_word_len,
+       |    ROUND(CAST(LENGTH(nm) - LENGTH(REPLACE(nm, '#', '')) + len(regexp_extract_all(nm, '\\.\\.\\.')) AS DOUBLE) / NULLIF(len(words), 0), 6) AS symbol_ratio,
+       |    ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / NULLIF(len(words), 0), 6) AS alpha_ratio,
+       |    CAST(len(list_filter([$reqList], s -> list_contains(words, s))) AS BIGINT) AS n_req
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_req,
+       |  (n_words >= 20 AND n_words <= 100000) AS r_words,
+       |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_wordlen,
+       |  (symbol_ratio <= 0.1) AS r_symbol,
+       |  (alpha_ratio >= 0.8) AS r_alpha,
+       |  (n_req >= 2) AS r_stop,
+       |  (n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_req >= 2) AS pass
+       |FROM f
        |ORDER BY doc_id""".stripMargin
   }
 

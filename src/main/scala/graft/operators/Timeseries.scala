@@ -203,6 +203,77 @@ object Timeseries {
     * resampled continuous query. One shuffle on (channel, bucket);
     * min/max/count/avg are algebraic ⇒ partial aggregation map-side.
     */
+  /** Zoom levels above the base bin for [[pyramid]] (level l bins are
+    * BucketUs·2^l wide — 1 h up to 16 h).
+    */
+  val PyramidLevels = 4
+
+  /** Multi-resolution downsample pyramid — the tiered zoom contract a
+    * display server precomputes so any zoom level is served by a
+    * bin-scale read instead of a raw scan (the reference serves
+    * resampled views per zoom via shouldResample/pixelWidth,
+    * reference: query/TimeSeriesQueryRawHttp.scala:116,
+    * query/QuerySequencer.scala:143; this materializes every tier at
+    * once).
+    *
+    * Scale shape: the raw stream is aggregated ONCE at the base
+    * resolution — the only corpus-scale shuffle in the plan. Every
+    * coarser level rolls up FROM the level below it (bin div 2):
+    * min/max/count and the DECIMAL value sum are all re-aggregable,
+    * so level l costs |level l−1| rows and the whole pyramid is a
+    * geometrically-shrinking chain of bin-scale aggregates. A naive
+    * per-level groupBy over raw data would scan and shuffle the
+    * corpus L+1 times; at 100 TB that is the difference between one
+    * pass and six. The level-0 exchange is also structurally shared
+    * by every branch of the final union, so Spark's ReuseExchange
+    * serves all levels from one physical shuffle.
+    *
+    * The average is carried as (DECIMAL sum, count) through the
+    * rollup and divided once at the end — exact and
+    * order-independent, so the rolled-up tiers are bit-identical to
+    * aggregating each tier directly from the raw stream (which is
+    * exactly what the oracle does).
+    */
+  def pyramid(ts: DataFrame, baseUs: Long, levels: Int): DataFrame = {
+    var cur = ts
+      .groupBy(col("channel"), microsBucket(col("t"), baseUs).as("bin"))
+      .agg(
+        min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"),
+        count(lit(1)).as("n"),
+        sum(col("v").cast(dec2710)).as("vsum")
+      )
+    def tier(df: DataFrame, l: Int): DataFrame =
+      df.withColumn("level", lit(l))
+        .withColumn("bin_start", col("bin") * lit(baseUs * (1L << l)))
+    val tiers = Seq.newBuilder[DataFrame]
+    tiers += tier(cur, 0)
+    for (l <- 1 to levels) {
+      cur = cur
+        .groupBy(col("channel"), expr("bin div 2").as("bin"))
+        .agg(
+          min(col("vmin")).as("vmin"),
+          max(col("vmax")).as("vmax"),
+          sum(col("n")).as("n"),
+          sum(col("vsum")).as("vsum")
+        )
+      tiers += tier(cur, l)
+    }
+    tiers
+      .result()
+      .reduce(_ unionByName _)
+      .select(
+        col("level"),
+        col("channel"),
+        col("bin"),
+        col("bin_start"),
+        col("vmin"),
+        col("vmax"),
+        col("n"),
+        round(col("vsum").cast("double") / col("n"), 6).as("vavg")
+      )
+  }
+
   def downsample(ts: DataFrame, pixelUs: Long): DataFrame =
     ts.groupBy(col("channel"), microsBucket(col("t"), pixelUs).as("bucket"))
       .agg(
@@ -929,6 +1000,32 @@ object Timeseries {
        |FROM events
        |GROUP BY 1, 2
        |ORDER BY channel, bucket""".stripMargin
+
+  def tsPyramid(spark: SparkSession, dir: String): DataFrame =
+    pyramid(Tables.ts(spark, dir), BucketUs, PyramidLevels)
+      .orderBy(col("level"), col("channel"), col("bin"))
+
+  /** Oracle: each level aggregated directly from events at its own bin
+    * width — the rollup-from-previous-level plan must equal the
+    * direct-per-level definition exactly (min/max/count are trivially
+    * re-aggregable; the average stays exact because both engines sum
+    * through DECIMAL before the single double division).
+    */
+  val tsPyramidSql: String = {
+    val levels = (0 to PyramidLevels).map { l =>
+      val width = BucketUs * (1L << l)
+      s"""  SELECT CAST($l AS INT) AS level, event_type AS channel,
+         |    CAST(FLOOR(epoch_us(ts) / $width) AS BIGINT) AS bin,
+         |    CAST(FLOOR(epoch_us(ts) / $width) AS BIGINT) * $width AS bin_start,
+         |    MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n,
+         |    ROUND(CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS vavg
+         |  FROM events GROUP BY 2, 3""".stripMargin
+    }
+    s"""SELECT * FROM (
+       |${levels.mkString("\n  UNION ALL\n")}
+       |) p
+       |ORDER BY level, channel, bin""".stripMargin
+  }
 
   def tsResampleChunk(spark: SparkSession, dir: String): DataFrame =
     resampleChunks(Tables.ts(spark, dir), ChunkSize)

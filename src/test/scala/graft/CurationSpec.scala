@@ -204,4 +204,34 @@ class CurationSpec extends SparkSpec {
     losses.sliding(2).foreach(p => p(1) should be < p(0))
     tr.last.getAs[Double]("acc") shouldBe 1.0
   }
+
+  "temperatureMix" should "flatten the source distribution toward uniform as alpha drops" in {
+    import graft.operators.Curation
+    val docs = (
+      (1 to 900).map(i => (i.toLong, s"doc $i", "web")) ++
+        (901 to 990).map(i => (i.toLong, s"doc $i", "books")) ++
+        (991 to 1000).map(i => (i.toLong, s"doc $i", "code"))
+    ).toDF("doc_id", "text", "source")
+    def weights(alpha: Double) = Curation
+      .temperatureMix(docs, alpha = alpha, budget = 1000L)
+      .select($"source", $"weight")
+      .as[(String, Double)]
+      .collect()
+      .toMap
+    val w1 = weights(1.0) // raw proportions
+    val w03 = weights(0.3)
+    w1("web") shouldBe 0.9 +- 1e-6
+    // temperature sampling lifts the tail and shrinks the head
+    w03("web") should be < w1("web")
+    w03("code") should be > w1("code")
+    w03("books") should be > w1("books")
+    // weights are a distribution and targets spend ~the whole budget
+    w03.values.sum shouldBe 1.0 +- 1e-6
+    val targets = Curation
+      .temperatureMix(docs, alpha = 0.3, budget = 1000L)
+      .select($"target_docs")
+      .as[Long]
+      .collect()
+    targets.sum.toDouble shouldBe 1000.0 +- 2.0
+  }
 }

@@ -332,6 +332,37 @@ class PlanSpec extends SparkSpec {
     countShuffles(df) should be <= 3
   }
 
+  "ts_pyramid" should "serve every tier from one physical scan and one corpus-scale shuffle" in {
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = Timeseries.tsPyramid(spark, sfDir)
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec =>
+        df.collect()
+        // walk the final adaptive plan INCLUDING materialized query
+        // stages (leaf nodes to a plain collect); reused exchanges are
+        // references to already-counted stages, so stay shallow there
+        val seen = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+        def go(n: SparkPlan): Unit = {
+          seen += n
+          n match {
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+            case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => ()
+            case other => other.children.foreach(go)
+          }
+        }
+        go(a.executedPlan)
+        // every union branch shares the level-0 aggregate: reuse must
+        // collapse the five branch scans to ONE materialized events scan
+        seen.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) shouldBe 1
+        // tiers 1..L reuse the tier below; without reuse the pyramid
+        // would rescan the corpus once per level
+        seen.count(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec]
+        ) should be >= Timeseries.PyramidLevels
+      case p => fail(s"expected adaptive plan, got ${p.getClass}")
+    }
+  }
+
   "ts_asof" should "avoid any unpartitioned global-sort window over the data" in {
     val df = Timeseries.tsAsof(spark, sfDir)
     // the only unpartitioned window runs over the tiny per-bucket

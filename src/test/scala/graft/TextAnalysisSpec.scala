@@ -227,6 +227,38 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0) shouldBe 3L
   }
 
+  "gopherRules" should "pass clean prose and flag each rule violation separately" in {
+    val longClean =
+      ("the data must be clean and ready to ship with care " * 4).trim // 44 words, all rules ok
+    val docs = Seq(
+      (1L, longClean),
+      (2L, "the cat sat to rest"), // too few words → r_words false
+      (3L, ("#### " * 30 + "the fox went to sleep and that was all of it with haste " +
+        "because every animal deserves rest after a long day")), // symbol soup → r_symbol false
+      (4L, (1 to 30).map(_ => "12345").mkString(" ")), // numeric words → r_alpha, r_stop false
+      (5L, (1 to 30).map(_ => "ab").mkString(" ")) // mean word length 2 < 3 → r_wordlen false
+    ).toDF("doc_id", "text")
+    val rows =
+      TextAnalysis.gopherRules(docs).orderBy($"doc_id").collect()
+    rows(0).getAs[Boolean]("pass") shouldBe true
+    rows(1).getAs[Boolean]("r_words") shouldBe false
+    rows(2).getAs[Boolean]("r_symbol") shouldBe false
+    rows(2).getAs[Boolean]("r_words") shouldBe true
+    rows(3).getAs[Boolean]("r_alpha") shouldBe false
+    rows(3).getAs[Boolean]("r_stop") shouldBe false
+    rows(4).getAs[Boolean]("r_wordlen") shouldBe false
+    rows.drop(1).foreach(r => r.getAs[Boolean]("pass") shouldBe false)
+  }
+
+  "gopherRules" should "stay a zero-shuffle projection" in {
+    val plan = TextAnalysis
+      .gopherRules(Tables.documents(spark, sfDir))
+      .queryExecution
+      .executedPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
   "deterministicSplit" should "assign stable, roughly-proportional buckets" in {
     val docs = Tables.documents(spark, sfDir)
     val s1 = TextAnalysis.deterministicSplit(docs).as[(Long, String)].collect().toMap

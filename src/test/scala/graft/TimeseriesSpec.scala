@@ -696,4 +696,30 @@ class TimeseriesSpec extends SparkSpec {
     run(1000L) shouldBe run(7000L)
     run(1000L) shouldBe run(1000000L) // one bucket = the sequential shape
   }
+
+  "pyramid" should "make every rolled-up tier equal the direct aggregate at that width" in {
+    val base = 1000L
+    val ts = mkTs(
+      (0L until 500L).map(i => ("a", i * 37L, math.sin(i * 0.3) * 50)) ++
+        (0L until 300L).map(i => ("b", i * 91L + 5L, (i % 13).toDouble - 6))
+    )
+    val p = Timeseries.pyramid(ts, base, levels = 3)
+    for (l <- 0 to 3) {
+      val direct = Timeseries
+        .downsample(ts, base * (1L << l))
+        .select(col("channel"), col("bucket").as("bin"), col("vmin"), col("vmax"), col("n"), col("vavg"))
+        .orderBy("channel", "bin")
+        .collect()
+        .map(_.toSeq)
+        .toSeq
+      val tier = p
+        .filter(col("level") === l)
+        .select(col("channel"), col("bin"), col("vmin"), col("vmax"), col("n"), col("vavg"))
+        .orderBy("channel", "bin")
+        .collect()
+        .map(_.toSeq)
+        .toSeq
+      tier shouldBe direct
+    }
+  }
 }
