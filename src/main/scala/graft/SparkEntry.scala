@@ -140,7 +140,10 @@ object SparkEntry {
     "sample_temperature" -> (Curation.sampleTemperature _),
     // multi-resolution zoom pyramid, each tier rolled up from the
     // tier below (one corpus-scale shuffle for the whole pyramid)
-    "ts_pyramid" -> (Timeseries.tsPyramid _)
+    "ts_pyramid" -> (Timeseries.tsPyramid _),
+    // encode the corpus under the trained BPE merges: per-doc token
+    // stats via a join against the rewritten vocabulary relation
+    "tokenize_bpe" -> (Tokenizer.tokenizeBpe _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,6 +243,7 @@ object SparkEntry {
     "q7_volume" -> Relational.q7Sql,
     "quality_gopher" -> TextAnalysis.qualityGopherSql,
     "sample_temperature" -> Curation.sampleTemperatureSql,
-    "ts_pyramid" -> Timeseries.tsPyramidSql
+    "ts_pyramid" -> Timeseries.tsPyramidSql,
+    "tokenize_bpe" -> Tokenizer.tokenizeBpeSql
   )
 }

@@ -56,6 +56,18 @@ object Tokenizer {
     * count that won the round.
     */
   def bpeMerges(docs: DataFrame, rounds: Int = 10): DataFrame = {
+    val (m, vocab) = bpeTrain(docs, rounds)
+    vocab.unpersist(false)
+    m
+  }
+
+  /** Train like [[bpeMerges]] but ALSO return the fully-rewritten
+    * vocabulary after the last round — (word, freq, syms), where syms
+    * is each word's final symbol sequence. Encoding a corpus under the
+    * trained tokenizer is then a join against this vocabulary-scale
+    * relation; no per-document merge replay is ever needed.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 10): (DataFrame, DataFrame) = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -96,12 +108,44 @@ object Tokenizer {
         vocab = next
       }
     }
-    vocab.unpersist(false)
-    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    (merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count"), vocab)
+  }
+
+  /** Per-document token statistics under the trained tokenizer: encode
+    * every corpus word with the merge table and count the resulting
+    * symbols — the token accounting (budget, packing, pricing) step
+    * that follows tokenizer training in every pipeline.
+    *
+    * Scale shape: the training loop already leaves the ENTIRE
+    * vocabulary fully rewritten (word → final symbol array), so
+    * encoding is a join of the exploded (doc_id, word) stream against
+    * that zipf-bounded vocabulary relation — broadcast when it fits,
+    * otherwise the same word-keyed hash join any wordcount pays — and
+    * a per-doc partial aggregation. No merge fold ever runs over the
+    * corpus itself, and no state bigger than the vocabulary exists.
+    */
+  def bpeEncodeStats(docs: DataFrame, rounds: Int = 10): DataFrame = {
+    val (_, vocab) = bpeTrain(docs, rounds)
+    val enc = vocab.select(col("word"), size(col("syms")).cast("long").as("w_tokens"))
+    docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(expr(TextAnalysis.NormSql), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("w_tokens")).as("n_tokens")
+      )
+      .withColumn("ratio", round(col("n_tokens").cast("double") / col("n_chars"), 6))
   }
 
   def trainBpe(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables.documents(spark, dir))
+
+  def tokenizeBpe(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeStats(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   /** The merge trajectory unrolled round by round in MATERIALIZED CTEs:
     * identical pair grid (1-based adjacent indices), identical
@@ -110,8 +154,10 @@ object Tokenizer {
     * (list_reduce seeds the accumulator with the first element, so
     * symbols are wrapped to lists and unwrapped with cur[1]).
     */
-  val trainBpeSql: String = {
-    val rounds = 10
+  /** The full training-replay CTE chain (words → vocab0 → pairs/best/
+    * vocab per round) shared by the train and encode oracles.
+    */
+  private def bpeCtesSql(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""pairs$r AS (
          |  SELECT syms[CAST(u.i AS INT)] AS lhs, syms[CAST(u.i AS INT) + 1] AS rhs,
@@ -131,7 +177,7 @@ object Tokenizer {
          |                              ELSE list_append(acc, cur[1]) END) END AS syms
          |  FROM vocab${r - 1} CROSS JOIN best$r b)""".stripMargin
     }
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS w
        |  FROM documents
        |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0),
@@ -139,11 +185,39 @@ object Tokenizer {
        |  SELECT w AS word, COUNT(*) AS freq,
        |    list_transform(range(1, LENGTH(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
        |  FROM words WHERE LENGTH(w) > 0 GROUP BY w),
-       |${roundCtes.mkString(",\n")}
+       |${roundCtes.mkString(",\n")}""".stripMargin
+  }
+
+  val trainBpeSql: String = {
+    val rounds = 10
+    s"""WITH ${bpeCtesSql(rounds)}
        |SELECT rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM (
        |${(1 to rounds)
         .map(r => s"  SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, cnt FROM best$r")
         .mkString("\n  UNION ALL\n")}) s
        |ORDER BY rank""".stripMargin
+  }
+
+  /** Encode oracle: the identical training replay, then every corpus
+    * word joined to the final vocabulary's symbol arrays and rolled up
+    * per document.
+    */
+  val tokenizeBpeSql: String = {
+    val rounds = 10
+    s"""WITH ${bpeCtesSql(rounds)},
+       |docw AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0)
+       |SELECT d.doc_id,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(LENGTH(d.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(SUM(len(v.syms)) AS DOUBLE) / CAST(SUM(LENGTH(d.word)) AS DOUBLE), 6) AS ratio
+       |FROM docw d JOIN vocab$rounds v ON v.word = d.word
+       |WHERE LENGTH(d.word) > 0
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 }

@@ -32,4 +32,37 @@ class TokenizerSpec extends SparkSpec {
   it should "stop early when no adjacent pairs remain" in {
     merges(5, "a b a") shouldBe Seq.empty
   }
+
+  "bpeEncodeStats" should "count tokens under the trained merges per document" in {
+    import org.apache.spark.sql.functions.col
+    // training corpus: abab (freq 2), cd (freq 1)
+    // round 1: (a,b) count 4 → ab;  abab → [ab, ab]
+    // round 2: (ab,ab) count 2 beats (c,d) count 1 → abab → [abab]
+    val docs = Seq((1L, "abab abab cd"), (2L, "cd"), (3L, "  "), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = Tokenizer
+      .bpeEncodeStats(docs, rounds = 2)
+      .orderBy(col("doc_id"))
+      .collect()
+    rows.map(_.getAs[Long]("doc_id")) shouldBe Array(1L, 2L) // blank/null docs drop
+    val d1 = rows(0)
+    d1.getAs[Long]("n_words") shouldBe 3L
+    d1.getAs[Long]("n_chars") shouldBe 10L
+    d1.getAs[Long]("n_tokens") shouldBe 4L // [abab] + [abab] + [c, d]
+    d1.getAs[Double]("ratio") shouldBe 0.4 +- 1e-9
+    rows(1).getAs[Long]("n_tokens") shouldBe 2L // cd alone never merges
+  }
+
+  it should "never beat character count and agree with the merge-table size" in {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the theme thesis there then"),
+      (3L, "unrelated words entirely")
+    ).toDF("doc_id", "text")
+    val rows = Tokenizer.bpeEncodeStats(docs, rounds = 5).collect()
+    rows.foreach { r =>
+      r.getAs[Long]("n_tokens") should be <= r.getAs[Long]("n_chars")
+      r.getAs[Long]("n_tokens") should be >= r.getAs[Long]("n_words")
+    }
+  }
 }
