@@ -143,7 +143,9 @@ object SparkEntry {
     "ts_pyramid" -> (Timeseries.tsPyramid _),
     // encode the corpus under the trained BPE merges: per-doc token
     // stats via a join against the rewritten vocabulary relation
-    "tokenize_bpe" -> (Tokenizer.tokenizeBpe _)
+    "tokenize_bpe" -> (Tokenizer.tokenizeBpe _),
+    // audio modality: payload → int16 PCM frames → RMS + crossings
+    "mm_audio" -> (Multimodal.mmAudio _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -244,6 +246,7 @@ object SparkEntry {
     "quality_gopher" -> TextAnalysis.qualityGopherSql,
     "sample_temperature" -> Curation.sampleTemperatureSql,
     "ts_pyramid" -> Timeseries.tsPyramidSql,
-    "tokenize_bpe" -> Tokenizer.tokenizeBpeSql
+    "tokenize_bpe" -> Tokenizer.tokenizeBpeSql,
+    "mm_audio" -> Multimodal.mmAudioSql
   )
 }

@@ -173,6 +173,66 @@ object Multimodal {
         length(col("frame")).cast("long").as("frame_bytes")
       )
 
+  /** STUB audio decode kernel: the payload read as little-endian int16
+    * PCM, framed into `frameSamples`-sample windows (trailing partials
+    * dropped), each frame reduced to RMS energy and a zero-crossing
+    * count — the two features every audio-curation pipeline computes
+    * first (silence/clipping gates, speech-band heuristics). A real
+    * codec (resampling, mel filterbanks) drops into this kernel
+    * without touching the Spark plumbing. Integer sums keep the stub
+    * bit-reproducible by the SQL oracle.
+    */
+  private[graft] def audioStub(
+      payload: Array[Byte],
+      frameSamples: Int
+  ): Seq[(Long, Double, Long)] = {
+    val nSamples = payload.length / 2
+    val nFrames = nSamples / frameSamples
+    (0 until nFrames).map { f =>
+      var j = 0
+      var sumSq = 0L
+      var zc = 0L
+      var prevNeg = false
+      while (j < frameSamples) {
+        val base = 2 * (f * frameSamples + j)
+        var v = (payload(base) & 0xff) | ((payload(base + 1) & 0xff) << 8)
+        if (v >= 0x8000) v -= 0x10000
+        sumSq += v.toLong * v
+        val neg = v < 0
+        if (j > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        j += 1
+      }
+      (f.toLong, math.sqrt(sumSq.toDouble / frameSamples), zc)
+    }
+  }
+
+  /** Batched audio feature extraction: same typed-mapPartitions shape
+    * as decodeFeatures — payloads stay opaque bytes, batches bound
+    * decode memory, frames explode map-side with no shuffle.
+    */
+  def audioFeatures(
+      spark: SparkSession,
+      withPayload: DataFrame,
+      frameSamples: Int = 32,
+      batchSize: Int = 64
+  ): DataFrame = {
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            audioStub(payload, frameSamples).iterator.map { case (f, rms, zc) =>
+              (id, f, frameSamples.toLong, rms, zc)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "n_samples", "rms", "zero_crossings")
+  }
+
   // ---------------------------------------------------------------------
   // Fixed driver query (rows-only: the decode stub is not SQL semantics;
   // schema/batching correctness is covered by MultimodalSpec)
@@ -318,6 +378,55 @@ object Multimodal {
       )
       .orderBy(col("doc_id"), col("frame_no"))
   }
+
+  /** Audio modality end to end: payload → int16 PCM frames → RMS +
+    * zero crossings. Map-side until the output sort.
+    */
+  def mmAudio(spark: SparkSession, dir: String): DataFrame =
+    audioFeatures(spark, withPayloads(Tables.documents(spark, dir)))
+      .select(
+        col("doc_id"),
+        col("frame_no"),
+        col("n_samples"),
+        round(col("rms"), 6).as("rms"),
+        col("zero_crossings")
+      )
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  /** Audio oracle: sample j of frame f is the little-endian int16 at
+    * byte offset 2·(32f + j) — two hex-sliced bytes recombined and
+    * sign-folded; RMS from the exact integer square sum, crossings by
+    * a LAG window over sample order. Trailing partial frames drop via
+    * the (nb // 2) // 32 frame count, exactly as the kernel does.
+    */
+  val mmAudioSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+       |fr AS (
+       |  SELECT doc_id, hx, UNNEST(range(0, (nb // 2) // 32)) AS fno FROM p),
+       |sv AS (
+       |  SELECT doc_id, fno, j,
+       |    CAST(('0x' || substr(hx, CAST(2 * (fno * 64 + 2 * j) + 1 AS INT), 2)) AS INT)
+       |      + 256 * CAST(('0x' || substr(hx, CAST(2 * (fno * 64 + 2 * j + 1) + 1 AS INT), 2)) AS INT) AS raw
+       |  FROM (SELECT doc_id, fno, hx, UNNEST(range(0, 32)) AS j FROM fr) t),
+       |sval AS (
+       |  SELECT doc_id, fno, j,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+       |  FROM sv),
+       |lagd AS (
+       |  SELECT doc_id, fno, v,
+       |    LAG(v) OVER (PARTITION BY doc_id, fno ORDER BY j) AS pv
+       |  FROM sval),
+       |stats AS (
+       |  SELECT doc_id, fno,
+       |    SUM(CAST(v AS BIGINT) * v) AS ss,
+       |    CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zc
+       |  FROM lagd GROUP BY doc_id, fno)
+       |SELECT doc_id, CAST(fno AS BIGINT) AS frame_no, CAST(32 AS BIGINT) AS n_samples,
+       |  ROUND(SQRT(CAST(ss AS DOUBLE) / 32), 6) AS rms,
+       |  zc AS zero_crossings
+       |FROM stats
+       |ORDER BY doc_id, frame_no""".stripMargin
 
   /** Frame-chain oracle: every 4th complete 64-byte frame, features by
     * the same hex-sliced byte recovery as mmDecodeSql — frame f's byte

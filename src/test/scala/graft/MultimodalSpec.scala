@@ -85,4 +85,44 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Long]("checksum") shouldBe expected((r.getAs[Long]("doc_id"), r.getAs[Long]("frame_no")))
     }
   }
+
+  "audioStub" should "recover alternating-sign PCM with full crossings and exact RMS" in {
+    // 32 samples alternating +1000 / -1000, little-endian int16
+    val bytes = new Array[Byte](64)
+    for (j <- 0 until 32) {
+      val v = if (j % 2 == 0) 1000 else -1000
+      bytes(2 * j) = (v & 0xff).toByte
+      bytes(2 * j + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val frames = Multimodal.audioStub(bytes, 32)
+    frames should have size 1
+    val (fno, rms, zc) = frames.head
+    fno shouldBe 0L
+    rms shouldBe 1000.0 +- 1e-9
+    zc shouldBe 31L // every adjacent pair flips sign
+  }
+
+  it should "drop trailing partial frames and frame constant input with zero crossings" in {
+    // 150 bytes of 'a' → 75 samples → 2 complete 32-sample frames
+    val bytes = Array.fill(150)('a'.toByte)
+    val frames = Multimodal.audioStub(bytes, 32)
+    frames.map(_._1) shouldBe Seq(0L, 1L)
+    // every sample is 0x6161 = 24929 → rms is the constant, no crossings
+    frames.foreach { case (_, rms, zc) =>
+      rms shouldBe 24929.0 +- 1e-9
+      zc shouldBe 0L
+    }
+  }
+
+  "audioFeatures" should "emit the stub's frames through the batched decode stage" in {
+    val docs = Seq((7L, "a" * 128), (8L, "xy")).toDF("doc_id", "text")
+    val rows = Multimodal
+      .audioFeatures(spark, Multimodal.withPayloads(docs))
+      .orderBy($"doc_id", $"frame_no")
+      .collect()
+    // doc 7: 128 bytes → 64 samples → 2 frames; doc 8: 1 sample → none
+    rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_no"))) shouldBe
+      Array((7L, 0L), (7L, 1L))
+    rows.foreach(_.getAs[Long]("n_samples") shouldBe 32L)
+  }
 }
