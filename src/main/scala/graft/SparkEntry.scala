@@ -145,7 +145,9 @@ object SparkEntry {
     // stats via a join against the rewritten vocabulary relation
     "tokenize_bpe" -> (Tokenizer.tokenizeBpe _),
     // audio modality: payload → int16 PCM frames → RMS + crossings
-    "mm_audio" -> (Multimodal.mmAudio _)
+    "mm_audio" -> (Multimodal.mmAudio _),
+    // c-TF-IDF topic words per embedding k-means cell
+    "cluster_topics" -> (Similarity.clusterTopicsQ _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -247,6 +249,7 @@ object SparkEntry {
     "sample_temperature" -> Curation.sampleTemperatureSql,
     "ts_pyramid" -> Timeseries.tsPyramidSql,
     "tokenize_bpe" -> Tokenizer.tokenizeBpeSql,
-    "mm_audio" -> Multimodal.mmAudioSql
+    "mm_audio" -> Multimodal.mmAudioSql,
+    "cluster_topics" -> Similarity.clusterTopicsSql
   )
 }

@@ -459,6 +459,80 @@ object Similarity {
        |FROM kasg
        |ORDER BY vec_id""".stripMargin
 
+  /** Cluster topic labeling — the BERTopic-style "describe" step after
+    * embedding clustering: every k-means cell labeled by its top
+    * class-TF-IDF words (count of the word inside the cluster, scaled
+    * by ln(1 + K/df) where df is the number of clusters the word
+    * appears in). The standard way to turn an opaque embedding
+    * clustering into an auditable curation report.
+    *
+    * Scale shape: assignment is the literal-centroid projection (one
+    * corpus scan per Lloyd iteration, corpus never shuffled); the
+    * doc→cluster join happens at DOCUMENT granularity before the word
+    * explode, so the join never sees word-occurrence scale; word
+    * counts partial-aggregate on (cluster, word); df and the score
+    * run at vocabulary scale; top-m per cluster is a rank Spark
+    * rewrites to WindowGroupLimit. Portability: round-9 on the ln,
+    * round-6 on the score.
+    */
+  def clusterTopics(docs: DataFrame, emb: DataFrame, topM: Int = 5): DataFrame = {
+    val asg = kmeansAssign(emb, KmeansK, KmeansIters).select(col("vec_id"), col("cluster"))
+    val normSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    val dw = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .join(asg, docs("doc_id") === asg("vec_id"))
+      .select(col("cluster"), explode(split(expr(normSql), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val cw = dw.groupBy(col("cluster"), col("word")).agg(count(lit(1)).as("cnt"))
+    val df = cw.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val sc = cw
+      .join(df, Seq("word"))
+      .withColumn(
+        "score",
+        round(col("cnt") * round(log(lit(1.0) + lit(KmeansK.toDouble) / col("df")), 9), 6)
+      )
+    val w = Window.partitionBy(col("cluster")).orderBy(col("score").desc, col("word"))
+    sc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topM)
+      .select(col("cluster"), col("rk"), col("word"), col("cnt"), col("df"), col("score"))
+  }
+
+  def clusterTopicsQ(spark: SparkSession, dir: String): DataFrame =
+    clusterTopics(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("cluster"), col("rk"))
+
+  /** Oracle: the shared k-means trajectory CTEs, then the identical
+    * doc-granular join → word explode → (cluster, word) counts → df →
+    * c-TF-IDF score → per-cluster rank.
+    */
+  val clusterTopicsSql: String =
+    s"""WITH $KmeansCtes,
+       |dtext AS (
+       |  SELECT k.cid AS cluster, d.text
+       |  FROM kasg k JOIN documents d ON d.doc_id = k.vec_id
+       |  WHERE d.text IS NOT NULL AND LENGTH(TRIM(d.text)) > 0),
+       |dw AS (
+       |  SELECT cluster,
+       |    UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |  FROM dtext),
+       |cw AS (
+       |  SELECT cluster, word, COUNT(*) AS cnt FROM dw WHERE LENGTH(word) > 0 GROUP BY 1, 2),
+       |dfreq AS (
+       |  SELECT word, COUNT(*) AS df FROM cw GROUP BY 1),
+       |sc AS (
+       |  SELECT c.cluster, c.word, c.cnt, f.df,
+       |    ROUND(c.cnt * ROUND(LN(1 + CAST($KmeansK AS DOUBLE) / f.df), 9), 6) AS score
+       |  FROM cw c JOIN dfreq f ON f.word = c.word),
+       |ranked AS (
+       |  SELECT cluster, word, cnt, df, score,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, word) AS rk
+       |  FROM sc)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(rk AS BIGINT) AS rk, word,
+       |  cnt, df, score
+       |FROM ranked
+       |WHERE rk <= 5
+       |ORDER BY cluster, rk""".stripMargin
+
   // ---------------------------------------------------------------------
   // Product quantization
   // ---------------------------------------------------------------------

@@ -292,4 +292,40 @@ class SimilaritySpec extends SparkSpec {
     capped.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet shouldBe
       Set((0L, 1L), (4L, 5L))
   }
+
+  "clusterTopics" should "label every cluster with its own words, ranked consistently" in {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = Similarity.clusterTopics(docs, emb).orderBy($"cluster", $"rk").collect()
+    rows should not be empty
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (_, rs) =>
+      rs.map(_.getAs[Long]("rk")).toSeq shouldBe (1L to rs.length)
+      // scores never increase down the rank, ties broken by word
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Double]("score"), b.getAs[Double]("score"))
+          assert(sa > sb || (sa == sb && a.getAs[String]("word") < b.getAs[String]("word")))
+        case _ => ()
+      }
+      rs.length should be <= 5
+    }
+    // df counts clusters, so no df may exceed the cluster count
+    val k = byCluster.size
+    all(rows.map(_.getAs[Long]("df")).toSeq) should be <= k.toLong
+    // a top word of a cluster must actually occur in that cluster's docs
+    val asg = Similarity
+      .kmeansAssign(emb, Similarity.KmeansK, Similarity.KmeansIters)
+      .select($"vec_id", $"cluster")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val topWord = rows.filter(_.getAs[Long]("rk") == 1L).head
+    val cWords = texts
+      .filter { case (id, _) => asg(id) == topWord.getAs[Long]("cluster") }
+      .flatMap(_._2.toLowerCase.trim.split("\\s+"))
+      .toSet
+    cWords should contain(topWord.getAs[String]("word"))
+  }
 }
