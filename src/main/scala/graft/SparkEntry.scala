@@ -147,7 +147,9 @@ object SparkEntry {
     // audio modality: payload → int16 PCM frames → RMS + crossings
     "mm_audio" -> (Multimodal.mmAudio _),
     // c-TF-IDF topic words per embedding k-means cell
-    "cluster_topics" -> (Similarity.clusterTopicsQ _)
+    "cluster_topics" -> (Similarity.clusterTopicsQ _),
+    // TPC-H Q8-shaped national market share by year
+    "q8_market" -> (Relational.q8Market _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -250,6 +252,7 @@ object SparkEntry {
     "ts_pyramid" -> Timeseries.tsPyramidSql,
     "tokenize_bpe" -> Tokenizer.tokenizeBpeSql,
     "mm_audio" -> Multimodal.mmAudioSql,
-    "cluster_topics" -> Similarity.clusterTopicsSql
+    "cluster_topics" -> Similarity.clusterTopicsSql,
+    "q8_market" -> Relational.q8Sql
   )
 }

@@ -254,6 +254,74 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q8-shaped national market share: within one region's
+    * customer base and one part type, the share of yearly revenue
+    * supplied by a single nation. The classic star-join + conditional
+    * aggregation probe.
+    *
+    * Scale shape: the fact table joins each dimension on its own key
+    * (no fact-fact join); the part-type and region filters push into
+    * the dimension scans and shrink the fact stream before any wide
+    * exchange; nation/region dims broadcast explicitly; the final
+    * aggregate is year-cardinality. The share divides two exact
+    * DECIMAL sums once, so the double is deterministic.
+    */
+  def q8Market(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice").cast(d184) * (lit(1).cast(d184) - col("l_discount").cast(d184))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(
+          sum(when(col("supp_nation") === "NATION_2", vol).otherwise(lit(0).cast(d184)))
+            .cast("double") /
+            sum(vol).cast("double"),
+          6
+        ).as("mkt_share"),
+        round(sum(vol), 4).cast("double").as("revenue")
+      )
+      .orderBy(col("o_year"))
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS n_lines,
+      |  ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+      |                      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+      |        6) AS mkt_share,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin
+
   val q7Sql: String =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year, COUNT(*) AS n_lines,

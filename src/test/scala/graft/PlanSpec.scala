@@ -363,6 +363,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "tokenize_bpe" should "encode via a vocab hash join with partial per-doc aggregation" in {
+    val df = graft.operators.Tokenizer.bpeEncodeStats(Tables.documents(spark, sfDir), rounds = 3)
+    val plan = planString(df)
+    // the vocabulary side is broadcast at this scale; never a
+    // nested-loop pairing of corpus words against the vocab
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("partial_count")
+  }
+
+  "cluster_topics" should "assign by literal-centroid projection and keep joins off corpus scale" in {
+    val df = Similarity.clusterTopics(Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+    val plan = planString(df)
+    // centroid assignment is a projection over literals — the only
+    // joins are doc-granular (assignment) and vocabulary-scale (df)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("partial_count")
+    // unpartitioned windows are banned — the rank is per-cluster
+    val unpart = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    unpart shouldBe empty
+  }
+
+  "mm_audio" should "stay map-side until the output sort" in {
+    val df = graft.operators.Multimodal.mmAudio(spark, sfDir)
+    // one range partitioning for ORDER BY; decode + framing shuffle nothing
+    countShuffles(df) should be <= 1
+  }
+
+  "sample_temperature" should "run its normalizing window above the source-cardinality aggregate" in {
+    val df = graft.operators.Curation.sampleTemperature(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows should not be empty
+    // every unpartitioned window must sit above an Aggregate — the
+    // corpus itself never flows through a single-partition window
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggsBelow = w.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      aggsBelow should not be empty
+    }
+  }
+
   "ts_asof" should "avoid any unpartitioned global-sort window over the data" in {
     val df = Timeseries.tsAsof(spark, sfDir)
     // the only unpartitioned window runs over the tiny per-bucket

@@ -45,4 +45,19 @@ class RelationalSpec extends SparkSpec {
     n should be > 0L
     n should be < Tables.orders(spark, sfDir).count()
   }
+
+  "q8_market" should "report a per-year share inside [0, 1] with positive revenue" in {
+    val rows = Relational.q8Market(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      share should (be >= 0.0 and be <= 1.0)
+      r.getAs[Double]("revenue") should be > 0.0
+      r.getAs[Long]("n_lines") should be > 0L
+    }
+    // years arrive sorted and distinct
+    val years = rows.map(_.getAs[Long]("o_year")).toSeq
+    years shouldBe years.sorted
+    years.distinct shouldBe years
+  }
 }
