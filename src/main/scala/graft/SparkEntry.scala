@@ -149,7 +149,9 @@ object SparkEntry {
     // c-TF-IDF topic words per embedding k-means cell
     "cluster_topics" -> (Similarity.clusterTopicsQ _),
     // TPC-H Q8-shaped national market share by year
-    "q8_market" -> (Relational.q8Market _)
+    "q8_market" -> (Relational.q8Market _),
+    // per-cluster distance z-scores: embedding-space outlier pruning
+    "embed_outliers" -> (Similarity.embedOutliersQ _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -253,6 +255,7 @@ object SparkEntry {
     "tokenize_bpe" -> Tokenizer.tokenizeBpeSql,
     "mm_audio" -> Multimodal.mmAudioSql,
     "cluster_topics" -> Similarity.clusterTopicsSql,
-    "q8_market" -> Relational.q8Sql
+    "q8_market" -> Relational.q8Sql,
+    "embed_outliers" -> Similarity.embedOutliersSql
   )
 }

@@ -459,6 +459,78 @@ object Similarity {
        |FROM kasg
        |ORDER BY vec_id""".stripMargin
 
+  /** Embedding-space outlier flags — the prototypicality gate that
+    * prunes corrupt or off-manifold embeddings before they poison
+    * nearest-neighbor mining: each vector's (already-deterministic)
+    * squared distance to its k-means centroid is z-scored against its
+    * OWN cluster's distance distribution, and vectors beyond
+    * mean + 2·std are flagged.
+    *
+    * Scale shape: the cluster stats are a k-row aggregate over the
+    * assignment relation (DECIMAL sums → order-independent), broadcast
+    * back onto the assignment — the corpus is never reshuffled and the
+    * flag is a map-side projection. Portability: stats run on the
+    * round-6 distances the assignment already emits; std keeps round-9.
+    */
+  def embedOutliers(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val asg = kmeansAssign(emb, k, iters)
+    val stats = asg
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dist2").cast(dec)).as("s1"),
+        sum((col("dist2") * col("dist2")).cast(dec)).as("s2")
+      )
+      .select(
+        col("cluster"),
+        col("n"),
+        (col("s1").cast("double") / col("n")).as("__m1"),
+        (col("s2").cast("double") / col("n")).as("__m2")
+      )
+      .select(
+        col("cluster"),
+        col("n"),
+        col("__m1"),
+        round(sqrt(greatest(col("__m2") - col("__m1") * col("__m1"), lit(0.0))), 9).as("__std")
+      )
+    asg
+      .join(broadcast(stats), Seq("cluster"))
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        col("dist2"),
+        round((col("dist2") - col("__m1")) / nullif(col("__std"), lit(0.0)), 6).as("z"),
+        (col("dist2") > col("__m1") + lit(2.0) * col("__std")).as("outlier")
+      )
+  }
+
+  def embedOutliersQ(spark: SparkSession, dir: String): DataFrame =
+    embedOutliers(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
+  /** Oracle: the shared trajectory's final assignment with distances
+    * rounded to 6 FIRST (the values the Spark assignment emits), then
+    * identical per-cluster moment stats and the same z / flag math.
+    */
+  val embedOutliersSql: String =
+    s"""WITH $KmeansCtes,
+       |a AS (
+       |  SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(d, 6) AS dist2 FROM kasg),
+       |st AS (
+       |  SELECT cluster, COUNT(*) AS n,
+       |    CAST(SUM(CAST(dist2 AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m1,
+       |    CAST(SUM(CAST(dist2 * dist2 AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m2
+       |  FROM a GROUP BY cluster),
+       |stx AS (
+       |  SELECT cluster, m1,
+       |    ROUND(SQRT(GREATEST(m2 - m1 * m1, 0.0)), 9) AS sd
+       |  FROM st)
+       |SELECT a.vec_id, a.cluster, a.dist2,
+       |  ROUND((a.dist2 - s.m1) / NULLIF(s.sd, 0.0), 6) AS z,
+       |  (a.dist2 > s.m1 + 2.0 * s.sd) AS outlier
+       |FROM a JOIN stx s ON s.cluster = a.cluster
+       |ORDER BY a.vec_id""".stripMargin
+
   /** Cluster topic labeling — the BERTopic-style "describe" step after
     * embedding clustering: every k-means cell labeled by its top
     * class-TF-IDF words (count of the word inside the cluster, scaled

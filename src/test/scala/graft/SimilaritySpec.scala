@@ -293,6 +293,38 @@ class SimilaritySpec extends SparkSpec {
       Set((0L, 1L), (4L, 5L))
   }
 
+  "embedOutliers" should "flag a planted far point and keep tight cluster members" in {
+    // one tight blob + one extreme point; k=1 collapses them into a
+    // single cluster whose distance distribution isolates the plant
+    val vecs = ((0 until 40).map { i =>
+      (i.toLong, Array(10.0f + (i % 5) * 0.01f, 20.0f + (i % 7) * 0.01f))
+    } :+ (99L, Array(500.0f, -400.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity
+      .embedOutliers(vecs, k = 1, iters = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("outlier"))
+      .toMap
+    rows(99L) shouldBe true
+    (0 until 40).foreach(i => rows(i.toLong) shouldBe false)
+  }
+
+  it should "z-score within each cluster, not globally" in {
+    // two clusters with very different scales: a modest deviation in
+    // the wide cluster must NOT be flagged just because the tight
+    // cluster's variance is tiny
+    val tight = (0 until 20).map(i => (i.toLong, Array(0.0f, i % 3 * 0.001f)))
+    val wide = (100 until 120).map(i => (i.toLong, Array(1000.0f, (i % 10) * 30.0f)))
+    val rows = Similarity
+      .embedOutliers((tight ++ wide).toDF("vec_id", "embedding"), k = 2, iters = 3)
+      .collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.size shouldBe 2
+    // no point in the wide cluster is beyond 2 sigma of its own spread
+    rows.filter(_.getAs[Long]("vec_id") >= 100L).foreach { r =>
+      r.getAs[Boolean]("outlier") shouldBe false
+    }
+  }
+
   "clusterTopics" should "label every cluster with its own words, ranked consistently" in {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
