@@ -151,7 +151,9 @@ object SparkEntry {
     // TPC-H Q8-shaped national market share by year
     "q8_market" -> (Relational.q8Market _),
     // per-cluster distance z-scores: embedding-space outlier pruning
-    "embed_outliers" -> (Similarity.embedOutliersQ _)
+    "embed_outliers" -> (Similarity.embedOutliersQ _),
+    // threshold retrieval: every neighbor above cosine tau via LSH
+    "ann_radius" -> (Similarity.annRadius _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,6 +258,7 @@ object SparkEntry {
     "mm_audio" -> Multimodal.mmAudioSql,
     "cluster_topics" -> Similarity.clusterTopicsSql,
     "q8_market" -> Relational.q8Sql,
-    "embed_outliers" -> Similarity.embedOutliersSql
+    "embed_outliers" -> Similarity.embedOutliersSql,
+    "ann_radius" -> Similarity.annRadiusSql
   )
 }

@@ -111,6 +111,45 @@ object Similarity {
       )
   }
 
+  /** Radius (threshold) retrieval — the dual of top-k: return EVERY
+    * corpus vector within cosine >= tau of each query, mined through
+    * the same multi-probe hyperplane buckets as [[lshTopK]]. The
+    * retrieval mode RAG recall stages and near-duplicate lookups use
+    * when "how many" is data-dependent.
+    *
+    * Same scale shape as lshTopK: queries broadcast with planes+1
+    * probe buckets each, the corpus is scanned once and only
+    * shared-bucket candidates are scored; multi-probe collisions
+    * dedup AFTER the threshold cut, so the distinct runs on the
+    * surviving pairs, not the candidate stream.
+    */
+  def lshRadius(
+      corpus: DataFrame,
+      queries: DataFrame,
+      tau: Double,
+      planes: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val c = prepped(corpus, "neighbor_id", "vc", "nc")
+      .withColumn("bucket", hyperplaneBucket(col("vc"), hp))
+    val q0 = prepped(queries, "query_id", "vq", "nq")
+      .withColumn("__b0", hyperplaneBucket(col("vq"), hp))
+    val probes = col("__b0") +: (0 until planes).map(p => col("__b0").bitwiseXOR(lit(1L << p)))
+    val q = q0.select(
+      col("query_id"),
+      col("vq"),
+      col("nq"),
+      explode(array(probes: _*)).as("bucket")
+    )
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorMath.cosine(col("vq"), col("vc"), col("nq"), col("nc")))
+      .filter(col("cosine") >= tau)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+
   /** IVF-style ANN: a deterministic sample of corpus vectors serves as
     * the coarse quantizer ("centroids" — at scale these come from a
     * proper k-means job and are persisted as the index). Every corpus
@@ -314,6 +353,52 @@ object Similarity {
     // larger corpora raise planes to keep per-bucket candidate counts flat
     lshTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK, planes = 4)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Fixed radius-retrieval threshold (≈ the q99 of the query-corpus
+    * cosine distribution at the test scale factors, so hits exist but
+    * stay data-dependent).
+    */
+  val RadiusTau = 0.25
+
+  def annRadius(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    lshRadius(emb, emb.filter(col("vec_id") < QueryCount), RadiusTau, planes = 4)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Radius oracle: the annLshSql candidate CTEs with the threshold cut
+    * on the RAW cosine (the value Spark filters) and a distinct over
+    * the rounded survivors.
+    */
+  val annRadiusSql: String = {
+    val planes = 4
+    val hp = hyperplanes(planes, 64)
+    def bucketExpr(v: String): String =
+      hp.zipWithIndex
+        .map { case (p, i) =>
+          val lit = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product($v, $lit) > 0.0 THEN ${1L << i} ELSE 0 END)"
+        }
+        .mkString("(", " + ", ")")
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS neighbor_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n),
+       |q0 AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq, ${bucketExpr("v")} AS b0
+       |       FROM n WHERE vec_id < $QueryCount),
+       |q AS (SELECT query_id, vq, nq,
+       |        UNNEST([b0${(0 until planes).map(p => s", xor(b0, ${1L << p})").mkString}]) AS bucket
+       |      FROM q0),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         list_dot_product(q.vq, c.v) / (q.nq * c.nrm) AS cos_raw
+       |  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id)
+       |SELECT DISTINCT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine
+       |FROM scored
+       |WHERE cos_raw >= $RadiusTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
   }
 
   /** LSH oracle: the hyperplanes are driver-side constants, so the SQL

@@ -293,6 +293,40 @@ class SimilaritySpec extends SparkSpec {
       Set((0L, 1L), (4L, 5L))
   }
 
+  "lshRadius" should "return exactly the above-threshold pairs the buckets admit, deduped" in {
+    // near-identical pair (cosine ~1) and an orthogonal distractor
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.02f, 0.0f, 0.0f)),
+      (2L, Array(-1.0f, 5.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val hits = Similarity
+      .lshRadius(vecs, vecs.filter($"vec_id" === 0L), tau = 0.9, planes = 4, dim = 4)
+      .collect()
+    hits.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet shouldBe
+      Set((0L, 1L))
+    hits.head.getAs[Double]("cosine") should be > 0.999
+    // no duplicate pairs survive multi-probe collisions
+    hits.length shouldBe hits.map(r => (r.getLong(0), r.getLong(1))).distinct.length
+  }
+
+  it should "be a subset of brute-force threshold pairs with matching cosines" in {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Similarity
+      .lshRadius(emb, emb.filter($"vec_id" < 10), tau = 0.2, planes = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val brute = Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 10), k = Int.MaxValue)
+      .filter($"cosine" >= 0.2)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    got.keySet.subsetOf(brute.keySet) shouldBe true
+    got.foreach { case (k, c) => c shouldBe brute(k) +- 1e-9 }
+  }
+
   "embedOutliers" should "flag a planted far point and keep tight cluster members" in {
     // one tight blob + one extreme point; k=1 collapses them into a
     // single cluster whose distance distribution isolates the plant
