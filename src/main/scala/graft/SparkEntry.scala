@@ -153,7 +153,9 @@ object SparkEntry {
     // per-cluster distance z-scores: embedding-space outlier pruning
     "embed_outliers" -> (Similarity.embedOutliersQ _),
     // threshold retrieval: every neighbor above cosine tau via LSH
-    "ann_radius" -> (Similarity.annRadius _)
+    "ann_radius" -> (Similarity.annRadius _),
+    // char + word Shannon entropy (compressibility quality signals)
+    "text_entropy" -> (TextAnalysis.textEntropy _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,6 +261,7 @@ object SparkEntry {
     "cluster_topics" -> Similarity.clusterTopicsSql,
     "q8_market" -> Relational.q8Sql,
     "embed_outliers" -> Similarity.embedOutliersSql,
-    "ann_radius" -> Similarity.annRadiusSql
+    "ann_radius" -> Similarity.annRadiusSql,
+    "text_entropy" -> TextAnalysis.textEntropySql
   )
 }

@@ -142,6 +142,85 @@ object TextAnalysis {
       )
   }
 
+  /** Per-document Shannon entropy at character and word granularity —
+    * the compressibility signals that flag binary junk, boilerplate
+    * and keyword-stuffed spam (low entropy) or encrypted/encoded noise
+    * (abnormally high character entropy).
+    *
+    * Both use H = ln n − (Σ m·ln m)/n over the symbol histogram —
+    * algebraically −Σ p·ln p but summable from raw counts, so no
+    * per-symbol division order matters.
+    *
+    * Scale shape: the CHARACTER side is a pure map-side fold — the
+    * alphabet is bounded, so counting each distinct char by a filter
+    * scan of the char array is O(|alphabet|·len) inside whole-stage
+    * codegen with zero shuffle, and the fold runs in sorted-char order
+    * so both engines sum identical doubles in identical order. The
+    * WORD side's histogram is per-doc unbounded, so it takes the same
+    * (doc, word)-keyed partial aggregation any wordcount pays — with
+    * each m·ln m term routed through DECIMAL(27,10) so the per-doc sum
+    * is order-independent. Portability: round-9 on every ln, round-6
+    * on the final entropies.
+    */
+  def entropyScores(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val charSide = docs
+      .select(col("doc_id"), expr(NormSql).as("nm"))
+      .withColumn("n", length(col("nm")).cast("long"))
+      .withColumn("cs", expr("transform(sequence(1, length(nm)), i -> substring(nm, i, 1))"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_chars"),
+        size(array_distinct(col("cs"))).cast("long").as("n_uniq_chars"),
+        when(
+          col("n") > 0,
+          round(
+            round(log(col("n")), 9) -
+              expr(
+                """aggregate(
+                  |  transform(
+                  |    transform(array_sort(array_distinct(cs)), c -> size(filter(cs, x -> x = c))),
+                  |    m -> m * round(ln(m), 9)),
+                  |  cast(0.0 as double), (a, b) -> a + b)""".stripMargin
+              ) / col("n"),
+            6
+          )
+        ).as("char_entropy")
+      )
+    val wordSide = docs
+      .select(col("doc_id"), explode(split(expr(NormSql), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_uniq_words"),
+        sum((col("c") * round(log(col("c")), 9)).cast(dec)).as("__sd")
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_uniq_words"),
+        round(
+          round(log(col("n_words").cast("double")), 9) -
+            col("__sd").cast("double") / col("n_words"),
+          6
+        ).as("word_entropy")
+      )
+    charSide
+      .join(wordSide, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_uniq_chars"),
+        col("char_entropy"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_uniq_words"), lit(0L)).as("n_uniq_words"),
+        col("word_entropy")
+      )
+  }
+
   /** Stopword profiles for the language-ID heuristic (small public
     * function-word lists; zh is handled by CJK character ratio).
     */
@@ -306,6 +385,46 @@ object TextAnalysis {
        |FROM f
        |ORDER BY doc_id""".stripMargin
   }
+
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyScores(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Oracle: identical char fold (sorted distinct chars, prepended-zero
+    * list_reduce = the same left-to-right summation) and identical
+    * word-histogram DECIMAL sums.
+    */
+  val textEntropySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm FROM documents),
+       |ch AS (
+       |  SELECT doc_id, nm, LENGTH(nm) AS n,
+       |    list_transform(range(1, LENGTH(nm) + 1), i -> substr(nm, CAST(i AS INT), 1)) AS cs
+       |  FROM t),
+       |chs AS (
+       |  SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       |    CAST(len(list_distinct(cs)) AS BIGINT) AS n_uniq_chars,
+       |    CASE WHEN n > 0 THEN
+       |      ROUND(ROUND(LN(n), 9) -
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(
+       |            list_transform(list_sort(list_distinct(cs)), c -> len(list_filter(cs, x -> x = c))),
+       |            m -> m * ROUND(LN(m), 9))),
+       |          (a, b) -> a + b) / n, 6)
+       |    END AS char_entropy
+       |  FROM ch),
+       |w AS (SELECT doc_id, UNNEST(string_split(nm, ' ')) AS word FROM t),
+       |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w WHERE LENGTH(word) > 0 GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, COUNT(*) AS n_uniq_words,
+       |    ROUND(ROUND(LN(CAST(SUM(c) AS DOUBLE)), 9) -
+       |      CAST(SUM(CAST(c * ROUND(LN(c), 9) AS DECIMAL(27,10))) AS DOUBLE) / SUM(c), 6) AS word_entropy
+       |  FROM wc GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_chars, c.n_uniq_chars, c.char_entropy,
+       |  COALESCE(ws.n_words, 0) AS n_words,
+       |  COALESCE(ws.n_uniq_words, 0) AS n_uniq_words,
+       |  ws.word_entropy
+       |FROM chs c LEFT JOIN ws ON ws.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
 
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     langId(Tables.documents(spark, dir)).orderBy(col("doc_id"))

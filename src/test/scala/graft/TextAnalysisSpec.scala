@@ -227,6 +227,29 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0) shouldBe 3L
   }
 
+  "entropyScores" should "give ln k for uniform symbols, 0 for constant, nulls at edges" in {
+    val docs = Seq(
+      (1L, "aabb"), // chars: a,a,b,b (+0 spaces) → char H = ln 2
+      (2L, "x x x x"), // one distinct word → word H = 0
+      (3L, "u v w z"), // 4 uniform words → word H = ln 4
+      (4L, "   "),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.entropyScores(docs).orderBy($"doc_id").collect()
+    rows(0).getAs[Double]("char_entropy") shouldBe math.log(2) +- 1e-6
+    rows(1).getAs[Double]("word_entropy") shouldBe 0.0 +- 1e-12
+    rows(1).getAs[Long]("n_words") shouldBe 4L
+    rows(1).getAs[Long]("n_uniq_words") shouldBe 1L
+    rows(2).getAs[Double]("word_entropy") shouldBe math.log(4) +- 1e-6
+    // blank text: zero-length normalized form → null char entropy, no words
+    rows(3).getAs[Long]("n_chars") shouldBe 0L
+    rows(3).isNullAt(rows(3).fieldIndex("char_entropy")) shouldBe true
+    rows(3).getAs[Long]("n_words") shouldBe 0L
+    // null text: everything char-side null, word-side zeroed
+    rows(4).isNullAt(rows(4).fieldIndex("n_chars")) shouldBe true
+    rows(4).getAs[Long]("n_words") shouldBe 0L
+  }
+
   "gopherRules" should "pass clean prose and flag each rule violation separately" in {
     val longClean =
       ("the data must be clean and ready to ship with care " * 4).trim // 44 words, all rules ok
