@@ -155,7 +155,9 @@ object SparkEntry {
     // threshold retrieval: every neighbor above cosine tau via LSH
     "ann_radius" -> (Similarity.annRadius _),
     // char + word Shannon entropy (compressibility quality signals)
-    "text_entropy" -> (TextAnalysis.textEntropy _)
+    "text_entropy" -> (TextAnalysis.textEntropy _),
+    // Bloom-prefiltered cross-corpus membership dedup (exact answer)
+    "dedup_bloom" -> (Dedup.dedupBloom _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -262,6 +264,7 @@ object SparkEntry {
     "q8_market" -> Relational.q8Sql,
     "embed_outliers" -> Similarity.embedOutliersSql,
     "ann_radius" -> Similarity.annRadiusSql,
-    "text_entropy" -> TextAnalysis.textEntropySql
+    "text_entropy" -> TextAnalysis.textEntropySql,
+    "dedup_bloom" -> Dedup.dedupBloomSql
   )
 }

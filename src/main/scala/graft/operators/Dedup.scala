@@ -118,6 +118,61 @@ object Dedup {
       .filter(col("n_sources") > 1)
       .select(col("doc_id"), col("n_copies"), col("n_sources"))
 
+  /** Build a Bloom filter over `h` (a LongType hash column) with
+    * Spark's native BloomFilterAggregate — one partial aggregation,
+    * numBits/8 bytes of result regardless of input size.
+    */
+  def bloomBuild(df: DataFrame, h: Column, expectedItems: Long, numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      GraftSqlBridge.expression(h),
+      Literal(expectedItems),
+      Literal(numBits)
+    ).toAggregateExpression()
+    df.select(GraftSqlBridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Map-side membership probe against a built Bloom filter (Spark's
+    * native BloomFilterMightContain over the serialized sketch).
+    */
+  def bloomMight(bloom: Array[Byte], h: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    GraftSqlBridge.column(
+      new BloomFilterMightContain(Literal(bloom), GraftSqlBridge.expression(h))
+    )
+  }
+
+  /** Cross-corpus membership dedup with a Bloom prefilter — Spark's
+    * runtime-filter pattern applied to curation. The base corpus's
+    * content-hash set is sketched into a size-bounded Bloom filter
+    * (numBits/8 bytes however big the corpus), shipped as a literal
+    * into a MAP-SIDE might_contain probe over the incoming corpus, and
+    * only the surviving ~(dup_rate + fpp) fraction ever reaches the
+    * exact-verify semi join. At 100 TB that is the difference between
+    * shuffling the whole incoming corpus into a join and dropping
+    * non-members at the scan: the probe is a codegen'd projection.
+    *
+    * The final answer stays EXACT — Bloom false positives die in the
+    * verify join on the full normalized text — which is why the SQL
+    * oracle is the plain membership semi join with no sketch at all.
+    */
+  def bloomCrossDups(
+      base: DataFrame,
+      incoming: DataFrame,
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23
+  ): DataFrame = {
+    val an = base.filter(col("text").isNotNull).select(expr(NormSql).as("nm"))
+    val bn = incoming.filter(col("text").isNotNull).select(col("doc_id"), expr(NormSql).as("nm"))
+    val bloom = bloomBuild(an, xxhash64(col("nm")), expectedItems, numBits)
+    bn.filter(bloomMight(bloom, xxhash64(col("nm"))))
+      .join(an.distinct(), Seq("nm"), "left_semi")
+      .select(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------
@@ -814,6 +869,41 @@ object Dedup {
       |FROM corpus
       |GROUP BY LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))
       |HAVING COUNT(DISTINCT source) > 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** Fixed Bloom-prefilter query: incoming = verbatim mirrors of the
+    * doc_id % 7 == 0 slice (true members) plus tail-perturbed copies of
+    * the % 7 == 1 slice (guaranteed non-members) — so both the prune
+    * path and the verify path are exercised at every scale factor.
+    */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 4000000L).as("doc_id"), concat(col("text"), lit(" zz")).as("text"))
+      )
+    bloomCrossDups(docs, incoming).orderBy(col("doc_id"))
+  }
+
+  /** Bloom oracle: the exact membership semi join — the sketch is a
+    * pure prefilter, so it must be invisible in the result.
+    */
+  val dedupBloomSql: String =
+    """WITH inc AS (
+      |  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000 AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id % 7 = 1),
+      |an AS (
+      |  SELECT DISTINCT LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS nm
+      |  FROM documents WHERE text IS NOT NULL),
+      |bn AS (
+      |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS nm
+      |  FROM inc WHERE text IS NOT NULL)
+      |SELECT b.doc_id FROM bn b WHERE b.nm IN (SELECT nm FROM an)
       |ORDER BY doc_id""".stripMargin
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =

@@ -343,4 +343,29 @@ class DedupSpec extends SparkSpec {
     // invariant: n_docs sums to the corpus, removals = docs - clusters
     rows.map(_._3).sum shouldBe 10L
   }
+
+  "bloomCrossDups" should "return exactly the true members, no Bloom false positives" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (1L to 200L).map(i => (i, s"base document number $i with payload")).toDF("doc_id", "text")
+    val dups = (1L to 200L by 10).map(i => (1000L + i, s"base document number $i with payload"))
+    val fresh = (1L to 50L).map(i => (2000L + i, s"totally novel text $i"))
+    val incoming = (dups ++ fresh).toDF("doc_id", "text")
+    val got = Dedup.bloomCrossDups(base, incoming).as[Long].collect().sorted
+    got shouldBe dups.map(_._1).toArray
+  }
+
+  it should "prune non-members at the probe with a tiny sketch" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (1L to 500L).map(i => (i, s"member text $i")).toDF("doc_id", "text")
+    val incoming = (1L to 500L).map(i => (5000L + i, s"outsider text $i")).toDF("doc_id", "text")
+    val bloom = Dedup.bloomBuild(base, xxhash64(lower(col("text"))), expectedItems = 1000L, numBits = 1L << 16)
+    val survivors = incoming.filter(Dedup.bloomMight(bloom, xxhash64(lower(col("text"))))).count()
+    // fpp at 64 Kib for 500 items is far below 1% — the probe must
+    // drop essentially everything before any join forms
+    survivors should be < 25L
+    // sketch size is the configured bits, independent of corpus size
+    bloom.length should be < (1 << 16) / 8 + 64
+  }
 }
