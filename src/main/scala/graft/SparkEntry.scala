@@ -157,7 +157,11 @@ object SparkEntry {
     // char + word Shannon entropy (compressibility quality signals)
     "text_entropy" -> (TextAnalysis.textEntropy _),
     // Bloom-prefiltered cross-corpus membership dedup (exact answer)
-    "dedup_bloom" -> (Dedup.dedupBloom _)
+    "dedup_bloom" -> (Dedup.dedupBloom _),
+    // anti-aliased 5-tap FIR low-pass + decimate (window-expressible)
+    "ts_fir" -> (Timeseries.tsFir _),
+    // day-of-week x hour seasonal profile per channel
+    "ts_dow_profile" -> (Timeseries.tsDowProfile _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -265,6 +269,8 @@ object SparkEntry {
     "embed_outliers" -> Similarity.embedOutliersSql,
     "ann_radius" -> Similarity.annRadiusSql,
     "text_entropy" -> TextAnalysis.textEntropySql,
-    "dedup_bloom" -> Dedup.dedupBloomSql
+    "dedup_bloom" -> Dedup.dedupBloomSql,
+    "ts_fir" -> Timeseries.tsFirSql,
+    "ts_dow_profile" -> Timeseries.tsDowProfileSql
   )
 }

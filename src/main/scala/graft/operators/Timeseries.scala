@@ -208,6 +208,70 @@ object Timeseries {
     */
   val PyramidLevels = 4
 
+  /** Anti-aliased FIR decimation — the signal-processing-correct
+    * downsample the display-oriented min/max path doesn't give you:
+    * convolve each channel with the 5-tap binomial low-pass
+    * [1,4,6,4,1]/16 and keep every `factor`-th sample. Unlike the IIR
+    * cascade (recursive, sequential by nature), an FIR tap window is a
+    * pure function of a bounded neighborhood, so it IS expressible as
+    * a per-channel window of lag/leads — fully parallel, no
+    * block-stitching machinery needed.
+    *
+    * Scale shape: ONE per-channel sort-window (the same exchange any
+    * per-channel sequential op pays), every tap read from lag/lead in
+    * one Window stage, decimation as a rank filter in the same frame.
+    * Portability: taps are dyadic rationals (x/16 is exact in binary),
+    * the convolution is written in one fixed evaluation order, and
+    * edge rows without a full tap window are dropped in both engines.
+    */
+  def firDecimate(ts: DataFrame, factor: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
+    withTieBreak(ts)
+      .withColumn("__l2", lag(col("v"), 2).over(w))
+      .withColumn("__l1", lag(col("v"), 1).over(w))
+      .withColumn("__u1", lead(col("v"), 1).over(w))
+      .withColumn("__u2", lead(col("v"), 2).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(
+        col("__l2").isNotNull && col("__l1").isNotNull &&
+          col("__u1").isNotNull && col("__u2").isNotNull
+      )
+      .filter((col("__rn") - 3) % factor === 0) // first full-tap row, then every factor-th
+      .select(
+        col("channel"),
+        col("t"),
+        col("event_id"),
+        col("v"),
+        round(
+          (col("__l2") + lit(4.0) * col("__l1") + lit(6.0) * col("v") +
+            lit(4.0) * col("__u1") + col("__u2")) / lit(16.0),
+          6
+        ).as("v_filt")
+      )
+  }
+
+  /** Day-of-week × hour activity profile per channel — the seasonal
+    * heatmap behind capacity planning and anomaly baselines. Both
+    * period indices are pure integer arithmetic on the µs timestamp
+    * (epoch day + 4 mod 7, 0 = Sunday; hour mod 24), so no calendar
+    * or timezone machinery is involved and both engines derive
+    * identical keys. One partial aggregation to channel×7×24 rows.
+    */
+  def dowProfile(ts: DataFrame): DataFrame = {
+    val day = 86400000000L
+    val hour = 3600000000L
+    ts.groupBy(
+      col("channel"),
+      ((floor(col("t") / lit(day)) + 4) % 7).cast("long").as("dow"),
+      (floor(col("t") / lit(hour)) % 24).cast("long").as("hod")
+    ).agg(
+      count(lit(1)).as("n"),
+      min(col("v")).as("vmin"),
+      max(col("v")).as("vmax"),
+      round(detAvg(col("v")), 6).as("vavg")
+    )
+  }
+
   /** Multi-resolution downsample pyramid — the tiered zoom contract a
     * display server precomputes so any zoom level is served by a
     * bin-scale read instead of a raw scan (the reference serves
@@ -1026,6 +1090,38 @@ object Timeseries {
        |) p
        |ORDER BY level, channel, bin""".stripMargin
   }
+
+  def tsFir(spark: SparkSession, dir: String): DataFrame =
+    firDecimate(Tables.ts(spark, dir))
+      .orderBy(col("channel"), col("t"), col("event_id"))
+
+  val tsFirSql: String =
+    """SELECT channel, t, event_id, v,
+      |  ROUND((l2 + 4.0 * l1 + 6.0 * v + 4.0 * u1 + u2) / 16.0, 6) AS v_filt
+      |FROM (
+      |  SELECT event_type AS channel, epoch_us(ts) AS t, event_id, value AS v,
+      |    LAG(value, 2) OVER w AS l2, LAG(value, 1) OVER w AS l1,
+      |    LEAD(value, 1) OVER w AS u1, LEAD(value, 2) OVER w AS u2,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)) s
+      |WHERE l2 IS NOT NULL AND l1 IS NOT NULL AND u1 IS NOT NULL AND u2 IS NOT NULL
+      |  AND (rn - 3) % 4 = 0
+      |ORDER BY channel, t, event_id""".stripMargin
+
+  def tsDowProfile(spark: SparkSession, dir: String): DataFrame =
+    dowProfile(Tables.ts(spark, dir))
+      .orderBy(col("channel"), col("dow"), col("hod"))
+
+  val tsDowProfileSql: String =
+    """SELECT event_type AS channel,
+      |  CAST((FLOOR(epoch_us(ts) / 86400000000) + 4) % 7 AS BIGINT) AS dow,
+      |  CAST(FLOOR(epoch_us(ts) / 3600000000) % 24 AS BIGINT) AS hod,
+      |  COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS vavg
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY channel, dow, hod""".stripMargin
 
   def tsResampleChunk(spark: SparkSession, dir: String): DataFrame =
     resampleChunks(Tables.ts(spark, dir), ChunkSize)

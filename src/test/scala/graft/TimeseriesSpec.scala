@@ -697,6 +697,38 @@ class TimeseriesSpec extends SparkSpec {
     run(1000L) shouldBe run(1000000L) // one bucket = the sequential shape
   }
 
+  "firDecimate" should "pass a linear ramp unchanged and keep every 4th full-tap sample" in {
+    // symmetric taps summing to 1 reproduce any affine signal exactly
+    val ts = mkTs((0L until 30L).map(i => ("c", i * 100L, 2.0 * i + 5.0)))
+    val rows = Timeseries.firDecimate(ts).orderBy($"t").collect()
+    // full-tap rows are rn 3..28 → decimated picks rn 3, 7, ..., 27
+    rows.map(_.getAs[Long]("t")) shouldBe Array(200L, 600L, 1000L, 1400L, 1800L, 2200L, 2600L)
+    rows.foreach { r =>
+      r.getAs[Double]("v_filt") shouldBe r.getAs[Double]("v") +- 1e-9
+    }
+  }
+
+  it should "attenuate an alternating (Nyquist) signal to its mean" in {
+    // +-1 alternation: (1 - 4 + 6 - 4 + 1)/16 = 0 — the stopband null
+    val ts = mkTs((0L until 40L).map(i => ("c", i * 10L, if (i % 2 == 0) 1.0 else -1.0)))
+    val rows = Timeseries.firDecimate(ts).collect()
+    rows should not be empty
+    rows.foreach(_.getAs[Double]("v_filt") shouldBe 0.0 +- 1e-12)
+  }
+
+  "dowProfile" should "bucket by epoch-arithmetic weekday and hour" in {
+    // 1970-01-01 (epoch day 0) was a Thursday → dow (0+4)%7 = 4
+    val thuMidnight = 0L
+    val sunNoon = 3L * 86400000000L + 12L * 3600000000L // 1970-01-04 was a Sunday
+    val ts = mkTs(Seq(("c", thuMidnight, 1.0), ("c", sunNoon, 5.0), ("c", sunNoon + 1L, 7.0)))
+    val rows = Timeseries
+      .dowProfile(ts)
+      .orderBy($"dow", $"hod")
+      .collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hod"), r.getAs[Long]("n"), r.getAs[Double]("vavg")))
+    rows shouldBe Array((0L, 12L, 2L, 6.0), (4L, 0L, 1L, 1.0))
+  }
+
   "pyramid" should "make every rolled-up tier equal the direct aggregate at that width" in {
     val base = 1000L
     val ts = mkTs(
