@@ -161,7 +161,9 @@ object SparkEntry {
     // anti-aliased 5-tap FIR low-pass + decimate (window-expressible)
     "ts_fir" -> (Timeseries.tsFir _),
     // day-of-week x hour seasonal profile per channel
-    "ts_dow_profile" -> (Timeseries.tsDowProfile _)
+    "ts_dow_profile" -> (Timeseries.tsDowProfile _),
+    // exact phrase adjacency over a positional inverted index
+    "search_phrase" -> (Search.searchPhrase _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -271,6 +273,7 @@ object SparkEntry {
     "text_entropy" -> TextAnalysis.textEntropySql,
     "dedup_bloom" -> Dedup.dedupBloomSql,
     "ts_fir" -> Timeseries.tsFirSql,
-    "ts_dow_profile" -> Timeseries.tsDowProfileSql
+    "ts_dow_profile" -> Timeseries.tsDowProfileSql,
+    "search_phrase" -> Search.searchPhraseSql
   )
 }

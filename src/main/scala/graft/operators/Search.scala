@@ -271,4 +271,59 @@ object Search {
       |  FROM fused) f
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  /** Positional phrase search — exact "w1 w2 …" adjacency matching
+    * over a positional inverted index, the IR primitive BM25's
+    * bag-of-words scoring can't express.
+    *
+    * Scale shape: the postings explode filters to the QUERY WORDS in
+    * the same map-side projection (non-query words never leave the
+    * scan — the bm25 discipline); adjacency is a self-join of the two
+    * tiny filtered postings lists keyed on (doc_id, pos) with the
+    * second list's positions pre-shifted; hits partial-aggregate per
+    * doc and the top-k is one ordered limit over doc-cardinality rows.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int = 20): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two words")
+    val words = docs
+      .select(col("doc_id"), posexplode(split(expr(NormSql), " ")).as(Seq("pos", "word")))
+    val first = words
+      .filter(col("word") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        words.filter(col("word") === w).select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos")
+      )
+    }
+    matched
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Fixed phrase for the driver query (two common corpus words, so
+    * adjacency hits exist at every scale factor by chance alone).
+    */
+  val Phrase: Seq[String] = Seq("table", "scan")
+
+  def searchPhrase(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(spark, dir), Phrase)
+
+  val searchPhraseSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, u.i - 1 AS pos, ws[CAST(u.i AS INT)] AS word FROM (
+       |    SELECT doc_id,
+       |      string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |    FROM documents) t,
+       |    UNNEST(range(1, len(ws) + 1)) AS u(i)),
+       |m AS (
+       |  SELECT a.doc_id, a.pos
+       |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  WHERE a.word = '${Phrase.head}' AND b.word = '${Phrase(1)}')
+       |SELECT doc_id, COUNT(*) AS n_hits, CAST(MIN(pos) AS BIGINT) AS first_pos
+       |FROM m GROUP BY doc_id
+       |ORDER BY n_hits DESC, doc_id
+       |LIMIT 20""".stripMargin
 }

@@ -151,38 +151,52 @@ object TextAnalysis {
     * algebraically −Σ p·ln p but summable from raw counts, so no
     * per-symbol division order matters.
     *
-    * Scale shape: the CHARACTER side is a pure map-side fold — the
-    * alphabet is bounded, so counting each distinct char by a filter
-    * scan of the char array is O(|alphabet|·len) inside whole-stage
-    * codegen with zero shuffle, and the fold runs in sorted-char order
-    * so both engines sum identical doubles in identical order. The
-    * WORD side's histogram is per-doc unbounded, so it takes the same
-    * (doc, word)-keyed partial aggregation any wordcount pays — with
-    * each m·ln m term routed through DECIMAL(27,10) so the per-doc sum
-    * is order-independent. Portability: round-9 on every ln, round-6
-    * on the final entropies.
+    * Scale shape: the CHARACTER side is a pure map-side SINGLE-PASS
+    * fold — sort the char array once, then run-length walk it with a
+    * struct accumulator (prev char, run length, DECIMAL term sum,
+    * distinct count), closing each run with its m·ln m term. O(len)
+    * lambda steps per doc, zero shuffle. (A first cut counted each
+    * distinct char with filter(cs, x = c) — O(alphabet·len)
+    * INTERPRETED work per doc that benched 10.6 s at sf0.1; the
+    * run-length fold is the linear shape.) The WORD side's histogram
+    * is per-doc unbounded, so it takes the same (doc, word)-keyed
+    * partial aggregation any wordcount pays. BOTH sides route every
+    * m·ln m term through DECIMAL(27,10), so the sums are exact and
+    * order-independent — which is exactly what lets the oracle compute
+    * the char histogram relationally (UNNEST + GROUP BY) while Spark
+    * folds it sequentially: same terms, same total, any order.
+    * Portability: round-9 on every ln, round-6 on the final entropies.
     */
   def entropyScores(docs: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val term = "cast(a.m * round(ln(a.m), 9) as decimal(27,10))"
+    val foldExpr =
+      s"""aggregate(
+         |  array_sort(cs),
+         |  named_struct(
+         |    'p', cast(null as string), 'm', 0L,
+         |    's', cast(0 as decimal(27,10)), 'u', 0L),
+         |  (a, x) -> if(x = a.p,
+         |    named_struct('p', a.p, 'm', a.m + 1L, 's', a.s, 'u', a.u),
+         |    named_struct('p', x, 'm', 1L,
+         |      's', cast(a.s + if(a.m > 0L, $term, cast(0 as decimal(27,10))) as decimal(27,10)),
+         |      'u', a.u + 1L)),
+         |  a -> named_struct(
+         |    's', cast(a.s + if(a.m > 0L, $term, cast(0 as decimal(27,10))) as decimal(27,10)),
+         |    'u', a.u))""".stripMargin
     val charSide = docs
       .select(col("doc_id"), expr(NormSql).as("nm"))
       .withColumn("n", length(col("nm")).cast("long"))
       .withColumn("cs", expr("transform(sequence(1, length(nm)), i -> substring(nm, i, 1))"))
+      .withColumn("__f", expr(foldExpr))
       .select(
         col("doc_id"),
         col("n").as("n_chars"),
-        size(array_distinct(col("cs"))).cast("long").as("n_uniq_chars"),
+        col("__f.u").as("n_uniq_chars"),
         when(
           col("n") > 0,
           round(
-            round(log(col("n")), 9) -
-              expr(
-                """aggregate(
-                  |  transform(
-                  |    transform(array_sort(array_distinct(cs)), c -> size(filter(cs, x -> x = c))),
-                  |    m -> m * round(ln(m), 9)),
-                  |  cast(0.0 as double), (a, b) -> a + b)""".stripMargin
-              ) / col("n"),
+            round(log(col("n")), 9) - col("__f.s").cast("double") / col("n"),
             6
           )
         ).as("char_entropy")
@@ -389,9 +403,10 @@ object TextAnalysis {
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
     entropyScores(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
-  /** Oracle: identical char fold (sorted distinct chars, prepended-zero
-    * list_reduce = the same left-to-right summation) and identical
-    * word-histogram DECIMAL sums.
+  /** Oracle: the char histogram computed RELATIONALLY (UNNEST + GROUP
+    * BY) — legitimate because both engines sum the identical
+    * DECIMAL(27,10) m·ln m terms, which is order-independent — plus
+    * identical word-histogram DECIMAL sums.
     */
   val textEntropySql: String =
     s"""WITH t AS (
@@ -400,18 +415,21 @@ object TextAnalysis {
        |  SELECT doc_id, nm, LENGTH(nm) AS n,
        |    list_transform(range(1, LENGTH(nm) + 1), i -> substr(nm, CAST(i AS INT), 1)) AS cs
        |  FROM t),
+       |cc AS (
+       |  SELECT doc_id, c, COUNT(*) AS m
+       |  FROM (SELECT doc_id, UNNEST(cs) AS c FROM ch) u GROUP BY 1, 2),
+       |cstat AS (
+       |  SELECT doc_id, COUNT(*) AS u,
+       |    SUM(CAST(m * ROUND(LN(m), 9) AS DECIMAL(27,10))) AS s
+       |  FROM cc GROUP BY doc_id),
        |chs AS (
-       |  SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
-       |    CAST(len(list_distinct(cs)) AS BIGINT) AS n_uniq_chars,
-       |    CASE WHEN n > 0 THEN
-       |      ROUND(ROUND(LN(n), 9) -
-       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |          list_transform(
-       |            list_transform(list_sort(list_distinct(cs)), c -> len(list_filter(cs, x -> x = c))),
-       |            m -> m * ROUND(LN(m), 9))),
-       |          (a, b) -> a + b) / n, 6)
+       |  SELECT ch.doc_id, CAST(ch.n AS BIGINT) AS n_chars,
+       |    CASE WHEN ch.n IS NULL THEN NULL
+       |         ELSE CAST(COALESCE(cstat.u, 0) AS BIGINT) END AS n_uniq_chars,
+       |    CASE WHEN ch.n > 0 THEN
+       |      ROUND(ROUND(LN(ch.n), 9) - CAST(cstat.s AS DOUBLE) / ch.n, 6)
        |    END AS char_entropy
-       |  FROM ch),
+       |  FROM ch LEFT JOIN cstat ON cstat.doc_id = ch.doc_id),
        |w AS (SELECT doc_id, UNNEST(string_split(nm, ' ')) AS word FROM t),
        |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w WHERE LENGTH(word) > 0 GROUP BY 1, 2),
        |ws AS (

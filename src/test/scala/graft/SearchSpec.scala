@@ -88,4 +88,32 @@ class SearchSpec extends SparkSpec {
       .collect()
     out.map(_.toSeq).toSeq shouldBe again.map(_.toSeq).toSeq
   }
+
+  "phraseSearch" should "match exact adjacency only, in order, counting every occurrence" in {
+    val docs = Seq(
+      (1L, "big table scan and another table scan here"), // 2 hits
+      (2L, "table of the scan"), // words present, never adjacent
+      (3L, "scan table"), // reversed order is not the phrase
+      (4L, "one table scan only"), // 1 hit
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = Search
+      .phraseSearch(docs, Seq("table", "scan"), k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"), r.getAs[Long]("first_pos")))
+    rows shouldBe Array((1L, 2L, 1L), (4L, 1L, 1L))
+  }
+
+  it should "chain three-word phrases through shifted position joins" in {
+    val docs = Seq(
+      (1L, "fast table scan wins"), // hit starting at pos 0
+      (2L, "fast table and scan"), // broken chain
+      (3L, "table scan fast table scan") // hit starting at pos 2
+    ).toDF("doc_id", "text")
+    val rows = Search
+      .phraseSearch(docs, Seq("fast", "table", "scan"), k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"), r.getAs[Long]("first_pos")))
+    rows shouldBe Array((1L, 1L, 0L), (3L, 1L, 2L))
+  }
 }
