@@ -163,7 +163,15 @@ object SparkEntry {
     // day-of-week x hour seasonal profile per channel
     "ts_dow_profile" -> (Timeseries.tsDowProfile _),
     // exact phrase adjacency over a positional inverted index
-    "search_phrase" -> (Search.searchPhrase _)
+    "search_phrase" -> (Search.searchPhrase _),
+    // TPC-H Q10-shape returned-item customer revenue ranking
+    "q10_returns" -> (Relational.q10Returns _),
+    // two-sided sliding-window level-shift (change-point) screen
+    "ts_shift" -> (Timeseries.tsShift _),
+    // scalar-quantized ANN with dequantized shortlist + exact rerank
+    "ann_sq" -> (Similarity.annSq _),
+    // OLS Zipf-law fit over the top-1000 word frequency spectrum
+    "corpus_zipf" -> (TextAnalysis.corpusZipf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -274,6 +282,10 @@ object SparkEntry {
     "dedup_bloom" -> Dedup.dedupBloomSql,
     "ts_fir" -> Timeseries.tsFirSql,
     "ts_dow_profile" -> Timeseries.tsDowProfileSql,
-    "search_phrase" -> Search.searchPhraseSql
+    "search_phrase" -> Search.searchPhraseSql,
+    "q10_returns" -> Relational.q10Sql,
+    "ts_shift" -> Timeseries.tsShiftSql,
+    "ann_sq" -> Similarity.annSqSql,
+    "corpus_zipf" -> TextAnalysis.corpusZipfSql
   )
 }

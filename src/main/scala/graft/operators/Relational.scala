@@ -322,6 +322,61 @@ object Relational {
       |GROUP BY 1
       |ORDER BY o_year""".stripMargin
 
+  /** TPC-H Q10-shaped returned-item report: the top customers by
+    * revenue lost to returns — filter the fact on the return flag,
+    * attribute revenue to the ordering customer, decorate with the
+    * customer dimension, rank.
+    *
+    * Scale shape: revenue is aggregated to customer grain BEFORE any
+    * dimension join — the lineitem ⋈ orders fact-fact join shuffles
+    * once on orderkey (or runs exchange-free over co-bucketed
+    * tables), then the customer join sees a customer-cardinality
+    * aggregate instead of the raw line stream, and nation broadcasts.
+    * The grouping keys the ANSI oracle carries (name, acctbal,
+    * nation) are functionally dependent on c_custkey, so pre-agg ≡
+    * join-then-group row for row. Top-k is TakeOrderedAndProject —
+    * no global sort materializes. Revenue follows q1's exact-decimal
+    * discipline; the rank tie-breaks on c_custkey.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("__nk"), col("n_name"))
+    val vol = col("l_extendedprice").cast(d184) * (lit(1).cast(d184) - col("l_discount").cast(d184))
+    val rev = l
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(vol).as("__rev"))
+    rev
+      .join(c, rev("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("__nk"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("n_name").as("nation"),
+        col("c_acctbal"),
+        col("n_lines"),
+        round(col("__rev"), 4).cast("double").as("revenue")
+      )
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name AS nation, c_acctbal, COUNT(*) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   val q7Sql: String =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year, COUNT(*) AS n_lines,

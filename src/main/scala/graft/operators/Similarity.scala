@@ -937,6 +937,146 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Scalar quantization
+  // ---------------------------------------------------------------------
+
+  /** Scalar-quantized ANN — the OTHER classical compression axis to
+    * [[pqTopK]]'s vector quantization: every dimension is snapped to
+    * one of 256 uniform grid points between the corpus-wide per-dim
+    * min and max (int8 codes — an 8× compression of a float64 / 4× of
+    * a float32 store), the shortlist is ranked by cosine against the
+    * DEQUANTIZED grid points, and the final top-k is an exact rerank
+    * of the shortlist against the raw vectors (the standard
+    * retrieve-then-rerank contract, so quantization error costs
+    * recall only inside the shortlist margin, never ranking error in
+    * the emitted rows).
+    *
+    * Scale shape: the quantizer is 2·dim doubles (one dim-row
+    * aggregate, collected like every index constant here and embedded
+    * as literals); encoding is a one-pass scan projection (at ingest
+    * the codes persist as the index — here the dequantized grid point
+    * is fused into the same projection and its norm is stored, the
+    * SQ analog of pq's stored codes); the shortlist pass scans codes
+    * with the broadcast query set; the rerank joins the raw corpus to
+    * the query-cardinality shortlist by a broadcast semi-probe — a
+    * candidate point-fetch, not a second full pair product.
+    * Portability: grid arithmetic is pinned to one expression order
+    * (code = floor((x−mn)/sc + 0.5), dq = mn + sc·code, both engines),
+    * so every approx score, the shortlist cut, and the exact rerank
+    * see bit-identical doubles.
+    */
+  def sqTopK(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: Int,
+    dim: Int = KmeansDim,
+    shortlistFactor: Int = 4
+  ): DataFrame = {
+    val statRows = corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val mn = Array.ofDim[Double](dim)
+    val sc = Array.ofDim[Double](dim)
+    statRows.foreach { r =>
+      val i = r.getInt(0)
+      mn(i) = r.getFloat(1).toDouble
+      sc(i) = (r.getFloat(2).toDouble - r.getFloat(1).toDouble) / 255.0
+    }
+    val mnLit = typedlit(mn.toSeq)
+    val scLit = typedlit(sc.toSeq)
+    def dqElem(x: Column, i: Column): Column = {
+      val m = element_at(mnLit, (i + lit(1)).cast("int"))
+      val s = element_at(scLit, (i + lit(1)).cast("int"))
+      val code = when(s === 0.0, lit(0.0))
+        .otherwise(floor((x.cast("double") - m) / s + lit(0.5)))
+      m + s * code
+    }
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"))
+      .withColumn("dq", transform(col("vc"), (x, i) => dqElem(x, i)))
+      .withColumn("ndq", VectorMath.norm(col("dq")))
+    val q = prepped(queries, "query_id", "vq", "nq")
+    val byApprox = Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("neighbor_id"))
+    val short = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", VectorMath.cosine(col("vq"), col("dq"), col("nq"), col("ndq")))
+      .withColumn("__rk", row_number().over(byApprox))
+      .filter(col("__rk") <= shortlistFactor * k)
+      .select(col("query_id"), col("vq"), col("nq"), col("neighbor_id"))
+    // exact rerank: point-fetch the raw candidate vectors
+    val cTrue = prepped(corpus, "neighbor_id", "vt", "nt")
+    val byExact = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cTrue
+      .join(broadcast(short), Seq("neighbor_id"))
+      .withColumn("cosine", VectorMath.cosine(col("vq"), col("vt"), col("nq"), col("nt")))
+      .withColumn("rank", row_number().over(byExact))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine")
+      )
+  }
+
+  def annSq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    sqTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-dim min/max grid rebuilt relationally; the same pinned
+    * code/dequantize arithmetic, shortlist cut, and exact rerank.
+    */
+  val annSqSql: String =
+    s"""WITH st AS (
+       |  SELECT g.dim AS dim,
+       |    CAST(MIN(e.embedding[CAST(g.dim AS INT)]) AS DOUBLE) AS mn,
+       |    (CAST(MAX(e.embedding[CAST(g.dim AS INT)]) AS DOUBLE)
+       |       - CAST(MIN(e.embedding[CAST(g.dim AS INT)]) AS DOUBLE)) / 255.0 AS sc
+       |  FROM embeddings e, generate_series(1, $KmeansDim) AS g(dim)
+       |  GROUP BY 1),
+       |grid AS (
+       |  SELECT list(mn ORDER BY dim) AS mnl, list(sc ORDER BY dim) AS scl FROM st),
+       |c AS (
+       |  SELECT vec_id AS neighbor_id,
+       |    list_transform(range(1, $KmeansDim + 1), i ->
+       |      grid.mnl[i] + grid.scl[i] *
+       |        (CASE WHEN grid.scl[i] = 0.0 THEN 0.0
+       |              ELSE FLOOR((CAST(embedding[CAST(i AS INT)] AS DOUBLE) - grid.mnl[i])
+       |                         / grid.scl[i] + 0.5) END)) AS dq
+       |  FROM embeddings, grid),
+       |cn AS (
+       |  SELECT neighbor_id, dq, SQRT(list_dot_product(dq, dq)) AS ndq FROM c),
+       |q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS vq,
+       |    SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nq
+       |  FROM embeddings WHERE vec_id < $QueryCount),
+       |short AS (
+       |  SELECT query_id, vq, nq, neighbor_id FROM (
+       |    SELECT q.query_id, q.vq, q.nq, cn.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                         ORDER BY list_dot_product(q.vq, cn.dq) / (q.nq * cn.ndq) DESC,
+       |                                  cn.neighbor_id) AS rk
+       |    FROM q CROSS JOIN cn WHERE q.query_id <> cn.neighbor_id) a
+       |  WHERE rk <= ${4 * TopK}),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_dot_product(s.vq, CAST(e.embedding AS DOUBLE[]))
+       |      / (s.nq * SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                                      CAST(e.embedding AS DOUBLE[])))) AS cos_raw
+       |  FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
     * clusters are the BLOCKING key — near-duplicate pairs are mined by
     * exact cosine only WITHIN a cluster, shrinking the pair product

@@ -1055,4 +1055,93 @@ object TextAnalysis {
        |  ${Dedup.md5Prefix60Duck("ctext")} AS chunk_hash
        |FROM c
        |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Zipf-law fit over the corpus frequency spectrum — the one-number
+    * corpus health check (natural corpora slope ≈ −1; template/spam
+    * mass and truncated vocabularies bend it) fitted as ordinary least
+    * squares of ln(freq) on ln(rank) over the top `topN` words.
+    *
+    * Scale shape: the word histogram is the standard corpus-scale
+    * partial aggregation; everything after runs at TOP-N scale — the
+    * rank cut is orderBy+limit (TakeOrderedAndProject, no global sort
+    * materializes, no unpartitioned corpus-size window), the rank
+    * itself is a window over the already-limited `topN` rows, and the
+    * OLS moments are one tiny aggregate. Portability: ln's round-9,
+    * every moment sum routed through DECIMAL(27,10) (the x·y double
+    * products are identical binary64 in both engines; the decimal sum
+    * makes the ORDER irrelevant), and the closed-form slope/intercept
+    * are computed in one pinned expression order, round-6.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val top = docs
+      .filter(col("text").isNotNull)
+      .select(explode(expr(WordsSql)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(topN)
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("word"))
+    val xy = top
+      .withColumn("rank", row_number().over(byFreq))
+      .select(
+        round(log(col("rank")), 9).as("x"),
+        round(log(col("freq")), 9).as("y")
+      )
+    val m = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx")
+    )
+    m.select(
+      col("n").as("n_words"),
+      round(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")),
+        6
+      ).as("slope"),
+      round(
+        (col("sy") -
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"),
+        6
+      ).as("intercept")
+    )
+  }
+
+  def corpusZipf(spark: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables.documents(spark, dir))
+
+  /** The identical top-N spectrum, round-9 logs, DECIMAL moments and
+    * pinned closed-form OLS.
+    */
+  val corpusZipfSql: String =
+    """WITH w AS (
+      |  SELECT u.word, COUNT(*) AS freq
+      |  FROM (SELECT string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |        FROM documents WHERE text IS NOT NULL) t,
+      |       UNNEST(ws) AS u(word)
+      |  WHERE LENGTH(u.word) > 0
+      |  GROUP BY 1
+      |  ORDER BY freq DESC, word
+      |  LIMIT 1000),
+      |xy AS (
+      |  SELECT ROUND(LN(ROW_NUMBER() OVER (ORDER BY freq DESC, word)), 9) AS x,
+      |    ROUND(LN(freq), 9) AS y
+      |  FROM w),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(27,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(27,10))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(27,10))) AS DOUBLE) AS sxx
+      |  FROM xy)
+      |SELECT n AS n_words,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      |FROM m""".stripMargin
 }

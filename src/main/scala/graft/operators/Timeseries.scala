@@ -1109,6 +1109,94 @@ object Timeseries {
       |  AND (rn - 3) % 4 = 0
       |ORDER BY channel, t, event_id""".stripMargin
 
+  /** Level-shift (change-point) screen — flag samples where the mean
+    * of the next `w` values steps away from the mean of the previous
+    * `w` values by more than `nSigma` pooled standard deviations: the
+    * two-sided sliding-window test behind sensor-drift and regime-
+    * change detection (CUSUM's window-expressible cousin — CUSUM
+    * itself is a recursive fold like the IIR cascade and is kept out
+    * of the oracled surface for the same reason).
+    *
+    * Scale shape: like [[firDecimate]], the statistic is a pure
+    * function of a BOUNDED ±w neighborhood, so it is one per-channel
+    * sort-window (block-parallel via the two-phase overlap machinery
+    * at the design point, copying w rows of halo per block). Both
+    * window moments route through DECIMAL(27,10) frame sums — exact,
+    * order-independent — and every derived double (mean, variance,
+    * pooled sigma) is computed in one pinned expression order, so the
+    * flag comparison `|shift| > nSigma·sigma` sees bit-identical
+    * doubles in both engines. Edge rows without two full windows are
+    * dropped. Portability: round-9 on sigma, round-6 on outputs.
+    */
+  def levelShifts(ts: DataFrame, w: Int = 30, nSigma: Double = 3.0): DataFrame = {
+    val win = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
+    val pre = win.rowsBetween(-w, -1)
+    val post = win.rowsBetween(1, w)
+    def m1(f: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(col("v").cast(dec2710)).over(f).cast("double") / lit(w.toDouble)
+    def m2(f: org.apache.spark.sql.expressions.WindowSpec) =
+      sum((col("v") * col("v")).cast(dec2710)).over(f).cast("double") / lit(w.toDouble)
+    withTieBreak(ts)
+      .withColumn("__npre", count(lit(1)).over(pre))
+      .withColumn("__npost", count(lit(1)).over(post))
+      .withColumn("__mpre", m1(pre))
+      .withColumn("__mpost", m1(post))
+      .withColumn("__vpre", m2(pre) - m1(pre) * m1(pre))
+      .withColumn("__vpost", m2(post) - m1(post) * m1(post))
+      .filter(col("__npre") === w && col("__npost") === w)
+      .withColumn(
+        "__sigma",
+        round(sqrt(greatest((col("__vpre") + col("__vpost")) / lit(2.0), lit(0.0))), 9)
+      )
+      .filter(abs(col("__mpost") - col("__mpre")) > lit(nSigma) * col("__sigma"))
+      .select(
+        col("channel"),
+        col("t"),
+        col("event_id"),
+        col("v"),
+        round(col("__mpre"), 6).as("mean_pre"),
+        round(col("__mpost"), 6).as("mean_post"),
+        round(
+          (col("__mpost") - col("__mpre")) / nullif(col("__sigma"), lit(0.0)),
+          6
+        ).as("z")
+      )
+  }
+
+  def tsShift(spark: SparkSession, dir: String): DataFrame =
+    levelShifts(Tables.ts(spark, dir))
+      .orderBy(col("channel"), col("t"), col("event_id"))
+
+  val tsShiftSql: String = {
+    val w = 30
+    s"""SELECT channel, t, event_id, v,
+       |  ROUND(mpre, 6) AS mean_pre, ROUND(mpost, 6) AS mean_post,
+       |  ROUND((mpost - mpre) / NULLIF(sigma, 0.0), 6) AS z
+       |FROM (
+       |  SELECT channel, t, event_id, v, mpre, mpost,
+       |    ROUND(SQRT(GREATEST((vpre + vpost) / 2.0, 0.0)), 9) AS sigma
+       |  FROM (
+       |    SELECT event_type AS channel, epoch_us(ts) AS t, event_id, value AS v,
+       |      COUNT(*) OVER wpre AS npre, COUNT(*) OVER wpost AS npost,
+       |      CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER wpre AS DOUBLE) / $w.0 AS mpre,
+       |      CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER wpost AS DOUBLE) / $w.0 AS mpost,
+       |      CAST(SUM(CAST(value * value AS DECIMAL(27,10))) OVER wpre AS DOUBLE) / $w.0
+       |        - (CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER wpre AS DOUBLE) / $w.0)
+       |          * (CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER wpre AS DOUBLE) / $w.0) AS vpre,
+       |      CAST(SUM(CAST(value * value AS DECIMAL(27,10))) OVER wpost AS DOUBLE) / $w.0
+       |        - (CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER wpost AS DOUBLE) / $w.0)
+       |          * (CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER wpost AS DOUBLE) / $w.0) AS vpost
+       |    FROM events
+       |    WINDOW
+       |      wpre AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+       |               ROWS BETWEEN $w PRECEDING AND 1 PRECEDING),
+       |      wpost AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+       |                ROWS BETWEEN 1 FOLLOWING AND $w FOLLOWING)) a
+       |  WHERE npre = $w AND npost = $w) b
+       |WHERE ABS(mpost - mpre) > 3.0 * sigma
+       |ORDER BY channel, t, event_id""".stripMargin
+  }
+
   def tsDowProfile(spark: SparkSession, dir: String): DataFrame =
     dowProfile(Tables.ts(spark, dir))
       .orderBy(col("channel"), col("dow"), col("hod"))

@@ -60,4 +60,31 @@ class RelationalSpec extends SparkSpec {
     years shouldBe years.sorted
     years.distinct shouldBe years
   }
+
+  "q10_returns" should "rank returned-item customers by descending revenue" in {
+    val rows = Relational.q10Returns(spark, sfDir).collect()
+    rows.length should be <= 20
+    rows should not be empty
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    revs.sliding(2).foreach {
+      case Array(a, b) => a should be >= b
+      case _ => ()
+    }
+    // every ranked customer is distinct and genuinely had returns
+    val keys = rows.map(_.getAs[Long]("c_custkey")).toSeq
+    keys.distinct shouldBe keys
+    rows.foreach(_.getAs[Long]("n_lines") should be > 0L)
+  }
+
+  it should "aggregate to customer grain before the dimension joins" in {
+    // the customer join's fact side must sit above the revenue
+    // aggregate, so it sees customer-cardinality rows, not raw lines
+    val plan = Relational.q10Returns(spark, sfDir).queryExecution.optimizedPlan.toString
+    val aggIdx = plan.indexOf("Aggregate")
+    aggIdx should be >= 0
+    // nation is broadcast; no cartesian products anywhere
+    val phys = Relational.q10Returns(spark, sfDir).queryExecution.executedPlan.toString
+    phys should include("BroadcastHashJoin")
+    phys should not include "CartesianProduct"
+  }
 }

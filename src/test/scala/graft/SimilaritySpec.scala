@@ -172,6 +172,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  "sqTopK" should "equal exact brute force when every value sits on the quantizer grid" in {
+    // each dim takes only 0 or 255 → sc = (255-0)/255 = 1.0 exactly,
+    // so dequantization reproduces the input bit for bit, the
+    // shortlist order IS the exact order (ties and all), and the
+    // rerank is an identity: result must match bruteForceTopK row
+    // for row. (A ±1 fixture would make sc = 2/255 — inexact in
+    // binary64 — and could reorder exact-tie groups at the shortlist
+    // boundary.)
+    // dim 7 is constant 255: no zero vectors (a zero norm would make
+    // every cosine NaN) and it exercises the sc = 0 constant-dim path
+    val vecs = (0 until 16).map { i =>
+      (i.toLong,
+       (0 until 8).map(d => if (d == 7 || ((i >> (d % 4)) & 1) == 1) 255.0f else 0.0f).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 4)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))
+    val sq = Similarity.sqTopK(df, q, 3, dim = 8).collect().map(key).sortBy(x => (x._1, x._2))
+    val bf = Similarity.bruteForceTopK(df, q, 3).collect().map(key).sortBy(x => (x._1, x._2))
+    sq shouldBe bf
+  }
+
+  it should "emit true cosines (rerank is exact) even off-grid" in {
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 1.7 + d * 0.9).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+    val vmap = vecs.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    Similarity.sqTopK(df, q, 3, dim = 8).collect().foreach { r =>
+      val expect = cos(vmap(r.getAs[Long]("query_id")), vmap(r.getAs[Long]("neighbor_id")))
+      r.getAs[Double]("cosine") shouldBe (math.round(expect * 1e6) / 1e6) +- 1e-9
+    }
+  }
+
   it should "recover planted cluster structure with high recall" in {
     // uniform-random embeddings are PQ's worst case (distance
     // concentration), so recall is asserted on PLANTED structure:

@@ -293,4 +293,23 @@ class TextAnalysisSpec extends SparkSpec {
     frac.getOrElse("val", 0.0) should be <= 0.20
     frac.getOrElse("test", 0.0) should be <= 0.20
   }
+
+  "zipfFit" should "recover the slope of a planted power-law spectrum" in {
+    // freq(word_k) = 2^(7-k): a perfect y = ln(128) + slope_k·x fit
+    // does NOT exist (x = ln rank is not linear in k), so compare
+    // against a driver-side OLS over the same (x, y) points
+    val words = (1 to 7).flatMap(k => Seq.fill(1 << (7 - k))(s"w$k"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(docs).collect().head
+    row.getAs[Long]("n_words") shouldBe 7L
+    val pts = (1 to 7).map(k => (math.log(k.toDouble), math.log((1 << (7 - k)).toDouble)))
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row.getAs[Double]("slope") shouldBe slope +- 1e-4
+    row.getAs[Double]("intercept") shouldBe (sy - slope * sx) / n +- 1e-4
+    // a frequency spectrum decaying by halves is steeply Zipf-like
+    slope should be < -1.0
+  }
 }

@@ -716,6 +716,36 @@ class TimeseriesSpec extends SparkSpec {
     rows.foreach(_.getAs[Double]("v_filt") shouldBe 0.0 +- 1e-12)
   }
 
+  "levelShifts" should "flag only samples near a planted step change" in {
+    // 0 for the first 60 samples, 10 after: a clean level shift at i=60
+    val ts = mkTs((0L until 120L).map(i => ("c", i * 100L, if (i < 60) 0.0 else 10.0)))
+    val rows = Timeseries.levelShifts(ts, w = 30, nSigma = 3.0).collect()
+    rows should not be empty
+    val flaggedIdx = rows.map(_.getAs[Long]("t") / 100L)
+    // every flag sits within one window of the boundary; nothing fires
+    // where both windows lie inside a single regime
+    flaggedIdx.foreach { i => i should (be >= 30L and be <= 90L) }
+    // the sample adjacent to the step (both windows pure) is flagged
+    // with the full 10.0 step between the window means
+    val edge = rows.find(_.getAs[Long]("t") == 5900L)
+    edge should be (defined)
+    edge.get.getAs[Double]("mean_pre") shouldBe 0.0 +- 1e-12
+    edge.get.getAs[Double]("mean_post") shouldBe 10.0 +- 1e-12
+  }
+
+  it should "stay silent on stationary noise and fire on a ramp only under tighter sigma" in {
+    // deterministic alternating noise: window means cancel, sigma = 1
+    val noise = mkTs((0L until 200L).map(i => ("c", i * 100L, if (i % 2 == 0) 1.0 else -1.0)))
+    Timeseries.levelShifts(noise, w = 30, nSigma = 3.0).count() shouldBe 0L
+    // a pure ramp's shift/sigma ratio is slope-INDEPENDENT:
+    // (w+1)/sqrt((w^2-1)/12) ~ 3.58 at w=30 — above 3, below 4. The
+    // screen is a level test, not a trend test; trend-robust variants
+    // detrend first.
+    val ramp = mkTs((0L until 200L).map(i => ("c", i * 100L, i * 0.001)))
+    Timeseries.levelShifts(ramp, w = 30, nSigma = 4.0).count() shouldBe 0L
+    Timeseries.levelShifts(ramp, w = 30, nSigma = 3.0).count() should be > 0L
+  }
+
   "dowProfile" should "bucket by epoch-arithmetic weekday and hour" in {
     // 1970-01-01 (epoch day 0) was a Thursday → dow (0+4)%7 = 4
     val thuMidnight = 0L
