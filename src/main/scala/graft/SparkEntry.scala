@@ -171,7 +171,15 @@ object SparkEntry {
     // scalar-quantized ANN with dequantized shortlist + exact rerank
     "ann_sq" -> (Similarity.annSq _),
     // OLS Zipf-law fit over the top-1000 word frequency spectrum
-    "corpus_zipf" -> (TextAnalysis.corpusZipf _)
+    "corpus_zipf" -> (TextAnalysis.corpusZipf _),
+    // TPC-H Q18-shape large-order having-join report
+    "q18_big" -> ((s, dir) => Relational.q18Big(s, dir)),
+    // PMI collocation mining over adjacent word pairs
+    "corpus_pmi" -> (TextAnalysis.corpusPmi _),
+    // Levenshtein<=1 fuzzy term lookup over the corpus vocabulary
+    "search_fuzzy" -> (Search.searchFuzzy _),
+    // trailing 24-bucket rolling baseline + hourly drift screen
+    "ts_rolling" -> (Timeseries.tsRolling _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,6 +294,10 @@ object SparkEntry {
     "q10_returns" -> Relational.q10Sql,
     "ts_shift" -> Timeseries.tsShiftSql,
     "ann_sq" -> Similarity.annSqSql,
-    "corpus_zipf" -> TextAnalysis.corpusZipfSql
+    "corpus_zipf" -> TextAnalysis.corpusZipfSql,
+    "q18_big" -> Relational.q18Sql,
+    "corpus_pmi" -> TextAnalysis.corpusPmiSql,
+    "search_fuzzy" -> Search.searchFuzzySql,
+    "ts_rolling" -> Timeseries.tsRollingSql
   )
 }

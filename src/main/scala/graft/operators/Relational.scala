@@ -391,4 +391,53 @@ object Relational {
       |WHERE n1.n_name <> n2.n_name
       |GROUP BY 1, 2, 3
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q18-shape "large order" report: orders whose total lineitem
+    * quantity exceeds a threshold, joined back to order + customer
+    * detail. (Reference analog: the retrieval-cap screen in
+    * query/TimeSeriesQueryUtils.scala:362-369 — flag the requests whose
+    * total volume crosses a limit, then report who issued them.)
+    *
+    * Scale shape: the HAVING aggregate reduces the line stream to
+    * order cardinality BEFORE any wide join — the filter keeps only
+    * threshold-crossers, so the join-back sees a tiny key set (AQE
+    * turns it into a broadcast probe of orders/customer at real
+    * selectivity). Quantity sums route through decimal; top-k is
+    * TakeOrderedAndProject.
+    */
+  def q18Big(spark: SparkSession, dir: String, minQty: Double = 250.0): DataFrame = {
+    val big = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(d184)).as("__qty"), count(lit(1)).as("n_lines"))
+      .filter(col("__qty") > lit(minQty).cast(d184))
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    big
+      .join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        col("o_totalprice"),
+        col("n_lines"),
+        col("__qty").cast("double").as("total_qty")
+      )
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 50""".stripMargin
 }

@@ -326,4 +326,73 @@ object Search {
        |FROM m GROUP BY doc_id
        |ORDER BY n_hits DESC, doc_id
        |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Fuzzy term lookup
+  // ---------------------------------------------------------------------
+
+  /** Edit-distance-bounded fuzzy term lookup: for each (possibly
+    * misspelled) query term, the vocabulary words within Levenshtein
+    * distance 1, with their document frequencies — the query-rewrite
+    * front end a search pipeline runs before BM25 when the term has no
+    * exact hit.
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY (one map-side
+    * partially-aggregated shuffle at term cardinality) before any
+    * distance computation; the query terms broadcast, and the length
+    * band |len(w) − len(q)| ≤ 1 prunes the nested-loop probe before
+    * the Levenshtein kernel runs (an edit of distance 1 changes length
+    * by at most 1). For a large query workload the same frame extends
+    * to SymSpell-style deletion-neighborhood join keys; with a
+    * handful of probe terms the broadcast band-NLJ is the right plan.
+    *
+    * Portability: Levenshtein is the standard DP edit distance in both
+    * engines; counts are exact integers — no floats anywhere.
+    */
+  def fuzzyLookup(spark: SparkSession, docs: DataFrame, terms: Seq[String], maxDist: Int = 1): DataFrame = {
+    import spark.implicits._
+    val q = terms.toDF("query_term")
+    val vocab = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode_outer(array_distinct(expr(WordsSql))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+    vocab
+      .join(
+        broadcast(q),
+        abs(length(col("word")) - length(col("query_term"))) <= maxDist &&
+          levenshtein(col("word"), col("query_term")) <= maxDist
+      )
+      .select(
+        col("query_term"),
+        col("word"),
+        levenshtein(col("word"), col("query_term")).cast("long").as("dist"),
+        col("df")
+      )
+      .orderBy(col("query_term"), col("dist"), col("df").desc, col("word"))
+  }
+
+  /** Fixed misspelled probes over the testdata vocabulary (one
+    * substitution, one insertion, one deletion, one double-letter).
+    */
+  val FuzzyTerms: Seq[String] = Seq("spzrk", "joinn", "windw", "scann")
+
+  def searchFuzzy(spark: SparkSession, dir: String): DataFrame =
+    fuzzyLookup(spark, Tables.documents(spark, dir), FuzzyTerms)
+
+  val searchFuzzySql: String = {
+    val probes = FuzzyTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH v AS (
+       |  SELECT u.word, COUNT(*) AS df
+       |  FROM (SELECT list_distinct(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS ws
+       |        FROM documents WHERE text IS NOT NULL) t,
+       |       UNNEST(ws) AS u(word)
+       |  GROUP BY 1),
+       |q(query_term) AS (VALUES $probes)
+       |SELECT query_term, word, CAST(levenshtein(word, query_term) AS BIGINT) AS dist, df
+       |FROM v JOIN q
+       |  ON ABS(LENGTH(word) - LENGTH(query_term)) <= 1
+       | AND levenshtein(word, query_term) <= 1
+       |ORDER BY query_term, dist, df DESC, word""".stripMargin
+  }
 }

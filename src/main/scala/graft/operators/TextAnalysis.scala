@@ -1144,4 +1144,111 @@ object TextAnalysis {
       |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
       |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PMI collocations
+  // ---------------------------------------------------------------------
+
+  /** Pointwise-mutual-information collocation mining over adjacent word
+    * pairs (Church & Hanks, "Word Association Norms, Mutual Information,
+    * and Lexicography", 1990): which bigrams co-occur more often than
+    * their unigram frequencies predict. A curation pipeline uses the
+    * high-PMI list to spot boilerplate phrases and templated spans that
+    * per-word statistics miss.
+    *
+    * PMI(x,y) = ln p(x,y) − ln p(x) − ln p(y) with pair probabilities
+    * over the adjacent-pair stream and unigram probabilities over the
+    * token stream.
+    *
+    * Scale shape: pair and unigram counts are each ONE map-side
+    * partially-aggregated shuffle at vocabulary / vocabulary² key
+    * cardinality — the corpus itself never re-shuffles; the unigram and
+    * total relations broadcast onto the pair table, so the score is a
+    * projection over a vocabulary-scale frame.
+    *
+    * Portability: counts are exact integers; every ln is taken on an
+    * exact-integer input and ROUNDed to 9 decimals before entering the
+    * score, and the six rounded terms combine in the identical written
+    * order in both engines, so the double arithmetic is bit-identical.
+    */
+  def pmiCollocations(docs: DataFrame, k: Int = 25, minPair: Long = 5L): DataFrame = {
+    val d = docs.filter(col("text").isNotNull).select(expr(WordsSql).as("ws"))
+    val pairs = d
+      .select(
+        explode(
+          expr(
+            """case when size(ws) >= 2
+              |     then transform(sequence(1, size(ws) - 1),
+              |                    i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))
+              |     else cast(array() as array<struct<w1:string,w2:string>>) end""".stripMargin
+          )
+        ).as("p")
+      )
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_pair"))
+    val uni = d
+      .select(explode(col("ws")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c_uni"))
+    val totals = d.agg(
+      sum(when(size(col("ws")) >= 2, size(col("ws")) - 1).otherwise(lit(0)).cast("long"))
+        .as("n_pairs"),
+      sum(size(col("ws")).cast("long")).as("n_tok")
+    )
+    val ln9 = (c: org.apache.spark.sql.Column) => round(log(c.cast("double")), 9)
+    // ln p(xy) − ln p(x) − ln p(y), each probability expanded so every
+    // ln argument is an exact integer; fixed evaluation order.
+    val pmi = round(
+      ln9(col("c_pair")) - ln9(col("n_pairs")) -
+        (ln9(col("c_u1")) - ln9(col("n_tok"))) -
+        (ln9(col("c_u2")) - ln9(col("n_tok"))),
+      6
+    )
+    val order =
+      org.apache.spark.sql.expressions.Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    pairs
+      .filter(col("c_pair") >= minPair)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_uni").as("c_u1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_uni").as("c_u2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_pair"), pmi.as("pmi"))
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("w1"), col("w2"), col("c_pair"), col("pmi"))
+  }
+
+  def corpusPmi(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(Tables.documents(spark, dir)).orderBy(col("rank"))
+
+  /** Identical counts, round-9 logs in the identical term order. */
+  val corpusPmiSql: String =
+    """WITH wsa AS (
+      |  SELECT string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |p AS (
+      |  SELECT u.p.w1 AS w1, u.p.w2 AS w2, COUNT(*) AS c_pair
+      |  FROM (SELECT list_transform(range(1, len(ws)),
+      |               i -> struct_pack(w1 := ws[i], w2 := ws[i+1])) AS ps FROM wsa) t,
+      |       UNNEST(ps) AS u(p)
+      |  GROUP BY 1, 2),
+      |uni AS (SELECT u.w AS w, COUNT(*) AS c_uni FROM wsa, UNNEST(ws) AS u(w) GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END) AS n_pairs,
+      |    SUM(len(ws)) AS n_tok
+      |  FROM wsa),
+      |scored AS (
+      |  SELECT p.w1, p.w2, p.c_pair,
+      |    ROUND(ROUND(LN(CAST(c_pair AS DOUBLE)), 9) - ROUND(LN(CAST(n_pairs AS DOUBLE)), 9) -
+      |      (ROUND(LN(CAST(u1.c_uni AS DOUBLE)), 9) - ROUND(LN(CAST(n_tok AS DOUBLE)), 9)) -
+      |      (ROUND(LN(CAST(u2.c_uni AS DOUBLE)), 9) - ROUND(LN(CAST(n_tok AS DOUBLE)), 9)), 6) AS pmi
+      |  FROM p
+      |  JOIN uni u1 ON p.w1 = u1.w
+      |  JOIN uni u2 ON p.w2 = u2.w
+      |  CROSS JOIN tot
+      |  WHERE p.c_pair >= 5)
+      |SELECT ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank, w1, w2, c_pair, pmi
+      |FROM scored
+      |ORDER BY pmi DESC, w1, w2
+      |LIMIT 25""".stripMargin
 }

@@ -1712,6 +1712,78 @@ object Timeseries {
       |WHERE ABS(z) >= 3.0 AND n >= 3
       |ORDER BY channel, t, v""".stripMargin
 
+  /** Trailing rolling baseline per channel: each (channel, hour-bucket)
+    * mean compared against the mean over the trailing `trail` non-empty
+    * buckets — the drift screen that flags an hour whose level moved
+    * away from its own recent history (the streaming-ingest QA
+    * counterpart of ts_zscore's within-bucket screen).
+    *
+    * Scale shape: the raw stream collapses to the (channel, bucket)
+    * GRID in one map-side partially-aggregated shuffle; the trailing
+    * window then runs over that summary relation only (one row per
+    * non-empty bucket — time-range/bucket-width cardinality, not data
+    * cardinality), per the repo's channel-window-over-summaries-only
+    * discipline (__pb_ marker columns). Raw samples never see a window.
+    *
+    * Portability: bucket sums route through DECIMAL (exact,
+    * order-independent); the two double divisions and their difference
+    * are written in the identical order in both engines; trailing
+    * columns are NULL for a channel's first bucket in both.
+    */
+  def rollingBaseline(ts: DataFrame, bucketUs: Long, trail: Int): DataFrame = {
+    val g = ts
+      .withColumn("__bkt", microsBucket(col("t"), bucketUs))
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec2710)).as("__s"))
+    val w = Window
+      .partitionBy(col("channel"))
+      .orderBy(col("__bkt"))
+      .rowsBetween(-trail, -1)
+    val mean = col("__s").cast("double") / col("n")
+    val trailMean = col("__pb_ts").cast("double") / col("__pb_tn")
+    g.select(
+      col("channel"),
+      col("__bkt"),
+      col("n"),
+      col("__s"),
+      sum(col("n")).over(w).as("__pb_tn"),
+      sum(col("__s")).over(w).as("__pb_ts")
+    ).select(
+      col("channel"),
+      col("__bkt").as("bucket"),
+      col("n"),
+      round(mean, 6).as("mean"),
+      col("__pb_tn").as("trail_n"),
+      round(trailMean, 6).as("trail_mean"),
+      round(mean - trailMean, 6).as("dev")
+    )
+  }
+
+  def tsRolling(spark: SparkSession, dir: String): DataFrame =
+    rollingBaseline(Tables.ts(spark, dir), bucketUs = 3600000000L, trail = 24)
+      .orderBy(col("channel"), col("bucket"))
+
+  val tsRollingSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, value AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT channel, bucket, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(27,10))) AS s
+      |  FROM e GROUP BY 1, 2),
+      |t AS (
+      |  SELECT channel, bucket, n, s,
+      |    CAST(SUM(n) OVER w AS BIGINT) AS tn, SUM(s) OVER w AS tsum
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY channel ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT channel, bucket, n,
+      |  ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+      |  tn AS trail_n,
+      |  ROUND(CAST(tsum AS DOUBLE) / tn, 6) AS trail_mean,
+      |  ROUND(CAST(s AS DOUBLE) / n - CAST(tsum AS DOUBLE) / tn, 6) AS dev
+      |FROM t
+      |ORDER BY channel, bucket""".stripMargin
+
   /** Weekly cohort retention: users grouped by their FIRST active week
     * (the cohort), counted per week offset from it — the classic
     * retention triangle.

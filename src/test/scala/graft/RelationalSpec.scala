@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
 
@@ -86,5 +87,35 @@ class RelationalSpec extends SparkSpec {
     val phys = Relational.q10Returns(spark, sfDir).queryExecution.executedPlan.toString
     phys should include("BroadcastHashJoin")
     phys should not include "CartesianProduct"
+  }
+
+  "q18_big" should "keep only orders whose total quantity crosses the threshold" in {
+    val rows = Relational.q18Big(spark, sfDir).collect()
+    rows should not be empty
+    rows.length should be <= 50
+    rows.foreach(_.getAs[Double]("total_qty") should be > 250.0)
+    val qtys = rows.map(_.getAs[Double]("total_qty"))
+    qtys.sliding(2).foreach {
+      case Array(a, b) => a should be >= b
+      case _ => ()
+    }
+    // spot-check one order's quantity against a direct recompute
+    val k = rows.head.getAs[Long]("o_orderkey")
+    val direct = Tables
+      .lineitem(spark, sfDir)
+      .filter(col("l_orderkey") === k)
+      .agg(sum(col("l_quantity")))
+      .collect()
+      .head
+      .getDouble(0)
+    rows.head.getAs[Double]("total_qty") shouldBe direct +- 1e-9
+  }
+
+  it should "aggregate to order grain before joining back to orders and customer" in {
+    val plan = Relational.q18Big(spark, sfDir).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    // the HAVING filter must sit on the aggregate, not after the joins
+    val opt = Relational.q18Big(spark, sfDir).queryExecution.optimizedPlan.toString
+    opt.indexOf("Aggregate") should be >= 0
   }
 }

@@ -116,4 +116,33 @@ class SearchSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"), r.getAs[Long]("first_pos")))
     rows shouldBe Array((1L, 1L, 0L), (3L, 1L, 2L))
   }
+
+  "fuzzyLookup" should "match vocabulary within edit distance 1 and count document frequency" in {
+    val docs = Seq(
+      (1L, "spark table fast"),
+      (2L, "spork table"),
+      (3L, "table sparkle"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = Search
+      .fuzzyLookup(spark, docs, Seq("spxrk", "tabl"), maxDist = 1)
+      .collect()
+      .map(r => (r.getAs[String]("query_term"), r.getAs[String]("word"), r.getAs[Long]("dist"), r.getAs[Long]("df")))
+    // spxrk: spark + spork at one substitution; sparkle is distance 3
+    // tabl:  table at one insertion, present in three docs
+    rows shouldBe Array(
+      ("spxrk", "spark", 1L, 1L),
+      ("spxrk", "spork", 1L, 1L),
+      ("tabl", "table", 1L, 3L)
+    )
+  }
+
+  it should "count a word once per document even when repeated" in {
+    val docs = Seq((1L, "scan scan scan"), (2L, "scan")).toDF("doc_id", "text")
+    val rows = Search
+      .fuzzyLookup(spark, docs, Seq("scann"), maxDist = 1)
+      .collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("dist"), r.getAs[Long]("df")))
+    rows shouldBe Array(("scan", 1L, 2L))
+  }
 }

@@ -312,4 +312,29 @@ class TextAnalysisSpec extends SparkSpec {
     // a frequency spectrum decaying by halves is steeply Zipf-like
     slope should be < -1.0
   }
+
+  "pmiCollocations" should "rank a planted collocation above a frequent word's self-pair" in {
+    // doc 1: "aa bb" always adjacent (the collocation); doc 2: a run of
+    // cc whose self-pairs are frequent but predicted by cc's unigram mass
+    val docs = Seq(
+      (1L, ("aa bb " * 5).trim),
+      (2L, ("cc " * 6).trim)
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis
+      .pmiCollocations(docs, k = 10, minPair = 5L)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[Long]("c_pair"), r.getAs[Double]("pmi")))
+    // qualifying pairs: (aa,bb) x5 and (cc,cc) x5; (bb,aa) is only x4
+    rows.map(t => (t._2, t._3)).toSet shouldBe Set(("aa", "bb"), ("cc", "cc"))
+    rows.head._2 shouldBe "aa"
+    // hand-computed expectation with the operator's round-9 ln grid:
+    // n_tok = 16, n_pairs = 14, c(aa)=c(bb)=5, c(cc)=6
+    def r9(x: Double) = BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pmi(cp: Long, c1: Long, c2: Long) =
+      BigDecimal(r9(cp.toDouble) - r9(14.0) - (r9(c1.toDouble) - r9(16.0)) - (r9(c2.toDouble) - r9(16.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    rows.find(t => t._2 == "aa").get._5 shouldBe pmi(5, 5, 5) +- 1e-9
+    rows.find(t => t._2 == "cc").get._5 shouldBe pmi(5, 6, 6) +- 1e-9
+  }
 }

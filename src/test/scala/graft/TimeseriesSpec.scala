@@ -784,4 +784,45 @@ class TimeseriesSpec extends SparkSpec {
       tier shouldBe direct
     }
   }
+
+  "rollingBaseline" should "compare each bucket mean against the trailing-bucket mean" in {
+    val ts = mkTs(
+      Seq(
+        ("a", 1L, 1.0), ("a", 5L, 3.0), // bucket 0: mean 2
+        ("a", 12L, 5.0), // bucket 1: mean 5
+        ("a", 21L, 10.0), ("a", 25L, 20.0), ("a", 29L, 30.0), // bucket 2: mean 20
+        ("a", 35L, 4.0) // bucket 3: mean 4
+      )
+    )
+    val rows = Timeseries
+      .rollingBaseline(ts, bucketUs = 10L, trail = 2)
+      .orderBy($"channel", $"bucket")
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("bucket"),
+          r.getAs[Long]("n"),
+          r.getAs[Double]("mean"),
+          if (r.isNullAt(r.fieldIndex("trail_n"))) -1L else r.getAs[Long]("trail_n"),
+          if (r.isNullAt(r.fieldIndex("dev"))) -999.0 else r.getAs[Double]("dev")
+        )
+      )
+    rows(0) shouldBe ((0L, 2L, 2.0, -1L, -999.0))
+    rows(1) shouldBe ((1L, 1L, 5.0, 2L, 3.0)) // vs trailing mean 2
+    // bucket 2 trails buckets 0+1: (1+3+5)/3 = 3 -> dev 17
+    rows(2) shouldBe ((2L, 3L, 20.0, 3L, 17.0))
+    // bucket 3 trails buckets 1+2: (5+60)/4 = 16.25 -> dev -12.25
+    rows(3) shouldBe ((3L, 1L, 4.0, 4L, -12.25))
+  }
+
+  it should "window only the per-bucket summary, never the raw stream" in {
+    // the sole channel-partitioned window must consume the aggregated
+    // grid (marker columns __pb_*), per the two-phase discipline
+    val plan = Timeseries
+      .rollingBaseline(mkTs(Seq(("a", 1L, 1.0))), bucketUs = 10L, trail = 2)
+      .queryExecution
+      .optimizedPlan
+      .toString
+    plan should include("__pb_")
+  }
 }
