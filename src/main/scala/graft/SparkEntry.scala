@@ -179,7 +179,9 @@ object SparkEntry {
     // Levenshtein<=1 fuzzy term lookup over the corpus vocabulary
     "search_fuzzy" -> (Search.searchFuzzy _),
     // trailing 24-bucket rolling baseline + hourly drift screen
-    "ts_rolling" -> (Timeseries.tsRolling _)
+    "ts_rolling" -> (Timeseries.tsRolling _),
+    "ts_hjorth" -> (Timeseries.tsHjorth _),
+    "ts_linelength" -> (Timeseries.tsLinelength _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,6 +300,8 @@ object SparkEntry {
     "q18_big" -> Relational.q18Sql,
     "corpus_pmi" -> TextAnalysis.corpusPmiSql,
     "search_fuzzy" -> Search.searchFuzzySql,
-    "ts_rolling" -> Timeseries.tsRollingSql
+    "ts_rolling" -> Timeseries.tsRollingSql,
+    "ts_hjorth" -> Timeseries.tsHjorthSql,
+    "ts_linelength" -> Timeseries.tsLinelengthSql
   )
 }

@@ -155,6 +155,76 @@ object Timeseries {
       .drop(cols.map(c => s"__pb_$c"): _*)
   }
 
+  /** Adds `__bkt`, `__prev_v` and `__prev2_v` = the previous and
+    * second-previous values of `v` in (t, tieBreak) order within the
+    * channel — exactly lag(v,1) / lag(v,2) over a per-channel sort —
+    * with NO per-channel sort over the data stream. One
+    * (channel, __bkt)-local window provides in-bucket lags AND (at
+    * each bucket's last row) the bucket's last two values; the
+    * per-bucket summary is aggregated from that windowed stream
+    * (max_by on the local row number — the local lag at the last row
+    * IS the second-to-last value, so no collect_list and no second
+    * sort shape). The two values carried INTO a bucket come from a
+    * per-channel window over the tiny summary: the second-previous
+    * falls back to the bucket before when the previous bucket holds a
+    * single row. Rows 1 and 2 of each bucket read the carried values,
+    * all later rows use the bucket-local lags; channel-first rows get
+    * null, as lag gives.
+    */
+  private def withStitchedPrev2(
+    df: DataFrame,
+    bucketUs: Long,
+    tieBreak: Seq[String]
+  ): DataFrame = {
+    val ord = col("t") +: tieBreak.map(col)
+    val bkted = df.withColumn("__bkt", microsBucket(col("t"), bucketUs))
+    val wLoc = Window.partitionBy(col("channel"), col("__bkt")).orderBy(ord: _*)
+    val wSum = Window.partitionBy(col("channel")).orderBy(col("__bkt"))
+    val local = bkted
+      .withColumn("__rnl", row_number().over(wLoc))
+      .withColumn("__lag1", lag(col("v"), 1).over(wLoc))
+      .withColumn("__lag2", lag(col("v"), 2).over(wLoc))
+    val summary = local
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(
+        max_by(col("v"), col("__rnl")).as("__last1"),
+        max_by(col("__lag1"), col("__rnl")).as("__last2"),
+        count(lit(1)).as("__n")
+      )
+    // aliased directly on the window expressions so the __pb_ marker
+    // lands on the Window node itself (PlanSpec keys off the prefix)
+    val carried = summary
+      .select(
+        col("channel"),
+        col("__bkt"),
+        lag(col("__last1"), 1).over(wSum).as("__pb_l1"),
+        lag(col("__last2"), 1).over(wSum).as("__pb_l2"),
+        lag(col("__n"), 1).over(wSum).as("__pb_pn"),
+        lag(col("__last1"), 2).over(wSum).as("__pb_l1b")
+      )
+      .select(
+        col("channel"),
+        col("__bkt"),
+        col("__pb_l1").as("__pb_prev1"),
+        when(col("__pb_pn") >= 2, col("__pb_l2"))
+          .otherwise(col("__pb_l1b"))
+          .as("__pb_prev2")
+      )
+    local
+      .join(broadcast(carried), Seq("channel", "__bkt"))
+      .withColumn(
+        "__prev_v",
+        when(col("__rnl") === 1, col("__pb_prev1")).otherwise(col("__lag1"))
+      )
+      .withColumn(
+        "__prev2_v",
+        when(col("__rnl") === 1, col("__pb_prev2"))
+          .when(col("__rnl") === 2, col("__pb_prev1"))
+          .otherwise(col("__lag2"))
+      )
+      .drop("__pb_prev1", "__pb_prev2", "__lag1", "__lag2", "__rnl")
+  }
+
   /** Adds `__bkt` and `__rn` = 1-based per-channel row number in
     * (t, tieBreak) order, computed as a (channel, __bkt)-local
     * row_number plus the channel's running row count over strictly
@@ -270,6 +340,96 @@ object Timeseries {
       max(col("v")).as("vmax"),
       round(detAvg(col("v")), 6).as("vavg")
     )
+  }
+
+  /** Hjorth parameters per channel — activity (signal variance),
+    * mobility (sqrt of the variance ratio of the first difference to
+    * the signal) and complexity (mobility of the first difference
+    * over mobility of the signal): the classic time-domain EEG
+    * feature triple (Hjorth 1970), summarizing a whole channel in
+    * three moments of its first and second differences. The reference
+    * engine serves raw/resampled EEG streams (reference:
+    * query/TimeSeriesQueryRawHttp.scala) and leaves feature
+    * extraction to clients; at corpus scale the features ARE the
+    * query.
+    *
+    * Scale shape: differences come from [[withStitchedPrev2]] —
+    * (channel, bucket)-local lags plus a summary carry, never a
+    * per-channel sort of the data — and everything after is ONE
+    * partial aggregation to a row per channel. All second moments
+    * route through DECIMAL(27,10) sums (exact, order-independent);
+    * the derived doubles (variances, ratios, square roots) are
+    * computed in one pinned expression order so both engines see
+    * bit-identical values. Channel-first rows lack differences and
+    * drop out of the difference moments only, matching lag semantics.
+    */
+  def hjorthParams(ts: DataFrame, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    val st = withStitchedPrev2(
+      withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id")),
+      stitchBucketUs,
+      Seq("event_id")
+    )
+    val dx = col("v") - col("__prev_v")
+    val ddx = col("v") - lit(2.0) * col("__prev_v") + col("__prev2_v")
+    val agg = st
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        detSum(col("v")).as("sx"),
+        detSum(col("v") * col("v")).as("sxx"),
+        count(col("__prev_v")).as("nd"),
+        detSum(dx).as("sd"),
+        detSum(dx * dx).as("sdd"),
+        count(col("__prev2_v")).as("n2"),
+        detSum(ddx).as("s2"),
+        detSum(ddx * ddx).as("s22")
+      )
+    def variance(sq: Column, s: Column, n: Column): Column =
+      sq / n - (s / n) * (s / n)
+    val varX = variance(col("sxx"), col("sx"), col("n"))
+    val varD = variance(col("sdd"), col("sd"), col("nd"))
+    val varDD = variance(col("s22"), col("s2"), col("n2"))
+    val mob = sqrt(greatest(varD / varX, lit(0.0)))
+    agg.select(
+      col("channel"),
+      col("n"),
+      round(varX, 6).as("activity"),
+      round(mob, 6).as("mobility"),
+      round(
+        sqrt(greatest(varDD / varD, lit(0.0))) / nullif(mob, lit(0.0)),
+        6
+      ).as("complexity")
+    )
+  }
+
+  /** Windowed line-length / turning-point / RMS features per channel
+    * time bin — the energy-and-waveform-complexity screen behind
+    * seizure detection (line length: Esteller et al. 2001) and
+    * turning-point-ratio tests. The bin width doubles as the stitch
+    * bucket, so differences crossing bin boundaries still see the
+    * true per-channel predecessor (lag semantics), while the plan
+    * stays (channel, bin)-parallel: one windowed pass via
+    * [[withStitchedPrev2]], one partial aggregation to channel×bin
+    * rows. |Δv| and v² route through DECIMAL sums; turning points
+    * count strict direction reversals ((v−p1)·(p1−p2) < 0), an
+    * exact sign test on doubles — no float-comparison ambiguity.
+    */
+  def lineLength(ts: DataFrame, binUs: Long = BucketUs): DataFrame = {
+    val st = withStitchedPrev2(
+      withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id")),
+      binUs,
+      Seq("event_id")
+    )
+    val dx = col("v") - col("__prev_v")
+    val rev = (dx * (col("__prev_v") - col("__prev2_v"))) < 0.0
+    st.groupBy(col("channel"), col("__bkt").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(detSum(when(col("__prev_v").isNotNull, abs(dx))), 6).as("line_length"),
+        sum(when(col("__prev2_v").isNotNull && rev, 1L).otherwise(0L)).as("turning_points"),
+        round(sqrt(detSum(col("v") * col("v")) / count(lit(1))), 6).as("rms")
+      )
+      .withColumn("bin_start", col("bin") * lit(binUs))
   }
 
   /** Multi-resolution downsample pyramid — the tiered zoom contract a
@@ -1210,6 +1370,55 @@ object Timeseries {
       |FROM events
       |GROUP BY 1, 2, 3
       |ORDER BY channel, dow, hod""".stripMargin
+
+  def tsHjorth(spark: SparkSession, dir: String): DataFrame =
+    hjorthParams(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  val tsHjorthSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS channel, value AS v,
+      |    LAG(value, 1) OVER w AS p1, LAG(value, 2) OVER w AS p2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+      |), m AS (
+      |  SELECT channel, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(27,10))) AS DOUBLE) AS sxx,
+      |    COUNT(p1) AS nd,
+      |    CAST(SUM(CAST(v - p1 AS DECIMAL(27,10))) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST((v - p1) * (v - p1) AS DECIMAL(27,10))) AS DOUBLE) AS sdd,
+      |    COUNT(p2) AS n2,
+      |    CAST(SUM(CAST(v - 2.0 * p1 + p2 AS DECIMAL(27,10))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST((v - 2.0 * p1 + p2) * (v - 2.0 * p1 + p2) AS DECIMAL(27,10))) AS DOUBLE) AS s22
+      |  FROM s GROUP BY channel
+      |)
+      |SELECT channel, n,
+      |  ROUND(sxx / n - (sx / n) * (sx / n), 6) AS activity,
+      |  ROUND(SQRT(GREATEST((sdd / nd - (sd / nd) * (sd / nd)) / (sxx / n - (sx / n) * (sx / n)), 0.0)), 6) AS mobility,
+      |  ROUND(SQRT(GREATEST((s22 / n2 - (s2 / n2) * (s2 / n2)) / (sdd / nd - (sd / nd) * (sd / nd)), 0.0))
+      |    / NULLIF(SQRT(GREATEST((sdd / nd - (sd / nd) * (sd / nd)) / (sxx / n - (sx / n) * (sx / n)), 0.0)), 0.0), 6) AS complexity
+      |FROM m
+      |ORDER BY channel""".stripMargin
+
+  def tsLinelength(spark: SparkSession, dir: String): DataFrame =
+    lineLength(Tables.ts(spark, dir)).orderBy(col("channel"), col("bin"))
+
+  val tsLinelengthSql: String =
+    s"""WITH s AS (
+       |  SELECT event_type AS channel, value AS v,
+       |    CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bin,
+       |    LAG(value, 1) OVER w AS p1, LAG(value, 2) OVER w AS p2
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+       |)
+       |SELECT channel, bin, COUNT(*) AS n,
+       |  ROUND(CAST(SUM(CASE WHEN p1 IS NOT NULL THEN CAST(ABS(v - p1) AS DECIMAL(27,10)) END) AS DOUBLE), 6) AS line_length,
+       |  CAST(SUM(CASE WHEN p2 IS NOT NULL AND (v - p1) * (p1 - p2) < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS turning_points,
+       |  ROUND(SQRT(CAST(SUM(CAST(v * v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*)), 6) AS rms,
+       |  bin * $BucketUs AS bin_start
+       |FROM s
+       |GROUP BY channel, bin
+       |ORDER BY channel, bin""".stripMargin
 
   def tsResampleChunk(spark: SparkSession, dir: String): DataFrame =
     resampleChunks(Tables.ts(spark, dir), ChunkSize)
