@@ -152,6 +152,7 @@ object SparkEntry {
     "q8_market" -> (Relational.q8Market _),
     // per-cluster distance z-scores: embedding-space outlier pruning
     "embed_outliers" -> (Similarity.embedOutliersQ _),
+    "embed_silhouette" -> (Similarity.embedSilhouetteQ _),
     // threshold retrieval: every neighbor above cosine tau via LSH
     "ann_radius" -> (Similarity.annRadius _),
     // char + word Shannon entropy (compressibility quality signals)
@@ -172,8 +173,13 @@ object SparkEntry {
     "ann_sq" -> (Similarity.annSq _),
     // OLS Zipf-law fit over the top-1000 word frequency spectrum
     "corpus_zipf" -> (TextAnalysis.corpusZipf _),
+    "corpus_heaps" -> (TextAnalysis.corpusHeaps _),
     // TPC-H Q18-shape large-order having-join report
     "q18_big" -> ((s, dir) => Relational.q18Big(s, dir)),
+    "q12_priority" -> (Relational.q12Priority _),
+    "q14_promo" -> (Relational.q14Promo _),
+    "q19_bands" -> (Relational.q19Bands _),
+    "q16_counts" -> (Relational.q16Counts _),
     // PMI collocation mining over adjacent word pairs
     "corpus_pmi" -> (TextAnalysis.corpusPmi _),
     // Levenshtein<=1 fuzzy term lookup over the corpus vocabulary
@@ -287,6 +293,7 @@ object SparkEntry {
     "cluster_topics" -> Similarity.clusterTopicsSql,
     "q8_market" -> Relational.q8Sql,
     "embed_outliers" -> Similarity.embedOutliersSql,
+    "embed_silhouette" -> Similarity.embedSilhouetteSql,
     "ann_radius" -> Similarity.annRadiusSql,
     "text_entropy" -> TextAnalysis.textEntropySql,
     "dedup_bloom" -> Dedup.dedupBloomSql,
@@ -297,7 +304,12 @@ object SparkEntry {
     "ts_shift" -> Timeseries.tsShiftSql,
     "ann_sq" -> Similarity.annSqSql,
     "corpus_zipf" -> TextAnalysis.corpusZipfSql,
+    "corpus_heaps" -> TextAnalysis.corpusHeapsSql,
     "q18_big" -> Relational.q18Sql,
+    "q12_priority" -> Relational.q12Sql,
+    "q14_promo" -> Relational.q14Sql,
+    "q19_bands" -> Relational.q19Sql,
+    "q16_counts" -> Relational.q16Sql,
     "corpus_pmi" -> TextAnalysis.corpusPmiSql,
     "search_fuzzy" -> Search.searchFuzzySql,
     "ts_rolling" -> Timeseries.tsRollingSql,

@@ -36,13 +36,20 @@ object Tables {
     */
   def ts(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-    // events.ts is TIMESTAMP(NANOS) parquet. With
-    // spark.sql.legacy.parquet.nanosAsLong=true (set by our mains) it
-    // reads as Long nanoseconds; truncate to µs like DuckDB's epoch_us.
-    // Integer division: `/` would go through double and lose precision
-    // on ~1.7e18 nanosecond values (> 2^53).
+    // events.ts arrives in whichever parquet encoding the writer chose;
+    // normalize every case to µs-since-epoch without assuming one:
+    //  - TIMESTAMP(NANOS) + spark.sql.legacy.parquet.nanosAsLong=true
+    //    (set by our mains) reads as Long nanoseconds → truncate to µs
+    //    like DuckDB's epoch_us. Integer division: `/` would go through
+    //    double and lose precision on ~1.7e18 ns values (> 2^53).
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    //    TIMESTAMP_NTZ under Spark's default NTZ inference → cast to
+    //    TIMESTAMP first (exact under the UTC session zone every graft
+    //    session pins) so unix_micros applies.
+    //  - plain TIMESTAMP → unix_micros directly.
     val t = ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
       case _ => unix_micros(col("ts"))
     }
     ev.select(

@@ -440,4 +440,175 @@ object Relational {
       |HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
       |ORDER BY total_qty DESC, o_orderkey
       |LIMIT 50""".stripMargin
+
+  /** TPC-H Q12-shaped shipping-delay report (this schema carries no
+    * l_shipmode, so the Q12 grouping key is the ship-delay band —
+    * FLOOR((l_shipdate − o_orderdate) / 365d)): per band, how many
+    * lines belong to urgent orders (priority 1/2) vs the rest.
+    *
+    * Scale shape: ONE fact-fact shuffle (lineitem ⋈ orders on
+    * orderkey, or exchange-free over co-bucketed layouts); the
+    * conditional counts are algebraic, so the per-band rollup is a
+    * map-side partial agg over the join output — the band key is
+    * ~14-ary, far below partition cardinality, and partial agg
+    * collapses each task's output to band-count rows before the
+    * final 14-row exchange.
+    */
+  def q12Priority(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("__ok"), col("o_orderpriority"), col("o_orderdate"))
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("__ok"))
+      .withColumn(
+        "delay_band",
+        floor(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")) / lit(365.0))
+          .cast("long")
+      )
+      .groupBy(col("delay_band"))
+      .agg(
+        sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count")
+      )
+      .orderBy(col("delay_band"))
+  }
+
+  val q12Sql: String =
+    """SELECT CAST(FLOOR(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) / 365.0) AS BIGINT) AS delay_band,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1
+      |ORDER BY delay_band""".stripMargin
+
+  /** TPC-H Q14-shaped promo-revenue share: over one ship-year, the
+    * fraction of discounted revenue coming from PROMO-type parts.
+    *
+    * Scale shape: the shipdate range predicate pushes to the lineitem
+    * scan (PushedFilters), so only the window's lines reach the
+    * partkey join; part is the smaller relation and broadcastable at
+    * bench SFs (AQE picks broadcast from real sizes — at 100 TB both
+    * sides shuffle once on partkey, or run exchange-free when
+    * co-bucketed). The final agg is global (no grouping key): one
+    * partial-agg reduction, no grouping shuffle. Decimal discipline
+    * as q1; the share divides two exact decimal sums as doubles.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables
+      .lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+      )
+    val p = Tables.part(spark, dir).select(col("p_partkey").as("__pk"), col("p_type"))
+    val vol = col("l_extendedprice").cast(d184) * (lit(1).cast(d184) - col("l_discount").cast(d184))
+    l.join(p, col("l_partkey") === col("__pk"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(
+          lit(100.0) *
+            sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast(d184))).cast("double") /
+            sum(vol).cast("double"),
+          6
+        ).as("promo_share"),
+        round(sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast(d184))), 4)
+          .cast("double")
+          .as("promo_revenue")
+      )
+  }
+
+  val q14Sql: String =
+    """SELECT COUNT(*) AS n_lines,
+      |  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |                      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+      |        6) AS promo_share,
+      |  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+      |                 THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |                 ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS promo_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin
+
+  /** TPC-H Q19-shaped disjunctive-band revenue: three OR'd
+    * (brand, size-band, quantity-band) predicates — the classic
+    * "join with a disjunction that can't become a join key" shape.
+    *
+    * Scale shape: the predicate's part-only conjuncts (brand ∈ {…},
+    * size range) are OR-factored by Catalyst into a pushable
+    * part-scan filter, and the quantity bound (l_quantity < 50 covers
+    * all three arms) pushes to the lineitem scan — both scans prune
+    * before the partkey equi-join; only the residual mixed
+    * disjunction evaluates on joined rows. The global agg is one
+    * partial-agg reduction with no grouping shuffle.
+    */
+  def q19Bands(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey").as("__pk"), col("p_brand"), col("p_size"))
+    val vol = col("l_extendedprice").cast(d184) * (lit(1).cast(d184) - col("l_discount").cast(d184))
+    val bands =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50))
+    l.join(p, col("l_partkey") === col("__pk"))
+      .filter(bands)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(vol), 4).cast("double").as("revenue")
+      )
+  }
+
+  val q19Sql: String =
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  /** TPC-H Q16-shaped supplier-variety report: per (brand, type,
+    * size-band), how many DISTINCT suppliers ship the part — the
+    * canonical distinct-aggregate shape, missing from the suite until
+    * now.
+    *
+    * Scale shape: Catalyst plans COUNT(DISTINCT) group-by as the
+    * two-phase distinct expansion — partial dedup on
+    * (group key, l_suppkey) BEFORE the exchange, so the shuffle
+    * carries the deduped key pairs, not the raw line stream, then a
+    * second partial/final count over the deduped set. The part-side
+    * predicates prune the part scan before its partkey join; top-k is
+    * TakeOrderedAndProject.
+    */
+  def q16Counts(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") =!= "PROMO" && col("p_size") <= 25)
+      .select(col("p_partkey").as("__pk"), col("p_brand"), col("p_type"), col("p_size"))
+    l.join(p, col("l_partkey") === col("__pk"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"), count(lit(1)).as("n_lines"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(100)
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt, COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_type <> 'PROMO' AND p_size <= 25
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 100""".stripMargin
 }

@@ -616,6 +616,75 @@ object Similarity {
        |FROM a JOIN stx s ON s.cluster = a.cluster
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Simplified (centroid) silhouette per embedding — the standard
+    * clustering-quality signal computed WITHOUT pairwise point
+    * distances: a = squared distance to the assigned centroid, b =
+    * squared distance to the nearest OTHER centroid, s = (b − a) /
+    * max(a, b) ∈ [0, 1] here (a is the argmin, so b ≥ a). Near-zero
+    * silhouette marks points on cluster boundaries — the vectors an
+    * embedding-curation pass re-examines first; the per-cluster mean
+    * is the usual "is k right" diagnostic. (The classic full
+    * silhouette needs O(n²) pair distances; the centroid form is the
+    * scalable standard.)
+    *
+    * Scale shape: one corpus scan, zero shuffles — all k centroid
+    * distances evaluate in ONE codegen'd projection against literal
+    * centroid vectors (the kmeansAssign shape), and the two smallest
+    * come from sorting the k-element (d, cid) struct array in-row.
+    * Portability: raw argmin/next distances feed the ratio, outputs
+    * round to 6; the oracle reranks the identical trajectory's
+    * distances with the same (d, cid) tie order.
+    */
+  def embedSilhouette(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val cents = kmeansCentroids(emb, k, iters)
+    val sorted = array_sort(array(centroidStructs(col("v"), cents): _*))
+    emb
+      .select(col("vec_id"), col("embedding").as("v"))
+      .select(
+        col("vec_id"),
+        sorted.getItem(0).getField("cid").cast("long").as("cluster"),
+        sorted.getItem(0).getField("d").as("__a"),
+        sorted.getItem(1).getField("d").as("__b")
+      )
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        round(col("__a"), 6).as("dist2"),
+        round(col("__b"), 6).as("dist2_next"),
+        round(
+          (col("__b") - col("__a")) / nullif(greatest(col("__a"), col("__b")), lit(0.0)),
+          6
+        ).as("silhouette")
+      )
+  }
+
+  def embedSilhouetteQ(spark: SparkSession, dir: String): DataFrame =
+    embedSilhouette(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
+  /** Oracle: the shared trajectory's final centroids, reranked per
+    * vector with the identical (d, cid) order; rn=1 is the kasg
+    * assignment, rn=2 the nearest-other distance, ratio and rounds as
+    * the operator.
+    */
+  val embedSilhouetteSql: String = {
+    def distExpr(v: String, c: String) =
+      s"list_dot_product($v, $v) - 2.0 * list_dot_product($v, $c) + list_dot_product($c, $c)"
+    s"""WITH $KmeansCtes,
+       |two AS (
+       |  SELECT vec_id, cid, d, rn FROM (
+       |    SELECT n.vec_id, c.cid, ${distExpr("n.v", "c.cv")} AS d,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                         ORDER BY ${distExpr("n.v", "c.cv")}, c.cid) AS rn
+       |    FROM n CROSS JOIN cent$KmeansIters c) a
+       |  WHERE rn <= 2)
+       |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       |  ROUND(a.d, 6) AS dist2, ROUND(b.d, 6) AS dist2_next,
+       |  ROUND((b.d - a.d) / NULLIF(GREATEST(a.d, b.d), 0.0), 6) AS silhouette
+       |FROM two a JOIN two b ON a.vec_id = b.vec_id AND b.rn = 2
+       |WHERE a.rn = 1
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** Cluster topic labeling — the BERTopic-style "describe" step after
     * embedding clustering: every k-means cell labeled by its top
     * class-TF-IDF words (count of the word inside the cluster, scaled

@@ -1146,6 +1146,97 @@ object TextAnalysis {
       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Heaps'-law vocabulary growth
+  // ---------------------------------------------------------------------
+
+  /** Vocabulary-growth curve (Heaps/Herdan law): cumulative distinct
+    * vocabulary vs cumulative token count at `buckets` doc-order
+    * checkpoints. A curation pipeline reads the curve's bend — natural
+    * corpora grow V ≈ K·nᵝ with β ≈ 0.5–0.7; a flattening curve means
+    * template mass (vocabulary saturates), a straight line near slope
+    * 1 means noise/IDs (every token new).
+    *
+    * The naive formulation (running COUNT(DISTINCT) over a doc-ordered
+    * stream) needs an unpartitioned corpus-size window. This one
+    * doesn't: a word's contribution to the curve is fully determined
+    * by its FIRST-occurrence doc — so the cumulative vocabulary at
+    * checkpoint b is just the count of words whose min(doc_id) falls
+    * in buckets ≤ b.
+    *
+    * Scale shape: one vocabulary-scale shuffle (word → min doc_id),
+    * one bucket-scale doc rollup (map-side partial agg), and every
+    * window/join after runs on `buckets` rows. The corpus is scanned
+    * twice (token counts, first occurrences) and never re-shuffled.
+    * Portability: all-integer outputs — no float discipline needed;
+    * bucket assignment is exact integer floor-division in both
+    * engines.
+    */
+  def heapsGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val d = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(WordsSql).as("__ws"))
+      .select(
+        col("doc_id"),
+        expr("size(filter(__ws, w -> length(w) > 0))").cast("long").as("n_words"),
+        col("__ws")
+      )
+    val mx = d.agg(max(col("doc_id")).as("__mx"))
+    val bucketed = d.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr(s"(doc_id * $buckets) div (__mx + 1)"))
+    val perBucket = bucketed
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n_docs"), sum(col("n_words")).as("__n_tokens"))
+    val firstOcc = bucketed
+      .select(col("doc_id"), explode(col("__ws")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(min(col("doc_id")).as("__first_doc"))
+    val newPerBucket = firstOcc
+      .crossJoin(broadcast(mx))
+      .groupBy(expr(s"(__first_doc * $buckets) div (__mx + 1)").as("bucket"))
+      .agg(count(lit(1)).as("__n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    perBucket
+      .join(newPerBucket, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        sum(col("__n_docs")).over(w).as("cum_docs"),
+        sum(col("__n_tokens")).over(w).as("cum_tokens"),
+        sum(coalesce(col("__n_new"), lit(0L))).over(w).as("cum_vocab")
+      )
+      .orderBy(col("bucket"))
+  }
+
+  def corpusHeaps(spark: SparkSession, dir: String): DataFrame =
+    heapsGrowth(Tables.documents(spark, dir))
+
+  val corpusHeapsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |mx AS (SELECT MAX(doc_id) AS mx FROM d),
+      |bt AS (
+      |  SELECT (doc_id * 10) // (mx + 1) AS bucket, COUNT(*) AS n_docs,
+      |    SUM(len(list_filter(ws, w -> LENGTH(w) > 0))) AS n_tokens
+      |  FROM d, mx GROUP BY 1),
+      |fo AS (
+      |  SELECT u.word, MIN(doc_id) AS first_doc
+      |  FROM d, UNNEST(ws) AS u(word)
+      |  WHERE LENGTH(u.word) > 0
+      |  GROUP BY 1),
+      |vb AS (
+      |  SELECT (first_doc * 10) // (mx + 1) AS bucket, COUNT(*) AS n_new
+      |  FROM fo, mx GROUP BY 1)
+      |SELECT bt.bucket,
+      |  CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+      |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(COALESCE(n_new, 0)) OVER w AS BIGINT) AS cum_vocab
+      |FROM bt LEFT JOIN vb ON bt.bucket = vb.bucket
+      |WINDOW w AS (ORDER BY bt.bucket)
+      |ORDER BY bt.bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PMI collocations
   // ---------------------------------------------------------------------
 
