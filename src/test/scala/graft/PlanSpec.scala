@@ -49,6 +49,34 @@ class PlanSpec extends SparkSpec {
     countShuffles(df) should be <= 2
   }
 
+  "q14_promo" should "push the shipdate range to the lineitem scan" in {
+    val plan = planString(Relational.q14Promo(spark, sfDir))
+    plan should include("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")
+  }
+
+  "q16_counts" should "push part predicates and plan the two-phase distinct expansion" in {
+    val df = Relational.q16Counts(spark, sfDir)
+    val plan = planString(df)
+    // part-side pruning reaches the scan
+    plan should include regex "PushedFilters: \\[.*p_size.*"
+    // COUNT(DISTINCT) group-by = partial dedup on (group, suppkey)
+    // before the exchange, then the counting aggregate
+    plan should include("partial_count(distinct")
+  }
+
+  "q19_bands" should "factor part-only conjuncts out of the disjunction into the part scan" in {
+    val plan = planString(Relational.q19Bands(spark, sfDir))
+    plan should include regex "PushedFilters: \\[.*p_brand.*"
+    // the quantity bound common to all three arms prunes lineitem too
+    plan should include regex "PushedFilters: \\[.*l_quantity.*"
+  }
+
+  "embed_silhouette" should "evaluate all centroid distances in a shuffle-free projection" in {
+    val df = graft.operators.Similarity.embedSilhouette(
+      Tables.embeddings(spark, sfDir), k = 4, iters = 1)
+    countShuffles(df) shouldBe 0
+  }
+
   "ts_range" should "push both channel and time predicates to the scan" in {
     val plan = planString(Timeseries.tsRange(spark, sfDir))
     plan should include("PushedFilters:")

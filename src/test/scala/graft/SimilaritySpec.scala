@@ -154,6 +154,38 @@ class SimilaritySpec extends SparkSpec {
       again.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
   }
 
+  "embedSilhouette" should "score tight well-separated clusters near 1 and keep a <= b" in {
+    val a = (0L until 4L).map(i => (i, Array(100.0f + 0.1f * i, 0.0f)))
+    val b = (4L until 8L).map(i => (i, Array(-100.0f - 0.1f * i, 0.0f)))
+    val vecs = (a ++ b).toDF("vec_id", "embedding")
+    val out = Similarity.embedSilhouette(vecs, k = 2, iters = 4).collect()
+    out should have length 8
+    out.foreach { r =>
+      // the assigned centroid is the argmin by construction
+      r.getAs[Double]("dist2") should be <= r.getAs[Double]("dist2_next")
+      // tight clusters, far-apart centroids: near-perfect silhouette
+      r.getAs[Double]("silhouette") should be > 0.9
+    }
+    // silhouette labels agree with the plain assignment's clustering
+    val byCluster =
+      out.groupBy(_.getAs[Long]("cluster")).view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    byCluster.values.toSet shouldBe Set((0L until 4L).toSet, (4L until 8L).toSet)
+  }
+
+  it should "flag a boundary point with a lower score than core points" in {
+    // two 1-D clusters at 0 and 10; one point parked at 4.5 (nearer
+    // cluster A but close to the boundary)
+    val pts = Seq(
+      (0L, Array(0.0f, 0f)), (1L, Array(0.2f, 0f)), (2L, Array(-0.2f, 0f)),
+      (3L, Array(10.0f, 0f)), (4L, Array(10.2f, 0f)), (5L, Array(9.8f, 0f)),
+      (6L, Array(4.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embedSilhouette(pts, k = 2, iters = 4).collect()
+    val sil = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("silhouette")).toMap
+    val core = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(sil)
+    core.min should be > sil(6L) // every core point beats the straggler
+  }
+
   "pqTopK" should "emit complete rank lists ordered by asymmetric distance" in {
     val out = Similarity
       .pqTopK(emb, emb, 5)

@@ -313,6 +313,25 @@ class TextAnalysisSpec extends SparkSpec {
     slope should be < -1.0
   }
 
+  "heapsGrowth" should "accumulate one new word per doc on a planted growth corpus" in {
+    // doc d = the shared word plus one unique word; ids 0..9 land one
+    // per bucket, so each checkpoint adds 1 doc, 2 tokens, 1 new word
+    // (bucket 0 adds 2: the shared word is also first-seen there)
+    val docs = (0L until 10L).map(d => (d, s"the u$d")).toDF("doc_id", "text")
+    val rows = TextAnalysis.heapsGrowth(docs).collect()
+    rows.map(_.getAs[Long]("bucket")).toSeq shouldBe (0L until 10L)
+    rows.map(_.getAs[Long]("cum_docs")).toSeq shouldBe (1L to 10L)
+    rows.map(_.getAs[Long]("cum_tokens")).toSeq shouldBe (1L to 10L).map(_ * 2)
+    rows.map(_.getAs[Long]("cum_vocab")).toSeq shouldBe (1L to 10L).map(_ + 1)
+  }
+
+  it should "saturate on a template corpus" in {
+    val docs = (0L until 10L).map(d => (d, "spam spam spam")).toDF("doc_id", "text")
+    val rows = TextAnalysis.heapsGrowth(docs).collect()
+    rows.map(_.getAs[Long]("cum_vocab")).distinct.toSeq shouldBe Seq(1L)
+    rows.last.getAs[Long]("cum_tokens") shouldBe 30L
+  }
+
   "pmiCollocations" should "rank a planted collocation above a frequent word's self-pair" in {
     // doc 1: "aa bb" always adjacent (the collocation); doc 2: a run of
     // cc whose self-pairs are frequent but predicted by cc's unigram mass
