@@ -391,6 +391,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "StreamingHeavyHitters.topK" should "track a heavy hitter exactly through eviction churn" in {
+    import graft.streaming.StreamingHeavyHitters
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamingHeavyHitters.topK(
+      spark, mem.toDF().toDF("item"), capacity = 4, nShards = 1, k = 4)
+    val q = out.toDF().writeStream.format("memory").queryName("hh_out").outputMode("update").start()
+    try {
+      // batch 1 fills the summary: hot×5 + three fillers
+      mem.addData(Seq.fill(5)("hot") ++ Seq("f1", "f2", "f3"): _*)
+      q.processAllAvailable()
+      // batch 2 churns the fillers (every newcomer evicts a min
+      // counter) while hot keeps accumulating
+      mem.addData(Seq.fill(5)("hot") ++ Seq("g1", "g2", "g3"): _*)
+      q.processAllAvailable()
+
+      val latest = spark
+        .table("hh_out")
+        .as[(Int, String, Long, Long)]
+        .collect()
+        .zipWithIndex
+        .groupBy(_._1._2)
+        .map { case (item, xs) => item -> xs.maxBy(_._2)._1 }
+      // hot is never the minimum counter, so it is never evicted and
+      // its count stays EXACT (err 0) despite the churn
+      latest("hot")._3 shouldBe 10L
+      latest("hot")._4 shouldBe 0L
+      // bounded state: no snapshot ever exceeds capacity entries
+      spark.table("hh_out").as[(Int, String, Long, Long)].collect()
+        .groupBy(_._1).values.foreach(_.map(_._2).distinct.size should be <= 7)
+    } finally q.stop()
+  }
+
+  it should "bound an evicting newcomer's count by the inherited error" in {
+    import graft.streaming.StreamingHeavyHitters
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamingHeavyHitters.topK(
+      spark, mem.toDF().toDF("item"), capacity = 2, nShards = 1, k = 2)
+    val q = out.toDF().writeStream.format("memory").queryName("hh_err").outputMode("update").start()
+    try {
+      mem.addData("a", "a", "b")
+      q.processAllAvailable()
+      mem.addData("c") // evicts b (the min, count 1): c.count=2, err=1
+      q.processAllAvailable()
+      val latest = spark
+        .table("hh_err")
+        .as[(Int, String, Long, Long)]
+        .collect()
+        .zipWithIndex
+        .groupBy(_._1._2)
+        .map { case (item, xs) => item -> xs.maxBy(_._2)._1 }
+      latest("c")._3 shouldBe 2L // upper bound: true count 1 + err 1
+      latest("c")._4 shouldBe 1L
+      (latest("c")._3 - latest("c")._4) should be <= 1L // lower bound holds
+      latest("a")._3 shouldBe 2L // the survivor is untouched and exact
+      latest("a")._4 shouldBe 0L
+    } finally q.stop()
+  }
+
   "StreamingPacking.pack" should "continue the batch packer's token stream across micro-batches" in {
     import graft.streaming.StreamingPacking
     implicit val sqlCtx = spark.sqlContext
