@@ -169,6 +169,7 @@ object SparkEntry {
     "q10_returns" -> (Relational.q10Returns _),
     // two-sided sliding-window level-shift (change-point) screen
     "ts_shift" -> (Timeseries.tsShift _),
+    "ts_cusum" -> (Timeseries.tsCusum _),
     // scalar-quantized ANN with dequantized shortlist + exact rerank
     "ann_sq" -> (Similarity.annSq _),
     // OLS Zipf-law fit over the top-1000 word frequency spectrum
@@ -302,6 +303,7 @@ object SparkEntry {
     "search_phrase" -> Search.searchPhraseSql,
     "q10_returns" -> Relational.q10Sql,
     "ts_shift" -> Timeseries.tsShiftSql,
+    "ts_cusum" -> Timeseries.tsCusumSql,
     "ann_sq" -> Similarity.annSqSql,
     "corpus_zipf" -> TextAnalysis.corpusZipfSql,
     "corpus_heaps" -> TextAnalysis.corpusHeapsSql,

@@ -257,6 +257,126 @@ object Timeseries {
       .drop("__pb_rnprefix")
   }
 
+  /** Adds `__bkt`, `__rn` (as [[withGlobalRowNumber]]) and `__ps` =
+    * the channel's inclusive running DECIMAL sum of `v` in
+    * (t, tieBreak) order — sum(v) over (partition by channel order by
+    * t, tieBreak), with no per-channel sort over the data stream: the
+    * (channel, __bkt)-local running sum plus the channel's exact
+    * DECIMAL total over strictly preceding buckets (carried on the
+    * tiny per-bucket summary, broadcast back). Decimal addition is
+    * associative, so the stitched sum is bit-identical to the global
+    * window's.
+    */
+  private def withGlobalPrefixSum(df: DataFrame, bucketUs: Long, tieBreak: Seq[String]): DataFrame = {
+    val ord = col("t") +: tieBreak.map(col)
+    val bkted = df.withColumn("__bkt", microsBucket(col("t"), bucketUs))
+    val wLocRn = Window.partitionBy(col("channel"), col("__bkt")).orderBy(ord: _*)
+    val wLoc = wLocRn.rowsBetween(Window.unboundedPreceding, 0)
+    val wPrev = Window
+      .partitionBy(col("channel"))
+      .orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bkted
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("v").cast(dec2710)).as("__s"))
+      .select(
+        col("channel"),
+        col("__bkt"),
+        sum(col("__cnt")).over(wPrev).as("__pb_cntprefix"),
+        sum(col("__s")).over(wPrev).as("__pb_sumprefix")
+      )
+    bkted
+      .join(broadcast(prefix), Seq("channel", "__bkt"))
+      .withColumn(
+        "__rn",
+        row_number().over(wLocRn).cast("long") + coalesce(col("__pb_cntprefix"), lit(0L))
+      )
+      .withColumn(
+        "__ps",
+        sum(col("v").cast(dec2710)).over(wLoc) +
+          coalesce(col("__pb_sumprefix"), lit(0).cast(dec2710))
+      )
+      .drop("__pb_cntprefix", "__pb_sumprefix")
+  }
+
+  /** CUSUM drift screen per channel (Page 1954): the maximum absolute
+    * standardized cumulative deviation max_i |Σ_{j≤i}(v_j − μ)| /
+    * (σ·√n), with the time it peaks. The complement to
+    * [[levelShifts]]: a window screen sees a local JUMP, CUSUM
+    * integrates a small persistent DRIFT that never individually
+    * crosses a window threshold (sensor bias creep, baseline wander) —
+    * values ≫ ~1.3 (the Kolmogorov 95% band for the standardized
+    * bridge) reject stationarity.
+    *
+    * Scale shape: the running sum Σ_{j≤i} v_j comes from
+    * [[withGlobalPrefixSum]] — bucket-local windows plus an exact
+    * DECIMAL bucket-summary carry, never a per-channel sort of the
+    * data stream; per-channel moments are one partial agg; scoring is
+    * a broadcast-stats projection; the argmax resolves with a
+    * channel-cardinality max relation broadcast back (one extra pass
+    * over the scored stream, no window).
+    *
+    * Portability: P_i and i are exact (DECIMAL / integer); μ, σ and
+    * every per-row double derive from them in one pinned expression
+    * order; the statistic rounds to 9 BEFORE max/argmax so both
+    * engines rank identical values; argmax ties break to the earliest
+    * t.
+    */
+  def cusumScreen(ts: DataFrame, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    val base = withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id"))
+    val stats = base
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(dec2710)).as("__sv"),
+        sum((col("v") * col("v")).cast(dec2710)).as("__svv")
+      )
+      .select(
+        col("channel"),
+        col("n"),
+        (col("__sv").cast("double") / col("n")).as("__mu"),
+        round(
+          sqrt(
+            greatest(
+              col("__svv").cast("double") / col("n") -
+                (col("__sv").cast("double") / col("n")) * (col("__sv").cast("double") / col("n")),
+              lit(0.0)
+            )
+          ),
+          9
+        ).as("__sigma")
+      )
+    val scored = withGlobalPrefixSum(base, stitchBucketUs, Seq("event_id"))
+      .join(broadcast(stats), Seq("channel"))
+      .withColumn(
+        "__a",
+        round(
+          abs(
+            (col("__ps").cast("double") - col("__rn").cast("double") * col("__mu")) /
+              nullif(col("__sigma") * sqrt(col("n").cast("double")), lit(0.0))
+          ),
+          9
+        )
+      )
+    val chmax = scored.groupBy(col("channel")).agg(max(col("__a")).as("__amax"))
+    val at = scored
+      .join(broadcast(chmax), Seq("channel"))
+      .filter(col("__a") === col("__amax"))
+      .groupBy(col("channel"))
+      .agg(min(col("t")).as("t_at"))
+    stats
+      .join(chmax, Seq("channel"))
+      .join(at, Seq("channel"))
+      .select(
+        col("channel"),
+        col("n"),
+        round(col("__mu"), 6).as("mean"),
+        round(col("__sigma"), 6).as("sigma"),
+        round(col("__amax"), 6).as("cusum"),
+        col("t_at")
+      )
+  }
+
   // ---------------------------------------------------------------------
   // Generic operators
   // ---------------------------------------------------------------------
@@ -1356,6 +1476,44 @@ object Timeseries {
        |WHERE ABS(mpost - mpre) > 3.0 * sigma
        |ORDER BY channel, t, event_id""".stripMargin
   }
+
+  def tsCusum(spark: SparkSession, dir: String): DataFrame =
+    cusumScreen(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** Oracle: the plain global windows (DuckDB sorts per channel; the
+    * operator's stitched prefix sum is bit-identical by decimal
+    * associativity), identical moment math, round-9 before max, min-t
+    * tie-break.
+    */
+  val tsCusumSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS channel, epoch_us(ts) AS t, event_id, value AS v FROM events),
+      |ps AS (
+      |  SELECT channel, t,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    SUM(CAST(v AS DECIMAL(27,10))) OVER w AS p
+      |  FROM s
+      |  WINDOW w AS (PARTITION BY channel ORDER BY t, event_id)),
+      |st AS (
+      |  SELECT channel, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mu,
+      |    ROUND(SQRT(GREATEST(CAST(SUM(CAST(v * v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*)
+      |      - (CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*))
+      |        * (CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*)), 0.0)), 9) AS sigma
+      |  FROM s GROUP BY channel),
+      |sc AS (
+      |  SELECT ps.channel, ps.t,
+      |    ROUND(ABS((CAST(p AS DOUBLE) - rn * mu) / NULLIF(sigma * SQRT(n), 0.0)), 9) AS a
+      |  FROM ps JOIN st ON ps.channel = st.channel),
+      |mx AS (SELECT channel, MAX(a) AS amax FROM sc GROUP BY channel),
+      |sel AS (
+      |  SELECT sc.channel, MIN(sc.t) AS t_at
+      |  FROM sc JOIN mx ON sc.channel = mx.channel AND sc.a = mx.amax
+      |  GROUP BY sc.channel)
+      |SELECT st.channel, st.n, ROUND(st.mu, 6) AS mean, ROUND(st.sigma, 6) AS sigma,
+      |  ROUND(mx.amax, 6) AS cusum, sel.t_at
+      |FROM st JOIN mx ON st.channel = mx.channel JOIN sel ON st.channel = sel.channel
+      |ORDER BY st.channel""".stripMargin
 
   def tsDowProfile(spark: SparkSession, dir: String): DataFrame =
     dowProfile(Tables.ts(spark, dir))

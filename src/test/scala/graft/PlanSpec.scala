@@ -189,7 +189,8 @@ class PlanSpec extends SparkSpec {
       "ts_montage_filter" -> Filtering.tsMontageFilter(spark, sfDir),
       "ts_acf" -> Timeseries.tsAcf(spark, sfDir),
       "ts_sessions" -> Timeseries.tsSessions(spark, sfDir),
-      "ts_interp" -> Timeseries.tsInterp(spark, sfDir)
+      "ts_interp" -> Timeseries.tsInterp(spark, sfDir),
+      "ts_cusum" -> Timeseries.tsCusum(spark, sfDir)
     )
     plans.foreach { case (name, df) =>
       val windows = df.queryExecution.optimizedPlan.collect {

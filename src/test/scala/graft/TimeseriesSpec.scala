@@ -716,6 +716,30 @@ class TimeseriesSpec extends SparkSpec {
     rows.foreach(_.getAs[Double]("v_filt") shouldBe 0.0 +- 1e-12)
   }
 
+  "cusumScreen" should "peak at a planted mean shift and stay low on a stationary channel" in {
+    // channel d: 0 for 50 samples then 1 for 50 — μ=0.5, σ=0.5; the
+    // bridge |P_i − i·μ| peaks at the change point i=50 with value 25,
+    // so the statistic is 25/(0.5·√100) = 5. channel r alternates ±1 —
+    // μ=0, σ=1, |P_i| ≤ 1, statistic 1/√100 = 0.1
+    val d = (0L until 100L).map(i => ("d", i * 1000L, if (i < 50) 0.0 else 1.0))
+    val r = (0L until 100L).map(i => ("r", i * 1000L, if (i % 2 == 0) 1.0 else -1.0))
+    val out = Timeseries.cusumScreen(mkTs(d ++ r)).collect()
+      .map(x => x.getAs[String]("channel") -> x).toMap
+    out("d").getAs[Double]("cusum") shouldBe 5.0 +- 1e-6
+    out("d").getAs[Long]("t_at") shouldBe 49L * 1000L // peak is the last pre-shift row
+    out("d").getAs[Double]("mean") shouldBe 0.5 +- 1e-9
+    out("d").getAs[Double]("sigma") shouldBe 0.5 +- 1e-9
+    out("r").getAs[Double]("cusum") shouldBe 0.1 +- 1e-6
+  }
+
+  it should "be invariant to the stitch bucket width (two-phase ≡ global prefix sum)" in {
+    val ts = mkTs((0L until 101L).map(i => ("c", i * 997L, math.sin(i * 0.37) * 5 + (i / 40) * 2.0)))
+    val ref = Timeseries.cusumScreen(ts, stitchBucketUs = 1L << 60).collect().map(_.toSeq)
+    for (w <- Seq(777L, 10000L, 99999L)) {
+      Timeseries.cusumScreen(ts, stitchBucketUs = w).collect().map(_.toSeq) shouldBe ref
+    }
+  }
+
   "levelShifts" should "flag only samples near a planted step change" in {
     // 0 for the first 60 samples, 10 after: a clean level shift at i=60
     val ts = mkTs((0L until 120L).map(i => ("c", i * 100L, if (i < 60) 0.0 else 10.0)))
