@@ -181,6 +181,7 @@ object SparkEntry {
     "q14_promo" -> (Relational.q14Promo _),
     "q19_bands" -> (Relational.q19Bands _),
     "q16_counts" -> (Relational.q16Counts _),
+    "q22_anti" -> (Relational.q22Anti _),
     // PMI collocation mining over adjacent word pairs
     "corpus_pmi" -> (TextAnalysis.corpusPmi _),
     // Levenshtein<=1 fuzzy term lookup over the corpus vocabulary
@@ -312,6 +313,7 @@ object SparkEntry {
     "q14_promo" -> Relational.q14Sql,
     "q19_bands" -> Relational.q19Sql,
     "q16_counts" -> Relational.q16Sql,
+    "q22_anti" -> Relational.q22Sql,
     "corpus_pmi" -> TextAnalysis.corpusPmiSql,
     "search_fuzzy" -> Search.searchFuzzySql,
     "ts_rolling" -> Timeseries.tsRollingSql,

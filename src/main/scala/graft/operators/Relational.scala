@@ -611,4 +611,60 @@ object Relational {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q22-shaped dormant-customer report: per nation, the
+    * above-average-balance customers with no URGENT order — the
+    * canonical ANTI-join + uncorrelated scalar subquery shape (this
+    * schema has no phone column, so the Q22 country-code key is the
+    * nation dimension; and because this generator gives every customer
+    * at least one order, the dormancy predicate is "no 1-URGENT
+    * order" rather than "no order", keeping the anti-join
+    * non-degenerate).
+    *
+    * Scale shape: the scalar average is a one-row aggregate
+    * cross-joined (broadcast) onto the customer scan — evaluated once,
+    * not per row; the "never ordered" predicate is LeftAnti against
+    * the orders custkey projection, which Catalyst executes as a
+    * shuffled/broadcast anti-join on the 8-byte key rather than a
+    * per-row NOT EXISTS probe; nation broadcasts; the rollup is
+    * nation-cardinality with map-side partial aggregation.
+    * Portability: the avg threshold and the balance sum both route
+    * through exact DECIMAL; the filter compares against the identical
+    * unrounded double in both engines.
+    */
+  def q22Anti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("__nk"), col("n_name"))
+    val avgBal = c
+      .filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(d2710)).cast("double") / count(lit(1))).as("__avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("__nk"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal").cast(d184)), 4).cast("double").as("total_bal")
+      )
+      .orderBy(col("nation"))
+  }
+
+  val q22Sql: String =
+    """WITH ab AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT n_name AS nation, COUNT(*) AS n_cust,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_bal
+      |FROM customer, ab
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > ab.avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY n_name
+      |ORDER BY nation""".stripMargin
 }

@@ -71,6 +71,12 @@ class PlanSpec extends SparkSpec {
     plan should include regex "PushedFilters: \\[.*l_quantity.*"
   }
 
+  "q22_anti" should "plan a hash anti-join with the scalar threshold broadcast" in {
+    val plan = planString(Relational.q22Anti(spark, sfDir))
+    plan should include("LeftAnti")
+    (plan should not).include("SortMergeJoin") // key side broadcasts at these sizes
+  }
+
   "embed_silhouette" should "evaluate all centroid distances in a shuffle-free projection" in {
     val df = graft.operators.Similarity.embedSilhouette(
       Tables.embeddings(spark, sfDir), k = 4, iters = 1)
