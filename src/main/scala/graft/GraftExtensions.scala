@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgrams, MinhashBandKeys, MinhashSignature, PolyHashes, RepetitionStats, SimhashSignature, VecDot, Winnow, WordShingles}
+import graft.functions.{CharEntropyStats, CharNgrams, MinhashBandKeys, MinhashSignature, PolyHashes, RepetitionStats, SimhashSignature, VecDot, Winnow, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -99,6 +99,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         { exprs: Seq[Expression] =>
           require(exprs.length == 1, "repetition_stats(norm_text) takes exactly 1 argument")
           RepetitionStats(exprs.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("char_entropy_stats"),
+        new ExpressionInfo(classOf[CharEntropyStats].getName, "char_entropy_stats"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 1, "char_entropy_stats(norm_text) takes exactly 1 argument")
+          CharEntropyStats(exprs.head)
         }
       )
     )

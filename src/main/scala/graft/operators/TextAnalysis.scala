@@ -169,34 +169,23 @@ object TextAnalysis {
     */
   def entropyScores(docs: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 10)
-    val term = "cast(a.m * round(ln(a.m), 9) as decimal(27,10))"
-    val foldExpr =
-      s"""aggregate(
-         |  array_sort(cs),
-         |  named_struct(
-         |    'p', cast(null as string), 'm', 0L,
-         |    's', cast(0 as decimal(27,10)), 'u', 0L),
-         |  (a, x) -> if(x = a.p,
-         |    named_struct('p', a.p, 'm', a.m + 1L, 's', a.s, 'u', a.u),
-         |    named_struct('p', x, 'm', 1L,
-         |      's', cast(a.s + if(a.m > 0L, $term, cast(0 as decimal(27,10))) as decimal(27,10)),
-         |      'u', a.u + 1L)),
-         |  a -> named_struct(
-         |    's', cast(a.s + if(a.m > 0L, $term, cast(0 as decimal(27,10))) as decimal(27,10)),
-         |    'u', a.u))""".stripMargin
+    // one-pass native codepoint-histogram kernel; s_nanos/1e9 is the
+    // exact Σ m·round(ln m, 9) the former decimal fold accumulated
+    // (see functions.CharEntropyStats for the exactness argument), so
+    // the oracle's relational UNNEST histogram is unchanged
     val charSide = docs
       .select(col("doc_id"), expr(NormSql).as("nm"))
       .withColumn("n", length(col("nm")).cast("long"))
-      .withColumn("cs", expr("transform(sequence(1, length(nm)), i -> substring(nm, i, 1))"))
-      .withColumn("__f", expr(foldExpr))
+      .withColumn("__k", graft.functions.Shingling.charEntropyStats(col("nm")))
       .select(
         col("doc_id"),
         col("n").as("n_chars"),
-        col("__f.u").as("n_uniq_chars"),
+        col("__k.n_uniq_chars").as("n_uniq_chars"),
         when(
           col("n") > 0,
           round(
-            round(log(col("n")), 9) - col("__f.s").cast("double") / col("n"),
+            round(log(col("n")), 9) -
+              (col("__k.s_nanos").cast("double") / lit(1e9)) / col("n"),
             6
           )
         ).as("char_entropy")

@@ -48,6 +48,12 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
         .selectExpr("r.n_words", "r.n_distinct_words", "r.n_bigrams", "r.n_distinct_bigrams", "r.max_bigram")
         .collect()(0)
       rep.toSeq shouldBe Seq(3L, 2L, 2L, 2L, 1L)
+      val ce = ext
+        .sql("SELECT char_entropy_stats('aab') AS c")
+        .selectExpr("c.n_uniq_chars", "c.s_nanos")
+        .collect()(0)
+      // 'a'×2 contributes 2·round(ln 2, 9)·1e9 = 1386294362; 'b'×1 adds 0
+      ce.toSeq shouldBe Seq(2L, 1386294362L)
       ext
         .sql("SELECT poly_hashes(array('ab', 'cd')) AS h")
         .collect()(0)
