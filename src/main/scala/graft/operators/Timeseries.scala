@@ -1393,14 +1393,14 @@ object Timeseries {
     * of the next `w` values steps away from the mean of the previous
     * `w` values by more than `nSigma` pooled standard deviations: the
     * two-sided sliding-window test behind sensor-drift and regime-
-    * change detection (CUSUM's window-expressible cousin — CUSUM
-    * itself is a recursive fold like the IIR cascade and is kept out
-    * of the oracled surface for the same reason).
+    * change detection (the local-JUMP detector; [[cusumScreen]] is the
+    * integrated-DRIFT complement).
     *
-    * Scale shape: like [[firDecimate]], the statistic is a pure
-    * function of a BOUNDED ±w neighborhood, so it is one per-channel
-    * sort-window (block-parallel via the two-phase overlap machinery
-    * at the design point, copying w rows of halo per block). Both
+    * Scale shape: the statistic is a pure function of a BOUNDED ±w
+    * neighborhood, so the per-channel sort-window decomposes into
+    * (channel, row-block)-local windows over a halo-replicated stream
+    * (see the in-body comment) — w rows of halo per block edge, no
+    * channel-alone window over the data anywhere. Both
     * window moments route through DECIMAL(27,10) frame sums — exact,
     * order-independent — and every derived double (mean, variance,
     * pooled sigma) is computed in one pinned expression order, so the
@@ -1408,21 +1408,61 @@ object Timeseries {
     * doubles in both engines. Edge rows without two full windows are
     * dropped. Portability: round-9 on sigma, round-6 on outputs.
     */
-  def levelShifts(ts: DataFrame, w: Int = 30, nSigma: Double = 3.0): DataFrame = {
-    val win = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
+  def levelShifts(
+    ts: DataFrame,
+    w: Int = 30,
+    nSigma: Double = 3.0,
+    stitchBucketUs: Long = StitchBucketUs
+  ): DataFrame = {
+    // Two-phase bounded-frame windows via HALO REPLICATION over
+    // ROW-NUMBER BLOCKS: a ±w-row frame is a pure function of a
+    // bounded neighborhood, so partition each channel into blocks of
+    // B >= 2w consecutive rows (by the stitched global row number —
+    // blocks are DENSE by construction, immune to empty time buckets
+    // and skewed arrival rates), replicate each block's first/last w
+    // rows into the neighboring block, evaluate every frame
+    // block-locally over the padded set, and emit core rows only.
+    // Row-for-row identical to the global per-channel window — with
+    // ~(1 + 2w/B) row overhead instead of a per-channel single-task
+    // sort.
+    val blockRows = math.max(4 * w, 64)
+    val padded = withGlobalRowNumber(
+      withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id")),
+      stitchBucketUs,
+      Seq("event_id")
+    )
+      .withColumn("__blk", expr(s"(__rn - 1) div $blockRows"))
+      .withColumn("__pos", expr(s"(__rn - 1) % $blockRows"))
+      .withColumn(
+        "__tgt",
+        explode(
+          filter(
+            array(
+              col("__blk"),
+              when(col("__pos") >= blockRows - w, col("__blk") + 1L),
+              when(col("__pos") < w, col("__blk") - 1L)
+            ),
+            x => x.isNotNull
+          )
+        )
+      )
+    val win = Window.partitionBy(col("channel"), col("__tgt")).orderBy(col("__rn"))
     val pre = win.rowsBetween(-w, -1)
     val post = win.rowsBetween(1, w)
     def m1(f: org.apache.spark.sql.expressions.WindowSpec) =
       sum(col("v").cast(dec2710)).over(f).cast("double") / lit(w.toDouble)
     def m2(f: org.apache.spark.sql.expressions.WindowSpec) =
       sum((col("v") * col("v")).cast(dec2710)).over(f).cast("double") / lit(w.toDouble)
-    withTieBreak(ts)
+    padded
       .withColumn("__npre", count(lit(1)).over(pre))
       .withColumn("__npost", count(lit(1)).over(post))
       .withColumn("__mpre", m1(pre))
       .withColumn("__mpost", m1(post))
       .withColumn("__vpre", m2(pre) - m1(pre) * m1(pre))
       .withColumn("__vpost", m2(post) - m1(post) * m1(post))
+      // core rows only — AFTER every frame evaluated over the halo —
+      // then the same full-window gate as the global formulation
+      .filter(col("__tgt") === col("__blk"))
       .filter(col("__npre") === w && col("__npost") === w)
       .withColumn(
         "__sigma",
@@ -1443,8 +1483,14 @@ object Timeseries {
       )
   }
 
+  /** Driver instance runs the screen at nSigma = 0.8: the synthetic
+    * events stream is stationary (max window-z ≈ 1.04 at sf0.01), so
+    * the production default 3.0 returns zero rows and the oracle
+    * compare would exercise nothing — the lowered gate keeps real
+    * mean/sigma/z values flowing through the hash check.
+    */
   def tsShift(spark: SparkSession, dir: String): DataFrame =
-    levelShifts(Tables.ts(spark, dir))
+    levelShifts(Tables.ts(spark, dir), nSigma = 0.8)
       .orderBy(col("channel"), col("t"), col("event_id"))
 
   val tsShiftSql: String = {
@@ -1473,7 +1519,7 @@ object Timeseries {
        |      wpost AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
        |                ROWS BETWEEN 1 FOLLOWING AND $w FOLLOWING)) a
        |  WHERE npre = $w AND npost = $w) b
-       |WHERE ABS(mpost - mpre) > 3.0 * sigma
+       |WHERE ABS(mpost - mpre) > 0.8 * sigma
        |ORDER BY channel, t, event_id""".stripMargin
   }
 

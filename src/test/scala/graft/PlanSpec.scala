@@ -196,7 +196,8 @@ class PlanSpec extends SparkSpec {
       "ts_acf" -> Timeseries.tsAcf(spark, sfDir),
       "ts_sessions" -> Timeseries.tsSessions(spark, sfDir),
       "ts_interp" -> Timeseries.tsInterp(spark, sfDir),
-      "ts_cusum" -> Timeseries.tsCusum(spark, sfDir)
+      "ts_cusum" -> Timeseries.tsCusum(spark, sfDir),
+      "ts_shift" -> Timeseries.tsShift(spark, sfDir)
     )
     plans.foreach { case (name, df) =>
       val windows = df.queryExecution.optimizedPlan.collect {

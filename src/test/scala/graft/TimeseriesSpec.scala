@@ -740,7 +740,24 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
-  "levelShifts" should "flag only samples near a planted step change" in {
+  "levelShifts" should "be invariant to the halo bucket width, including widths with empty buckets" in {
+    // sparse irregular times: small widths leave EMPTY calendar
+    // buckets between populated ones — the dense re-index must keep
+    // halo adjacency across them
+    val ts = mkTs((0L until 200L).map { i =>
+      val t = i * 137L + (i % 7) * 10000L + (i / 50) * 900000L
+      ("c", t, math.sin(i * 0.13) * 3 + (if (i >= 120) 8.0 else 0.0))
+    })
+    val ref = Timeseries.levelShifts(ts, w = 10, nSigma = 2.0, stitchBucketUs = 1L << 60)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    ref should not be empty // the planted step fires under the huge-bucket (global) run
+    for (bw <- Seq(1000L, 50000L, 333333L)) {
+      Timeseries.levelShifts(ts, w = 10, nSigma = 2.0, stitchBucketUs = bw)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe ref
+    }
+  }
+
+  it should "flag only samples near a planted step change" in {
     // 0 for the first 60 samples, 10 after: a clean level shift at i=60
     val ts = mkTs((0L until 120L).map(i => ("c", i * 100L, if (i < 60) 0.0 else 10.0)))
     val rows = Timeseries.levelShifts(ts, w = 30, nSigma = 3.0).collect()
