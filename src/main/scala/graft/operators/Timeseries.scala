@@ -377,6 +377,49 @@ object Timeseries {
       )
   }
 
+  /** Halo-replicated row-number blocks — the two-phase rewrite for any
+    * BOUNDED-frame per-channel window: adds `__rn` (the stitched
+    * global per-channel row number), `__blk` and `__tgt`. A ±halo-row
+    * frame is a pure function of a bounded neighborhood, so partition
+    * each channel into blocks of B ≥ 2·halo consecutive rows (by row
+    * NUMBER — dense by construction, immune to empty time buckets and
+    * skewed arrival rates), replicate each block's first/last `halo`
+    * rows into the neighboring block (`__tgt` fans a row to every
+    * block that needs it), and evaluate frames over
+    * `Window.partitionBy(channel, __tgt).orderBy(__rn)`: on core rows
+    * (`__tgt === __blk`, filtered AFTER all frames evaluate) the
+    * result is row-for-row identical to the global per-channel window
+    * — at ~(1 + 2·halo/B) row overhead instead of a per-channel
+    * single-task sort.
+    */
+  private def withBlockHalo(
+    df: DataFrame,
+    halo: Int,
+    bucketUs: Long,
+    tieBreak: Seq[String],
+    blockRows: Int = 0
+  ): DataFrame = {
+    val b = if (blockRows > 0) blockRows else math.max(4 * halo, 64)
+    require(b >= 2 * halo, s"blockRows must be >= 2*halo, got $b < ${2 * halo}")
+    withGlobalRowNumber(df, bucketUs, tieBreak)
+      .withColumn("__blk", expr(s"(__rn - 1) div $b"))
+      .withColumn("__pos", expr(s"(__rn - 1) % $b"))
+      .withColumn(
+        "__tgt",
+        explode(
+          filter(
+            array(
+              col("__blk"),
+              when(col("__pos") >= b - halo, col("__blk") + 1L),
+              when(col("__pos") < halo, col("__blk") - 1L)
+            ),
+            x => x.isNotNull
+          )
+        )
+      )
+      .drop("__pos")
+  }
+
   // ---------------------------------------------------------------------
   // Generic operators
   // ---------------------------------------------------------------------
@@ -407,21 +450,32 @@ object Timeseries {
     * a per-channel window of lag/leads — fully parallel, no
     * block-stitching machinery needed.
     *
-    * Scale shape: ONE per-channel sort-window (the same exchange any
-    * per-channel sequential op pays), every tap read from lag/lead in
-    * one Window stage, decimation as a rank filter in the same frame.
+    * Scale shape: taps read from lag/lead over [[withBlockHalo]]'s
+    * halo-replicated row blocks (halo = tap radius 2) in one Window
+    * stage — no channel-alone window over the data — with the stitched
+    * global row number doubling as the decimation phase.
     * Portability: taps are dyadic rationals (x/16 is exact in binary),
     * the convolution is written in one fixed evaluation order, and
     * edge rows without a full tap window are dropped in both engines.
     */
-  def firDecimate(ts: DataFrame, factor: Int = 4): DataFrame = {
-    val w = Window.partitionBy(col("channel")).orderBy(col("t"), col("event_id"))
-    withTieBreak(ts)
+  def firDecimate(ts: DataFrame, factor: Int = 4, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    // taps from lag/lead over halo-replicated row blocks (halo 2 = the
+    // tap radius); __rn doubles as the decimation phase — it is the
+    // stitched GLOBAL per-channel row number, so the phase is
+    // identical to the single-window formulation's
+    val padded = withBlockHalo(
+      withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id")),
+      halo = 2,
+      stitchBucketUs,
+      Seq("event_id")
+    )
+    val w = Window.partitionBy(col("channel"), col("__tgt")).orderBy(col("__rn"))
+    padded
       .withColumn("__l2", lag(col("v"), 2).over(w))
       .withColumn("__l1", lag(col("v"), 1).over(w))
       .withColumn("__u1", lead(col("v"), 1).over(w))
       .withColumn("__u2", lead(col("v"), 2).over(w))
-      .withColumn("__rn", row_number().over(w))
+      .filter(col("__tgt") === col("__blk")) // core rows, after every frame
       .filter(
         col("__l2").isNotNull && col("__l1").isNotNull &&
           col("__u1").isNotNull && col("__u2").isNotNull
@@ -1414,38 +1468,12 @@ object Timeseries {
     nSigma: Double = 3.0,
     stitchBucketUs: Long = StitchBucketUs
   ): DataFrame = {
-    // Two-phase bounded-frame windows via HALO REPLICATION over
-    // ROW-NUMBER BLOCKS: a ±w-row frame is a pure function of a
-    // bounded neighborhood, so partition each channel into blocks of
-    // B >= 2w consecutive rows (by the stitched global row number —
-    // blocks are DENSE by construction, immune to empty time buckets
-    // and skewed arrival rates), replicate each block's first/last w
-    // rows into the neighboring block, evaluate every frame
-    // block-locally over the padded set, and emit core rows only.
-    // Row-for-row identical to the global per-channel window — with
-    // ~(1 + 2w/B) row overhead instead of a per-channel single-task
-    // sort.
-    val blockRows = math.max(4 * w, 64)
-    val padded = withGlobalRowNumber(
+    val padded = withBlockHalo(
       withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id")),
+      w,
       stitchBucketUs,
       Seq("event_id")
     )
-      .withColumn("__blk", expr(s"(__rn - 1) div $blockRows"))
-      .withColumn("__pos", expr(s"(__rn - 1) % $blockRows"))
-      .withColumn(
-        "__tgt",
-        explode(
-          filter(
-            array(
-              col("__blk"),
-              when(col("__pos") >= blockRows - w, col("__blk") + 1L),
-              when(col("__pos") < w, col("__blk") - 1L)
-            ),
-            x => x.isNotNull
-          )
-        )
-      )
     val win = Window.partitionBy(col("channel"), col("__tgt")).orderBy(col("__rn"))
     val pre = win.rowsBetween(-w, -1)
     val post = win.rowsBetween(1, w)

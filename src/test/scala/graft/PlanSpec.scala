@@ -197,7 +197,8 @@ class PlanSpec extends SparkSpec {
       "ts_sessions" -> Timeseries.tsSessions(spark, sfDir),
       "ts_interp" -> Timeseries.tsInterp(spark, sfDir),
       "ts_cusum" -> Timeseries.tsCusum(spark, sfDir),
-      "ts_shift" -> Timeseries.tsShift(spark, sfDir)
+      "ts_shift" -> Timeseries.tsShift(spark, sfDir),
+      "ts_fir" -> Timeseries.tsFir(spark, sfDir)
     )
     plans.foreach { case (name, df) =>
       val windows = df.queryExecution.optimizedPlan.collect {

@@ -740,6 +740,20 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  "firDecimate" should "be invariant to the halo bucket width (block halo ≡ global window)" in {
+    val ts = mkTs((0L until 300L).map { i =>
+      val t = i * 137L + (i % 7) * 10000L + (i / 50) * 900000L
+      ("c", t, math.sin(i * 0.21) * 4 + (i % 5))
+    })
+    val ref = Timeseries.firDecimate(ts, factor = 4, stitchBucketUs = 1L << 60)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    ref should not be empty
+    for (bw <- Seq(1000L, 50000L, 333333L)) {
+      Timeseries.firDecimate(ts, factor = 4, stitchBucketUs = bw)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe ref
+    }
+  }
+
   "levelShifts" should "be invariant to the halo bucket width, including widths with empty buckets" in {
     // sparse irregular times: small widths leave EMPTY calendar
     // buckets between populated ones — the dense re-index must keep
