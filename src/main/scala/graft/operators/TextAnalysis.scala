@@ -1134,6 +1134,31 @@ object TextAnalysis {
       |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
       |FROM m""".stripMargin
 
+  /** Approximate per-source vocabulary — the 100 TB scale path for
+    * exact COUNT(DISTINCT word) rollups: HLL++ sketches
+    * (`approx_count_distinct`) are FIXED-SIZE and mergeable, so the
+    * shuffle carries one ~rsd⁻²-byte sketch per group instead of the
+    * deduplicated (source, word) pair stream the exact two-phase
+    * expansion moves — on an open web vocabulary the exact path's
+    * intermediate grows with the corpus, the sketch does not. Same
+    * paired exact/approx design as channelQuantiles: the exact rollups
+    * stay the oracled driver surface (corpus_stats, q16_counts), this
+    * is the documented swap-in, spec-bounded against the exact counts
+    * (HLL++ relative error ≈ rsd; not cross-engine oracle-able since
+    * DuckDB's approx_distinct uses a different sketch).
+    */
+  def vocabApprox(docs: DataFrame, rsd: Double = 0.02): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(expr(WordsSql)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"))
+      .agg(
+        approx_count_distinct(col("word"), rsd).as("vocab_approx"),
+        count(lit(1)).as("n_tokens")
+      )
+      .orderBy(col("source"))
+
   // ---------------------------------------------------------------------
   // Heaps'-law vocabulary growth
   // ---------------------------------------------------------------------

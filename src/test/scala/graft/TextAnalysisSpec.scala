@@ -313,6 +313,29 @@ class TextAnalysisSpec extends SparkSpec {
     slope should be < -1.0
   }
 
+  "vocabApprox" should "stay within the sketch's error bound of the exact vocabulary" in {
+    val docs = Tables.documents(spark, sfDir)
+    val approx = TextAnalysis.vocabApprox(docs, rsd = 0.02).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("vocab_approx")).toMap
+    approx should not be empty
+    val exact = docs.filter($"text".isNotNull)
+      .select($"source", explode(split(lower(trim(regexp_replace($"text", "\\s+", " "))), " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"source").agg(countDistinct($"word").as("v"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("v")).toMap
+    exact.keySet shouldBe approx.keySet
+    exact.foreach { case (src, v) =>
+      math.abs(approx(src) - v).toDouble / v should be <= 0.06 // 3·rsd
+    }
+  }
+
+  it should "plan a fixed-size sketch aggregate, not the exact distinct expansion" in {
+    val plan = TextAnalysis.vocabApprox(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    plan should include("approx_count_distinct")
+    (plan should not).include("count(distinct")
+  }
+
   "heapsGrowth" should "accumulate one new word per doc on a planted growth corpus" in {
     // doc d = the shared word plus one unique word; ids 0..9 land one
     // per bucket, so each checkpoint adds 1 doc, 2 tokens, 1 new word
