@@ -391,6 +391,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "StreamingEnrich.annotate" should "join live samples to covering spans across micro-batches" in {
+    import graft.streaming.StreamingEnrich
+    implicit val sqlCtx = spark.sqlContext
+    val sm = MemoryStream[(String, Timestamp, Double)]
+    val an = MemoryStream[(String, Timestamp, String)]
+    val out = StreamingEnrich.annotate(
+      sm.toDF().toDF("channel", "ts", "v"),
+      an.toDF().toDF("s_channel", "s_start", "label"),
+      maxSpanSeconds = 30,
+      watermarkDelay = "5 seconds"
+    )
+    val q = out.writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      // batch 1: a span [100, 130] on channel a, one in-span sample,
+      // one before it, one on another channel
+      an.addData(("a", ts(100), "seizure"))
+      sm.addData(("a", ts(110), 1.0), ("a", ts(90), 2.0), ("b", ts(110), 3.0))
+      q.processAllAvailable()
+      // batch 2: the SAMPLE arrives after its span did (cross-batch
+      // buffering on the span side), plus one past the span's end
+      sm.addData(("a", ts(125), 4.0), ("a", ts(140), 5.0))
+      q.processAllAvailable()
+
+      val rows = spark
+        .table("enrich_out")
+        .select($"channel", $"ts", $"v", $"label")
+        .as[(String, Timestamp, Double, String)]
+        .collect()
+        .toSet
+      rows shouldBe Set(
+        ("a", ts(110), 1.0, "seizure"),
+        ("a", ts(125), 4.0, "seizure")
+      )
+    } finally q.stop()
+  }
+
   "StreamingHeavyHitters.topK" should "track a heavy hitter exactly through eviction churn" in {
     import graft.streaming.StreamingHeavyHitters
     implicit val sqlCtx = spark.sqlContext
