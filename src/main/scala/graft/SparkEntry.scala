@@ -51,6 +51,7 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
+    "langid_eval" -> (TextAnalysis.langidEvalQ _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "corpus_stats" -> (TextAnalysis.corpusStatsQ _),
     "text_split" -> (TextAnalysis.textSplit _),
@@ -231,6 +232,7 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
+    "langid_eval" -> TextAnalysis.langidEvalSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
     "text_split" -> TextAnalysis.textSplitSql,

@@ -1134,6 +1134,40 @@ object TextAnalysis {
       |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
       |FROM m""".stripMargin
 
+  /** Language-ID evaluation — the confusion matrix of the heuristic
+    * classifier against the corpus's labeled `lang` column, as a
+    * query: the model-eval-as-aggregation pattern every curation
+    * pipeline runs after swapping a classifier (precision per
+    * language falls out of the matrix row/column sums).
+    *
+    * Scale shape: truth and prediction come from the SAME scan row
+    * (the prediction is a pure projection — no join against a
+    * prediction table), and the rollup is a languages²-cardinality
+    * partial agg. All-integer outputs.
+    */
+  def langidEval(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("lang").as("lang_true"), langPredColumn.as("lang_pred"))
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+
+  def langidEvalQ(spark: SparkSession, dir: String): DataFrame =
+    langidEval(Tables.documents(spark, dir))
+
+  /** Oracle: the langid prediction pipeline as a CTE (identical
+    * scoring + tie order), joined back to the labeled column and
+    * rolled up.
+    */
+  def langidEvalSql: String =
+    s"""WITH pred AS (${textLangidSql.stripSuffix("ORDER BY doc_id")})
+       |SELECT d.lang AS lang_true, p.lang_pred, COUNT(*) AS n
+       |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+       |WHERE d.text IS NOT NULL
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** Approximate per-source vocabulary — the 100 TB scale path for
     * exact COUNT(DISTINCT word) rollups: HLL++ sketches
     * (`approx_count_distinct`) are FIXED-SIZE and mergeable, so the
