@@ -183,6 +183,9 @@ object SparkEntry {
     "q19_bands" -> (Relational.q19Bands _),
     "q16_counts" -> (Relational.q16Counts _),
     "q22_anti" -> (Relational.q22Anti _),
+    "q13_dist" -> (Relational.q13Dist _),
+    "q15_top" -> (Relational.q15Top _),
+    "q17_small" -> ((s, dir) => Relational.q17Small(s, dir)),
     // PMI collocation mining over adjacent word pairs
     "corpus_pmi" -> (TextAnalysis.corpusPmi _),
     // Levenshtein<=1 fuzzy term lookup over the corpus vocabulary
@@ -316,6 +319,9 @@ object SparkEntry {
     "q19_bands" -> Relational.q19Sql,
     "q16_counts" -> Relational.q16Sql,
     "q22_anti" -> Relational.q22Sql,
+    "q13_dist" -> Relational.q13Sql,
+    "q15_top" -> Relational.q15Sql,
+    "q17_small" -> Relational.q17Sql,
     "corpus_pmi" -> TextAnalysis.corpusPmiSql,
     "search_fuzzy" -> Search.searchFuzzySql,
     "ts_rolling" -> Timeseries.tsRollingSql,

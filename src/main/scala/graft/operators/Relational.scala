@@ -654,6 +654,140 @@ object Relational {
       .orderBy(col("nation"))
   }
 
+  /** TPC-H Q13-shaped order-count distribution: how many customers
+    * placed k orders, for every k (including 0 — the LEFT join keeps
+    * order-less customers) — the histogram-of-an-aggregate shape.
+    * (No order-comment column in this schema; the Q13 exclusion
+    * filter becomes "ignore unprioritized orders".)
+    *
+    * Scale shape: one custkey-keyed outer-join shuffle (conditional
+    * counting of the order side), partial-aggregated to customer
+    * grain; the second rollup runs at distinct-count cardinality
+    * (~tens of rows). All-integer outputs — no float discipline.
+    */
+  def q13Dist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select(col("o_custkey"), col("o_orderkey"))
+    val perCust = c
+      .join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey) cc
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15-shaped top supplier: revenue per supplier over one
+    * ship-quarter, then the supplier(s) achieving the maximum — the
+    * aggregate-vs-its-own-max shape (Q15's revenue view + scalar
+    * subquery).
+    *
+    * Scale shape: revenue reduces the window's lines to supplier
+    * cardinality in one partial-agg shuffle (the pushed date range
+    * prunes the scan); the max is a 1-row aggregate over that summary
+    * broadcast back as an equality filter — no second pass over the
+    * fact. The equality compares EXACT decimal sums (never rounded
+    * doubles), so ties are exact in both engines; output rounds at
+    * the end.
+    */
+  def q15Top(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables
+      .lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp")
+      )
+    val vol = col("l_extendedprice").cast(d184) * (lit(1).cast(d184) - col("l_discount").cast(d184))
+    val rev = l.groupBy(col("l_suppkey")).agg(sum(vol).as("__rev"), count(lit(1)).as("n_lines"))
+    val mx = rev.agg(max(col("__rev")).as("__mx"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    rev
+      .crossJoin(broadcast(mx))
+      .filter(col("__rev") === col("__mx"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("s_suppkey"),
+        col("s_name"),
+        col("n_lines"),
+        round(col("__rev"), 4).cast("double").as("total_revenue")
+      )
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS r,
+      |    COUNT(*) AS n_lines
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, n_lines,
+      |  CAST(ROUND(r, 4) AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE r = (SELECT MAX(r) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-shaped small-quantity revenue: for one brand, the
+    * revenue locked in orders whose quantity is under 20% of the
+    * part's own average — the correlated-aggregate shape, decorrelated
+    * into a per-part average relation joined back to the fact.
+    *
+    * Scale shape: the per-part averages aggregate the FULL line
+    * stream at partkey cardinality (one partial-agg shuffle — the
+    * correlated subquery never re-executes per row), the brand filter
+    * prunes the part scan before its join, and the threshold filter
+    * is a projection over the co-keyed (partkey) join. The average is
+    * exact-decimal-sum / count (identical double both engines) and the
+    * 0.2 multiplier applies in one pinned order.
+    */
+  def q17Small(spark: SparkSession, dir: String, brand: String = "Brand#13"): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val avgQ = l
+      .groupBy(col("l_partkey").as("__apk"))
+      .agg((sum(col("l_quantity").cast(d2710)).cast("double") / count(lit(1))).as("__avg_qty"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand)
+      .select(col("p_partkey").as("__pk"))
+    l.join(p, col("l_partkey") === col("__pk"))
+      .join(avgQ, col("l_partkey") === col("__apk"))
+      .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast(d184)) / lit(7.0).cast(d184), 4)
+          .cast("double")
+          .as("avg_yearly")
+      )
+  }
+
+  val q17Sql: String =
+    """WITH aq AS (
+      |  SELECT l_partkey AS apk,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT COUNT(*) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / CAST(7.0 AS DECIMAL(18,4)), 4) AS DOUBLE) AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN aq ON l_partkey = apk
+      |WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * avg_qty""".stripMargin
+
   val q22Sql: String =
     """WITH ab AS (
       |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS avg_bal
