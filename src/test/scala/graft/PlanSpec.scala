@@ -71,6 +71,24 @@ class PlanSpec extends SparkSpec {
     plan should include regex "PushedFilters: \\[.*l_quantity.*"
   }
 
+  "q13_dist" should "keep zero-order customers through a left outer join" in {
+    val plan = planString(Relational.q13Dist(spark, sfDir))
+    plan should include("LeftOuter")
+  }
+
+  "q15_top" should "broadcast the 1-row max back over the supplier summary" in {
+    val plan = planString(Relational.q15Top(spark, sfDir))
+    // Catalyst rewrites crossJoin+filter(__rev === __mx) into a hash
+    // join keyed on the exact-decimal max, broadcast from the 1-row side
+    plan should include regex "BroadcastHashJoin \\[__rev"
+  }
+
+  "q17_small" should "decorrelate the per-part average into exactly one extra fact scan" in {
+    val plan = planString(Relational.q17Small(spark, sfDir))
+    // fact + avg relation = two lineitem scans, nothing per-row
+    plan.sliding("lineitem.parquet".length).count(_ == "lineitem.parquet") shouldBe 2
+  }
+
   "q22_anti" should "plan a hash anti-join with the scalar threshold broadcast" in {
     val plan = planString(Relational.q22Anti(spark, sfDir))
     plan should include("LeftAnti")
