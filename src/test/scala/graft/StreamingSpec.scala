@@ -391,6 +391,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "StreamingCusum.alarms" should "alarm on a persistent drift and stay quiet on target" in {
+    import graft.streaming.StreamingCusum
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    // target level 0, slack 0.5, threshold 5: channel d drifts at +1
+    // (net +0.5/sample → alarm after ~10), channel r alternates ±1
+    // (each side nets to 0 under the slack)
+    val out = StreamingCusum.alarms(
+      spark, mem.toDF().toDF("channel", "t", "v"), mu0 = 0.0, k = 0.5, h = 5.0)
+    val q = out.toDF().writeStream.format("memory").queryName("cusum_out").outputMode("update").start()
+    try {
+      mem.addData((0L until 8L).flatMap(i =>
+        Seq(("d", i, 1.0), ("r", i, if (i % 2 == 0) 1.0 else -1.0))): _*)
+      q.processAllAvailable()
+      // drift continues across the batch boundary — state carries S⁺
+      mem.addData((8L until 16L).flatMap(i =>
+        Seq(("d", i, 1.0), ("r", i, if (i % 2 == 0) 1.0 else -1.0))): _*)
+      q.processAllAvailable()
+
+      val latest = spark
+        .table("cusum_out")
+        .as[(String, Long, Double, Double, Long, Boolean)]
+        .collect()
+        .zipWithIndex
+        .groupBy(_._1._1)
+        .map { case (ch, xs) => ch -> xs.maxBy(_._2)._1 }
+      latest("d")._5 should be >= 1L // the drift alarmed
+      latest("d")._2 shouldBe 16L
+      latest("r")._5 shouldBe 0L // the stationary channel never did
+      latest("r")._3 should be < 5.0
+      latest("r")._4 should be < 5.0
+    } finally q.stop()
+  }
+
   "StreamingEnrich.annotate" should "join live samples to covering spans across micro-batches" in {
     import graft.streaming.StreamingEnrich
     implicit val sqlCtx = spark.sqlContext
