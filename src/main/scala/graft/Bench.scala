@@ -20,22 +20,21 @@ import org.apache.spark.sql.SparkSession
   *    same cache state;
   *  - driver heap is pinned by build.sbt's javaOptions (-Xmx from
   *    SPARK_DRIVER_MEM, default 8g) rather than inherited ambience.
-  *  - the JSON carries the box's BOOT ID plus a fixed single-thread
-  *    calibration loop's wall time: same-code totals have measured
-  *    15-25% swings across VM boots, so two bench files are only
-  *    comparable when boot_id matches — when it doesn't, calib_sec
-  *    quantifies how much of the gap is the box, not the code.
+  *  - the JSON carries the box's BOOT ID plus TWO fixed calibration
+  *    stamps: a single-thread splitmix loop (calib_sec — cross-boot
+  *    speed) and the same loop run on all cpus threads at once
+  *    (calib_par_sec — parallel throughput). Same-code totals have
+  *    measured 15-25% swings across VM boots and ~2× inflation under
+  *    co-tenant load that leaves calib_sec NORMAL (rounds 4 and 6);
+  *    a record is trustworthy only when boot_id matches and
+  *    calib_par_sec ≈ calib_sec (quiet box).
   */
 object Bench {
 
-  /** Fixed single-thread splitmix64 workload (~1 s): a pure-CPU yard
-    * stick for cross-boot comparisons.
-    */
-  private def calibrate(): Double = {
+  private def splitmixLoop(): Long = {
     var x = 0x9e3779b97f4a7c15L
     var acc = 0L
     var i = 0L
-    val t0 = System.nanoTime()
     while (i < 400000000L) {
       x += 0x9e3779b97f4a7c15L
       var z = x
@@ -44,8 +43,39 @@ object Bench {
       acc ^= z ^ (z >>> 31)
       i += 1
     }
+    acc
+  }
+
+  /** Fixed single-thread splitmix64 workload (~1 s): a pure-CPU yard
+    * stick for cross-boot comparisons.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    val acc = splitmixLoop()
     val sec = (System.nanoTime() - t0) / 1e9
     if (acc == 42L) Console.err.println("calibration sentinel") // defeat DCE
+    sec
+  }
+
+  /** The SAME splitmix workload run simultaneously on `n` threads —
+    * wall time until the slowest finishes. On a quiet box with ≥ n
+    * free cores this ≈ calib_sec; co-tenant load steals parallel
+    * throughput that a single-thread probe cannot see (rounds 4 and 6
+    * both recorded ~2× query inflation at a NORMAL calib_sec), so
+    * calib_par ≫ calib_sec flags a contended record.
+    */
+  private def calibratePar(n: Int): Double = {
+    val accs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val threads = (0 until n).map { _ =>
+      val th = new Thread(() => { accs.addAndGet(splitmixLoop()): Unit })
+      th.setDaemon(true)
+      th
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (accs.get() == 42L) Console.err.println("calibration sentinel") // defeat DCE
     sec
   }
 
@@ -111,9 +141,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val calib = calibrate()
+    val calibPar = calibratePar(cpus)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""boot_id":"${bootId()}","calib_sec":$calib}"""
+        s""""boot_id":"${bootId()}","calib_sec":$calib,"calib_par_sec":$calibPar,""" +
+        s""""calib_par_threads":$cpus}"""
     )
     spark.stop()
   }

@@ -20,6 +20,7 @@ object SparkEntry {
     "q6_filter" -> (Relational.q6Forecast _),
     "ts_range" -> (Timeseries.tsRange _),
     "ts_downsample" -> (Timeseries.tsDownsample _),
+    "ts_fillgaps" -> (Timeseries.tsFillgaps _),
     "ts_resample_chunk" -> (Timeseries.tsResampleChunk _),
     "ts_gaps" -> (Timeseries.tsGaps _),
     "ts_montage" -> (Timeseries.tsMontage _),
@@ -208,6 +209,7 @@ object SparkEntry {
     "q6_filter" -> Relational.q6Sql,
     "ts_range" -> Timeseries.tsRangeSql,
     "ts_downsample" -> Timeseries.tsDownsampleSql,
+    "ts_fillgaps" -> Timeseries.tsFillgapsSql,
     "ts_resample_chunk" -> Timeseries.tsResampleChunkSql,
     "ts_gaps" -> Timeseries.tsGapsSql,
     "ts_montage" -> Timeseries.tsMontageSql,

@@ -690,6 +690,39 @@ object Timeseries {
         col("vavg")
       )
 
+  /** Continuity fill over a min/max downsample — the reference's
+    * `fillGaps` render post-pass (query/TimeSeriesQueryUtils.scala:
+    * 77-112, verified against its TimeSeriesRequestSpec vectors):
+    * every rendered trace stretches each bucket's (vmin, vmax) to
+    * MEET its successor when the two ranges are disjoint, so the
+    * drawn min/max band has no vertical holes. Case analysis per
+    * bucket b with successor x (the reference's fillGap):
+    *  - one range contains the other, or they overlap: unchanged
+    *  - b entirely below x (b.vmax < x.vmin): vmax := x.vmin
+    *  - b entirely above x (b.vmin > x.vmax): vmin := x.vmax
+    *  - last bucket (the reference pads with its own flipped self,
+    *    which the contains branch catches): unchanged.
+    * Disjointness excludes containment, so the two stretch branches
+    * plus pass-through reproduce the reference's four-branch order
+    * exactly.
+    *
+    * Scale shape: runs over the ALREADY-REDUCED (channel, bucket)
+    * grid — the lag/lead window costs bucket-grid cardinality
+    * (pixels × channels), orders of magnitude below sample scale;
+    * the data stream itself is never windowed.
+    */
+  def fillGaps(buckets: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+    val nmin = lead(col("vmin"), 1).over(w)
+    val nmax = lead(col("vmax"), 1).over(w)
+    buckets
+      .withColumn("__fmin", when(nmax.isNotNull && col("vmin") > nmax, nmax).otherwise(col("vmin")))
+      .withColumn("__fmax", when(nmin.isNotNull && col("vmax") < nmin, nmin).otherwise(col("vmax")))
+      .drop("vmin", "vmax")
+      .withColumnRenamed("__fmin", "vmin")
+      .withColumnRenamed("__fmax", "vmax")
+  }
+
   /** Index-chunked resample: group every `chunkSize` consecutive samples
     * per channel and emit (min,max), dropping the trailing partial chunk
     * exactly like the reference (`grouped(n).take(floor(total/n))`).
@@ -1353,17 +1386,60 @@ object Timeseries {
       )
 
   /** Merge overlapping/abutting annotation spans (timespan write path):
-    * classic island detection with a cumulative-max window per channel.
-    * Spans here are derived from events: [t, t + value minutes].
+    * island detection — a span starts a new island iff its start
+    * exceeds the running max end of every preceding span (ordered by
+    * (s, e) per channel). Spans here are derived from events:
+    * [t, t + value minutes].
+    *
+    * Scale shape: the span stream can be event-derived (data-scale),
+    * so the classic channel-alone cumulative-max window is banned —
+    * both running quantities are stitched TWO-PHASE instead. The max
+    * is associative, so prev-max(e) = max(bucket-local prev-max,
+    * max over all strictly preceding buckets), the latter carried on
+    * the per-(channel, bucket) summary relation (one row per
+    * non-empty bucket) and broadcast back; the island id is the
+    * running count of new-island flags, stitched the same way. `s`
+    * buckets monotonically, so (bucket, s, e) order ≡ (s, e) order
+    * and the stitched results are identical to the global window's.
     */
-  def mergeAnnotationSpans(spans: DataFrame): DataFrame = {
-    val byStart = Window.partitionBy(col("channel")).orderBy(col("s"), col("e"))
-    val prevMaxEnd = max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1))
-    spans
+  def mergeAnnotationSpans(spans: DataFrame, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    val bkted = spans.withColumn("__bkt", microsBucket(col("s"), stitchBucketUs))
+    val wLocPrev = Window
+      .partitionBy(col("channel"), col("__bkt"))
+      .orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLocRun = Window
+      .partitionBy(col("channel"), col("__bkt"))
+      .orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrevBkt = Window
+      .partitionBy(col("channel"))
+      .orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // phase 1: per-bucket max(e) summary; strictly-preceding-bucket
+    // prefix max carried per channel over the tiny summary relation
+    // (aliased directly on the window expression so the __pb_ marker
+    // lands on the Window node — PlanSpec keys off it)
+    val emax = bkted
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(max(col("e")).as("__be"))
+      .select(col("channel"), col("__bkt"), max(col("__be")).over(wPrevBkt).as("__pb_emaxprefix"))
+    // greatest() skips nulls: null iff first row of the first bucket
+    val prevMaxEnd = greatest(max(col("e")).over(wLocPrev), col("__pb_emaxprefix"))
+    val flagged = bkted
+      .join(broadcast(emax), Seq("channel", "__bkt"))
       .withColumn("new_island", when(prevMaxEnd.isNull || col("s") > prevMaxEnd, 1L).otherwise(0L))
+      .drop("__pb_emaxprefix")
+    // phase 2: island id = stitched running sum of the flags
+    val icnt = flagged
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(sum(col("new_island")).as("__bi"))
+      .select(col("channel"), col("__bkt"), sum(col("__bi")).over(wPrevBkt).as("__pb_islprefix"))
+    flagged
+      .join(broadcast(icnt), Seq("channel", "__bkt"))
       .withColumn(
         "island",
-        sum(col("new_island")).over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        sum(col("new_island")).over(wLocRun) + coalesce(col("__pb_islprefix"), lit(0L))
       )
       .groupBy(col("channel"), col("island"))
       .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"), count(lit(1)).as("n"))
@@ -1397,6 +1473,37 @@ object Timeseries {
        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS vavg
        |FROM events
        |GROUP BY 1, 2
+       |ORDER BY channel, bucket""".stripMargin
+
+  /** The downsample with the reference's fillGaps continuity pass. */
+  def tsFillgaps(spark: SparkSession, dir: String): DataFrame =
+    fillGaps(downsample(Tables.ts(spark, dir), BucketUs))
+      .select(
+        col("channel"),
+        col("bucket"),
+        col("bucket_start"),
+        col("vmin"),
+        col("vmax"),
+        col("n")
+      )
+      .orderBy(col("channel"), col("bucket"))
+
+  val tsFillgapsSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type AS channel,
+       |    CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket,
+       |    MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |x AS (
+       |  SELECT channel, bucket, vmin, vmax, n,
+       |    LEAD(vmin) OVER (PARTITION BY channel ORDER BY bucket) AS nmin,
+       |    LEAD(vmax) OVER (PARTITION BY channel ORDER BY bucket) AS nmax
+       |  FROM d)
+       |SELECT channel, bucket, bucket * $BucketUs AS bucket_start,
+       |  CASE WHEN nmax IS NOT NULL AND vmin > nmax THEN nmax ELSE vmin END AS vmin,
+       |  CASE WHEN nmin IS NOT NULL AND vmax < nmin THEN nmin ELSE vmax END AS vmax,
+       |  n
+       |FROM x
        |ORDER BY channel, bucket""".stripMargin
 
   def tsPyramid(spark: SparkSession, dir: String): DataFrame =

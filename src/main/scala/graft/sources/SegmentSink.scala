@@ -31,16 +31,24 @@ object SegmentSink {
 
   /** Adapt `Timeseries.downsample(ts, pixelUs)` output — rows of
     * (channel, bucket, bucket_start, vmin, vmax, …) — into Segments.
+    *
+    * `fillContinuity = true` applies the reference's fillGaps render
+    * pass ([[graft.operators.Timeseries.fillGaps]]) to the bucket
+    * relation first, so emitted min/max bands meet their successors —
+    * what the reference does to every resampled vector before it hits
+    * the wire.
     */
   def toSegments(
     spark: SparkSession,
     down: DataFrame,
     pixelUs: Long,
-    maxPointsPerSegment: Int = 1000
+    maxPointsPerSegment: Int = 1000,
+    fillContinuity: Boolean = false
   ): Dataset[Segment] = {
     import spark.implicits._
     val byCh = Window.partitionBy(col("channel")).orderBy(col("bucket"))
-    val indexed = down
+    val filled = if (fillContinuity) graft.operators.Timeseries.fillGaps(down) else down
+    val indexed = filled
       .select(col("channel"), col("bucket"), col("vmin"), col("vmax"))
       // island id: bucket − dense index is constant exactly within a
       // run of consecutive buckets

@@ -216,7 +216,8 @@ class PlanSpec extends SparkSpec {
       "ts_interp" -> Timeseries.tsInterp(spark, sfDir),
       "ts_cusum" -> Timeseries.tsCusum(spark, sfDir),
       "ts_shift" -> Timeseries.tsShift(spark, sfDir),
-      "ts_fir" -> Timeseries.tsFir(spark, sfDir)
+      "ts_fir" -> Timeseries.tsFir(spark, sfDir),
+      "ts_annotations" -> Timeseries.tsAnnotations(spark, sfDir)
     )
     plans.foreach { case (name, df) =>
       val windows = df.queryExecution.optimizedPlan.collect {

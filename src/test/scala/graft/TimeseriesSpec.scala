@@ -173,6 +173,33 @@ class TimeseriesSpec extends SparkSpec {
     merged shouldBe List((1L, 12L, 2L), (20L, 30L, 2L), (40L, 41L, 1L))
   }
 
+  "fillGaps" should "reproduce the reference's continuity-fill vectors" in {
+    // golden vectors from the reference's own TimeSeriesRequestSpec
+    // ("filling gaps in a sequence should leave no gaps"),
+    // reference query/TimeSeriesQueryUtils.scala:77-112
+    def fill(pairs: Seq[(Double, Double)]): List[(Double, Double)] = {
+      val df = pairs.zipWithIndex
+        .map { case ((mn, mx), i) => ("ch", i.toLong, mn, mx) }
+        .toDF("channel", "bucket", "vmin", "vmax")
+      Timeseries
+        .fillGaps(df)
+        .orderBy("bucket")
+        .select("vmin", "vmax")
+        .as[(Double, Double)]
+        .collect()
+        .toList
+    }
+    val goodSeq = Seq((0.0, 1.0), (1.0, 2.0), (2.0, 3.0), (3.0, 4.0))
+    fill(goodSeq) shouldBe goodSeq.toList
+    fill(Seq((0.0, 1.0), (1.1, 2.0), (2.1, 3.0), (3.1, 4.0))) shouldBe
+      List((0.0, 1.1), (1.1, 2.1), (2.1, 3.1), (3.1, 4.0))
+    fill(Seq((3.0, 4.0), (2.0, 2.9))) shouldBe List((2.9, 4.0), (2.0, 2.9))
+    fill(Seq((1.0, 10.0), (2.0, 9.0))) shouldBe List((1.0, 10.0), (2.0, 9.0))
+    fill(Seq((2.0, 9.0), (1.0, 10.0))) shouldBe List((2.0, 9.0), (1.0, 10.0))
+    // channels fill independently; a single bucket is untouched
+    fill(Seq((5.0, 6.0))) shouldBe List((5.0, 6.0))
+  }
+
   "shouldResample" should "require more than 3 datapoints per pixel (reference ratio)" in {
     // reference: query/TimeSeriesQueryUtils.scala:175-182
     Timeseries.shouldResample(rate = 250.0, microsecondsPerPixel = 4000) shouldBe false // ratio 1
@@ -309,6 +336,26 @@ class TimeseriesSpec extends SparkSpec {
         .orderBy("channel", "chunk")
         .collect()
         .toList shouldBe Timeseries.resampleChunks(df, 2).orderBy("channel", "chunk").collect().toList
+    }
+    // span merge: islands crossing stitch-bucket boundaries (span from
+    // bucket 0 covering bucket 1's spans) must merge identically at
+    // any width — the cross-bucket prefix-max carry is what's under test
+    val spans = Seq(
+      ("a", 0L, 3 * B + 5L), ("a", B + 1L, B + 2L), ("a", 2 * B, 2 * B + 1L),
+      ("a", 3 * B + 6L, 3 * B + 7L), ("a", 4 * B, 5 * B),
+      ("b", 10L, B), ("b", B, 2 * B), ("b", 3 * B, 3 * B + 1L)
+    ).toDF("channel", "s", "e")
+    val refSpans = Timeseries
+      .mergeAnnotationSpans(spans, 1L << 60)
+      .orderBy("channel", "island")
+      .collect()
+      .toList
+    for (width <- Seq(7L, B / 7, B, 5 * B)) {
+      Timeseries
+        .mergeAnnotationSpans(spans, width)
+        .orderBy("channel", "island")
+        .collect()
+        .toList shouldBe refSpans
     }
   }
 

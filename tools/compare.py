@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
+
+Reads <verifyOutDir>/oracle_sql.json, registers the parquet tables from
+<sfDir> as DuckDB views, runs each oracle SQL, and compares against the
+Spark result parquet at <verifyOutDir>/<name>/ — rows, schema (sorted
+column names), and an order-insensitive value hash, like the driver.
+Dev tool only (driver-side python/duckdb — not a library dependency).
+"""
+import json, os, sys, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def table_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = n_skip = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"{name}: MISSING spark output")
+            n_fail += 1
+            continue
+        try:
+            cur = con.execute(sql)
+            o_cols = [d[0] for d in cur.description]
+            o_rows = cur.fetchall()
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR {e}")
+            n_fail += 1
+            continue
+        cur = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        s_cols = [d[0] for d in cur.description]
+        s_rows = cur.fetchall()
+        rows_ok = len(o_rows) == len(s_rows)
+        schema_ok = sorted(o_cols) == sorted(s_cols)
+        hash_ok = schema_ok and table_hash(o_rows, o_cols) == table_hash(s_rows, s_cols)
+        if rows_ok and schema_ok and hash_ok:
+            n_pass += 1
+            print(f"{name}: PASS ({len(s_rows)} rows)")
+        else:
+            n_fail += 1
+            print(f"{name}: FAIL rows={len(s_rows)}/{len(o_rows)} "
+                  f"schema={schema_ok} hash={hash_ok} "
+                  f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
