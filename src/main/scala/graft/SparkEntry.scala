@@ -21,6 +21,7 @@ object SparkEntry {
     "ts_range" -> (Timeseries.tsRange _),
     "ts_downsample" -> (Timeseries.tsDownsample _),
     "ts_fillgaps" -> (Timeseries.tsFillgaps _),
+    "ts_skew_stats" -> (Timeseries.tsSkewStats _),
     "ts_resample_chunk" -> (Timeseries.tsResampleChunk _),
     "ts_gaps" -> (Timeseries.tsGaps _),
     "ts_montage" -> (Timeseries.tsMontage _),
@@ -210,6 +211,7 @@ object SparkEntry {
     "ts_range" -> Timeseries.tsRangeSql,
     "ts_downsample" -> Timeseries.tsDownsampleSql,
     "ts_fillgaps" -> Timeseries.tsFillgapsSql,
+    "ts_skew_stats" -> Timeseries.tsSkewStatsSql,
     "ts_resample_chunk" -> Timeseries.tsResampleChunkSql,
     "ts_gaps" -> Timeseries.tsGapsSql,
     "ts_montage" -> Timeseries.tsMontageSql,

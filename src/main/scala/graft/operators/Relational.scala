@@ -794,7 +794,8 @@ object Relational {
       |  FROM customer WHERE c_acctbal > 0.0)
       |SELECT n_name AS nation, COUNT(*) AS n_cust,
       |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_bal
-      |FROM customer, ab
+      |FROM customer
+      |CROSS JOIN ab
       |JOIN nation ON c_nationkey = n_nationkey
       |WHERE c_acctbal > ab.avg_bal
       |  AND NOT EXISTS (SELECT 1 FROM orders

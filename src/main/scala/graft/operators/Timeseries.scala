@@ -364,9 +364,13 @@ object Timeseries {
       .filter(col("__a") === col("__amax"))
       .groupBy(col("channel"))
       .agg(min(col("t")).as("t_at"))
+    // LEFT join the argmax relation: a zero-variance channel has every
+    // __a NULL (sigma 0 nullifs the divisor), so it has no argmax row
+    // — it still appears in the report with NULL cusum/t_at instead of
+    // silently vanishing from the output
     stats
       .join(chmax, Seq("channel"))
-      .join(at, Seq("channel"))
+      .join(at, Seq("channel"), "left")
       .select(
         col("channel"),
         col("n"),
@@ -1488,6 +1492,53 @@ object Timeseries {
       )
       .orderBy(col("channel"), col("bucket"))
 
+  /** Per-channel stats routed through [[Skew.saltedAgg]] — the hot-key
+    * aggregation remedy as a driver query on a NATURALLY skewed
+    * grouping: `channel` has single-digit cardinality over the whole
+    * events table, so a plain groupBy(channel) hands each reducer a
+    * whole channel's history. The salted two-phase agg bounds any one
+    * reducer to ~1/salt of a hot key's rows; DECIMAL partial sums make
+    * the combined result EXACTLY the single-phase answer, so the
+    * oracle is the plain GROUP BY — salting must be invisible in the
+    * values.
+    */
+  def tsSkewStats(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Skew.saltedAgg(
+      Tables.ts(spark, dir).select(col("channel"), col("v")),
+      "channel",
+      salt = 8,
+      partials = Seq(
+        count(lit(1)).as("__n"),
+        sum(col("v").cast(dec2710)).as("__s"),
+        min(col("v")).as("__mn"),
+        max(col("v")).as("__mx")
+      ),
+      combine = Seq(
+        sum(col("__n")).as("n"),
+        sum(col("__s")).as("__sv"),
+        min(col("__mn")).as("vmin"),
+        max(col("__mx")).as("vmax")
+      )
+    )
+    stats
+      .select(
+        col("channel"),
+        col("n"),
+        round(col("__sv").cast("double") / col("n"), 6).as("vavg"),
+        col("vmin"),
+        col("vmax")
+      )
+      .orderBy(col("channel"))
+  }
+
+  val tsSkewStatsSql: String =
+    """SELECT event_type AS channel, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS vavg,
+      |  MIN(value) AS vmin, MAX(value) AS vmax
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
   val tsFillgapsSql: String =
     s"""WITH d AS (
        |  SELECT event_type AS channel,
@@ -1693,7 +1744,7 @@ object Timeseries {
       |  GROUP BY sc.channel)
       |SELECT st.channel, st.n, ROUND(st.mu, 6) AS mean, ROUND(st.sigma, 6) AS sigma,
       |  ROUND(mx.amax, 6) AS cusum, sel.t_at
-      |FROM st JOIN mx ON st.channel = mx.channel JOIN sel ON st.channel = sel.channel
+      |FROM st JOIN mx ON st.channel = mx.channel LEFT JOIN sel ON st.channel = sel.channel
       |ORDER BY st.channel""".stripMargin
 
   def tsDowProfile(spark: SparkSession, dir: String): DataFrame =

@@ -51,9 +51,22 @@ object BinarySegments {
     * after the query range is never inflated — a range query over a
     * long blob pays for the range, not the blob.
     */
-  def decodeBlobRange(bytes: Array[Byte], dropSamples: Long, takeSamples: Long): Array[Double] = {
+  def decodeBlobRange(bytes: Array[Byte], dropSamples: Long, takeSamples: Long): Array[Double] =
+    decodeBlobRangeStream(new java.io.ByteArrayInputStream(bytes), dropSamples, takeSamples)
+
+  /** Stream variant of [[decodeBlobRange]]: decodes [dropSamples,
+    * dropSamples + takeSamples) straight off a compressed input
+    * stream, so a storage-backed read (see [[readRange]]) stops
+    * PULLING compressed bytes at the range end instead of fetching
+    * the whole object first.
+    */
+  def decodeBlobRangeStream(
+    is: java.io.InputStream,
+    dropSamples: Long,
+    takeSamples: Long
+  ): Array[Double] = {
     if (takeSamples <= 0) return Array.emptyDoubleArray
-    val gz = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    val gz = new GZIPInputStream(is)
     try {
       val buf = new Array[Byte](8192)
       var toSkip = dropSamples * 8
@@ -141,19 +154,24 @@ object BinarySegments {
   }
 
   /** Range read: only blobs whose index row overlaps [startUs, endUs)
-    * are scanned, and only the in-range slice of each blob is decoded
-    * (reference: query/QuerySequencer.scala:68-107 trims each lookup
-    * hit with query/TimeSeriesQueryUtils.scala:114-154 before decoding
-    * downstream).
+    * have their bytes read, and only the in-range slice of each blob
+    * is decoded (reference: query/QuerySequencer.scala:68-107 trims
+    * each lookup hit with query/TimeSeriesQueryUtils.scala:114-154
+    * before decoding downstream).
     *
     * `index` must carry (channel, file, start_us, end_us, rate) — the
-    * range-table analog with the blob's [min, max] span. Pruning is
-    * driver-side over the (tiny, broadcast-scale) index: non-overlapping
-    * blob FILES never enter the binaryFile scan, so their bytes are
-    * never read, and within each surviving blob the decode drops
-    * leading samples and stops inflating at the range end. At extreme
-    * index cardinality, lay the blob tree out as
-    * channel/time-bucket directories and prune by path instead.
+    * range-table analog with the blob's [min, max] span. Shape: the
+    * binaryFile scan is column-pruned to PATH ONLY (a listing — no
+    * file content enters the plan), the overlapping index slice
+    * broadcast-joins against it, and each surviving file's bytes are
+    * opened EXECUTOR-SIDE through the Hadoop FileSystem API inside
+    * the decode task, which skips the pre-range prefix and stops
+    * pulling compressed bytes at the range end. No file list is ever
+    * collected to the driver, non-matching blobs' bytes are never
+    * read, and decode parallelism is one task per matched blob — the
+    * same distributed discipline as [[readRangePartitioned]], which
+    * remains the preferred layout because its directory scheme prunes
+    * the LISTING too.
     */
   def readRange(
     spark: SparkSession,
@@ -166,18 +184,33 @@ object BinarySegments {
     val hits = index
       .select(col("channel"), col("file"), col("start_us"), col("end_us"), col("rate"))
       .filter(col("end_us") >= startUs && col("start_us") < endUs)
-    val files = hits.select(col("file")).distinct().as[String].collect()
-    if (files.isEmpty)
-      return spark.emptyDataset[(String, Long, Double)].toDF("channel", "t", "v")
-    val blobs = spark.read
+    // path-only projection: BinaryFileFormat honors column pruning, so
+    // this relation is file METADATA — no blob bytes are read here
+    val listing = spark.read
       .format("binaryFile")
-      .load(files.map(f => s"$blobDir/$f").toIndexedSeq: _*)
-      .select(relPath(blobDir).as("file"), col("content"))
-    decodeRangeRows(
-      blobs.join(broadcast(hits), Seq("file")),
-      startUs,
-      endUs
-    )
+      .option("recursiveFileLookup", "true")
+      .load(blobDir)
+      .select(col("path"), relPath(blobDir).as("file"))
+    val matched = listing
+      .join(broadcast(hits), Seq("file"))
+      .select(col("path"), col("channel"), col("start_us"), col("rate"))
+      .as[(String, String, Long, Double)]
+    matched
+      .flatMap { case (path, channel, blobStart, rate) =>
+        val period = Math.round(1e6 / rate)
+        val drop =
+          if (startUs > blobStart) Math.round((startUs - blobStart).toDouble / period) else 0L
+        val firstT = blobStart + drop * period
+        val take = Math.round((endUs - firstT).toDouble / period) + 1
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+        val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+        val vals =
+          try decodeBlobRangeStream(in, drop, take)
+          finally in.close()
+        vals.iterator.zipWithIndex.map { case (v, i) => (channel, firstT + i * period, v) }
+      }
+      .toDF("channel", "t", "v")
+      .filter(col("t") >= startUs && col("t") < endUs)
   }
 
   /** Range read over a HIVE-PARTITIONED blob tree

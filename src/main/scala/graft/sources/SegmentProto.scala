@@ -2,11 +2,14 @@ package graft.sources
 
 import graft.streaming.RealtimeResample.Segment
 
-/** Protobuf wire encoding of the reference's streamed-segment output
-  * contract: `TimeSeriesMessage { segment { … } }` — the bytes a
-  * consumer of the reference's websocket stream actually parses
-  * (reference: src/test/.../SegmentProtobufSpec.scala round-trips
-  * exactly this message; server/TimeSeriesFlow.scala emits it).
+/** Protobuf wire encoding of the reference's streamed output
+  * contract, BOTH branches: `TimeSeriesMessage { segment = 1 }` for
+  * continuous channels and `TimeSeriesMessage { event = 2 }` for unit
+  * (spike) channels — the bytes a consumer of the reference's
+  * websocket stream actually parses (reference: src/test/.../
+  * SegmentProtobufSpec.scala round-trips the segment message;
+  * server/TimeSeriesFlow.scala emits both; query/
+  * TimeSeriesUnitQueryRawHttp.scala:104-118 builds the event one).
   *
   * The reference's .proto ships in an external library, so the field
   * table below is reconstructed from the reference's generated-code
@@ -63,6 +66,16 @@ object SegmentProto {
         while (i < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
       }
     }
+    def packedLongs(field: Int, vs: Seq[Long]): Unit = if (vs.nonEmpty) {
+      // proto3 repeated int64 defaults to packed: length prefix is the
+      // payload BYTE length, so the varints render to a scratch buffer first
+      val body = new Writer
+      vs.foreach(body.varint)
+      tag(field, 2)
+      val b = body.bytes
+      varint(b.length.toLong)
+      out.write(b)
+    }
     def message(field: Int, body: Array[Byte]): Unit = {
       tag(field, 2); varint(body.length.toLong); out.write(body)
     }
@@ -103,6 +116,56 @@ object SegmentProto {
     w.int(12, requestedSamplePeriod)
     w.int(13, pageEnd)
     w.string(14, channelName)
+    w.bytes
+  }
+
+  /** All 7 Event fields — the unit-channel (spike) response branch of
+    * TimeSeriesMessage (reference query/TimeSeriesUnitQueryRawHttp
+    * .scala:104-118). Field numbers from generated-code parameter
+    * order, same reconstruction as Segment: every construction site
+    * names (source, pageStart, pageEnd, samplePeriod, pointsPerEvent,
+    * times, data) in that order → fields 1-7. samplePeriod is
+    * integral on the wire — the reference only ever assigns
+    * `r.pixelWidth: Long` (µs), and its flow spec equality-checks an
+    * integer value. `times` is the flattened (avgTime, count) pair
+    * stream of the binned EventSummary rows (buildEventsFromSources:
+    * `_events.map(e => (e.avgTime, e.count))`, then flattened;
+    * server/TimeSeriesFlow.scala:412-420 re-groups it in twos);
+    * `data` is the flattened (min, max) pairs of every resampled
+    * spike waveform, `pointsPerEvent` chunks per spike.
+    */
+  def encodeEventFields(
+    source: String = "",
+    pageStart: Long = 0L,
+    pageEnd: Long = 0L,
+    samplePeriod: Long = 0L,
+    pointsPerEvent: Long = 0L,
+    times: Seq[Long] = Nil,
+    data: Seq[Double] = Nil
+  ): Array[Byte] = {
+    val w = new Writer
+    w.string(1, source)
+    w.int(2, pageStart)
+    w.int(3, pageEnd)
+    w.int(4, samplePeriod)
+    w.int(5, pointsPerEvent)
+    w.packedLongs(6, times)
+    w.packedDoubles(7, data)
+    w.bytes
+  }
+
+  /** `TimeSeriesMessage { event = 2 }` — the unit-channel response
+    * frame, the second half of the reference's wire surface.
+    */
+  def encodeEventMessage(
+    eventFields: Array[Byte],
+    totalResponses: Int = 1,
+    responseSequenceId: Int = 0
+  ): Array[Byte] = {
+    val w = new Writer
+    w.message(2, eventFields)
+    w.int(5, totalResponses.toLong)
+    w.int(6, responseSequenceId.toLong)
     w.bytes
   }
 
@@ -153,8 +216,20 @@ object SegmentProto {
     channelName: String
   )
 
+  /** Decoded Event (proto3 defaults where a field is absent). */
+  final case class WireEvent(
+    source: String,
+    pageStart: Long,
+    pageEnd: Long,
+    samplePeriod: Long,
+    pointsPerEvent: Long,
+    times: Seq[Long],
+    data: Seq[Double]
+  )
+
   final case class WireMessage(
     segment: Option[WireSegment],
+    event: Option[WireEvent],
     totalResponses: Int,
     responseSequenceId: Int
   )
@@ -225,25 +300,58 @@ object SegmentProto {
     )
   }
 
+  private def decodeEvent(r: Reader): WireEvent = {
+    var pageStart, pageEnd, samplePeriod, pointsPerEvent = 0L
+    var source = ""
+    val times = scala.collection.mutable.ArrayBuffer[Long]()
+    val data = scala.collection.mutable.ArrayBuffer[Double]()
+    while (r.hasNext) {
+      val key = r.varint()
+      ((key >>> 3).toInt, (key & 7).toInt) match {
+        case (1, 2) => source = r.utf8(r.varint().toInt)
+        case (2, 0) => pageStart = r.varint()
+        case (3, 0) => pageEnd = r.varint()
+        case (4, 0) => samplePeriod = r.varint()
+        case (5, 0) => pointsPerEvent = r.varint()
+        case (6, 2) =>
+          val s = r.slice(r.varint().toInt)
+          while (s.hasNext) times += s.varint()
+        case (6, 0) => times += r.varint() // unpacked emitter
+        case (7, 2) =>
+          val s = r.slice(r.varint().toInt)
+          while (s.hasNext) data += java.lang.Double.longBitsToDouble(s.fixed64())
+        case (7, 1) => data += java.lang.Double.longBitsToDouble(r.fixed64()) // unpacked emitter
+        case (f, w) => throw new IllegalArgumentException(s"Event: unexpected field $f wire $w")
+      }
+    }
+    WireEvent(source, pageStart, pageEnd, samplePeriod, pointsPerEvent, times.toSeq, data.toSeq)
+  }
+
   /** Decode a bare Segment message (the payload of field 1). */
   def decodeSegmentBytes(bytes: Array[Byte]): WireSegment =
     decodeSegment(new Reader(bytes, 0, bytes.length))
 
+  /** Decode a bare Event message (the payload of field 2). */
+  def decodeEventBytes(bytes: Array[Byte]): WireEvent =
+    decodeEvent(new Reader(bytes, 0, bytes.length))
+
   def decodeTimeSeriesMessage(bytes: Array[Byte]): WireMessage = {
     val r = new Reader(bytes, 0, bytes.length)
     var segment: Option[WireSegment] = None
+    var event: Option[WireEvent] = None
     var totalResponses = 0
     var responseSequenceId = 0
     while (r.hasNext) {
       val key = r.varint()
       ((key >>> 3).toInt, (key & 7).toInt) match {
         case (1, 2) => segment = Some(decodeSegment(r.slice(r.varint().toInt)))
+        case (2, 2) => event = Some(decodeEvent(r.slice(r.varint().toInt)))
         case (5, 0) => totalResponses = r.varint().toInt
         case (6, 0) => responseSequenceId = r.varint().toInt
         case (f, w) =>
           throw new IllegalArgumentException(s"TimeSeriesMessage: unexpected field $f wire $w")
       }
     }
-    WireMessage(segment, totalResponses, responseSequenceId)
+    WireMessage(segment, event, totalResponses, responseSequenceId)
   }
 }

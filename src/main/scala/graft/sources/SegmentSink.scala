@@ -82,4 +82,73 @@ object SegmentSink {
       )
       .as[Segment]
   }
+
+  /** The unit-channel twin of [[toSegments]]: one
+    * `TimeSeriesMessage{event}` wire frame per channel, assembled from
+    * the batch analogs of the reference's two unit streams —
+    * `Timeseries.eventBins` output (channel, bucket, …, avg_time, n)
+    * and `Timeseries.spikeWaveforms` output (channel, wf, chunk, wmin,
+    * wmax). Payload contract per reference query/
+    * TimeSeriesUnitQueryRawHttp.scala:104-118 and WsClient.scala:
+    * 120-139: times = the (avgTime, count) pair per bin, flattened in
+    * bin order; data = the (min, max) pair per resampled waveform
+    * chunk, flattened in (spike, chunk) order; samplePeriod = the
+    * pixel width (µs); pointsPerEvent = chunks per spike.
+    *
+    * Scale note: like toSegments, input rows are pixel/spike-page
+    * scale (bounded by the requested render width per channel), so
+    * the per-channel collect is summary-scale by construction.
+    */
+  def toEventMessages(
+    spark: SparkSession,
+    eventBins: DataFrame,
+    waveforms: DataFrame,
+    pageStart: Long,
+    pageEnd: Long,
+    samplePeriodUs: Long,
+    pointsPerEvent: Int
+  ): Dataset[(String, Array[Byte])] = {
+    import spark.implicits._
+    val times = eventBins
+      .groupBy(col("channel"))
+      .agg(
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("bucket"), col("avg_time"), col("n")))),
+            x => array(x.getField("avg_time"), x.getField("n"))
+          )
+        ).as("times")
+      )
+    val spikes = waveforms
+      .groupBy(col("channel"))
+      .agg(
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("wf"), col("chunk"), col("wmin"), col("wmax")))),
+            x => array(x.getField("wmin"), x.getField("wmax"))
+          )
+        ).as("data")
+      )
+    times
+      .join(spikes, Seq("channel"), "left")
+      .select(
+        col("channel"),
+        col("times"),
+        coalesce(col("data"), array().cast("array<double>")).as("data")
+      )
+      .as[(String, Seq[Long], Seq[Double])]
+      .map { case (ch, ts, dt) =>
+        ch -> SegmentProto.encodeEventMessage(
+          SegmentProto.encodeEventFields(
+            source = ch,
+            pageStart = pageStart,
+            pageEnd = pageEnd,
+            samplePeriod = samplePeriodUs,
+            pointsPerEvent = pointsPerEvent.toLong,
+            times = ts,
+            data = dt
+          )
+        )
+      }
+  }
 }

@@ -95,4 +95,17 @@ object RealtimeResample {
     */
   def stream(ingest: Dataset[IngestSegment], realtimePixelDuration: Long): Dataset[Segment] =
     ingest.map(resampleMessage(_, realtimePixelDuration))
+
+  /** The reference's realtime path composed END TO END: ingest →
+    * resample → protobuf wire frame. The reference emits one
+    * `TimeSeriesMessage{segment}` per realtime message
+    * (server/TimeSeriesFlow.scala:390-397); this is that emission as
+    * a streaming sink stage — each micro-batch row is the exact bytes
+    * a reference websocket consumer would parse.
+    */
+  def wireStream(ingest: Dataset[IngestSegment], realtimePixelDuration: Long): Dataset[Array[Byte]] = {
+    implicit val binEnc: Encoder[Array[Byte]] = Encoders.BINARY
+    stream(ingest, realtimePixelDuration)
+      .map(s => graft.sources.SegmentProto.encodeTimeSeriesMessage(s))
+  }
 }

@@ -47,16 +47,36 @@ object StreamingCusum {
   ): Dataset[CusumUpdate] = {
     import spark.implicits._
     require(k >= 0 && h > 0, "slack k must be >= 0 and threshold h > 0")
-    input
-      .select(col("channel"), col("t").cast("long"), col("v").cast("double"))
-      .as[(String, Long, Double)]
+    // tie-break discipline: the Page recursion is order-sensitive, so
+    // same-timestamp samples must fold in the SAME order as the batch
+    // twin (cusumScreen sorts by (t, event_id) via withTieBreak) and
+    // as any replay with different micro-batch boundaries — carry
+    // event_id when the source has one, constant otherwise (the same
+    // convention withTieBreak applies to id-less sources)
+    val withId =
+      if (input.columns.contains("event_id"))
+        input.select(
+          col("channel"),
+          col("t").cast("long"),
+          col("v").cast("double"),
+          col("event_id").cast("long")
+        )
+      else
+        input.select(
+          col("channel"),
+          col("t").cast("long"),
+          col("v").cast("double"),
+          lit(0L).as("event_id")
+        )
+    withId
+      .as[(String, Long, Double, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[CusumState, CusumUpdate](GroupStateTimeout.NoTimeout) {
         case (channel, rows, state: GroupState[CusumState]) =>
           var st = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L, 0L))
           var fired = false
           // event order within the batch — the recursion is order-sensitive
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, v) =>
+          rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, _, v, _) =>
             var sp = math.max(0.0, st.sPos + (v - mu0 - k))
             var sn = math.max(0.0, st.sNeg - (v - mu0 + k))
             var al = st.alarms

@@ -63,21 +63,34 @@ object StreamingHeavyHitters {
         OutputMode.Update,
         GroupStateTimeout.NoTimeout
       ) { case (shard, rows, state: GroupState[Map[String, (Long, Long)]]) =>
-        var s = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+        // the persisted state stays a plain Map; per invocation it is
+        // mirrored into a hash map + a (count, item)-ordered index so
+        // a full summary's eviction churn costs O(log capacity) per
+        // element (the canonical stream-summary discipline) instead of
+        // an O(capacity) min-scan per evicting arrival
+        val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        val ord = scala.collection.mutable.TreeSet.empty[(Long, String)]
+        state.getOption.getOrElse(Map.empty[String, (Long, Long)]).foreach {
+          case (it, (c, e)) => m(it) = (c, e); ord += ((c, it))
+        }
         rows.foreach { case (_, item) =>
-          s.get(item) match {
-            case Some((c, e)) => s = s.updated(item, (c + 1L, e))
-            case None if s.size < capacity => s = s.updated(item, (1L, 0L))
+          m.get(item) match {
+            case Some((c, e)) =>
+              ord -= ((c, item)); m(item) = (c + 1L, e); ord += ((c + 1L, item))
+            case None if m.size < capacity =>
+              m(item) = (1L, 0L); ord += ((1L, item))
             case None =>
               // evict the minimum counter (ties by item for
-              // replay-determinism); the newcomer inherits its count
-              // as the error bound
-              val (mItem, (mCount, _)) = s.minBy { case (it, (c, _)) => (c, it) }
-              s = (s - mItem).updated(item, (mCount + 1L, mCount))
+              // replay-determinism — the same (count, item) order the
+              // index sorts by); the newcomer inherits its count as
+              // the error bound
+              val (mCount, mItem) = ord.head
+              ord -= ((mCount, mItem)); m -= mItem
+              m(item) = (mCount + 1L, mCount); ord += ((mCount + 1L, item))
           }
         }
-        state.update(s)
-        s.toSeq
+        state.update(m.toMap)
+        m.toSeq
           .map { case (it, (c, e)) => Entry(it, c, e) }
           .sortBy(en => (-en.count, en.item))
           .take(k)

@@ -239,6 +239,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "ts_skew_stats" should "aggregate the data stream on the SALTED key, combining per channel only above it" in {
+    // the hot-key remedy's contract: the data-scale aggregation groups
+    // on (channel, __salt) — no reducer ever owns a whole channel —
+    // and only the salt-cardinality combine groups on channel alone
+    val df = Timeseries.tsSkewStats(spark, sfDir)
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.collect {
+          case attr: org.apache.spark.sql.catalyst.expressions.Attribute => attr.name
+        }
+    }
+    aggs.size shouldBe 2
+    // one aggregate carries the salt next to channel; the other is the
+    // channel-grain combine over salt-cardinality partials
+    aggs.count(_.contains("__salt")) shouldBe 1
+    aggs.count(g => g == Seq("channel")) shouldBe 1
+    planString(df) should include("xxhash64")
+  }
+
   "text_repetition" should "compute every signal with ZERO shuffles" in {
     // per-document statistics are a pure map-side kernel projection;
     // the only exchange permitted is the output ORDER BY's range

@@ -84,6 +84,18 @@ class SourcesSpec extends SparkSpec {
 
     // disjoint range: nothing decoded, empty result, still no poison
     BinarySegments.readRange(spark, dir.toString, index, 300000L, 400000L).count() shouldBe 0L
+
+    // plan shape: the binaryFile scan is column-pruned to metadata
+    // (path) — blob CONTENT never enters the plan (bytes are opened
+    // executor-side per matched file), and the index join is a
+    // broadcast; nothing about the file set is collected to the driver
+    val plan = BinarySegments
+      .readRange(spark, dir.toString, index, 50000L, 150000L)
+      .queryExecution
+      .executedPlan
+      .toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "content"
   }
 
   "TsLayout" should "prune partitions for channel/time range queries and match the flat-scan result" in {

@@ -92,6 +92,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "emit decodable protobuf wire frames from a micro-batch that match the batch-computed segment" in {
+    // the reference's realtime emission end to end (server/
+    // TimeSeriesFlow.scala:390-397): ingest → resample → wire bytes.
+    // Decode what the micro-batch emitted and compare field-for-field
+    // against the batch-side resampleMessage on the same input.
+    import graft.streaming.RealtimeResample
+    import RealtimeResample.IngestSegment
+    import graft.sources.SegmentProto
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[IngestSegment]
+    val ingest = Seq(
+      IngestSegment("ch1", 0L, 100.0, (1 to 50).map(i => math.sin(i / 7.0))),
+      IngestSegment("ch2", 1000L, 900.0, Seq(1.5, -2.5)) // slow → passthrough
+    )
+    val mem = MemoryStream[IngestSegment]
+    val out = RealtimeResample.wireStream(mem.toDS(), 500)
+    val q = out.writeStream.format("memory").queryName("rs_wire").outputMode("append").start()
+    try {
+      mem.addData(ingest: _*)
+      q.processAllAvailable()
+      val frames = spark.table("rs_wire").collect().map(_.getAs[Array[Byte]](0))
+      frames.length shouldBe 2
+      val decoded = frames.map(SegmentProto.decodeTimeSeriesMessage).map { m =>
+        m.event shouldBe None
+        val s = m.segment.get
+        s.source -> s
+      }.toMap
+      ingest.foreach { in =>
+        val batch = RealtimeResample.resampleMessage(in, 500)
+        val wire = decoded(in.channel)
+        wire.startTs shouldBe batch.startTs
+        wire.samplePeriod shouldBe batch.samplePeriod
+        wire.requestedSamplePeriod shouldBe batch.requestedSamplePeriod
+        wire.isMinMax shouldBe batch.isMinMax
+        wire.segmentType shouldBe batch.segmentType
+        wire.nrPoints shouldBe batch.nrPoints
+        wire.data shouldBe batch.data
+      }
+    } finally q.stop()
+  }
+
   "StreamingFilter" should "carry filter state across micro-batches exactly like one continuous run" in {
     import graft.streaming.StreamingFilter
     import StreamingFilter.Sample

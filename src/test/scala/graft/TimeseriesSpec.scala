@@ -787,6 +787,22 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  it should "report a zero-variance channel with NULL cusum rather than dropping it" in {
+    // sigma = 0 nullifs every score; the channel must still appear in
+    // the report (consumers would otherwise lose it with no indication)
+    val rows = (0L until 20L).map(i => ("flat", i * 1000L, 7.5)) ++
+      (0L until 20L).map(i => ("live", i * 1000L, i.toDouble))
+    val out = Timeseries.cusumScreen(mkTs(rows)).collect()
+      .map(x => x.getAs[String]("channel") -> x).toMap
+    out.keySet shouldBe Set("flat", "live")
+    out("flat").getAs[Long]("n") shouldBe 20L
+    out("flat").getAs[Double]("mean") shouldBe 7.5 +- 1e-9
+    out("flat").getAs[Double]("sigma") shouldBe 0.0
+    out("flat").isNullAt(out("flat").fieldIndex("cusum")) shouldBe true
+    out("flat").isNullAt(out("flat").fieldIndex("t_at")) shouldBe true
+    out("live").isNullAt(out("live").fieldIndex("cusum")) shouldBe false
+  }
+
   "firDecimate" should "be invariant to the halo bucket width (block halo ≡ global window)" in {
     val ts = mkTs((0L until 300L).map { i =>
       val t = i * 137L + (i % 7) * 10000L + (i / 50) * 900000L
