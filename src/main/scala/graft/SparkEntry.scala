@@ -85,12 +85,14 @@ object SparkEntry {
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
     "ts_funnel" -> (Timeseries.tsFunnel _),
     "corpus_drift" -> (TextAnalysis.corpusDriftQ _),
+    "corpus_burstiness" -> (TextAnalysis.corpusBurstinessQ _),
     // format-agnosticism proof: same range query served from an ORC
     // copy of the layout, oracled against the original parquet
     "ts_orc_range" -> (graft.sources.OrcLayout.tsOrcRange _),
     "corpus_keywords" -> (TextAnalysis.corpusKeywordsQ _),
     "ts_zscore" -> (Timeseries.tsZscore _),
     "dedup_semantic_clusters" -> (Similarity.dedupSemanticClusters _),
+    "sample_coreset" -> (Similarity.sampleCoresetQ _),
     // reference blob format end to end: gzip BE-f64 store + range index
     // built from events, read through BinarySegments.readRange
     "ts_blob_range" -> (graft.sources.BlobStore.tsBlobRange _),
@@ -104,6 +106,7 @@ object SparkEntry {
     // must match dedup_clusters' transitive-closure oracle exactly
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "dedup_report" -> (Dedup.dedupReport _),
+    "dedup_matrix" -> (Dedup.dedupMatrix _),
     // product-quantization ANN: m sliced codebooks, byte codes,
     // asymmetric-distance ranking
     "ann_pq" -> (Similarity.annPq _),
@@ -267,10 +270,12 @@ object SparkEntry {
     "ann_ivf_kmeans" -> Similarity.annIvfKmeansSql,
     "ts_funnel" -> Timeseries.tsFunnelSql,
     "corpus_drift" -> TextAnalysis.corpusDriftSql,
+    "corpus_burstiness" -> TextAnalysis.corpusBurstinessSql,
     "ts_orc_range" -> graft.sources.OrcLayout.tsOrcRangeSql,
     "corpus_keywords" -> TextAnalysis.corpusKeywordsSql,
     "ts_zscore" -> Timeseries.tsZscoreSql,
     "dedup_semantic_clusters" -> Similarity.dedupSemanticClustersSql,
+    "sample_coreset" -> Similarity.sampleCoresetSql,
     "ts_blob_range" -> graft.sources.BlobStore.tsBlobRangeSql,
     "corpus_rollup" -> TextAnalysis.corpusRollupSql,
     "ts_pivot" -> Timeseries.tsPivotSql,
@@ -280,6 +285,7 @@ object SparkEntry {
     // min-label propagation must agree on the clustering
     "dedup_clusters_star" -> Dedup.dedupClustersSql,
     "dedup_report" -> Dedup.dedupReportSql,
+    "dedup_matrix" -> Dedup.dedupMatrixSql,
     "ann_pq" -> Similarity.annPqSql,
     "dedup_spans" -> Dedup.dedupSpansSql,
     "text_perplexity" -> TextAnalysis.textPerplexitySql,

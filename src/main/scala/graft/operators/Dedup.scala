@@ -1101,6 +1101,86 @@ object Dedup {
        |  SELECT cluster_size, n_clusters, n_docs, n_removed FROM hist) r
        |ORDER BY cluster_size""".stripMargin
 
+  /** Source×source near-dup contamination matrix: verified near-dup
+    * pairs rolled up by the UNORDERED source pair of their endpoints —
+    * the "which sources mirror which" audit a curation pipeline runs
+    * before deciding per-source sampling weights (a source whose
+    * near-dups all point at one other source is a scrape/mirror, not
+    * independent coverage). n_pairs counts verified pairs, n_docs the
+    * distinct documents those pairs touch.
+    *
+    * Scale shape: the corpus-cardinality (doc_id → source) relation is
+    * SCANNED and probed by the broadcast pair list (pairs are
+    * post-mining, candidate-capped — driver-size by construction), so
+    * the corpus never shuffles; both rollups run at source²
+    * cardinality.
+    */
+  def sourceMatrix(docSources: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docSources.select(col("doc_id"), col("source"))
+    val labeled = src
+      .select(col("doc_id").as("doc_a"), col("source").as("__sa"))
+      .join(broadcast(pairs.select(col("doc_a"), col("doc_b"))), Seq("doc_a"))
+      .join(
+        broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("__sb"))),
+        Seq("doc_b")
+      )
+      .select(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        col("doc_a"),
+        col("doc_b")
+      )
+    val np = labeled.groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("n_pairs"))
+    val nd = labeled
+      .select(col("source_a"), col("source_b"), explode(array(col("doc_a"), col("doc_b"))).as("__d"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("__d")).as("n_docs"))
+    np.join(nd, Seq("source_a", "source_b"))
+  }
+
+  /** Fixed matrix query over the SAME planted corpus + mined pairs the
+    * other minhash queries share; planted docs carry source
+    * 'planted-mirror' so cross-source cells exist at every SF.
+    */
+  def dedupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = withPlantedNearDups(docs)
+    val pairs = minhashNearDups(corpus, w = 3, tau = 0.5).select(col("doc_a"), col("doc_b"))
+    val srcs = docs
+      .select(col("doc_id"), col("source"))
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), lit("planted-mirror").as("source"))
+      )
+    sourceMatrix(srcs, pairs).orderBy(col("source_a"), col("source_b"))
+  }
+
+  val dedupMatrixSql: String =
+    s"""WITH $MinhashPipelineCtes,
+       |vpairs AS (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |srcs AS (
+       |  SELECT doc_id, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, 'planted-mirror' AS source
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |lab AS (
+       |  SELECT LEAST(sa.source, sb.source) AS source_a,
+       |    GREATEST(sa.source, sb.source) AS source_b, v.doc_a, v.doc_b
+       |  FROM vpairs v
+       |  JOIN srcs sa ON v.doc_a = sa.doc_id
+       |  JOIN srcs sb ON v.doc_b = sb.doc_id),
+       |np AS (SELECT source_a, source_b, COUNT(*) AS n_pairs FROM lab GROUP BY 1, 2),
+       |nd AS (
+       |  SELECT source_a, source_b, COUNT(DISTINCT d) AS n_docs FROM (
+       |    SELECT source_a, source_b, doc_a AS d FROM lab
+       |    UNION ALL
+       |    SELECT source_a, source_b, doc_b AS d FROM lab) u
+       |  GROUP BY 1, 2)
+       |SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs
+       |FROM np JOIN nd USING (source_a, source_b)
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ---------------------------------------------------------------------
   // PageRank over the near-dup graph
   // ---------------------------------------------------------------------

@@ -616,6 +616,66 @@ object Similarity {
        |FROM a JOIN stx s ON s.cluster = a.cluster
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Lightweight-coreset sensitivity sampling over the shared k-means
+    * trajectory (Bachem, Lucic & Krause, "Scalable k-means clustering
+    * via lightweight coresets", KDD 2018): sampling probability
+    * q(x) = ½·1/n + ½·d²(x)/Σd² with d² the squared distance to the
+    * assigned centroid, importance weight w(x) = 1/(m·q(x)) — the
+    * distance-biased subsample that preserves clustering cost, the
+    * standard corpus-subselection step before an expensive training
+    * pass. Emits the m HIGHEST-sensitivity points (deterministic:
+    * round-9 q, vec_id tie-break) with their weights.
+    *
+    * Scale shape: the (n, Σd²) total is a broadcast 1-row relation;
+    * q/w are a map-side projection over the assignment; selection is
+    * a global top-m. The corpus is never reshuffled beyond the
+    * trajectory's own scans.
+    */
+  def sampleCoreset(
+    emb: DataFrame,
+    m: Int = 64,
+    k: Int = KmeansK,
+    iters: Int = KmeansIters
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val asg = kmeansAssign(emb, k, iters)
+    val tot = asg.agg(
+      count(lit(1)).as("__n"),
+      sum(col("dist2").cast(dec)).cast("double").as("__sd")
+    )
+    asg
+      .crossJoin(broadcast(tot))
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        col("dist2"),
+        round(lit(0.5) / col("__n") + lit(0.5) * col("dist2") / col("__sd"), 9).as("q")
+      )
+      .withColumn("w", round(lit(1.0) / (lit(m) * col("q")), 6))
+      .orderBy(col("q").desc, col("vec_id"))
+      .limit(m)
+  }
+
+  def sampleCoresetQ(spark: SparkSession, dir: String): DataFrame =
+    sampleCoreset(Tables.embeddings(spark, dir))
+
+  val sampleCoresetSql: String =
+    s"""WITH $KmeansCtes,
+       |a AS (
+       |  SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(d, 6) AS dist2 FROM kasg),
+       |tot AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(dist2 AS DECIMAL(27,10))) AS DOUBLE) AS sd
+       |  FROM a),
+       |qs AS (
+       |  SELECT vec_id, cluster, dist2,
+       |    ROUND(0.5 / n + 0.5 * dist2 / sd, 9) AS q
+       |  FROM a, tot)
+       |SELECT vec_id, cluster, dist2, q, ROUND(1.0 / (64 * q), 6) AS w
+       |FROM qs
+       |ORDER BY q DESC, vec_id
+       |LIMIT 64""".stripMargin
+
   /** Simplified (centroid) silhouette per embedding — the standard
     * clustering-quality signal computed WITHOUT pairwise point
     * distances: a = squared distance to the assigned centroid, b =

@@ -764,6 +764,72 @@ object TextAnalysis {
       )
   }
 
+  /** Word burstiness (Church & Gale 1995, "Poisson mixtures"): the
+    * variance-to-mean ratio of a word's per-document count over ALL
+    * documents (absent docs contribute zero — the moments fold them in
+    * for free since zeros add nothing to Σc and Σc²). VMR ≈ 1 is
+    * Poisson scatter (function words); VMR ≫ 1 marks bursty,
+    * topic-carrying terms that concentrate in few documents — the
+    * signal behind tf flattening in retrieval and boilerplate
+    * detection in curation.
+    *
+    * Scale shape: the corpus reduces to (doc, word) grain in one
+    * exploded partial agg, then to vocabulary grain in a second — the
+    * corpus_drift discipline; the doc-count total is a broadcast
+    * 1-row relation. Portability: every moment is an INTEGER sum;
+    * vmr derives from them in one pinned double expression; ranking
+    * orders the rounded value with a word tie-break.
+    */
+  def corpusBurstiness(docs: DataFrame, minDf: Long = 5L, k: Int = 25): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+    val wc = d
+      .select(col("doc_id"), explode(expr(WordsSql)).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val n = d.select(count(lit(1)).as("__N"))
+    val mean = col("__s1").cast("double") / col("__N")
+    val ex2 = col("__s2").cast("double") / col("__N")
+    wc.groupBy(col("word"))
+      .agg(
+        sum(col("c")).as("__s1"),
+        sum(col("c") * col("c")).as("__s2"),
+        count(lit(1)).as("df")
+      )
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+      .select(
+        col("word"),
+        col("df"),
+        col("__s1").as("tf"),
+        round((ex2 - mean * mean) / mean, 6).as("vmr")
+      )
+      .orderBy(col("vmr").desc, col("word"))
+      .limit(k)
+  }
+
+  def corpusBurstinessQ(spark: SparkSession, dir: String): DataFrame =
+    corpusBurstiness(Tables.documents(spark, dir))
+
+  val corpusBurstinessSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |wc AS (
+      |  SELECT doc_id, u.word, COUNT(*) AS c
+      |  FROM (SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws FROM d) t,
+      |       UNNEST(ws) AS u(word)
+      |  GROUP BY 1, 2),
+      |n AS (SELECT COUNT(*) AS nn FROM d),
+      |st AS (
+      |  SELECT word, CAST(SUM(c) AS BIGINT) AS tf, CAST(SUM(c * c) AS BIGINT) AS s2,
+      |    COUNT(*) AS df
+      |  FROM wc GROUP BY 1)
+      |SELECT word, df, tf,
+      |  ROUND((CAST(s2 AS DOUBLE) / nn - (CAST(tf AS DOUBLE) / nn) * (CAST(tf AS DOUBLE) / nn))
+      |        / (CAST(tf AS DOUBLE) / nn), 6) AS vmr
+      |FROM st, n
+      |WHERE df >= 5
+      |ORDER BY vmr DESC, word
+      |LIMIT 25""".stripMargin
+
   def corpusDriftQ(spark: SparkSession, dir: String): DataFrame =
     corpusDrift(Tables.documents(spark, dir)).orderBy(col("la"), col("lb"))
 
