@@ -191,6 +191,10 @@ object SparkEntry {
     "q13_dist" -> (Relational.q13Dist _),
     "q15_top" -> (Relational.q15Top _),
     "q17_small" -> ((s, dir) => Relational.q17Small(s, dir)),
+    "q9_profit" -> (Relational.q9Profit _),
+    "q11_partvalue" -> (Relational.q11PartValue _),
+    "q20_potential" -> (Relational.q20Potential _),
+    "q21_waiting" -> ((s, dir) => Relational.q21Waiting(s, dir)),
     // PMI collocation mining over adjacent word pairs
     "corpus_pmi" -> (TextAnalysis.corpusPmi _),
     // Levenshtein<=1 fuzzy term lookup over the corpus vocabulary
@@ -198,6 +202,8 @@ object SparkEntry {
     // trailing 24-bucket rolling baseline + hourly drift screen
     "ts_rolling" -> (Timeseries.tsRolling _),
     "ts_hjorth" -> (Timeseries.tsHjorth _),
+    // Hampel robust despiking screen (block-halo rolling median/MAD)
+    "ts_hampel" -> (Timeseries.tsHampel _),
     "ts_linelength" -> (Timeseries.tsLinelength _)
   )
 
@@ -332,10 +338,15 @@ object SparkEntry {
     "q13_dist" -> Relational.q13Sql,
     "q15_top" -> Relational.q15Sql,
     "q17_small" -> Relational.q17Sql,
+    "q9_profit" -> Relational.q9Sql,
+    "q11_partvalue" -> Relational.q11Sql,
+    "q20_potential" -> Relational.q20Sql,
+    "q21_waiting" -> Relational.q21Sql,
     "corpus_pmi" -> TextAnalysis.corpusPmiSql,
     "search_fuzzy" -> Search.searchFuzzySql,
     "ts_rolling" -> Timeseries.tsRollingSql,
     "ts_hjorth" -> Timeseries.tsHjorthSql,
+    "ts_hampel" -> Timeseries.tsHampelSql,
     "ts_linelength" -> Timeseries.tsLinelengthSql
   )
 }

@@ -802,4 +802,217 @@ object Relational {
       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY n_name
       |ORDER BY nation""".stripMargin
+
+  /** TPC-H Q9-shaped product-type profit: revenue from lines of parts
+    * matching a name pattern, rolled up by supplier nation × ship
+    * year. (This schema has no partsupp/supplycost, so "profit" is
+    * the discounted revenue — Q9's join topology and rollup grain are
+    * preserved: fact × part-filter × supplier × nation, grouped by
+    * (nation, year).)
+    *
+    * Scale shape: the filtered part list, supplier, and nation all
+    * broadcast — the fact stream never shuffles for the joins and is
+    * cut by the part semi-probe before any aggregation; the single
+    * shuffle is the (nation, year) partial agg at rollup
+    * cardinality (~25 × ~7 groups). Decimal discipline as q1.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey").as("__pk"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("__sk"), col("s_nationkey").as("__snk"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("__nk"), col("n_name"))
+    val amount = col("l_extendedprice").cast(d184) *
+      (lit(1).cast(d184) - col("l_discount").cast(d184))
+    l.join(broadcast(p), col("l_partkey") === col("__pk"))
+      .join(broadcast(s), col("l_suppkey") === col("__sk"))
+      .join(broadcast(n), col("__snk") === col("__nk"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(amount), 4).cast("double").as("sum_profit"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation,
+      |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS o_year,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_profit,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11-shaped important-stock scan: parts whose total line
+    * value exceeds 1.5× the MEAN part value — the
+    * aggregate-vs-scalar-subquery (HAVING against a global total)
+    * shape. (No partsupp here; "value" is the part's discounted line
+    * revenue. Q11's fixed fraction is itself rescaled by 1/SF in the
+    * spec; a mean-relative cut keeps the query non-degenerate at
+    * every scale factor without a tuning knob.)
+    *
+    * Scale shape: ONE partkey-grain partial-agg shuffle produces the
+    * per-part relation; the global (total, count) re-aggregates that
+    * summary (part cardinality, not line cardinality) into one row
+    * broadcast back as a filter. The threshold compares EXACT
+    * decimals (value·2·n > 3·total — integer multipliers, no double
+    * boundary), so the cut is hash-stable in both engines.
+    */
+  def q11PartValue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val vol = col("l_extendedprice").cast(d184) *
+      (lit(1).cast(d184) - col("l_discount").cast(d184))
+    val pv = l.groupBy(col("l_partkey")).agg(sum(vol).as("__val"))
+    val tot = pv.agg(sum(col("__val")).as("__tot"), count(lit(1)).as("__n"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("__val") * lit(2) * col("__n") > col("__tot") * lit(3))
+      .select(
+        col("l_partkey").as("p_partkey"),
+        round(col("__val"), 4).cast("double").as("part_value")
+      )
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS v
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_partkey AS p_partkey, CAST(ROUND(v, 4) AS DOUBLE) AS part_value
+      |FROM pv
+      |WHERE v * 2 * (SELECT COUNT(*) FROM pv) > (SELECT SUM(v) FROM pv) * 3
+      |ORDER BY part_value DESC, p_partkey""".stripMargin
+
+  /** TPC-H Q20-shaped dominant suppliers: suppliers who shipped MORE
+    * THAN HALF of some name-filtered part's total 1996 volume — the
+    * nested-aggregate-subquery shape (Q20's availqty > ½·shipped
+    * becomes shipped_by_supplier > ½·shipped_total on this schema).
+    *
+    * Scale shape: the 1996 date range and the broadcast part probe
+    * prune the fact scan FIRST; both aggregates then run over the
+    * pruned stream — (part, supplier) grain and part grain — and
+    * their join is at summary cardinality on the co-keyed partkey.
+    * The half-share test multiplies exact decimals by 2 (no double
+    * boundary); the output rollup is supplier-cardinality.
+    */
+  def q20Potential(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey").as("__pk"))
+    val l96 = Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+      )
+      .join(broadcast(p), col("l_partkey") === col("__pk"))
+    val perPS = l96
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(d204)).as("__sq"))
+    val perP = l96
+      .groupBy(col("l_partkey").as("__tpk"))
+      .agg(sum(col("l_quantity").cast(d204)).as("__tq"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"))
+    perPS
+      .join(perP, col("l_partkey") === col("__tpk"))
+      .filter(col("__sq") * lit(2) > col("__tq"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"))
+      .orderBy(col("n_parts").desc, col("s_suppkey"))
+  }
+
+  val q20Sql: String =
+    """WITH l96 AS (
+      |  SELECT l_partkey, l_suppkey, l_quantity
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |    AND p_name LIKE '%red%'),
+      |ps AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sq
+      |  FROM l96 GROUP BY 1, 2),
+      |pt AS (
+      |  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(20,4))) AS tq
+      |  FROM l96 GROUP BY 1)
+      |SELECT s_suppkey, s_name, n_parts
+      |FROM (
+      |  SELECT ps.l_suppkey, COUNT(*) AS n_parts
+      |  FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+      |  WHERE ps.sq * 2 > pt.tq
+      |  GROUP BY 1) d
+      |JOIN supplier ON d.l_suppkey = s_suppkey
+      |ORDER BY n_parts DESC, s_suppkey""".stripMargin
+
+  /** TPC-H Q21-shaped sole-fault suppliers: for one nation's
+    * suppliers, count returned ('R') lines on multi-supplier orders
+    * where NO other supplier on the order had a return — the
+    * exists + not-exists double-correlated shape, decorrelated into a
+    * semi-join (some other supplier shipped the order) and an
+    * anti-join (no other supplier had a return).
+    *
+    * Scale shape: both probe relations are orderkey-keyed projections
+    * of the fact (deduplicated to (order, supplier) grain), so the
+    * exists/not-exists pair is two hash joins on the 8-byte orderkey
+    * with a residual suppkey inequality — never a per-row subquery.
+    * The nation filter broadcasts through supplier; the rollup is
+    * supplier-cardinality. All-integer output.
+    */
+  def q21Waiting(spark: SparkSession, dir: String, nationName: String = "NATION_3"): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val rLines = l
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    // (order, supplier) grain: who participated / who had a return
+    val shippers = l.select(col("l_orderkey").as("__ok"), col("l_suppkey").as("__sk")).distinct()
+    val returners = rLines.select(col("l_orderkey").as("__rok"), col("l_suppkey").as("__rsk")).distinct()
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name") === nationName)
+      .select(col("n_nationkey").as("__nk"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("__nk"))
+      .select(col("s_suppkey"), col("s_name"))
+    rLines
+      .join(
+        shippers,
+        col("l_orderkey") === col("__ok") && col("l_suppkey") =!= col("__sk"),
+        "left_semi"
+      )
+      .join(
+        returners,
+        col("l_orderkey") === col("__rok") && col("l_suppkey") =!= col("__rsk"),
+        "left_anti"
+      )
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  val q21Sql: String =
+    """SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      |FROM lineitem l1
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND n_name = 'NATION_3'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey""".stripMargin
 }

@@ -498,6 +498,64 @@ object Timeseries {
       )
   }
 
+  /** Hampel outlier screen — flag samples deviating from their ±k-row
+    * neighborhood's MEDIAN by more than nSigma robust standard
+    * deviations (1.4826·MAD): the robust despiking filter used where
+    * a mean/σ z-score would be dragged by the very outliers it hunts.
+    *
+    * Scale shape: a ±k row frame is a bounded neighborhood, so the
+    * frame evaluates over [[withBlockHalo]]'s halo-replicated row
+    * blocks (halo = k) — no channel-alone window over the data. The
+    * frame itself only COLLECTS the 2k+1 neighbors (one bounded-frame
+    * collect_list); median and MAD are then per-row array_sort /
+    * transform projections — codegen-friendly, no second window.
+    * Portability: the window is always FULL (edge rows without k
+    * neighbors on both sides are dropped in both engines), so both
+    * medians index the middle of an ODD-length sorted array — an
+    * actual sample value, never an interpolation — and the MAD
+    * deviations are exact double differences; the nSigma·(1.4826·MAD)
+    * threshold multiplies in one pinned order. Equality across
+    * engines is therefore bit-exact with no rounding discipline.
+    */
+  def hampel(
+    ts: DataFrame,
+    k: Int = 5,
+    nSigma: Double = 3.0,
+    stitchBucketUs: Long = StitchBucketUs
+  ): DataFrame = {
+    val padded = withBlockHalo(
+      withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id")),
+      halo = k,
+      stitchBucketUs,
+      Seq("event_id")
+    )
+    val w = Window
+      .partitionBy(col("channel"), col("__tgt"))
+      .orderBy(col("__rn"))
+      .rowsBetween(-k, k)
+    padded
+      .withColumn("__arr", collect_list(col("v")).over(w))
+      .filter(col("__tgt") === col("__blk")) // core rows, after the frame
+      .filter(size(col("__arr")) === 2 * k + 1) // full windows only
+      .withColumn("__med", element_at(array_sort(col("__arr")), k + 1))
+      .withColumn(
+        "__mad",
+        element_at(
+          array_sort(transform(col("__arr"), x => abs(x - col("__med")))),
+          k + 1
+        )
+      )
+      .filter(abs(col("v") - col("__med")) > lit(nSigma) * (lit(1.4826) * col("__mad")))
+      .select(
+        col("channel"),
+        col("t"),
+        col("event_id"),
+        col("v"),
+        col("__med").as("v_med"),
+        col("__mad").as("v_mad")
+      )
+  }
+
   /** Day-of-week × hour activity profile per channel — the seasonal
     * heatmap behind capacity planning and anomaly baselines. Both
     * period indices are pure integer arithmetic on the µs timestamp
@@ -1599,6 +1657,29 @@ object Timeseries {
       |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)) s
       |WHERE l2 IS NOT NULL AND l1 IS NOT NULL AND u1 IS NOT NULL AND u2 IS NOT NULL
       |  AND (rn - 3) % 4 = 0
+      |ORDER BY channel, t, event_id""".stripMargin
+
+  def tsHampel(spark: SparkSession, dir: String): DataFrame =
+    hampel(Tables.ts(spark, dir))
+      .orderBy(col("channel"), col("t"), col("event_id"))
+
+  /** Oracle: DuckDB evaluates MEDIAN and MAD directly as bounded-frame
+    * window aggregates over the canonical per-channel window — the
+    * single-window formulation the block-halo plan must equal
+    * row-for-row. Full (2k+1)-row frames only, so both engines take
+    * the middle element of an odd population (no interpolation).
+    */
+  val tsHampelSql: String =
+    """SELECT channel, t, event_id, v, med AS v_med, mad_ AS v_mad
+      |FROM (
+      |  SELECT event_type AS channel, epoch_us(ts) AS t, event_id, value AS v,
+      |    MEDIAN(value) OVER w AS med,
+      |    MAD(value) OVER w AS mad_,
+      |    COUNT(*) OVER w AS n
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+      |               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) s
+      |WHERE n = 11 AND ABS(v - med) > 3.0 * (1.4826 * mad_)
       |ORDER BY channel, t, event_id""".stripMargin
 
   /** Level-shift (change-point) screen — flag samples where the mean

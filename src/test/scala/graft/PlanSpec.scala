@@ -217,7 +217,8 @@ class PlanSpec extends SparkSpec {
       "ts_cusum" -> Timeseries.tsCusum(spark, sfDir),
       "ts_shift" -> Timeseries.tsShift(spark, sfDir),
       "ts_fir" -> Timeseries.tsFir(spark, sfDir),
-      "ts_annotations" -> Timeseries.tsAnnotations(spark, sfDir)
+      "ts_annotations" -> Timeseries.tsAnnotations(spark, sfDir),
+      "ts_hampel" -> Timeseries.tsHampel(spark, sfDir)
     )
     plans.foreach { case (name, df) =>
       val windows = df.queryExecution.optimizedPlan.collect {

@@ -118,4 +118,67 @@ class RelationalSpec extends SparkSpec {
     val opt = Relational.q18Big(spark, sfDir).queryExecution.optimizedPlan.toString
     opt.indexOf("Aggregate") should be >= 0
   }
+
+  "q9_profit" should "roll up filtered-part revenue by nation and year with broadcast dims" in {
+    val rows = Relational.q9Profit(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Double]("sum_profit") should be > 0.0
+      r.getAs[Long]("n_lines") should be > 0L
+    }
+    // (nation, year) is a key — no duplicate groups survive the rollup
+    val keys = rows.map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year"))).toSeq
+    keys.distinct shouldBe keys
+    val plan = Relational.q9Profit(spark, sfDir).queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  "q11_partvalue" should "keep only parts above 1.5x the mean part value" in {
+    val df = Relational.q11PartValue(spark, sfDir)
+    val rows = df.collect()
+    rows should not be empty
+    // every surviving part is above 1.5x mean of the FULL per-part relation
+    val vals = rows.map(_.getAs[Double]("part_value"))
+    vals.sliding(2).foreach {
+      case Array(a, b) => a should be >= b
+      case _ => ()
+    }
+    // survivors are a strict subset of parts
+    rows.length.toLong should be < Tables.part(spark, sfDir).count()
+    // the scalar total must be broadcast, never a shuffled join
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  "q20_potential" should "flag suppliers shipping over half a part's annual volume" in {
+    val rows = Relational.q20Potential(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach(_.getAs[Long]("n_parts") should be > 0L)
+    val keys = rows.map(_.getAs[Long]("s_suppkey")).toSeq
+    keys.distinct shouldBe keys
+    val plan = Relational.q20Potential(spark, sfDir).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+  }
+
+  "q21_waiting" should "count sole-fault returned lines on multi-supplier orders" in {
+    val df = Relational.q21Waiting(spark, sfDir)
+    val rows = df.collect()
+    // decorrelated EXISTS/NOT EXISTS pair: a semi join and an anti join
+    val plan = df.queryExecution.executedPlan.toString
+    plan.toLowerCase should include("leftsemi")
+    plan.toLowerCase should include("leftanti")
+    plan should not include "CartesianProduct"
+    // every counted supplier belongs to the filtered nation
+    if (rows.nonEmpty) {
+      val nat = Tables.nation(spark, sfDir)
+        .filter(col("n_name") === "NATION_3").select("n_nationkey")
+        .collect().head.getAs[Number](0).longValue
+      val okSupp = Tables.supplier(spark, sfDir)
+        .filter(col("s_nationkey") === nat).select("s_suppkey")
+        .collect().map(_.getAs[Number](0).longValue).toSet
+      rows.foreach(r => okSupp should contain(r.getAs[Number]("s_suppkey").longValue))
+    }
+  }
 }

@@ -817,6 +817,39 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  "hampel" should "be invariant to the halo bucket width (block halo ≡ global window)" in {
+    val ts = mkTs((0L until 300L).map { i =>
+      val t = i * 137L + (i % 7) * 10000L + (i / 50) * 900000L
+      val spike = if (i % 47 == 0) 50.0 else 0.0
+      ("c", t, math.sin(i * 0.21) * 4 + (i % 5) + spike)
+    })
+    val ref = Timeseries.hampel(ts, k = 5, nSigma = 3.0, stitchBucketUs = 1L << 60)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    ref should not be empty // planted spikes fire under the global run
+    for (bw <- Seq(1000L, 50000L, 333333L)) {
+      Timeseries.hampel(ts, k = 5, nSigma = 3.0, stitchBucketUs = bw)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe ref
+    }
+  }
+
+  it should "flag exactly the planted spikes and report the neighborhood median" in {
+    // flat signal with two isolated spikes: the rolling median never
+    // leaves the baseline, so only the spikes cross nSigma·1.4826·MAD
+    val ts = mkTs((0L until 100L).map { i =>
+      val v = if (i == 30 || i == 71) 100.0 else (i % 3).toDouble
+      ("c", i * 1000L, v)
+    })
+    val rows = Timeseries.hampel(ts, k = 5, nSigma = 3.0).collect()
+    rows.map(_.getAs[Long]("t")).sorted shouldBe Array(30000L, 71000L)
+    rows.foreach { r =>
+      r.getAs[Double]("v") shouldBe 100.0
+      r.getAs[Double]("v_med") should be <= 2.0 // a baseline sample, not the spike
+    }
+    // edge rows (no full ±k window) never appear even if extreme
+    val edgy = mkTs((0L until 8L).map(i => ("c", i * 1000L, if (i == 0) 100.0 else 0.0)))
+    Timeseries.hampel(edgy, k = 5, nSigma = 3.0).count() shouldBe 0L
+  }
+
   "levelShifts" should "be invariant to the halo bucket width, including widths with empty buckets" in {
     // sparse irregular times: small widths leave EMPTY calendar
     // buckets between populated ones — the dense re-index must keep
