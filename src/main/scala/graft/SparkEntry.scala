@@ -199,6 +199,8 @@ object SparkEntry {
     "corpus_pmi" -> (TextAnalysis.corpusPmi _),
     // Levenshtein<=1 fuzzy term lookup over the corpus vocabulary
     "search_fuzzy" -> (Search.searchFuzzy _),
+    // TF-IDF cosine more-like-this over an inverted-index join
+    "search_mlt" -> (Search.searchMlt _),
     // trailing 24-bucket rolling baseline + hourly drift screen
     "ts_rolling" -> (Timeseries.tsRolling _),
     "ts_hjorth" -> (Timeseries.tsHjorth _),
@@ -344,6 +346,7 @@ object SparkEntry {
     "q21_waiting" -> Relational.q21Sql,
     "corpus_pmi" -> TextAnalysis.corpusPmiSql,
     "search_fuzzy" -> Search.searchFuzzySql,
+    "search_mlt" -> Search.searchMltSql,
     "ts_rolling" -> Timeseries.tsRollingSql,
     "ts_hjorth" -> Timeseries.tsHjorthSql,
     "ts_hampel" -> Timeseries.tsHampelSql,

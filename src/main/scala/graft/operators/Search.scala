@@ -395,4 +395,111 @@ object Search {
        | AND levenshtein(word, query_term) <= 1
        |ORDER BY query_term, dist, df DESC, word""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // More-like-this (TF-IDF cosine document similarity)
+  // ---------------------------------------------------------------------
+
+  /** More-like-this: for each of the first `nQueries` documents, the
+    * top-k most similar documents by TF-IDF COSINE over the shared
+    * vocabulary — the "related documents" retrieval primitive (Lucene's
+    * MoreLikeThis, here as one inverted-index join instead of a
+    * re-issued term query).
+    *
+    * Scale shape (100 TB corpus): term weights build in ONE
+    * (doc, term)-keyed partial agg off the exploded scan; document
+    * frequencies are a vocabulary-cardinality relation joined onto it;
+    * per-doc norms are a doc-grain agg of the same weight stream. The
+    * query side (nQueries docs × their vocabulary) is BROADCAST onto
+    * the posting stream, so the dot products form only for (query,
+    * doc) pairs sharing a term — never all pairs — and each group is
+    * cut to k by a WindowGroupLimit rank before the final shuffle.
+    *
+    * Portability: tf/df/N are exact integers; idf rounds to 9 decimals
+    * after its one LN; weights are exact double products of identical
+    * inputs; dot products and squared norms sum through DECIMAL
+    * (order-independent); the cosine divides in one pinned order
+    * (dot / (nq · nd), rounded to 6) — bit-stable across engines.
+    */
+  def moreLikeThis(docs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val d = docs.filter(col("text").isNotNull).select(col("doc_id"), expr(WordsSql).as("ws"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val tf = d
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weights = tf
+      .join(dfc, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("doc_id"),
+        col("term"),
+        (col("tf") * round(log(lit(1.0) + col("n_docs") / col("df")), 9)).as("w")
+      )
+    val norms = weights
+      .groupBy(col("doc_id"))
+      .agg(round(sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")), 9).as("nrm"))
+    val qw = weights
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("term"), col("w").as("wq"))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
+    weights
+      .join(broadcast(qw), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum((col("w") * col("wq")).cast(dec)).cast("double").as("dot"))
+      .join(norms.select(col("doc_id"), col("nrm").as("nd")), "doc_id")
+      .join(broadcast(norms.select(col("doc_id").as("query_id"), col("nrm").as("nq"))), "query_id")
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        round(col("dot") / (col("nq") * col("nd")), 6).as("cos")
+      )
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("doc_id"), col("cos"))
+  }
+
+  def searchMlt(spark: SparkSession, dir: String): DataFrame =
+    moreLikeThis(Tables.documents(spark, dir), nQueries = 3, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+
+  val searchMltSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM d),
+      |tf AS (
+      |  SELECT doc_id, u.term, COUNT(*) AS tf
+      |  FROM d, UNNEST(ws) AS u(term)
+      |  GROUP BY 1, 2),
+      |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |w AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    tf.tf * ROUND(LN(1.0 + nd.n_docs / dfc.df), 9) AS w
+      |  FROM tf JOIN dfc USING (term) CROSS JOIN nd),
+      |norms AS (
+      |  SELECT doc_id,
+      |    ROUND(SQRT(CAST(SUM(CAST(w * w AS DECIMAL(27,10))) AS DOUBLE)), 9) AS nrm
+      |  FROM w GROUP BY 1),
+      |dots AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id,
+      |    CAST(SUM(CAST(c.w * q.w AS DECIMAL(27,10))) AS DOUBLE) AS dot
+      |  FROM w c JOIN w q ON q.term = c.term AND q.doc_id < 3 AND c.doc_id <> q.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT query_id, dots.doc_id,
+      |    ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos
+      |  FROM dots
+      |  JOIN norms nc ON nc.doc_id = dots.doc_id
+      |  JOIN norms nq ON nq.doc_id = dots.query_id),
+      |ranked AS (
+      |  SELECT query_id, doc_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, doc_id, cos
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 }

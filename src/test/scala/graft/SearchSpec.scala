@@ -145,4 +145,30 @@ class SearchSpec extends SparkSpec {
       .map(r => (r.getAs[String]("word"), r.getAs[Long]("dist"), r.getAs[Long]("df")))
     rows shouldBe Array(("scan", 1L, 2L))
   }
+
+  "moreLikeThis" should "rank documents by TF-IDF cosine to the query doc" in {
+    // query doc 0. doc 1 repeats doc 0's rare words; doc 2 shares only
+    // the ubiquitous word; doc 3 shares nothing and must not appear.
+    val d = docs(
+      0L -> "quark lepton boson common",
+      1L -> "quark lepton boson boson common",
+      2L -> "common common common other things",
+      3L -> "entirely disjoint vocabulary here"
+    )
+    val rows = Search.moreLikeThis(d, nQueries = 1, k = 10).orderBy("rank").collect()
+    rows.map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(1L, 2L)
+    val cos = rows.map(_.getAs[Double]("cos"))
+    cos(0) should be > cos(1)
+    cos.foreach(c => c should (be > 0.0 and be <= 1.0))
+    // the query doc never ranks itself
+    rows.map(_.getAs[Long]("doc_id")) should not contain 0L
+  }
+
+  it should "broadcast the query postings and group-limit before the final shuffle" in {
+    val df = Search.searchMlt(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("WindowGroupLimit")
+    plan should not include "CartesianProduct"
+  }
 }
