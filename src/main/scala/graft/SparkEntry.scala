@@ -107,6 +107,8 @@ object SparkEntry {
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "dedup_report" -> (Dedup.dedupReport _),
     "dedup_matrix" -> (Dedup.dedupMatrix _),
+    // 1/cluster-size soft-dedup sampling weights over the mined clusters
+    "train_dedup_weights" -> (Dedup.trainDedupWeights _),
     // product-quantization ANN: m sliced codebooks, byte codes,
     // asymmetric-distance ranking
     "ann_pq" -> (Similarity.annPq _),
@@ -294,6 +296,7 @@ object SparkEntry {
     "dedup_clusters_star" -> Dedup.dedupClustersSql,
     "dedup_report" -> Dedup.dedupReportSql,
     "dedup_matrix" -> Dedup.dedupMatrixSql,
+    "train_dedup_weights" -> Dedup.trainDedupWeightsSql,
     "ann_pq" -> Similarity.annPqSql,
     "dedup_spans" -> Dedup.dedupSpansSql,
     "text_perplexity" -> TextAnalysis.textPerplexitySql,

@@ -1068,6 +1068,38 @@ object Dedup {
     ).orderBy(col("cluster_size"))
   }
 
+  /** Dedup-aware sampling weights: every document gets weight
+    * 1/|its near-dup cluster| (singletons weight 1), so a training
+    * sampler that draws by weight sees each CONTENT once regardless
+    * of how many copies the crawl collected — the soft alternative to
+    * hard deletion (duplicates still contribute, their mass split
+    * among the copies).
+    *
+    * Scale shape: the mined label relation (pair-bounded, far smaller
+    * than the corpus) aggregates to cluster sizes at cluster
+    * cardinality; both label and size relations then join back onto
+    * the corpus id stream keyed by doc_id/cluster — broadcastable at
+    * the design point since labels ≤ 2·pairs. The corpus itself is
+    * scanned once and never shuffled beyond the id join.
+    */
+  def trainDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedNearDups(Tables.documents(spark, dir)).select(col("doc_id"))
+    val labels = clustersWithSurvivors(
+      minhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), w = 3, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+    ).select(col("doc_id"), col("cluster"))
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    corpus
+      .join(broadcast(labels.join(sizes, "cluster")), Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 9).as("weight")
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** Report oracle: the dedup_clusters transitive closure aggregated
     * to (size → clusters/docs/removed) plus the corpus-minus-clustered
     * singleton row; sums cast back to BIGINT (DuckDB SUM widens to
@@ -1331,6 +1363,32 @@ object Dedup {
        |SELECT u AS doc_id, MIN(v) AS cluster, u = MIN(v) AS survivor
        |FROM reach GROUP BY u
        |ORDER BY doc_id""".stripMargin
+
+  /** Weight oracle: the clusters oracle's transitive closure feeding a
+    * size rollup, left-joined onto the full planted corpus so
+    * singletons carry weight 1.
+    */
+  val trainDedupWeightsSql: String =
+    s"""WITH RECURSIVE $MinhashPipelineCtes,
+       |vpairs AS (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |cedges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM vpairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM vpairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges) n
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN cedges e ON e.u = r.v),
+       |labels AS (SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u),
+       |csizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
+       |SELECT c.doc_id,
+       |  COALESCE(l.cluster, c.doc_id) AS cluster,
+       |  COALESCE(s.cluster_size, 1) AS cluster_size,
+       |  ROUND(1.0 / COALESCE(s.cluster_size, 1), 9) AS weight
+       |FROM corpus c
+       |LEFT JOIN labels l ON l.doc_id = c.doc_id
+       |LEFT JOIN csizes s ON s.cluster = l.cluster
+       |ORDER BY c.doc_id""".stripMargin
 
   /** Full-pipeline SimHash oracle: md5-limb word bits → ±1 votes →
     * per-band 16-bit chunks → bucket cap → candidate pairs → hamming.

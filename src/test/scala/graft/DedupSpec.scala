@@ -344,6 +344,24 @@ class DedupSpec extends SparkSpec {
     rows.map(_._3).sum shouldBe 10L
   }
 
+  "trainDedupWeights" should "split each cluster's unit mass among its copies and cover the corpus" in {
+    val rows = Dedup.trainDedupWeights(spark, sfDir).collect()
+    // one weight row per corpus doc (incl. the planted mirrors)
+    rows.length.toLong shouldBe Dedup
+      .withPlantedNearDups(Tables.documents(spark, sfDir)).count()
+    // every cluster's weights sum to exactly 1 (unit content mass)
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (_, rs) =>
+      val sz = rs.head.getAs[Long]("cluster_size")
+      rs.length shouldBe sz.toInt
+      rs.map(_.getAs[Double]("weight")).sum shouldBe 1.0 +- 1e-6
+    }
+    // singletons keep full weight; every clustered doc is downweighted
+    rows.foreach { r =>
+      if (r.getAs[Long]("cluster_size") == 1L) r.getAs[Double]("weight") shouldBe 1.0
+      else r.getAs[Double]("weight") should be < 1.0
+    }
+  }
+
   "bloomCrossDups" should "return exactly the true members, no Bloom false positives" in {
     import spark.implicits._
     import org.apache.spark.sql.functions._
