@@ -205,6 +205,8 @@ object SparkEntry {
     "search_mlt" -> (Search.searchMlt _),
     // trailing 24-bucket rolling baseline + hourly drift screen
     "ts_rolling" -> (Timeseries.tsRolling _),
+    // classical trend/seasonal/residual decompose over the bucket grid
+    "ts_seasonal" -> (Timeseries.tsSeasonal _),
     "ts_hjorth" -> (Timeseries.tsHjorth _),
     // Hampel robust despiking screen (block-halo rolling median/MAD)
     "ts_hampel" -> (Timeseries.tsHampel _),
@@ -351,6 +353,7 @@ object SparkEntry {
     "search_fuzzy" -> Search.searchFuzzySql,
     "search_mlt" -> Search.searchMltSql,
     "ts_rolling" -> Timeseries.tsRollingSql,
+    "ts_seasonal" -> Timeseries.tsSeasonalSql,
     "ts_hjorth" -> Timeseries.tsHjorthSql,
     "ts_hampel" -> Timeseries.tsHampelSql,
     "ts_linelength" -> Timeseries.tsLinelengthSql

@@ -2439,6 +2439,105 @@ object Timeseries {
     )
   }
 
+  /** Classical seasonal decomposition over the bucket grid: per
+    * channel, each hourly bucket's mean splits into TREND (centered
+    * ±halfTrend pooled moving average), SEASONAL (mean detrended value
+    * at the bucket's phase within `period`), and RESIDUAL — the
+    * additive decompose behind anomaly baselines and capacity
+    * forecasts (the one-pass classical method; STL's loess loops
+    * refine these same three components iteratively).
+    *
+    * Scale shape: events reduce to the (channel, bucket) grid in ONE
+    * partial agg — every window after that runs over the summary
+    * relation (grid rows ≈ channels × span/width, orders of magnitude
+    * below data scale; the __pb_ marker is PlanSpec's summary-window
+    * contract). The seasonal relation is channels × period rows —
+    * broadcast back. Trend uses POOLED sums (Σs/Σn over the frame)
+    * so the window aggregates exact decimals, order-independent;
+    * every derived double divides/subtracts in one pinned order.
+    * Buckets without a full ±halfTrend frame drop (both engines).
+    */
+  def seasonalDecompose(
+    ts: DataFrame,
+    bucketUs: Long = 3600000000L,
+    period: Int = 24,
+    halfTrend: Int = 12
+  ): DataFrame = {
+    val g = ts
+      .withColumn("__bkt", microsBucket(col("t"), bucketUs))
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec2710)).as("__s"))
+    val wT = Window
+      .partitionBy(col("channel"))
+      .orderBy(col("__bkt"))
+      .rowsBetween(-halfTrend, halfTrend)
+    val withTrend = g
+      .select(
+        col("channel"),
+        col("__bkt"),
+        col("n"),
+        (col("__s").cast("double") / col("n")).as("__mean"),
+        sum(col("__s")).over(wT).as("__pb_trs"),
+        sum(col("n")).over(wT).as("__pb_trn"),
+        count(lit(1)).over(wT).as("__pb_trw")
+      )
+      .filter(col("__pb_trw") === 2 * halfTrend + 1)
+      .withColumn("trend", round(col("__pb_trs").cast("double") / col("__pb_trn"), 6))
+    val seas = withTrend
+      .groupBy(col("channel"), (col("__bkt") % period).as("__phase"))
+      .agg(
+        round(
+          sum((col("__mean") - col("trend")).cast(dec2710)).cast("double") / count(lit(1)),
+          6
+        ).as("seasonal")
+      )
+    withTrend
+      .withColumn("__phase", col("__bkt") % period)
+      .join(broadcast(seas), Seq("channel", "__phase"))
+      .select(
+        col("channel"),
+        col("__bkt").as("bucket"),
+        col("n"),
+        round(col("__mean"), 6).as("mean"),
+        col("trend"),
+        col("seasonal"),
+        round(col("__mean") - col("trend") - col("seasonal"), 6).as("resid")
+      )
+  }
+
+  def tsSeasonal(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecompose(Tables.ts(spark, dir))
+      .orderBy(col("channel"), col("bucket"))
+
+  val tsSeasonalSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, value AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT channel, bucket, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(27,10))) AS s
+      |  FROM e GROUP BY 1, 2),
+      |t AS (
+      |  SELECT channel, bucket, n,
+      |    CAST(s AS DOUBLE) / n AS m,
+      |    SUM(s) OVER w AS trs, CAST(SUM(n) OVER w AS BIGINT) AS trn,
+      |    COUNT(*) OVER w AS trw
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY channel ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |tr AS (
+      |  SELECT channel, bucket, n, m,
+      |    ROUND(CAST(trs AS DOUBLE) / trn, 6) AS trend
+      |  FROM t WHERE trw = 25),
+      |se AS (
+      |  SELECT channel, bucket % 24 AS phase,
+      |    ROUND(CAST(SUM(CAST(m - trend AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS seasonal
+      |  FROM tr GROUP BY 1, 2)
+      |SELECT tr.channel, tr.bucket, tr.n,
+      |  ROUND(tr.m, 6) AS mean, tr.trend, se.seasonal,
+      |  ROUND(tr.m - tr.trend - se.seasonal, 6) AS resid
+      |FROM tr JOIN se ON se.channel = tr.channel AND se.phase = tr.bucket % 24
+      |ORDER BY tr.channel, tr.bucket""".stripMargin
+
   def tsRolling(spark: SparkSession, dir: String): DataFrame =
     rollingBaseline(Tables.ts(spark, dir), bucketUs = 3600000000L, trail = 24)
       .orderBy(col("channel"), col("bucket"))

@@ -817,6 +817,33 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  "seasonalDecompose" should "recover a planted daily cycle riding a linear trend" in {
+    val hourUs = 3600000000L
+    // 20 days of hourly samples: trend 0.1/h + 24h sinusoid, amplitude 5
+    val ts = mkTs((0L until 480L).map { h =>
+      val v = 0.1 * h + 5.0 * math.sin(2 * math.Pi * (h % 24) / 24.0)
+      ("c", h * hourUs + 1000L, v)
+    })
+    val rows = Timeseries.seasonalDecompose(ts).collect()
+    rows should not be empty
+    // additivity: mean = trend + seasonal + resid (to output rounding)
+    rows.foreach { r =>
+      val lhs = r.getAs[Double]("mean")
+      val rhs = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") + r.getAs[Double]("resid")
+      lhs shouldBe rhs +- 1e-5
+    }
+    // the phase profile tracks the planted sinusoid: peak phase ~ +5,
+    // trough ~ -5, and residuals are tiny once trend+season explain it
+    val byPhase = rows.groupBy(r => r.getAs[Long]("bucket") % 24)
+      .map { case (p, rs) => p -> rs.map(_.getAs[Double]("seasonal")).head }
+    byPhase(6L) shouldBe 5.0 +- 0.2 // sin peak at hour 6
+    byPhase(18L) shouldBe -5.0 +- 0.2 // trough at hour 18
+    rows.foreach(r => math.abs(r.getAs[Double]("resid")) should be < 0.5)
+    // seasonal component is (near) zero-mean across phases
+    val seasMean = byPhase.values.sum / byPhase.size
+    math.abs(seasMean) should be < 0.1
+  }
+
   "hampel" should "be invariant to the halo bucket width (block halo ≡ global window)" in {
     val ts = mkTs((0L until 300L).map { i =>
       val t = i * 137L + (i % 7) * 10000L + (i / 50) * 900000L
