@@ -180,6 +180,8 @@ object SparkEntry {
     "ts_cusum" -> (Timeseries.tsCusum _),
     // scalar-quantized ANN with dequantized shortlist + exact rerank
     "ann_sq" -> (Similarity.annSq _),
+    // recall@k of the LSH index vs the exact brute-force baseline
+    "ann_recall" -> (Similarity.annRecall _),
     // OLS Zipf-law fit over the top-1000 word frequency spectrum
     "corpus_zipf" -> (TextAnalysis.corpusZipf _),
     "corpus_heaps" -> (TextAnalysis.corpusHeaps _),
@@ -334,6 +336,7 @@ object SparkEntry {
     "ts_shift" -> Timeseries.tsShiftSql,
     "ts_cusum" -> Timeseries.tsCusumSql,
     "ann_sq" -> Similarity.annSqSql,
+    "ann_recall" -> Similarity.annRecallSql,
     "corpus_zipf" -> TextAnalysis.corpusZipfSql,
     "corpus_heaps" -> TextAnalysis.corpusHeapsSql,
     "q18_big" -> Relational.q18Sql,

@@ -1460,6 +1460,60 @@ object Similarity {
        |ORDER BY query_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ANN quality evaluation (recall@k vs the exact baseline)
+  // ---------------------------------------------------------------------
+
+  /** Recall@k of the LSH index against the exact brute-force top-k —
+    * THE acceptance metric for any approximate index (how much of the
+    * true neighborhood the bucketed search recovers). Every ANN
+    * deployment gates index parameters (planes, probes, nlist) on
+    * this number over a held-out query set before trusting the
+    * sub-scan path.
+    *
+    * Scale shape: both rankings are already query-set-size relations
+    * (queries × k rows — driver-size regardless of corpus size), so
+    * the hit join and per-query rollup are trivially broadcastable;
+    * the expensive parts (one exact scan, one bucketed probe) are the
+    * operators under test, each in their own proven plan shape.
+    * Portability: hits are exact id-match counts; recall divides by
+    * the constant k in one pinned order.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteforce(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val ls = annLsh(spark, dir)
+      .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
+    bf.join(
+        broadcast(ls),
+        col("query_id") === col("__q") && col("neighbor_id") === col("__n"),
+        "left_outer"
+      )
+      .groupBy(col("query_id"))
+      .agg(count(col("__n")).as("n_hit"))
+      .select(
+        col("query_id"),
+        col("n_hit"),
+        lit(TopK.toLong).as("k"),
+        round(col("n_hit") / lit(TopK.toDouble), 6).as("recall")
+      )
+      .orderBy(col("query_id"))
+  }
+
+  /** Recall oracle: the two component pipelines verbatim as nested
+    * CTEs (each already proven hash-green on its own), joined on
+    * (query, neighbor) id pairs.
+    */
+  val annRecallSql: String =
+    s"""WITH bf AS ($annBruteforceSql),
+       |lsh AS ($annLshSql)
+       |SELECT bf.query_id, COUNT(lsh.neighbor_id) AS n_hit,
+       |  CAST($TopK AS BIGINT) AS k,
+       |  ROUND(COUNT(lsh.neighbor_id) / CAST($TopK AS DOUBLE), 6) AS recall
+       |FROM bf LEFT JOIN lsh
+       |  ON lsh.query_id = bf.query_id AND lsh.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id
+       |ORDER BY bf.query_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Top principal component (power iteration)
   // ---------------------------------------------------------------------
 

@@ -87,6 +87,21 @@ class SimilaritySpec extends SparkSpec {
     top1Hits.toDouble / exactAll.size should be >= 0.25
   }
 
+  "annRecall" should "report per-query recall@k in [0,1] with driver-size join inputs" in {
+    val rows = Similarity.annRecall(spark, sfDir).collect()
+    rows.length shouldBe Similarity.QueryCount
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_hit")
+      val k = r.getAs[Long]("k")
+      hit should (be >= 0L and be <= k)
+      r.getAs[Double]("recall") shouldBe hit.toDouble / k +- 1e-9
+    }
+    // the evaluation itself adds no corpus-scale join: both inputs to
+    // the hit join are (queries x k) relations
+    val plan = Similarity.annRecall(spark, sfDir).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+  }
+
   "ivfTopK" should "beat the probe fraction's random-recall baseline" in {
     val exactAll = Similarity
       .bruteForceTopK(emb, emb, 1)
