@@ -182,6 +182,8 @@ object SparkEntry {
     "ann_sq" -> (Similarity.annSq _),
     // recall@k of the LSH index vs the exact brute-force baseline
     "ann_recall" -> (Similarity.annRecall _),
+    // All-but-the-Top rank-1 anisotropy debias report
+    "embed_debias" -> (Similarity.embedDebias _),
     // OLS Zipf-law fit over the top-1000 word frequency spectrum
     "corpus_zipf" -> (TextAnalysis.corpusZipf _),
     "corpus_heaps" -> (TextAnalysis.corpusHeaps _),
@@ -337,6 +339,7 @@ object SparkEntry {
     "ts_cusum" -> Timeseries.tsCusumSql,
     "ann_sq" -> Similarity.annSqSql,
     "ann_recall" -> Similarity.annRecallSql,
+    "embed_debias" -> Similarity.embedDebiasSql,
     "corpus_zipf" -> TextAnalysis.corpusZipfSql,
     "corpus_heaps" -> TextAnalysis.corpusHeapsSql,
     "q18_big" -> Relational.q18Sql,

@@ -1596,6 +1596,94 @@ object Similarity {
   def embedPca(spark: SparkSession, dir: String): DataFrame =
     topPrincipalComponent(Tables.embeddings(spark, dir))
 
+  /** All-but-the-Top rank-1 debias report (Mu & Viswanath 2018): how
+    * much of each embedding lies along the corpus's dominant
+    * direction — `score = (x − µ)·u₁` — and the centered norm left
+    * after removing it. Anisotropic embedding tables ("everything
+    * points one way") wreck cosine retrieval; this is the standard
+    * post-processing diagnostic/fix, with u₁ from the SAME power
+    * iteration [[embedPca]] publishes.
+    *
+    * Scale shape: the component and mean are d-row / d-element driver
+    * values (the sanctioned collect shape) broadcast into a single
+    * map-side projection over the corpus — one scan, zero shuffles
+    * beyond the mean's partial agg. Portability: u₁ is the ROUNDED
+    * published loading vector (identical in both engines by
+    * embedPca's own oracle), µ the exact-decimal mean; every dot is a
+    * left-to-right fold and the residual norm uses the
+    * ‖xc‖² − score² identity in one pinned expression order, guarded
+    * at zero before the sqrt.
+    */
+  def debiasTop(embeds: DataFrame, iters: Int = 8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val u: Array[Double] = topPrincipalComponent(embeds, iters)
+      .orderBy(col("dim"))
+      .collect()
+      .map(_.getDouble(1))
+    val mu: Array[Double] = embeds
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("d", "val")))
+      .groupBy(col("d"))
+      .agg((sum(col("val").cast(dec)).cast("double") / count(lit(1))).as("m"))
+      .orderBy(col("d"))
+      .select(col("m"))
+      .collect()
+      .map(_.getDouble(0))
+    def fold(xs: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < xs.length) { acc += xs(i); i += 1 }
+      acc
+    }
+    val muDotU = fold(mu.zip(u).map { case (a, b) => a * b })
+    val muDotMu = fold(mu.map(m => m * m))
+    val x = col("__x")
+    val sc = VectorMath.dot(x, typedlit(u)) - lit(muDotU)
+    val xxc = VectorMath.dot(x, x) - lit(2.0) * VectorMath.dot(x, typedlit(mu)) + lit(muDotMu)
+    embeds
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("__x"))
+      .withColumn("__sc", sc)
+      .withColumn("__xxc", xxc)
+      .select(
+        col("vec_id"),
+        round(col("__sc"), 6).as("score"),
+        round(sqrt(greatest(col("__xxc"), lit(0.0))), 6).as("norm_centered"),
+        round(sqrt(greatest(col("__xxc") - col("__sc") * col("__sc"), lit(0.0))), 6)
+          .as("resid_norm")
+      )
+      .orderBy(col("vec_id"))
+  }
+
+  def embedDebias(spark: SparkSession, dir: String): DataFrame =
+    debiasTop(Tables.embeddings(spark, dir))
+
+  /** Debias oracle: the embedPca pipeline nested verbatim as a CTE
+    * (already hash-proven) supplies u₁; µ rebuilds through the same
+    * DECIMAL route; the projection mirrors the engine expression for
+    * expression. (lazy: embedPcaSql initializes later in the file.)
+    */
+  lazy val embedDebiasSql: String =
+    s"""WITH pc AS ($embedPcaSql),
+       |u AS (SELECT list(loading ORDER BY dim) AS u FROM pc),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |vals AS (
+       |  SELECT vec_id, CAST(i.i - 1 AS INT) AS d, x[i.i] AS val
+       |  FROM e, UNNEST(range(1, len(x) + 1)) AS i(i)),
+       |mu AS (
+       |  SELECT d, CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM vals GROUP BY d),
+       |mulist AS (SELECT list(m ORDER BY d) AS m FROM mu),
+       |proj AS (
+       |  SELECT e.vec_id,
+       |    list_dot_product(e.x, u.u) - list_dot_product(ml.m, u.u) AS sc,
+       |    list_dot_product(e.x, e.x) - 2.0 * list_dot_product(e.x, ml.m)
+       |      + list_dot_product(ml.m, ml.m) AS xxc
+       |  FROM e CROSS JOIN u CROSS JOIN mulist ml)
+       |SELECT vec_id,
+       |  ROUND(sc, 6) AS score,
+       |  ROUND(SQRT(GREATEST(xxc, 0.0)), 6) AS norm_centered,
+       |  ROUND(SQRT(GREATEST(xxc - sc * sc, 0.0)), 6) AS resid_norm
+       |FROM proj
+       |ORDER BY vec_id""".stripMargin
+
   /** Power-iteration oracle: the same trajectory unrolled — DECIMAL
     * per-dim sums, left-to-right dots, ordered-fold norms.
     */

@@ -87,6 +87,31 @@ class SimilaritySpec extends SparkSpec {
     top1Hits.toDouble / exactAll.size should be >= 0.25
   }
 
+  "debiasTop" should "capture a planted common direction in score and shrink residuals" in {
+    import spark.implicits._
+    // every vector = big common direction e0 + per-vec small e1 wiggle:
+    // the top PC is ~e0, so |score| >> resid after centering
+    val vecs = (0 until 40).map { i =>
+      val w = (i % 5 - 2) * 0.1
+      (i.toLong, Array.tabulate(8)(d => (if (d == 0) 10.0 + i * 0.01 else 0.0) + (if (d == 1) w else 0.0)).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity.debiasTop(vecs, iters = 8).collect()
+    rows.length shouldBe 40
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      val nc = r.getAs[Double]("norm_centered")
+      val res = r.getAs[Double]("resid_norm")
+      // Pythagoras: removing the unit component splits the centered norm
+      sc * sc + res * res shouldBe nc * nc +- 1e-3
+      // the common-direction component dominates what the wiggle leaves
+      res should be <= (nc + 1e-9)
+    }
+    // residual mass across the table is far below centered mass
+    val totRes = rows.map(r => math.pow(r.getAs[Double]("resid_norm"), 2)).sum
+    val totC = rows.map(r => math.pow(r.getAs[Double]("norm_centered"), 2)).sum
+    totRes should be < (0.5 * totC)
+  }
+
   "annRecall" should "report per-query recall@k in [0,1] with driver-size join inputs" in {
     val rows = Similarity.annRecall(spark, sfDir).collect()
     rows.length shouldBe Similarity.QueryCount
