@@ -173,6 +173,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "StreamingDespike" should "emit exactly the batch hampel outliers across any micro-batch carving" in {
+    import graft.streaming.StreamingDespike
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // flat-ish signal with planted spikes, two channels
+    def sig(i: Int): Double = (i % 3).toDouble + (if (i % 37 == 0) 60.0 else 0.0)
+    val data = for (c <- Seq("a", "b"); i <- 0 until 200)
+      yield (c, i.toLong * 1000L, sig(i) + (if (c == "b") 1.0 else 0.0))
+
+    val batch = graft.operators.Timeseries
+      .hampel(data.toDF("channel", "t", "v"), k = 5, nSigma = 3.0)
+      .select("channel", "t", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    batch should not be empty
+
+    for (split <- Seq(Seq(400), Seq(100, 250, 400), Seq(7, 130, 131, 400))) {
+      val mem = MemoryStream[(String, Long, Double)]
+      val out = StreamingDespike.outliers(spark, mem.toDF().toDF("channel", "t", "v"), k = 5, nSigma = 3.0)
+      val name = s"despike_${split.mkString("_")}"
+      val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var prev = 0
+        (split :+ data.size).distinct.foreach { end =>
+          // interleave channels within each batch — arrival order inside
+          // a batch must not matter (the fold re-sorts by (t, event_id))
+          mem.addData(data.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val got = spark
+          .table(name)
+          .select("channel", "t", "v")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        withClue(s"split $split:") { got shouldBe batch }
+      } finally q.stop()
+    }
+  }
+
+  it should "hold bounded per-channel state (a 2k+1 ring) regardless of stream length" in {
+    import graft.streaming.StreamingDespike
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long, Double)]
+    val out = StreamingDespike.outliers(spark, mem.toDF().toDF("channel", "t", "v"), k = 5)
+    val q = out.writeStream.format("memory").queryName("despike_state").outputMode("append").start()
+    try {
+      mem.addData((0 until 2000).map(i => ("a", i.toLong, (i % 7).toDouble)): _*)
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators.head.numRowsTotal
+      rows shouldBe 1L // one ring per channel, never per sample
+    } finally q.stop()
+  }
+
   it should "reset and re-warm on a stream gap" in {
     import graft.streaming.StreamingFilter
     import StreamingFilter.Sample
