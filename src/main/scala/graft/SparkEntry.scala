@@ -214,7 +214,19 @@ object SparkEntry {
     "ts_hjorth" -> (Timeseries.tsHjorth _),
     // Hampel robust despiking screen (block-halo rolling median/MAD)
     "ts_hampel" -> (Timeseries.tsHampel _),
-    "ts_linelength" -> (Timeseries.tsLinelength _)
+    "ts_linelength" -> (Timeseries.tsLinelength _),
+    // per-channel OLS trend over the bucket grid + 6-bucket forecast
+    "ts_forecast" -> (Timeseries.tsForecast _),
+    // per-source TTR / Guiraud / Simpson / Yule lexical diversity
+    "corpus_diversity" -> (TextAnalysis.corpusDiversity _),
+    // maximum-inner-product top-k (un-normalized retrieval order)
+    "ann_mips" -> (Similarity.annMips _),
+    // triangle count + clustering coefficient over the near-dup graph
+    "graph_triangles" -> (Dedup.graphTriangles _),
+    // prefix autocomplete over the corpus vocabulary by df
+    "search_suggest" -> (Search.searchSuggest _),
+    // length-quartile curriculum staging via broadcast percentile cuts
+    "train_curriculum" -> (Curation.trainCurriculum _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -362,6 +374,12 @@ object SparkEntry {
     "ts_seasonal" -> Timeseries.tsSeasonalSql,
     "ts_hjorth" -> Timeseries.tsHjorthSql,
     "ts_hampel" -> Timeseries.tsHampelSql,
-    "ts_linelength" -> Timeseries.tsLinelengthSql
+    "ts_linelength" -> Timeseries.tsLinelengthSql,
+    "ts_forecast" -> Timeseries.tsForecastSql,
+    "corpus_diversity" -> TextAnalysis.corpusDiversitySql,
+    "ann_mips" -> Similarity.annMipsSql,
+    "graph_triangles" -> Dedup.graphTrianglesSql,
+    "search_suggest" -> Search.searchSuggestSql,
+    "train_curriculum" -> Curation.trainCurriculumSql
   )
 }

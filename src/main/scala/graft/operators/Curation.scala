@@ -813,4 +813,74 @@ object Curation {
        |UNION ALL SELECT CAST(4 AS BIGINT), 'decontam', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM flags WHERE s4
        |ORDER BY stage""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Length-based curriculum staging
+  // -------------------------------------------------------------------
+
+  /** Curriculum staging by sequence length (short→long is the standard
+    * length curriculum; see e.g. "Curriculum Learning", Bengio et al.,
+    * ICML 2009 and the sequence-length warmups used by large LM
+    * pretraining runs): every document is assigned to one of `nStages`
+    * training stages by which corpus length quartile it falls in.
+    *
+    * Scale shape: per-doc word counts are a zero-shuffle projection;
+    * the stage boundaries are ONE exact-percentile aggregate collapsed
+    * to a single broadcast row (never a global sort — no ntile/rank
+    * over the corpus); the stage label is then a map-side comparison
+    * against the broadcast cuts. The only data-scale exchange is the
+    * percentile's partial aggregation.
+    *
+    * Portability: percentile boundaries interpolate linearly over
+    * INTEGER word counts in both engines (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), and the comparisons use the unrounded cut
+    * values on both sides.
+    */
+  def curriculumStages(docs: DataFrame, nStages: Int = 4): DataFrame = {
+    require(nStages >= 2, s"nStages must be at least 2, got $nStages")
+    val words = docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(expr(TextAnalysis.NormSql), " ")).cast("long").as("n_words")
+      )
+    val fracs = (1 until nStages).map(_.toDouble / nStages)
+    val cuts = words.agg(
+      percentile(col("n_words"), array(fracs.map(lit): _*)).as("__cuts")
+    )
+    val stage = fracs.indices
+      .map(i => when(col("n_words") > col("__cuts").getItem(i), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    words
+      .crossJoin(broadcast(cuts))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_words"),
+        stage.as("stage"),
+        round(col("__cuts").getItem(0), 6).as("cut_1"),
+        round(col("__cuts").getItem(nStages - 2), 6).as("cut_top")
+      )
+  }
+
+  def trainCurriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumStages(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Oracle: identical quantile_cont boundaries, identical unrounded
+    * comparisons, identical stage arithmetic.
+    */
+  val trainCurriculumSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_words
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT quantile_cont(n_words, [0.25, 0.5, 0.75]) AS cuts FROM w)
+      |SELECT doc_id, source, n_words,
+      |  1 + (n_words > cuts[1])::BIGINT + (n_words > cuts[2])::BIGINT
+      |    + (n_words > cuts[3])::BIGINT AS stage,
+      |  ROUND(cuts[1], 6) AS cut_1,
+      |  ROUND(cuts[3], 6) AS cut_top
+      |FROM w CROSS JOIN c
+      |ORDER BY doc_id""".stripMargin
 }

@@ -1345,6 +1345,99 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected pair graph (canonical doc_a < doc_b edges) — the
+    * near-dup-graph density diagnostic: high clustering says the mined
+    * pairs form tight template families (safe to collapse to one
+    * survivor), low clustering with high degree says chains of
+    * borderline matches are bridging unrelated documents (lower the
+    * band threshold before collapsing).
+    *
+    * Scale shape: triangles enumerate via the ordered wedge join
+    * (a<b<c), so each triangle materializes exactly once; both joins
+    * key on node ids over the POST-MINING pair relation — already
+    * bucket-capped and orders of magnitude below corpus scale. At the
+    * 100 TB design point the wedge side would additionally be oriented
+    * low-degree→high-degree (the compact-forward bound of
+    * Latapy 2008, Theory Comp. Sci. 407) — id order stands in here to
+    * keep the relational oracle exact.
+    */
+  def triangleStats(pairsIn: DataFrame): DataFrame = {
+    // eager localCheckpoint, not persist: the mining pipeline feeding
+    // this is re-referenced four times (e1/e2/e3/deg) and a persist
+    // would leave its full logical plan under each — the checkpoint
+    // truncates to a LogicalRDD so the wedge joins plan at pair scale
+    val pairs = pairsIn
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(true)
+    val wedges = pairs
+      .as("e1")
+      .join(pairs.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tri = wedges.join(
+      pairs.as("e3"),
+      col("a") === col("e3.u") && col("c") === col("e3.v")
+    )
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nt"))
+    val deg = pairs
+      .select(col("u").as("doc_id"))
+      .union(pairs.select(col("v").as("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+    deg
+      .join(perNode, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("degree"),
+        coalesce(col("__nt"), lit(0L)).as("n_triangles"),
+        round(
+          when(
+            col("degree") > 1,
+            coalesce(col("__nt"), lit(0L)).cast("double") * 2.0 /
+              (col("degree").cast("double") * (col("degree") - lit(1L)).cast("double"))
+          ).otherwise(lit(0.0)),
+          6
+        ).as("clustering")
+      )
+  }
+
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(
+      minhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), w = 3, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+    ).orderBy(col("doc_id"))
+
+  /** Triangle oracle: the shared minhash pair pipeline feeding the
+    * identical ordered wedge join and degree rollup.
+    */
+  val graphTrianglesSql: String =
+    s"""WITH $MinhashPipelineCtes,
+       |vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM vpairs e1
+       |  JOIN vpairs e2 ON e2.doc_a = e1.doc_b
+       |  JOIN vpairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |pern AS (
+       |  SELECT u.n AS doc_id, COUNT(*) AS nt
+       |  FROM tri t, UNNEST([t.a, t.b, t.c]) AS u(n)
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT n AS doc_id, COUNT(*) AS degree FROM (
+       |    SELECT doc_a AS n FROM vpairs UNION ALL SELECT doc_b AS n FROM vpairs) e
+       |  GROUP BY 1)
+       |SELECT d.doc_id, d.degree,
+       |  CAST(COALESCE(p.nt, 0) AS BIGINT) AS n_triangles,
+       |  ROUND(CASE WHEN d.degree > 1
+       |        THEN CAST(COALESCE(p.nt, 0) AS DOUBLE) * 2.0 /
+       |             (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE))
+       |        ELSE 0.0 END, 6) AS clustering
+       |FROM deg d LEFT JOIN pern p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Cluster oracle: the full minhash pipeline CTEs feed a recursive
     * transitive closure (UNION dedups, so cycles terminate); each
     * node's cluster is the minimum id it can reach, survivor = itself.

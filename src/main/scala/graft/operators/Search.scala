@@ -502,4 +502,62 @@ object Search {
       |SELECT query_id, rank, doc_id, cos
       |FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Prefix autocomplete
+  // ---------------------------------------------------------------------
+
+  /** Prefix autocomplete: for each probe prefix, the top-k vocabulary
+    * completions ranked by document frequency — the search-box suggest
+    * primitive (Lucene's prefix query + popularity sort).
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY (word,
+    * document-frequency) in one partial agg off the per-doc distinct
+    * word lists — the only data-scale pass. Prefix probes are a
+    * driver-size literal relation broadcast onto that vocabulary; the
+    * rank window then runs on prefix-filtered candidates only
+    * (vocabulary cardinality × matching prefixes, never corpus scale).
+    */
+  def prefixSuggest(docs: DataFrame, prefixes: Seq[String], k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val vocab = docs
+      .filter(col("text").isNotNull)
+      .select(explode(array_distinct(expr(WordsSql))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+    val probes = prefixes.toDF("prefix")
+    val byPrefix = Window.partitionBy(col("prefix")).orderBy(col("df").desc, col("word"))
+    vocab
+      .join(broadcast(probes), col("word").startsWith(col("prefix")))
+      .withColumn("rank", row_number().over(byPrefix))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank").cast("long").as("rank"), col("word"), col("df"))
+  }
+
+  /** Fixed probe prefixes over the testdata vocabulary. */
+  val SuggestPrefixes: Seq[String] = Seq("s", "jo", "wi", "b")
+
+  def searchSuggest(spark: SparkSession, dir: String): DataFrame =
+    prefixSuggest(Tables.documents(spark, dir), SuggestPrefixes, k = 10)
+      .orderBy(col("prefix"), col("rank"))
+
+  val searchSuggestSql: String = {
+    val probes = SuggestPrefixes.map(p => s"('$p')").mkString(", ")
+    s"""WITH v AS (
+       |  SELECT u.word, COUNT(*) AS df
+       |  FROM (SELECT list_distinct(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS ws
+       |        FROM documents WHERE text IS NOT NULL) t,
+       |       UNNEST(ws) AS u(word)
+       |  WHERE LENGTH(u.word) > 0
+       |  GROUP BY 1),
+       |q(prefix) AS (VALUES $probes),
+       |ranked AS (
+       |  SELECT q.prefix, v.word, v.df,
+       |    ROW_NUMBER() OVER (PARTITION BY q.prefix ORDER BY v.df DESC, v.word) AS rank
+       |  FROM v JOIN q ON starts_with(v.word, q.prefix))
+       |SELECT prefix, rank, word, df
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY prefix, rank""".stripMargin
+  }
 }

@@ -50,6 +50,37 @@ object Similarity {
       )
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval primitive for
+    * un-normalized embedding families (recommendation scores,
+    * dual-encoder logits) where magnitude carries signal and cosine is
+    * the wrong order. Queries are broadcast; the corpus is scanned
+    * once; each group is cut to k by a WindowGroupLimit rank before
+    * the final shuffle — identical shape to the cosine baseline.
+    *
+    * Scale path (documented, same reduction the ANN family uses): MIPS
+    * reduces to cosine ANN by augmenting every corpus vector with one
+    * coordinate sqrt(M² − ‖x‖²) where M = max ‖x‖ (Bachrach et al.,
+    * RecSys 2014; Shrivastava & Li, NeurIPS 2014) — after which the
+    * existing LSH/IVF bucketed indexes apply unchanged, so the exact
+    * scan here is the declared small-scale baseline, not the 100 TB
+    * plan.
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("vq"))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", VectorMath.dot(col("vq"), col("vc")))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("score"), 6).as("score")
+      )
+  }
+
   /** Deterministic pseudo-random hyperplanes (splitmix64 stream) built
     * driver-side and embedded as literals — the corpus-side bucket id is
     * then a pure codegen'd expression usable as a partition key at
@@ -344,6 +375,30 @@ object Similarity {
        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  def annMips(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mipsTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: identical double dot products (sequential per-row fold on
+    * both sides), identical rank tie-break.
+    */
+  val annMipsSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.v, c.v) AS score_raw
+       |  FROM n q JOIN n c ON q.vec_id < $QueryCount AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score_raw,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_raw DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(score_raw, 6) AS score
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 

@@ -1456,4 +1456,92 @@ object TextAnalysis {
       |FROM scored
       |ORDER BY pmi DESC, w1, w2
       |LIMIT 25""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Lexical diversity per source
+  // -------------------------------------------------------------------
+
+  /** Per-source lexical-diversity report from the word frequency
+    * spectrum: type/token counts, type-token ratio, Guiraud's R
+    * (V/√N — the length-corrected TTR), Simpson's repeat rate
+    * Σc(c−1)/(N(N−1)), and Yule's K = 10⁴·(Σc²−N)/N² — the standard
+    * corpus-mix health constants (template-heavy or deduplicated-badly
+    * sources show as low diversity / high K).
+    *
+    * Scale shape: corpus reduces to the (source, word) histogram in one
+    * partial aggregation (map-side combined), then to source grain in a
+    * second fully-algebraic agg over INTEGER sums — every derived ratio
+    * is computed from those exact integers in one pinned double
+    * expression order, so no data-scale relation survives the first
+    * shuffle and the result is order-independent.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val hist = docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(expr(WordsSql)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    hist
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("__sc2"),
+        sum(col("c") * (col("c") - lit(1L))).as("__scc1")
+      )
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_types").cast("double") / sqrt(col("n_tokens").cast("double")), 6)
+          .as("guiraud_r"),
+        round(
+          when(
+            col("n_tokens") > 1,
+            col("__scc1").cast("double") /
+              (col("n_tokens").cast("double") * (col("n_tokens") - lit(1L)).cast("double"))
+          ),
+          9
+        ).as("simpson"),
+        round(
+          lit(10000.0) * (col("__sc2") - col("n_tokens")).cast("double") /
+            (col("n_tokens").cast("double") * col("n_tokens").cast("double")),
+          6
+        ).as("yule_k")
+      )
+  }
+
+  def corpusDiversity(spark: SparkSession, dir: String): DataFrame =
+    lexicalDiversity(Tables.documents(spark, dir)).orderBy(col("source"))
+
+  /** Oracle: identical integer histogram moments, identical pinned
+    * double expression order for every ratio.
+    */
+  val corpusDiversitySql: String =
+    """WITH w AS (
+      |  SELECT source, u.w AS word
+      |  FROM (SELECT source,
+      |          string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |        FROM documents WHERE text IS NOT NULL) t, UNNEST(ws) AS u(w)
+      |  WHERE LENGTH(u.w) > 0),
+      |h AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |s AS (
+      |  SELECT source,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_types,
+      |    CAST(SUM(c * c) AS BIGINT) AS sc2,
+      |    CAST(SUM(c * (c - 1)) AS BIGINT) AS scc1
+      |  FROM h GROUP BY source)
+      |SELECT source, n_tokens, n_types,
+      |  ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+      |  ROUND(CAST(n_types AS DOUBLE) / SQRT(CAST(n_tokens AS DOUBLE)), 6) AS guiraud_r,
+      |  ROUND(CASE WHEN n_tokens > 1
+      |        THEN CAST(scc1 AS DOUBLE) /
+      |             (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) END, 9) AS simpson,
+      |  ROUND(10000.0 * CAST(sc2 - n_tokens AS DOUBLE) /
+      |        (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k
+      |FROM s
+      |ORDER BY source""".stripMargin
 }

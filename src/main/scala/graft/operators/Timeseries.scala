@@ -3014,4 +3014,122 @@ object Timeseries {
       |      FROM events WHERE event_type = 'error') raw) flagged) grouped
       |GROUP BY channel, island
       |ORDER BY channel, island""".stripMargin
+
+  // -------------------------------------------------------------------
+  // OLS trend forecast
+  // -------------------------------------------------------------------
+
+  /** Buckets ahead for the fixed forecast query. */
+  val ForecastHorizon = 6
+
+  /** Fixed x-origin (hourly-bucket index ≈ late 2023) subtracted from
+    * every bucket index before the fit: the closed-form OLS terms then
+    * stay small enough that the double-arithmetic slope/intercept keep
+    * full precision (raw epoch-hour indices are ~4.7e5, whose squares
+    * cancel catastrophically in n·Σx² − (Σx)²).
+    */
+  val ForecastX0 = 470000L
+
+  /** Per-channel ordinary-least-squares linear trend over the hourly
+    * bucket-grid means, extrapolated `horizon` buckets past each
+    * channel's last observed bucket.
+    *
+    * Reference anchor: the resample/render path reduces each trace to a
+    * pixel-bucket grid (reference query/TimeSeriesQueryUtils.scala:208-235);
+    * this is the forward-looking trend report over that same grid.
+    *
+    * Scale shape: events reduce to the (channel, bucket) grid in ONE
+    * partial agg; the fit is a second fully-algebraic agg down to
+    * channel grain (n, Σx, Σy, Σxy, Σx² as DECIMALs — order-independent
+    * and map-side combinable); the horizon explode then runs over the
+    * channel-cardinality relation only. Nothing after the first shuffle
+    * is data-scale, and no per-channel window is involved at all.
+    */
+  def olsForecast(
+    ts: DataFrame,
+    bucketUs: Long = BucketUs,
+    horizon: Int = ForecastHorizon,
+    x0: Long = ForecastX0
+  ): DataFrame = {
+    val grid = ts
+      .withColumn("__bkt", microsBucket(col("t"), bucketUs))
+      .groupBy(col("channel"), col("__bkt"))
+      .agg((sum(col("v").cast(dec2710)).cast("double") / count(lit(1))).as("m"))
+      .withColumn("__x", (col("__bkt") - lit(x0)).cast("long"))
+    val fit = grid
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("__bkt")).as("__bmax"),
+        sum(col("__x").cast(dec2710)).cast("double").as("__sx"),
+        sum(col("m").cast(dec2710)).cast("double").as("__sy"),
+        sum((col("__x") * col("m")).cast(dec2710)).cast("double").as("__sxy"),
+        sum((col("__x") * col("__x")).cast(dec2710)).cast("double").as("__sxx")
+      )
+      .withColumn("__den", col("n_buckets") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn(
+        "__slope",
+        when(
+          col("__den") =!= 0.0,
+          (col("n_buckets") * col("__sxy") - col("__sx") * col("__sy")) / col("__den")
+        )
+      )
+      .withColumn("__a", (col("__sy") - col("__slope") * col("__sx")) / col("n_buckets"))
+    fit
+      .select(
+        col("channel"),
+        col("n_buckets"),
+        col("__bmax"),
+        col("__slope"),
+        col("__a"),
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("h")
+      )
+      .select(
+        col("channel"),
+        col("h"),
+        (col("__bmax") + col("h")).as("bucket"),
+        col("n_buckets"),
+        round(col("__slope"), 9).as("slope"),
+        round(col("__a"), 6).as("intercept"),
+        round(col("__a") + col("__slope") * (col("__bmax") + col("h") - lit(x0)), 6).as("yhat")
+      )
+  }
+
+  def tsForecast(spark: SparkSession, dir: String): DataFrame =
+    olsForecast(Tables.ts(spark, dir))
+      .orderBy(col("channel"), col("h"))
+
+  /** Oracle: identical centered-x DECIMAL OLS terms, identical
+    * double-arithmetic fit (same operation order ⇒ same IEEE result).
+    */
+  val tsForecastSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type AS channel,
+       |    CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bkt,
+       |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM events GROUP BY 1, 2),
+       |x AS (
+       |  SELECT channel, bkt, m, bkt - $ForecastX0 AS xc FROM g),
+       |f AS (
+       |  SELECT channel, COUNT(*) AS n_buckets, MAX(bkt) AS bmax,
+       |    CAST(SUM(CAST(xc AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(m AS DECIMAL(27,10))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(xc * m AS DECIMAL(27,10))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(xc * xc AS DECIMAL(27,10))) AS DOUBLE) AS sxx
+       |  FROM x GROUP BY channel),
+       |s AS (
+       |  SELECT channel, n_buckets, bmax,
+       |    CASE WHEN (n_buckets * sxx - sx * sx) <> 0.0
+       |         THEN (n_buckets * sxy - sx * sy) / (n_buckets * sxx - sx * sx) END AS slope,
+       |    sx, sy
+       |  FROM f),
+       |a AS (
+       |  SELECT channel, n_buckets, bmax, slope,
+       |    (sy - slope * sx) / n_buckets AS a0
+       |  FROM s)
+       |SELECT channel, h, bmax + h AS bucket, n_buckets,
+       |  ROUND(slope, 9) AS slope, ROUND(a0, 6) AS intercept,
+       |  ROUND(a0 + slope * (bmax + h - $ForecastX0), 6) AS yhat
+       |FROM a CROSS JOIN (SELECT UNNEST(range(1, $ForecastHorizon + 1)) AS h) hs
+       |ORDER BY channel, h""".stripMargin
 }

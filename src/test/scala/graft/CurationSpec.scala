@@ -234,4 +234,30 @@ class CurationSpec extends SparkSpec {
       .collect()
     targets.sum.toDouble shouldBe 1000.0 +- 2.0
   }
+
+  "curriculumStages" should "assign length quartiles monotonically with every stage populated" in {
+    // word counts 1..8: quantile_cont cuts at 2.75 / 4.5 / 6.25
+    val docs = (1L to 8L)
+      .map(i => (i, Seq.fill(i.toInt)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation
+      .curriculumStages(docs)
+      .orderBy("doc_id")
+      .select($"n_words", $"stage")
+      .as[(Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L),
+      (5L, 3L), (6L, 3L), (7L, 4L), (8L, 4L)
+    )
+  }
+
+  it should "never plan a corpus-scale window or global sort for the staging" in {
+    val docs = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
+    val plan = Curation.curriculumStages(docs).queryExecution.executedPlan.toString
+    // boundaries travel as ONE broadcast row; labels are map-side math
+    plan should not include "Window"
+    plan should include("BroadcastNestedLoopJoin")
+  }
 }

@@ -386,4 +386,28 @@ class DedupSpec extends SparkSpec {
     // sketch size is the configured bits, independent of corpus size
     bloom.length should be < (1 << 16) / 8 + 64
   }
+
+  "triangleStats" should "count triangles once per node and derive the clustering coefficient" in {
+    // triangle {1,2,3} plus a pendant edge 3-4
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val rows = Dedup
+      .triangleStats(pairs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("doc_id"),
+          r.getAs[Long]("degree"),
+          r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering")
+        )
+      )
+      .toList
+    rows shouldBe List(
+      (1L, 2L, 1L, 1.0), // both neighbors connected: coefficient 1
+      (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333), // 1 of 3 possible neighbor pairs closed
+      (4L, 1L, 0L, 0.0) // pendant: no triangles, degree 1 => 0 by convention
+    )
+  }
 }

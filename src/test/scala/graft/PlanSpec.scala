@@ -259,6 +259,16 @@ class PlanSpec extends SparkSpec {
     planString(df) should include("xxhash64")
   }
 
+  "ts_forecast" should "fit through algebraic aggregations with NO window at all" in {
+    // the OLS moments are map-side-combinable decimal sums: the plan
+    // must contain zero Window operators (nothing per-channel-ordered
+    // ever materializes) — the forecast explode runs at channel grain
+    val df = Timeseries.tsForecast(spark, sfDir)
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    } shouldBe empty
+  }
+
   "text_repetition" should "compute every signal with ZERO shuffles" in {
     // per-document statistics are a pure map-side kernel projection;
     // the only exchange permitted is the output ORDER BY's range

@@ -171,4 +171,26 @@ class SearchSpec extends SparkSpec {
     plan should include("WindowGroupLimit")
     plan should not include "CartesianProduct"
   }
+
+  "prefixSuggest" should "rank completions by document frequency with alphabetical ties" in {
+    val docs = Seq(
+      (1L, "spark sort scan"),
+      (2L, "spark sort"),
+      (3L, "spark other"),
+      (4L, "spark spark spark") // repeats count once per doc (df, not tf)
+    ).toDF("doc_id", "text")
+    val got = Search
+      .prefixSuggest(docs, Seq("s"), k = 2)
+      .orderBy("rank")
+      .as[(String, Long, String, Long)]
+      .collect()
+      .toList
+    // df: spark=4, sort=2, scan=1 -> top-2 cut keeps spark, sort
+    got shouldBe List(("s", 1L, "spark", 4L), ("s", 2L, "sort", 2L))
+  }
+
+  it should "return nothing for a prefix with no vocabulary match" in {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Search.prefixSuggest(docs, Seq("zz"), k = 5).count() shouldBe 0L
+  }
 }

@@ -507,4 +507,32 @@ class SimilaritySpec extends SparkSpec {
       .toSet
     cWords should contain(topWord.getAs[String]("word"))
   }
+
+  "mipsTopK" should "rank by raw inner product where cosine would rank the other way" in {
+    // query 0 = (1,0). Candidate 1 = (5,5): cosine 0.707 but dot 5.
+    // Candidate 2 = (0.99,0): cosine 1.0 but dot 0.99. MIPS must put
+    // the large-magnitude vector first — the case where the two orders
+    // provably disagree.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(5.0f, 5.0f)),
+      (2L, Seq(0.99f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .mipsTopK(emb, emb.filter($"vec_id" === 0L), k = 2)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toList
+    got.map(t => (t._2, t._3)) shouldBe List((1L, 1L), (2L, 2L))
+    got.head._4 shouldBe 5.0 +- 1e-6
+    // cosine baseline on the same vectors picks the normalized direction
+    val cos = Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" === 0L), k = 1)
+      .select($"neighbor_id")
+      .as[Long]
+      .collect()
+      .toList
+    cos shouldBe List(2L)
+  }
 }

@@ -524,6 +524,93 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "StreamingForecast.fit" should "match the batch OLS fit bit-for-bit on any micro-batch carving" in {
+    import graft.streaming.StreamingForecast
+    implicit val sqlCtx = spark.sqlContext
+
+    // 20 buckets x 4 samples per bucket, linear trend + deterministic
+    // wiggle, two channels with different slopes
+    val data = for {
+      c <- Seq("a", "b")
+      i <- 0 until 80
+    } yield {
+      val bkt = i / 4
+      val slope = if (c == "a") 0.3 else -0.7
+      (c, bkt * 1000L + (i % 4) * 250L, slope * bkt + 2.0 + (i % 5) * 0.01)
+    }
+
+    val batch = graft.operators.Timeseries
+      .olsForecast(
+        data.toDF("channel", "t", "v").withColumn("event_id", lit(0L)),
+        bucketUs = 1000L,
+        horizon = 1,
+        x0 = 0L
+      )
+      .collect()
+      .map(r =>
+        r.getAs[String]("channel") -> (
+          r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("bucket"),
+          r.getAs[Double]("slope"),
+          r.getAs[Double]("intercept"),
+          r.getAs[Double]("yhat")
+        )
+      )
+      .toMap
+    batch.keySet shouldBe Set("a", "b")
+
+    for (split <- Seq(Seq(160), Seq(40, 100, 160), Seq(3, 77, 78, 160))) {
+      val mem = MemoryStream[(String, Long, Double)]
+      val out = StreamingForecast.fit(
+        spark,
+        mem.toDF().toDF("channel", "t", "v"),
+        bucketUs = 1000L,
+        x0 = 0L
+      )
+      val name = s"forecast_${split.mkString("_")}"
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        var prev = 0
+        (split :+ data.size).distinct.foreach { end =>
+          mem.addData(data.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val latest = spark
+          .table(name)
+          .as[(String, Long, Long, Option[Double], Option[Double], Option[Double])]
+          .collect()
+          .zipWithIndex
+          .groupBy(_._1._1)
+          .map { case (ch, xs) => ch -> xs.maxBy(_._2)._1 }
+        Seq("a", "b").foreach { ch =>
+          val (bn, bbkt, bs, bi, by) = batch(ch)
+          val s = latest(ch)
+          withClue(s"split $split channel $ch:") {
+            s._2 shouldBe bn
+            s._3 shouldBe bbkt
+            s._4 shouldBe Some(bs)
+            s._5 shouldBe Some(bi)
+            s._6 shouldBe Some(by)
+          }
+        }
+      } finally q.stop()
+    }
+  }
+
+  it should "hold five moments + one open bucket per channel, never per sample" in {
+    import graft.streaming.StreamingForecast
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val out = StreamingForecast.fit(spark, mem.toDF().toDF("channel", "t", "v"), bucketUs = 1000L, x0 = 0L)
+    val q = out.toDF().writeStream.format("memory").queryName("forecast_state").outputMode("update").start()
+    try {
+      mem.addData((0 until 3000).map(i => ("a", i.toLong * 10L, (i % 9).toDouble)): _*)
+      q.processAllAvailable()
+      q.lastProgress.stateOperators.head.numRowsTotal shouldBe 1L
+    } finally q.stop()
+  }
+
   "StreamingEnrich.annotate" should "join live samples to covering spans across micro-batches" in {
     import graft.streaming.StreamingEnrich
     implicit val sqlCtx = spark.sqlContext

@@ -379,4 +379,28 @@ class TextAnalysisSpec extends SparkSpec {
     rows.find(t => t._2 == "aa").get._5 shouldBe pmi(5, 5, 5) +- 1e-9
     rows.find(t => t._2 == "cc").get._5 shouldBe pmi(5, 6, 6) +- 1e-9
   }
+
+  "lexicalDiversity" should "compute the textbook constants on a hand-checked histogram" in {
+    // source s1 histogram: a→2, b→1  (N=3, V=2, Σc²=5, Σc(c−1)=2)
+    val docs = Seq(
+      (1L, "a a b", "s1"),
+      (2L, "x y", "s2")
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis
+      .lexicalDiversity(docs)
+      .orderBy("source")
+      .collect()
+    val s1 = rows(0)
+    s1.getAs[Long]("n_tokens") shouldBe 3L
+    s1.getAs[Long]("n_types") shouldBe 2L
+    s1.getAs[Double]("ttr") shouldBe 0.666667 +- 1e-9
+    s1.getAs[Double]("guiraud_r") shouldBe 2.0 / math.sqrt(3.0) +- 1e-6
+    s1.getAs[Double]("simpson") shouldBe 2.0 / 6.0 +- 1e-9
+    s1.getAs[Double]("yule_k") shouldBe 10000.0 * 2.0 / 9.0 +- 1e-6
+    // all-distinct source: simpson repeat rate 0, yule 0, ttr 1
+    val s2 = rows(1)
+    s2.getAs[Double]("ttr") shouldBe 1.0
+    s2.getAs[Double]("simpson") shouldBe 0.0
+    s2.getAs[Double]("yule_k") shouldBe 0.0
+  }
 }

@@ -1003,4 +1003,38 @@ class TimeseriesSpec extends SparkSpec {
       .toString
     plan should include("__pb_")
   }
+
+  "olsForecast" should "recover a planted linear trend exactly and extrapolate it" in {
+    // one sample per hourly bucket => the bucket mean IS the sample, and
+    // the bucket means lie exactly on y = 10 + 0.5·(bkt − x0): OLS must
+    // return slope 0.5 and every horizon point on the same line
+    val x0 = Timeseries.ForecastX0
+    val b0 = 473000L
+    val rows = (0 until 48).map { i =>
+      val bkt = b0 + i
+      ("lin", bkt * Timeseries.BucketUs + 5L, 10.0 + 0.5 * (bkt - x0))
+    }
+    val out = Timeseries
+      .olsForecast(mkTs(rows), horizon = 3)
+      .orderBy("h")
+      .collect()
+    out.length shouldBe 3
+    out.map(_.getAs[Long]("bucket")).toList shouldBe List(b0 + 48, b0 + 49, b0 + 50)
+    out.foreach { r =>
+      r.getAs[Long]("n_buckets") shouldBe 48L
+      r.getAs[Double]("slope") shouldBe 0.5 +- 1e-9
+      val bucket = r.getAs[Long]("bucket")
+      r.getAs[Double]("yhat") shouldBe (10.0 + 0.5 * (bucket - x0)) +- 1e-6
+    }
+  }
+
+  it should "emit NULL fit columns for a single-bucket channel instead of dropping it" in {
+    val rows = Seq(("one", 473000L * Timeseries.BucketUs, 7.0))
+    val out = Timeseries.olsForecast(mkTs(rows), horizon = 2).collect()
+    out.length shouldBe 2
+    out.foreach { r =>
+      r.isNullAt(r.fieldIndex("slope")) shouldBe true
+      r.isNullAt(r.fieldIndex("yhat")) shouldBe true
+    }
+  }
 }
