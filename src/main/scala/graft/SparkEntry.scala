@@ -226,7 +226,9 @@ object SparkEntry {
     // prefix autocomplete over the corpus vocabulary by df
     "search_suggest" -> (Search.searchSuggest _),
     // length-quartile curriculum staging via broadcast percentile cuts
-    "train_curriculum" -> (Curation.trainCurriculum _)
+    "train_curriculum" -> (Curation.trainCurriculum _),
+    // image near-dup: average-hash bands, counted buckets, Hamming verify
+    "mm_phash" -> (Multimodal.mmPhash _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,6 +382,7 @@ object SparkEntry {
     "ann_mips" -> Similarity.annMipsSql,
     "graph_triangles" -> Dedup.graphTrianglesSql,
     "search_suggest" -> Search.searchSuggestSql,
-    "train_curriculum" -> Curation.trainCurriculumSql
+    "train_curriculum" -> Curation.trainCurriculumSql,
+    "mm_phash" -> Multimodal.mmPhashSql
   )
 }

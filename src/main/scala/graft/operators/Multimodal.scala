@@ -456,4 +456,182 @@ object Multimodal {
        |FROM stats
        |ORDER BY doc_id, frame_no""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Perceptual-hash near-duplicate images
+  // ---------------------------------------------------------------------
+
+  /** STUB perceptual-hash kernel: the classical average-hash (aHash)
+    * over the resizeStub 8×8 grid — each grid byte contributes bit 1
+    * iff it exceeds the grid mean — returned as FOUR 16-bit band words
+    * (bits 16k..16k+15) rather than one packed long, because the
+    * banding consumes exactly those words and a 64-bit literal with
+    * bit 63 set is not portable to the SQL oracle. A real pHash (DCT
+    * over a real decode) drops into this kernel without touching the
+    * banding or verify plumbing.
+    */
+  private[graft] def aHashBands(payload: Array[Byte]): Array[Int] = {
+    val g = resizeStub(payload, 8, 8)
+    val n = math.max(g.length, 1)
+    var s = 0L
+    var i = 0
+    while (i < g.length) { s += g(i) & 0xff; i += 1 }
+    val mean = s.toDouble / n
+    val bands = new Array[Int](4)
+    i = 0
+    while (i < g.length) {
+      if ((g(i) & 0xff) > mean) bands(i / 16) |= 1 << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
+  /** Near-duplicate image detection over the hash bands — the image
+    * counterpart of [[Dedup.simhashNearDups]] and the standard
+    * image-dedup pass of a multimodal training pipeline: docs
+    * colliding on ANY 16-bit band are candidates (counted-bucket
+    * capped, so no bucket ever materializes beyond `maxBucketSize`),
+    * then candidates verify by exact Hamming distance across all four
+    * bands. Scale shape: hash computation is the map-side stub-decode
+    * scan; the only data-scale exchange is the (band, chunk)-keyed
+    * bucket count; pairs form only inside admissible buckets.
+    */
+  def phashNearDups(
+    spark: SparkSession,
+    withPayload: DataFrame,
+    maxHamming: Int = 8,
+    maxBucketSize: Int = 256
+  ): DataFrame = {
+    import spark.implicits._
+    val hashed = withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val b = aHashBands(p)
+        (id, b(0), b(1), b(2), b(3))
+      })
+      .toDF("doc_id", "h0", "h1", "h2", "h3")
+    val bucketRows = hashed
+      .select(
+        col("doc_id"),
+        col("h0"),
+        col("h1"),
+        col("h2"),
+        col("h3"),
+        posexplode(array(col("h0"), col("h1"), col("h2"), col("h3")))
+          .as(Seq("band", "chunk"))
+      )
+    val admissible = bucketRows
+      .groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > 1 && col("sz") <= maxBucketSize)
+      .select(col("band"), col("chunk"))
+    val member = bucketRows.join(admissible, Seq("band", "chunk"), "left_semi")
+    val lhs = member.select(
+      col("band"),
+      col("chunk"),
+      col("doc_id").as("doc_a"),
+      col("h0").as("a_h0"),
+      col("h1").as("a_h1"),
+      col("h2").as("a_h2"),
+      col("h3").as("a_h3")
+    )
+    val rhs = member.select(
+      col("band"),
+      col("chunk"),
+      col("doc_id").as("doc_b"),
+      col("h0").as("b_h0"),
+      col("h1").as("b_h1"),
+      col("h2").as("b_h2"),
+      col("h3").as("b_h3")
+    )
+    lhs
+      .join(rhs, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (bit_count(col("a_h0").bitwiseXOR(col("b_h0"))) +
+          bit_count(col("a_h1").bitwiseXOR(col("b_h1"))) +
+          bit_count(col("a_h2").bitwiseXOR(col("b_h2"))) +
+          bit_count(col("a_h3").bitwiseXOR(col("b_h3")))).cast("long").as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Planted exact-payload copies so hamming-0 hits exist at every
+    * scale factor (same fixture discipline as
+    * [[Dedup.withPlantedNearDups]]): every doc_id ≡ 0 (mod 13) gets a
+    * byte-identical twin at doc_id + 2,000,000.
+    */
+  def withPlantedExactCopies(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.union(
+      base
+        .filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"))
+    )
+  }
+
+  def mmPhash(spark: SparkSession, dir: String): DataFrame =
+    phashNearDups(
+      spark,
+      withPayloads(withPlantedExactCopies(Tables.documents(spark, dir)))
+    ).orderBy(col("doc_a"), col("doc_b"))
+
+  /** aHash oracle: the strided 8×8 grid bytes recovered by hex-slicing
+    * exactly as resizeStub picks them (stride = max(nb // ol, 1), index
+    * min(i·stride, nb−1)), the same grid mean, the same bit>mean rule
+    * folded into four 16-bit words, and the identical counted-bucket
+    * banding + Hamming verify.
+    */
+  val mmPhashSql: String =
+    """WITH pc AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+      |p AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM pc),
+      |dims AS (
+      |  SELECT doc_id, hx, nb, LEAST(64, GREATEST(nb, 1)) AS ol FROM p),
+      |g AS (
+      |  SELECT doc_id, ol, i,
+      |    CASE WHEN nb = 0 THEN 0
+      |         ELSE CAST(('0x' || substr(hx,
+      |           CAST(2 * LEAST(i * GREATEST(nb // ol, 1), nb - 1) + 1 AS INT), 2)) AS INT)
+      |    END AS b
+      |  FROM (SELECT doc_id, hx, nb, ol, UNNEST(range(0, ol)) AS i FROM dims) t),
+      |m AS (SELECT doc_id, CAST(SUM(b) AS DOUBLE) / MAX(ol) AS mean FROM g GROUP BY doc_id),
+      |bset AS (
+      |  SELECT g.doc_id, CAST(i // 16 AS INT) AS band,
+      |    CAST(SUM(CASE WHEN b > mean THEN (1 << CAST(i % 16 AS INT)) ELSE 0 END) AS INT) AS chunk
+      |  FROM g JOIN m USING (doc_id)
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT a.doc_id, a.band, COALESCE(bs.chunk, 0) AS chunk
+      |  FROM (SELECT doc_id, CAST(UNNEST(range(0, 4)) AS INT) AS band FROM dims) a
+      |  LEFT JOIN bset bs ON bs.doc_id = a.doc_id AND bs.band = a.band),
+      |hw AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band = 0 THEN chunk END) AS h0,
+      |    MAX(CASE WHEN band = 1 THEN chunk END) AS h1,
+      |    MAX(CASE WHEN band = 2 THEN chunk END) AS h2,
+      |    MAX(CASE WHEN band = 3 THEN chunk END) AS h3
+      |  FROM bands GROUP BY doc_id),
+      |adm AS (
+      |  SELECT band, chunk FROM bands GROUP BY band, chunk
+      |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+      |mem AS (SELECT b.band, b.chunk, b.doc_id FROM bands b JOIN adm USING (band, chunk)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM mem a JOIN mem c ON a.band = c.band AND a.chunk = c.chunk AND a.doc_id < c.doc_id),
+      |scored AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) +
+      |         bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3)) AS BIGINT) AS hamming
+      |  FROM cand JOIN hw x ON x.doc_id = cand.doc_a JOIN hw y ON y.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b, hamming FROM scored
+      |WHERE hamming <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -125,4 +125,28 @@ class MultimodalSpec extends SparkSpec {
       Array((7L, 0L), (7L, 1L))
     rows.foreach(_.getAs[Long]("n_samples") shouldBe 32L)
   }
+
+  "aHashBands" should "set exactly the above-mean grid bits in the right band words" in {
+    // 64 bytes: first 32 are 0x00, last 32 are 0xff (identity grid at
+    // nb=64): mean 127.5 → bits 32..63 set → bands (0, 0, 0xffff, 0xffff)
+    val payload = Array.fill[Byte](32)(0) ++ Array.fill[Byte](32)(0xff.toByte)
+    Multimodal.aHashBands(payload).toList shouldBe List(0, 0, 0xffff, 0xffff)
+    // constant payload: nothing strictly exceeds the mean → all-zero hash
+    Multimodal.aHashBands(Array.fill[Byte](64)(7)).toList shouldBe List(0, 0, 0, 0)
+  }
+
+  "phashNearDups" should "pair byte-identical payloads at hamming 0 and skip dissimilar ones" in {
+    val docs = Seq(
+      (1L, "a" * 32 + "z" * 32),
+      (2L, "a" * 32 + "z" * 32), // identical twin
+      (3L, "q" * 13 + "B" * 51) // different bit pattern
+    ).toDF("doc_id", "text")
+    val got = Multimodal
+      .phashNearDups(spark, Multimodal.withPayloads(docs))
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List((1L, 2L, 0L))
+  }
 }
