@@ -228,7 +228,11 @@ object SparkEntry {
     // length-quartile curriculum staging via broadcast percentile cuts
     "train_curriculum" -> (Curation.trainCurriculum _),
     // image near-dup: average-hash bands, counted buckets, Hamming verify
-    "mm_phash" -> (Multimodal.mmPhash _)
+    "mm_phash" -> (Multimodal.mmPhash _),
+    // Welch-averaged per-channel PSD over the bandpower windows
+    "ts_welch" -> (Timeseries.tsWelch _),
+    // cumulative top-N vocabulary token-coverage curve
+    "corpus_coverage" -> (TextAnalysis.corpusCoverage _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -383,6 +387,8 @@ object SparkEntry {
     "graph_triangles" -> Dedup.graphTrianglesSql,
     "search_suggest" -> Search.searchSuggestSql,
     "train_curriculum" -> Curation.trainCurriculumSql,
-    "mm_phash" -> Multimodal.mmPhashSql
+    "mm_phash" -> Multimodal.mmPhashSql,
+    "ts_welch" -> Timeseries.tsWelchSql,
+    "corpus_coverage" -> TextAnalysis.corpusCoverageSql
   )
 }

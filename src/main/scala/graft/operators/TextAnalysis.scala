@@ -1458,6 +1458,75 @@ object TextAnalysis {
       |LIMIT 25""".stripMargin
 
   // -------------------------------------------------------------------
+  // Vocabulary coverage curve
+  // -------------------------------------------------------------------
+
+  /** Cumulative token-coverage curve of the top-N vocabulary: what
+    * fraction of all corpus tokens the k most frequent words account
+    * for, for every k ≤ N — the curve that sizes a tokenizer
+    * vocabulary (pick the knee) and exposes template mass (a curve
+    * that saturates in a handful of words means boilerplate).
+    *
+    * Scale shape: the word histogram is the one corpus-scale partial
+    * agg; the rank cut is orderBy+limit (TakeOrderedAndProject — no
+    * global sort materializes); the rank/cumulative window runs over
+    * the ALREADY-LIMITED ≤N rows only, and the total is a 1-row
+    * broadcast.
+    */
+  def coverageCurve(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    val hist = docs
+      .filter(col("text").isNotNull)
+      .select(explode(expr(WordsSql)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+    val tot = hist.agg(sum(col("freq")).as("__total"))
+    val top = hist.orderBy(col("freq").desc, col("word")).limit(topN)
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = Window.orderBy(col("freq").desc, col("word"))
+    top
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn(
+        "cum_tokens",
+        sum(col("freq")).over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .crossJoin(broadcast(tot))
+      .select(
+        col("rank"),
+        col("word"),
+        col("freq"),
+        col("cum_tokens"),
+        round(col("cum_tokens").cast("double") / col("__total"), 6).as("coverage")
+      )
+  }
+
+  def corpusCoverage(spark: SparkSession, dir: String): DataFrame =
+    coverageCurve(Tables.documents(spark, dir)).orderBy(col("rank"))
+
+  /** Oracle: identical histogram, identical (freq desc, word) rank
+    * order, cumulative sum over the same limited relation.
+    */
+  val corpusCoverageSql: String =
+    """WITH w AS (
+      |  SELECT u.w AS word
+      |  FROM (SELECT string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |        FROM documents WHERE text IS NOT NULL) t, UNNEST(ws) AS u(w)
+      |  WHERE LENGTH(u.w) > 0),
+      |h AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+      |tot AS (SELECT SUM(freq) AS total FROM h),
+      |top AS (SELECT word, freq FROM h ORDER BY freq DESC, word LIMIT 1000),
+      |r AS (
+      |  SELECT word, freq,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank,
+      |    CAST(SUM(freq) OVER (ORDER BY freq DESC, word
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM top)
+      |SELECT rank, word, freq, cum_tokens,
+      |  ROUND(CAST(cum_tokens AS DOUBLE) / tot.total, 6) AS coverage
+      |FROM r CROSS JOIN tot
+      |ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // Lexical diversity per source
   // -------------------------------------------------------------------
 

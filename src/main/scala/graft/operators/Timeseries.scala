@@ -2216,6 +2216,83 @@ object Timeseries {
       |FROM a
       |ORDER BY channel, win, k""".stripMargin
 
+  /** Welch-averaged power spectral density per (channel, harmonic):
+    * the mean and spread of the per-window band power across all
+    * windows (Welch 1967 — averaging periodogram segments trades
+    * frequency resolution for variance reduction; ts_coherence already
+    * uses the same per-window components for the cross-channel
+    * statistic, this is the single-channel PSD estimate itself).
+    *
+    * Scale shape: everything after bandPower's one sample-scale partial
+    * agg runs on the (channels × windows × |ks|) summary relation; the
+    * PSD rollup is a second algebraic DECIMAL-moment agg down to
+    * channels × |ks| rows. No window function at any scale.
+    */
+  def welchPsd(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame =
+    bandPower(ts, windowUs, ks)
+      .groupBy(col("channel"), col("k"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        detSum(col("power")).as("__s1"),
+        detSum(col("power") * col("power")).as("__s2")
+      )
+      .select(
+        col("channel"),
+        col("k"),
+        col("n_windows"),
+        round(col("__s1") / col("n_windows"), 6).as("psd_mean"),
+        round(
+          when(
+            col("n_windows") > 1,
+            sqrt(
+              greatest(
+                (col("__s2") - col("__s1") * col("__s1") / col("n_windows")) /
+                  (col("n_windows") - lit(1L)),
+                lit(0.0)
+              )
+            )
+          ),
+          6
+        ).as("psd_std")
+      )
+
+  def tsWelch(spark: SparkSession, dir: String): DataFrame =
+    welchPsd(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("channel"), col("k"))
+
+  /** Oracle: the bandpower pipeline nested verbatim, then the identical
+    * DECIMAL-moment rollup in the same pinned double order.
+    */
+  val tsWelchSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win, value AS v,
+      |    CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0 AS frac
+      |  FROM events),
+      |e AS (
+      |  SELECT channel, win, v, frac, ks.k AS k
+      |  FROM x CROSS JOIN (SELECT UNNEST(range(1, 5)) AS k) ks),
+      |a AS (
+      |  SELECT channel, win, k, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v * cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c,
+      |    CAST(SUM(CAST(v * sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s
+      |  FROM e GROUP BY 1, 2, 3),
+      |pw AS (
+      |  SELECT channel, win, k,
+      |    ROUND((c / n) * (c / n) + (s / n) * (s / n), 6) AS power
+      |  FROM a),
+      |r AS (
+      |  SELECT channel, k, COUNT(*) AS n_windows,
+      |    CAST(SUM(CAST(power AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(power * power AS DECIMAL(27,10))) AS DOUBLE) AS s2
+      |  FROM pw GROUP BY 1, 2)
+      |SELECT channel, k, n_windows,
+      |  ROUND(s1 / n_windows, 6) AS psd_mean,
+      |  ROUND(CASE WHEN n_windows > 1
+      |        THEN SQRT(GREATEST((s2 - s1 * s1 / n_windows) / (n_windows - 1), 0.0)) END, 6) AS psd_std
+      |FROM r
+      |ORDER BY channel, k""".stripMargin
+
   def tsCoherence(spark: SparkSession, dir: String): DataFrame =
     spectralCoherence(Tables.ts(spark, dir), windowUs = 86400000000L)
       .orderBy(col("ch_a"), col("ch_b"), col("k"))

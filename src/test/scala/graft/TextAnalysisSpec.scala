@@ -380,6 +380,23 @@ class TextAnalysisSpec extends SparkSpec {
     rows.find(t => t._2 == "cc").get._5 shouldBe pmi(5, 6, 6) +- 1e-9
   }
 
+  "coverageCurve" should "trace the hand-checked cumulative coverage" in {
+    // histogram: a→3, b→2, c→1 (ties impossible; total 6)
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .coverageCurve(docs)
+      .orderBy("rank")
+      .select("rank", "word", "cum_tokens", "coverage")
+      .as[(Long, String, Long, Double)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (1L, "a", 3L, 0.5),
+      (2L, "b", 5L, 0.833333),
+      (3L, "c", 6L, 1.0)
+    )
+  }
+
   "lexicalDiversity" should "compute the textbook constants on a hand-checked histogram" in {
     // source s1 histogram: a→2, b→1  (N=3, V=2, Σc²=5, Σc(c−1)=2)
     val docs = Seq(

@@ -1028,6 +1028,30 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  "welchPsd" should "concentrate the averaged PSD at a planted harmonic with near-zero spread" in {
+    // 4 windows of a pure k=2 sinusoid sampled 64×/window: every
+    // window's periodogram puts (amp/2)² at k=2 and ~0 elsewhere, so
+    // the Welch average is stable across windows (std ≈ 0)
+    val winUs = 64000L
+    val rows = for (w <- 0 until 4; i <- 0 until 64) yield {
+      val t = w * winUs + i * 1000L
+      val frac = (t % winUs).toDouble / winUs
+      ("sin", t, 10.0 * math.cos(2 * 6.283185307179586 * frac))
+    }
+    val out = Timeseries
+      .welchPsd(mkTs(rows), windowUs = winUs, ks = 1 to 4)
+      .orderBy("k")
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("k"), r.getAs[Long]("n_windows"), r.getAs[Double]("psd_mean"), r.getAs[Double]("psd_std"))
+      )
+    out.foreach(_._2 shouldBe 4L)
+    val byK = out.map(t => t._1 -> t).toMap
+    byK(2L)._3 shouldBe 25.0 +- 0.1 // (amp/2)² = 25
+    Seq(1L, 3L, 4L).foreach(k => byK(k)._3 should be < 0.1)
+    out.foreach(_._4 should be < 0.01) // identical windows → no spread
+  }
+
   it should "emit NULL fit columns for a single-bucket channel instead of dropping it" in {
     val rows = Seq(("one", 473000L * Timeseries.BucketUs, 7.0))
     val out = Timeseries.olsForecast(mkTs(rows), horizon = 2).collect()
