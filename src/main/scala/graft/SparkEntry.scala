@@ -232,7 +232,9 @@ object SparkEntry {
     // Welch-averaged per-channel PSD over the bandpower windows
     "ts_welch" -> (Timeseries.tsWelch _),
     // cumulative top-N vocabulary token-coverage curve
-    "corpus_coverage" -> (TextAnalysis.corpusCoverage _)
+    "corpus_coverage" -> (TextAnalysis.corpusCoverage _),
+    // data-constrained token-budget allocation with epoch caps
+    "train_budget" -> (Curation.trainBudget _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -389,6 +391,7 @@ object SparkEntry {
     "train_curriculum" -> Curation.trainCurriculumSql,
     "mm_phash" -> Multimodal.mmPhashSql,
     "ts_welch" -> Timeseries.tsWelchSql,
-    "corpus_coverage" -> TextAnalysis.corpusCoverageSql
+    "corpus_coverage" -> TextAnalysis.corpusCoverageSql,
+    "train_budget" -> Curation.trainBudgetSql
   )
 }

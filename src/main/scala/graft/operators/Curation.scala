@@ -883,4 +883,88 @@ object Curation {
       |  ROUND(cuts[3], 6) AS cut_top
       |FROM w CROSS JOIN c
       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Token-budget allocation with epoch caps
+  // -------------------------------------------------------------------
+
+  /** Data-constrained token-budget allocation: temperature weights
+    * (n_tokens^α, the sample_temperature chain applied at TOKEN grain)
+    * split a fixed training budget across sources, and each source
+    * reports the epoch factor its allocation implies
+    * (allocated / available) plus the excess beyond a repeat cap —
+    * the planning report behind data-constrained scaling (Muennighoff
+    * et al., NeurIPS 2023: repeating data beyond ~4 epochs stops
+    * helping, so over-cap allocations should be re-balanced).
+    *
+    * Scale shape: per-doc word counts are a zero-shuffle projection;
+    * ONE source-grain partial agg carries (docs, tokens); the whole
+    * temperature/allocation chain runs at source cardinality (the only
+    * empty-partition window is over that source-cardinality relation —
+    * the sample_temperature precedent).
+    */
+  def budgetAllocation(
+    docs: DataFrame,
+    alpha: Double = 0.3,
+    budgetTokens: Long = 500000L,
+    maxEpochs: Double = 4.0
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 9)
+    docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("source"),
+        size(split(expr(TextAnalysis.NormSql), " ")).cast("long").as("__nw")
+      )
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("n_tokens"))
+      .withColumn("w_raw", round(exp(round(log(col("n_tokens")), 9) * lit(alpha)), 9))
+      .withColumn("__w_sum", sum(col("w_raw").cast(dec)).over(Window.partitionBy()).cast("double"))
+      .withColumn("weight", round(col("w_raw") / col("__w_sum"), 9))
+      .withColumn("alloc_tokens", round(col("weight") * lit(budgetTokens), 0).cast("long"))
+      .withColumn("epochs", round(col("alloc_tokens").cast("double") / col("n_tokens"), 6))
+      .withColumn(
+        "excess_tokens",
+        greatest(
+          round(col("alloc_tokens") - lit(maxEpochs) * col("n_tokens"), 0).cast("long"),
+          lit(0L)
+        )
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("weight"),
+        col("alloc_tokens"),
+        col("epochs"),
+        col("excess_tokens")
+      )
+  }
+
+  def trainBudget(spark: SparkSession, dir: String): DataFrame =
+    budgetAllocation(Tables.documents(spark, dir)).orderBy(col("source"))
+
+  /** Oracle: identical token counts, the sample_temperature transcendental
+    * chain at token grain, identical allocation/epoch arithmetic.
+    */
+  val trainBudgetSql: String =
+    """WITH w AS (
+      |  SELECT source,
+      |    CAST(len(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS nw
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT source, COUNT(*) AS n_docs, SUM(nw) AS n_tokens FROM w GROUP BY source),
+      |r AS (SELECT source, n_docs, n_tokens,
+      |  ROUND(EXP(ROUND(LN(n_tokens), 9) * 0.3), 9) AS w_raw FROM s),
+      |t AS (SELECT source, n_docs, n_tokens, w_raw,
+      |  CAST(SUM(CAST(w_raw AS DECIMAL(38,9))) OVER () AS DOUBLE) AS w_sum FROM r),
+      |a AS (
+      |  SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    ROUND(w_raw / w_sum, 9) AS weight,
+      |    CAST(ROUND(ROUND(w_raw / w_sum, 9) * 500000, 0) AS BIGINT) AS alloc_tokens
+      |  FROM t)
+      |SELECT source, n_docs, n_tokens, weight, alloc_tokens,
+      |  ROUND(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
+      |  GREATEST(CAST(ROUND(alloc_tokens - 4.0 * n_tokens, 0) AS BIGINT), 0) AS excess_tokens
+      |FROM a
+      |ORDER BY source""".stripMargin
 }

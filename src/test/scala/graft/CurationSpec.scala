@@ -253,6 +253,33 @@ class CurationSpec extends SparkSpec {
     )
   }
 
+  "budgetAllocation" should "allocate by token-grain temperature weights and flag over-cap epochs" in {
+    // source big: 1 doc × 8 words; source tiny: 1 doc × 2 words.
+    // α=0.3 flattens: big gets less than its 80% token share but more
+    // than 50%; the tiny source's allocation exceeds 4 epochs → excess
+    val docs = Seq(
+      (1L, "w w w w w w w w", "big"),
+      (2L, "w w", "tiny")
+    ).toDF("doc_id", "text", "source")
+    val rows = Curation
+      .budgetAllocation(docs, alpha = 0.3, budgetTokens = 100L, maxEpochs = 4.0)
+      .orderBy("source")
+      .collect()
+    val big = rows(0)
+    val tiny = rows(1)
+    big.getAs[Long]("n_tokens") shouldBe 8L
+    tiny.getAs[Long]("n_tokens") shouldBe 2L
+    val wBig = big.getAs[Double]("weight")
+    wBig should be > 0.5
+    wBig should be < 0.8
+    (wBig + tiny.getAs[Double]("weight")) shouldBe 1.0 +- 1e-6
+    // epochs = alloc / available, excess only beyond the 4-epoch cap
+    big.getAs[Double]("epochs") shouldBe big.getAs[Long]("alloc_tokens").toDouble / 8.0 +- 1e-6
+    tiny.getAs[Long]("alloc_tokens").toDouble should be > 8.0 // > 4 epochs × 2 tokens
+    tiny.getAs[Long]("excess_tokens") shouldBe tiny.getAs[Long]("alloc_tokens") - 8L
+    big.getAs[Long]("excess_tokens") shouldBe math.max(big.getAs[Long]("alloc_tokens") - 32L, 0L)
+  }
+
   it should "never plan a corpus-scale window or global sort for the staging" in {
     val docs = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
     val plan = Curation.curriculumStages(docs).queryExecution.executedPlan.toString
