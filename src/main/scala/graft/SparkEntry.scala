@@ -234,7 +234,13 @@ object SparkEntry {
     // cumulative top-N vocabulary token-coverage curve
     "corpus_coverage" -> (TextAnalysis.corpusCoverage _),
     // data-constrained token-budget allocation with epoch caps
-    "train_budget" -> (Curation.trainBudget _)
+    "train_budget" -> (Curation.trainBudget _),
+    // spectral entropy + flatness over the Welch harmonic powers
+    "ts_spectral_entropy" -> (Timeseries.tsSpectralEntropy _),
+    // image dup families: phash pair graph → CC with min-id survivors
+    "mm_phash_clusters" -> (Multimodal.mmPhashClusters _),
+    // deterministic Efraimidis-Spirakis weighted sample (md5 uniform)
+    "sample_weighted" -> (Curation.sampleWeighted _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -392,6 +398,9 @@ object SparkEntry {
     "mm_phash" -> Multimodal.mmPhashSql,
     "ts_welch" -> Timeseries.tsWelchSql,
     "corpus_coverage" -> TextAnalysis.corpusCoverageSql,
-    "train_budget" -> Curation.trainBudgetSql
+    "train_budget" -> Curation.trainBudgetSql,
+    "ts_spectral_entropy" -> Timeseries.tsSpectralEntropySql,
+    "mm_phash_clusters" -> Multimodal.mmPhashClustersSql,
+    "sample_weighted" -> Curation.sampleWeightedSql
   )
 }

@@ -941,6 +941,73 @@ object Curation {
       )
   }
 
+  // -------------------------------------------------------------------
+  // Deterministic weighted sampling
+  // -------------------------------------------------------------------
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006:
+    * draw u~U(0,1) per item, keep the top-m by key u^(1/w)) made fully
+    * DETERMINISTIC by deriving u from a salted md5 of the doc id — the
+    * standard curation move when a sample must favor long/high-quality
+    * documents yet stay reproducible across engines and reruns. Ranking
+    * uses ln(u)/w (monotone in the key, numerically tame).
+    *
+    * Scale shape: u/key are zero-shuffle projections; the top-m cut is
+    * orderBy+limit (TakeOrderedAndProject — each task keeps m rows, no
+    * global sort materializes); the rank window runs over the
+    * already-limited m rows.
+    */
+  def weightedSample(docs: DataFrame, m: Int = 50): DataFrame = {
+    // 60-bit md5 prefix → u in (0, 1]: (h+1) / 2^60 (2^60 is exactly
+    // representable, so the division is the same double in any engine)
+    val uSql =
+      "((cast(conv(substring(md5(concat('es:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) + 1)" +
+        " / 1152921504606846976.0)"
+    val keyed = docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(expr(TextAnalysis.NormSql), " ")).cast("long").as("n_words"),
+        expr(uSql).as("__u")
+      )
+      .filter(col("n_words") > 0)
+      .withColumn("key", round(log(col("__u")), 9) / col("n_words"))
+    val top = keyed.orderBy(col("key").desc, col("doc_id")).limit(m)
+    val byKey = Window.orderBy(col("key").desc, col("doc_id"))
+    top
+      .withColumn("rank", row_number().over(byKey).cast("long"))
+      .select(
+        col("rank"),
+        col("doc_id"),
+        col("source"),
+        col("n_words"),
+        round(col("key"), 9).as("key")
+      )
+  }
+
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir)).orderBy(col("rank"))
+
+  /** Oracle: identical salted-md5 uniform, identical round-9 ln chain,
+    * identical (key desc, doc_id) cut and rank.
+    */
+  val sampleWeightedSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_words,
+      |    (CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+      |      / 1152921504606846976.0 AS u
+      |  FROM documents WHERE text IS NOT NULL),
+      |k AS (
+      |  SELECT doc_id, source, n_words, ROUND(LN(u), 9) / n_words AS key
+      |  FROM w WHERE n_words > 0),
+      |top AS (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 50)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, source, n_words, ROUND(key, 9) AS key
+      |FROM top
+      |ORDER BY rank""".stripMargin
+
   def trainBudget(spark: SparkSession, dir: String): DataFrame =
     budgetAllocation(Tables.documents(spark, dir)).orderBy(col("source"))
 

@@ -580,14 +580,13 @@ object Multimodal {
       withPayloads(withPlantedExactCopies(Tables.documents(spark, dir)))
     ).orderBy(col("doc_a"), col("doc_b"))
 
-  /** aHash oracle: the strided 8×8 grid bytes recovered by hex-slicing
-    * exactly as resizeStub picks them (stride = max(nb // ol, 1), index
-    * min(i·stride, nb−1)), the same grid mean, the same bit>mean rule
-    * folded into four 16-bit words, and the identical counted-bucket
-    * banding + Hamming verify.
+  /** The phash pair pipeline as shared oracle CTEs (planted corpus →
+    * hex-sliced grid bytes → bands → counted buckets → Hamming-scored
+    * candidates in `scored`) — consumed by mmPhashSql and the cluster
+    * composition below.
     */
-  val mmPhashSql: String =
-    """WITH pc AS (
+  private val MmPhashPairCtes: String =
+    """pc AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
@@ -630,8 +629,49 @@ object Multimodal {
       |  SELECT doc_a, doc_b,
       |    CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) +
       |         bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3)) AS BIGINT) AS hamming
-      |  FROM cand JOIN hw x ON x.doc_id = cand.doc_a JOIN hw y ON y.doc_id = cand.doc_b)
-      |SELECT doc_a, doc_b, hamming FROM scored
-      |WHERE hamming <= 8
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  FROM cand JOIN hw x ON x.doc_id = cand.doc_a JOIN hw y ON y.doc_id = cand.doc_b)""".stripMargin
+
+  /** aHash oracle: the strided 8×8 grid bytes recovered by hex-slicing
+    * exactly as resizeStub picks them (stride = max(nb // ol, 1), index
+    * min(i·stride, nb−1)), the same grid mean, the same bit>mean rule
+    * folded into four 16-bit words, and the identical counted-bucket
+    * banding + Hamming verify.
+    */
+  val mmPhashSql: String =
+    s"""WITH $MmPhashPairCtes
+       |SELECT doc_a, doc_b, hamming FROM scored
+       |WHERE hamming <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Image duplicate groups end to end: the phash pair graph collapsed
+    * to connected components with min-id survivors — the actual
+    * "keep one thumbnail per family" decision a multimodal pipeline
+    * ships, sharing [[Dedup.clustersWithSurvivors]] (the proven
+    * O(diameter) min-label propagation) above the mm pair miner.
+    */
+  def mmPhashClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clustersWithSurvivors(
+      phashNearDups(
+        spark,
+        withPayloads(withPlantedExactCopies(Tables.documents(spark, dir)))
+      ).select(col("doc_a"), col("doc_b"))
+    ).orderBy(col("doc_id"))
+
+  /** Cluster oracle: the shared phash pair CTEs feeding the identical
+    * recursive transitive closure as dedupClustersSql.
+    */
+  val mmPhashClustersSql: String =
+    s"""WITH RECURSIVE $MmPhashPairCtes,
+       |vp AS (SELECT doc_a, doc_b FROM scored WHERE hamming <= 8),
+       |cedges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM vp
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM vp),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges) n
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN cedges e ON e.u = r.v)
+       |SELECT u AS doc_id, MIN(v) AS cluster, u = MIN(v) AS survivor
+       |FROM reach GROUP BY u
+       |ORDER BY doc_id""".stripMargin
 }

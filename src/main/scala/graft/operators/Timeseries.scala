@@ -2293,6 +2293,107 @@ object Timeseries {
       |FROM r
       |ORDER BY channel, k""".stripMargin
 
+  /** Spectral entropy + spectral flatness per channel over the
+    * Welch-averaged harmonic powers — the two standard one-number
+    * spectrum-shape summaries (Inouye et al. 1991 for EEG spectral
+    * entropy; flatness = geometric/arithmetic mean, the "Wiener
+    * entropy" tonality measure): entropy near ln(K) / flatness near 1
+    * = white-ish spectrum, near 0 = concentrated at one harmonic.
+    *
+    * Scale shape: composes on the welchPsd summary (channels × |ks|
+    * rows) — the per-channel total is a channel-grain agg BROADCAST
+    * back, p/ln projections are map-side, and the final agg runs at
+    * the same summary grain. The one sample-scale pass is bandPower's.
+    * Portability: both transcendentals round to 9 before entering the
+    * sums, terms sum through DECIMAL.
+    */
+  def spectralEntropy(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame = {
+    val psd = welchPsd(ts, windowUs, ks).select(col("channel"), col("k"), col("psd_mean"))
+    val tot = psd.groupBy(col("channel")).agg(sum(col("psd_mean").cast(dec2710)).as("__tot"))
+    psd
+      .join(broadcast(tot), "channel")
+      .withColumn(
+        "__p",
+        when(col("__tot").cast("double") > 0, col("psd_mean") / col("__tot").cast("double"))
+      )
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_harmonics"),
+        sum(
+          when(col("__p") > 0, -col("__p") * round(log(col("__p")), 9)).otherwise(lit(0.0)).cast(dec2710)
+        ).cast("double").as("__h"),
+        sum(when(col("psd_mean") > 0, round(log(col("psd_mean")), 9)).cast(dec2710))
+          .cast("double").as("__lsum"),
+        count(when(col("psd_mean") > 0, lit(1))).as("__npos"),
+        sum(col("psd_mean").cast(dec2710)).cast("double").as("__s")
+      )
+      .select(
+        col("channel"),
+        col("n_harmonics"),
+        round(col("__h"), 6).as("entropy"),
+        round(col("__h") / round(log(col("n_harmonics").cast("double")), 9), 6)
+          .as("entropy_norm"),
+        round(
+          when(
+            col("__npos") === col("n_harmonics"),
+            exp(col("__lsum") / col("n_harmonics")) / (col("__s") / col("n_harmonics"))
+          ).otherwise(lit(0.0)),
+          6
+        ).as("flatness")
+      )
+  }
+
+  def tsSpectralEntropy(spark: SparkSession, dir: String): DataFrame =
+    spectralEntropy(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("channel"))
+
+  /** Oracle: the Welch pipeline nested verbatim, identical round-9
+    * transcendentals, DECIMAL term sums, pinned flatness order.
+    */
+  val tsSpectralEntropySql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win, value AS v,
+      |    CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0 AS frac
+      |  FROM events),
+      |e AS (
+      |  SELECT channel, win, v, frac, ks.k AS k
+      |  FROM x CROSS JOIN (SELECT UNNEST(range(1, 5)) AS k) ks),
+      |a AS (
+      |  SELECT channel, win, k, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v * cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c,
+      |    CAST(SUM(CAST(v * sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s
+      |  FROM e GROUP BY 1, 2, 3),
+      |pw AS (
+      |  SELECT channel, win, k,
+      |    ROUND((c / n) * (c / n) + (s / n) * (s / n), 6) AS power
+      |  FROM a),
+      |r AS (
+      |  SELECT channel, k, COUNT(*) AS n_windows,
+      |    CAST(SUM(CAST(power AS DECIMAL(27,10))) AS DOUBLE) AS s1
+      |  FROM pw GROUP BY 1, 2),
+      |psd AS (SELECT channel, k, ROUND(s1 / n_windows, 6) AS psd_mean FROM r),
+      |tot AS (SELECT channel, SUM(CAST(psd_mean AS DECIMAL(27,10))) AS tot FROM psd GROUP BY 1),
+      |p AS (
+      |  SELECT psd.channel, psd.psd_mean,
+      |    CASE WHEN CAST(tot.tot AS DOUBLE) > 0
+      |         THEN psd.psd_mean / CAST(tot.tot AS DOUBLE) END AS pp
+      |  FROM psd JOIN tot ON tot.channel = psd.channel),
+      |agg AS (
+      |  SELECT channel, COUNT(*) AS n_harmonics,
+      |    CAST(SUM(CAST(CASE WHEN pp > 0 THEN -pp * ROUND(LN(pp), 9) ELSE 0.0 END AS DECIMAL(27,10))) AS DOUBLE) AS h,
+      |    CAST(SUM(CAST(CASE WHEN psd_mean > 0 THEN ROUND(LN(psd_mean), 9) END AS DECIMAL(27,10))) AS DOUBLE) AS lsum,
+      |    COUNT(CASE WHEN psd_mean > 0 THEN 1 END) AS npos,
+      |    CAST(SUM(CAST(psd_mean AS DECIMAL(27,10))) AS DOUBLE) AS sm
+      |  FROM p GROUP BY channel)
+      |SELECT channel, n_harmonics,
+      |  ROUND(h, 6) AS entropy,
+      |  ROUND(h / ROUND(LN(CAST(n_harmonics AS DOUBLE)), 9), 6) AS entropy_norm,
+      |  ROUND(CASE WHEN npos = n_harmonics
+      |        THEN EXP(lsum / n_harmonics) / (sm / n_harmonics) ELSE 0.0 END, 6) AS flatness
+      |FROM agg
+      |ORDER BY channel""".stripMargin
+
   def tsCoherence(spark: SparkSession, dir: String): DataFrame =
     spectralCoherence(Tables.ts(spark, dir), windowUs = 86400000000L)
       .orderBy(col("ch_a"), col("ch_b"), col("k"))

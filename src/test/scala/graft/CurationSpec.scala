@@ -253,6 +253,21 @@ class CurationSpec extends SparkSpec {
     )
   }
 
+  "weightedSample" should "deterministically favor heavy documents" in {
+    // 50 long (100 words) vs 50 short (2 words): ES keys ln(u)/w pull
+    // long docs toward 0, so the top-20 is dominated by them — and the
+    // md5-derived u makes the whole draw reproducible
+    val docs = (1L to 100L)
+      .map(i => (i, Seq.fill(if (i <= 50) 100 else 2)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val sel = Curation.weightedSample(docs, m = 20).collect()
+    sel.length shouldBe 20
+    sel.count(_.getAs[Long]("n_words") == 100L) should be >= 15
+    // bit-identical on re-execution
+    val again = Curation.weightedSample(docs, m = 20).collect()
+    sel.map(_.toString).toList shouldBe again.map(_.toString).toList
+  }
+
   "budgetAllocation" should "allocate by token-grain temperature weights and flag over-cap epochs" in {
     // source big: 1 doc × 8 words; source tiny: 1 doc × 2 words.
     // α=0.3 flattens: big gets less than its 80% token share but more

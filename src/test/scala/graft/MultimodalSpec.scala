@@ -135,6 +135,21 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.aHashBands(Array.fill[Byte](64)(7)).toList shouldBe List(0, 0, 0, 0)
   }
 
+  "mmPhashClusters" should "collapse each planted twin into its original's component" in {
+    val got = Multimodal
+      .mmPhashClusters(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    // every planted byte-identical twin (doc_id % 13 == 0 → +2e6) must
+    // share a component with its original
+    val planted = got.keys.filter(_ >= 2000000L)
+    planted should not be empty
+    planted.foreach { twin =>
+      got(twin) shouldBe got(twin - 2000000L)
+    }
+  }
+
   "phashNearDups" should "pair byte-identical payloads at hamming 0 and skip dissimilar ones" in {
     val docs = Seq(
       (1L, "a" * 32 + "z" * 32),

@@ -1052,7 +1052,27 @@ class TimeseriesSpec extends SparkSpec {
     out.foreach(_._4 should be < 0.01) // identical windows → no spread
   }
 
-  it should "emit NULL fit columns for a single-bucket channel instead of dropping it" in {
+  "spectralEntropy" should "go to zero on a pure tone and toward ln(K) on broadband data" in {
+    val winUs = 64000L
+    val tone = for (w <- 0 until 4; i <- 0 until 64) yield {
+      val t = w * winUs + i * 1000L
+      val frac = (t % winUs).toDouble / winUs
+      ("tone", t, 10.0 * math.cos(2 * 6.283185307179586 * frac))
+    }
+    // deterministic broadband-ish signal: power spread over harmonics
+    val noise = for (w <- 0 until 4; i <- 0 until 64) yield
+      ("mix", w * winUs + i * 1000L, ((i * 2654435761L) % 97).toDouble)
+    val out = Timeseries
+      .spectralEntropy(mkTs(tone ++ noise), windowUs = winUs)
+      .collect()
+      .map(r => r.getAs[String]("channel") -> (r.getAs[Double]("entropy_norm"), r.getAs[Double]("flatness")))
+      .toMap
+    out("tone")._1 should be < 0.2 // all mass at one harmonic
+    out("tone")._2 should be < 0.05
+    out("mix")._1 should be > 0.5 // spread spectrum
+  }
+
+  "olsForecast single-bucket" should "emit NULL fit columns instead of dropping the channel" in {
     val rows = Seq(("one", 473000L * Timeseries.BucketUs, 7.0))
     val out = Timeseries.olsForecast(mkTs(rows), horizon = 2).collect()
     out.length shouldBe 2
