@@ -240,7 +240,9 @@ object SparkEntry {
     // image dup families: phash pair graph → CC with min-id survivors
     "mm_phash_clusters" -> (Multimodal.mmPhashClusters _),
     // deterministic Efraimidis-Spirakis weighted sample (md5 uniform)
-    "sample_weighted" -> (Curation.sampleWeighted _)
+    "sample_weighted" -> (Curation.sampleWeighted _),
+    // indexed MIPS: norm-augmented LSH buckets + exact-dot rerank
+    "ann_mips_lsh" -> (Similarity.annMipsLsh _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -401,6 +403,7 @@ object SparkEntry {
     "train_budget" -> Curation.trainBudgetSql,
     "ts_spectral_entropy" -> Timeseries.tsSpectralEntropySql,
     "mm_phash_clusters" -> Multimodal.mmPhashClustersSql,
-    "sample_weighted" -> Curation.sampleWeightedSql
+    "sample_weighted" -> Curation.sampleWeightedSql,
+    "ann_mips_lsh" -> Similarity.annMipsLshSql
   )
 }

@@ -402,6 +402,106 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Bucket id over norm-AUGMENTED vectors: corpus rows carry the extra
+    * coordinate aug = sqrt(M² − ‖x‖²) (queries carry 0), so the
+    * (dim+1)-coordinate hyperplane signs bucket by MIPS-compatible
+    * angles — the Bachrach/Shrivastava-Li reduction the ann_mips
+    * docstring promises, wired into the same plane machinery.
+    */
+  private def augBucket(v: Column, aug: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        when(
+          VectorMath.dot(v, typedlit(p.init)) + aug * lit(p.last) > 0.0,
+          lit(1L << i)
+        ).otherwise(lit(0L))
+      }
+      .reduce(_ bitwiseOR _)
+
+  /** Indexed MIPS: norm-augmentation reduces max-inner-product to an
+    * angular problem, after which the LSH bucket/probe/rerank shape
+    * applies unchanged — candidates from the probed buckets rank by
+    * EXACT dot product, so the index only affects recall, never scores.
+    * Scale shape identical to lshTopK: corpus bucketed in one map-side
+    * pass (M is a 1-row broadcast), queries+probes broadcast, pairs
+    * form only inside shared buckets.
+    */
+  def mipsLshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(planes, dim + 1)
+    val c0 = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"))
+      .withColumn("__n2", VectorMath.dot(col("vc"), col("vc")))
+    val mrow = c0.agg(max(sqrt(col("__n2"))).as("__M"))
+    val c = c0
+      .crossJoin(broadcast(mrow))
+      .withColumn("__aug", sqrt(greatest(col("__M") * col("__M") - col("__n2"), lit(0.0))))
+      .withColumn("bucket", augBucket(col("vc"), col("__aug"), hp))
+    val q0 = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("vq"))
+      .withColumn("__b0", augBucket(col("vq"), lit(0.0), hp))
+    val probes = col("__b0") +: (0 until planes).map(p => col("__b0").bitwiseXOR(lit(1L << p)))
+    val q = q0.select(col("query_id"), col("vq"), explode(array(probes: _*)).as("bucket"))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", VectorMath.dot(col("vq"), col("vc")))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("score"), 6).as("score")
+      )
+  }
+
+  def annMipsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mipsLshTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: identical augmented-plane literals, identical aug chain
+    * (MAX norm → SQRT(GREATEST(M²−‖x‖², 0))), identical probe set and
+    * exact-dot rerank.
+    */
+  val annMipsLshSql: String = {
+    val planes = 4
+    val hp = hyperplanes(planes, 65)
+    def bucketExpr(v: String, aug: String): String =
+      hp.zipWithIndex
+        .map { case (p, i) =>
+          val prefix = p.init.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product($v, $prefix) + $aug * ${p.last} > 0.0 THEN ${1L << i} ELSE 0 END)"
+        }
+        .mkString("(", " + ", ")") // bits are disjoint: + == OR
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+       |  FROM embeddings),
+       |mm AS (SELECT MAX(SQRT(n2)) AS m FROM n),
+       |c AS (
+       |  SELECT vec_id AS neighbor_id, v,
+       |    ${bucketExpr("v", "SQRT(GREATEST(mm.m * mm.m - n2, 0.0))")} AS bucket
+       |  FROM n CROSS JOIN mm),
+       |q0 AS (SELECT vec_id AS query_id, v AS vq, ${bucketExpr("v", "0.0")} AS b0
+       |       FROM n WHERE vec_id < $QueryCount),
+       |q AS (SELECT query_id, vq,
+       |        UNNEST([b0${(0 until planes).map(p => s", xor(b0, ${1L << p})").mkString}]) AS bucket
+       |      FROM q0),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         list_dot_product(q.vq, c.v) AS score_raw
+       |  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score_raw,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_raw DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(score_raw, 6) AS score
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // planes sized for the testdata corpus density (2^4 buckets);

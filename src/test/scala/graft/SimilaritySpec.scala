@@ -508,6 +508,36 @@ class SimilaritySpec extends SparkSpec {
     cWords should contain(topWord.getAs[String]("word"))
   }
 
+  "mipsLshTopK" should "recover exact-MIPS top-1s through the augmented index" in {
+    // same ~0.5 multiprobe expectation as the cosine LSH spec — the
+    // augmentation preserves angles between lifted vectors, so the
+    // probe recall math carries over; 0.25 leaves ~3σ headroom
+    val exactAll = Similarity
+      .mipsTopK(emb, emb, 1)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val idx = Similarity
+      .mipsLshTopK(emb, emb, 5)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val hits = exactAll.count { case (q, top1) => idx.getOrElse(q, Set.empty).contains(top1) }
+    hits.toDouble / exactAll.size should be >= 0.25
+    // scores that DO surface are the exact dots — spot-check one pair
+    val one = Similarity.mipsLshTopK(emb, emb.filter($"vec_id" === 0L), 1).collect().head
+    val exactScore = Similarity
+      .mipsTopK(emb, emb.filter($"vec_id" === 0L), Similarity.QueryCount * 10)
+      .filter($"neighbor_id" === one.getAs[Long]("neighbor_id"))
+      .collect()
+      .head
+      .getAs[Double]("score")
+    one.getAs[Double]("score") shouldBe exactScore +- 1e-9
+  }
+
   "mipsTopK" should "rank by raw inner product where cosine would rank the other way" in {
     // query 0 = (1,0). Candidate 1 = (5,5): cosine 0.707 but dot 5.
     // Candidate 2 = (0.99,0): cosine 1.0 but dot 0.99. MIPS must put

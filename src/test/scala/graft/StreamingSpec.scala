@@ -611,6 +611,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "StreamingSessions.sessions" should "emit exactly the batch-closed sessions on any carving" in {
+    import graft.streaming.StreamingSessions
+    implicit val sqlCtx = spark.sqlContext
+
+    // two users, two real sessions each (gap 5000), plus a sentinel
+    // arrival that closes the second session and stays open itself
+    val data = for {
+      u <- Seq(1L, 2L)
+      t <- (0L until 10000L by 1000L) ++ (20000L to 24000L by 1000L) ++ Seq(100000L + u)
+    } yield (u, t)
+
+    val batchDf = data.zipWithIndex
+      .map { case ((u, t), i) => (u, t, i.toLong) }
+      .toDF("user_id", "t", "event_id")
+    val batch = graft.operators.Timeseries
+      .sessionize(batchDf, gapUs = 5000L)
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"t").as("start"), max($"t").as("end"), count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the stream can only report sessions a later arrival has CLOSED
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filterNot { case (u, sid, _, _, _) => lastPerUser(u) == sid }.toSet
+    expected.size shouldBe 4 // two closed sessions per user
+
+    for (split <- Seq(Seq(data.size), Seq(5, 17, data.size), Seq(1, 2, 3, data.size))) {
+      val mem = MemoryStream[(Long, Long)]
+      val out = StreamingSessions.sessions(spark, mem.toDF().toDF("user_id", "t"), gapUs = 5000L)
+      val name = s"sessions_${split.mkString("_")}"
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var prev = 0
+        split.distinct.foreach { end =>
+          mem.addData(data.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val got = spark
+          .table(name)
+          .select("user_id", "session_id", "start", "end", "n_events")
+          .as[(Long, Long, Long, Long, Long)]
+          .collect()
+          .toSet
+        withClue(s"split $split:") { got shouldBe expected }
+      } finally q.stop()
+    }
+  }
+
   "StreamingEnrich.annotate" should "join live samples to covering spans across micro-batches" in {
     import graft.streaming.StreamingEnrich
     implicit val sqlCtx = spark.sqlContext
