@@ -242,7 +242,11 @@ object SparkEntry {
     // deterministic Efraimidis-Spirakis weighted sample (md5 uniform)
     "sample_weighted" -> (Curation.sampleWeighted _),
     // indexed MIPS: norm-augmented LSH buckets + exact-dot rerank
-    "ann_mips_lsh" -> (Similarity.annMipsLsh _)
+    "ann_mips_lsh" -> (Similarity.annMipsLsh _),
+    // LTTB shape-preserving render downsample (parallel variant)
+    "ts_lttb" -> (Timeseries.tsLttb _),
+    // inter-arrival mean/CV/burstiness per channel (stitched lag)
+    "ts_arrival_stats" -> (Timeseries.tsArrivalStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -404,6 +408,8 @@ object SparkEntry {
     "ts_spectral_entropy" -> Timeseries.tsSpectralEntropySql,
     "mm_phash_clusters" -> Multimodal.mmPhashClustersSql,
     "sample_weighted" -> Curation.sampleWeightedSql,
-    "ann_mips_lsh" -> Similarity.annMipsLshSql
+    "ann_mips_lsh" -> Similarity.annMipsLshSql,
+    "ts_lttb" -> Timeseries.tsLttbSql,
+    "ts_arrival_stats" -> Timeseries.tsArrivalStatsSql
   )
 }

@@ -3310,4 +3310,177 @@ object Timeseries {
        |  ROUND(a0 + slope * (bmax + h - $ForecastX0), 6) AS yhat
        |FROM a CROSS JOIN (SELECT UNNEST(range(1, $ForecastHorizon + 1)) AS h) hs
        |ORDER BY channel, h""".stripMargin
+
+  // -------------------------------------------------------------------
+  // LTTB visualization downsample
+  // -------------------------------------------------------------------
+
+  /** Largest-Triangle-Three-Buckets downsample, parallel variant: one
+    * representative point per (channel, bucket), chosen to maximize the
+    * triangle area against the NEIGHBOR BUCKET MEANS (the standard
+    * parallelizable relaxation of Steinarsson 2013's sequential LTTB,
+    * whose exact form chains each choice to the previous selected
+    * point — an IIR-style recursion); first/last buckets keep their
+    * endpoint samples as LTTB does. This is the shape-preserving
+    * render downsampler the reference's pixel pipeline calls for when
+    * min/max envelopes are too coarse (reference render path:
+    * query/BaseTimeSeriesQuery.scala:58-96).
+    *
+    * Scale shape: the bucket-mean grid is ONE partial agg; neighbor
+    * means come from a per-channel window over that SUMMARY relation
+    * (the __pb_ convention — never the data stream), broadcast back
+    * onto the samples by (channel, bucket) key; the per-bucket argmax
+    * is a window on the (channel, bucket) key — finer than channel, so
+    * a hot channel still splits across tasks.
+    */
+  def lttbDownsample(ts: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val s = withTieBreak(ts).withColumn("__bkt", microsBucket(col("t"), bucketUs))
+    val means = s
+      .groupBy(col("channel"), col("__bkt"))
+      .agg(detAvg(col("v")).as("__m"))
+    val wCh = Window.partitionBy(col("channel")).orderBy(col("__bkt"))
+    val nb = means.select(
+      col("channel"),
+      col("__bkt"),
+      lag(col("__bkt"), 1).over(wCh).as("__pb_pb"),
+      lag(col("__m"), 1).over(wCh).as("__pb_pm"),
+      lead(col("__bkt"), 1).over(wCh).as("__pb_nb"),
+      lead(col("__m"), 1).over(wCh).as("__pb_nm")
+    )
+    val joined = s.join(broadcast(nb), Seq("channel", "__bkt"))
+    // triangle area vs (prev bucket center, prev mean) and (next bucket
+    // center, next mean); µs bucket centers keep everything integer-ish
+    val xp = (col("__pb_pb").cast("double") + 0.5) * bucketUs
+    val xn = (col("__pb_nb").cast("double") + 0.5) * bucketUs
+    val x = col("t").cast("double")
+    val area = abs(
+      (xp - xn) * (col("v") - col("__pb_pm")) - (xp - x) * (col("__pb_nm") - col("__pb_pm"))
+    )
+    val key = when(col("__pb_pb").isNull, -col("t").cast("double"))
+      .when(col("__pb_nb").isNull, col("t").cast("double"))
+      .otherwise(area)
+    val wPick = Window
+      .partitionBy(col("channel"), col("__bkt"))
+      .orderBy(col("__key").desc, col("t"), col("event_id"))
+    joined
+      .withColumn("__key", key)
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col("channel"), col("__bkt").as("bucket"), col("t"), col("v"))
+  }
+
+  def tsLttb(spark: SparkSession, dir: String): DataFrame =
+    lttbDownsample(Tables.ts(spark, dir))
+      .orderBy(col("channel"), col("bucket"))
+
+  /** Oracle: identical bucket means, neighbor window, area expression
+    * order, and (key desc, t, event_id) pick.
+    */
+  val tsLttbSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS channel, epoch_us(ts) AS t, value AS v, event_id,
+       |    CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bkt
+       |  FROM events),
+       |m AS (
+       |  SELECT channel, bkt,
+       |    CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM e GROUP BY 1, 2),
+       |nb AS (
+       |  SELECT channel, bkt,
+       |    LAG(bkt) OVER w AS pb, LAG(m) OVER w AS pm,
+       |    LEAD(bkt) OVER w AS nbk, LEAD(m) OVER w AS nm
+       |  FROM m WINDOW w AS (PARTITION BY channel ORDER BY bkt)),
+       |j AS (
+       |  SELECT e.channel, e.bkt, e.t, e.v, e.event_id, nb.pb, nb.pm, nb.nbk, nb.nm,
+       |    ABS(((CAST(nb.pb AS DOUBLE) + 0.5) * $BucketUs - (CAST(nb.nbk AS DOUBLE) + 0.5) * $BucketUs) * (e.v - nb.pm)
+       |      - ((CAST(nb.pb AS DOUBLE) + 0.5) * $BucketUs - CAST(e.t AS DOUBLE)) * (nb.nm - nb.pm)) AS area
+       |  FROM e JOIN nb ON nb.channel = e.channel AND nb.bkt = e.bkt),
+       |k AS (
+       |  SELECT channel, bkt, t, v, event_id,
+       |    CASE WHEN pb IS NULL THEN -CAST(t AS DOUBLE)
+       |         WHEN nbk IS NULL THEN CAST(t AS DOUBLE)
+       |         ELSE area END AS key
+       |  FROM j),
+       |picked AS (
+       |  SELECT channel, bkt, t, v,
+       |    ROW_NUMBER() OVER (PARTITION BY channel, bkt ORDER BY key DESC, t, event_id) AS rn
+       |  FROM k)
+       |SELECT channel, bkt AS bucket, t, v FROM picked WHERE rn = 1
+       |ORDER BY channel, bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Inter-arrival statistics
+  // -------------------------------------------------------------------
+
+  /** Per-channel inter-arrival-time statistics: mean/std/CV of the
+    * gaps between consecutive samples plus the Goh–Barabási burstiness
+    * B = (σ−μ)/(σ+μ) (Goh & Barabási 2008, EPL 81: B→−1 periodic,
+    * B→0 Poisson, B→1 bursty) — the signal-health triage that tells a
+    * regular-rate channel from an event-driven one before any
+    * resampling decision.
+    *
+    * Scale shape: gaps come from the stitched two-phase lag (no
+    * channel-alone window over the data stream), then ONE algebraic
+    * DECIMAL-moment agg to channel grain.
+    */
+  def arrivalStats(ts: DataFrame, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    val withPrev = withStitchedPrev(withTieBreak(ts), Seq("t"), stitchBucketUs, Seq("event_id"))
+    val gaps = withPrev
+      .filter(col("__prev_t").isNotNull)
+      .select(col("channel"), (col("t") - col("__prev_t")).cast("double").as("__dt"))
+    // gap² reaches ~e17 µs² — beyond DECIMAL(27,10)'s 17 integer
+    // digits once summed; (38,10) holds Σdt² for any realistic stream
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    gaps
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        detSum(col("__dt")).as("__s1"),
+        sum((col("__dt") * col("__dt")).cast(dec3810)).cast("double").as("__s2")
+      )
+      .withColumn("__mu", col("__s1") / col("n_gaps"))
+      .withColumn(
+        "__sig",
+        sqrt(greatest(col("__s2") / col("n_gaps") - col("__mu") * col("__mu"), lit(0.0)))
+      )
+      .select(
+        col("channel"),
+        col("n_gaps"),
+        round(col("__mu"), 6).as("mean_gap_us"),
+        round(col("__sig"), 6).as("std_gap_us"),
+        round(col("__sig") / col("__mu"), 6).as("cv"),
+        round((col("__sig") - col("__mu")) / (col("__sig") + col("__mu")), 6).as("burstiness")
+      )
+  }
+
+  def tsArrivalStats(spark: SparkSession, dir: String): DataFrame =
+    arrivalStats(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** Oracle: sequential LAG gaps (the stitched lag's exact semantics),
+    * identical DECIMAL moments and pinned double chain.
+    */
+  val tsArrivalStatsSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS channel, epoch_us(ts) AS t, event_id FROM events),
+      |g AS (
+      |  SELECT channel,
+      |    CAST(t - LAG(t) OVER (PARTITION BY channel ORDER BY t, event_id) AS DOUBLE) AS dt
+      |  FROM e),
+      |s AS (
+      |  SELECT channel, COUNT(*) AS n_gaps,
+      |    CAST(SUM(CAST(dt AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(dt * dt AS DECIMAL(38,10))) AS DOUBLE) AS s2
+      |  FROM g WHERE dt IS NOT NULL
+      |  GROUP BY 1),
+      |d AS (
+      |  SELECT channel, n_gaps, s1 / n_gaps AS mu,
+      |    SQRT(GREATEST(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps), 0.0)) AS sig
+      |  FROM s)
+      |SELECT channel, n_gaps,
+      |  ROUND(mu, 6) AS mean_gap_us,
+      |  ROUND(sig, 6) AS std_gap_us,
+      |  ROUND(sig / mu, 6) AS cv,
+      |  ROUND((sig - mu) / (sig + mu), 6) AS burstiness
+      |FROM d
+      |ORDER BY channel""".stripMargin
 }

@@ -218,7 +218,9 @@ class PlanSpec extends SparkSpec {
       "ts_shift" -> Timeseries.tsShift(spark, sfDir),
       "ts_fir" -> Timeseries.tsFir(spark, sfDir),
       "ts_annotations" -> Timeseries.tsAnnotations(spark, sfDir),
-      "ts_hampel" -> Timeseries.tsHampel(spark, sfDir)
+      "ts_hampel" -> Timeseries.tsHampel(spark, sfDir),
+      "ts_lttb" -> Timeseries.tsLttb(spark, sfDir),
+      "ts_arrival_stats" -> Timeseries.tsArrivalStats(spark, sfDir)
     )
     plans.foreach { case (name, df) =>
       val windows = df.queryExecution.optimizedPlan.collect {

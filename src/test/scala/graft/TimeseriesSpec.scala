@@ -1072,6 +1072,42 @@ class TimeseriesSpec extends SparkSpec {
     out("mix")._1 should be > 0.5 // spread spectrum
   }
 
+  "lttbDownsample" should "keep endpoints and the max-area spike per bucket" in {
+    // bucket 0: first bucket keeps its FIRST sample; bucket 2 (last)
+    // keeps its LAST; bucket 1 must keep the spike at t=1400 (hand
+    // computation: areas 5500 / 14100 / 6100)
+    val rows = Seq(
+      ("ch", 0L, 0.0), ("ch", 500L, 5.0),
+      ("ch", 1000L, 0.0), ("ch", 1400L, 10.0), ("ch", 1600L, 0.0),
+      ("ch", 2000L, 0.0), ("ch", 2500L, 7.0)
+    )
+    val got = Timeseries
+      .lttbDownsample(mkTs(rows), bucketUs = 1000L)
+      .orderBy("bucket")
+      .select("bucket", "t", "v")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toList
+    got shouldBe List((0L, 0L, 0.0), (1L, 1400L, 10.0), (2L, 2500L, 7.0))
+  }
+
+  "arrivalStats" should "report B = -1 for a periodic channel and positive B for a bursty one" in {
+    val periodic = (0L until 50L).map(i => ("per", i * 1000L, 1.0))
+    // bursts of tiny gaps separated by huge ones
+    val bursty = Seq(0L, 1L, 2L, 3L, 4L, 10000L, 10001L, 10002L, 10003L, 20000L)
+      .map(t => ("bur", t, 1.0))
+    val out = Timeseries
+      .arrivalStats(mkTs(periodic ++ bursty))
+      .collect()
+      .map(r => r.getAs[String]("channel") -> r)
+      .toMap
+    out("per").getAs[Double]("std_gap_us") shouldBe 0.0
+    out("per").getAs[Double]("burstiness") shouldBe -1.0
+    out("per").getAs[Long]("n_gaps") shouldBe 49L
+    out("bur").getAs[Double]("burstiness") should be > 0.2
+    out("bur").getAs[Double]("cv") should be > 1.0
+  }
+
   "olsForecast single-bucket" should "emit NULL fit columns instead of dropping the channel" in {
     val rows = Seq(("one", 473000L * Timeseries.BucketUs, 7.0))
     val out = Timeseries.olsForecast(mkTs(rows), horizon = 2).collect()
