@@ -246,7 +246,9 @@ object SparkEntry {
     // LTTB shape-preserving render downsample (parallel variant)
     "ts_lttb" -> (Timeseries.tsLttb _),
     // inter-arrival mean/CV/burstiness per channel (stitched lag)
-    "ts_arrival_stats" -> (Timeseries.tsArrivalStats _)
+    "ts_arrival_stats" -> (Timeseries.tsArrivalStats _),
+    // LSH S-curve calibration vs the empirical candidate histogram
+    "dedup_tuning" -> (Dedup.dedupTuning _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -410,6 +412,7 @@ object SparkEntry {
     "sample_weighted" -> Curation.sampleWeightedSql,
     "ann_mips_lsh" -> Similarity.annMipsLshSql,
     "ts_lttb" -> Timeseries.tsLttbSql,
-    "ts_arrival_stats" -> Timeseries.tsArrivalStatsSql
+    "ts_arrival_stats" -> Timeseries.tsArrivalStatsSql,
+    "dedup_tuning" -> Dedup.dedupTuningSql
   )
 }

@@ -285,14 +285,14 @@ object Dedup {
       )
   }
 
-  /** Verified near-dup pairs: LSH candidates whose exact shingle-set
-    * Jaccard >= tau.
+  /** The full candidate relation with exact Jaccard, BEFORE the τ cut —
+    * the verified-pair miner minus its last filter, shared by
+    * [[minhashNearDups]] and the lshTuningCurve calibration report.
     */
-  def minhashNearDups(
+  def minhashJaccard(
     docs: DataFrame,
     w: Int = 3,
     bands: Int = 16,
-    tau: Double = 0.5,
     maxBucketSize: Int = 64
   ): DataFrame = {
     val docsSel = docs.select(col("doc_id"), col("text"))
@@ -312,9 +312,78 @@ object Dedup {
       .join(candidateIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(shingles(w)).as("shingle"))
     setJaccard(pairs, shVerify, "shingle", sigs.select(col("doc_id"), col("n")))
+  }
+
+  /** Verified near-dup pairs: LSH candidates whose exact shingle-set
+    * Jaccard >= tau.
+    */
+  def minhashNearDups(
+    docs: DataFrame,
+    w: Int = 3,
+    bands: Int = 16,
+    tau: Double = 0.5,
+    maxBucketSize: Int = 64
+  ): DataFrame =
+    minhashJaccard(docs, w, bands, maxBucketSize)
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** LSH index-tuning calibration: the theoretical banding S-curve
+    * P(candidate | j) = 1 − (1 − j^r)^b for the configured (b, r)
+    * against the EMPIRICAL similarity histogram of the candidates the
+    * index actually surfaced — the report that says whether the band
+    * threshold sits where the τ cut needs it (Mining of Massive
+    * Datasets §3.4's curve, computed instead of eyeballed).
+    *
+    * Scale shape: the mining pipeline is the existing bucketed miner;
+    * the histogram is ONE pair-scale partial agg to 20 bins; the grid
+    * and theory curve are a 20-row generated relation.
+    */
+  def lshTuningCurve(docs: DataFrame, w: Int = 3, bands: Int = 16): DataFrame = {
+    val r = MinhashSeeds / bands
+    val jac = minhashJaccard(docs, w, bands)
+    val emp = jac
+      .select(floor(col("jaccard") / 0.05).cast("long").as("bin"), col("jaccard"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_cand_pairs"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_verified")
+      )
+    val jMid = col("bin") / 20.0 + 0.025
+    docs.sparkSession
+      .range(0, 20)
+      .select(col("id").as("bin"))
+      .join(emp, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        round(col("bin") / 20.0, 3).as("j_lo"),
+        round(lit(1.0) - pow(lit(1.0) - pow(jMid, r.toDouble), bands.toDouble), 6).as("p_theory"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified")
+      )
   }
+
+  def dedupTuning(spark: SparkSession, dir: String): DataFrame =
+    lshTuningCurve(withPlantedNearDups(Tables.documents(spark, dir)))
+      .orderBy(col("bin"))
+
+  /** Tuning oracle: the shared pipeline's pre-τ jac relation binned
+    * identically, the same POWER chain rounded to 6. Lazy:
+    * MinhashPipelineCtes is declared further down the file.
+    */
+  lazy val dedupTuningSql: String =
+    s"""WITH $MinhashPipelineCtes,
+       |emp AS (
+       |  SELECT CAST(FLOOR(j / 0.05) AS BIGINT) AS bin, COUNT(*) AS n_cand_pairs,
+       |    CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+       |  FROM jac GROUP BY 1),
+       |grid AS (SELECT CAST(UNNEST(range(0, 20)) AS BIGINT) AS bin)
+       |SELECT g.bin, ROUND(g.bin / 20.0, 3) AS j_lo,
+       |  ROUND(1.0 - POWER(1.0 - POWER(g.bin / 20.0 + 0.025, ${MinhashSeeds / 16}), 16), 6) AS p_theory,
+       |  COALESCE(e.n_cand_pairs, 0) AS n_cand_pairs,
+       |  COALESCE(e.n_verified, 0) AS n_verified
+       |FROM grid g LEFT JOIN emp e ON e.bin = g.bin
+       |ORDER BY g.bin""".stripMargin
 
   /** Per-document duplicated-SPAN statistics (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" — the

@@ -387,6 +387,24 @@ class DedupSpec extends SparkSpec {
     bloom.length should be < (1 << 16) / 8 + 64
   }
 
+  "lshTuningCurve" should "trace a monotone S-curve consistent with the mined histogram" in {
+    val rows = Dedup
+      .dedupTuning(spark, sfDir)
+      .orderBy("bin")
+      .collect()
+    rows.length shouldBe 20
+    val ps = rows.map(_.getAs[Double]("p_theory"))
+    ps.zip(ps.tail).foreach { case (a, b) => b should be >= a } // monotone
+    ps.head should be < 0.001 // j≈0.025: virtually never a candidate
+    ps.last should be > 0.999 // j≈0.975: virtually always
+    rows.foreach { r =>
+      r.getAs[Long]("n_verified") should be <= r.getAs[Long]("n_cand_pairs")
+      if (r.getAs[Long]("bin") < 10) r.getAs[Long]("n_verified") shouldBe 0L
+    }
+    // the planted mirrors guarantee mined mass above the τ bin
+    rows.filter(_.getAs[Long]("bin") >= 10).map(_.getAs[Long]("n_verified")).sum should be > 0L
+  }
+
   "triangleStats" should "count triangles once per node and derive the clustering coefficient" in {
     // triangle {1,2,3} plus a pendant edge 3-4
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
