@@ -248,7 +248,9 @@ object SparkEntry {
     // inter-arrival mean/CV/burstiness per channel (stitched lag)
     "ts_arrival_stats" -> (Timeseries.tsArrivalStats _),
     // LSH S-curve calibration vs the empirical candidate histogram
-    "dedup_tuning" -> (Dedup.dedupTuning _)
+    "dedup_tuning" -> (Dedup.dedupTuning _),
+    // point-in-span join: samples × annotation islands, bucket equi-key
+    "ts_span_join" -> (Timeseries.tsSpanJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -413,6 +415,7 @@ object SparkEntry {
     "ann_mips_lsh" -> Similarity.annMipsLshSql,
     "ts_lttb" -> Timeseries.tsLttbSql,
     "ts_arrival_stats" -> Timeseries.tsArrivalStatsSql,
-    "dedup_tuning" -> Dedup.dedupTuningSql
+    "dedup_tuning" -> Dedup.dedupTuningSql,
+    "ts_span_join" -> Timeseries.tsSpanJoinSql
   )
 }

@@ -3483,4 +3483,74 @@ object Timeseries {
       |  ROUND((sig - mu) / (sig + mu), 6) AS burstiness
       |FROM d
       |ORDER BY channel""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Point-in-span annotation join
+  // -------------------------------------------------------------------
+
+  /** Point-in-span join: every sample of every channel joined to the
+    * annotation spans covering its timestamp, rolled up to a per
+    * (channel, span) report — the batch twin of StreamingEnrich's
+    * interval join and the reference's "what happened during this
+    * annotation" view (server/SegmentService.scala span semantics).
+    *
+    * Scale shape: a naive `t BETWEEN s AND e` join is a
+    * BroadcastNestedLoopJoin over the WHOLE stream; here each span
+    * (annotation-scale relation) is EXPLODED to the hourly buckets it
+    * covers and broadcast, so the sample side joins on the bucket
+    * EQUI-key with only a residual range filter — the standard Spark
+    * range-join bucketing trick, and the join parallelism follows the
+    * sample partitioning.
+    */
+  def spanJoin(ts: DataFrame, spans: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val sb = spans.select(
+      col("island"),
+      col("s"),
+      col("e"),
+      explode(
+        sequence(
+          floor(col("s") / lit(bucketUs)).cast("long"),
+          floor(col("e") / lit(bucketUs)).cast("long")
+        )
+      ).as("__bkt")
+    )
+    ts.withColumn("__bkt", microsBucket(col("t"), bucketUs))
+      .join(broadcast(sb), Seq("__bkt"))
+      .filter(col("t") >= col("s") && col("t") <= col("e"))
+      .groupBy(col("channel"), col("island"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        round(detAvg(col("v")), 6).as("mean_v"),
+        min(col("s")).as("span_start"),
+        max(col("e")).as("span_end")
+      )
+  }
+
+  def tsSpanJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Tables.ts(spark, dir)
+    val spans = mergeAnnotationSpans(
+      ts.filter(col("channel") === "error")
+        .select(
+          col("channel"),
+          col("t").as("s"),
+          (col("t") + floor(col("v") * lit(60000000.0)).cast("long")).as("e")
+        )
+    ).select(col("island"), col("span_start").as("s"), col("span_end").as("e"))
+    spanJoin(ts, spans).orderBy(col("channel"), col("island"))
+  }
+
+  /** Oracle: the annotation-island pipeline nested verbatim, then the
+    * BETWEEN join + per-(channel, island) rollup.
+    */
+  val tsSpanJoinSql: String =
+    s"""WITH ann AS ($tsAnnotationsSql),
+       |ev AS (SELECT event_type AS channel, epoch_us(ts) AS t, value AS v FROM events),
+       |j AS (
+       |  SELECT ev.channel, a.island, ev.v, a.span_start, a.span_end
+       |  FROM ev JOIN ann a ON ev.t >= a.span_start AND ev.t <= a.span_end)
+       |SELECT channel, island, COUNT(*) AS n_samples,
+       |  ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS mean_v,
+       |  MIN(span_start) AS span_start, MAX(span_end) AS span_end
+       |FROM j GROUP BY 1, 2
+       |ORDER BY channel, island""".stripMargin
 }

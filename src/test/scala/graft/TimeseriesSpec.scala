@@ -1108,6 +1108,29 @@ class TimeseriesSpec extends SparkSpec {
     out("bur").getAs[Double]("cv") should be > 1.0
   }
 
+  "spanJoin" should "attach exactly the covering span and stay an equi-join" in {
+    val ts = mkTs(
+      Seq(
+        ("a", 10L, 1.0), ("a", 15L, 3.0), ("a", 25L, 100.0), // 25 outside
+        ("b", 105L, 7.0), ("b", 99L, 100.0) // 99 outside
+      )
+    )
+    val spans = Seq((1L, 10L, 20L), (2L, 100L, 110L)).toDF("island", "s", "e")
+    val df = Timeseries.spanJoin(ts, spans, bucketUs = 100L)
+    val got = df
+      .orderBy("channel", "island")
+      .select("channel", "island", "n_samples", "mean_v")
+      .as[(String, Long, Long, Double)]
+      .collect()
+      .toList
+    got shouldBe List(("a", 1L, 2L, 2.0), ("b", 2L, 1L, 7.0))
+    // the range join must compile to a bucket-keyed HASH join, never a
+    // nested loop over the sample stream
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   "olsForecast single-bucket" should "emit NULL fit columns instead of dropping the channel" in {
     val rows = Seq(("one", 473000L * Timeseries.BucketUs, 7.0))
     val out = Timeseries.olsForecast(mkTs(rows), horizon = 2).collect()
