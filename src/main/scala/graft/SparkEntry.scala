@@ -250,7 +250,9 @@ object SparkEntry {
     // LSH S-curve calibration vs the empirical candidate histogram
     "dedup_tuning" -> (Dedup.dedupTuning _),
     // point-in-span join: samples × annotation islands, bucket equi-key
-    "ts_span_join" -> (Timeseries.tsSpanJoin _)
+    "ts_span_join" -> (Timeseries.tsSpanJoin _),
+    // M4 pixel-perfect render reduction (first/last/min/max per bucket)
+    "ts_m4" -> (Timeseries.tsM4 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,6 +418,7 @@ object SparkEntry {
     "ts_lttb" -> Timeseries.tsLttbSql,
     "ts_arrival_stats" -> Timeseries.tsArrivalStatsSql,
     "dedup_tuning" -> Dedup.dedupTuningSql,
-    "ts_span_join" -> Timeseries.tsSpanJoinSql
+    "ts_span_join" -> Timeseries.tsSpanJoinSql,
+    "ts_m4" -> Timeseries.tsM4Sql
   )
 }

@@ -3485,6 +3485,75 @@ object Timeseries {
       |ORDER BY channel""".stripMargin
 
   // -------------------------------------------------------------------
+  // M4 visualization downsample
+  // -------------------------------------------------------------------
+
+  /** M4 downsample (Jugel et al., VLDB 2014): per pixel bucket the
+    * FIRST, LAST, MIN and MAX points — the four samples that make a
+    * line rendering of the reduced series pixel-identical to the full
+    * one. Complements the min/max envelope (ts_downsample) and LTTB
+    * (ts_lttb) as the third standard render reduction of the
+    * reference's pixel pipeline (query/BaseTimeSeriesQuery.scala:58-96).
+    *
+    * Scale shape: ONE (channel, bucket)-keyed partial aggregation —
+    * every extremum is a lexicographic struct min/max (algebraic,
+    * map-side combinable, deterministic ties: value extrema break by
+    * (t, event_id), endpoints by (t, event_id) alone). No window, no
+    * second pass.
+    */
+  def m4Downsample(ts: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val s = withTieBreak(ts).withColumn("__bkt", microsBucket(col("t"), bucketUs))
+    s.groupBy(col("channel"), col("__bkt"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("t"), col("event_id"), col("v"))).as("__first"),
+        max(struct(col("t"), col("event_id"), col("v"))).as("__last"),
+        min(struct(col("v"), col("t"), col("event_id"))).as("__min"),
+        max(struct(col("v"), col("t"), col("event_id"))).as("__max")
+      )
+      .select(
+        col("channel"),
+        col("__bkt").as("bucket"),
+        col("n"),
+        col("__first.t").as("t_first"),
+        col("__first.v").as("v_first"),
+        col("__last.t").as("t_last"),
+        col("__last.v").as("v_last"),
+        col("__min.t").as("t_min"),
+        col("__min.v").as("v_min"),
+        col("__max.t").as("t_max"),
+        col("__max.v").as("v_max")
+      )
+  }
+
+  def tsM4(spark: SparkSession, dir: String): DataFrame =
+    m4Downsample(Tables.ts(spark, dir))
+      .orderBy(col("channel"), col("bucket"))
+
+  /** Oracle: identical lexicographic struct extrema (field order is
+    * the tie-break contract), one aggregation.
+    */
+  val tsM4Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS channel, epoch_us(ts) AS t, value AS v, event_id,
+       |    CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bkt
+       |  FROM events),
+       |a AS (
+       |  SELECT channel, bkt, COUNT(*) AS n,
+       |    MIN({'t': t, 'i': event_id, 'v': v}) AS f,
+       |    MAX({'t': t, 'i': event_id, 'v': v}) AS l,
+       |    MIN({'v': v, 't': t, 'i': event_id}) AS mn,
+       |    MAX({'v': v, 't': t, 'i': event_id}) AS mx
+       |  FROM e GROUP BY 1, 2)
+       |SELECT channel, bkt AS bucket, n,
+       |  f.t AS t_first, f.v AS v_first,
+       |  l.t AS t_last, l.v AS v_last,
+       |  mn.t AS t_min, mn.v AS v_min,
+       |  mx.t AS t_max, mx.v AS v_max
+       |FROM a
+       |ORDER BY channel, bucket""".stripMargin
+
+  // -------------------------------------------------------------------
   // Point-in-span annotation join
   // -------------------------------------------------------------------
 

@@ -1108,6 +1108,22 @@ class TimeseriesSpec extends SparkSpec {
     out("bur").getAs[Double]("cv") should be > 1.0
   }
 
+  "m4Downsample" should "keep first/last/min/max with deterministic tie-breaks" in {
+    // one bucket: first (t=0), last (t=900), min v at t=300, max v 9.0
+    // appears TWICE (t=400, t=700) — struct order (v, t, id) must pick
+    // the earlier one for min-tie semantics and the LATER one for max
+    val rows = Seq(
+      ("ch", 0L, 5.0), ("ch", 300L, -2.0), ("ch", 400L, 9.0),
+      ("ch", 700L, 9.0), ("ch", 900L, 1.0)
+    )
+    val got = Timeseries.m4Downsample(mkTs(rows), bucketUs = 1000L).collect().head
+    got.getAs[Long]("n") shouldBe 5L
+    (got.getAs[Long]("t_first"), got.getAs[Double]("v_first")) shouldBe ((0L, 5.0))
+    (got.getAs[Long]("t_last"), got.getAs[Double]("v_last")) shouldBe ((900L, 1.0))
+    (got.getAs[Long]("t_min"), got.getAs[Double]("v_min")) shouldBe ((300L, -2.0))
+    (got.getAs[Long]("t_max"), got.getAs[Double]("v_max")) shouldBe ((700L, 9.0))
+  }
+
   "spanJoin" should "attach exactly the covering span and stay an equi-join" in {
     val ts = mkTs(
       Seq(
