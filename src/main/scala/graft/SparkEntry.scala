@@ -252,7 +252,9 @@ object SparkEntry {
     // point-in-span join: samples × annotation islands, bucket equi-key
     "ts_span_join" -> (Timeseries.tsSpanJoin _),
     // M4 pixel-perfect render reduction (first/last/min/max per bucket)
-    "ts_m4" -> (Timeseries.tsM4 _)
+    "ts_m4" -> (Timeseries.tsM4 _),
+    // CUBE pricing summary: all grouping sets in one Expand + agg
+    "q_cube" -> (Relational.qCube _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -419,6 +421,7 @@ object SparkEntry {
     "ts_arrival_stats" -> Timeseries.tsArrivalStatsSql,
     "dedup_tuning" -> Dedup.dedupTuningSql,
     "ts_span_join" -> Timeseries.tsSpanJoinSql,
-    "ts_m4" -> Timeseries.tsM4Sql
+    "ts_m4" -> Timeseries.tsM4Sql,
+    "q_cube" -> Relational.qCubeSql
   )
 }

@@ -1015,4 +1015,39 @@ object Relational {
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY s_suppkey, s_name
       |ORDER BY numwait DESC, s_suppkey""".stripMargin
+
+  /** Multidimensional aggregate via CUBE: the pricing summary at every
+    * combination of (returnflag, linestatus) INCLUDING the marginal
+    * subtotals and the grand total, disambiguated by grouping_id — the
+    * OLAP rollup surface (GROUPING SETS/ROLLUP/CUBE) a dashboard layer
+    * asks for in one query instead of four.
+    *
+    * Scale shape: Catalyst expands the cube in ONE Expand + partial
+    * aggregation — each input row fans to its 4 grouping sets map-side
+    * and combines before the single shuffle; no per-set rescan.
+    * Portability: grouping_id bit order is the SQL-standard
+    * (first key = MSB) in both engines; money sums through
+    * DECIMAL(20,4) cast to double at the end.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(d204)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(d204)).cast("double").as("sum_price")
+      )
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 }

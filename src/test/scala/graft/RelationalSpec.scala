@@ -181,4 +181,20 @@ class RelationalSpec extends SparkSpec {
       rows.foreach(r => okSupp should contain(r.getAs[Number]("s_suppkey").longValue))
     }
   }
+
+  "qCube" should "compute every grouping set in one Expand pass with consistent totals" in {
+    val df = graft.operators.Relational.qCube(spark, sfDir)
+    // one Expand feeds one partial aggregation — no per-set rescans
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("Expand")
+    "Expand".r.findAllIn(plan).size shouldBe 1
+    val rows = df.collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    byGid.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    // marginals and the grand total must re-add to the cell counts
+    val cells = byGid(0L).map(_.getAs[Long]("n")).sum
+    byGid(1L).map(_.getAs[Long]("n")).sum shouldBe cells
+    byGid(2L).map(_.getAs[Long]("n")).sum shouldBe cells
+    byGid(3L).head.getAs[Long]("n") shouldBe cells
+  }
 }
