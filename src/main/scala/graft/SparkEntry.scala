@@ -254,7 +254,9 @@ object SparkEntry {
     // M4 pixel-perfect render reduction (first/last/min/max per bucket)
     "ts_m4" -> (Timeseries.tsM4 _),
     // CUBE pricing summary: all grouping sets in one Expand + agg
-    "q_cube" -> (Relational.qCube _)
+    "q_cube" -> (Relational.qCube _),
+    // pairwise source JSD over unigram distributions (mix distance)
+    "corpus_jsd" -> (TextAnalysis.corpusJsd _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,6 +424,7 @@ object SparkEntry {
     "dedup_tuning" -> Dedup.dedupTuningSql,
     "ts_span_join" -> Timeseries.tsSpanJoinSql,
     "ts_m4" -> Timeseries.tsM4Sql,
-    "q_cube" -> Relational.qCubeSql
+    "q_cube" -> Relational.qCubeSql,
+    "corpus_jsd" -> TextAnalysis.corpusJsdSql
   )
 }

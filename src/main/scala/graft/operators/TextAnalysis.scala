@@ -1527,6 +1527,113 @@ object TextAnalysis {
       |ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // Source-pair Jensen–Shannon divergence
+  // -------------------------------------------------------------------
+
+  /** Pairwise Jensen–Shannon divergence between the unigram
+    * distributions of every source pair (Lin 1991) — the corpus-mix
+    * distance matrix: ~0 = two sources are the same distribution
+    * (mirror/contamination suspects, cross-check dedup_matrix), large
+    * = genuinely different registers. Computed as
+    * JSD = H(m) − ½H(p) − ½H(q) over the pair's support union.
+    *
+    * Scale shape: the corpus collapses to the (source, word)
+    * probability relation in one partial agg; the pair fan-out is
+    * source²-cardinality × vocabulary (the dedup_matrix grain), joined
+    * FULL OUTER on the word key per pair; entropies are DECIMAL term
+    * sums of round-9 ln inputs — order-independent and engine-portable.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val hist = docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(expr(WordsSql)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val probs = hist
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("word"), (col("c").cast("double") / col("n")).as("p"))
+    val sources = probs.select(col("source")).distinct()
+    val pairs = sources
+      .select(col("source").as("source_a"))
+      .crossJoin(broadcast(sources.select(col("source").as("source_b"))))
+      .filter(col("source_a") < col("source_b"))
+    val left = pairs
+      .join(probs, col("source") === col("source_a"))
+      .select(col("source_a"), col("source_b"), col("word"), col("p").as("pa"))
+    val right = pairs
+      .join(probs, col("source") === col("source_b"))
+      .select(col("source_a"), col("source_b"), col("word"), col("p").as("pb"))
+    val sup = left.join(right, Seq("source_a", "source_b", "word"), "full_outer")
+    val m = (coalesce(col("pa"), lit(0.0)) + coalesce(col("pb"), lit(0.0))) / 2.0
+    def hTerm(c: Column): Column =
+      when(c > 0, -c * round(log(c), 9)).otherwise(lit(0.0)).cast(dec)
+    sup
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_words_union"),
+        sum(hTerm(m)).cast("double").as("__hm"),
+        sum(hTerm(coalesce(col("pa"), lit(0.0)))).cast("double").as("__hp"),
+        sum(hTerm(coalesce(col("pb"), lit(0.0)))).cast("double").as("__hq")
+      )
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("n_words_union"),
+        round(col("__hm") - lit(0.5) * col("__hp") - lit(0.5) * col("__hq"), 6).as("jsd")
+      )
+  }
+
+  def corpusJsd(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergence(Tables.documents(spark, dir))
+      .orderBy(col("source_a"), col("source_b"))
+
+  /** Oracle: identical probability relation, FULL OUTER support union,
+    * round-9 ln entropy terms through DECIMAL, pinned JSD combination.
+    */
+  val corpusJsdSql: String =
+    """WITH w AS (
+      |  SELECT source, u.w AS word
+      |  FROM (SELECT source,
+      |          string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |        FROM documents WHERE text IS NOT NULL) t, UNNEST(ws) AS u(w)
+      |  WHERE LENGTH(u.w) > 0),
+      |h AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |tot AS (SELECT source, SUM(c) AS n FROM h GROUP BY 1),
+      |probs AS (
+      |  SELECT h.source, h.word, CAST(h.c AS DOUBLE) / tot.n AS p
+      |  FROM h JOIN tot ON tot.source = h.source),
+      |srcs AS (SELECT DISTINCT source FROM probs),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b
+      |  FROM srcs a CROSS JOIN srcs b WHERE a.source < b.source),
+      |l AS (
+      |  SELECT p.source_a, p.source_b, pr.word, pr.p AS pa
+      |  FROM pairs p JOIN probs pr ON pr.source = p.source_a),
+      |r AS (
+      |  SELECT p.source_a, p.source_b, pr.word, pr.p AS pb
+      |  FROM pairs p JOIN probs pr ON pr.source = p.source_b),
+      |sup AS (
+      |  SELECT COALESCE(l.source_a, r.source_a) AS source_a,
+      |    COALESCE(l.source_b, r.source_b) AS source_b,
+      |    COALESCE(l.pa, 0.0) AS pa, COALESCE(r.pb, 0.0) AS pb
+      |  FROM l FULL OUTER JOIN r
+      |    ON r.source_a = l.source_a AND r.source_b = l.source_b AND r.word = l.word),
+      |agg AS (
+      |  SELECT source_a, source_b, COUNT(*) AS n_words_union,
+      |    CAST(SUM(CAST(CASE WHEN (pa + pb) / 2.0 > 0
+      |      THEN -((pa + pb) / 2.0) * ROUND(LN((pa + pb) / 2.0), 9) ELSE 0.0 END AS DECIMAL(27,10))) AS DOUBLE) AS hm,
+      |    CAST(SUM(CAST(CASE WHEN pa > 0 THEN -pa * ROUND(LN(pa), 9) ELSE 0.0 END AS DECIMAL(27,10))) AS DOUBLE) AS hp,
+      |    CAST(SUM(CAST(CASE WHEN pb > 0 THEN -pb * ROUND(LN(pb), 9) ELSE 0.0 END AS DECIMAL(27,10))) AS DOUBLE) AS hq
+      |  FROM sup GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_words_union,
+      |  ROUND(hm - 0.5 * hp - 0.5 * hq, 6) AS jsd
+      |FROM agg
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // Lexical diversity per source
   // -------------------------------------------------------------------
 

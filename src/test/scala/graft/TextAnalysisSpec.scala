@@ -380,6 +380,23 @@ class TextAnalysisSpec extends SparkSpec {
     rows.find(t => t._2 == "cc").get._5 shouldBe pmi(5, 6, 6) +- 1e-9
   }
 
+  "sourceDivergence" should "give 0 for identical sources and ln 2 for disjoint ones" in {
+    val docs = Seq(
+      (1L, "a b c", "same1"),
+      (2L, "a b c", "same2"),
+      (3L, "x y z", "diff")
+    ).toDF("doc_id", "text", "source")
+    val jsd = TextAnalysis
+      .sourceDivergence(docs)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r.getAs[Double]("jsd"))
+      .toMap
+    jsd(("same1", "same2")) shouldBe 0.0
+    // disjoint supports: JSD = ln 2 (maximum), support union = 6 words
+    jsd(("diff", "same1")) shouldBe math.log(2.0) +- 1e-6
+    jsd(("diff", "same2")) shouldBe math.log(2.0) +- 1e-6
+  }
+
   "coverageCurve" should "trace the hand-checked cumulative coverage" in {
     // histogram: a→3, b→2, c→1 (ties impossible; total 6)
     val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
