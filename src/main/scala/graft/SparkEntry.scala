@@ -256,7 +256,9 @@ object SparkEntry {
     // CUBE pricing summary: all grouping sets in one Expand + agg
     "q_cube" -> (Relational.qCube _),
     // pairwise source JSD over unigram distributions (mix distance)
-    "corpus_jsd" -> (TextAnalysis.corpusJsd _)
+    "corpus_jsd" -> (TextAnalysis.corpusJsd _),
+    // repeated word spans across docs: the strings a cleaner would strip
+    "corpus_boilerplate" -> (Dedup.corpusBoilerplate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -425,6 +427,7 @@ object SparkEntry {
     "ts_span_join" -> Timeseries.tsSpanJoinSql,
     "ts_m4" -> Timeseries.tsM4Sql,
     "q_cube" -> Relational.qCubeSql,
-    "corpus_jsd" -> TextAnalysis.corpusJsdSql
+    "corpus_jsd" -> TextAnalysis.corpusJsdSql,
+    "corpus_boilerplate" -> Dedup.corpusBoilerplateSql
   )
 }

@@ -447,6 +447,62 @@ object Dedup {
        |GROUP BY s.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Boilerplate gram report: the actual REPEATED WORD SPANS across the
+    * corpus (license headers, templates, navigation chrome), ranked by
+    * how many documents carry them — the strings a cleaning pass would
+    * strip, where dedup_spans only scores how contaminated each doc is.
+    *
+    * Scale shape: distinct per-doc w-grams explode map-side (the
+    * dedup_spans kernel), ONE gram-keyed partial agg to document
+    * frequencies, then a TakeOrderedAndProject top-k with the rank
+    * window over the limited rows; n_docs is a 1-row broadcast.
+    */
+  def boilerplateReport(docs: DataFrame, w: Int = 5, minDf: Int = 2, k: Int = 25): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(w)).as("gram"))
+    val nDocs = docs.agg(count(lit(1)).as("__nd"))
+    val dfc = sh
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val top = dfc.orderBy(col("df").desc, col("gram")).limit(k)
+    val byDf = org.apache.spark.sql.expressions.Window.orderBy(col("df").desc, col("gram"))
+    top
+      .withColumn("rank", row_number().over(byDf).cast("long"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("rank"),
+        col("gram"),
+        col("df"),
+        round(col("df").cast("double") / col("__nd"), 6).as("doc_frac")
+      )
+  }
+
+  def corpusBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateReport(Tables.documents(spark, dir)).orderBy(col("rank"))
+
+  /** Boilerplate oracle: the dedup_spans distinct-gram CTE shape over
+    * the RAW corpus, df cut, identical (df desc, gram) rank.
+    */
+  val corpusBoilerplateSql: String =
+    """WITH normed AS (
+      |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS nm FROM documents),
+      |words AS (SELECT doc_id, string_split(nm, ' ') AS ws FROM normed),
+      |shpos AS (
+      |  SELECT doc_id, ws, UNNEST(range(1, GREATEST(len(ws) - 4, 1) + 1)) AS i FROM words),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(ws) >= 5 THEN array_to_string(ws[i:i+4], ' ')
+      |         ELSE array_to_string(ws, ' ') END AS gram
+      |  FROM shpos),
+      |nd AS (SELECT COUNT(*) AS n FROM documents),
+      |dfc AS (SELECT gram, COUNT(*) AS df FROM sh GROUP BY gram HAVING COUNT(*) >= 2),
+      |top AS (SELECT gram, df FROM dfc ORDER BY df DESC, gram LIMIT 25)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, gram) AS BIGINT) AS rank,
+      |  gram, df, ROUND(CAST(df AS DOUBLE) / nd.n, 6) AS doc_frac
+      |FROM top CROSS JOIN nd
+      |ORDER BY rank""".stripMargin
+
   // ---------------------------------------------------------------------
   // Cluster formation / survivor selection
   // ---------------------------------------------------------------------

@@ -387,6 +387,29 @@ class DedupSpec extends SparkSpec {
     bloom.length should be < (1 << 16) / 8 + 64
   }
 
+  "boilerplateReport" should "surface the planted license block ranked by document frequency" in {
+    val boiler = "all rights reserved by the author"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"one two three four five $boiler"),
+      (3L, s"six seven eight nine ten $boiler"),
+      (4L, "entirely different words with no overlap here at all today")
+    ).toDF("doc_id", "text")
+    val rows = Dedup
+      .boilerplateReport(docs, w = 5, minDf = 2, k = 10)
+      .collect()
+    rows should not be empty
+    // every reported gram must come from the boiler span, df = 3
+    val boilerWords = boiler.split(" ").toSet
+    rows.foreach { r =>
+      r.getAs[Long]("df") shouldBe 3L
+      r.getAs[String]("gram").split(" ").toSet.subsetOf(boilerWords) shouldBe true
+      r.getAs[Double]("doc_frac") shouldBe 0.75
+    }
+    // "all rights reserved by the" and "rights reserved by the author"
+    rows.length shouldBe 2
+  }
+
   "lshTuningCurve" should "trace a monotone S-curve consistent with the mined histogram" in {
     val rows = Dedup
       .dedupTuning(spark, sfDir)
