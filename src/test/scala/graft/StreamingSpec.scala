@@ -659,6 +659,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  "StreamingM4.reduce" should "emit exactly the batch M4 rows for closed buckets on any carving" in {
+    import graft.streaming.StreamingM4
+    implicit val sqlCtx = spark.sqlContext
+
+    // two channels, 4 buckets of 8 samples with spikes and duplicates
+    val data = for {
+      c <- Seq("a", "b")
+      i <- 0 until 32
+    } yield {
+      val v = (i % 7).toDouble + (if (i % 13 == 0) 50.0 else 0.0) + (if (c == "b") 2.0 else 0.0)
+      (c, i.toLong * 125L, v)
+    }
+
+    val batch = graft.operators.Timeseries
+      .m4Downsample(
+        data.zipWithIndex.map { case ((c, t, v), i) => (c, t, v, 0L, 0L) }
+          .toDF("channel", "t", "v", "user_id", "event_id"),
+        bucketUs = 1000L
+      )
+      .collect()
+      .map(r =>
+        (
+          r.getAs[String]("channel"), r.getAs[Long]("bucket"), r.getAs[Long]("n"),
+          r.getAs[Long]("t_first"), r.getAs[Double]("v_first"),
+          r.getAs[Long]("t_last"), r.getAs[Double]("v_last"),
+          r.getAs[Long]("t_min"), r.getAs[Double]("v_min"),
+          r.getAs[Long]("t_max"), r.getAs[Double]("v_max")
+        )
+      )
+    val lastBkt = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filterNot(r => lastBkt(r._1) == r._2).toSet
+    expected.size shouldBe 6 // three closed buckets per channel
+
+    for (split <- Seq(Seq(data.size), Seq(10, 33, data.size), Seq(1, 2, 40, data.size))) {
+      val mem = MemoryStream[(String, Long, Double)]
+      val out = StreamingM4.reduce(spark, mem.toDF().toDF("channel", "t", "v"), bucketUs = 1000L)
+      val name = s"m4_${split.mkString("_")}"
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var prev = 0
+        split.distinct.foreach { end =>
+          mem.addData(data.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val got = spark
+          .table(name)
+          .as[(String, Long, Long, Long, Double, Long, Double, Long, Double, Long, Double)]
+          .collect()
+          .toSet
+        withClue(s"split $split:") { got shouldBe expected }
+      } finally q.stop()
+    }
+  }
+
   "StreamingEnrich.annotate" should "join live samples to covering spans across micro-batches" in {
     import graft.streaming.StreamingEnrich
     implicit val sqlCtx = spark.sqlContext
