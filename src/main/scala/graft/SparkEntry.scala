@@ -258,7 +258,15 @@ object SparkEntry {
     // pairwise source JSD over unigram distributions (mix distance)
     "corpus_jsd" -> (TextAnalysis.corpusJsd _),
     // repeated word spans across docs: the strings a cleaner would strip
-    "corpus_boilerplate" -> (Dedup.corpusBoilerplate _)
+    "corpus_boilerplate" -> (Dedup.corpusBoilerplate _),
+    // local-maximum peaks with rise/drop magnitudes (block-halo lag/lead)
+    "ts_peaks" -> (Timeseries.tsPeaks _),
+    // event-locked grand-average template over the waveform envelope
+    "ts_erp" -> (Timeseries.tsErp _),
+    // dominant Welch harmonic per channel with its power share
+    "ts_dominant_freq" -> (Timeseries.tsDominantFreq _),
+    // substring grep through a trigram index probe + exact verify
+    "search_substring" -> (Search.searchSubstring _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -428,6 +436,10 @@ object SparkEntry {
     "ts_m4" -> Timeseries.tsM4Sql,
     "q_cube" -> Relational.qCubeSql,
     "corpus_jsd" -> TextAnalysis.corpusJsdSql,
-    "corpus_boilerplate" -> Dedup.corpusBoilerplateSql
+    "corpus_boilerplate" -> Dedup.corpusBoilerplateSql,
+    "ts_peaks" -> Timeseries.tsPeaksSql,
+    "ts_erp" -> Timeseries.tsErpSql,
+    "ts_dominant_freq" -> Timeseries.tsDominantFreqSql,
+    "search_substring" -> Search.searchSubstringSql
   )
 }

@@ -560,4 +560,73 @@ object Search {
        |FROM ranked WHERE rank <= 10
        |ORDER BY prefix, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Substring (grep) search via a trigram inverted index
+  // ---------------------------------------------------------------------
+
+  /** Trigram candidate set for a literal substring pattern: documents
+    * whose text contains EVERY trigram of the pattern — a superset of
+    * the true matches (trigrams ignore adjacency), never a miss.
+    *
+    * Scale shape (the pg_trgm / Lucene-ngram plan): the pattern's
+    * trigram set is a tiny LITERAL predicate pushed inside the one
+    * corpus scan — the explode emits ONLY pattern-gram hits map-side,
+    * so the sole shuffle is a (doc, gram)-keyed partial agg over rows
+    * that already matched, not the full posting list. Against a
+    * PRE-BUILT trigram index table the same plan is an index probe;
+    * building inline costs one scan either way.
+    */
+  def trigramCandidates(docs: DataFrame, pattern: String): DataFrame = {
+    require(pattern.length >= 3, "pattern must be at least one trigram long")
+    val patGrams = pattern.sliding(3).toSeq.distinct
+    docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        explode(
+          expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))")
+        ).as("gram")
+      )
+      .filter(col("gram").isin(patGrams: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("__ng"))
+      .filter(col("__ng") === patGrams.size)
+      .select(col("doc_id"))
+  }
+
+  /** Substring search: exact `contains(text, pattern)` matches with
+    * non-overlapping occurrence counts, resolved through
+    * [[trigramCandidates]] so the exact verify touches ONLY candidate
+    * documents (a semi-join), never the corpus — same answer as the
+    * naive full scan, index-probe cost profile.
+    */
+  def substringSearch(docs: DataFrame, pattern: String): DataFrame = {
+    val m = pattern.length
+    docs
+      .join(trigramCandidates(docs, pattern), Seq("doc_id"), "left_semi")
+      .filter(col("text").contains(pattern))
+      .select(
+        col("doc_id"),
+        col("source"),
+        ((length(col("text")) -
+          length(expr(s"replace(text, '$pattern', '')"))) / m).cast("long").as("occurrences")
+      )
+  }
+
+  val SubstringPattern = "merge part"
+
+  def searchSubstring(spark: SparkSession, dir: String): DataFrame =
+    substringSearch(Tables.documents(spark, dir), SubstringPattern)
+      .orderBy(col("doc_id"))
+
+  /** Oracle: the naive full-scan grep — the index path must return
+    * exactly the scan's answer.
+    */
+  val searchSubstringSql: String =
+    s"""SELECT doc_id, source,
+       |  CAST((LENGTH(text) - LENGTH(REPLACE(text, '$SubstringPattern', ''))) // ${SubstringPattern.length} AS BIGINT) AS occurrences
+       |FROM documents
+       |WHERE text IS NOT NULL AND contains(text, '$SubstringPattern')
+       |ORDER BY doc_id""".stripMargin
 }

@@ -1349,6 +1349,47 @@ object Timeseries {
       .select(col("channel"), col("t"), col("v"))
   }
 
+  /** Local-maximum peak detection: samples STRICTLY above their
+    * predecessor and at-or-above their successor (so a flat plateau
+    * marks exactly its first sample), above a floor `minHeight` — the
+    * neighbor-comparison complement of [[spikes]]' rising threshold
+    * crossings (a peak is where the signal turns, a spike-crossing is
+    * where it enters the band). Emits the turn magnitude on each side
+    * (`rise` from the predecessor, `drop` to the successor).
+    *
+    * Scale shape: a ±1-row frame is a bounded neighborhood, so the
+    * lag/lead pair evaluates over [[withBlockHalo]]'s halo-replicated
+    * row blocks (halo 1) — no channel-alone window over the data.
+    * Portability: edge rows without both neighbors fail the null
+    * comparisons in both engines; rise/drop are exact double
+    * differences, no rounding needed.
+    */
+  def peaks(
+    tsIn: DataFrame,
+    minHeight: Double,
+    stitchBucketUs: Long = StitchBucketUs
+  ): DataFrame = {
+    val padded = withBlockHalo(
+      withTieBreak(tsIn).select(col("channel"), col("t"), col("v"), col("event_id")),
+      halo = 1,
+      stitchBucketUs,
+      Seq("event_id")
+    )
+    val w = Window.partitionBy(col("channel"), col("__tgt")).orderBy(col("__rn"))
+    padded
+      .withColumn("__pv", lag(col("v"), 1).over(w))
+      .withColumn("__nv", lead(col("v"), 1).over(w))
+      .filter(col("__tgt") === col("__blk")) // core rows, after both frames
+      .filter(col("__pv") < col("v") && col("__nv") <= col("v") && col("v") > minHeight)
+      .select(
+        col("channel"),
+        col("t"),
+        col("v"),
+        (col("v") - col("__pv")).as("rise"),
+        (col("v") - col("__nv")).as("drop")
+      )
+  }
+
   /** Distributed as-of join: for every left row, the latest right value
     * with r.t <= l.t. No global sort: both sides are bucketed by coarse
     * time bucket; a within-bucket window fills the running value, and
@@ -2048,6 +2089,23 @@ object Timeseries {
        |WHERE v > $SpikeThreshold AND pv <= $SpikeThreshold
        |ORDER BY channel, t, v""".stripMargin
 
+  def tsPeaks(spark: SparkSession, dir: String): DataFrame =
+    peaks(Tables.ts(spark, dir), SpikeThreshold)
+      .orderBy(col("channel"), col("t"), col("v"))
+
+  /** Peak oracle: the same lag/lead pair over the per-channel
+    * (t, event_id) order; null-neighbor edge rows drop in the WHERE in
+    * both engines.
+    */
+  val tsPeaksSql: String =
+    s"""SELECT channel, t, v, v - pv AS rise, v - nv AS drop FROM (
+       |  SELECT event_type AS channel, epoch_us(ts) AS t, value AS v,
+       |    LAG(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS pv,
+       |    LEAD(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS nv
+       |  FROM events) a
+       |WHERE pv < v AND nv <= v AND v > $SpikeThreshold
+       |ORDER BY channel, t, v""".stripMargin
+
   def tsAsof(spark: SparkSession, dir: String): DataFrame = {
     val ts = Tables.ts(spark, dir)
     val left = ts
@@ -2106,6 +2164,64 @@ object Timeseries {
       |  DENSE_RANK() OVER (PARTITION BY channel, wf ORDER BY c) - 1 AS chunk, wmin, wmax
       |FROM aggd
       |ORDER BY channel, wf, chunk""".stripMargin
+
+  /** Event-locked template (the ERP / spike-triggered average): align
+    * every waveform on its chunk index and average the per-chunk
+    * (min, max) envelope across all waveforms of a channel — the
+    * grand-average template clinicians read, where [[spikeWaveforms]]
+    * returns each individual sweep.
+    *
+    * Scale shape: composes ON the waveform relation (already reduced
+    * to chunkCount rows per waveform); the template agg groups by
+    * (channel, chunk) — channels × chunkCount output rows — with
+    * algebraic DECIMAL-moment sums, partial map-side. No window at
+    * any scale.
+    */
+  def erpTemplate(waveforms: DataFrame): DataFrame =
+    waveforms
+      .groupBy(col("channel"), col("chunk"))
+      .agg(
+        count(lit(1)).as("n_wf"),
+        round(detAvg(col("wmin")), 6).as("erp_min"),
+        round(detAvg(col("wmax")), 6).as("erp_max"),
+        round(detAvg((col("wmin") + col("wmax")) / lit(2.0)), 6).as("erp_mid")
+      )
+
+  def tsErp(spark: SparkSession, dir: String): DataFrame =
+    erpTemplate(
+      spikeWaveforms(spark, Tables.ts(spark, dir), spikeDataPointCount = 100, chunkCount = 10)
+    ).orderBy(col("channel"), col("chunk"))
+
+  /** ERP oracle: the waveform balanced-cut CTEs verbatim, then the
+    * identical DECIMAL-moment averages at (channel, chunk) grain.
+    */
+  val tsErpSql: String =
+    """WITH base AS (
+      |  SELECT event_type AS channel, value AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) - 1 AS rn
+      |  FROM events),
+      |wfed AS (
+      |  SELECT channel, v, rn // 100 AS wf, rn % 100 AS p,
+      |    COUNT(*) OVER (PARTITION BY channel, rn // 100) AS m
+      |  FROM base),
+      |chunked AS (
+      |  SELECT w.channel, w.wf, cs.c AS c, w.v
+      |  FROM wfed w JOIN (SELECT UNNEST(range(0, 10)) AS c) cs
+      |    ON w.p >= (cs.c * w.m + 5) // 10 AND w.p < ((cs.c + 1) * w.m + 5) // 10),
+      |aggd AS (
+      |  SELECT channel, wf, c, MIN(v) AS wmin, MAX(v) AS wmax
+      |  FROM chunked GROUP BY channel, wf, c),
+      |ranked AS (
+      |  SELECT channel, wf,
+      |    DENSE_RANK() OVER (PARTITION BY channel, wf ORDER BY c) - 1 AS chunk, wmin, wmax
+      |  FROM aggd)
+      |SELECT channel, chunk, COUNT(*) AS n_wf,
+      |  ROUND(CAST(SUM(CAST(wmin AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS erp_min,
+      |  ROUND(CAST(SUM(CAST(wmax AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS erp_max,
+      |  ROUND(CAST(SUM(CAST((wmin + wmax) / 2.0 AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS erp_mid
+      |FROM ranked
+      |GROUP BY channel, chunk
+      |ORDER BY channel, chunk""".stripMargin
 
   def tsStats(spark: SparkSession, dir: String): DataFrame =
     channelStats(Tables.ts(spark, dir)).orderBy(col("channel"))
@@ -2393,6 +2509,78 @@ object Timeseries {
       |        THEN EXP(lsum / n_harmonics) / (sm / n_harmonics) ELSE 0.0 END, 6) AS flatness
       |FROM agg
       |ORDER BY channel""".stripMargin
+
+  /** Dominant harmonic per channel (the "alpha peak" readout): the k
+    * whose Welch-averaged power is largest, with its share of the
+    * channel's total harmonic power. Ties break toward the lowest k.
+    *
+    * Scale shape: runs entirely ON the welchPsd summary relation
+    * (channels × |ks| rows) — a per-channel max_by-style rank over the
+    * summary plus a broadcast-joined DECIMAL total. The one
+    * sample-scale pass is bandPower's partial agg.
+    * Portability: psd_mean enters rounded to 6, the total sums through
+    * DECIMAL (order-free), the share rounds after one double divide.
+    */
+  def dominantFreq(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame = {
+    val psd = welchPsd(ts, windowUs, ks).select(col("channel"), col("k"), col("psd_mean"))
+    val tot = psd.groupBy(col("channel")).agg(detSum(col("psd_mean")).as("__tot"))
+    val byPower = Window.partitionBy(col("channel")).orderBy(col("psd_mean").desc, col("k"))
+    psd
+      .withColumn("__r", row_number().over(byPower))
+      .filter(col("__r") === 1)
+      .join(broadcast(tot), Seq("channel"))
+      .select(
+        col("channel"),
+        col("k").as("k_dom"),
+        col("psd_mean"),
+        round(
+          when(col("__tot") > 0, col("psd_mean") / col("__tot")),
+          6
+        ).as("power_frac")
+      )
+  }
+
+  def tsDominantFreq(spark: SparkSession, dir: String): DataFrame =
+    dominantFreq(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("channel"))
+
+  /** Oracle: the Welch PSD CTEs verbatim, then the identical
+    * (psd_mean DESC, k) rank-1 cut and DECIMAL channel total.
+    */
+  val tsDominantFreqSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win, value AS v,
+      |    CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0 AS frac
+      |  FROM events),
+      |e AS (
+      |  SELECT channel, win, v, frac, ks.k AS k
+      |  FROM x CROSS JOIN (SELECT UNNEST(range(1, 5)) AS k) ks),
+      |a AS (
+      |  SELECT channel, win, k, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v * cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c,
+      |    CAST(SUM(CAST(v * sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s
+      |  FROM e GROUP BY 1, 2, 3),
+      |pw AS (
+      |  SELECT channel, win, k,
+      |    ROUND((c / n) * (c / n) + (s / n) * (s / n), 6) AS power
+      |  FROM a),
+      |r AS (
+      |  SELECT channel, k, COUNT(*) AS n_windows,
+      |    CAST(SUM(CAST(power AS DECIMAL(27,10))) AS DOUBLE) AS s1
+      |  FROM pw GROUP BY 1, 2),
+      |psd AS (SELECT channel, k, ROUND(s1 / n_windows, 6) AS psd_mean FROM r),
+      |tot AS (SELECT channel, CAST(SUM(CAST(psd_mean AS DECIMAL(27,10))) AS DOUBLE) AS tot
+      |        FROM psd GROUP BY 1),
+      |ranked AS (
+      |  SELECT channel, k, psd_mean,
+      |    ROW_NUMBER() OVER (PARTITION BY channel ORDER BY psd_mean DESC, k) AS r
+      |  FROM psd)
+      |SELECT ranked.channel, k AS k_dom, psd_mean,
+      |  ROUND(CASE WHEN tot.tot > 0 THEN psd_mean / tot.tot END, 6) AS power_frac
+      |FROM ranked JOIN tot ON tot.channel = ranked.channel
+      |WHERE r = 1
+      |ORDER BY ranked.channel""".stripMargin
 
   def tsCoherence(spark: SparkSession, dir: String): DataFrame =
     spectralCoherence(Tables.ts(spark, dir), windowUs = 86400000000L)

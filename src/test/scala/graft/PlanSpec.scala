@@ -219,6 +219,7 @@ class PlanSpec extends SparkSpec {
       "ts_fir" -> Timeseries.tsFir(spark, sfDir),
       "ts_annotations" -> Timeseries.tsAnnotations(spark, sfDir),
       "ts_hampel" -> Timeseries.tsHampel(spark, sfDir),
+      "ts_peaks" -> Timeseries.tsPeaks(spark, sfDir),
       "ts_lttb" -> Timeseries.tsLttb(spark, sfDir),
       "ts_arrival_stats" -> Timeseries.tsArrivalStats(spark, sfDir)
     )

@@ -193,4 +193,40 @@ class SearchSpec extends SparkSpec {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     Search.prefixSuggest(docs, Seq("zz"), k = 5).count() shouldBe 0L
   }
+
+  "substringSearch" should "prune via trigrams but verify exactly" in {
+    val d = Seq(
+      (1L, "merge part one", "a"),
+      (2L, "xx merge part merge part xx", "a"), // two occurrences
+      (3L, "nothing shared at all", "b"),
+      // all 8 pattern trigrams present, but never contiguously:
+      // a trigram candidate that the exact verify must reject
+      (4L, "merger of the page apart", "b"),
+      (5L, null, "b")
+    ).toDF("doc_id", "text", "source")
+    val pat = "merge part"
+    // candidate stage: superset including the trigram false positive
+    val cand = Search.trigramCandidates(d, pat).as[Long].collect().sorted
+    cand shouldBe Array(1L, 2L, 4L)
+    // final answer: the false positive is gone, counts are exact
+    val got = Search.substringSearch(d, pat)
+      .orderBy("doc_id")
+      .select("doc_id", "occurrences")
+      .as[(Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List((1L, 1L), (2L, 2L))
+  }
+
+  it should "never miss a true match (trigram set is a superset)" in {
+    val d = (0L until 40L)
+      .map(i => (i, if (i % 7 == 0) s"pad pad merge part $i" else s"filler text $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val naive = d.filter(col("text").contains("merge part")).select("doc_id")
+      .as[Long].collect().sorted
+    val got = Search.substringSearch(d, "merge part").select("doc_id")
+      .as[Long].collect().sorted
+    got shouldBe naive
+    naive.length shouldBe 6
+  }
 }

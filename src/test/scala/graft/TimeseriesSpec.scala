@@ -877,6 +877,65 @@ class TimeseriesSpec extends SparkSpec {
     Timeseries.hampel(edgy, k = 5, nSigma = 3.0).count() shouldBe 0L
   }
 
+  "erpTemplate" should "average the waveform envelope per chunk across sweeps" in {
+    // 2 waveforms of 4 samples, chunked to 2 (min,max) pairs each:
+    // wf0 = 1,5,2,6 → chunks (1,5),(2,6); wf1 = 3,7,4,8 → (3,7),(4,8)
+    // template chunk0 = min (1+3)/2=2, max (5+7)/2=6, mid ((3+5)/2+(5+...
+    val ts = mkTs(Seq(1.0, 5.0, 2.0, 6.0, 3.0, 7.0, 4.0, 8.0).zipWithIndex
+      .map { case (v, i) => ("c", i * 1000L, v) })
+    val wf = Timeseries.spikeWaveforms(spark, ts, spikeDataPointCount = 4, chunkCount = 2)
+    val rows = Timeseries.erpTemplate(wf).orderBy("chunk").collect()
+    rows.length shouldBe 2
+    rows.map(_.getAs[Long]("n_wf")) shouldBe Array(2L, 2L)
+    rows(0).getAs[Double]("erp_min") shouldBe 2.0
+    rows(0).getAs[Double]("erp_max") shouldBe 6.0
+    rows(0).getAs[Double]("erp_mid") shouldBe 4.0
+    rows(1).getAs[Double]("erp_min") shouldBe 3.0
+    rows(1).getAs[Double]("erp_max") shouldBe 7.0
+  }
+
+  "dominantFreq" should "pick the planted tone's harmonic with ~all the power" in {
+    // pure k=2 tone across one window: harmonic 2 dominates
+    val n = 256
+    val W = 1000000L
+    val ts = mkTs((0 until n).map { i =>
+      val frac = i.toDouble / n
+      ("c", (frac * W).toLong, math.cos(2 * math.Pi * 2 * frac) * 10)
+    })
+    val rows = Timeseries.dominantFreq(ts, windowUs = W).collect()
+    rows.length shouldBe 1
+    rows.head.getAs[Long]("k_dom") shouldBe 2L
+    rows.head.getAs[Double]("power_frac") should be > 0.95
+  }
+
+  "peaks" should "mark local maxima above the floor, plateau firsts only, edges never" in {
+    // 0,10,0,10,10,0,... : isolated peak at i=1; plateau (i=3,4) marks
+    // only i=3; final sample i=9 is high but has no successor — drops
+    val vs = Seq(0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 3.0, 2.0, 0.0, 99.0)
+    val ts = mkTs(vs.zipWithIndex.map { case (v, i) => ("c", i * 1000L, v) })
+    val rows = Timeseries.peaks(ts, minHeight = 2.5).collect()
+    rows.map(_.getAs[Long]("t")).sorted shouldBe Array(1000L, 3000L, 6000L)
+    val p1 = rows.find(_.getAs[Long]("t") == 1000L).get
+    p1.getAs[Double]("rise") shouldBe 10.0
+    p1.getAs[Double]("drop") shouldBe 10.0
+    val plateau = rows.find(_.getAs[Long]("t") == 3000L).get
+    plateau.getAs[Double]("drop") shouldBe 0.0 // at-or-above successor
+  }
+
+  it should "be invariant to the halo bucket width (block halo ≡ global window)" in {
+    val ts = mkTs((0L until 300L).map { i =>
+      val t = i * 137L + (i % 7) * 10000L + (i / 50) * 900000L
+      ("c", t, math.sin(i * 0.37) * 5 + (i % 11))
+    })
+    val ref = Timeseries.peaks(ts, minHeight = 0.0, stitchBucketUs = 1L << 60)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    ref.length should be > 10
+    for (bw <- Seq(1000L, 50000L, 333333L)) {
+      Timeseries.peaks(ts, minHeight = 0.0, stitchBucketUs = bw)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe ref
+    }
+  }
+
   "levelShifts" should "be invariant to the halo bucket width, including widths with empty buckets" in {
     // sparse irregular times: small widths leave EMPTY calendar
     // buckets between populated ones — the dense re-index must keep
