@@ -266,7 +266,9 @@ object SparkEntry {
     // dominant Welch harmonic per channel with its power share
     "ts_dominant_freq" -> (Timeseries.tsDominantFreq _),
     // substring grep through a trigram index probe + exact verify
-    "search_substring" -> (Search.searchSubstring _)
+    "search_substring" -> (Search.searchSubstring _),
+    // energy VAD: voiced-frame islands over the decoded PCM stream
+    "mm_audio_vad" -> (Multimodal.mmAudioVad _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -440,6 +442,7 @@ object SparkEntry {
     "ts_peaks" -> Timeseries.tsPeaksSql,
     "ts_erp" -> Timeseries.tsErpSql,
     "ts_dominant_freq" -> Timeseries.tsDominantFreqSql,
-    "search_substring" -> Search.searchSubstringSql
+    "search_substring" -> Search.searchSubstringSql,
+    "mm_audio_vad" -> Multimodal.mmAudioVadSql
   )
 }

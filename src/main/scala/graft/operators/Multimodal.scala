@@ -428,6 +428,96 @@ object Multimodal {
        |FROM stats
        |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** Energy voice-activity detection over the decoded PCM frames: a
+    * frame is VOICED iff its RMS clears the threshold; consecutive
+    * voiced frames merge into segments (the gaps-and-islands shape:
+    * group key = frame_no − per-doc voiced rank, constant exactly
+    * within a run). Emits one row per segment with its frame span and
+    * DECIMAL-mean RMS — the "where is there speech" primitive every
+    * audio curation pass starts with.
+    *
+    * Scale shape: the RMS screen is map-side on the decode output; the
+    * island window partitions by doc_id over VOICED FRAMES ONLY — a
+    * per-blob relation bounded by the blob's own size (the payload was
+    * one binary cell, so its frame count is bounded by design, same
+    * grain the decode kernel already holds in memory). Segment agg is
+    * algebraic, partial map-side.
+    * Portability: both engines compute rms = sqrt(ss/32) from the same
+    * exact integer ss in IEEE double, so the threshold compare agrees;
+    * segment means sum through DECIMAL.
+    */
+  def audioVad(
+      spark: SparkSession,
+      withPayload: DataFrame,
+      thresholdRms: Double = 25500.0
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val voiced = audioFeatures(spark, withPayload).filter(col("rms") >= thresholdRms)
+    val byFrame = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val segs = voiced
+      .withColumn("__grp", col("frame_no") - row_number().over(byFrame))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(
+        min(col("frame_no")).as("start_frame"),
+        max(col("frame_no")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        round(
+          sum(col("rms").cast("decimal(27,10)")).cast("double") / count(lit(1)),
+          6
+        ).as("avg_rms")
+      )
+    val bySeg = Window.partitionBy(col("doc_id")).orderBy(col("start_frame"))
+    segs
+      .withColumn("seg", row_number().over(bySeg).cast("long") - 1)
+      .select(
+        col("doc_id"),
+        col("seg"),
+        col("start_frame"),
+        col("end_frame"),
+        col("n_frames"),
+        col("avg_rms")
+      )
+  }
+
+  def mmAudioVad(spark: SparkSession, dir: String): DataFrame =
+    audioVad(spark, withPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"), col("seg"))
+
+  /** VAD oracle: the mmAudio PCM recovery CTEs verbatim, then the same
+    * threshold screen, islands key, and DECIMAL segment means.
+    */
+  val mmAudioVadSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+      |fr AS (
+      |  SELECT doc_id, hx, UNNEST(range(0, (nb // 2) // 32)) AS fno FROM p),
+      |sv AS (
+      |  SELECT doc_id, fno, j,
+      |    CAST(('0x' || substr(hx, CAST(2 * (fno * 64 + 2 * j) + 1 AS INT), 2)) AS INT)
+      |      + 256 * CAST(('0x' || substr(hx, CAST(2 * (fno * 64 + 2 * j + 1) + 1 AS INT), 2)) AS INT) AS raw
+      |  FROM (SELECT doc_id, fno, hx, UNNEST(range(0, 32)) AS j FROM fr) t),
+      |sval AS (
+      |  SELECT doc_id, fno, j,
+      |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+      |  FROM sv),
+      |stats AS (
+      |  SELECT doc_id, fno, SQRT(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / 32) AS rms
+      |  FROM sval GROUP BY doc_id, fno),
+      |voiced AS (
+      |  SELECT doc_id, fno, rms,
+      |    fno - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fno) AS grp
+      |  FROM stats WHERE rms >= 25500.0),
+      |segs AS (
+      |  SELECT doc_id, MIN(fno) AS start_frame, MAX(fno) AS end_frame,
+      |    COUNT(*) AS n_frames,
+      |    ROUND(CAST(SUM(CAST(rms AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS avg_rms
+      |  FROM voiced GROUP BY doc_id, grp)
+      |SELECT doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS seg,
+      |  start_frame, end_frame, n_frames, avg_rms
+      |FROM segs
+      |ORDER BY doc_id, seg""".stripMargin
+
   /** Frame-chain oracle: every 4th complete 64-byte frame, features by
     * the same hex-sliced byte recovery as mmDecodeSql — frame f's byte
     * j sits at hex offset 2·(64f + j).

@@ -164,4 +164,28 @@ class MultimodalSpec extends SparkSpec {
       .toList
     got shouldBe List((1L, 2L, 0L))
   }
+
+  "audioVad" should "merge consecutive voiced frames into segments and split at gaps" in {
+    // 'z' pairs decode to int16 0x7a7a = 31354 (loud); ' !' pairs to
+    // 0x2120 = 8480 (quiet). One frame = 32 samples = 64 bytes.
+    val loud = "z" * 64
+    val quiet = " !" * 32
+    // frames: loud, loud, quiet, loud → segments [0,1] and [3,3]
+    val docs = Seq((7L, loud + loud + quiet + loud)).toDF("doc_id", "text")
+    val got = Multimodal
+      .audioVad(spark, Multimodal.withPayloads(docs), thresholdRms = 20000.0)
+      .orderBy("seg")
+      .select("seg", "start_frame", "end_frame", "n_frames")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List((0L, 0L, 1L, 2L), (1L, 3L, 3L, 1L))
+  }
+
+  it should "emit nothing when no frame clears the threshold" in {
+    val docs = Seq((1L, " !" * 64)).toDF("doc_id", "text")
+    Multimodal
+      .audioVad(spark, Multimodal.withPayloads(docs), thresholdRms = 20000.0)
+      .count() shouldBe 0L
+  }
 }
