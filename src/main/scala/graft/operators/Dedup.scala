@@ -46,7 +46,7 @@ object Dedup {
     * (hash-keyed exact dedup, deterministic splits) on both the Spark
     * and the oracle side.
     */
-  private[operators] def md5Prefix60Sql(x: String): String =
+  private[graft] def md5Prefix60Sql(x: String): String =
     s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
 
   private[operators] def md5Prefix60Duck(x: String): String =

@@ -918,4 +918,55 @@ class StreamingSpec extends SparkSpec {
       q.lastProgress.stateOperators.length shouldBe 0
     } finally q.stop()
   }
+
+  "StreamingExactDedup.dedup" should "tag batch-identical survivors and copies on any carving" in {
+    import graft.streaming.StreamingExactDedup
+    implicit val sqlCtx = spark.sqlContext
+
+    // content groups: A appears 3×, B 2×, C once; whitespace/case
+    // variants of A must still collide via the normalized hash
+    val data = Seq(
+      (1L, "alpha  beta gamma"),
+      (2L, "delta epsilon"),
+      (3L, "ALPHA beta   GAMMA"), // copy of 1 after normalization
+      (4L, "zeta eta"),
+      (5L, "delta  epsilon"), // copy of 2
+      (6L, "alpha beta gamma") // copy of 1
+    )
+    val batch = graft.operators.Dedup
+      .exactByHash(data.toDF("doc_id", "text"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    batch shouldBe Set((1L, 3L), (2L, 2L), (4L, 1L))
+
+    for (split <- Seq(Seq(data.size), Seq(2, 4, data.size), Seq(1, 2, 3, 4, 5, data.size))) {
+      val mem = MemoryStream[(Long, String)]
+      val out = StreamingExactDedup.dedup(spark, mem.toDF().toDF("doc_id", "text"))
+      val name = s"exactdedup_${split.mkString("_")}"
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var prev = 0
+        split.distinct.foreach { end =>
+          mem.addData(data.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val got = spark
+          .table(name)
+          .as[(Long, Boolean, Long, Long)]
+          .collect()
+        got.length shouldBe data.size // every arrival tagged exactly once
+        // survivors = batch min-doc_id survivors; group sizes agree
+        val survivors = got.filter(!_._2).map(_._1).toSet
+        withClue(s"split $split:") {
+          survivors shouldBe batch.map(_._1)
+          got.groupBy(_._3).view.mapValues(_.map(_._4).max).toMap shouldBe
+            batch.map { case (id, n) => id -> n }.toMap
+          // every copy points at its group's survivor
+          got.filter(_._2).foreach { case (_, _, surv, _) => batch.map(_._1) should contain(surv) }
+        }
+      } finally q.stop()
+    }
+  }
 }
