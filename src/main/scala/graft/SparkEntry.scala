@@ -268,7 +268,9 @@ object SparkEntry {
     // substring grep through a trigram index probe + exact verify
     "search_substring" -> (Search.searchSubstring _),
     // energy VAD: voiced-frame islands over the decoded PCM stream
-    "mm_audio_vad" -> (Multimodal.mmAudioVad _)
+    "mm_audio_vad" -> (Multimodal.mmAudioVad _),
+    // first/last-touch conversion attribution (bucketed per-user interval join)
+    "ts_attribution" -> (Timeseries.tsAttribution _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -443,6 +445,7 @@ object SparkEntry {
     "ts_erp" -> Timeseries.tsErpSql,
     "ts_dominant_freq" -> Timeseries.tsDominantFreqSql,
     "search_substring" -> Search.searchSubstringSql,
-    "mm_audio_vad" -> Multimodal.mmAudioVadSql
+    "mm_audio_vad" -> Multimodal.mmAudioVadSql,
+    "ts_attribution" -> Timeseries.tsAttributionSql
   )
 }

@@ -3810,4 +3810,105 @@ object Timeseries {
        |  MIN(span_start) AS span_start, MAX(span_end) AS span_end
        |FROM j GROUP BY 1, 2
        |ORDER BY channel, island""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Conversion attribution (first-touch / last-touch)
+  // -------------------------------------------------------------------
+
+  /** First-/last-touch conversion attribution: for every conversion
+    * event, the earliest and latest touch event by the same user
+    * inside the lookback window [t_conv − W, t_conv), plus the touch
+    * count — the marketing/product-analytics primitive behind "what
+    * drove this purchase".
+    *
+    * Scale shape: a per-user as-of/interval join, NOT a user-alone
+    * join — the lookback window W doubles as the bucket width, each
+    * touch is exploded to the TWO buckets its window can serve, and
+    * the join runs on the (user, bucket) EQUI-key with a residual
+    * range filter, so matched pairs are bounded by per-(user, 2W)
+    * density, never a hot user's full history. First/last are ONE
+    * algebraic lexicographic struct-extrema agg (the M4 trick) at
+    * conversion grain — deterministic ties via event_id, no window.
+    * Untouched conversions survive the LEFT join with NULL touches.
+    */
+  def attribution(
+    ts: DataFrame,
+    convChannel: String,
+    touchChannels: Seq[String],
+    lookbackUs: Long
+  ): DataFrame = {
+    val conv = ts
+      .filter(col("channel") === convChannel)
+      .select(
+        col("user_id"),
+        col("event_id").as("conv_id"),
+        col("t").as("t_conv"),
+        expr(s"t div $lookbackUs").as("__bkt")
+      )
+    val touch = ts
+      .filter(col("channel").isin(touchChannels: _*))
+      .select(
+        col("user_id").as("__tu"),
+        col("t").as("t_touch"),
+        col("event_id").as("touch_id"),
+        col("channel").as("touch_type"),
+        explode(
+          array(expr(s"t div $lookbackUs"), expr(s"t div $lookbackUs + 1L"))
+        ).as("__tbkt")
+      )
+    conv
+      .join(
+        touch,
+        conv("user_id") === touch("__tu") && col("__bkt") === col("__tbkt") &&
+          col("t_touch") < col("t_conv") && col("t_touch") >= col("t_conv") - lookbackUs,
+        "left"
+      )
+      .groupBy(col("conv_id"), col("user_id"), col("t_conv"))
+      .agg(
+        count(col("touch_id")).as("n_touches"),
+        min(struct(col("t_touch"), col("touch_id"), col("touch_type"))).as("__f"),
+        max(struct(col("t_touch"), col("touch_id"), col("touch_type"))).as("__l")
+      )
+      .select(
+        col("conv_id"),
+        col("user_id"),
+        col("t_conv"),
+        col("n_touches"),
+        col("__f.t_touch").as("first_t"),
+        col("__f.touch_type").as("first_type"),
+        col("__l.t_touch").as("last_t"),
+        col("__l.touch_type").as("last_type")
+      )
+  }
+
+  /** 6-hour lookback, purchases attributed to clicks/views. */
+  val AttributionLookbackUs: Long = 21600000000L
+
+  def tsAttribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables.ts(spark, dir), "purchase", Seq("click", "view"), AttributionLookbackUs)
+      .orderBy(col("conv_id"))
+
+  /** Oracle: the naive per-user range join (DuckDB scale) with the
+    * identical struct-extrema first/last and LEFT-join NULL survival.
+    */
+  val tsAttributionSql: String =
+    s"""WITH conv AS (
+       |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS t_conv
+       |  FROM events WHERE event_type = 'purchase'),
+       |touch AS (
+       |  SELECT user_id, epoch_us(ts) AS t_touch, event_id AS touch_id, event_type AS touch_type
+       |  FROM events WHERE event_type IN ('click', 'view')),
+       |j AS (
+       |  SELECT c.conv_id, c.user_id, c.t_conv, t.t_touch, t.touch_id, t.touch_type
+       |  FROM conv c LEFT JOIN touch t
+       |    ON t.user_id = c.user_id
+       |   AND t.t_touch < c.t_conv AND t.t_touch >= c.t_conv - $AttributionLookbackUs)
+       |SELECT conv_id, user_id, t_conv,
+       |  COUNT(touch_id) AS n_touches,
+       |  MIN({'t': t_touch, 'i': touch_id, 'y': touch_type}).t AS first_t,
+       |  MIN({'t': t_touch, 'i': touch_id, 'y': touch_type}).y AS first_type,
+       |  MAX({'t': t_touch, 'i': touch_id, 'y': touch_type}).t AS last_t,
+       |  MAX({'t': t_touch, 'i': touch_id, 'y': touch_type}).y AS last_type
+       |FROM j GROUP BY 1, 2, 3
+       |ORDER BY conv_id""".stripMargin
 }

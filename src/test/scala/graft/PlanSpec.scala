@@ -381,6 +381,15 @@ class PlanSpec extends SparkSpec {
     df.collect().map(_.toString).sorted shouldBe expected
   }
 
+  "ts_attribution" should "join on the (user, bucket) equi-key, never a nested loop over the stream" in {
+    val df = graft.operators.Timeseries.tsAttribution(spark, sfDir)
+    val plan = planString(df)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the range predicate must ride an equi-keyed join as a residual
+    plan should include("Join")
+  }
+
   "dedup_spans" should "roll up gram dup counts with partial aggregation and no cross join" in {
     val df = graft.operators.Dedup.dedupSpans(spark, sfDir)
     val plan = planString(df)

@@ -877,6 +877,38 @@ class TimeseriesSpec extends SparkSpec {
     Timeseries.hampel(edgy, k = 5, nSigma = 3.0).count() shouldBe 0L
   }
 
+  "attribution" should "pick window-bounded first/last touches with event_id ties and NULL-survive untouched conversions" in {
+    val W = 1000L
+    // user 1: conv at t=2000; touches at 1000 (= t_conv - W, included,
+    // lives in the PREVIOUS bucket — the two-bucket explode case),
+    // 1500 & 1500 (tie → event_id), 2000 (= t_conv, excluded).
+    // user 2: conv with no touches in window.
+    val rows = Seq(
+      ("purchase", 2000L, 0.0, 1L, 100L),
+      ("click", 1000L, 0.0, 1L, 10L),
+      ("view", 1500L, 0.0, 1L, 11L),
+      ("click", 1500L, 0.0, 1L, 12L),
+      ("click", 2000L, 0.0, 1L, 13L), // at t_conv: excluded
+      ("purchase", 5000L, 0.0, 2L, 101L),
+      ("click", 200L, 0.0, 2L, 14L) // far outside user 2's window
+    ).toDF("channel", "t", "v", "user_id", "event_id")
+    val got = Timeseries
+      .attribution(rows, "purchase", Seq("click", "view"), W)
+      .orderBy("conv_id")
+      .collect()
+    got.length shouldBe 2
+    val c1 = got(0)
+    c1.getAs[Long]("n_touches") shouldBe 3L
+    c1.getAs[Long]("first_t") shouldBe 1000L
+    c1.getAs[String]("first_type") shouldBe "click"
+    c1.getAs[Long]("last_t") shouldBe 1500L
+    c1.getAs[String]("last_type") shouldBe "click" // tie at 1500 → max event_id 12
+    val c2 = got(1)
+    c2.getAs[Long]("n_touches") shouldBe 0L
+    c2.isNullAt(c2.fieldIndex("first_t")) shouldBe true
+    c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
+  }
+
   "erpTemplate" should "average the waveform envelope per chunk across sweeps" in {
     // 2 waveforms of 4 samples, chunked to 2 (min,max) pairs each:
     // wf0 = 1,5,2,6 → chunks (1,5),(2,6); wf1 = 3,7,4,8 → (3,7),(4,8)
