@@ -270,7 +270,9 @@ object SparkEntry {
     // energy VAD: voiced-frame islands over the decoded PCM stream
     "mm_audio_vad" -> (Multimodal.mmAudioVad _),
     // first/last-touch conversion attribution (bucketed per-user interval join)
-    "ts_attribution" -> (Timeseries.tsAttribution _)
+    "ts_attribution" -> (Timeseries.tsAttribution _),
+    // pairwise mutual information over binned hourly means (nonlinear dependence)
+    "ts_mi" -> (Timeseries.tsMi _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -446,6 +448,7 @@ object SparkEntry {
     "ts_dominant_freq" -> Timeseries.tsDominantFreqSql,
     "search_substring" -> Search.searchSubstringSql,
     "mm_audio_vad" -> Multimodal.mmAudioVadSql,
-    "ts_attribution" -> Timeseries.tsAttributionSql
+    "ts_attribution" -> Timeseries.tsAttributionSql,
+    "ts_mi" -> Timeseries.tsMiSql
   )
 }

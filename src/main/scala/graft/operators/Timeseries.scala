@@ -3911,4 +3911,118 @@ object Timeseries {
        |  MAX({'t': t_touch, 'i': touch_id, 'y': touch_type}).y AS last_type
        |FROM j GROUP BY 1, 2, 3
        |ORDER BY conv_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Pairwise mutual information (nonlinear channel dependence)
+  // -------------------------------------------------------------------
+
+  /** Mutual information between channel pairs over equal-width-binned
+    * hourly means — the NONLINEAR dependence screen that catches what
+    * [[spectralCoherence]]'s and xcorr's linear statistics miss
+    * (identical bins → MI = marginal entropy; shuffled bins → 0).
+    *
+    * Scale shape: the stream reduces to (channel, bucket) means FIRST
+    * (one algebraic partial agg — the only sample-scale pass); binning
+    * joins a broadcast k-row min/max relation; the pair join and every
+    * marginal run on the bucket-grain summary, keyed by bucket so
+    * pairs distribute (the coherence post-reduction shape). The MI sum
+    * itself is pure integers: counts from the joint table feed
+    * ln(n_ab·N / (n_a·n_b)) — no double enters until the final
+    * projections, which are written in one pinned order both engines
+    * share.
+    */
+  def mutualInfo(ts: DataFrame, bucketUs: Long, bins: Int = 4): DataFrame = {
+    val m = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg(round(detAvg(col("v")), 6).as("mv"))
+    val rng = m.groupBy(col("channel")).agg(min(col("mv")).as("__mn"), max(col("mv")).as("__mx"))
+    val binned = m
+      .join(broadcast(rng), Seq("channel"))
+      .withColumn(
+        "bin",
+        when(
+          col("__mx") > col("__mn"),
+          least(
+            floor((col("mv") - col("__mn")) / (col("__mx") - col("__mn")) * bins),
+            lit((bins - 1).toLong)
+          )
+        ).otherwise(0L).cast("long")
+      )
+      .select(col("channel"), col("bucket"), col("bin"))
+    val a = binned.select(col("channel").as("ch_a"), col("bucket"), col("bin").as("bin_a"))
+    val b = binned.select(col("channel").as("ch_b"), col("bucket"), col("bin").as("bin_b"))
+    val joint = a
+      .join(b, Seq("bucket"))
+      .filter(col("ch_a") < col("ch_b"))
+      .groupBy(col("ch_a"), col("ch_b"), col("bin_a"), col("bin_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val tot = joint.groupBy(col("ch_a"), col("ch_b")).agg(sum(col("n_ab")).as("__N"))
+    val ma = joint.groupBy(col("ch_a"), col("ch_b"), col("bin_a")).agg(sum(col("n_ab")).as("__na"))
+    val mb = joint.groupBy(col("ch_a"), col("ch_b"), col("bin_b")).agg(sum(col("n_ab")).as("__nb"))
+    joint
+      .join(ma, Seq("ch_a", "ch_b", "bin_a"))
+      .join(mb, Seq("ch_a", "ch_b", "bin_b"))
+      .join(broadcast(tot), Seq("ch_a", "ch_b"))
+      .withColumn(
+        "__term",
+        round(
+          (col("n_ab").cast("double") / col("__N").cast("double")) *
+            round(
+              log(
+                (col("n_ab").cast("double") * col("__N").cast("double")) /
+                  (col("__na").cast("double") * col("__nb").cast("double"))
+              ),
+              9
+            ),
+          9
+        )
+      )
+      .groupBy(col("ch_a"), col("ch_b"))
+      .agg(
+        max(col("__N")).as("n_buckets"),
+        round(detSum(col("__term")), 6).as("mi")
+      )
+  }
+
+  def tsMi(spark: SparkSession, dir: String): DataFrame =
+    mutualInfo(Tables.ts(spark, dir), BucketUs)
+      .orderBy(col("ch_a"), col("ch_b"))
+
+  /** Oracle: the bucket-mean/bin/joint/marginal pipeline verbatim with
+    * the identical pinned double order and round-9 ln terms.
+    */
+  val tsMiSql: String =
+    s"""WITH m AS (
+       |  SELECT event_type AS channel,
+       |    CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket,
+       |    ROUND(CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS mv
+       |  FROM events GROUP BY 1, 2),
+       |rng AS (SELECT channel, MIN(mv) AS mn, MAX(mv) AS mx FROM m GROUP BY 1),
+       |binned AS (
+       |  SELECT m.channel, m.bucket,
+       |    CASE WHEN rng.mx > rng.mn
+       |         THEN CAST(LEAST(FLOOR((m.mv - rng.mn) / (rng.mx - rng.mn) * 4), 3) AS BIGINT)
+       |         ELSE 0 END AS bin
+       |  FROM m JOIN rng ON rng.channel = m.channel),
+       |joint AS (
+       |  SELECT a.channel AS ch_a, b.channel AS ch_b, a.bin AS bin_a, b.bin AS bin_b,
+       |    COUNT(*) AS n_ab
+       |  FROM binned a JOIN binned b ON a.bucket = b.bucket AND a.channel < b.channel
+       |  GROUP BY 1, 2, 3, 4),
+       |tot AS (SELECT ch_a, ch_b, CAST(SUM(n_ab) AS BIGINT) AS N FROM joint GROUP BY 1, 2),
+       |ma AS (SELECT ch_a, ch_b, bin_a, SUM(n_ab) AS na FROM joint GROUP BY 1, 2, 3),
+       |mb AS (SELECT ch_a, ch_b, bin_b, SUM(n_ab) AS nb FROM joint GROUP BY 1, 2, 3),
+       |terms AS (
+       |  SELECT j.ch_a, j.ch_b, t.N,
+       |    ROUND((CAST(j.n_ab AS DOUBLE) / CAST(t.N AS DOUBLE)) *
+       |      ROUND(LN((CAST(j.n_ab AS DOUBLE) * CAST(t.N AS DOUBLE)) /
+       |                (CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE))), 9), 9) AS term
+       |  FROM joint j
+       |  JOIN ma ON ma.ch_a = j.ch_a AND ma.ch_b = j.ch_b AND ma.bin_a = j.bin_a
+       |  JOIN mb ON mb.ch_a = j.ch_a AND mb.ch_b = j.ch_b AND mb.bin_b = j.bin_b
+       |  JOIN tot t ON t.ch_a = j.ch_a AND t.ch_b = j.ch_b)
+       |SELECT ch_a, ch_b, MAX(N) AS n_buckets,
+       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27,10))) AS DOUBLE), 6) AS mi
+       |FROM terms GROUP BY 1, 2
+       |ORDER BY ch_a, ch_b""".stripMargin
 }

@@ -909,6 +909,25 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "mutualInfo" should "score a copied channel positive and a constant channel zero" in {
+    // channel a: varying hourly means; channel c: exact copy (MI =
+    // marginal bin entropy > 0); channel b: constant (one bin → MI 0)
+    val W = 1000L
+    val rows = (0L until 64L).flatMap { k =>
+      val va = (k % 8).toDouble
+      Seq(("a", k * W + 10L, va), ("c", k * W + 20L, va), ("b", k * W + 30L, 5.0))
+    }
+    val got = Timeseries
+      .mutualInfo(mkTs(rows), bucketUs = W)
+      .collect()
+      .map(r => (r.getAs[String]("ch_a"), r.getAs[String]("ch_b")) -> r.getAs[Double]("mi"))
+      .toMap
+    got(("a", "c")) should be > 1.0 // bijective copy: MI = H(bins) = ln(4) here
+    got(("a", "c")) shouldBe math.log(4.0) +- 1e-6
+    got(("a", "b")) shouldBe 0.0
+    got(("b", "c")) shouldBe 0.0
+  }
+
   "erpTemplate" should "average the waveform envelope per chunk across sweeps" in {
     // 2 waveforms of 4 samples, chunked to 2 (min,max) pairs each:
     // wf0 = 1,5,2,6 → chunks (1,5),(2,6); wf1 = 3,7,4,8 → (3,7),(4,8)
