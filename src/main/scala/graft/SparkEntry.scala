@@ -272,7 +272,11 @@ object SparkEntry {
     // first/last-touch conversion attribution (bucketed per-user interval join)
     "ts_attribution" -> (Timeseries.tsAttribution _),
     // pairwise mutual information over binned hourly means (nonlinear dependence)
-    "ts_mi" -> (Timeseries.tsMi _)
+    "ts_mi" -> (Timeseries.tsMi _),
+    // frame-difference shot boundaries over the sampled frame chain
+    "mm_video_shots" -> (Multimodal.mmVideoShots _),
+    // top user-journey event trigrams via the stitched block-halo lags
+    "ts_journeys" -> (Timeseries.tsJourneys _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -449,6 +453,8 @@ object SparkEntry {
     "search_substring" -> Search.searchSubstringSql,
     "mm_audio_vad" -> Multimodal.mmAudioVadSql,
     "ts_attribution" -> Timeseries.tsAttributionSql,
-    "ts_mi" -> Timeseries.tsMiSql
+    "ts_mi" -> Timeseries.tsMiSql,
+    "mm_video_shots" -> Multimodal.mmVideoShotsSql,
+    "ts_journeys" -> Timeseries.tsJourneysSql
   )
 }

@@ -352,8 +352,15 @@ object Multimodal {
     * interchangeably. Map-side end to end: explode, slice, decode all
     * pipeline inside one stage with no shuffle before the final sort.
     */
-  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
-    val frames = sampleFrames(withPayloads(Tables.documents(spark, dir)), frameBytes = 64, everyK = 4)
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    mmFramesFeatures(spark, Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  /** The frame-feature pipeline over an arbitrary documents relation —
+    * shared by the [[mmFrames]] driver query and [[shotSegments]].
+    */
+  def mmFramesFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val frames = sampleFrames(withPayloads(docs), frameBytes = 64, everyK = 4)
     // (doc_id, frame_no) packed as doc_id·2³² | frame_no: sound for
     // doc_id < 2³¹ and frame_no < 2³² (a 2³²-frame payload is 256 GB —
     // beyond any single-blob design point)
@@ -376,7 +383,6 @@ object Multimodal {
         round(col("byte_mean"), 6).as("byte_mean"),
         round(col("byte_std"), 6).as("byte_std")
       )
-      .orderBy(col("doc_id"), col("frame_no"))
   }
 
   /** Audio modality end to end: payload → int16 PCM frames → RMS +
@@ -517,6 +523,83 @@ object Multimodal {
       |  start_frame, end_frame, n_frames, avg_rms
       |FROM segs
       |ORDER BY doc_id, seg""".stripMargin
+
+  /** Shot-boundary detection over the sampled frame chain — the visual
+    * twin of [[audioVad]]: a new shot starts where the mean-intensity
+    * jump between CONSECUTIVE sampled frames exceeds the threshold
+    * (the classic frame-difference shot detector); consecutive frames
+    * under the threshold merge into one shot.
+    *
+    * Scale shape: runs ON the frame-feature relation ([[mmFrames]]'
+    * output — already one row per sampled frame); the lag and the
+    * running shot counter window per doc over that per-blob relation,
+    * bounded by the blob's own size exactly as the VAD islands are.
+    * Portability: byte_mean is an exact integer sum / 64 rounded to 6
+    * identically in both engines, so the threshold compare agrees.
+    */
+  def shotSegments(frames: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFrame = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val run = byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .withColumn("__prev", lag(col("byte_mean"), 1).over(byFrame))
+      .withColumn(
+        "__new",
+        when(col("__prev").isNull || abs(col("byte_mean") - col("__prev")) > tau, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("shot", sum(col("__new")).over(run) - 1L)
+      .groupBy(col("doc_id"), col("shot"))
+      .agg(
+        min(col("frame_no")).as("start_frame"),
+        max(col("frame_no")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        round(
+          sum(col("byte_mean").cast("decimal(27,10)")).cast("double") / count(lit(1)),
+          6
+        ).as("avg_mean")
+      )
+  }
+
+  val ShotThreshold = 3.0
+
+  def mmVideoShots(spark: SparkSession, dir: String): DataFrame =
+    shotSegments(mmFramesFeatures(spark, Tables.documents(spark, dir)), ShotThreshold)
+      .orderBy(col("doc_id"), col("shot"))
+
+  /** Shot oracle: the mmFrames byte-recovery CTEs, then the identical
+    * lag/threshold/running-counter segmentation.
+    */
+  val mmVideoShotsSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+       |sampled AS (
+       |  SELECT doc_id, fno, hx
+       |  FROM (SELECT doc_id, hx, UNNEST(range(0, nb // 64)) AS fno FROM p) t
+       |  WHERE fno % 4 = 0),
+       |fvals AS (
+       |  SELECT doc_id, fno, j,
+       |    CAST(('0x' || substr(hx, CAST(2 * (fno * 64 + j) + 1 AS INT), 2)) AS INT) AS b
+       |  FROM (SELECT doc_id, fno, hx, UNNEST(range(0, 64)) AS j FROM sampled) t),
+       |means AS (
+       |  SELECT doc_id, fno, ROUND(CAST(SUM(b) AS DOUBLE) / 64, 6) AS bm
+       |  FROM fvals GROUP BY doc_id, fno),
+       |flagged AS (
+       |  SELECT doc_id, fno, bm,
+       |    CASE WHEN LAG(bm) OVER w IS NULL
+       |           OR ABS(bm - LAG(bm) OVER w) > $ShotThreshold THEN 1 ELSE 0 END AS nw
+       |  FROM means
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY fno)),
+       |shotted AS (
+       |  SELECT doc_id, fno, bm,
+       |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY fno
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS shot
+       |  FROM flagged)
+       |SELECT doc_id, CAST(shot AS BIGINT) AS shot,
+       |  MIN(fno) AS start_frame, MAX(fno) AS end_frame, COUNT(*) AS n_frames,
+       |  ROUND(CAST(SUM(CAST(bm AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS avg_mean
+       |FROM shotted GROUP BY doc_id, shot
+       |ORDER BY doc_id, shot""".stripMargin
 
   /** Frame-chain oracle: every 4th complete 64-byte frame, features by
     * the same hex-sliced byte recovery as mmDecodeSql — frame f's byte

@@ -3913,6 +3913,70 @@ object Timeseries {
        |ORDER BY conv_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // User-journey trigrams (path analysis)
+  // -------------------------------------------------------------------
+
+  /** Top user-journey trigrams: the most frequent ordered
+    * (event, event, event) sequences users actually walk — the product
+    * analytics "common paths" readout next to [[funnel]]'s fixed-order
+    * conversion and [[sessionize]]'s grouping.
+    *
+    * Scale shape: the per-user ordered stream rides the SAME block-halo
+    * machinery as the per-channel signal kernels (the user id is just
+    * the partition key — [[withBlockHalo]] is key-agnostic), so the
+    * 2-step lags evaluate with no user-alone window over a hot user's
+    * history; the trigram count is one partial agg over the lagged
+    * projection, and the top-k cut is a TakeOrderedAndProject with the
+    * rank window over the limited rows.
+    */
+  def journeyTrigrams(
+    ts: DataFrame,
+    k: Int = 15,
+    stitchBucketUs: Long = StitchBucketUs
+  ): DataFrame = {
+    val s = ts.select(
+      col("channel").as("et"),
+      col("t"),
+      col("event_id"),
+      col("user_id").as("channel")
+    )
+    val padded = withBlockHalo(s, halo = 2, stitchBucketUs, Seq("event_id"))
+    val w = Window.partitionBy(col("channel"), col("__tgt")).orderBy(col("__rn"))
+    val grams = padded
+      .withColumn("__p1", lag(col("et"), 1).over(w))
+      .withColumn("__p2", lag(col("et"), 2).over(w))
+      .filter(col("__tgt") === col("__blk"))
+      .filter(col("__p1").isNotNull && col("__p2").isNotNull)
+      .groupBy(col("__p2").as("step1"), col("__p1").as("step2"), col("et").as("step3"))
+      .agg(count(lit(1)).as("n"))
+    val top = grams.orderBy(col("n").desc, col("step1"), col("step2"), col("step3")).limit(k)
+    val byN = Window.orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+    top
+      .withColumn("rank", row_number().over(byN).cast("long"))
+      .select(col("rank"), col("step1"), col("step2"), col("step3"), col("n"))
+  }
+
+  def tsJourneys(spark: SparkSession, dir: String): DataFrame =
+    journeyTrigrams(Tables.ts(spark, dir)).orderBy(col("rank"))
+
+  /** Oracle: the double-lag per-user window with the identical
+    * (n DESC, steps) cut and rank.
+    */
+  val tsJourneysSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS et,
+      |    LAG(event_type) OVER w AS p1, LAG(event_type, 2) OVER w AS p2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |g AS (
+      |  SELECT p2 AS step1, p1 AS step2, et AS step3, COUNT(*) AS n
+      |  FROM e WHERE p1 IS NOT NULL AND p2 IS NOT NULL GROUP BY 1, 2, 3),
+      |top AS (SELECT * FROM g ORDER BY n DESC, step1, step2, step3 LIMIT 15)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, step1, step2, step3) AS BIGINT) AS rank,
+      |  step1, step2, step3, n
+      |FROM top ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // Pairwise mutual information (nonlinear channel dependence)
   // -------------------------------------------------------------------
 

@@ -188,4 +188,53 @@ class MultimodalSpec extends SparkSpec {
       .audioVad(spark, Multimodal.withPayloads(docs), thresholdRms = 20000.0)
       .count() shouldBe 0L
   }
+
+  "shotSegments" should "cut a new shot at a mean-intensity jump and merge steady frames" in {
+    // sampled frames are every 4th 64-byte frame: 'a'*256 + 'z'*64
+    // samples frames 0 ('a', mean 97) and 4 ('z', mean 122): jump 25
+    // → two shots; 'b'*320 samples two steady frames → one shot
+    val frames = Seq(
+      (1L, 0L, 97.0),
+      (1L, 4L, 122.0),
+      (2L, 0L, 98.0),
+      (2L, 4L, 98.0)
+    ).toDF("doc_id", "frame_no", "byte_mean")
+    val got = Multimodal
+      .shotSegments(frames, tau = 3.0)
+      .orderBy("doc_id", "shot")
+      .select("doc_id", "shot", "start_frame", "end_frame", "n_frames")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (1L, 0L, 0L, 0L, 1L),
+      (1L, 1L, 4L, 4L, 1L),
+      (2L, 0L, 0L, 4L, 2L)
+    )
+  }
+
+  it should "detect the planted jump end to end through the sampled frame chain" in {
+    val docs = Seq(
+      (1L, "a" * 256 + "z" * 64),
+      (2L, "b" * 320)
+    ).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withPayloads(docs),
+      frameBytes = 64,
+      everyK = 4
+    )
+    frames.count() shouldBe 4L // two sampled frames per doc
+    val shots = Multimodal
+      .shotSegments(
+        Multimodal.mmFramesFeatures(spark, docs),
+        tau = 3.0
+      )
+      .groupBy("doc_id")
+      .count()
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    shots(1L) shouldBe 2L
+    shots(2L) shouldBe 1L
+  }
 }

@@ -909,6 +909,41 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "journeyTrigrams" should "count per-user ordered trigrams and never cross users" in {
+    // user 1 walks a→b→c→b (trigrams abc, bcb); user 2 walks x→y→z
+    // (xyz). No trigram may mix the two users' steps.
+    val rows = Seq(
+      ("a", 1000L, 0.0, 1L, 1L),
+      ("b", 2000L, 0.0, 1L, 2L),
+      ("c", 3000L, 0.0, 1L, 3L),
+      ("b", 4000L, 0.0, 1L, 4L),
+      ("x", 1500L, 0.0, 2L, 5L),
+      ("y", 2500L, 0.0, 2L, 6L),
+      ("z", 3500L, 0.0, 2L, 7L)
+    ).toDF("channel", "t", "v", "user_id", "event_id")
+    val got = Timeseries
+      .journeyTrigrams(rows, k = 10)
+      .select("step1", "step2", "step3", "n")
+      .as[(String, String, String, Long)]
+      .collect()
+      .toSet
+    got shouldBe Set(("a", "b", "c", 1L), ("b", "c", "b", 1L), ("x", "y", "z", 1L))
+  }
+
+  it should "be invariant to the stitch-bucket width" in {
+    val rows = (0L until 200L).map { i =>
+      (Seq("a", "b", "c")((i % 3).toInt), i * 777L, 0.0, i % 5, i)
+    }.map { case (et, t, v, u, id) => (et, t, v, u, id) }
+    val df = rows.toDF("channel", "t", "v", "user_id", "event_id")
+    val ref = Timeseries.journeyTrigrams(df, k = 30, stitchBucketUs = 1L << 60)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    ref should not be empty
+    for (bw <- Seq(1000L, 33333L)) {
+      Timeseries.journeyTrigrams(df, k = 30, stitchBucketUs = bw)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe ref
+    }
+  }
+
   "mutualInfo" should "score a copied channel positive and a constant channel zero" in {
     // channel a: varying hourly means; channel c: exact copy (MI =
     // marginal bin entropy > 0); channel b: constant (one bin → MI 0)
