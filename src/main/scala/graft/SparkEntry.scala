@@ -276,7 +276,9 @@ object SparkEntry {
     // frame-difference shot boundaries over the sampled frame chain
     "mm_video_shots" -> (Multimodal.mmVideoShots _),
     // top user-journey event trigrams via the stitched block-halo lags
-    "ts_journeys" -> (Timeseries.tsJourneys _)
+    "ts_journeys" -> (Timeseries.tsJourneys _),
+    // per-dimension embedding stats: the dead/runaway dimension screen
+    "embed_dims" -> (Similarity.embedDims _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -455,6 +457,7 @@ object SparkEntry {
     "ts_attribution" -> Timeseries.tsAttributionSql,
     "ts_mi" -> Timeseries.tsMiSql,
     "mm_video_shots" -> Multimodal.mmVideoShotsSql,
-    "ts_journeys" -> Timeseries.tsJourneysSql
+    "ts_journeys" -> Timeseries.tsJourneysSql,
+    "embed_dims" -> Similarity.embedDimsSql
   )
 }

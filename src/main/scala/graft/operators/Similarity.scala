@@ -1883,4 +1883,73 @@ object Similarity {
        |FROM u$iters u CROSS JOIN n$iters n
        |ORDER BY dim""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Per-dimension embedding diagnostics
+  // ---------------------------------------------------------------------
+
+  /** Per-dimension embedding statistics — the "dead / runaway
+    * dimension" screen run before trusting any distance math
+    * downstream (a dimension with ~zero variance contributes nothing
+    * to cosine; one with a huge mean dominates it — the anisotropy
+    * [[embedDebias]] then removes).
+    *
+    * Scale shape: one posexplode projection (map-side, corpus scanned
+    * once, never shuffled as vectors) into ONE dim-keyed algebraic
+    * DECIMAL-moment agg — dims-many groups, partial map-side.
+    * Portability: float elements cast to double exactly; moments sum
+    * through DECIMAL; mean/std round after one pinned double order.
+    */
+  def dimStats(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("__s1"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("__s2"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x")
+      )
+      .select(
+        col("dim"),
+        col("n"),
+        round(col("__s1") / col("n"), 6).as("mean"),
+        round(
+          sqrt(
+            greatest(
+              col("__s2") / col("n") - (col("__s1") / col("n")) * (col("__s1") / col("n")),
+              lit(0.0)
+            )
+          ),
+          6
+        ).as("std"),
+        col("min_x"),
+        col("max_x")
+      )
+  }
+
+  def embedDims(spark: SparkSession, dir: String): DataFrame =
+    dimStats(Tables.embeddings(spark, dir)).orderBy(col("dim"))
+
+  /** Oracle: 1-based list indexing over the same exploded dims with
+    * identical DECIMAL moments and pinned mean/std order.
+    */
+  val embedDimsSql: String =
+    """WITH e AS (
+      |  SELECT embedding, UNNEST(range(1, len(embedding) + 1)) AS i FROM embeddings),
+      |v AS (SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x FROM e),
+      |a AS (
+      |  SELECT dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(27,10))) AS DOUBLE) AS s2,
+      |    MIN(x) AS min_x, MAX(x) AS max_x
+      |  FROM v GROUP BY 1)
+      |SELECT dim, n, ROUND(s1 / n, 6) AS mean,
+      |  ROUND(SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS std,
+      |  min_x, max_x
+      |FROM a
+      |ORDER BY dim""".stripMargin
 }

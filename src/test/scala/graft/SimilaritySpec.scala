@@ -565,4 +565,23 @@ class SimilaritySpec extends SparkSpec {
       .toList
     cos shouldBe List(2L)
   }
+
+  "dimStats" should "report per-dimension moments and flag the dead dimension" in {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(3.0f, 0.0f)),
+      (2L, Array(5.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(emb).orderBy("dim").collect()
+    got.length shouldBe 2
+    val d0 = got(0)
+    d0.getAs[Long]("n") shouldBe 3L
+    d0.getAs[Double]("mean") shouldBe 3.0
+    d0.getAs[Double]("std") shouldBe math.sqrt(35.0 / 3 - 9.0) +- 1e-6
+    d0.getAs[Double]("min_x") shouldBe 1.0
+    d0.getAs[Double]("max_x") shouldBe 5.0
+    val d1 = got(1) // dead dimension: zero mean, zero variance
+    d1.getAs[Double]("mean") shouldBe 0.0
+    d1.getAs[Double]("std") shouldBe 0.0
+  }
 }
