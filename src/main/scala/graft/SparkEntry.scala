@@ -278,7 +278,9 @@ object SparkEntry {
     // top user-journey event trigrams via the stitched block-halo lags
     "ts_journeys" -> (Timeseries.tsJourneys _),
     // per-dimension embedding stats: the dead/runaway dimension screen
-    "embed_dims" -> (Similarity.embedDims _)
+    "embed_dims" -> (Similarity.embedDims _),
+    // Welch two-sample t-test between channel pairs (A/B comparison)
+    "ts_ttest" -> (Timeseries.tsTtest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -458,6 +460,7 @@ object SparkEntry {
     "ts_mi" -> Timeseries.tsMiSql,
     "mm_video_shots" -> Multimodal.mmVideoShotsSql,
     "ts_journeys" -> Timeseries.tsJourneysSql,
-    "embed_dims" -> Similarity.embedDimsSql
+    "embed_dims" -> Similarity.embedDimsSql,
+    "ts_ttest" -> Timeseries.tsTtestSql
   )
 }

@@ -3913,6 +3913,95 @@ object Timeseries {
        |ORDER BY conv_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Welch two-sample t-test between channels
+  // -------------------------------------------------------------------
+
+  /** Welch's unequal-variance two-sample t-test between every channel
+    * pair — "do these two streams have the same mean" with the
+    * Welch–Satterthwaite effective degrees of freedom, the A/B
+    * comparison readout next to [[mutualInfo]]'s dependence screen.
+    *
+    * Scale shape: ONE algebraic DECIMAL-moment partial agg reduces the
+    * stream to a k-row channel summary; the pair cross join and all
+    * t/dof arithmetic run on those k rows (broadcast). Portability:
+    * sample variance, t and dof are written in one pinned double order
+    * over the DECIMAL-summed moments, rounded at the end.
+    */
+  def welchTTest(ts: DataFrame): DataFrame = {
+    val stats = ts
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        detSum(col("v")).as("__s1"),
+        detSum(col("v") * col("v")).as("__s2")
+      )
+      .filter(col("n") > 1)
+      .select(
+        col("channel"),
+        col("n"),
+        (col("__s1") / col("n")).as("__m"),
+        // sample variance (n-1): pinned order over the DECIMAL moments
+        (greatest(col("__s2") - col("__s1") * col("__s1") / col("n"), lit(0.0)) /
+          (col("n") - lit(1L))).as("__var")
+      )
+    val a = stats.select(
+      col("channel").as("ch_a"),
+      col("n").as("__na"),
+      col("__m").as("__ma"),
+      col("__var").as("__va")
+    )
+    val b = stats.select(
+      col("channel").as("ch_b"),
+      col("n").as("__nb"),
+      col("__m").as("__mb"),
+      col("__var").as("__vb")
+    )
+    val sea = col("__va") / col("__na")
+    val seb = col("__vb") / col("__nb")
+    a.crossJoin(broadcast(b))
+      .filter(col("ch_a") < col("ch_b"))
+      .select(
+        col("ch_a"),
+        col("ch_b"),
+        col("__na").as("n_a"),
+        col("__nb").as("n_b"),
+        round(col("__ma"), 6).as("mean_a"),
+        round(col("__mb"), 6).as("mean_b"),
+        round((col("__ma") - col("__mb")) / sqrt(sea + seb), 6).as("t_stat"),
+        round(
+          (sea + seb) * (sea + seb) /
+            (sea * sea / (col("__na") - lit(1L)) + seb * seb / (col("__nb") - lit(1L))),
+          6
+        ).as("dof")
+      )
+  }
+
+  def tsTtest(spark: SparkSession, dir: String): DataFrame =
+    welchTTest(Tables.ts(spark, dir)).orderBy(col("ch_a"), col("ch_b"))
+
+  /** Oracle: identical DECIMAL moments and the same pinned t/dof
+    * arithmetic over the k-row channel summary.
+    */
+  val tsTtestSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS channel, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(27,10))) AS DOUBLE) AS s2
+      |  FROM events GROUP BY 1 HAVING COUNT(*) > 1),
+      |m AS (
+      |  SELECT channel, n, s1 / n AS mu,
+      |    GREATEST(s2 - s1 * s1 / n, 0.0) / (n - 1) AS var
+      |  FROM s)
+      |SELECT a.channel AS ch_a, b.channel AS ch_b, a.n AS n_a, b.n AS n_b,
+      |  ROUND(a.mu, 6) AS mean_a, ROUND(b.mu, 6) AS mean_b,
+      |  ROUND((a.mu - b.mu) / SQRT(a.var / a.n + b.var / b.n), 6) AS t_stat,
+      |  ROUND((a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n) /
+      |        ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+      |         + (b.var / b.n) * (b.var / b.n) / (b.n - 1)), 6) AS dof
+      |FROM m a JOIN m b ON a.channel < b.channel
+      |ORDER BY ch_a, ch_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // User-journey trigrams (path analysis)
   // -------------------------------------------------------------------
 

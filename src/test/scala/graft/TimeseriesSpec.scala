@@ -909,6 +909,21 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "welchTTest" should "reproduce the hand-computed t and Welch-Satterthwaite dof" in {
+    // a = 1,2,3 (mean 2, var 1); b = 2,4,6 (mean 4, var 4):
+    // t = -2/sqrt(1/3 + 4/3) = -1.549193; dof = (5/3)^2 / ((1/9+16/9)/2)
+    val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => ("a", i * 1000L, v) } ++
+      Seq(2.0, 4.0, 6.0).zipWithIndex.map { case (v, i) => ("b", i * 1000L, v) }
+    val got = Timeseries.welchTTest(mkTs(rows)).collect()
+    got.length shouldBe 1
+    val r = got.head
+    r.getAs[String]("ch_a") shouldBe "a"
+    r.getAs[Double]("mean_a") shouldBe 2.0
+    r.getAs[Double]("mean_b") shouldBe 4.0
+    r.getAs[Double]("t_stat") shouldBe -2.0 / math.sqrt(5.0 / 3) +- 1e-6
+    r.getAs[Double]("dof") shouldBe 450.0 / 153 +- 1e-6
+  }
+
   "journeyTrigrams" should "count per-user ordered trigrams and never cross users" in {
     // user 1 walks a→b→c→b (trigrams abc, bcb); user 2 walks x→y→z
     // (xyz). No trigram may mix the two users' steps.
