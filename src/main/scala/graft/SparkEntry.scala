@@ -280,7 +280,9 @@ object SparkEntry {
     // per-dimension embedding stats: the dead/runaway dimension screen
     "embed_dims" -> (Similarity.embedDims _),
     // Welch two-sample t-test between channel pairs (A/B comparison)
-    "ts_ttest" -> (Timeseries.tsTtest _)
+    "ts_ttest" -> (Timeseries.tsTtest _),
+    // ACF lags 1-3 + Durbin-Levinson partial autocorrelation
+    "ts_pacf" -> (Timeseries.tsPacf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -461,6 +463,7 @@ object SparkEntry {
     "mm_video_shots" -> Multimodal.mmVideoShotsSql,
     "ts_journeys" -> Timeseries.tsJourneysSql,
     "embed_dims" -> Similarity.embedDimsSql,
-    "ts_ttest" -> Timeseries.tsTtestSql
+    "ts_ttest" -> Timeseries.tsTtestSql,
+    "ts_pacf" -> Timeseries.tsPacfSql
   )
 }

@@ -3913,6 +3913,132 @@ object Timeseries {
        |ORDER BY conv_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Partial autocorrelation (Durbin–Levinson over the ACF summary)
+  // -------------------------------------------------------------------
+
+  /** Sample autocorrelations at lags 1..3 (global-mean convention,
+    * r_k = Σ(v_t−μ)(v_{t−k}−μ) / Σ(v_t−μ)²) and the partial
+    * autocorrelations via the Durbin–Levinson recursion — the
+    * Box–Jenkins AR-order readout [[lagCorrelation]]'s single
+    * Pearson lag-1 doesn't give.
+    *
+    * Scale shape: the three lags evaluate over [[withBlockHalo]]'s
+    * halo-replicated row blocks (halo 3 — no channel-alone window over
+    * the data); ONE algebraic DECIMAL agg reduces everything to a
+    * k-row channel summary carrying per-lag pair sums; the numerator
+    * expansion (Σv_t·v_{t−k} − μ·Σv_t − μ·Σv_{t−k} + m_k·μ²) and the
+    * DL recursion are pinned-order projections on those k rows.
+    * Portability: r_k rounds to 9 before entering DL; constant
+    * channels NULLIF out of the division in both engines.
+    */
+  def pacf(ts: DataFrame, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    val padded = withBlockHalo(
+      withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id")),
+      halo = 3,
+      stitchBucketUs,
+      Seq("event_id")
+    )
+    val w = Window.partitionBy(col("channel"), col("__tgt")).orderBy(col("__rn"))
+    val lagged = padded
+      .withColumn("__l1", lag(col("v"), 1).over(w))
+      .withColumn("__l2", lag(col("v"), 2).over(w))
+      .withColumn("__l3", lag(col("v"), 3).over(w))
+      .filter(col("__tgt") === col("__blk"))
+    def pairSums(k: Int) = Seq(
+      count(col(s"__l$k")).as(s"m$k"),
+      detSum(when(col(s"__l$k").isNotNull, col("v") * col(s"__l$k"))).as(s"sxy$k"),
+      detSum(when(col(s"__l$k").isNotNull, col("v"))).as(s"sx$k"),
+      detSum(col(s"__l$k")).as(s"sl$k")
+    )
+    val agg0 = Seq(
+      count(lit(1)).as("n"),
+      detSum(col("v")).as("s1"),
+      detSum(col("v") * col("v")).as("s2")
+    ) ++ pairSums(1) ++ pairSums(2) ++ pairSums(3)
+    val stats = lagged.groupBy(col("channel")).agg(agg0.head, agg0.tail: _*)
+    val mu = col("s1") / col("n")
+    val den = nullif(col("s2") - col("s1") * col("s1") / col("n"), lit(0.0))
+    def rk(k: Int) = round(
+      (col(s"sxy$k") - mu * col(s"sx$k") - mu * col(s"sl$k") + col(s"m$k") * mu * mu) / den,
+      9
+    )
+    val withR = stats
+      .select(col("channel"), col("n"), rk(1).as("r1"), rk(2).as("r2"), rk(3).as("r3"))
+    // Durbin–Levinson: φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²);
+    // φ21 = φ11 − φ22·φ11; φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2)
+    val phi22 = (col("r2") - col("r1") * col("r1")) /
+      nullif(lit(1.0) - col("r1") * col("r1"), lit(0.0))
+    withR
+      .withColumn("__p22", phi22)
+      .withColumn("__p21", col("r1") - col("__p22") * col("r1"))
+      .select(
+        col("channel"),
+        col("n"),
+        col("r1"),
+        col("r2"),
+        col("r3"),
+        round(col("r1"), 6).as("pacf1"),
+        round(col("__p22"), 6).as("pacf2"),
+        round(
+          (col("r3") - col("__p21") * col("r2") - col("__p22") * col("r1")) /
+            nullif(lit(1.0) - col("__p21") * col("r1") - col("__p22") * col("r2"), lit(0.0)),
+          6
+        ).as("pacf3")
+      )
+  }
+
+  def tsPacf(spark: SparkSession, dir: String): DataFrame =
+    pacf(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** Oracle: the three-lag window, the identical numerator expansion,
+    * the same round-9 r's and pinned DL arithmetic.
+    */
+  val tsPacfSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS channel, value AS v,
+      |    LAG(value) OVER w AS l1, LAG(value, 2) OVER w AS l2, LAG(value, 3) OVER w AS l3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT channel, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(27,10))) AS DOUBLE) AS s2,
+      |    COUNT(l1) AS m1,
+      |    CAST(SUM(CAST(CASE WHEN l1 IS NOT NULL THEN v * l1 END AS DECIMAL(27,10))) AS DOUBLE) AS sxy1,
+      |    CAST(SUM(CAST(CASE WHEN l1 IS NOT NULL THEN v END AS DECIMAL(27,10))) AS DOUBLE) AS sx1,
+      |    CAST(SUM(CAST(l1 AS DECIMAL(27,10))) AS DOUBLE) AS sl1,
+      |    COUNT(l2) AS m2,
+      |    CAST(SUM(CAST(CASE WHEN l2 IS NOT NULL THEN v * l2 END AS DECIMAL(27,10))) AS DOUBLE) AS sxy2,
+      |    CAST(SUM(CAST(CASE WHEN l2 IS NOT NULL THEN v END AS DECIMAL(27,10))) AS DOUBLE) AS sx2,
+      |    CAST(SUM(CAST(l2 AS DECIMAL(27,10))) AS DOUBLE) AS sl2,
+      |    COUNT(l3) AS m3,
+      |    CAST(SUM(CAST(CASE WHEN l3 IS NOT NULL THEN v * l3 END AS DECIMAL(27,10))) AS DOUBLE) AS sxy3,
+      |    CAST(SUM(CAST(CASE WHEN l3 IS NOT NULL THEN v END AS DECIMAL(27,10))) AS DOUBLE) AS sx3,
+      |    CAST(SUM(CAST(l3 AS DECIMAL(27,10))) AS DOUBLE) AS sl3
+      |  FROM p GROUP BY 1),
+      |r AS (
+      |  SELECT channel, n,
+      |    ROUND((sxy1 - (s1 / n) * sx1 - (s1 / n) * sl1 + m1 * (s1 / n) * (s1 / n))
+      |          / NULLIF(s2 - s1 * s1 / n, 0.0), 9) AS r1,
+      |    ROUND((sxy2 - (s1 / n) * sx2 - (s1 / n) * sl2 + m2 * (s1 / n) * (s1 / n))
+      |          / NULLIF(s2 - s1 * s1 / n, 0.0), 9) AS r2,
+      |    ROUND((sxy3 - (s1 / n) * sx3 - (s1 / n) * sl3 + m3 * (s1 / n) * (s1 / n))
+      |          / NULLIF(s2 - s1 * s1 / n, 0.0), 9) AS r3
+      |  FROM s),
+      |dl AS (
+      |  SELECT channel, n, r1, r2, r3,
+      |    (r2 - r1 * r1) / NULLIF(1.0 - r1 * r1, 0.0) AS p22
+      |  FROM r),
+      |dl2 AS (SELECT *, r1 - p22 * r1 AS p21 FROM dl)
+      |SELECT channel, n, r1, r2, r3,
+      |  ROUND(r1, 6) AS pacf1,
+      |  ROUND(p22, 6) AS pacf2,
+      |  ROUND((r3 - p21 * r2 - p22 * r1)
+      |        / NULLIF(1.0 - p21 * r1 - p22 * r2, 0.0), 6) AS pacf3
+      |FROM dl2
+      |ORDER BY channel""".stripMargin
+
+  // -------------------------------------------------------------------
   // Welch two-sample t-test between channels
   // -------------------------------------------------------------------
 

@@ -909,6 +909,37 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "pacf" should "match a sequential Durbin-Levinson reference" in {
+    val vs = (0 until 200).map(i => math.sin(i * 0.7) * 3 + (i % 5))
+    val ts = mkTs(vs.zipWithIndex.map { case (v, i) => ("c", i * 1000L, v) })
+    // sequential reference with the global-mean ACF convention
+    val n = vs.length
+    val mu = vs.sum / n
+    val den = vs.map(v => (v - mu) * (v - mu)).sum
+    def r(k: Int) = (k until n).map(i => (vs(i) - mu) * (vs(i - k) - mu)).sum / den
+    val (r1, r2, r3) = (r(1), r(2), r(3))
+    val p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    val row = Timeseries.pacf(ts).collect().head
+    row.getAs[Double]("r1") shouldBe r1 +- 1e-5
+    row.getAs[Double]("pacf1") shouldBe r1 +- 1e-5
+    row.getAs[Double]("pacf2") shouldBe p22 +- 1e-5
+    row.getAs[Double]("pacf3") shouldBe p33 +- 1e-5
+  }
+
+  it should "be invariant to the halo bucket width" in {
+    val ts = mkTs((0L until 150L).map { i =>
+      ("c", i * 137L + (i / 30) * 500000L, math.cos(i * 0.3) * 2 + (i % 7))
+    })
+    val ref = Timeseries.pacf(ts, stitchBucketUs = 1L << 60)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    for (bw <- Seq(1000L, 77777L)) {
+      Timeseries.pacf(ts, stitchBucketUs = bw)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe ref
+    }
+  }
+
   "welchTTest" should "reproduce the hand-computed t and Welch-Satterthwaite dof" in {
     // a = 1,2,3 (mean 2, var 1); b = 2,4,6 (mean 4, var 4):
     // t = -2/sqrt(1/3 + 4/3) = -1.549193; dof = (5/3)^2 / ((1/9+16/9)/2)
