@@ -282,7 +282,11 @@ object SparkEntry {
     // Welch two-sample t-test between channel pairs (A/B comparison)
     "ts_ttest" -> (Timeseries.tsTtest _),
     // ACF lags 1-3 + Durbin-Levinson partial autocorrelation
-    "ts_pacf" -> (Timeseries.tsPacf _)
+    "ts_pacf" -> (Timeseries.tsPacf _),
+    // exact discrete p10/p50/p90 bands per (channel, hour)
+    "ts_bands" -> (Timeseries.tsBands _),
+    // label-filtered vector search (metadata predicate + cosine top-k)
+    "ann_filtered" -> (Similarity.annFiltered _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,6 +468,8 @@ object SparkEntry {
     "ts_journeys" -> Timeseries.tsJourneysSql,
     "embed_dims" -> Similarity.embedDimsSql,
     "ts_ttest" -> Timeseries.tsTtestSql,
-    "ts_pacf" -> Timeseries.tsPacfSql
+    "ts_pacf" -> Timeseries.tsPacfSql,
+    "ts_bands" -> Timeseries.tsBandsSql,
+    "ann_filtered" -> Similarity.annFilteredSql
   )
 }

@@ -378,6 +378,65 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Filtered vector search — top-k among neighbors sharing the
+    * QUERY's label (the vector-database "metadata filter" feature:
+    * per-request predicate + similarity in one pass). The label
+    * equality joins BEFORE any dot product evaluates, so the distance
+    * kernel only runs on predicate survivors; everything else is the
+    * broadcast-queries / one-corpus-scan baseline shape. On the LSH
+    * index path the same predicate composes as a post-probe filter.
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"), col("label").as("__lc"))
+      .withColumn("nc", VectorMath.norm(col("vc")))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("vq"), col("label"))
+      .withColumn("nq", VectorMath.norm(col("vq")))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(
+      broadcast(q),
+      col("query_id") =!= col("neighbor_id") && col("__lc") === col("label")
+    )
+      .withColumn("cosine", VectorMath.cosine(col("vq"), col("vc"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        col("label"),
+        round(col("cosine"), 6).as("cosine")
+      )
+  }
+
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    filteredTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: the brute-force cosine scan with the label predicate in
+    * the join, identical rank tie-break.
+    */
+  val annFilteredSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.label AS label,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+       |  FROM n q JOIN n c ON q.vec_id < $QueryCount AND q.vec_id <> c.vec_id
+       |                   AND c.label = q.label),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, label, cos_raw,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, label, ROUND(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   def annMips(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     mipsTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)

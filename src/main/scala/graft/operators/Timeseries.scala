@@ -3913,6 +3913,65 @@ object Timeseries {
        |ORDER BY conv_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Robust percentile bands per bucket
+  // -------------------------------------------------------------------
+
+  /** Exact discrete p10/p50/p90 bands per (channel, bucket) — the
+    * robust envelope a monitoring view draws where min/max
+    * ([[downsample]]) is outlier-dragged and mean±σ assumes symmetry.
+    * "Discrete" = the band value is an ACTUAL SAMPLE: the
+    * value-ordered element at index ⌊q·(n−1)⌋ (lower interpolation),
+    * so no engine-specific quantile interpolation enters — both sides
+    * pick the same element by the same integer index formula.
+    *
+    * Scale shape: the rank window partitions by (channel, bucket) — a
+    * finer-than-channel key, hot channels split across buckets — and
+    * the band pick is one conditional agg over the ranked rows. No
+    * unpartitioned or channel-alone window anywhere.
+    */
+  def percentileBands(ts: DataFrame, bucketUs: Long): DataFrame = {
+    val w = Window
+      .partitionBy(col("channel"), col("__bucket"))
+      .orderBy(col("v"), col("event_id"))
+    def idx(q: Double) = floor(lit(q) * (col("__cnt") - lit(1L))).cast("long")
+    withTieBreak(ts)
+      .select(col("channel"), microsBucket(col("t"), bucketUs).as("__bucket"), col("v"), col("event_id"))
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("channel"), col("__bucket"))))
+      .groupBy(col("channel"), col("__bucket").as("bucket"))
+      .agg(
+        max(col("__cnt")).as("n"),
+        max(when(col("__rn") === idx(0.1), col("v"))).as("p10"),
+        max(when(col("__rn") === idx(0.5), col("v"))).as("p50"),
+        max(when(col("__rn") === idx(0.9), col("v"))).as("p90")
+      )
+      .select(col("channel"), (col("bucket") * bucketUs).as("t"), col("n"),
+        col("p10"), col("p50"), col("p90"))
+  }
+
+  def tsBands(spark: SparkSession, dir: String): DataFrame =
+    percentileBands(Tables.ts(spark, dir), BucketUs)
+      .orderBy(col("channel"), col("t"))
+
+  /** Oracle: identical rank/index-formula band picks. */
+  val tsBandsSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS channel,
+       |    CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket, value AS v, event_id
+       |  FROM events),
+       |r AS (
+       |  SELECT channel, bucket, v,
+       |    ROW_NUMBER() OVER (PARTITION BY channel, bucket ORDER BY v, event_id) - 1 AS rn,
+       |    COUNT(*) OVER (PARTITION BY channel, bucket) AS cnt
+       |  FROM e)
+       |SELECT channel, bucket * $BucketUs AS t, MAX(cnt) AS n,
+       |  MAX(CASE WHEN rn = CAST(FLOOR(0.1 * (cnt - 1)) AS BIGINT) THEN v END) AS p10,
+       |  MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT) THEN v END) AS p50,
+       |  MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (cnt - 1)) AS BIGINT) THEN v END) AS p90
+       |FROM r GROUP BY channel, bucket
+       |ORDER BY channel, t""".stripMargin
+
+  // -------------------------------------------------------------------
   // Partial autocorrelation (Durbin–Levinson over the ACF summary)
   // -------------------------------------------------------------------
 

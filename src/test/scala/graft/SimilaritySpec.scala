@@ -566,6 +566,27 @@ class SimilaritySpec extends SparkSpec {
     cos shouldBe List(2L)
   }
 
+  "filteredTopK" should "only return neighbors sharing the query's label" in {
+    // query 0 (label 1): vec 2 is closest overall but carries label 2 —
+    // the filter must skip it and return vec 1 (label 1) instead
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.8f, 0.6f), 1),
+      (2L, Array(0.99f, 0.1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .filteredTopK(emb, emb.filter($"vec_id" === 0L), k = 2)
+      .select("neighbor_id", "label")
+      .as[(Long, Int)]
+      .collect()
+      .toList
+    got shouldBe List((1L, 1))
+    // unfiltered baseline would have preferred vec 2
+    Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" === 0L), k = 1)
+      .select("neighbor_id").as[Long].collect().toList shouldBe List(2L)
+  }
+
   "dimStats" should "report per-dimension moments and flag the dead dimension" in {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),

@@ -909,6 +909,22 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "percentileBands" should "pick the exact lower-interpolation sample per bucket" in {
+    // one bucket of 11 values 0..10: idx10 = floor(.1*10) = 1,
+    // idx50 = 5, idx90 = 9 → p10=1, p50=5, p90=9
+    val ts = mkTs((0 until 11).map(i => ("c", i * 100L, (10 - i).toDouble)))
+    val r = Timeseries.percentileBands(ts, bucketUs = 1L << 40).collect().head
+    r.getAs[Long]("n") shouldBe 11L
+    r.getAs[Double]("p10") shouldBe 1.0
+    r.getAs[Double]("p50") shouldBe 5.0
+    r.getAs[Double]("p90") shouldBe 9.0
+    // single-sample bucket: all three bands are that sample
+    val one = Timeseries.percentileBands(mkTs(Seq(("c", 5L, 7.0))), bucketUs = 1L << 40)
+      .collect().head
+    one.getAs[Double]("p10") shouldBe 7.0
+    one.getAs[Double]("p90") shouldBe 7.0
+  }
+
   "pacf" should "match a sequential Durbin-Levinson reference" in {
     val vs = (0 until 200).map(i => math.sin(i * 0.7) * 3 + (i % 5))
     val ts = mkTs(vs.zipWithIndex.map { case (v, i) => ("c", i * 1000L, v) })
