@@ -286,7 +286,11 @@ object SparkEntry {
     // exact discrete p10/p50/p90 bands per (channel, hour)
     "ts_bands" -> (Timeseries.tsBands _),
     // label-filtered vector search (metadata predicate + cosine top-k)
-    "ann_filtered" -> (Similarity.annFiltered _)
+    "ann_filtered" -> (Similarity.annFiltered _),
+    // per-source dedup cost: docs and tokens lost to exact dedup
+    "dedup_impact" -> (Dedup.dedupImpactQ _),
+    // DAU/WAU/stickiness from the user-day summary (no event-grain window)
+    "ts_dau" -> (Timeseries.tsDau _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -470,6 +474,8 @@ object SparkEntry {
     "ts_ttest" -> Timeseries.tsTtestSql,
     "ts_pacf" -> Timeseries.tsPacfSql,
     "ts_bands" -> Timeseries.tsBandsSql,
-    "ann_filtered" -> Similarity.annFilteredSql
+    "ann_filtered" -> Similarity.annFilteredSql,
+    "dedup_impact" -> Dedup.dedupImpactSql,
+    "ts_dau" -> Timeseries.tsDauSql
   )
 }

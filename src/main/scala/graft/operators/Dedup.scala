@@ -481,6 +481,84 @@ object Dedup {
   def corpusBoilerplate(spark: SparkSession, dir: String): DataFrame =
     boilerplateReport(Tables.documents(spark, dir)).orderBy(col("rank"))
 
+  /** Per-source duplication impact: how many documents and tokens each
+    * source LOSES to exact dedup (survivor = min doc_id per content
+    * group) — the budget view of dedup next to [[dedupReport]]'s global
+    * histogram and trainDedupWeights' per-cluster weights: "which
+    * source is actually paying for the cleaning".
+    *
+    * Scale shape: the corpus reduces map-side to (8-byte md5-prefix
+    * key, source, token count); the survivor relation is one key-grain
+    * agg; the join back is on the same 8-byte key (one co-keyed
+    * exchange — the document text never moves); the source rollup is
+    * algebraic.
+    */
+  def dedupImpact(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"),
+      col("source"),
+      expr(md5Prefix60Sql(NormSql)).as("__h"),
+      expr(s"cast(size(split($NormSql, ' ')) as bigint)").as("__nw")
+    )
+    val surv = keyed.groupBy(col("__h")).agg(min(col("doc_id")).as("__surv"))
+    keyed
+      .join(surv, Seq("__h"))
+      .withColumn("__dup", col("doc_id") =!= col("__surv"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("__dup"), lit(1))).as("n_dups"),
+        sum(col("__nw")).as("total_tokens"),
+        coalesce(sum(when(col("__dup"), col("__nw"))), lit(0L)).as("dup_tokens")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_dups"),
+        col("total_tokens"),
+        col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6).as("dup_token_frac")
+      )
+  }
+
+  /** The fixed query plants the same mirror copies dedupCrossSource
+    * uses (doc_id % 7 → exact copy under 'planted-mirror') so impact
+    * is non-zero at every scale factor.
+    */
+  def dedupImpactQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val planted = docs
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), lit("planted-mirror").as("source"))
+    dedupImpact(docs.unionByName(planted)).orderBy(col("source"))
+  }
+
+  /** Impact oracle: identical hash groups over the same planted-mirror
+    * corpus, the same min-survivor and token arithmetic.
+    */
+  val dedupImpactSql: String = {
+    val norm = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, 'planted-mirror', text FROM documents WHERE doc_id % 7 = 0),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    ${md5Prefix60Duck(norm)} AS h,
+       |    CAST(len(string_split($norm, ' ')) AS BIGINT) AS nw
+       |  FROM corpus),
+       |s AS (SELECT h, MIN(doc_id) AS surv FROM d GROUP BY h),
+       |j AS (SELECT d.source, d.nw, d.doc_id <> s.surv AS dup FROM d JOIN s ON s.h = d.h)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(CASE WHEN dup THEN 1 END) AS n_dups,
+       |  CAST(SUM(nw) AS BIGINT) AS total_tokens,
+       |  COALESCE(CAST(SUM(CASE WHEN dup THEN nw END) AS BIGINT), 0) AS dup_tokens,
+       |  ROUND(CAST(COALESCE(CAST(SUM(CASE WHEN dup THEN nw END) AS BIGINT), 0) AS DOUBLE)
+       |        / CAST(SUM(nw) AS BIGINT), 6) AS dup_token_frac
+       |FROM j GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   /** Boilerplate oracle: the dedup_spans distinct-gram CTE shape over
     * the RAW corpus, df cut, identical (df desc, gram) rank.
     */

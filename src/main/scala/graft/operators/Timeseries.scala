@@ -3913,6 +3913,61 @@ object Timeseries {
        |ORDER BY conv_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // DAU / WAU engagement
+  // -------------------------------------------------------------------
+
+  /** Daily and trailing-7-day active users with the DAU/WAU stickiness
+    * ratio — the product-engagement readout. WAU for day d counts
+    * users active in [d−6, d].
+    *
+    * Scale shape: the stream reduces FIRST to the distinct (user, day)
+    * relation (one partial-dedup exchange — rolling distinct never
+    * touches raw events); each (user, day) then explodes to the ≤7
+    * days it can serve and dedups per (user, served-day) — all at
+    * user-day summary grain, never event grain. No window anywhere.
+    */
+  def dauWau(ts: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val ud = ts
+      .select(col("user_id"), expr(s"t div $DayUs").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("__serve", explode(sequence(col("day"), col("day") + lit(6L))))
+      .select(col("user_id"), col("__serve").as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("wau"))
+    dau
+      .join(wau, Seq("day"))
+      .select(
+        col("day"),
+        col("dau"),
+        col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness")
+      )
+  }
+
+  def tsDau(spark: SparkSession, dir: String): DataFrame =
+    dauWau(Tables.ts(spark, dir)).orderBy(col("day"))
+
+  /** Oracle: the same user-day reduction, 7-day serve explode, and
+    * join restricted to days with actual activity.
+    */
+  val tsDauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+      |served AS (
+      |  SELECT DISTINCT user_id, day + o AS day
+      |  FROM ud, UNNEST(range(0, 7)) AS t(o)),
+      |wau AS (SELECT day, COUNT(*) AS wau FROM served GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+      |FROM dau JOIN wau ON wau.day = dau.day
+      |ORDER BY dau.day""".stripMargin
+
+  // -------------------------------------------------------------------
   // Robust percentile bands per bucket
   // -------------------------------------------------------------------
 

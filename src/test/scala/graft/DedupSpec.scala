@@ -451,4 +451,23 @@ class DedupSpec extends SparkSpec {
       (4L, 1L, 0L, 0.0) // pendant: no triangles, degree 1 => 0 by convention
     )
   }
+
+  "dedupImpact" should "charge duplicate docs and tokens to the source that carries them" in {
+    val docs = Seq(
+      (1L, "x y", "a"), // survivor of the x-y group (min doc_id)
+      (2L, "x  Y", "a"), // same after normalization → dup
+      (3L, "z", "a"),
+      (4L, "x y", "b") // cross-source dup of 1
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup
+      .dedupImpact(docs)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double)]
+      .collect()
+      .toList
+    got shouldBe List(
+      ("a", 3L, 1L, 5L, 2L, 0.4),
+      ("b", 1L, 1L, 2L, 2L, 1.0)
+    )
+  }
 }

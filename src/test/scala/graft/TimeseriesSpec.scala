@@ -909,6 +909,25 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "dauWau" should "count trailing-7-day actives and the stickiness ratio" in {
+    val D = 86400000000L
+    // day 0: users 1,2; day 1: user 1; day 8: user 1
+    val rows = Seq((1L, 0L), (2L, 0L), (1L, 1L), (1L, 8L), (1L, 8L))
+      .zipWithIndex
+      .map { case ((u, d), i) => ("c", d * D + i * 1000L, 0.0, u, i.toLong) }
+      .toDF("channel", "t", "v", "user_id", "event_id")
+    val got = Timeseries.dauWau(rows)
+      .orderBy("day")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (0L, 2L, 2L, 1.0), // WAU(0) = {1,2}
+      (1L, 1L, 2L, 0.5), // WAU(1) still sees user 2's day-0 visit
+      (8L, 1L, 1L, 1.0) // day-0/1 visits aged out of the 7-day window
+    )
+  }
+
   "percentileBands" should "pick the exact lower-interpolation sample per bucket" in {
     // one bucket of 11 values 0..10: idx10 = floor(.1*10) = 1,
     // idx50 = 5, idx90 = 9 → p10=1, p50=5, p90=9
