@@ -290,7 +290,11 @@ object SparkEntry {
     // per-source dedup cost: docs and tokens lost to exact dedup
     "dedup_impact" -> (Dedup.dedupImpactQ _),
     // DAU/WAU/stickiness from the user-day summary (no event-grain window)
-    "ts_dau" -> (Timeseries.tsDau _)
+    "ts_dau" -> (Timeseries.tsDau _),
+    // hourly error proportion with the 95% Wilson score interval
+    "ts_error_rate" -> (Timeseries.tsErrorRate _),
+    // per-source character-class profile (mojibake/format-drift screen)
+    "corpus_charset" -> (TextAnalysis.corpusCharset _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -476,6 +480,8 @@ object SparkEntry {
     "ts_bands" -> Timeseries.tsBandsSql,
     "ann_filtered" -> Similarity.annFilteredSql,
     "dedup_impact" -> Dedup.dedupImpactSql,
-    "ts_dau" -> Timeseries.tsDauSql
+    "ts_dau" -> Timeseries.tsDauSql,
+    "ts_error_rate" -> Timeseries.tsErrorRateSql,
+    "corpus_charset" -> TextAnalysis.corpusCharsetSql
   )
 }

@@ -575,6 +575,79 @@ object TextAnalysis {
         max(col("n_chars")).as("max_chars")
       )
 
+  /** Character-class profile per source — the mojibake / format-drift
+    * screen a curation pass runs before trusting language ID or token
+    * counts: fractions of lowercase, uppercase, digit, whitespace, and
+    * other characters. A source whose "other" fraction jumps is
+    * carrying markup, encoding damage, or binary spill.
+    *
+    * Scale shape: four regexp_count projections map-side (identical
+    * POSIX-free character classes in both engines), ONE source-grain
+    * algebraic agg of exact integer counts; fractions divide at the
+    * k-row grain.
+    */
+  def charsetProfile(docs: DataFrame): DataFrame = {
+    def cc(pat: String) = regexp_count(col("text"), lit(pat)).cast("long")
+    val counted = docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("__n"),
+        cc("[a-z]").as("__lo"),
+        cc("[A-Z]").as("__up"),
+        cc("[0-9]").as("__dg"),
+        cc("[ \\t\\n\\r]").as("__ws")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_chars"),
+        sum(col("__lo")).as("__slo"),
+        sum(col("__up")).as("__sup"),
+        sum(col("__dg")).as("__sdg"),
+        sum(col("__ws")).as("__sws")
+      )
+    def frac(c: Column) = round(c.cast("double") / col("n_chars"), 6)
+    counted.select(
+      col("source"),
+      col("n_docs"),
+      col("n_chars"),
+      frac(col("__slo")).as("lower_frac"),
+      frac(col("__sup")).as("upper_frac"),
+      frac(col("__sdg")).as("digit_frac"),
+      frac(col("__sws")).as("space_frac"),
+      frac(
+        col("n_chars") - col("__slo") - col("__sup") - col("__sdg") - col("__sws")
+      ).as("other_frac")
+    )
+  }
+
+  def corpusCharset(spark: SparkSession, dir: String): DataFrame =
+    charsetProfile(graft.Tables.documents(spark, dir)).orderBy(col("source"))
+
+  /** Oracle: identical character classes and integer sums. */
+  val corpusCharsetSql: String =
+    """WITH c AS (
+      |  SELECT source, CAST(LENGTH(text) AS BIGINT) AS n,
+      |    CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS lo,
+      |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS up,
+      |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dg,
+      |    CAST(len(regexp_extract_all(text, '[ \t\n\r]')) AS BIGINT) AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |a AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_chars,
+      |    CAST(SUM(lo) AS BIGINT) AS slo, CAST(SUM(up) AS BIGINT) AS sup,
+      |    CAST(SUM(dg) AS BIGINT) AS sdg, CAST(SUM(ws) AS BIGINT) AS sws
+      |  FROM c GROUP BY 1)
+      |SELECT source, n_docs, n_chars,
+      |  ROUND(CAST(slo AS DOUBLE) / n_chars, 6) AS lower_frac,
+      |  ROUND(CAST(sup AS DOUBLE) / n_chars, 6) AS upper_frac,
+      |  ROUND(CAST(sdg AS DOUBLE) / n_chars, 6) AS digit_frac,
+      |  ROUND(CAST(sws AS DOUBLE) / n_chars, 6) AS space_frac,
+      |  ROUND(CAST(n_chars - slo - sup - sdg - sws AS DOUBLE) / n_chars, 6) AS other_frac
+      |FROM a
+      |ORDER BY source""".stripMargin
+
   /** Deterministic train/val/test assignment: bucket = a 60-bit md5
     * prefix of the doc id string, mod 100 — stable across runs,
     * machines, and engines (no RNG, no row order dependence), the

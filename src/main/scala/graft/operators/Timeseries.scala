@@ -3913,6 +3913,70 @@ object Timeseries {
        |ORDER BY conv_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Hourly error proportion with Wilson interval
+  // -------------------------------------------------------------------
+
+  /** Hourly error rate with the 95% Wilson score interval — the SRE
+    * availability readout: what fraction of this hour's events were
+    * errors, with a proportion interval that behaves at small n where
+    * the normal approximation collapses.
+    *
+    * Scale shape: ONE (bucket)-keyed algebraic agg (count + conditional
+    * count, partial map-side); the Wilson arithmetic is a pinned-order
+    * projection at bucket grain.
+    */
+  def errorRate(ts: DataFrame, bucketUs: Long, errorChannel: String = "error"): DataFrame = {
+    // z and z² are both pinned LITERALS (3.8416, not 1.96*1.96): the
+    // Scala product rounds differently than the parsed SQL literal
+    val z = 1.96
+    val n = col("n").cast("double")
+    val p = col("errors").cast("double") / n
+    val z2 = lit(3.8416)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    ts
+      .groupBy(microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("channel") === errorChannel, lit(1))).as("errors")
+      )
+      .select(
+        (col("bucket") * bucketUs).as("t"),
+        col("n"),
+        col("errors"),
+        round(p, 6).as("rate"),
+        // clamped to [0, 1]: also normalizes the -0.0 a zero-error
+        // bucket's rounding produces in one engine but not the other
+        round(greatest((center - half) / denom, lit(0.0)), 6).as("wilson_lo"),
+        round(least((center + half) / denom, lit(1.0)), 6).as("wilson_hi")
+      )
+  }
+
+  def tsErrorRate(spark: SparkSession, dir: String): DataFrame =
+    errorRate(Tables.ts(spark, dir), BucketUs).orderBy(col("t"))
+
+  /** Oracle: identical conditional counts and pinned Wilson order. */
+  val tsErrorRateSql: String =
+    s"""WITH a AS (
+       |  SELECT CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket,
+       |    COUNT(*) AS n,
+       |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors
+       |  FROM events GROUP BY 1)
+       |SELECT bucket * $BucketUs AS t, n, errors,
+       |  ROUND(CAST(errors AS DOUBLE) / n, 6) AS rate,
+       |  ROUND(GREATEST(((CAST(errors AS DOUBLE) / n) + 3.8416 / (2.0 * n)
+       |    - 1.96 * SQRT((CAST(errors AS DOUBLE) / n) * (1.0 - CAST(errors AS DOUBLE) / n) / n
+       |                  + 3.8416 / (4.0 * n * n)))
+       |    / (1.0 + 3.8416 / n), 0.0), 6) AS wilson_lo,
+       |  ROUND(LEAST(((CAST(errors AS DOUBLE) / n) + 3.8416 / (2.0 * n)
+       |    + 1.96 * SQRT((CAST(errors AS DOUBLE) / n) * (1.0 - CAST(errors AS DOUBLE) / n) / n
+       |                  + 3.8416 / (4.0 * n * n)))
+       |    / (1.0 + 3.8416 / n), 1.0), 6) AS wilson_hi
+       |FROM a
+       |ORDER BY t""".stripMargin
+
+  // -------------------------------------------------------------------
   // DAU / WAU engagement
   // -------------------------------------------------------------------
 

@@ -437,4 +437,20 @@ class TextAnalysisSpec extends SparkSpec {
     s2.getAs[Double]("simpson") shouldBe 0.0
     s2.getAs[Double]("yule_k") shouldBe 0.0
   }
+
+  "charsetProfile" should "fraction each character class exactly" in {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "Ab 1\n", "s"), // 1 lower, 1 upper, 1 digit, 2 space
+      (2L, "zz##@", "s") // 2 lower, 3 other
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.TextAnalysis.charsetProfile(docs).collect().head
+    r.getAs[Long]("n_docs") shouldBe 2L
+    r.getAs[Long]("n_chars") shouldBe 10L
+    r.getAs[Double]("lower_frac") shouldBe 0.3
+    r.getAs[Double]("upper_frac") shouldBe 0.1
+    r.getAs[Double]("digit_frac") shouldBe 0.1
+    r.getAs[Double]("space_frac") shouldBe 0.2
+    r.getAs[Double]("other_frac") shouldBe 0.3
+  }
 }

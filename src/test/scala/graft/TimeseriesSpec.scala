@@ -909,6 +909,27 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "errorRate" should "compute the Wilson interval from conditional counts" in {
+    // one hour bucket: 3 errors of 4 events
+    val rows = Seq(
+      ("error", 1000L, 0.0), ("error", 2000L, 0.0),
+      ("error", 3000L, 0.0), ("click", 4000L, 0.0)
+    )
+    val r = Timeseries.errorRate(mkTs(rows), bucketUs = 1L << 40).collect().head
+    r.getAs[Long]("n") shouldBe 4L
+    r.getAs[Long]("errors") shouldBe 3L
+    r.getAs[Double]("rate") shouldBe 0.75
+    val (n, p, z2) = (4.0, 0.75, 3.8416)
+    val denom = 1.0 + z2 / n
+    val center = p + z2 / (2 * n)
+    val half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    r.getAs[Double]("wilson_lo") shouldBe (center - half) / denom +- 1e-6
+    r.getAs[Double]("wilson_hi") shouldBe (center + half) / denom +- 1e-6
+    // the interval brackets the point estimate
+    r.getAs[Double]("wilson_lo") should be < 0.75
+    r.getAs[Double]("wilson_hi") should be > 0.75
+  }
+
   "dauWau" should "count trailing-7-day actives and the stickiness ratio" in {
     val D = 86400000000L
     // day 0: users 1,2; day 1: user 1; day 8: user 1
