@@ -294,7 +294,9 @@ object SparkEntry {
     // hourly error proportion with the 95% Wilson score interval
     "ts_error_rate" -> (Timeseries.tsErrorRate _),
     // per-source character-class profile (mojibake/format-drift screen)
-    "corpus_charset" -> (TextAnalysis.corpusCharset _)
+    "corpus_charset" -> (TextAnalysis.corpusCharset _),
+    // Benford first-digit screen with per-channel chi-square
+    "ts_benford" -> (Timeseries.tsBenford _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -482,6 +484,7 @@ object SparkEntry {
     "dedup_impact" -> Dedup.dedupImpactSql,
     "ts_dau" -> Timeseries.tsDauSql,
     "ts_error_rate" -> Timeseries.tsErrorRateSql,
-    "corpus_charset" -> TextAnalysis.corpusCharsetSql
+    "corpus_charset" -> TextAnalysis.corpusCharsetSql,
+    "ts_benford" -> Timeseries.tsBenfordSql
   )
 }

@@ -3913,6 +3913,82 @@ object Timeseries {
        |ORDER BY conv_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Benford first-digit screen
+  // -------------------------------------------------------------------
+
+  /** First-significant-digit distribution per channel against Benford's
+    * law, with the per-channel χ² statistic — the classic
+    * fabricated-/degenerate-data screen for measurement streams.
+    *
+    * Scale shape: digit extraction is a map-side projection (the one
+    * transcendental, log10, rounds to 9 before FLOOR so both engines
+    * bin boundary values identically); ONE (channel, digit)-keyed
+    * partial agg; totals, expected fractions, and χ² all live on the
+    * ≤ 9·k summary rows.
+    */
+  def benford(ts: DataFrame): DataFrame = {
+    val av = abs(col("v"))
+    val digit = floor(av / pow(lit(10.0), floor(round(log10(av), 9)))).cast("long")
+    val counts = ts
+      .filter(av > 0)
+      .select(col("channel"), digit.as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy(col("channel"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("channel")).agg(sum(col("n")).as("__tot"))
+    val exp9 = round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 9)
+    val scored = counts
+      .join(broadcast(totals), Seq("channel"))
+      .withColumn("obs_frac", round(col("n").cast("double") / col("__tot"), 6))
+      .withColumn("exp_frac", round(exp9, 6))
+      .withColumn(
+        "__chi",
+        round(
+          (col("n").cast("double") / col("__tot") - exp9) *
+            (col("n").cast("double") / col("__tot") - exp9) / exp9 * col("__tot"),
+          9
+        )
+      )
+    val chi = scored
+      .groupBy(col("channel"))
+      .agg(round(detSum(col("__chi")), 6).as("chi2"))
+    scored
+      .join(broadcast(chi), Seq("channel"))
+      .select(col("channel"), col("digit"), col("n"), col("obs_frac"), col("exp_frac"), col("chi2"))
+  }
+
+  def tsBenford(spark: SparkSession, dir: String): DataFrame =
+    benford(Tables.ts(spark, dir)).orderBy(col("channel"), col("digit"))
+
+  /** Oracle: identical round-9 log10 digit binning, expected
+    * fractions, and χ² terms through the DECIMAL sum.
+    */
+  val tsBenfordSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(ABS(value) / POW(10.0, FLOOR(ROUND(LOG10(ABS(value)), 9)))) AS BIGINT) AS digit
+      |  FROM events WHERE ABS(value) > 0),
+      |c AS (
+      |  SELECT channel, digit, COUNT(*) AS n FROM b
+      |  WHERE digit BETWEEN 1 AND 9 GROUP BY 1, 2),
+      |t AS (SELECT channel, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+      |s AS (
+      |  SELECT c.channel, c.digit, c.n, t.tot,
+      |    ROUND(CAST(c.n AS DOUBLE) / t.tot, 6) AS obs_frac,
+      |    ROUND(ROUND(LN(1.0 + 1.0 / c.digit) / LN(10.0), 9), 6) AS exp_frac,
+      |    ROUND((CAST(c.n AS DOUBLE) / t.tot - ROUND(LN(1.0 + 1.0 / c.digit) / LN(10.0), 9))
+      |          * (CAST(c.n AS DOUBLE) / t.tot - ROUND(LN(1.0 + 1.0 / c.digit) / LN(10.0), 9))
+      |          / ROUND(LN(1.0 + 1.0 / c.digit) / LN(10.0), 9) * t.tot, 9) AS chi
+      |  FROM c JOIN t ON t.channel = c.channel),
+      |x AS (
+      |  SELECT channel,
+      |    ROUND(CAST(SUM(CAST(chi AS DECIMAL(27,10))) AS DOUBLE), 6) AS chi2
+      |  FROM s GROUP BY 1)
+      |SELECT s.channel, s.digit, s.n, s.obs_frac, s.exp_frac, x.chi2
+      |FROM s JOIN x ON x.channel = s.channel
+      |ORDER BY s.channel, s.digit""".stripMargin
+
+  // -------------------------------------------------------------------
   // Hourly error proportion with Wilson interval
   // -------------------------------------------------------------------
 

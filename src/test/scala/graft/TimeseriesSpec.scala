@@ -909,6 +909,22 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "benford" should "bin first significant digits across magnitudes and signs" in {
+    // digits: 123.45→1, 0.0042→4, -95.0→9, 1000.0→1, 7.0→7; zero drops
+    val vs = Seq(123.45, 0.0042, -95.0, 1000.0, 7.0, 0.0)
+    val ts = mkTs(vs.zipWithIndex.map { case (v, i) => ("c", i * 1000L, v) })
+    val got = Timeseries.benford(ts)
+      .orderBy("digit")
+      .select("digit", "n")
+      .as[(Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List((1L, 2L), (4L, 1L), (7L, 1L), (9L, 1L))
+    val r = Timeseries.benford(ts).filter($"digit" === 1L).collect().head
+    r.getAs[Double]("exp_frac") shouldBe 0.30103 +- 1e-6
+    r.getAs[Double]("obs_frac") shouldBe 0.4
+  }
+
   "errorRate" should "compute the Wilson interval from conditional counts" in {
     // one hour bucket: 3 errors of 4 events
     val rows = Seq(
