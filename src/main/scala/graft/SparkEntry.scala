@@ -296,7 +296,11 @@ object SparkEntry {
     // per-source character-class profile (mojibake/format-drift screen)
     "corpus_charset" -> (TextAnalysis.corpusCharset _),
     // Benford first-digit screen with per-channel chi-square
-    "ts_benford" -> (Timeseries.tsBenford _)
+    "ts_benford" -> (Timeseries.tsBenford _),
+    // Wald-Wolfowitz runs test (order-sensitive randomness screen)
+    "ts_runs" -> (Timeseries.tsRuns _),
+    // byte-histogram entropy per payload (compressed/degenerate screen)
+    "mm_entropy" -> (Multimodal.mmEntropy _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -485,6 +489,8 @@ object SparkEntry {
     "ts_dau" -> Timeseries.tsDauSql,
     "ts_error_rate" -> Timeseries.tsErrorRateSql,
     "corpus_charset" -> TextAnalysis.corpusCharsetSql,
-    "ts_benford" -> Timeseries.tsBenfordSql
+    "ts_benford" -> Timeseries.tsBenfordSql,
+    "ts_runs" -> Timeseries.tsRunsSql,
+    "mm_entropy" -> Multimodal.mmEntropySql
   )
 }

@@ -207,6 +207,83 @@ object Multimodal {
     }
   }
 
+  /** Byte-histogram Shannon entropy of a payload, under the engine's
+    * entropy discipline (the text kernel's): H = round9(ln n) −
+    * Σ m·round9(ln m) / n over INTEGER counts — the lns round to 9,
+    * each term m·round9(ln m) is exact in decimal, the sum is exact,
+    * and only the final value rounds (6) — so the SQL oracle
+    * reproduces it bit for bit. Returns (n_bytes, n_uniq, entropy).
+    */
+  private[graft] def entropyStub(payload: Array[Byte]): (Long, Long, Option[Double]) = {
+    val n = payload.length
+    if (n == 0) (0L, 0L, None)
+    else {
+      val counts = new Array[Int](256)
+      var i = 0
+      while (i < n) { counts(payload(i) & 0xff) += 1; i += 1 }
+      def r9(x: Double) = BigDecimal(x).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      var s = BigDecimal(0)
+      var uniq = 0L
+      var b = 0
+      while (b < 256) {
+        val m = counts(b)
+        if (m > 0) { uniq += 1; s += r9(math.log(m.toDouble)) * m }
+        b += 1
+      }
+      val h = r9(math.log(n.toDouble)).toDouble - s.toDouble / n
+      val rounded = BigDecimal(h).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n.toLong, uniq, Some(rounded))
+    }
+  }
+
+  /** Per-payload byte entropy: the "is this blob compressed / encrypted
+    * / degenerate" screen (uniform bytes → ln 256, constant → 0) —
+    * the binary sibling of the text char-entropy quality signal.
+    * Batched typed mapPartitions, map-side only.
+    */
+  def payloadEntropy(spark: SparkSession, withPayload: DataFrame, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val (n, u, h) = entropyStub(payload)
+            (id, n, u, h)
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_uniq_bytes", "byte_entropy")
+  }
+
+  def mmEntropy(spark: SparkSession, dir: String): DataFrame =
+    payloadEntropy(spark, withPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  /** Entropy oracle: hex-sliced byte recovery, integer counts, the
+    * identical round-9 ln / exact-decimal-sum discipline.
+    */
+  val mmEntropySql: String =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+      |bv AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2)) AS INT) AS b
+      |  FROM (SELECT doc_id, hx, UNNEST(range(0, nb)) AS j FROM p) t),
+      |bc AS (SELECT doc_id, b, COUNT(*) AS m FROM bv GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_id, COUNT(*) AS u,
+      |    SUM(CAST(m * ROUND(LN(m), 9) AS DECIMAL(27,10))) AS s
+      |  FROM bc GROUP BY 1)
+      |SELECT p.doc_id, CAST(p.nb AS BIGINT) AS n_bytes,
+      |  CAST(COALESCE(st.u, 0) AS BIGINT) AS n_uniq_bytes,
+      |  CASE WHEN p.nb > 0 THEN
+      |    ROUND(ROUND(LN(p.nb), 9) - CAST(st.s AS DOUBLE) / p.nb, 6)
+      |  END AS byte_entropy
+      |FROM p LEFT JOIN st ON st.doc_id = p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   /** Batched audio feature extraction: same typed-mapPartitions shape
     * as decodeFeatures — payloads stay opaque bytes, batches bound
     * decode memory, frames explode map-side with no shuffle.

@@ -3913,6 +3913,87 @@ object Timeseries {
        |ORDER BY conv_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Wald–Wolfowitz runs test
+  // -------------------------------------------------------------------
+
+  /** Wald–Wolfowitz runs test per channel: is the sequence of
+    * above-/below-mean signs random, or does it trend/oscillate? Too
+    * FEW runs ⇒ trending (positive autocorrelation), too MANY ⇒
+    * oscillating — the order-sensitive randomness screen the
+    * order-free moment statistics can't see.
+    *
+    * Scale shape: channel means are a k-row broadcast; the sign stream
+    * reads its predecessor from the stitched two-phase lag (no
+    * channel-alone window); one algebraic agg counts runs and signs;
+    * E[R], Var and z are pinned projections at channel grain.
+    */
+  def runsTest(tsIn: DataFrame, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    val ts = withTieBreak(tsIn).select(col("channel"), col("t"), col("v"), col("event_id"))
+    val means = ts
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("__n"), detSum(col("v")).as("__s1"))
+      .select(col("channel"), (col("__s1") / col("__n")).as("__mu"))
+    val signed = ts
+      .join(broadcast(means), Seq("channel"))
+      .withColumn("s", (col("v") > col("__mu")).cast("long"))
+    val counted = withStitchedPrev(signed, Seq("s"), stitchBucketUs, Seq("event_id"))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s")).as("n_above"),
+        count(when(col("__prev_s").isNotNull && col("__prev_s") =!= col("s"), lit(1)))
+          .as("__trans")
+      )
+    val n = col("n").cast("double")
+    val n1 = col("n_above").cast("double")
+    val n2 = n - n1
+    val e = lit(2.0) * n1 * n2 / n + lit(1.0)
+    val varR = (e - lit(1.0)) * (e - lit(2.0)) / (n - lit(1.0))
+    counted
+      .filter(col("n") > 1)
+      .select(
+        col("channel"),
+        col("n"),
+        col("n_above"),
+        (col("__trans") + lit(1L)).as("runs"),
+        round(e, 6).as("e_runs"),
+        round(
+          when(varR > 0, (col("__trans").cast("double") + lit(1.0) - e) / sqrt(varR)),
+          6
+        ).as("z")
+      )
+  }
+
+  def tsRuns(spark: SparkSession, dir: String): DataFrame =
+    runsTest(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** Oracle: identical DECIMAL mean, sign lag, and pinned E/Var/z. */
+  val tsRunsSql: String =
+    """WITH m AS (
+      |  SELECT event_type AS channel,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mu
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT e.event_type AS channel,
+      |    CAST(e.value > m.mu AS BIGINT) AS s,
+      |    LAG(CAST(e.value > m.mu AS BIGINT))
+      |      OVER (PARTITION BY e.event_type ORDER BY epoch_us(e.ts), e.event_id) AS ps
+      |  FROM events e JOIN m ON m.channel = e.event_type),
+      |c AS (
+      |  SELECT channel, COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS n_above,
+      |    COUNT(CASE WHEN ps IS NOT NULL AND ps <> s THEN 1 END) AS trans
+      |  FROM p GROUP BY 1)
+      |SELECT channel, n, n_above, trans + 1 AS runs,
+      |  ROUND(2.0 * n_above * (n - n_above) / n + 1.0, 6) AS e_runs,
+      |  ROUND(CASE WHEN (2.0 * n_above * (n - n_above) / n + 1.0 - 1.0)
+      |               * (2.0 * n_above * (n - n_above) / n + 1.0 - 2.0) / (n - 1.0) > 0
+      |    THEN (CAST(trans AS DOUBLE) + 1.0 - (2.0 * n_above * (n - n_above) / n + 1.0))
+      |         / SQRT((2.0 * n_above * (n - n_above) / n + 1.0 - 1.0)
+      |                * (2.0 * n_above * (n - n_above) / n + 1.0 - 2.0) / (n - 1.0)) END, 6) AS z
+      |FROM c WHERE n > 1
+      |ORDER BY channel""".stripMargin
+
+  // -------------------------------------------------------------------
   // Benford first-digit screen
   // -------------------------------------------------------------------
 

@@ -189,6 +189,23 @@ class MultimodalSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  "payloadEntropy" should "score constant bytes zero and uniform bytes ln(k)" in {
+    val docs = Seq(
+      (1L, "aaaa"), // one byte value: H = 0
+      (2L, "abcd"), // four equiprobable values: H = ln 4
+      (3L, "aab") // H = ln3 - (2 ln2)/3
+    ).toDF("doc_id", "text")
+    val got = Multimodal
+      .payloadEntropy(spark, Multimodal.withPayloads(docs))
+      .orderBy("doc_id")
+      .collect()
+    got(0).getAs[Double]("byte_entropy") shouldBe 0.0
+    got(0).getAs[Long]("n_uniq_bytes") shouldBe 1L
+    got(1).getAs[Double]("byte_entropy") shouldBe math.log(4.0) +- 1e-6
+    got(2).getAs[Double]("byte_entropy") shouldBe
+      (math.log(3.0) - 2 * math.log(2.0) / 3) +- 1e-6
+  }
+
   "shotSegments" should "cut a new shot at a mean-intensity jump and merge steady frames" in {
     // sampled frames are every 4th 64-byte frame: 'a'*256 + 'z'*64
     // samples frames 0 ('a', mean 97) and 4 ('z', mean 122): jump 25

@@ -909,6 +909,19 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "runsTest" should "read oscillation as too many runs and trend as too few" in {
+    // alternating: every step flips sign vs the mean → runs = n, z > 0
+    val osc = mkTs((0 until 20).map(i => ("c", i * 1000L, if (i % 2 == 0) 0.0 else 10.0)))
+    val o = Timeseries.runsTest(osc).collect().head
+    o.getAs[Long]("runs") shouldBe 20L
+    o.getAs[Double]("z") should be > 2.0
+    // monotone ramp: one below-run then one above-run → runs = 2, z < 0
+    val ramp = mkTs((0 until 20).map(i => ("c", i * 1000L, i.toDouble)))
+    val r = Timeseries.runsTest(ramp).collect().head
+    r.getAs[Long]("runs") shouldBe 2L
+    r.getAs[Double]("z") should be < -2.0
+  }
+
   "benford" should "bin first significant digits across magnitudes and signs" in {
     // digits: 123.45→1, 0.0042→4, -95.0→9, 1000.0→1, 7.0→7; zero drops
     val vs = Seq(123.45, 0.0042, -95.0, 1000.0, 7.0, 0.0)
