@@ -300,7 +300,9 @@ object SparkEntry {
     // Wald-Wolfowitz runs test (order-sensitive randomness screen)
     "ts_runs" -> (Timeseries.tsRuns _),
     // byte-histogram entropy per payload (compressed/degenerate screen)
-    "mm_entropy" -> (Multimodal.mmEntropy _)
+    "mm_entropy" -> (Multimodal.mmEntropy _),
+    // order-3 permutation entropy (Bandt-Pompe ordinal complexity)
+    "ts_perm_entropy" -> (Timeseries.tsPermEntropy _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,6 +493,7 @@ object SparkEntry {
     "corpus_charset" -> TextAnalysis.corpusCharsetSql,
     "ts_benford" -> Timeseries.tsBenfordSql,
     "ts_runs" -> Timeseries.tsRunsSql,
-    "mm_entropy" -> Multimodal.mmEntropySql
+    "mm_entropy" -> Multimodal.mmEntropySql,
+    "ts_perm_entropy" -> Timeseries.tsPermEntropySql
   )
 }

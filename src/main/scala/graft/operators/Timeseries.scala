@@ -3913,6 +3913,96 @@ object Timeseries {
        |ORDER BY conv_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Permutation entropy (ordinal-pattern complexity)
+  // -------------------------------------------------------------------
+
+  /** Permutation entropy of order 3 (Bandt & Pompe 2002): the Shannon
+    * entropy of the ordinal patterns formed by each window of three
+    * consecutive samples — the standard model-free complexity measure
+    * for physiological signals (regular rhythms concentrate on few
+    * patterns → low; noise spreads over all 6 → ln 6). Ties rank the
+    * EARLIER sample smaller, the usual convention.
+    *
+    * Scale shape: the two lags ride [[withBlockHalo]] (halo 2); the
+    * pattern id is a pure comparison projection; ONE (channel,
+    * pattern) partial agg, then the engine's integer-count entropy
+    * discipline (round-9 lns, exact decimal term sums) on ≤ 6·k
+    * summary rows.
+    */
+  def permutationEntropy(tsIn: DataFrame, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    val padded = withBlockHalo(
+      withTieBreak(tsIn).select(col("channel"), col("t"), col("v"), col("event_id")),
+      halo = 2,
+      stitchBucketUs,
+      Seq("event_id")
+    )
+    val w = Window.partitionBy(col("channel"), col("__tgt")).orderBy(col("__rn"))
+    val patterns = padded
+      .withColumn("__a", lag(col("v"), 2).over(w)) // earliest of the triple
+      .withColumn("__b", lag(col("v"), 1).over(w))
+      .filter(col("__tgt") === col("__blk"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .select(
+        col("channel"),
+        ((col("__a") <= col("__b")).cast("long") * 4 +
+          (col("__a") <= col("v")).cast("long") * 2 +
+          (col("__b") <= col("v")).cast("long")).as("pattern")
+      )
+    val counts = patterns
+      .groupBy(col("channel"), col("pattern"))
+      .agg(count(lit(1)).as("m"))
+    counts
+      .groupBy(col("channel"))
+      .agg(
+        sum(col("m")).as("n_windows"),
+        count(lit(1)).as("n_patterns"),
+        sum((col("m") * round(log(col("m")), 9)).cast(dec2710)).as("__s")
+      )
+      .select(
+        col("channel"),
+        col("n_windows"),
+        col("n_patterns"),
+        round(
+          round(log(col("n_windows")), 9) - col("__s").cast("double") / col("n_windows"),
+          6
+        ).as("perm_entropy"),
+        round(
+          (round(log(col("n_windows")), 9) - col("__s").cast("double") / col("n_windows")) /
+            round(log(lit(6.0)), 9),
+          6
+        ).as("perm_entropy_norm")
+      )
+  }
+
+  def tsPermEntropy(spark: SparkSession, dir: String): DataFrame =
+    permutationEntropy(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** Oracle: identical double lag, comparison-encoded pattern id, and
+    * integer-count entropy discipline.
+    */
+  val tsPermEntropySql: String =
+    """WITH p AS (
+      |  SELECT event_type AS channel, value AS v,
+      |    LAG(value, 2) OVER w AS a, LAG(value) OVER w AS b
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)),
+      |pat AS (
+      |  SELECT channel,
+      |    CAST(a <= b AS BIGINT) * 4 + CAST(a <= v AS BIGINT) * 2 + CAST(b <= v AS BIGINT) AS pattern
+      |  FROM p WHERE a IS NOT NULL AND b IS NOT NULL),
+      |c AS (SELECT channel, pattern, COUNT(*) AS m FROM pat GROUP BY 1, 2),
+      |s AS (
+      |  SELECT channel, CAST(SUM(m) AS BIGINT) AS n_windows, COUNT(*) AS n_patterns,
+      |    SUM(CAST(m * ROUND(LN(m), 9) AS DECIMAL(27,10))) AS s
+      |  FROM c GROUP BY 1)
+      |SELECT channel, n_windows, n_patterns,
+      |  ROUND(ROUND(LN(n_windows), 9) - CAST(s AS DOUBLE) / n_windows, 6) AS perm_entropy,
+      |  ROUND((ROUND(LN(n_windows), 9) - CAST(s AS DOUBLE) / n_windows)
+      |        / ROUND(LN(6.0), 9), 6) AS perm_entropy_norm
+      |FROM s
+      |ORDER BY channel""".stripMargin
+
+  // -------------------------------------------------------------------
   // Wald–Wolfowitz runs test
   // -------------------------------------------------------------------
 

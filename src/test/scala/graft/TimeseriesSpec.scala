@@ -909,6 +909,32 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "permutationEntropy" should "score a monotone ramp zero and varied patterns higher" in {
+    // strictly increasing: every triple is the same ascending pattern
+    val ramp = mkTs((0 until 30).map(i => ("c", i * 1000L, i.toDouble)))
+    val r = Timeseries.permutationEntropy(ramp).collect().head
+    r.getAs[Long]("n_windows") shouldBe 28L
+    r.getAs[Long]("n_patterns") shouldBe 1L
+    r.getAs[Double]("perm_entropy") shouldBe 0.0
+    // zig-zag: two alternating patterns, equiprobable → H = ln 2
+    val zig = mkTs((0 until 30).map(i => ("c", i * 1000L, if (i % 2 == 0) 0.0 else 1.0)))
+    val z = Timeseries.permutationEntropy(zig).collect().head
+    z.getAs[Long]("n_patterns") shouldBe 2L
+    z.getAs[Double]("perm_entropy") shouldBe math.log(2.0) +- 1e-6
+  }
+
+  it should "be invariant to the halo bucket width" in {
+    val ts = mkTs((0L until 120L).map { i =>
+      ("c", i * 733L + (i / 40) * 400000L, math.sin(i * 0.9) * 3 + (i % 4))
+    })
+    val ref = Timeseries.permutationEntropy(ts, stitchBucketUs = 1L << 60)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    for (bw <- Seq(1000L, 44444L)) {
+      Timeseries.permutationEntropy(ts, stitchBucketUs = bw)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe ref
+    }
+  }
+
   "runsTest" should "read oscillation as too many runs and trend as too few" in {
     // alternating: every step flips sign vs the mean → runs = n, z > 0
     val osc = mkTs((0 until 20).map(i => ("c", i * 1000L, if (i % 2 == 0) 0.0 else 10.0)))
