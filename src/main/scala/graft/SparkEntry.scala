@@ -302,7 +302,9 @@ object SparkEntry {
     // byte-histogram entropy per payload (compressed/degenerate screen)
     "mm_entropy" -> (Multimodal.mmEntropy _),
     // order-3 permutation entropy (Bandt-Pompe ordinal complexity)
-    "ts_perm_entropy" -> (Timeseries.tsPermEntropy _)
+    "ts_perm_entropy" -> (Timeseries.tsPermEntropy _),
+    // tolerance-bounded nearest-neighbor alignment (both directions)
+    "ts_align" -> (Timeseries.tsAlign _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -494,6 +496,7 @@ object SparkEntry {
     "ts_benford" -> Timeseries.tsBenfordSql,
     "ts_runs" -> Timeseries.tsRunsSql,
     "mm_entropy" -> Multimodal.mmEntropySql,
-    "ts_perm_entropy" -> Timeseries.tsPermEntropySql
+    "ts_perm_entropy" -> Timeseries.tsPermEntropySql,
+    "ts_align" -> Timeseries.tsAlignSql
   )
 }

@@ -3913,6 +3913,99 @@ object Timeseries {
        |ORDER BY conv_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Nearest-neighbor alignment within a tolerance
+  // -------------------------------------------------------------------
+
+  /** Tolerance-bounded nearest-neighbor alignment: for every left row,
+    * the right row with the smallest |Δt| within ±`toleranceUs`, ties
+    * preferring the BACKWARD match — the sensor-fusion alignment
+    * [[asofJoin]]'s backward-only semantics can't give, with the
+    * horizon bound that keeps it an interval join rather than an
+    * unbounded search.
+    *
+    * Scale shape: the tolerance doubles as the bucket width; each
+    * right row explodes to the three buckets its window can serve, the
+    * join runs on the (bucket) equi-key with a residual |Δt| filter,
+    * and the winner is ONE lexicographic struct-min agg at left-row
+    * grain ((|Δt|, Δt, rt) — deterministic ties). Unmatched rows
+    * LEFT-join NULL-survive.
+    */
+  def nearestAlign(left: DataFrame, right: DataFrame, toleranceUs: Long): DataFrame = {
+    val lCols = left.columns
+    val lb = left.withColumn("__bkt", expr(s"t div $toleranceUs"))
+    val rb = right
+      .select(col("t").as("__rt"), col("rv"))
+      .withColumn(
+        "__bkt",
+        explode(
+          array(
+            expr(s"__rt div $toleranceUs - 1L"),
+            expr(s"__rt div $toleranceUs"),
+            expr(s"__rt div $toleranceUs + 1L")
+          )
+        )
+      )
+    lb.join(
+      rb,
+      lb("__bkt") === rb("__bkt") &&
+        abs(col("__rt") - col("t")) <= toleranceUs,
+      "left"
+    )
+      .groupBy(lCols.map(col): _*)
+      .agg(
+        min(
+          struct(
+            abs(col("__rt") - col("t")).as("adt"),
+            (col("__rt") - col("t")).as("dt"),
+            col("__rt").as("rt"),
+            col("rv").as("rv")
+          )
+        ).as("__w")
+      )
+      .select(
+        lCols.map(col) ++ Seq(
+          col("__w.rt").as("nearest_t"),
+          col("__w.rv").as("nearest_v"),
+          col("__w.dt").as("dt")
+        ): _*
+      )
+  }
+
+  def tsAlign(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Tables.ts(spark, dir)
+    val left = ts
+      .filter(col("channel") === "click")
+      .select(col("event_id"), col("t"), col("v"))
+    val right = ts
+      .filter(col("channel") === "error")
+      .groupBy(col("t"))
+      .agg(round(detAvg(col("v")), 6).as("rv"))
+    nearestAlign(left, right, toleranceUs = 600000000L) // ±10 min
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle: the naive |Δt| range join with the identical struct-min
+    * winner and LEFT NULL survival.
+    */
+  val tsAlignSql: String =
+    """WITH l AS (
+      |  SELECT event_id, epoch_us(ts) AS t, value AS v
+      |  FROM events WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT epoch_us(ts) AS rt,
+      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS rv
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |j AS (
+      |  SELECT l.event_id, l.t, l.v,
+      |    MIN(CASE WHEN r.rt IS NOT NULL
+      |        THEN {'adt': ABS(r.rt - l.t), 'dt': r.rt - l.t, 'rt': r.rt, 'rv': r.rv} END) AS w
+      |  FROM l LEFT JOIN r ON ABS(r.rt - l.t) <= 600000000
+      |  GROUP BY 1, 2, 3)
+      |SELECT event_id, t, v, w.rt AS nearest_t, w.rv AS nearest_v, w.dt AS dt
+      |FROM j
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // Permutation entropy (ordinal-pattern complexity)
   // -------------------------------------------------------------------
 

@@ -909,6 +909,24 @@ class TimeseriesSpec extends SparkSpec {
     c2.isNullAt(c2.fieldIndex("last_type")) shouldBe true
   }
 
+  "nearestAlign" should "pick the closest match either direction, backward on ties, NULL beyond tolerance" in {
+    val left = Seq((1L, 1000L, 0.0), (2L, 5000L, 0.0), (3L, 90000L, 0.0))
+      .toDF("event_id", "t", "v")
+    val right = Seq((900L, 1.0), (1200L, 2.0), (5100L, 3.0), (4900L, 4.0))
+      .toDF("t", "rv")
+    val got = Timeseries.nearestAlign(left, right, toleranceUs = 1000L)
+      .orderBy("event_id")
+      .collect()
+    // left 1 @1000: 900 (dt -100) vs 1200 (dt 200) → backward 900
+    got(0).getAs[Long]("nearest_t") shouldBe 900L
+    got(0).getAs[Long]("dt") shouldBe -100L
+    // left 2 @5000: 4900 (|dt| 100) ties 5100 (|dt| 100) → backward 4900
+    got(1).getAs[Long]("nearest_t") shouldBe 4900L
+    got(1).getAs[Double]("nearest_v") shouldBe 4.0
+    // left 3 @90000: nothing within ±1000 → NULLs survive
+    got(2).isNullAt(got(2).fieldIndex("nearest_t")) shouldBe true
+  }
+
   "permutationEntropy" should "score a monotone ramp zero and varied patterns higher" in {
     // strictly increasing: every triple is the same ascending pattern
     val ramp = mkTs((0 until 30).map(i => ("c", i * 1000L, i.toDouble)))
