@@ -304,7 +304,9 @@ object SparkEntry {
     // order-3 permutation entropy (Bandt-Pompe ordinal complexity)
     "ts_perm_entropy" -> (Timeseries.tsPermEntropy _),
     // tolerance-bounded nearest-neighbor alignment (both directions)
-    "ts_align" -> (Timeseries.tsAlign _)
+    "ts_align" -> (Timeseries.tsAlign _),
+    // bitwise-identical embedding vectors (exact dup screen)
+    "embed_dups" -> (Similarity.embedDups _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -497,6 +499,7 @@ object SparkEntry {
     "ts_runs" -> Timeseries.tsRunsSql,
     "mm_entropy" -> Multimodal.mmEntropySql,
     "ts_perm_entropy" -> Timeseries.tsPermEntropySql,
-    "ts_align" -> Timeseries.tsAlignSql
+    "ts_align" -> Timeseries.tsAlignSql,
+    "embed_dups" -> Similarity.embedDupsSql
   )
 }

@@ -1944,6 +1944,50 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // Exact-duplicate vectors
+  // ---------------------------------------------------------------------
+
+  /** Exact-duplicate embedding detection: vectors that are BITWISE
+    * identical — the degenerate case every scraped-embedding store
+    * accumulates (re-encoded rows, default vectors) that silently
+    * skews kNN and kmeans before any NEAR-dup machinery matters.
+    * Groups directly on the vector value; survivor = min vec_id.
+    *
+    * Scale shape: one exchange keyed by the vector (at scale, key by a
+    * 64-bit hash of the bytes first — same shape as dedup_exact_hash);
+    * only groups with copies survive.
+    */
+  def exactVectorDups(emb: DataFrame): DataFrame =
+    emb
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("vec_id"), col("n_copies"))
+
+  /** The fixed query plants twins (vec_id % 13 → exact copy at
+    * vec_id + 1000000) — random synthetic vectors have no natural
+    * bitwise dups at any scale factor.
+    */
+  def embedDups(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = emb
+      .filter(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    exactVectorDups(emb.unionByName(planted)).orderBy(col("vec_id"))
+  }
+
+  val embedDupsSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 13 = 0)
+      |SELECT MIN(vec_id) AS vec_id, COUNT(*) AS n_copies
+      |FROM corpus
+      |GROUP BY embedding
+      |HAVING COUNT(*) > 1
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Per-dimension embedding diagnostics
   // ---------------------------------------------------------------------
 

@@ -587,6 +587,19 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toList shouldBe List(2L)
   }
 
+  "exactVectorDups" should "group bitwise-identical vectors only" in {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(1.0f, 2.0f)), // exact twin of 1
+      (3L, Array(1.0f, 2.001f)) // near but not bitwise equal
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.exactVectorDups(emb)
+      .as[(Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List((1L, 2L))
+  }
+
   "dimStats" should "report per-dimension moments and flag the dead dimension" in {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
