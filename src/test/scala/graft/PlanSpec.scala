@@ -220,6 +220,12 @@ class PlanSpec extends SparkSpec {
       "ts_annotations" -> Timeseries.tsAnnotations(spark, sfDir),
       "ts_hampel" -> Timeseries.tsHampel(spark, sfDir),
       "ts_peaks" -> Timeseries.tsPeaks(spark, sfDir),
+      // (ts_journeys is excluded: its one empty-partitionSpec rank
+      // window runs above the LIMIT-15 reduction, which is sanctioned)
+      "ts_pacf" -> Timeseries.tsPacf(spark, sfDir),
+      "ts_perm_entropy" -> Timeseries.tsPermEntropy(spark, sfDir),
+      "ts_runs" -> Timeseries.tsRuns(spark, sfDir),
+      "ts_bands" -> Timeseries.tsBands(spark, sfDir),
       "ts_lttb" -> Timeseries.tsLttb(spark, sfDir),
       "ts_arrival_stats" -> Timeseries.tsArrivalStats(spark, sfDir)
     )
