@@ -4229,8 +4229,12 @@ object Timeseries {
     */
   val tsBenfordSql: String =
     """WITH b AS (
+      |  -- the digit projection guards the log itself (NULLIF) in
+      |  -- addition to the row filter: DuckDB vectorizes the SELECT
+      |  -- over the scan batch, so LOG10 can see a zero the WHERE is
+      |  -- about to drop (observed at sf0.1) and abort the query
       |  SELECT event_type AS channel,
-      |    CAST(FLOOR(ABS(value) / POW(10.0, FLOOR(ROUND(LOG10(ABS(value)), 9)))) AS BIGINT) AS digit
+      |    CAST(FLOOR(ABS(value) / POW(10.0, FLOOR(ROUND(LOG10(NULLIF(ABS(value), 0.0)), 9)))) AS BIGINT) AS digit
       |  FROM events WHERE ABS(value) > 0),
       |c AS (
       |  SELECT channel, digit, COUNT(*) AS n FROM b
