@@ -306,7 +306,15 @@ object SparkEntry {
     // tolerance-bounded nearest-neighbor alignment (both directions)
     "ts_align" -> (Timeseries.tsAlign _),
     // bitwise-identical embedding vectors (exact dup screen)
-    "embed_dups" -> (Similarity.embedDups _)
+    "embed_dups" -> (Similarity.embedDups _),
+    // ROLLUP hierarchy subtotals over region -> nation revenue
+    "q_rollup" -> (Relational.qRollup _),
+    // Gumbel block-maxima fit + 30/365-day return levels
+    "ts_extremes" -> (Timeseries.tsExtremes _),
+    // seasonal-residual anomaly buckets (STL-residual k-sigma cut)
+    "ts_anomaly" -> (Timeseries.tsAnomaly _),
+    // truncated dyadic-kernel EWMA baseline over the bucket grid
+    "ts_ewma" -> (Timeseries.tsEwma _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -500,6 +508,10 @@ object SparkEntry {
     "mm_entropy" -> Multimodal.mmEntropySql,
     "ts_perm_entropy" -> Timeseries.tsPermEntropySql,
     "ts_align" -> Timeseries.tsAlignSql,
-    "embed_dups" -> Similarity.embedDupsSql
+    "embed_dups" -> Similarity.embedDupsSql,
+    "q_rollup" -> Relational.qRollupSql,
+    "ts_extremes" -> Timeseries.tsExtremesSql,
+    "ts_anomaly" -> Timeseries.tsAnomalySql,
+    "ts_ewma" -> Timeseries.tsEwmaSql
   )
 }

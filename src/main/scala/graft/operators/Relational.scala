@@ -1050,4 +1050,61 @@ object Relational {
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** Hierarchical ROLLUP over the geography dimension chain: customer
+    * revenue at nation grain, nation subtotals per region, and the
+    * grand total — the drill-down report a dashboard asks for in one
+    * query. Complements [[qCube]] (full cross of independent dims):
+    * ROLLUP emits only the prefix grouping sets of an ordered
+    * hierarchy, the natural shape for region ⊃ nation.
+    *
+    * Scale shape: the fact reduces at custkey grain BEFORE any
+    * dimension join (one fact-side shuffle), then nation/region
+    * broadcast through customer; the ROLLUP itself is one Expand + one
+    * partial agg over the already-reduced (region, nation) grain.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("__nk"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir)
+      .select(col("r_regionkey").as("__rk"), col("r_name"))
+    val vol = col("l_extendedprice").cast(d184) * (lit(1).cast(d184) - col("l_discount").cast(d184))
+    val custRev = l
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__n"), sum(vol).as("__rev"))
+    custRev
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("__nk"))
+      .join(broadcast(r), col("n_regionkey") === col("__rk"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum(col("__n")).as("n_lines"),
+        // round-4 BEFORE the double cast: the rounded unscaled value
+        // fits 2^53, so the decimal→double conversion is a single
+        // correctly-rounded step in both engines (an unrounded scale-8
+        // sum converts via two roundings and drifts a ULP)
+        round(sum(col("__rev")), 4).cast("double").as("revenue")
+      )
+      .orderBy(col("gid"), col("r_name"), col("n_name"))
+  }
+
+  val qRollupSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY gid, r_name, n_name""".stripMargin
 }

@@ -4826,4 +4826,254 @@ object Timeseries {
        |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27,10))) AS DOUBLE), 6) AS mi
        |FROM terms GROUP BY 1, 2
        |ORDER BY ch_a, ch_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Extreme-value analysis (block maxima + Gumbel moment fit)
+  // -------------------------------------------------------------------
+
+  /** Euler–Mascheroni constant and √6/π — the Gumbel method-of-moments
+    * factors; Gumbel return-level quantile factors −ln(−ln(1−1/T)) for
+    * T = 30 and 365 days, pinned as literals so both engines use the
+    * identical double (no cross-engine libm nesting).
+    */
+  private val EulerGamma = 0.5772156649015329
+  private val Sqrt6OverPi = 0.779696801233676
+  private val GumbelY30 = 3.3842944934992527
+  private val GumbelY365 = 5.8985259242227315
+
+  /** Extreme-value screen per channel: daily block maxima reduced to a
+    * Gumbel method-of-moments fit (β = s·√6/π, μ = m − γβ) plus the
+    * 30-day and 365-day return levels μ + β·y_T — the "how bad can a
+    * spike get" capacity-planning primitive (Gumbel 1958; the block-
+    * maxima route to the extreme-value theorem).
+    *
+    * Scale shape: one partial agg to (channel, day) block maxima (max
+    * is algebraic — combines map-side), one partial agg to channel
+    * grain DECIMAL moments, then k-row arithmetic. The corpus is
+    * scanned once and never windowed.
+    *
+    * Portability: the daily maxima are exact doubles (max moves values,
+    * never arithmetic); moments sum through DECIMAL; mean/sd and every
+    * Gumbel factor derive in one pinned expression order with literal
+    * constants.
+    */
+  def extremesScreen(ts: DataFrame, blockUs: Long = 86400000000L): DataFrame = {
+    val dmax = ts
+      .groupBy(col("channel"), microsBucket(col("t"), blockUs).as("__day"))
+      .agg(max(col("v")).as("__mx"))
+    dmax
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("__mx").cast(dec2710)).as("__s1"),
+        sum((col("__mx") * col("__mx")).cast(dec2710)).as("__s2"),
+        max(col("__mx")).as("observed_max")
+      )
+      .filter(col("n_blocks") >= 2)
+      .withColumn("__m", col("__s1").cast("double") / col("n_blocks"))
+      .withColumn(
+        "__sd",
+        sqrt(
+          greatest(
+            (col("__s2").cast("double") - col("n_blocks") * col("__m") * col("__m")) /
+              (col("n_blocks") - 1),
+            lit(0.0)
+          )
+        )
+      )
+      .withColumn("__beta", col("__sd") * lit(Sqrt6OverPi))
+      .withColumn("__mu", col("__m") - lit(EulerGamma) * col("__beta"))
+      .select(
+        col("channel"),
+        col("n_blocks"),
+        round(col("__m"), 6).as("block_mean"),
+        round(col("__sd"), 6).as("block_sd"),
+        round(col("__mu"), 6).as("gumbel_mu"),
+        round(col("__beta"), 6).as("gumbel_beta"),
+        round(col("__mu") + col("__beta") * lit(GumbelY30), 6).as("rl_30"),
+        round(col("__mu") + col("__beta") * lit(GumbelY365), 6).as("rl_365"),
+        col("observed_max")
+      )
+  }
+
+  def tsExtremes(spark: SparkSession, dir: String): DataFrame =
+    extremesScreen(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  val tsExtremesSql: String =
+    """WITH dmax AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |    MAX(value) AS mx
+      |  FROM events GROUP BY 1, 2),
+      |mo AS (
+      |  SELECT channel, COUNT(*) AS n_blocks,
+      |    SUM(CAST(mx AS DECIMAL(27,10))) AS s1,
+      |    SUM(CAST(mx * mx AS DECIMAL(27,10))) AS s2,
+      |    MAX(mx) AS observed_max
+      |  FROM dmax GROUP BY 1 HAVING COUNT(*) >= 2),
+      |f AS (
+      |  SELECT channel, n_blocks, observed_max,
+      |    CAST(s1 AS DOUBLE) / n_blocks AS m,
+      |    SQRT(GREATEST((CAST(s2 AS DOUBLE) - n_blocks * (CAST(s1 AS DOUBLE) / n_blocks)
+      |      * (CAST(s1 AS DOUBLE) / n_blocks)) / (n_blocks - 1), 0.0)) AS sd
+      |  FROM mo),
+      |g AS (
+      |  SELECT channel, n_blocks, observed_max, m, sd,
+      |    sd * 0.779696801233676 AS beta
+      |  FROM f),
+      |h AS (
+      |  SELECT channel, n_blocks, observed_max, m, sd, beta,
+      |    m - 0.5772156649015329 * beta AS mu
+      |  FROM g)
+      |SELECT channel, n_blocks,
+      |  ROUND(m, 6) AS block_mean,
+      |  ROUND(sd, 6) AS block_sd,
+      |  ROUND(mu, 6) AS gumbel_mu,
+      |  ROUND(beta, 6) AS gumbel_beta,
+      |  ROUND(mu + beta * 3.3842944934992527, 6) AS rl_30,
+      |  ROUND(mu + beta * 5.8985259242227315, 6) AS rl_365,
+      |  observed_max
+      |FROM h
+      |ORDER BY channel""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Seasonal-residual anomaly detection
+  // -------------------------------------------------------------------
+
+  /** Seasonality-aware anomaly screen: the buckets whose residual after
+    * removing trend + daily seasonality ([[seasonalDecompose]]) exceeds
+    * k·σ of the channel's residual distribution — the STL-residual
+    * anomaly detector. A plain z-score ([[zscoreAnomalies]]) flags
+    * every rush hour; subtracting the seasonal profile first is what
+    * separates "it is 6 pm" from "something broke".
+    *
+    * Scale shape: everything downstream of the decompose runs on the
+    * bucket-grid summary relation; the residual σ is one channel-grain
+    * partial agg broadcast back. Portability: resid is round-6 in both
+    * engines, σ derives from Σresid² through DECIMAL in pinned order,
+    * and the k·σ comparison is strict on identically-derived doubles.
+    */
+  def seasonalAnomalies(ts: DataFrame, k: Double = 2.5): DataFrame = {
+    val d = seasonalDecompose(ts)
+    val stats = d
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("__nb"),
+        sum((col("resid") * col("resid")).cast(dec2710)).as("__ss")
+      )
+      .withColumn("sigma", sqrt(col("__ss").cast("double") / col("__nb")))
+      .select(col("channel"), col("sigma"))
+    d.join(broadcast(stats), Seq("channel"))
+      .filter(abs(col("resid")) > lit(k) * col("sigma"))
+      .select(
+        col("channel"),
+        col("bucket"),
+        col("n"),
+        col("mean"),
+        col("trend"),
+        col("seasonal"),
+        col("resid"),
+        round(col("resid") / col("sigma"), 6).as("z")
+      )
+  }
+
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalies(Tables.ts(spark, dir)).orderBy(col("channel"), col("bucket"))
+
+  /** Oracle: the seasonal-decompose pipeline nested verbatim, then the
+    * residual-σ cut with the identical pinned derivation.
+    */
+  val tsAnomalySql: String =
+    s"""WITH dec AS ($tsSeasonalSql),
+       |st AS (
+       |  SELECT channel, SQRT(CAST(SUM(CAST(resid * resid AS DECIMAL(27,10))) AS DOUBLE)
+       |    / COUNT(*)) AS sigma
+       |  FROM dec GROUP BY 1)
+       |SELECT dec.channel, dec.bucket, dec.n, dec.mean, dec.trend, dec.seasonal, dec.resid,
+       |  ROUND(dec.resid / st.sigma, 6) AS z
+       |FROM dec JOIN st ON st.channel = dec.channel
+       |WHERE ABS(dec.resid) > 2.5 * st.sigma
+       |ORDER BY dec.channel, dec.bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Exponentially-weighted moving baseline (truncated dyadic kernel)
+  // -------------------------------------------------------------------
+
+  /** EWMA kernel length: weights 2^(K−1−j) for bucket distance
+    * j = 0..K−1 — the α = 1/2 exponential kernel scaled to INTEGERS
+    * (half-life = one bucket), truncated where the weight reaches 1.
+    * Integer weights are the portability trick: every kernel term is
+    * mean × exact-long, so no cross-engine pow/rounding drift exists
+    * anywhere in the operator.
+    */
+  val EwmaK = 32
+
+  /** Exponentially-weighted moving baseline over the bucket grid: for
+    * each non-empty bucket, the weight-2^{K−1−j} average of the bucket
+    * means at distance j = 0..K−1 — the truncated α = ½ EWMA, the
+    * recency-weighted complement to [[rollingBaseline]]'s flat window.
+    * Missing buckets simply contribute nothing (calendar-aware decay),
+    * and the weight sum renormalizes over the buckets present.
+    *
+    * Scale shape: the corpus reduces to the (channel, bucket) grid in
+    * one partial agg; the kernel is an explode(K) + equi-keyed
+    * re-aggregation ON THE GRID (summary-scale — never the data
+    * stream), then a co-keyed join back. No window, no range join, no
+    * per-channel sort anywhere.
+    *
+    * Portability: bucket means are exact-DECIMAL-sum doubles; each
+    * kernel term is mean × integer-weight cast to DECIMAL(38,10) (sum
+    * order-independent); the final ratio is one double division.
+    */
+  def ewmaBaseline(ts: DataFrame, bucketUs: Long = BucketUs, k: Int = EwmaK): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val g = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec2710)).as("__s"))
+      .withColumn("__mean", col("__s").cast("double") / col("n"))
+    val contrib = g
+      .select(col("channel"), col("bucket"), col("__mean"), explode(sequence(lit(0), lit(k - 1))).as("__j"))
+      .select(
+        col("channel"),
+        (col("bucket") + col("__j")).as("bucket"),
+        pow(lit(2.0), lit(k - 1) - col("__j")).cast("long").as("__w"),
+        (col("__mean") * pow(lit(2.0), lit(k - 1) - col("__j")).cast("long")).cast(dec3810).as("__term")
+      )
+      .groupBy(col("channel"), col("bucket"))
+      .agg(sum(col("__term")).as("__num"), sum(col("__w")).as("__den"))
+    g.join(contrib, Seq("channel", "bucket"))
+      .select(
+        col("channel"),
+        col("bucket"),
+        col("n"),
+        round(col("__mean"), 6).as("mean"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6).as("ewma"),
+        round(col("__mean") - col("__num").cast("double") / col("__den").cast("double"), 6).as("dev")
+      )
+  }
+
+  def tsEwma(spark: SparkSession, dir: String): DataFrame =
+    ewmaBaseline(Tables.ts(spark, dir)).orderBy(col("channel"), col("bucket"))
+
+  val tsEwmaSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(27,10))) AS s
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT channel, bucket, n, CAST(s AS DOUBLE) / n AS mean FROM g),
+      |c AS (
+      |  SELECT m.channel, m.bucket + j.j AS bucket,
+      |    CAST(POWER(2.0, 31 - j.j) AS BIGINT) AS w,
+      |    CAST(m.mean * CAST(POWER(2.0, 31 - j.j) AS BIGINT) AS DECIMAL(38,10)) AS term
+      |  FROM m CROSS JOIN generate_series(0, 31) AS j(j)),
+      |a AS (
+      |  SELECT channel, bucket, SUM(term) AS num, CAST(SUM(w) AS BIGINT) AS den
+      |  FROM c GROUP BY 1, 2)
+      |SELECT m.channel, m.bucket, m.n,
+      |  ROUND(m.mean, 6) AS mean,
+      |  ROUND(CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE), 6) AS ewma,
+      |  ROUND(m.mean - CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE), 6) AS dev
+      |FROM m JOIN a ON a.channel = m.channel AND a.bucket = m.bucket
+      |ORDER BY m.channel, m.bucket""".stripMargin
 }

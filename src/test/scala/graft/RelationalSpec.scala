@@ -197,4 +197,24 @@ class RelationalSpec extends SparkSpec {
     byGid(2L).map(_.getAs[Long]("n")).sum shouldBe cells
     byGid(3L).head.getAs[Long]("n") shouldBe cells
   }
+
+  "qRollup" should "emit only the hierarchy prefix sets, re-adding at every level" in {
+    val df = graft.operators.Relational.qRollup(spark, sfDir)
+    // one Expand over the reduced grain — no per-set rescans — and the
+    // geography dims broadcast (never a shuffled dim join)
+    val plan = df.queryExecution.executedPlan.toString
+    "Expand".r.findAllIn(plan).size shouldBe 1
+    val rows = df.collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    // ROLLUP of (region, nation): gids 0 (cells), 1 (region subtotal),
+    // 3 (grand total) — never nation-without-region (gid 2)
+    byGid.keySet shouldBe Set(0L, 1L, 3L)
+    val cells = byGid(0L).map(_.getAs[Long]("n_lines")).sum
+    byGid(1L).map(_.getAs[Long]("n_lines")).sum shouldBe cells
+    byGid(3L).head.getAs[Long]("n_lines") shouldBe cells
+    val cellRev = byGid(0L).map(_.getAs[Double]("revenue")).sum
+    byGid(3L).head.getAs[Double]("revenue") shouldBe cellRev +- 1e-2
+    // every nation row carries its region (hierarchy, not a cross)
+    byGid(0L).foreach(r => r.getAs[String]("r_name") should not be null)
+  }
 }

@@ -1476,4 +1476,96 @@ class TimeseriesSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("yhat")) shouldBe true
     }
   }
+
+  "extremesScreen" should "fit the Gumbel moments of planted daily maxima" in {
+    val dayUs = 86400000000L
+    // 40 days, 3 samples/day; the per-day max is exactly 10 + day%4
+    // (values 10,11,12,13 each 10 times): mean 11.5, sd sqrt(50/39)
+    val ts = mkTs((0L until 40L).flatMap { d =>
+      Seq(
+        ("c", d * dayUs + 1000L, 1.0),
+        ("c", d * dayUs + 2000L, 10.0 + (d % 4)),
+        ("c", d * dayUs + 3000L, 5.0)
+      )
+    })
+    val r = Timeseries.extremesScreen(ts).collect()
+    r.length shouldBe 1
+    r.head.getAs[Long]("n_blocks") shouldBe 40L
+    r.head.getAs[Double]("block_mean") shouldBe 11.5 +- 1e-9
+    val sd = math.sqrt(50.0 / 39.0)
+    r.head.getAs[Double]("block_sd") shouldBe sd +- 1e-6
+    val beta = sd * 0.779696801233676
+    val mu = 11.5 - 0.5772156649015329 * beta
+    r.head.getAs[Double]("gumbel_mu") shouldBe mu +- 1e-6
+    r.head.getAs[Double]("rl_365") shouldBe (mu + beta * 5.8985259242227315) +- 1e-6
+    r.head.getAs[Double]("observed_max") shouldBe 13.0
+    // return levels are monotone in horizon and exceed the location
+    r.head.getAs[Double]("rl_365") should be > r.head.getAs[Double]("rl_30")
+    r.head.getAs[Double]("rl_30") should be > mu - 1e-9
+  }
+
+  it should "drop single-block channels (no spread to fit)" in {
+    val ts = mkTs(Seq(("solo", 1000L, 1.0), ("solo", 2000L, 5.0)))
+    Timeseries.extremesScreen(ts).collect() shouldBe empty
+  }
+
+  "seasonalAnomalies" should "flag exactly the buckets where a planted glitch breaks the cycle" in {
+    val hourUs = 3600000000L
+    // 20 days of a clean daily sinusoid + trend, with two injected
+    // bucket-level glitches well clear of the residual noise floor
+    val glitched = Set(197L, 310L)
+    val ts = mkTs((0L until 480L).map { h =>
+      val base = 0.05 * h + 5.0 * math.sin(2 * math.Pi * (h % 24) / 24.0)
+      val v = if (glitched(h)) base + 40.0 else base
+      ("c", h * hourUs + 1000L, v)
+    })
+    val out = Timeseries.seasonalAnomalies(ts).collect()
+    // trend-window edges shave the first/last halfTrend buckets, but
+    // both glitches sit inside; the seasonal means absorb a little of
+    // each spike so a couple of same-phase echoes may flag too — the
+    // planted buckets must be the TOP hits
+    val flagged = out.map(_.getAs[Long]("bucket")).toSet
+    glitched.subsetOf(flagged) shouldBe true
+    val top2 = out.sortBy(r => -math.abs(r.getAs[Double]("z"))).take(2).map(_.getAs[Long]("bucket")).toSet
+    top2 shouldBe glitched
+    out.foreach(r => math.abs(r.getAs[Double]("z")) should be > 2.5)
+  }
+
+  it should "find no real residual on a clean seasonal signal" in {
+    val hourUs = 3600000000L
+    val ts = mkTs((0L until 480L).map { h =>
+      ("c", h * hourUs + 1000L, 0.05 * h + 5.0 * math.sin(2 * math.Pi * (h % 24) / 24.0))
+    })
+    // trend + seasonal explain the signal exactly (the 25h window's
+    // sinusoid leakage is phase-periodic, so the seasonal means absorb
+    // it): any "flagged" bucket can only be round-6 output dust, never
+    // a real residual
+    val out = Timeseries.seasonalAnomalies(ts).collect()
+    out.foreach(r => math.abs(r.getAs[Double]("resid")) should be < 1e-5)
+  }
+
+  "ewmaBaseline" should "equal the hand-rolled truncated dyadic kernel and track a step" in {
+    val hourUs = 3600000000L
+    // step from 0 to 8 at bucket 50, with a gap (buckets 60-63 empty)
+    val hours = (0L until 60L) ++ (64L until 80L)
+    val means = hours.map(h => h -> (if (h < 50) 0.0 else 8.0)).toMap
+    val ts = mkTs(hours.map(h => ("c", h * hourUs + 5L, means(h))))
+    val out = Timeseries.ewmaBaseline(ts).collect()
+    out.length shouldBe hours.size
+    val k = Timeseries.EwmaK
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val terms = (0 until k).flatMap { j =>
+        means.get(b - j).map(m => (m * (1L << (k - 1 - j)), 1L << (k - 1 - j)))
+      }
+      val expect = terms.map(_._1).sum / terms.map(_._2).sum
+      r.getAs[Double]("ewma") shouldBe expect +- 1e-6
+    }
+    val byB = out.map(r => r.getAs[Long]("bucket") -> r.getAs[Double]("ewma")).toMap
+    byB(49L) shouldBe 0.0 +- 1e-9 // pre-step: flat baseline
+    byB(50L) shouldBe 4.0 +- 1e-6 // step bucket: half-weight on now
+    byB(59L) should be > 7.9 // converged to the new level
+    // after the gap the kernel sees only in-window survivors
+    byB(64L) should be > 7.9
+  }
 }
