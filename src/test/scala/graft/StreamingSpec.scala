@@ -969,4 +969,77 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  "StreamingEwma.baseline" should "emit the batch EWMA rows bit-for-bit on any carving" in {
+    import graft.streaming.StreamingEwma
+    implicit val sqlCtx = spark.sqlContext
+
+    // two channels, 40 buckets x 3 samples, step + wiggle, plus a gap
+    val data = for {
+      c <- Seq("a", "b")
+      i <- 0 until 120
+      bkt = i / 3
+      if bkt < 20 || bkt >= 24 // buckets 20-23 empty
+    } yield {
+      val lvl = if (c == "a") (if (bkt < 15) 1.0 else 9.0) else -3.0 + 0.2 * bkt
+      (c, bkt * 1000L + (i % 3) * 300L, lvl + (i % 7) * 0.013)
+    }
+
+    val batch = graft.operators.Timeseries
+      .ewmaBaseline(
+        data.toDF("channel", "t", "v").withColumn("event_id", lit(0L)),
+        bucketUs = 1000L
+      )
+      .collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean"), r.getAs[Double]("ewma"), r.getAs[Double]("dev"))))
+      .toMap
+    batch.size shouldBe 72 // 36 non-empty buckets x 2 channels
+
+    for (split <- Seq(Seq(data.size), Seq(30, 100, data.size), Seq(7, 71, 72, data.size))) {
+      val mem = MemoryStream[(String, Long, Double)]
+      val out = StreamingEwma.baseline(spark, mem.toDF().toDF("channel", "t", "v"), bucketUs = 1000L)
+      val name = s"ewma_${split.mkString("_")}"
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        var prev = 0
+        split.distinct.foreach { end =>
+          mem.addData(data.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val rows = spark
+          .table(name)
+          .as[(String, Long, Long, Double, Double, Double, Boolean)]
+          .collect()
+        // closed rows are final the moment they emit — exactly one per
+        // closed bucket, and bit-equal to the batch row
+        val closed = rows.filter(_._7)
+        closed.groupBy(r => (r._1, r._2)).foreach { case (_, g) => g.length shouldBe 1 }
+        // the still-open bucket's last snapshot completes the surface:
+        // its sample count only grows, so max-n is the final state
+        val open = rows
+          .filter(!_._7)
+          .groupBy(r => (r._1, r._2))
+          .collect { case ((c, b), g) if !closed.exists(r => r._1 == c && r._2 == b) => g.maxBy(_._3) }
+        val got = (closed ++ open).map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+        withClue(s"split $split:") { got shouldBe batch }
+      } finally q.stop()
+    }
+  }
+
+  it should "hold at most K bucket aggregates per channel, never per sample" in {
+    import graft.streaming.StreamingEwma
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val out = StreamingEwma.baseline(spark, mem.toDF().toDF("channel", "t", "v"), bucketUs = 1000L)
+    val q = out.toDF().writeStream.format("memory").queryName("ewma_state").outputMode("update").start()
+    try {
+      mem.addData((0 until 5000).map(i => ("a", i.toLong * 10L, (i % 9).toDouble)): _*)
+      q.processAllAvailable()
+      // one state row per channel; its entries vector is K-capped by
+      // construction (pruned on every bucket close)
+      q.lastProgress.stateOperators.head.numRowsTotal shouldBe 1L
+    } finally q.stop()
+  }
 }
