@@ -314,7 +314,9 @@ object SparkEntry {
     // seasonal-residual anomaly buckets (STL-residual k-sigma cut)
     "ts_anomaly" -> (Timeseries.tsAnomaly _),
     // truncated dyadic-kernel EWMA baseline over the bucket grid
-    "ts_ewma" -> (Timeseries.tsEwma _)
+    "ts_ewma" -> (Timeseries.tsEwma _),
+    // directional lead-lag F-test per ordered channel pair
+    "ts_granger" -> (Timeseries.tsGranger _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -512,6 +514,7 @@ object SparkEntry {
     "q_rollup" -> Relational.qRollupSql,
     "ts_extremes" -> Timeseries.tsExtremesSql,
     "ts_anomaly" -> Timeseries.tsAnomalySql,
-    "ts_ewma" -> Timeseries.tsEwmaSql
+    "ts_ewma" -> Timeseries.tsEwmaSql,
+    "ts_granger" -> Timeseries.tsGrangerSql
   )
 }

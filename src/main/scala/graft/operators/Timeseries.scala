@@ -5055,6 +5055,140 @@ object Timeseries {
   def tsEwma(spark: SparkSession, dir: String): DataFrame =
     ewmaBaseline(Tables.ts(spark, dir)).orderBy(col("channel"), col("bucket"))
 
+  // -------------------------------------------------------------------
+  // Granger-style lead-lag causality screen
+  // -------------------------------------------------------------------
+
+  /** Granger-causality screen over the hourly bucket grid: for every
+    * ordered channel pair (cause → effect), does the cause's previous
+    * bucket improve the one-step autoregression of the effect? The
+    * restricted model y_t ~ y_{t−1} and the unrestricted
+    * y_t ~ y_{t−1} + x_{t−1} are both closed-form OLS (2×2 normal
+    * equations via centered moments), and the F statistic
+    * (RSS_r − RSS_u) / (RSS_u / (n−3)) ranks directional lead-lag
+    * influence — the screen behind "errors spike an hour before
+    * purchases drop". Complements [[mutualInfo]] (symmetric, no
+    * direction) and [[lagCorrelation]] (linear, no conditioning on the
+    * effect's own history).
+    *
+    * Scale shape: the corpus reduces to the (channel, bucket) grid in
+    * one partial agg; the lag alignment is a three-way equi-join ON
+    * THE GRID (bucket-keyed — summary-scale, k-fold fan per bucket);
+    * moments are one (cause, effect)-grain partial agg; the OLS
+    * algebra runs on k² rows. No window, no per-channel sort.
+    *
+    * Portability: every moment sums double products through
+    * DECIMAL(38,10); the centered moments, normal-equation solve and F
+    * derive in one pinned double expression order from identical
+    * inputs, so both engines agree bit-for-bit before the round-6.
+    */
+  def grangerScreen(ts: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val g = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg((sum(col("v").cast(dec2710)).cast("double") / count(lit(1))).as("__m"))
+    val gy = g.select(col("channel").as("effect"), col("bucket"), col("__m").as("__y"))
+    val gyp = g.select(col("channel").as("__ec"), (col("bucket") + 1L).as("bucket"), col("__m").as("__yp"))
+    val gxp = g.select(col("channel").as("cause"), (col("bucket") + 1L).as("bucket"), col("__m").as("__xp"))
+    val s = gy
+      .join(gyp, gy("effect") === gyp("__ec") && gy("bucket") === gyp("bucket"))
+      .drop(gyp("bucket"))
+      .join(gxp, gy("bucket") === gxp("bucket") && col("cause") =!= col("effect"))
+      .groupBy(col("cause"), col("effect"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__y").cast(dec3810)).cast("double").as("__sy"),
+        sum(col("__yp").cast(dec3810)).cast("double").as("__s1"),
+        sum(col("__xp").cast(dec3810)).cast("double").as("__s2"),
+        sum((col("__y") * col("__y")).cast(dec3810)).cast("double").as("__syy"),
+        sum((col("__y") * col("__yp")).cast(dec3810)).cast("double").as("__s1y"),
+        sum((col("__y") * col("__xp")).cast(dec3810)).cast("double").as("__s2y"),
+        sum((col("__yp") * col("__yp")).cast(dec3810)).cast("double").as("__s11"),
+        sum((col("__xp") * col("__xp")).cast(dec3810)).cast("double").as("__s22"),
+        sum((col("__yp") * col("__xp")).cast(dec3810)).cast("double").as("__s12")
+      )
+      .filter(col("n") > 3)
+      .withColumn("__Syy", col("__syy") - col("__sy") * col("__sy") / col("n"))
+      .withColumn("__S11", col("__s11") - col("__s1") * col("__s1") / col("n"))
+      .withColumn("__S22", col("__s22") - col("__s2") * col("__s2") / col("n"))
+      .withColumn("__S1y", col("__s1y") - col("__s1") * col("__sy") / col("n"))
+      .withColumn("__S2y", col("__s2y") - col("__s2") * col("__sy") / col("n"))
+      .withColumn("__S12", col("__s12") - col("__s1") * col("__s2") / col("n"))
+      .filter(col("__S11") > 0 && col("__S22") > 0)
+      .withColumn("__rssr", col("__Syy") - col("__S1y") * col("__S1y") / col("__S11"))
+      .withColumn("__det", col("__S11") * col("__S22") - col("__S12") * col("__S12"))
+      .filter(col("__det") =!= 0.0)
+      .withColumn("__b1", (col("__S1y") * col("__S22") - col("__S2y") * col("__S12")) / col("__det"))
+      .withColumn("__b2", (col("__S2y") * col("__S11") - col("__S1y") * col("__S12")) / col("__det"))
+      .withColumn("__rssu", col("__Syy") - col("__b1") * col("__S1y") - col("__b2") * col("__S2y"))
+      .filter(col("__rssu") > 0)
+    s.select(
+      col("cause"),
+      col("effect"),
+      col("n"),
+      round(col("__b2"), 6).as("beta_cause"),
+      round(col("__rssr"), 6).as("rss_r"),
+      round(col("__rssu"), 6).as("rss_u"),
+      round((col("__rssr") - col("__rssu")) / (col("__rssu") / (col("n") - 3)), 6).as("fstat")
+    )
+  }
+
+  def tsGranger(spark: SparkSession, dir: String): DataFrame =
+    grangerScreen(Tables.ts(spark, dir)).orderBy(col("cause"), col("effect"))
+
+  val tsGrangerSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT gx.channel AS cause, gy.channel AS effect,
+      |    gy.m AS y, gp.m AS yp, gx.m AS xp
+      |  FROM g gy
+      |  JOIN g gp ON gp.channel = gy.channel AND gp.bucket = gy.bucket - 1
+      |  JOIN g gx ON gx.bucket = gy.bucket - 1 AND gx.channel <> gy.channel),
+      |mo AS (
+      |  SELECT cause, effect, COUNT(*) AS n,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(yp AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(xp AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(y * yp AS DECIMAL(38,10))) AS DOUBLE) AS s1y,
+      |    CAST(SUM(CAST(y * xp AS DECIMAL(38,10))) AS DOUBLE) AS s2y,
+      |    CAST(SUM(CAST(yp * yp AS DECIMAL(38,10))) AS DOUBLE) AS s11,
+      |    CAST(SUM(CAST(xp * xp AS DECIMAL(38,10))) AS DOUBLE) AS s22,
+      |    CAST(SUM(CAST(yp * xp AS DECIMAL(38,10))) AS DOUBLE) AS s12
+      |  FROM j GROUP BY 1, 2 HAVING COUNT(*) > 3),
+      |ce AS (
+      |  SELECT cause, effect, n,
+      |    syy - sy * sy / n AS cyy,
+      |    s11 - s1 * s1 / n AS c11,
+      |    s22 - s2 * s2 / n AS c22,
+      |    s1y - s1 * sy / n AS c1y,
+      |    s2y - s2 * sy / n AS c2y,
+      |    s12 - s1 * s2 / n AS c12
+      |  FROM mo),
+      |sol AS (
+      |  SELECT cause, effect, n, cyy, c1y, c2y,
+      |    cyy - c1y * c1y / c11 AS rssr,
+      |    (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+      |    (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+      |  FROM ce
+      |  WHERE c11 > 0 AND c22 > 0 AND c11 * c22 - c12 * c12 <> 0.0),
+      |fin AS (
+      |  SELECT cause, effect, n, b2, rssr,
+      |    cyy - b1 * c1y - b2 * c2y AS rssu
+      |  FROM sol)
+      |SELECT cause, effect, n,
+      |  ROUND(b2, 6) AS beta_cause,
+      |  ROUND(rssr, 6) AS rss_r,
+      |  ROUND(rssu, 6) AS rss_u,
+      |  ROUND((rssr - rssu) / (rssu / (n - 3)), 6) AS fstat
+      |FROM fin
+      |WHERE rssu > 0
+      |ORDER BY cause, effect""".stripMargin
+
   val tsEwmaSql: String =
     """WITH g AS (
       |  SELECT event_type AS channel,

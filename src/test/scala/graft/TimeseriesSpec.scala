@@ -1544,6 +1544,32 @@ class TimeseriesSpec extends SparkSpec {
     out.foreach(r => math.abs(r.getAs[Double]("resid")) should be < 1e-5)
   }
 
+  "grangerScreen" should "rank a planted lead-lag driver far above the reverse direction" in {
+    val hourUs = 3600000000L
+    // x: aperiodic deterministic driver; y follows 0.8*x lagged one
+    // bucket plus small independent wiggle; z: unrelated
+    def drv(i: Long): Double = ((i * 2654435761L) % 97L) / 97.0
+    def wig(i: Long): Double = ((i * 40503L) % 89L) / 890.0
+    def zrn(i: Long): Double = ((i * 69069L) % 101L) / 101.0
+    val rows = (1L until 300L).flatMap { h =>
+      Seq(
+        ("x", h * hourUs + 1L, drv(h)),
+        ("y", h * hourUs + 2L, 0.8 * drv(h - 1) + wig(h)),
+        ("z", h * hourUs + 3L, zrn(h))
+      )
+    }
+    val out = Timeseries.grangerScreen(mkTs(rows)).collect()
+    val f = out.map(r => (r.getAs[String]("cause"), r.getAs[String]("effect")) -> r.getAs[Double]("fstat")).toMap
+    f.keySet shouldBe Set(("x", "y"), ("y", "x"), ("x", "z"), ("z", "x"), ("y", "z"), ("z", "y"))
+    // the planted direction dominates
+    f(("x", "y")) should be > 100.0
+    f(("x", "y")) should be > 10.0 * math.abs(f(("y", "x")))
+    f(("x", "y")) should be > 10.0 * math.abs(f(("x", "z")))
+    // the fitted cause coefficient recovers the planted 0.8
+    val b = out.filter(r => r.getAs[String]("cause") == "x" && r.getAs[String]("effect") == "y").head
+    b.getAs[Double]("beta_cause") shouldBe 0.8 +- 0.05
+  }
+
   "ewmaBaseline" should "equal the hand-rolled truncated dyadic kernel and track a step" in {
     val hourUs = 3600000000L
     // step from 0 to 8 at bucket 50, with a gap (buckets 60-63 empty)
