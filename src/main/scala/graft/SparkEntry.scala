@@ -316,7 +316,11 @@ object SparkEntry {
     // truncated dyadic-kernel EWMA baseline over the bucket grid
     "ts_ewma" -> (Timeseries.tsEwma _),
     // directional lead-lag F-test per ordered channel pair
-    "ts_granger" -> (Timeseries.tsGranger _)
+    "ts_granger" -> (Timeseries.tsGranger _),
+    // label-centroid cosine matrix (semantic source distance)
+    "embed_label_sim" -> (Similarity.embedLabelSim _),
+    // neighbor-set Jaccard link prediction over the near-dup graph
+    "graph_jaccard" -> (Dedup.graphJaccard _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -515,6 +519,8 @@ object SparkEntry {
     "ts_extremes" -> Timeseries.tsExtremesSql,
     "ts_anomaly" -> Timeseries.tsAnomalySql,
     "ts_ewma" -> Timeseries.tsEwmaSql,
-    "ts_granger" -> Timeseries.tsGrangerSql
+    "ts_granger" -> Timeseries.tsGrangerSql,
+    "embed_label_sim" -> Similarity.embedLabelSimSql,
+    "graph_jaccard" -> Dedup.graphJaccardSql
   )
 }

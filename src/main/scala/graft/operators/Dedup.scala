@@ -1971,4 +1971,89 @@ object Dedup {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Structural neighbor similarity (link prediction over the dup graph)
+  // -------------------------------------------------------------------
+
+  /** Neighbor-set Jaccard between node pairs of the mined near-dup
+    * graph: |N(a)∩N(b)| / |N(a)∪N(b)| for every pair sharing at least
+    * one neighbor — the classic link-prediction / structural-roles
+    * primitive. Pairs with high overlap that are NOT already edges
+    * (is_edge=false) are the near-dups the pairwise miner likely
+    * MISSED (two docs each similar to the same third); that makes this
+    * the graph-level recall check on the mining threshold.
+    *
+    * Scale shape: same wedge-bounded cost as [[triangleStats]] — the
+    * symmetric edge relation wedge-joins through the shared neighbor
+    * (equi-key x), so candidate pairs are bounded by Σ deg², a
+    * post-reduction quantity, never corpus². The pair list is
+    * localCheckpoint'd once for its four references (e1/e2/deg/edge
+    * flag), truncating the mining plan exactly as the triangle op
+    * does.
+    */
+  def neighborJaccard(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(true)
+    val edges = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+    val e1 = edges.select(col("u").as("doc_a"), col("v").as("__x"))
+    val e2 = edges.select(col("u").as("doc_b"), col("v").as("__x"))
+    e1.join(e2, Seq("__x"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(deg.select(col("u").as("doc_a"), col("degree").as("degree_a")), Seq("doc_a"))
+      .join(deg.select(col("u").as("doc_b"), col("degree").as("degree_b")), Seq("doc_b"))
+      .join(
+        pairs.select(col("u").as("doc_a"), col("v").as("doc_b"), lit(true).as("__e")),
+        Seq("doc_a", "doc_b"),
+        "left"
+      )
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("common_neighbors"),
+        col("degree_a"),
+        col("degree_b"),
+        round(
+          col("common_neighbors").cast("double") /
+            (col("degree_a") + col("degree_b") - col("common_neighbors")).cast("double"),
+          6
+        ).as("jaccard"),
+        coalesce(col("__e"), lit(false)).as("is_edge")
+      )
+  }
+
+  def graphJaccard(spark: SparkSession, dir: String): DataFrame =
+    neighborJaccard(
+      minhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), w = 3, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+    ).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Oracle: the shared minhash pair pipeline feeding the identical
+    * symmetric-edge wedge join and degree algebra.
+    */
+  val graphJaccardSql: String =
+    s"""WITH $MinhashPipelineCtes,
+       |vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |ed AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM vpairs
+       |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM vpairs),
+       |deg AS (SELECT u, COUNT(*) AS degree FROM ed GROUP BY 1),
+       |co AS (
+       |  SELECT e1.u AS doc_a, e2.u AS doc_b, COUNT(*) AS common
+       |  FROM ed e1 JOIN ed e2 ON e2.v = e1.v AND e1.u < e2.u
+       |  GROUP BY 1, 2)
+       |SELECT co.doc_a, co.doc_b, co.common AS common_neighbors,
+       |  da.degree AS degree_a, db.degree AS degree_b,
+       |  ROUND(CAST(co.common AS DOUBLE) /
+       |        CAST(da.degree + db.degree - co.common AS DOUBLE), 6) AS jaccard,
+       |  p.doc_a IS NOT NULL AS is_edge
+       |FROM co
+       |JOIN deg da ON da.u = co.doc_a
+       |JOIN deg db ON db.u = co.doc_b
+       |LEFT JOIN vpairs p ON p.doc_a = co.doc_a AND p.doc_b = co.doc_b
+       |ORDER BY co.doc_a, co.doc_b""".stripMargin
 }

@@ -2055,4 +2055,92 @@ object Similarity {
       |  min_x, max_x
       |FROM a
       |ORDER BY dim""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Label-centroid similarity matrix
+  // -------------------------------------------------------------------
+
+  /** Cosine similarity matrix between the label-group centroids of the
+    * embedding table — the "how close are these sources/clusters in
+    * embedding space" report (the semantic analog of corpus_jsd's
+    * lexical source distance): near-1 off-diagonal cells mean two
+    * labels are semantically interchangeable; the diagonal is 1 by
+    * construction and serves as the oracle's own sanity row.
+    *
+    * Scale shape: ONE corpus scan reduces to (label, dim) centroid
+    * components (posexplode + partial agg — the corpus never joins
+    * anything); norms and the pair matrix are label²·dim-scale algebra
+    * on that summary. At 100 TB labels are sources/clusters (k ≪
+    * corpus), so everything after the first agg is driver-trivial yet
+    * fully distributed.
+    *
+    * Portability: centroid components are exact-DECIMAL-sum doubles;
+    * dot/norm terms route through DECIMAL again; cos divides by the
+    * two sqrts in pinned order before the round-6.
+    */
+  def labelCentroidSim(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val cd = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        (sum(col("x").cast("double").cast(dec)).cast("double") / count(lit(1))).as("__c"),
+        count(lit(1)).as("__n")
+      )
+    val norms = cd
+      .groupBy(col("label"))
+      .agg(
+        sum((col("__c") * col("__c")).cast(dec)).cast("double").as("__n2"),
+        max(col("__n")).as("n_vec")
+      )
+    val a = cd.select(col("label").as("label_a"), col("dim"), col("__c").as("__ca"))
+    val b = cd.select(col("label").as("label_b"), col("dim"), col("__c").as("__cb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") <= col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("__ca") * col("__cb")).cast(dec)).cast("double").as("__dot"))
+      .join(
+        broadcast(norms.select(col("label").as("label_a"), col("__n2").as("__na"), col("n_vec").as("n_a"))),
+        Seq("label_a")
+      )
+      .join(
+        broadcast(norms.select(col("label").as("label_b"), col("__n2").as("__nb"), col("n_vec").as("n_b"))),
+        Seq("label_b")
+      )
+      .select(
+        col("label_a"),
+        col("label_b"),
+        col("n_a"),
+        col("n_b"),
+        round(col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))), 6).as("cos_sim")
+      )
+  }
+
+  def embedLabelSim(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidSim(Tables.embeddings(spark, dir)).orderBy(col("label_a"), col("label_b"))
+
+  val embedLabelSimSql: String =
+    """WITH e AS (
+      |  SELECT label, embedding, UNNEST(range(1, len(embedding) + 1)) AS i FROM embeddings),
+      |v AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x FROM e),
+      |c AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c,
+      |    COUNT(*) AS n
+      |  FROM v GROUP BY 1, 2),
+      |no AS (
+      |  SELECT label, CAST(SUM(CAST(c * c AS DECIMAL(27,10))) AS DOUBLE) AS n2, MAX(n) AS n_vec
+      |  FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(SUM(CAST(a.c * b.c AS DECIMAL(27,10))) AS DOUBLE) AS dot
+      |  FROM c a JOIN c b ON a.dim = b.dim AND a.label <= b.label
+      |  GROUP BY 1, 2)
+      |SELECT d.label_a, d.label_b,
+      |  na.n_vec AS n_a, nb.n_vec AS n_b,
+      |  ROUND(d.dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) AS cos_sim
+      |FROM d
+      |JOIN no na ON na.label = d.label_a
+      |JOIN no nb ON nb.label = d.label_b
+      |ORDER BY label_a, label_b""".stripMargin
 }

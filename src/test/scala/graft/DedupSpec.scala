@@ -470,4 +470,26 @@ class DedupSpec extends SparkSpec {
       ("b", 1L, 1L, 2L, 2L, 1.0)
     )
   }
+
+  "neighborJaccard" should "score shared-neighbor pairs and flag the miner's missed links" in {
+    // triangle 1-2-3 plus pendant 3-4: (1,4) and (2,4) share neighbor
+    // 3 without being edges — the "missed near-dup" signal
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup
+      .neighborJaccard(pairs)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect()
+      .toList
+    got shouldBe List(
+      // (1,2): common {3}, degrees 2,2 → 1/3, existing edge
+      (1L, 2L, 1L, 2L, 2L, 0.333333, true),
+      // (1,3): common {2}, degrees 2,3 → 1/4
+      (1L, 3L, 1L, 2L, 3L, 0.25, true),
+      // (1,4): common {3}, degrees 2,1 → 1/2, NOT an edge
+      (1L, 4L, 1L, 2L, 1L, 0.5, false),
+      (2L, 3L, 1L, 2L, 3L, 0.25, true),
+      (2L, 4L, 1L, 2L, 1L, 0.5, false)
+    )
+  }
 }

@@ -618,4 +618,30 @@ class SimilaritySpec extends SparkSpec {
     d1.getAs[Double]("mean") shouldBe 0.0
     d1.getAs[Double]("std") shouldBe 0.0
   }
+
+  "labelCentroidSim" should "report unit diagonal, orthogonal 0 and an exact mixed angle" in {
+    // label 0 centroid → (1, 0); label 1 → (0, 1); label 2 → (1, 1)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(2.0f, 0.0f), 2),
+      (5L, Array(0.0f, 2.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .labelCentroidSim(emb)
+      .orderBy("label_a", "label_b")
+      .as[(Int, Int, Long, Long, Double)]
+      .collect()
+      .toList
+    val isq2 = BigDecimal(1.0 / math.sqrt(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got shouldBe List(
+      (0, 0, 2L, 2L, 1.0),
+      (0, 1, 2L, 1L, 0.0),
+      (0, 2, 2L, 2L, isq2), // cos 45°
+      (1, 1, 1L, 1L, 1.0),
+      (1, 2, 1L, 2L, isq2),
+      (2, 2, 2L, 2L, 1.0)
+    )
+  }
 }
