@@ -320,7 +320,11 @@ object SparkEntry {
     // label-centroid cosine matrix (semantic source distance)
     "embed_label_sim" -> (Similarity.embedLabelSim _),
     // neighbor-set Jaccard link prediction over the near-dup graph
-    "graph_jaccard" -> (Dedup.graphJaccard _)
+    "graph_jaccard" -> (Dedup.graphJaccard _),
+    // AND/NOT postings algebra over the query vocabulary
+    "search_boolean" -> (Search.searchBoolean _),
+    // token-balanced contiguous shard manifest via the pack prefix sum
+    "train_shards" -> (Packing.trainShardsQ _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -521,6 +525,8 @@ object SparkEntry {
     "ts_ewma" -> Timeseries.tsEwmaSql,
     "ts_granger" -> Timeseries.tsGrangerSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
-    "graph_jaccard" -> Dedup.graphJaccardSql
+    "graph_jaccard" -> Dedup.graphJaccardSql,
+    "search_boolean" -> Search.searchBooleanSql,
+    "train_shards" -> Packing.trainShardsSql
   )
 }

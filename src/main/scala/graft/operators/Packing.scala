@@ -100,4 +100,50 @@ object Packing {
       |  CAST((t_offset + GREATEST(n_tokens, 1) - 1) // 128 - t_offset // 128 + 1 AS BIGINT) AS n_bins
       |FROM c
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Token-balanced shard manifest (the distributed writer layout)
+  // ---------------------------------------------------------------------
+
+  /** Shard manifest over the canonical doc order: each document joins
+    * the shard containing its global token offset, so shards carry
+    * ~`targetTokens` tokens each and every shard is a CONTIGUOUS doc_id
+    * range — the layout a fleet of shard writers needs to emit
+    * training files independently (contiguity means a writer seeks one
+    * range, and the manifest is the only coordination artifact).
+    *
+    * Scale shape: rides [[packSequences]]' two-phase distributed prefix
+    * sum (the only unpartitioned window runs over the shard-totals
+    * metadata relation), then ONE partial agg to shard grain. Fill
+    * ratios stay exact (integer token counts over an integer target).
+    */
+  def trainShards(docs: DataFrame, targetTokens: Long, shardWidth: Long = 64L): DataFrame =
+    packSequences(docs, seqLen = 128, shardWidth = shardWidth)
+      .withColumn("shard_id", expr(s"t_offset div ${targetTokens}L"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc")
+      )
+      .withColumn("fill", round(col("n_tokens").cast("double") / lit(targetTokens.toDouble), 6))
+
+  val TrainShardTokens = 5000L
+
+  def trainShardsQ(spark: SparkSession, dir: String): DataFrame =
+    trainShards(Tables.documents(spark, dir), TrainShardTokens).orderBy(col("shard_id"))
+
+  /** Oracle: the pack prefix-sum CTE feeding the shard rollup. */
+  val trainShardsSql: String =
+    s"""WITH pk AS ($packSequencesSql)
+       |SELECT CAST(t_offset // $TrainShardTokens AS BIGINT) AS shard_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc,
+       |  MAX(doc_id) AS last_doc,
+       |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / $TrainShardTokens.0, 6) AS fill
+       |FROM pk
+       |GROUP BY 1
+       |ORDER BY shard_id""".stripMargin
 }

@@ -629,4 +629,87 @@ object Search {
        |FROM documents
        |WHERE text IS NOT NULL AND contains(text, '$SubstringPattern')
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Boolean retrieval (AND / NOT postings algebra)
+  // ---------------------------------------------------------------------
+
+  /** Fixed boolean workload: (query_id, must-terms, must-not-terms). */
+  val BoolQueries: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("q_spark_join_not_slow", Seq("spark", "join"), Seq("slow")),
+    ("q_table_scan_not_merge", Seq("table", "scan"), Seq("merge")),
+    ("q_hash_pure", Seq("hash"), Seq("sort", "window"))
+  )
+
+  /** Boolean retrieval over the postings relation: documents containing
+    * EVERY must-term and NONE of the must-not terms, scored by the
+    * summed must-term frequency — the AND/NOT set algebra underneath
+    * every search engine's filter syntax (`+spark +join -slow`).
+    *
+    * Scale shape: the exploded word stream filters to the combined
+    * query vocabulary inside the scan projection (non-query words
+    * never shuffle); term frequencies partial-aggregate on
+    * (doc_id, term); the query spec is a broadcast literal relation,
+    * so the AND/NOT evaluation is one more (query, doc)-keyed partial
+    * agg — conjunction via distinct-must-count, negation via a
+    * summed flag, no per-query rescans and no anti-join pass.
+    */
+  def booleanSearch(spark: SparkSession, docs: DataFrame, queries: Seq[(String, Seq[String], Seq[String])]): DataFrame = {
+    import spark.implicits._
+    val spec = queries
+      .flatMap { case (q, must, not) => must.map((q, _, false)) ++ not.map((q, _, true)) }
+      .toDF("query_id", "term", "neg")
+    val nPos = queries.map { case (q, must, _) => (q, must.size.toLong) }.toDF("query_id", "__np")
+    val vocab = queries.flatMap { case (_, m, n) => m ++ n }.distinct
+    val tf = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(expr(WordsSql)).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(spec), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        count_distinct(when(!col("neg"), col("term"))).as("__pos"),
+        sum(when(col("neg"), lit(1L)).otherwise(lit(0L))).as("__negs"),
+        sum(when(!col("neg"), col("tf")).otherwise(lit(0L))).as("matched_tf")
+      )
+      .join(broadcast(nPos), "query_id")
+      .filter(col("__pos") === col("__np") && col("__negs") === 0L)
+      .select(col("query_id"), col("doc_id"), col("matched_tf"))
+  }
+
+  def searchBoolean(spark: SparkSession, dir: String): DataFrame =
+    booleanSearch(spark, Tables.documents(spark, dir), BoolQueries)
+      .orderBy(col("query_id"), col("doc_id"))
+
+  val searchBooleanSql: String = {
+    val specVals = BoolQueries
+      .flatMap { case (q, must, not) =>
+        must.map(t => s"('$q', '$t', false)") ++ not.map(t => s"('$q', '$t', true)")
+      }
+      .mkString(", ")
+    val nposVals = BoolQueries.map { case (q, m, _) => s"('$q', ${m.size})" }.mkString(", ")
+    val vocab = BoolQueries.flatMap { case (_, m, n) => m ++ n }.distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, u.term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |        FROM documents WHERE text IS NOT NULL) d,
+       |       UNNEST(ws) AS u(term)
+       |  WHERE u.term IN ($vocab)
+       |  GROUP BY 1, 2),
+       |spec(query_id, term, neg) AS (VALUES $specVals),
+       |np(query_id, n_pos) AS (VALUES $nposVals),
+       |ev AS (
+       |  SELECT s.query_id, tf.doc_id,
+       |    COUNT(DISTINCT CASE WHEN NOT s.neg THEN s.term END) AS pos,
+       |    SUM(CASE WHEN s.neg THEN 1 ELSE 0 END) AS negs,
+       |    CAST(SUM(CASE WHEN NOT s.neg THEN tf.tf ELSE 0 END) AS BIGINT) AS matched_tf
+       |  FROM tf JOIN spec s ON s.term = tf.term
+       |  GROUP BY 1, 2)
+       |SELECT ev.query_id, ev.doc_id, ev.matched_tf
+       |FROM ev JOIN np ON np.query_id = ev.query_id
+       |WHERE ev.pos = np.n_pos AND ev.negs = 0
+       |ORDER BY ev.query_id, ev.doc_id""".stripMargin
+  }
 }

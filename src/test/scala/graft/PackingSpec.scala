@@ -86,4 +86,37 @@ class PackingSpec extends SparkSpec {
     // and at least one window IS the parallel per-shard scan
     windows.exists(_.partitionSpec.nonEmpty) shouldBe true
   }
+
+  "trainShards" should "cut contiguous doc ranges that each carry about the target tokens" in {
+    // 100 docs x 10 tokens; target 250 → 4 shards of exactly 25 docs
+    val docs = (0L until 100L)
+      .map(i => (i, (1 to 10).map(k => s"w$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.trainShards(docs, targetTokens = 250L)
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect()
+      .toList
+    got.map(_._1) shouldBe List(0L, 1L, 2L, 3L)
+    got.foreach { case (_, nDocs, nTok, _, _, fill) =>
+      nDocs shouldBe 25L
+      nTok shouldBe 250L
+      fill shouldBe 1.0
+    }
+    // contiguity: each shard's range starts where the previous ended
+    got.sliding(2).foreach { case List(a, b) => b._4 shouldBe a._5 + 1 case _ => }
+  }
+
+  it should "be invariant to the prefix-sum shard width" in {
+    val docs = (0L until 137L)
+      .map(i => (i, (0 until (i % 13).toInt).map(k => s"w$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ref = Packing.trainShards(docs, targetTokens = 100L, shardWidth = 1L << 40)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    ref should not be empty
+    for (w <- Seq(1L, 7L, 64L)) {
+      Packing.trainShards(docs, targetTokens = 100L, shardWidth = w)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe ref
+    }
+  }
 }

@@ -229,4 +229,31 @@ class SearchSpec extends SparkSpec {
     got shouldBe naive
     naive.length shouldBe 6
   }
+
+  "booleanSearch" should "require every must-term and reject any must-not term" in {
+    val docs = Seq(
+      (1L, "spark join fast spark"), // both musts, no neg → tf 3
+      (2L, "spark join slow"), // neg term present → out
+      (3L, "spark fast"), // missing 'join' → out
+      (4L, "join spark join") // both musts → tf 3
+    ).toDF("doc_id", "text")
+    val got = Search
+      .booleanSearch(spark, docs, Seq(("q", Seq("spark", "join"), Seq("slow"))))
+      .orderBy("doc_id")
+      .as[(String, Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List(("q", 1L, 3L), ("q", 4L, 3L))
+  }
+
+  it should "treat an empty must-not list as a plain conjunction" in {
+    val docs = Seq((1L, "hash scan"), (2L, "hash"), (3L, "scan hash scan")).toDF("doc_id", "text")
+    val got = Search
+      .booleanSearch(spark, docs, Seq(("q", Seq("hash", "scan"), Seq.empty)))
+      .orderBy("doc_id")
+      .as[(String, Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List(("q", 1L, 2L), ("q", 3L, 3L))
+  }
 }
