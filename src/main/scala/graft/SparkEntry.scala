@@ -324,7 +324,9 @@ object SparkEntry {
     // AND/NOT postings algebra over the query vocabulary
     "search_boolean" -> (Search.searchBoolean _),
     // token-balanced contiguous shard manifest via the pack prefix sum
-    "train_shards" -> (Packing.trainShardsQ _)
+    "train_shards" -> (Packing.trainShardsQ _),
+    // per-source OOV rate against the capped global vocabulary
+    "corpus_oov" -> (TextAnalysis.corpusOov _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -527,6 +529,7 @@ object SparkEntry {
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,
     "search_boolean" -> Search.searchBooleanSql,
-    "train_shards" -> Packing.trainShardsSql
+    "train_shards" -> Packing.trainShardsSql,
+    "corpus_oov" -> TextAnalysis.corpusOovSql
   )
 }

@@ -1793,4 +1793,86 @@ object TextAnalysis {
       |        (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k
       |FROM s
       |ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Per-source out-of-vocabulary rate
+  // -------------------------------------------------------------------
+
+  /** Vocabulary size for the OOV screen — deliberately small relative
+    * to the corpus vocabulary so the tail is non-empty (the tokenizer-
+    * budget question is "what share of each source falls OUTSIDE a
+    * capped vocab", and a vocab ≥ the corpus answers 0 everywhere).
+    */
+  val OovVocabN = 16
+
+  /** Per-source out-of-vocabulary rate against the global top-N word
+    * vocabulary: the share of a source's token occurrences (and of its
+    * distinct word types) a capped tokenizer vocabulary would miss —
+    * the per-source drill-down of [[coverageCurve]]'s global curve,
+    * and the screen that catches a source whose register diverges from
+    * the corpus the tokenizer was sized on.
+    *
+    * Scale shape: ONE corpus scan reduces to the (source, word) count
+    * relation; the global vocab is a vocabulary-scale rollup cut to N
+    * rows (freq desc, word — deterministic ties) and broadcast back as
+    * a LEFT join flag; per-source rates are one more partial agg.
+    */
+  def oovRates(docs: DataFrame, topN: Int = OovVocabN): DataFrame = {
+    val hist = docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(expr(WordsSql)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = hist
+      .groupBy(col("word"))
+      .agg(sum(col("c")).as("__freq"))
+      .orderBy(col("__freq").desc, col("word"))
+      .limit(topN)
+      .select(col("word"), lit(true).as("__in"))
+    hist
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("c")).otherwise(lit(0L))).as("oov_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__in").isNull, 1L).otherwise(lit(0L))).as("oov_types")
+      )
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("oov_tokens"),
+        round(col("oov_tokens").cast("double") / col("n_tokens").cast("double"), 6).as("oov_rate"),
+        col("n_types"),
+        col("oov_types")
+      )
+  }
+
+  def corpusOov(spark: SparkSession, dir: String): DataFrame =
+    oovRates(Tables.documents(spark, dir)).orderBy(col("source"))
+
+  val corpusOovSql: String =
+    s"""WITH w AS (
+       |  SELECT source, u.w AS word
+       |  FROM (SELECT source, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |        FROM documents WHERE text IS NOT NULL) t, UNNEST(ws) AS u(w)
+       |  WHERE LENGTH(u.w) > 0),
+       |h AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT word FROM (SELECT word, SUM(c) AS freq FROM h GROUP BY 1)
+       |  ORDER BY freq DESC, word LIMIT $OovVocabN),
+       |f AS (
+       |  SELECT h.source, h.c, v.word IS NOT NULL AS inv
+       |  FROM h LEFT JOIN vocab v ON v.word = h.word)
+       |SELECT source,
+       |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN NOT inv THEN c ELSE 0 END) AS BIGINT) AS oov_tokens,
+       |  ROUND(CAST(SUM(CASE WHEN NOT inv THEN c ELSE 0 END) AS DOUBLE) /
+       |        CAST(SUM(c) AS DOUBLE), 6) AS oov_rate,
+       |  COUNT(*) AS n_types,
+       |  CAST(SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT) AS oov_types
+       |FROM f
+       |GROUP BY 1
+       |ORDER BY source""".stripMargin
 }

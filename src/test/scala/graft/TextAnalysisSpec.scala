@@ -453,4 +453,23 @@ class TextAnalysisSpec extends SparkSpec {
     r.getAs[Double]("space_frac") shouldBe 0.2
     r.getAs[Double]("other_frac") shouldBe 0.3
   }
+
+  "oovRates" should "charge each source the tokens outside the capped global vocab" in {
+    // global counts: the 4, of 3, cat 2, dog 1 → top-2 vocab {of, the}
+    val docs = Seq(
+      (1L, "the the of cat", "a"),
+      (2L, "the of cat dog", "b"),
+      (3L, "the of", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis
+      .oovRates(docs, topN = 2)
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List(
+      ("a", 4L, 1L, 0.25, 3L, 1L), // cat OOV
+      ("b", 6L, 2L, 0.333333, 4L, 2L) // cat + dog OOV
+    )
+  }
 }
