@@ -1042,4 +1042,56 @@ class StreamingSpec extends SparkSpec {
       q.lastProgress.stateOperators.head.numRowsTotal shouldBe 1L
     } finally q.stop()
   }
+
+  "StreamingQuantiles.track" should "approximate exact quantiles and be carving-invariant" in {
+    import graft.streaming.StreamingQuantiles
+    implicit val sqlCtx = spark.sqlContext
+
+    // deterministic uniform-ish stream on [0,1): the exact p-quantile
+    // of the sample is ~p
+    val n = 2000
+    val data = (0 until n).map(i => ("a", i.toLong, ((i * 2654435761L) % 10007L) / 10007.0))
+    val sortedV = data.map(_._3).sorted
+
+    var reference: Map[Double, (Long, Double)] = null
+    for (split <- Seq(Seq(n), Seq(4, 500, n), Seq(137, 138, 1999, n))) {
+      val mem = MemoryStream[(String, Long, Double)]
+      val out = StreamingQuantiles.track(spark, mem.toDF().toDF("channel", "t", "v"))
+      val name = s"p2_${split.mkString("_")}"
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        var prev = 0
+        split.distinct.foreach { end =>
+          mem.addData(data.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val rows = spark.table(name).as[(String, Double, Long, Double)].collect()
+        // final snapshot per p = the one with the full count
+        val fin = rows.filter(_._3 == n.toLong).map(r => r._2 -> ((r._3, r._4))).toMap
+        fin.keySet shouldBe Set(0.5, 0.9, 0.99)
+        fin.foreach { case (p, (_, est)) =>
+          val exact = sortedV(math.floor(p * (n - 1)).toInt)
+          withClue(s"split $split p=$p est=$est exact=$exact:") {
+            math.abs(est - exact) should be < 0.02
+          }
+        }
+        if (reference == null) reference = fin
+        else withClue(s"split $split:") { fin shouldBe reference }
+      } finally q.stop()
+    }
+  }
+
+  it should "keep exactly one state row per channel (fifteen numbers per quantile)" in {
+    import graft.streaming.StreamingQuantiles
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val out = StreamingQuantiles.track(spark, mem.toDF().toDF("channel", "t", "v"))
+    val q = out.toDF().writeStream.format("memory").queryName("p2_state").outputMode("update").start()
+    try {
+      mem.addData((0 until 3000).flatMap(i => Seq(("a", i.toLong, i * 0.001), ("b", i.toLong, -i * 0.5))): _*)
+      q.processAllAvailable()
+      q.lastProgress.stateOperators.head.numRowsTotal shouldBe 2L
+    } finally q.stop()
+  }
 }
