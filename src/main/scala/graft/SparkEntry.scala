@@ -326,7 +326,9 @@ object SparkEntry {
     // token-balanced contiguous shard manifest via the pack prefix sum
     "train_shards" -> (Packing.trainShardsQ _),
     // per-source OOV rate against the capped global vocabulary
-    "corpus_oov" -> (TextAnalysis.corpusOov _)
+    "corpus_oov" -> (TextAnalysis.corpusOov _),
+    // audio landmark constellation: dominant DFT band per PCM frame
+    "mm_audio_fp" -> (Multimodal.mmAudioFp _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -530,6 +532,7 @@ object SparkEntry {
     "graph_jaccard" -> Dedup.graphJaccardSql,
     "search_boolean" -> Search.searchBooleanSql,
     "train_shards" -> Packing.trainShardsSql,
-    "corpus_oov" -> TextAnalysis.corpusOovSql
+    "corpus_oov" -> TextAnalysis.corpusOovSql,
+    "mm_audio_fp" -> Multimodal.mmAudioFpSql
   )
 }

@@ -924,4 +924,152 @@ object Multimodal {
        |SELECT u AS doc_id, MIN(v) AS cluster, u = MIN(v) AS survivor
        |FROM reach GROUP BY u
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Audio fingerprint constellation (dominant band per frame)
+  // ---------------------------------------------------------------------
+
+  /** Per-sample PCM decode: (frame_no, sample index j, int16 value) —
+    * the raw relation the spectral fingerprint needs; same little-
+    * endian int16 framing as [[audioStub]].
+    */
+  private[graft] def audioSamplesStub(
+      payload: Array[Byte],
+      frameSamples: Int
+  ): Seq[(Long, Long, Int)] = {
+    val nFrames = (payload.length / 2) / frameSamples
+    (0 until nFrames).flatMap { f =>
+      (0 until frameSamples).map { j =>
+        val base = 2 * (f * frameSamples + j)
+        var v = (payload(base) & 0xff) | ((payload(base + 1) & 0xff) << 8)
+        if (v >= 0x8000) v -= 0x10000
+        (f.toLong, j.toLong, v)
+      }
+    }
+  }
+
+  /** Decoded PCM sample relation over the payload column. */
+  def audioSamples(
+      spark: SparkSession,
+      withPayload: DataFrame,
+      frameSamples: Int = 32,
+      batchSize: Int = 64
+  ): DataFrame = {
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            audioSamplesStub(payload, frameSamples).iterator.map { case (f, j, v) => (id, f, j, v) }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "j", "v")
+  }
+
+  /** Audio fingerprint constellation: the dominant DFT band of every
+    * PCM frame with its share of the frame's spectral mass — the
+    * landmark stream an audio-dedup index hashes (the Shazam
+    * constellation primitive, Wang 2003): two recordings of the same
+    * clip agree on (frame, dom_band) sequences even under gain
+    * changes, because argmax and share are gain-invariant.
+    *
+    * Scale shape: the sample relation reduces to (doc, frame, band)
+    * Goertzel components in ONE partial agg (trig runs codegen'd in
+    * the same projection); the argmax and total run per (doc, frame) —
+    * a window bounded by the blob's own frame count, the VAD
+    * argument. Portability: trig on identical rationals, DECIMAL term
+    * sums, round-9 power BEFORE ranking so both engines break the
+    * argmax identically, ties to the lower band.
+    */
+  def audioFingerprint(
+      spark: SparkSession,
+      withPayload: DataFrame,
+      ks: Seq[Int] = 1 to 4,
+      frameSamples: Int = 32
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val twoPi = 6.283185307179586
+    val arg = lit(twoPi) * col("k") * (col("j").cast("double") / lit(frameSamples.toDouble))
+    val n = lit(frameSamples.toDouble)
+    import org.apache.spark.sql.expressions.Window
+    val bands = audioSamples(spark, withPayload, frameSamples)
+      .select(col("doc_id"), col("frame_no"), col("j"), col("v").cast("double").as("v"))
+      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
+      .groupBy(col("doc_id"), col("frame_no"), col("k"))
+      // round-9 the trig BEFORE the product: PCM magnitudes (~3e4)
+      // amplify libm cos/sin ULP drift past the DECIMAL(27,10) grid,
+      // so the transcendental itself must land on the engine-shared
+      // round-9 lattice (the ln discipline elsewhere)
+      .agg(
+        sum((col("v") * round(cos(arg), 9)).cast(dec)).cast("double").as("__c"),
+        sum((col("v") * round(sin(arg), 9)).cast(dec)).cast("double").as("__s")
+      )
+      .select(
+        col("doc_id"),
+        col("frame_no"),
+        col("k"),
+        round(
+          (col("__c") / n) * (col("__c") / n) + (col("__s") / n) * (col("__s") / n),
+          9
+        ).as("__p")
+      )
+    val w = Window.partitionBy(col("doc_id"), col("frame_no"))
+    bands
+      .withColumn("__tot", sum(col("__p").cast(dec)).over(w).cast("double"))
+      .withColumn("__rn", row_number().over(w.orderBy(col("__p").desc, col("k"))))
+      .filter(col("__rn") === 1 && col("__tot") > 0)
+      .select(
+        col("doc_id"),
+        col("frame_no"),
+        col("k").as("dom_band"),
+        round(col("__p"), 6).as("dom_power"),
+        round(col("__p") / col("__tot"), 6).as("power_share")
+      )
+  }
+
+  def mmAudioFp(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprint(spark, withPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  /** Oracle: the mm_audio hex PCM decode CTEs feeding the identical
+    * Goertzel components, pinned power order, round-9 rank and share.
+    */
+  val mmAudioFpSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+       |fr AS (
+       |  SELECT doc_id, hx, UNNEST(range(0, (nb // 2) // 32)) AS fno FROM p),
+       |sv AS (
+       |  SELECT doc_id, fno, j,
+       |    CAST(('0x' || substr(hx, CAST(2 * (fno * 64 + 2 * j) + 1 AS INT), 2)) AS INT)
+       |      + 256 * CAST(('0x' || substr(hx, CAST(2 * (fno * 64 + 2 * j + 1) + 1 AS INT), 2)) AS INT) AS raw
+       |  FROM (SELECT doc_id, fno, hx, UNNEST(range(0, 32)) AS j FROM fr) t),
+       |sval AS (
+       |  SELECT doc_id, fno, j,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+       |  FROM sv),
+       |bands AS (
+       |  SELECT doc_id, fno, kk.k AS k,
+       |    CAST(SUM(CAST(CAST(v AS DOUBLE) * ROUND(COS(6.283185307179586 * kk.k * (CAST(j AS DOUBLE) / 32.0)), 9) AS DECIMAL(27,10))) AS DOUBLE) AS c,
+       |    CAST(SUM(CAST(CAST(v AS DOUBLE) * ROUND(SIN(6.283185307179586 * kk.k * (CAST(j AS DOUBLE) / 32.0)), 9) AS DECIMAL(27,10))) AS DOUBLE) AS s
+       |  FROM sval, (SELECT UNNEST(range(1, 5)) AS k) kk
+       |  GROUP BY 1, 2, 3),
+       |pw AS (
+       |  SELECT doc_id, fno, k,
+       |    ROUND((c / 32.0) * (c / 32.0) + (s / 32.0) * (s / 32.0), 9) AS p
+       |  FROM bands),
+       |r AS (
+       |  SELECT doc_id, fno, k, p,
+       |    CAST(SUM(CAST(p AS DECIMAL(27,10))) OVER (PARTITION BY doc_id, fno) AS DOUBLE) AS tot,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, fno ORDER BY p DESC, k) AS rn
+       |  FROM pw)
+       |SELECT doc_id, CAST(fno AS BIGINT) AS frame_no, CAST(k AS BIGINT) AS dom_band,
+       |  ROUND(p, 6) AS dom_power,
+       |  ROUND(p / tot, 6) AS power_share
+       |FROM r
+       |WHERE rn = 1 AND tot > 0
+       |ORDER BY doc_id, frame_no""".stripMargin
 }

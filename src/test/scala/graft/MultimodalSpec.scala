@@ -254,4 +254,40 @@ class MultimodalSpec extends SparkSpec {
     shots(1L) shouldBe 2L
     shots(2L) shouldBe 1L
   }
+
+  "audioFingerprint" should "land on the planted tone's band, invariant to gain" in {
+    import spark.implicits._
+    // three frames of a k=2 tone at two different gains, one of k=3
+    def pcm(k: Int, amp: Double, frames: Int): Array[Byte] = {
+      val out = new Array[Byte](frames * 32 * 2)
+      for (f <- 0 until frames; j <- 0 until 32) {
+        val v = math.round(amp * math.sin(2 * math.Pi * k * j / 32.0)).toInt
+        val idx = 2 * (f * 32 + j)
+        out(idx) = (v & 0xff).toByte
+        out(idx + 1) = ((v >> 8) & 0xff).toByte
+      }
+      out
+    }
+    val payloads = Seq(
+      (1L, pcm(2, 9000.0, 3)),
+      (2L, pcm(2, 900.0, 3)), // same tone, 10x quieter
+      (3L, pcm(3, 5000.0, 2))
+    ).toDF("doc_id", "payload")
+    val got = Multimodal
+      .audioFingerprint(spark, payloads)
+      .orderBy("doc_id", "frame_no")
+      .collect()
+    got.length shouldBe 8
+    got.filter(_.getAs[Long]("doc_id") <= 2L).foreach { r =>
+      r.getAs[Long]("dom_band") shouldBe 2L
+      r.getAs[Double]("power_share") should be > 0.95
+    }
+    got.filter(_.getAs[Long]("doc_id") == 3L).foreach { r =>
+      r.getAs[Long]("dom_band") shouldBe 3L
+    }
+    // gain invariance of the share (the dedup-landmark property)
+    val s1 = got.filter(_.getAs[Long]("doc_id") == 1L).head.getAs[Double]("power_share")
+    val s2 = got.filter(_.getAs[Long]("doc_id") == 2L).head.getAs[Double]("power_share")
+    s1 shouldBe s2 +- 0.01
+  }
 }
