@@ -328,7 +328,13 @@ object SparkEntry {
     // per-source OOV rate against the capped global vocabulary
     "corpus_oov" -> (TextAnalysis.corpusOov _),
     // audio landmark constellation: dominant DFT band per PCM frame
-    "mm_audio_fp" -> (Multimodal.mmAudioFp _)
+    "mm_audio_fp" -> (Multimodal.mmAudioFp _),
+    // hourly sampling-cadence drift vs the channel baseline
+    "ts_cadence" -> (Timeseries.tsCadence _),
+    // Population Stability Index between stream halves (drift metric)
+    "ts_psi" -> (Timeseries.tsPsi _),
+    // tightest two-term co-occurrence windows (highlight snippets)
+    "search_snippet" -> (Search.searchSnippet _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -533,6 +539,9 @@ object SparkEntry {
     "search_boolean" -> Search.searchBooleanSql,
     "train_shards" -> Packing.trainShardsSql,
     "corpus_oov" -> TextAnalysis.corpusOovSql,
-    "mm_audio_fp" -> Multimodal.mmAudioFpSql
+    "mm_audio_fp" -> Multimodal.mmAudioFpSql,
+    "ts_cadence" -> Timeseries.tsCadenceSql,
+    "ts_psi" -> Timeseries.tsPsiSql,
+    "search_snippet" -> Search.searchSnippetSql
   )
 }

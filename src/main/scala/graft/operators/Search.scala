@@ -683,6 +683,80 @@ object Search {
     booleanSearch(spark, Tables.documents(spark, dir), BoolQueries)
       .orderBy(col("query_id"), col("doc_id"))
 
+  // ---------------------------------------------------------------------
+  // Proximity snippet extraction (minimum span containing both terms)
+  // ---------------------------------------------------------------------
+
+  /** Snippet terms and result budget for the fixed driver query. */
+  val SnippetTerms: (String, String) = ("spark", "join")
+  val SnippetK = 10
+
+  /** Proximity snippets: for every document containing BOTH terms, the
+    * closest co-occurrence — the (pos_a, pos_b) pair minimizing
+    * |pos_a − pos_b| — ranked by tightness across the corpus. This is
+    * the highlight-window primitive a search UI builds "…best matching
+    * passage…" from, and the proximity re-ranker BM25 lacks (bag of
+    * words can't tell "spark…join" in one phrase from opposite ends of
+    * the document).
+    *
+    * Scale shape: the positional index filters to the two query terms
+    * INSIDE the scan projection; the pair fan-out joins the two
+    * position lists on the doc_id equi-key, so pairs are bounded by
+    * tf_a × tf_b per document (query-term frequencies, not document
+    * length); the argmin is one algebraic struct-min per doc; the
+    * final top-k orders a doc-grain relation. Ties break to the
+    * earliest (pos_a, pos_b).
+    */
+  def proximitySnippets(docs: DataFrame, termA: String, termB: String, k: Int): DataFrame = {
+    val pos = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(expr(NormSql), " ")).as(Seq("pos", "word")))
+      .filter(col("word").isin(termA, termB))
+    val pa = pos.filter(col("word") === termA).select(col("doc_id"), col("pos").as("__pa"))
+    val pb = pos.filter(col("word") === termB).select(col("doc_id"), col("pos").as("__pb"))
+    pa.join(pb, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(abs(col("__pa") - col("__pb")).as("span"), col("__pa"), col("__pb"))).as("__best"))
+      .select(
+        col("doc_id"),
+        col("__best.span").cast("long").as("span"),
+        col("__best.__pa").cast("long").as("pos_a"),
+        col("__best.__pb").cast("long").as("pos_b")
+      )
+      .orderBy(col("span"), col("doc_id"))
+      .limit(k)
+  }
+
+  def searchSnippet(spark: SparkSession, dir: String): DataFrame =
+    proximitySnippets(Tables.documents(spark, dir), SnippetTerms._1, SnippetTerms._2, SnippetK)
+      .orderBy(col("span"), col("doc_id"))
+
+  val searchSnippetSql: String = {
+    val (ta, tb) = SnippetTerms
+    s"""WITH w AS (
+       |  SELECT doc_id, u.i - 1 AS pos, ws[CAST(u.i AS INT)] AS word FROM (
+       |    SELECT doc_id,
+       |      string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |    FROM documents WHERE text IS NOT NULL) t,
+       |    UNNEST(range(1, len(ws) + 1)) AS u(i)),
+       |pr AS (
+       |  SELECT a.doc_id, ABS(a.pos - b.pos) AS span, a.pos AS pos_a, b.pos AS pos_b
+       |  FROM (SELECT doc_id, pos FROM w WHERE word = '$ta') a
+       |  JOIN (SELECT doc_id, pos FROM w WHERE word = '$tb') b ON b.doc_id = a.doc_id),
+       |best AS (
+       |  SELECT doc_id, span, pos_a, pos_b,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span, pos_a, pos_b) AS rn
+       |  FROM pr)
+       |SELECT doc_id,
+       |  CAST(span AS BIGINT) AS span,
+       |  CAST(pos_a AS BIGINT) AS pos_a,
+       |  CAST(pos_b AS BIGINT) AS pos_b
+       |FROM best
+       |WHERE rn = 1
+       |ORDER BY span, doc_id
+       |LIMIT $SnippetK""".stripMargin
+  }
+
   val searchBooleanSql: String = {
     val specVals = BoolQueries
       .flatMap { case (q, must, not) =>

@@ -5136,6 +5136,202 @@ object Timeseries {
   def tsGranger(spark: SparkSession, dir: String): DataFrame =
     grangerScreen(Tables.ts(spark, dir)).orderBy(col("cause"), col("effect"))
 
+  // -------------------------------------------------------------------
+  // Sampling-cadence drift screen
+  // -------------------------------------------------------------------
+
+  /** Per-(channel, hour) sampling-cadence report: the mean
+    * inter-arrival interval of each hour against the channel's overall
+    * mean, as a drift ratio — the "is this sensor slowing down /
+    * double-reporting" screen ([[arrivalStats]] gives the channel-level
+    * CV; this adds the time axis that shows WHEN cadence moved).
+    *
+    * Scale shape: inter-arrival deltas come from [[withStitchedPrev]]
+    * (bucket-local lag + summary carry — never a per-channel sort of
+    * the stream); both the hourly and the channel-grain reductions are
+    * partial aggs; the channel baseline broadcasts back.
+    * Portability: all deltas are exact integers; means are
+    * DECIMAL-sum / count in pinned order; the ratio rounds at 6.
+    */
+  def cadenceDrift(ts: DataFrame, bucketUs: Long = BucketUs, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    val base = withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id"))
+    val dt = withStitchedPrev(base, Seq("t"), stitchBucketUs, Seq("event_id"))
+      .filter(col("__prev_t").isNotNull)
+      .select(col("channel"), col("t"), (col("t") - col("__prev_t")).as("__dt"))
+    val hourly = dt
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg(count(lit(1)).as("n_intervals"), sum(col("__dt").cast(dec2710)).as("__s"))
+      .withColumn("__mean", col("__s").cast("double") / col("n_intervals"))
+    val overall = dt
+      .groupBy(col("channel"))
+      .agg((sum(col("__dt").cast(dec2710)).cast("double") / count(lit(1))).as("__mean0"))
+    hourly
+      .join(broadcast(overall), Seq("channel"))
+      .select(
+        col("channel"),
+        col("bucket"),
+        col("n_intervals"),
+        // integer-µs totals / 1e6 land ON the round-6 grid (safe in
+        // both engines); a per-bucket MEAN would land on the half-grid
+        // whenever n divides a power of two, where the two engines'
+        // double ROUND disagree — so the mean ships only inside the
+        // drift ratio, whose denominator de-rationalizes it
+        round(col("__s").cast("double") / lit(1000000.0), 6).as("total_dt_s"),
+        round(col("__mean") / col("__mean0"), 6).as("drift")
+      )
+  }
+
+  def tsCadence(spark: SparkSession, dir: String): DataFrame =
+    cadenceDrift(Tables.ts(spark, dir)).orderBy(col("channel"), col("bucket"))
+
+  val tsCadenceSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS channel, epoch_us(ts) AS t, event_id FROM events),
+      |d AS (
+      |  SELECT channel, t,
+      |    t - LAG(t) OVER (PARTITION BY channel ORDER BY t, event_id) AS dt
+      |  FROM e),
+      |dd AS (SELECT channel, t, dt FROM d WHERE dt IS NOT NULL),
+      |h AS (
+      |  SELECT channel, CAST(FLOOR(t / 3600000000) AS BIGINT) AS bucket,
+      |    COUNT(*) AS n_intervals,
+      |    CAST(SUM(CAST(dt AS DECIMAL(27,10))) AS DOUBLE) AS s
+      |  FROM dd GROUP BY 1, 2),
+      |o AS (
+      |  SELECT channel,
+      |    CAST(SUM(CAST(dt AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m0
+      |  FROM dd GROUP BY 1)
+      |SELECT h.channel, h.bucket, h.n_intervals,
+      |  ROUND(h.s / 1000000.0, 6) AS total_dt_s,
+      |  ROUND((h.s / h.n_intervals) / o.m0, 6) AS drift
+      |FROM h JOIN o ON o.channel = h.channel
+      |ORDER BY h.channel, h.bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Population Stability Index (distribution drift between halves)
+  // -------------------------------------------------------------------
+
+  /** PSI epsilon: proportions clamp to this floor before the log so
+    * empty cells contribute a finite penalty (the standard practice).
+    */
+  val PsiEps = 1e-4
+
+  /** Population Stability Index per channel between the first and
+    * second half of its time range: values bin into 8 equal-width
+    * cells fitted on the FIRST half, and
+    * PSI = Σ (p₂−p₁)·ln(p₂/p₁) over cells scores how far the value
+    * distribution moved — the standard ML-monitoring drift metric
+    * (<0.1 stable, >0.25 action). Complements [[seasonalAnomalies]]
+    * (pointwise residuals) with a distribution-level screen that
+    * catches variance/shape changes no single bucket triggers.
+    *
+    * Scale shape: two channel-grain stat passes (time range, then
+    * first-half value range) broadcast back as k-row relations; the
+    * binning is map-side arithmetic; counts reduce by
+    * (channel, bin) with conditional sums for the two halves — no
+    * window, no sort, three scans of the channel column total.
+    * Portability: bin edges derive from exact min/max; proportions
+    * are long/long divisions in pinned double order, clamped at the
+    * literal epsilon; ln rounds to 9 before the DECIMAL term sum.
+    */
+  def psiScreen(ts: DataFrame, bins: Int = 8): DataFrame = {
+    val trange = ts
+      .groupBy(col("channel"))
+      .agg(min(col("t")).as("__t0"), max(col("t")).as("__t1"))
+      // integer halving (div), NOT /2-and-cast: Spark's double-cast
+      // truncates where DuckDB's rounds, so the float route puts odd-
+      // width channels' midpoints one µs apart between engines
+      .select(col("channel"), (col("__t0") + expr("(__t1 - __t0) div 2")).as("__mid"))
+    val withHalf = ts
+      .join(broadcast(trange), Seq("channel"))
+      .select(col("channel"), col("v"), (col("t") <= col("__mid")).as("__first"))
+    val arange = withHalf
+      .filter(col("__first"))
+      .groupBy(col("channel"))
+      .agg(min(col("v")).as("__amin"), max(col("v")).as("__amax"))
+    val binned = withHalf
+      .join(broadcast(arange), Seq("channel"))
+      .select(
+        col("channel"),
+        col("__first"),
+        when(
+          col("__amax") > col("__amin"),
+          greatest(
+            least(
+              floor((col("v") - col("__amin")) / (col("__amax") - col("__amin")) * bins),
+              lit((bins - 1).toLong)
+            ),
+            lit(0L)
+          )
+        ).otherwise(0L).cast("long").as("bin")
+      )
+    val cells = binned
+      .groupBy(col("channel"), col("bin"))
+      .agg(
+        sum(when(col("__first"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__first"), 1L).otherwise(0L)).as("__cb")
+      )
+    val totals = cells
+      .groupBy(col("channel"))
+      .agg(sum(col("__ca")).as("n_first"), sum(col("__cb")).as("n_second"))
+    val p1 = greatest(col("__ca").cast("double") / col("n_first").cast("double"), lit(PsiEps))
+    val p2 = greatest(col("__cb").cast("double") / col("n_second").cast("double"), lit(PsiEps))
+    cells
+      .join(broadcast(totals), Seq("channel"))
+      .select(
+        col("channel"),
+        col("n_first"),
+        col("n_second"),
+        round((p2 - p1) * round(log(p2 / p1), 9), 9).as("__term")
+      )
+      .groupBy(col("channel"), col("n_first"), col("n_second"))
+      .agg(round(detSum(col("__term")), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.1)
+  }
+
+  def tsPsi(spark: SparkSession, dir: String): DataFrame =
+    psiScreen(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  val tsPsiSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS channel, epoch_us(ts) AS t, value AS v FROM events),
+      |tr AS (
+      |  SELECT channel,
+      |    MIN(t) + (MAX(t) - MIN(t)) // 2 AS mid
+      |  FROM e GROUP BY 1),
+      |wh AS (
+      |  SELECT e.channel, e.v, e.t <= tr.mid AS first
+      |  FROM e JOIN tr ON tr.channel = e.channel),
+      |ar AS (
+      |  SELECT channel, MIN(v) AS amin, MAX(v) AS amax
+      |  FROM wh WHERE first GROUP BY 1),
+      |b AS (
+      |  SELECT wh.channel, wh.first,
+      |    CASE WHEN ar.amax > ar.amin
+      |         THEN CAST(GREATEST(LEAST(FLOOR((wh.v - ar.amin) / (ar.amax - ar.amin) * 8), 7), 0) AS BIGINT)
+      |         ELSE 0 END AS bin
+      |  FROM wh JOIN ar ON ar.channel = wh.channel),
+      |cells AS (
+      |  SELECT channel, bin,
+      |    CAST(SUM(CASE WHEN first THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN NOT first THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM b GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT channel, CAST(SUM(ca) AS BIGINT) AS n_first, CAST(SUM(cb) AS BIGINT) AS n_second
+      |  FROM cells GROUP BY 1),
+      |terms AS (
+      |  SELECT cells.channel, tot.n_first, tot.n_second,
+      |    ROUND((GREATEST(CAST(cb AS DOUBLE) / CAST(n_second AS DOUBLE), 0.0001)
+      |         - GREATEST(CAST(ca AS DOUBLE) / CAST(n_first AS DOUBLE), 0.0001))
+      |      * ROUND(LN(GREATEST(CAST(cb AS DOUBLE) / CAST(n_second AS DOUBLE), 0.0001)
+      |               / GREATEST(CAST(ca AS DOUBLE) / CAST(n_first AS DOUBLE), 0.0001)), 9), 9) AS term
+      |  FROM cells JOIN tot ON tot.channel = cells.channel)
+      |SELECT channel, n_first, n_second,
+      |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27,10))) AS DOUBLE), 6) AS psi,
+      |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27,10))) AS DOUBLE), 6) > 0.1 AS drifted
+      |FROM terms GROUP BY 1, 2, 3
+      |ORDER BY channel""".stripMargin
+
   val tsGrangerSql: String =
     """WITH g AS (
       |  SELECT event_type AS channel,

@@ -256,4 +256,23 @@ class SearchSpec extends SparkSpec {
       .toList
     got shouldBe List(("q", 1L, 2L), ("q", 3L, 3L))
   }
+
+  "proximitySnippets" should "pick each doc's tightest window and rank docs by it" in {
+    val docs = Seq(
+      (1L, "spark x x x join spark y join"), // best: spark@5 join@4 span 1
+      (2L, "join spark z"), // adjacent: span 1
+      (3L, "spark only here"), // missing join → out
+      (4L, "spark w join") // span 2
+    ).toDF("doc_id", "text")
+    val got = Search
+      .proximitySnippets(docs, "spark", "join", k = 10)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (1L, 1L, 5L, 4L), // (doc, span, pos_a, pos_b)
+      (2L, 1L, 1L, 0L),
+      (4L, 2L, 0L, 2L)
+    )
+  }
 }

@@ -1544,6 +1544,50 @@ class TimeseriesSpec extends SparkSpec {
     out.foreach(r => math.abs(r.getAs[Double]("resid")) should be < 1e-5)
   }
 
+  "cadenceDrift" should "flag the hours where a channel's sampling slowed" in {
+    val hourUs = 3600000000L
+    // 1-per-minute cadence for 10 h, then 1-per-4-minutes for 10 h
+    val rows = (0L until 600L).map(i => ("c", i * 60000000L, 1.0)) ++
+      (0L until 150L).map(i => ("c", 36000000000L + i * 240000000L, 1.0))
+    val out = Timeseries.cadenceDrift(mkTs(rows)).collect()
+    val byB = out.map(r => r.getAs[Long]("bucket") -> r.getAs[Double]("drift")).toMap
+    // fast-half hours sit well below the mixed baseline, slow ones above
+    byB(2L) should be < 0.75
+    byB(15L) should be > 2.0
+    byB(15L) / byB(2L) shouldBe 4.0 +- 0.2
+    out.map(_.getAs[Long]("n_intervals")).sum shouldBe rows.length - 1
+  }
+
+  it should "be invariant to the stitch-bucket width" in {
+    val rows = (0L until 400L).map(i => ("c", i * 137000L + (i % 7) * 1000L, 1.0)) ++
+      (0L until 200L).map(i => ("d", i * 531000L, 2.0))
+    val ref = Timeseries.cadenceDrift(mkTs(rows), stitchBucketUs = 1L << 60)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    ref should not be empty
+    for (bw <- Seq(1000000L, 7777777L)) {
+      Timeseries.cadenceDrift(mkTs(rows), stitchBucketUs = bw)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe ref
+    }
+  }
+
+  "psiScreen" should "score a planted second-half shift high and a stable channel near zero" in {
+    // stable: same deterministic wiggle both halves; shifted: +8 level
+    // change in the second half
+    val rows = (0L until 2000L).flatMap { i =>
+      val w = (i % 17).toDouble / 17.0
+      Seq(
+        ("stable", i * 1000000L, w),
+        ("shifted", i * 1000000L, if (i < 1000) w else w + 8.0)
+      )
+    }
+    val out = Timeseries.psiScreen(mkTs(rows)).collect()
+    val psi = out.map(r => r.getAs[String]("channel") -> r.getAs[Double]("psi")).toMap
+    psi("stable") should be < 0.01
+    psi("shifted") should be > 1.0 // total mass migration: far past the 0.25 action bar
+    out.find(_.getAs[String]("channel") == "shifted").get.getAs[Boolean]("drifted") shouldBe true
+    out.find(_.getAs[String]("channel") == "stable").get.getAs[Boolean]("drifted") shouldBe false
+  }
+
   "grangerScreen" should "rank a planted lead-lag driver far above the reverse direction" in {
     val hourUs = 3600000000L
     // x: aperiodic deterministic driver; y follows 0.8*x lagged one
