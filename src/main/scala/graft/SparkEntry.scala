@@ -334,7 +334,11 @@ object SparkEntry {
     // Population Stability Index between stream halves (drift metric)
     "ts_psi" -> (Timeseries.tsPsi _),
     // tightest two-term co-occurrence windows (highlight snippets)
-    "search_snippet" -> (Search.searchSnippet _)
+    "search_snippet" -> (Search.searchSnippet _),
+    // deterministic hash-bucket train/val/test split manifest
+    "train_split" -> (Curation.trainSplitQ _),
+    // recall@k of the IVF index vs the exact baseline
+    "ann_recall_ivf" -> (Similarity.annRecallIvf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -542,6 +546,8 @@ object SparkEntry {
     "mm_audio_fp" -> Multimodal.mmAudioFpSql,
     "ts_cadence" -> Timeseries.tsCadenceSql,
     "ts_psi" -> Timeseries.tsPsiSql,
-    "search_snippet" -> Search.searchSnippetSql
+    "search_snippet" -> Search.searchSnippetSql,
+    "train_split" -> Curation.trainSplitSql,
+    "ann_recall_ivf" -> Similarity.annRecallIvfSql
   )
 }

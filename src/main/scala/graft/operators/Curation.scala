@@ -1034,4 +1034,66 @@ object Curation {
       |  GREATEST(CAST(ROUND(alloc_tokens - 4.0 * n_tokens, 0) AS BIGINT), 0) AS excess_tokens
       |FROM a
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Deterministic train/val/test split manifest
+  // ---------------------------------------------------------------------
+
+  /** Split fractions in percent: [0,80) train, [80,90) val, rest test. */
+  val SplitTrainPct = 80L
+  val SplitValPct = 90L
+
+  /** Deterministic train/val/test split manifest: every document lands
+    * in a split by its doc_id's 60-bit md5 bucket mod 100 — stable
+    * under corpus growth (a doc never migrates), uniform by the hash,
+    * reproducible in any engine — reported per (source, split) with
+    * doc/token counts and the within-source fraction, so leakage
+    * checks and per-source balance audits read off one relation.
+    *
+    * Scale shape: the split key is map-side hash arithmetic in the
+    * scan projection; ONE (source, split) partial agg plus a k-row
+    * per-source total broadcast back. Nothing shuffles at doc grain.
+    */
+  def trainSplit(docs: DataFrame): DataFrame = {
+    val h = expr(Dedup.md5Prefix60Sql("cast(doc_id as string)")) % 100L
+    val toks = coalesce(size(expr(TextAnalysis.WordsSql)).cast("long"), lit(0L))
+    val tagged = docs
+      .select(
+        col("source"),
+        toks.as("__tok"),
+        when(h < SplitTrainPct, "train").when(h < SplitValPct, "val").otherwise("test").as("split")
+      )
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+    val totals = tagged.groupBy(col("source")).agg(sum(col("n_docs")).as("__tot"))
+    tagged
+      .join(broadcast(totals), Seq("source"))
+      .select(
+        col("source"),
+        col("split"),
+        col("n_docs"),
+        col("n_tokens"),
+        round(col("n_docs").cast("double") / col("__tot").cast("double"), 6).as("doc_frac")
+      )
+  }
+
+  def trainSplitQ(spark: SparkSession, dir: String): DataFrame =
+    trainSplit(graft.Tables.documents(spark, dir)).orderBy(col("source"), col("split"))
+
+  val trainSplitSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    COALESCE(CAST(LEN(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT), 0) AS tok,
+       |    CASE WHEN ${Dedup.md5Prefix60Duck("CAST(doc_id AS VARCHAR)")} % 100 < $SplitTrainPct THEN 'train'
+       |         WHEN ${Dedup.md5Prefix60Duck("CAST(doc_id AS VARCHAR)")} % 100 < $SplitValPct THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY 1, 2),
+       |t AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS tot FROM g GROUP BY 1)
+       |SELECT g.source, g.split, g.n_docs, g.n_tokens,
+       |  ROUND(CAST(g.n_docs AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS doc_frac
+       |FROM g JOIN t ON t.source = g.source
+       |ORDER BY g.source, g.split""".stripMargin
 }

@@ -1727,6 +1727,43 @@ object Similarity {
        |GROUP BY bf.query_id
        |ORDER BY bf.query_id""".stripMargin
 
+  /** Recall@k of the IVF index against the same exact baseline — the
+    * second index-acceptance metric: LSH and IVF trade recall
+    * differently (probe count vs cell count), and tuning either needs
+    * its own curve. Same join shape as [[annRecall]]: two driver-size
+    * (queries × k) rankings, co-keyed.
+    */
+  def annRecallIvf(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteforce(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val iv = annIvf(spark, dir)
+      .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
+    bf.join(
+        broadcast(iv),
+        col("query_id") === col("__q") && col("neighbor_id") === col("__n"),
+        "left_outer"
+      )
+      .groupBy(col("query_id"))
+      .agg(count(col("__n")).as("n_hit"))
+      .select(
+        col("query_id"),
+        col("n_hit"),
+        lit(TopK.toLong).as("k"),
+        round(col("n_hit") / lit(TopK.toDouble), 6).as("recall")
+      )
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallIvfSql: String =
+    s"""WITH bf AS ($annBruteforceSql),
+       |ivf AS ($annIvfSql)
+       |SELECT bf.query_id, COUNT(ivf.neighbor_id) AS n_hit,
+       |  CAST($TopK AS BIGINT) AS k,
+       |  ROUND(COUNT(ivf.neighbor_id) / CAST($TopK AS DOUBLE), 6) AS recall
+       |FROM bf LEFT JOIN ivf
+       |  ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id
+       |ORDER BY bf.query_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Top principal component (power iteration)
   // ---------------------------------------------------------------------

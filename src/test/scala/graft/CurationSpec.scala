@@ -302,4 +302,26 @@ class CurationSpec extends SparkSpec {
     plan should not include "Window"
     plan should include("BroadcastNestedLoopJoin")
   }
+
+  "trainSplit" should "assign stable hash splits with roughly 80/10/10 mass" in {
+    import spark.implicits._
+    def docs(n: Int) = (0L until n.toLong).map(i => (i, s"w$i word", "s")).toDF("doc_id", "text", "source")
+    val big = graft.operators.Curation.trainSplit(docs(2000)).collect()
+    val byS = big.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    byS.keySet shouldBe Set("train", "val", "test")
+    byS("train").toDouble / 2000 shouldBe 0.8 +- 0.05
+    byS("val").toDouble / 2000 shouldBe 0.1 +- 0.03
+    byS("test").toDouble / 2000 shouldBe 0.1 +- 0.03
+    big.map(_.getAs[Double]("doc_frac")).sum shouldBe 1.0 +- 1e-5
+    // growth stability: the first 1000 docs keep their split when the
+    // corpus doubles (hash of doc_id only — no repartition migration)
+    val h = org.apache.spark.sql.functions.expr(
+      graft.operators.Dedup.md5Prefix60Sql("cast(doc_id as string)")
+    ) % 100L
+    val splits1 = docs(1000).select($"doc_id", h.as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val splits2 = docs(2000).select($"doc_id", h.as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    splits1.foreach { case (id, hv) => splits2(id) shouldBe hv }
+  }
 }
