@@ -338,7 +338,9 @@ object SparkEntry {
     // deterministic hash-bucket train/val/test split manifest
     "train_split" -> (Curation.trainSplitQ _),
     // recall@k of the IVF index vs the exact baseline
-    "ann_recall_ivf" -> (Similarity.annRecallIvf _)
+    "ann_recall_ivf" -> (Similarity.annRecallIvf _),
+    // Haar wavelet per-level energy (multi-scale variance split)
+    "ts_haar" -> (Timeseries.tsHaar _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -548,6 +550,7 @@ object SparkEntry {
     "ts_psi" -> Timeseries.tsPsiSql,
     "search_snippet" -> Search.searchSnippetSql,
     "train_split" -> Curation.trainSplitSql,
-    "ann_recall_ivf" -> Similarity.annRecallIvfSql
+    "ann_recall_ivf" -> Similarity.annRecallIvfSql,
+    "ts_haar" -> Timeseries.tsHaarSql
   )
 }

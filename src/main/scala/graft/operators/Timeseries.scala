@@ -5184,6 +5184,107 @@ object Timeseries {
   def tsCadence(spark: SparkSession, dir: String): DataFrame =
     cadenceDrift(Tables.ts(spark, dir)).orderBy(col("channel"), col("bucket"))
 
+  // -------------------------------------------------------------------
+  // Haar wavelet energy spectrum (multi-scale variance decomposition)
+  // -------------------------------------------------------------------
+
+  /** Haar wavelet energy spectrum per channel: detail coefficients
+    * d_l(p) = (M_{l−1}(2p) − M_{l−1}(2p+1))/2 over dyadic calendar
+    * blocks of the bucket-mean grid, and the per-level energy Σd² —
+    * "how much variance lives at the 2-hour vs 4-hour vs 16-hour
+    * scale", the multi-RESOLUTION complement to the Fourier family
+    * ([[welchPsd]] localizes frequency; Haar localizes scale AND
+    * time, so a single regime change doesn't smear across every
+    * harmonic). Tier means average the children PRESENT (a lone child
+    * carries up unchanged); details exist only for complete pairs.
+    *
+    * Scale shape: the corpus reduces to the hourly grid in one
+    * partial agg, then each tier is one (channel, b div 2)-keyed agg
+    * over the PREVIOUS tier — L summary-scale shuffles for L levels,
+    * the [[pyramid]] rollup shape; per-level energies are one final
+    * partial agg over the unioned details. No window, no sort.
+    *
+    * Portability: tier means derive from exact DECIMAL base sums in
+    * pinned (m0+m1)/2 order; d² routes through DECIMAL; round-6 ends.
+    */
+  def haarSpectrum(ts: DataFrame, bucketUs: Long = BucketUs, levels: Int = 4): DataFrame = {
+    val base = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("b"))
+      .agg((sum(col("v").cast(dec2710)).cast("double") / count(lit(1))).as("m"))
+    val details = (1 to levels).foldLeft((base, List.empty[DataFrame])) {
+      case ((tier, acc), l) =>
+        val paired = tier
+          .groupBy(col("channel"), expr("b div 2").as("b"))
+          .agg(
+            max(when(col("b") % 2 === 0, col("m"))).as("__m0"),
+            max(when(col("b") % 2 =!= 0, col("m"))).as("__m1")
+          )
+        val next = paired.select(
+          col("channel"),
+          col("b"),
+          when(
+            col("__m0").isNotNull && col("__m1").isNotNull,
+            (col("__m0") + col("__m1")) / 2.0
+          ).otherwise(coalesce(col("__m0"), col("__m1"))).as("m")
+        )
+        val det = paired
+          .filter(col("__m0").isNotNull && col("__m1").isNotNull)
+          .select(
+            col("channel"),
+            lit(l.toLong).as("level"),
+            ((col("__m0") - col("__m1")) / 2.0).as("__d")
+          )
+        (next, det :: acc)
+    }._2
+    details
+      .reduce(_ union _)
+      .groupBy(col("channel"), col("level"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(detSum(col("__d") * col("__d")), 6).as("energy")
+      )
+  }
+
+  def tsHaar(spark: SparkSession, dir: String): DataFrame =
+    haarSpectrum(Tables.ts(spark, dir)).orderBy(col("channel"), col("level"))
+
+  /** Oracle: the tier chain as explicit CTEs with identical pairing,
+    * carry-up and pinned arithmetic.
+    */
+  val tsHaarSql: String = {
+    val tierCtes = (1 to 4)
+      .map { l =>
+        s"""p$l AS (
+           |  SELECT channel, b // 2 AS b,
+           |    MAX(CASE WHEN b % 2 = 0 THEN m END) AS m0,
+           |    MAX(CASE WHEN b % 2 <> 0 THEN m END) AS m1
+           |  FROM t${l - 1} GROUP BY 1, 2),
+           |t$l AS (
+           |  SELECT channel, b,
+           |    CASE WHEN m0 IS NOT NULL AND m1 IS NOT NULL THEN (m0 + m1) / 2.0
+           |         ELSE COALESCE(m0, m1) END AS m
+           |  FROM p$l),
+           |d$l AS (
+           |  SELECT channel, CAST($l AS BIGINT) AS level, (m0 - m1) / 2.0 AS d
+           |  FROM p$l WHERE m0 IS NOT NULL AND m1 IS NOT NULL)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH t0 AS (
+       |  SELECT event_type AS channel,
+       |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
+       |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM events GROUP BY 1, 2),
+       |$tierCtes,
+       |alld AS (
+       |  SELECT * FROM d1 UNION ALL SELECT * FROM d2
+       |  UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d4)
+       |SELECT channel, level, COUNT(*) AS n_pairs,
+       |  ROUND(CAST(SUM(CAST(d * d AS DECIMAL(27,10))) AS DOUBLE), 6) AS energy
+       |FROM alld
+       |GROUP BY 1, 2
+       |ORDER BY channel, level""".stripMargin
+  }
+
   val tsCadenceSql: String =
     """WITH e AS (
       |  SELECT event_type AS channel, epoch_us(ts) AS t, event_id FROM events),

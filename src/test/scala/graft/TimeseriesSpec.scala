@@ -1544,6 +1544,38 @@ class TimeseriesSpec extends SparkSpec {
     out.foreach(r => math.abs(r.getAs[Double]("resid")) should be < 1e-5)
   }
 
+  "haarSpectrum" should "put an alternating signal's energy at level 1 and a slow square wave's deeper" in {
+    val hourUs = 3600000000L
+    // 64 buckets: channel "alt" flips ±1 every bucket (finest scale);
+    // channel "slow" flips ±1 every 8 buckets (scale 8 = level 4 pairs
+    // differ... level where left/right 4-blocks differ: l=4 wait —
+    // period 16 means 8-blocks alternate, caught at level 4)
+    val rows = (0L until 64L).flatMap { b =>
+      Seq(
+        ("alt", b * hourUs + 5L, if (b % 2 == 0) 1.0 else -1.0),
+        ("slow", b * hourUs + 5L, if ((b / 8) % 2 == 0) 1.0 else -1.0)
+      )
+    }
+    val out = Timeseries.haarSpectrum(mkTs(rows)).collect()
+    val e = out.map(r => (r.getAs[String]("channel"), r.getAs[Long]("level")) -> r.getAs[Double]("energy")).toMap
+    // alt: every level-1 pair is (1,-1) → d=1, 32 pairs, energy 32;
+    // all coarser tiers see exact zeros
+    e(("alt", 1L)) shouldBe 32.0 +- 1e-6
+    e(("alt", 2L)) shouldBe 0.0 +- 1e-9
+    e(("alt", 3L)) shouldBe 0.0 +- 1e-9
+    e(("alt", 4L)) shouldBe 0.0 +- 1e-9
+    // slow: constant inside every 8-block → levels 1-3 zero; level 4
+    // pairs are (+1,-1) 8-block means → d=1, 4 pairs
+    e(("slow", 1L)) shouldBe 0.0 +- 1e-9
+    e(("slow", 2L)) shouldBe 0.0 +- 1e-9
+    e(("slow", 3L)) shouldBe 0.0 +- 1e-9
+    e(("slow", 4L)) shouldBe 4.0 +- 1e-6
+    // pair counts halve per level
+    val np = out.filter(_.getAs[String]("channel") == "alt")
+      .map(r => r.getAs[Long]("level") -> r.getAs[Long]("n_pairs")).toMap
+    np shouldBe Map(1L -> 32L, 2L -> 16L, 3L -> 8L, 4L -> 4L)
+  }
+
   "cadenceDrift" should "flag the hours where a channel's sampling slowed" in {
     val hourUs = 3600000000L
     // 1-per-minute cadence for 10 h, then 1-per-4-minutes for 10 h
