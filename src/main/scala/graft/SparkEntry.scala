@@ -340,7 +340,9 @@ object SparkEntry {
     // recall@k of the IVF index vs the exact baseline
     "ann_recall_ivf" -> (Similarity.annRecallIvf _),
     // Haar wavelet per-level energy (multi-scale variance split)
-    "ts_haar" -> (Timeseries.tsHaar _)
+    "ts_haar" -> (Timeseries.tsHaar _),
+    // binary-segmentation changepoints (recursive CUSUM, depth 2)
+    "ts_changepoints" -> (Timeseries.tsChangepoints _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -551,6 +553,7 @@ object SparkEntry {
     "search_snippet" -> Search.searchSnippetSql,
     "train_split" -> Curation.trainSplitSql,
     "ann_recall_ivf" -> Similarity.annRecallIvfSql,
-    "ts_haar" -> Timeseries.tsHaarSql
+    "ts_haar" -> Timeseries.tsHaarSql,
+    "ts_changepoints" -> Timeseries.tsChangepointsSql
   )
 }

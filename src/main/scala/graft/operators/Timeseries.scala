@@ -5248,6 +5248,145 @@ object Timeseries {
   def tsHaar(spark: SparkSession, dir: String): DataFrame =
     haarSpectrum(Tables.ts(spark, dir)).orderBy(col("channel"), col("level"))
 
+  // -------------------------------------------------------------------
+  // Binary-segmentation changepoint detection (recursive CUSUM)
+  // -------------------------------------------------------------------
+
+  /** Kolmogorov 95% band for the standardized CUSUM bridge — the
+    * significance gate both recursion levels apply.
+    */
+  val CusumThreshold = 1.358
+
+  /** Multiple-changepoint detection by BINARY SEGMENTATION (Scott &
+    * Knott 1974; the standard recursive reduction): run the
+    * [[cusumScreen]] over each channel, split at the significant
+    * argmax, and re-run the SAME screen on each half — each level
+    * refines the segmentation, so up to three changepoints emerge from
+    * two levels. The single-shot screen reports only the dominant
+    * shift; a series with two level changes hides the second until the
+    * first is removed — this operator is the loop that removes it.
+    *
+    * Scale shape: recursion by KEY REWRITE, not by driver iteration
+    * over segments — level 2 is ONE run of the unchanged two-phase
+    * CUSUM machinery over the composite (channel '#' side) key, so
+    * the whole operator is two screen passes + one broadcast of the
+    * (k-row) level-1 changepoints, independent of how many channels
+    * split. Segments inherit every scale property of the screen
+    * (stitched prefix sums, no channel-alone data windows).
+    *
+    * Portability: the screen's outputs are already engine-pinned;
+    * the significance gate compares round-6 values; segment tags are
+    * pure string algebra on the equi-joined changepoint.
+    */
+  def changepoints(
+    ts: DataFrame,
+    threshold: Double = CusumThreshold,
+    minSeg: Long = 20L,
+    stitchBucketUs: Long = StitchBucketUs
+  ): DataFrame = {
+    val base = withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id"))
+    val l1 = cusumScreen(base, stitchBucketUs)
+    // split at EVERY argmax and report the candidate tree with its
+    // significance flags — the full binary-segmentation trace (an
+    // all-stationary corpus then reports "tested, nothing significant"
+    // instead of an empty relation)
+    val cp1 = l1.filter(col("t_at").isNotNull).select(col("channel"), col("t_at").as("__cp"))
+    val composite = base
+      .join(broadcast(cp1), Seq("channel"))
+      .select(
+        concat(
+          col("channel"),
+          lit("#"),
+          when(col("t") <= col("__cp"), lit("L")).otherwise(lit("R"))
+        ).as("channel"),
+        col("t"),
+        col("v"),
+        col("event_id")
+      )
+    val l2 = cusumScreen(composite, stitchBucketUs)
+      .filter(col("t_at").isNotNull && col("n") >= minSeg)
+      .select(
+        substring_index(col("channel"), "#", 1).as("channel"),
+        lit(2L).as("level"),
+        substring_index(col("channel"), "#", -1).as("segment"),
+        col("n"),
+        col("mean"),
+        col("sigma"),
+        col("cusum"),
+        col("t_at").as("t_cp"),
+        (col("cusum") > threshold).as("significant")
+      )
+    val out1 = l1
+      .filter(col("t_at").isNotNull)
+      .select(
+        col("channel"),
+        lit(1L).as("level"),
+        lit("all").as("segment"),
+        col("n"),
+        col("mean"),
+        col("sigma"),
+        col("cusum"),
+        col("t_at").as("t_cp"),
+        (col("cusum") > threshold).as("significant")
+      )
+    out1.union(l2)
+  }
+
+  def tsChangepoints(spark: SparkSession, dir: String): DataFrame =
+    changepoints(Tables.ts(spark, dir)).orderBy(col("channel"), col("level"), col("segment"))
+
+  /** Oracle: the cusum CTE chain twice — once by channel, once by the
+    * composite channel#side key derived from the level-1 argmax.
+    */
+  val tsChangepointsSql: String = {
+    def chain(src: String, sfx: String): String =
+      s"""ps$sfx AS (
+         |  SELECT channel, t,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    SUM(CAST(v AS DECIMAL(27,10))) OVER w AS p
+         |  FROM $src
+         |  WINDOW w AS (PARTITION BY channel ORDER BY t, event_id)),
+         |st$sfx AS (
+         |  SELECT channel, COUNT(*) AS n,
+         |    CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mu,
+         |    ROUND(SQRT(GREATEST(CAST(SUM(CAST(v * v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*)
+         |      - (CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*))
+         |        * (CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*)), 0.0)), 9) AS sigma
+         |  FROM $src GROUP BY channel),
+         |sc$sfx AS (
+         |  SELECT ps$sfx.channel, ps$sfx.t,
+         |    ROUND(ABS((CAST(p AS DOUBLE) - rn * mu) / NULLIF(sigma * SQRT(n), 0.0)), 9) AS a
+         |  FROM ps$sfx JOIN st$sfx ON ps$sfx.channel = st$sfx.channel),
+         |mx$sfx AS (SELECT channel, MAX(a) AS amax FROM sc$sfx GROUP BY channel),
+         |sel$sfx AS (
+         |  SELECT sc$sfx.channel, MIN(sc$sfx.t) AS t_at
+         |  FROM sc$sfx JOIN mx$sfx ON sc$sfx.channel = mx$sfx.channel AND sc$sfx.a = mx$sfx.amax
+         |  GROUP BY sc$sfx.channel),
+         |l$sfx AS (
+         |  SELECT st$sfx.channel, st$sfx.n, ROUND(st$sfx.mu, 6) AS mean,
+         |    ROUND(st$sfx.sigma, 6) AS sigma, ROUND(mx$sfx.amax, 6) AS cusum, sel$sfx.t_at
+         |  FROM st$sfx JOIN mx$sfx ON st$sfx.channel = mx$sfx.channel
+         |  LEFT JOIN sel$sfx ON st$sfx.channel = sel$sfx.channel)""".stripMargin
+    s"""WITH s AS (
+       |  SELECT event_type AS channel, epoch_us(ts) AS t, event_id, value AS v FROM events),
+       |${chain("s", "1")},
+       |cp1 AS (SELECT channel, t_at FROM l1 WHERE t_at IS NOT NULL),
+       |s2 AS (
+       |  SELECT s.channel || '#' || CASE WHEN s.t <= cp1.t_at THEN 'L' ELSE 'R' END AS channel,
+       |    s.t, s.event_id, s.v
+       |  FROM s JOIN cp1 ON cp1.channel = s.channel),
+       |${chain("s2", "2")}
+       |SELECT channel, CAST(1 AS BIGINT) AS level, 'all' AS segment,
+       |  n, mean, sigma, cusum, t_at AS t_cp, cusum > $CusumThreshold AS significant
+       |FROM l1 WHERE t_at IS NOT NULL
+       |UNION ALL
+       |SELECT split_part(channel, '#', 1) AS channel, CAST(2 AS BIGINT) AS level,
+       |  split_part(channel, '#', 2) AS segment,
+       |  n, mean, sigma, cusum, t_at AS t_cp, cusum > $CusumThreshold AS significant
+       |FROM l2 WHERE t_at IS NOT NULL AND n >= 20
+       |ORDER BY channel, level, segment""".stripMargin
+  }
+
   /** Oracle: the tier chain as explicit CTEs with identical pairing,
     * carry-up and pinned arithmetic.
     */

@@ -1544,6 +1544,42 @@ class TimeseriesSpec extends SparkSpec {
     out.foreach(r => math.abs(r.getAs[Double]("resid")) should be < 1e-5)
   }
 
+  "changepoints" should "recover both planted level shifts through two recursion levels" in {
+    // three regimes: 0 (600 pts), 10 (600), 20 (600) + small wiggle.
+    // level 1 finds ONE split (the bridge peaks between the regimes);
+    // level 2 must then surface the other shift inside one side
+    val rows = (0L until 1800L).map { i =>
+      val lvl = if (i < 600) 0.0 else if (i < 1200) 10.0 else 20.0
+      ("c", i * 1000000L, lvl + (i % 5) * 0.01)
+    }
+    val out = Timeseries.changepoints(mkTs(rows)).collect()
+    val l1 = out.filter(_.getAs[Long]("level") == 1L)
+    l1.length shouldBe 1
+    l1.head.getAs[Boolean]("significant") shouldBe true
+    val cp1 = l1.head.getAs[Long]("t_cp") / 1000000L
+    // symmetric staircase: the level-1 argmax lands at a regime edge
+    // (the small wiggle can move it a couple of samples)
+    def nearEdge(cp: Long): Option[Long] = Seq(600L, 1200L).find(e => math.abs(cp - e) <= 5)
+    val edge1 = nearEdge(cp1)
+    edge1 should not be empty
+    val l2 = out.filter(_.getAs[Long]("level") == 2L)
+    l2.length shouldBe 2 // both sides tested and reported
+    // the OTHER regime edge surfaces as a significant level-2 cp
+    // (the side straddling cp1's few-sample overshoot may flag too —
+    // its stragglers are a real, if tiny, shift)
+    val sigEdges = l2
+      .filter(_.getAs[Boolean]("significant"))
+      .flatMap(r => nearEdge(r.getAs[Long]("t_cp") / 1000000L))
+    sigEdges should contain(Seq(600L, 1200L).filterNot(edge1.contains).head)
+  }
+
+  it should "report stationary channels as tested-but-insignificant, never empty" in {
+    val rows = (0L until 500L).map(i => ("flat", i * 1000000L, (i % 7).toDouble))
+    val out = Timeseries.changepoints(mkTs(rows)).collect()
+    out.length should be >= 1
+    out.filter(_.getAs[Long]("level") == 1L).foreach(_.getAs[Boolean]("significant") shouldBe false)
+  }
+
   "haarSpectrum" should "put an alternating signal's energy at level 1 and a slow square wave's deeper" in {
     val hourUs = 3600000000L
     // 64 buckets: channel "alt" flips ±1 every bucket (finest scale);
