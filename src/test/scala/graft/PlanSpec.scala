@@ -227,7 +227,10 @@ class PlanSpec extends SparkSpec {
       "ts_runs" -> Timeseries.tsRuns(spark, sfDir),
       "ts_bands" -> Timeseries.tsBands(spark, sfDir),
       "ts_lttb" -> Timeseries.tsLttb(spark, sfDir),
-      "ts_arrival_stats" -> Timeseries.tsArrivalStats(spark, sfDir)
+      "ts_arrival_stats" -> Timeseries.tsArrivalStats(spark, sfDir),
+      "ts_cadence" -> Timeseries.tsCadence(spark, sfDir),
+      "ts_changepoints" -> Timeseries.tsChangepoints(spark, sfDir),
+      "ts_anomaly" -> Timeseries.tsAnomaly(spark, sfDir)
     )
     plans.foreach { case (name, df) =>
       val windows = df.queryExecution.optimizedPlan.collect {
@@ -276,6 +279,26 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     } shouldBe empty
+  }
+
+  "windowless grid operators" should "compute through aggregations and joins with NO window at all" in {
+    // EWMA (explode + re-key), Haar (tier aggs), Granger (lag via
+    // bucket+1 self-join), PSI (conditional counts) and extremes all
+    // decompose into algebraic partial aggs — zero Window operators
+    // means nothing per-channel-ordered ever materializes
+    Seq(
+      "ts_ewma" -> Timeseries.tsEwma(spark, sfDir),
+      "ts_haar" -> Timeseries.tsHaar(spark, sfDir),
+      "ts_granger" -> Timeseries.tsGranger(spark, sfDir),
+      "ts_psi" -> Timeseries.tsPsi(spark, sfDir),
+      "ts_extremes" -> Timeseries.tsExtremes(spark, sfDir)
+    ).foreach { case (name, df) =>
+      withClue(s"$name:") {
+        df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        } shouldBe empty
+      }
+    }
   }
 
   "text_repetition" should "compute every signal with ZERO shuffles" in {
