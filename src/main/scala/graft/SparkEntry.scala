@@ -342,7 +342,9 @@ object SparkEntry {
     // Haar wavelet per-level energy (multi-scale variance split)
     "ts_haar" -> (Timeseries.tsHaar _),
     // binary-segmentation changepoints (recursive CUSUM, depth 2)
-    "ts_changepoints" -> (Timeseries.tsChangepoints _)
+    "ts_changepoints" -> (Timeseries.tsChangepoints _),
+    // kNN-graph in-degree screen (hub/orphan pathology report)
+    "embed_hubness" -> (Similarity.embedHubness _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -554,6 +556,7 @@ object SparkEntry {
     "train_split" -> Curation.trainSplitSql,
     "ann_recall_ivf" -> Similarity.annRecallIvfSql,
     "ts_haar" -> Timeseries.tsHaarSql,
-    "ts_changepoints" -> Timeseries.tsChangepointsSql
+    "ts_changepoints" -> Timeseries.tsChangepointsSql,
+    "embed_hubness" -> Similarity.embedHubnessSql
   )
 }

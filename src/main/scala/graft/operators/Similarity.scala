@@ -1753,6 +1753,90 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // Hubness screen (kNN in-degree over the LSH-bucketed graph)
+  // ---------------------------------------------------------------------
+
+  /** Hubness screen: the in-degree of every vector in the
+    * bucket-restricted k-nearest-neighbor graph — the classic
+    * high-dimensional pathology metric (Radovanović et al., JMLR
+    * 2010): "hub" vectors that appear in a disproportionate share of
+    * other points' neighbor lists degrade every kNN-based downstream
+    * (dedup, retrieval, kNN-label) and usually indicate anisotropy the
+    * [[embedDebias]] rank-1 removal fixes. Orphans (in-degree 0) mark
+    * the opposite failure: points no one retrieves.
+    *
+    * Scale shape: each vector lives in ONE hyperplane bucket; the kNN
+    * candidates come from a bucket-keyed self-join (pairs bounded by
+    * Σ bucket², with plane count the knob that keeps buckets flat —
+    * and the counted-cap admission of [[dedupSemantic]] is the
+    * documented escalation for adversarial buckets); the per-vector
+    * top-k is a bucket-bounded rank; in-degree is one partial agg.
+    * The corpus never crosses an exchange at pair grain.
+    */
+  def hubnessScreen(emb: DataFrame, k: Int = 5, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val v = prepped(emb, "vec_id", "v", "n")
+      .withColumn("bucket", hyperplaneBucket(col("v"), hp))
+    val a = v.select(col("bucket"), col("vec_id").as("__src"), col("v").as("__va"), col("n").as("__na"))
+    val b = v.select(col("bucket"), col("vec_id").as("__dst"), col("v").as("__vb"), col("n").as("__nb"))
+    val bySrc = Window.partitionBy(col("__src")).orderBy(col("__cos").desc, col("__dst"))
+    val knn = a
+      .join(b, Seq("bucket"))
+      .filter(col("__src") =!= col("__dst"))
+      .withColumn("__cos", VectorMath.cosine(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .withColumn("__rk", row_number().over(bySrc))
+      .filter(col("__rk") <= k)
+      .select(col("__src"), col("__dst"))
+    val inDeg = knn.groupBy(col("__dst").as("vec_id")).agg(count(lit(1)).as("in_degree"))
+    val d = coalesce(col("in_degree"), lit(0L))
+    v.select(col("vec_id"))
+      .join(inDeg, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        d.as("in_degree"),
+        (d >= 2L * k).as("hub"),
+        (d === 0L).as("orphan")
+      )
+  }
+
+  def embedHubness(spark: SparkSession, dir: String): DataFrame =
+    hubnessScreen(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
+  val embedHubnessSql: String = {
+    val k = 5
+    val planes = 4
+    val hp = hyperplanes(planes, 64)
+    def bucketExpr(v: String): String =
+      hp.zipWithIndex
+        .map { case (p, i) =>
+          val lit = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product($v, $lit) > 0.0 THEN ${1L << i} ELSE 0 END)"
+        }
+        .mkString("(", " + ", ")")
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n),
+       |scored AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT src, dst,
+       |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_raw DESC, dst) AS rk
+       |  FROM scored),
+       |knn AS (SELECT src, dst FROM ranked WHERE rk <= $k),
+       |deg AS (SELECT dst AS vec_id, COUNT(*) AS in_degree FROM knn GROUP BY 1)
+       |SELECT n.vec_id,
+       |  CAST(COALESCE(deg.in_degree, 0) AS BIGINT) AS in_degree,
+       |  COALESCE(deg.in_degree, 0) >= ${2 * k} AS hub,
+       |  COALESCE(deg.in_degree, 0) = 0 AS orphan
+       |FROM n LEFT JOIN deg ON deg.vec_id = n.vec_id
+       |ORDER BY n.vec_id""".stripMargin
+  }
+
   val annRecallIvfSql: String =
     s"""WITH bf AS ($annBruteforceSql),
        |ivf AS ($annIvfSql)

@@ -619,6 +619,28 @@ class SimilaritySpec extends SparkSpec {
     d1.getAs[Double]("std") shouldBe 0.0
   }
 
+  "hubnessScreen" should "crown a planted attractor as hub and strand the isolated point" in {
+    // cluster of 12 near-identical vectors (each other's neighbors) +
+    // one orthogonal singleton: within the cluster everyone's kNN hits
+    // the same points; the singleton's list is near-arbitrary but
+    // NOBODY picks it → orphan... unless its bucket differs entirely
+    val cluster = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(64)(d => if (d == 0) 1.0f else if (d == 1 + i % 3) 0.01f * (i + 1) else 0.0f))
+    }
+    val lone = Seq((99L, Array.tabulate(64)(d => if (d == 63) -1.0f else 0.0f)))
+    val emb = (cluster ++ lone).map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hubnessScreen(emb, k = 3).collect()
+    val byId = got.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("in_degree")).toMap
+    byId.keySet should contain(99L)
+    byId(99L) shouldBe 0L // nothing retrieves the orthogonal singleton
+    got.find(_.getAs[Long]("vec_id") == 99L).get.getAs[Boolean]("orphan") shouldBe true
+    // in-degree mass concentrates inside the cluster (bucket splits
+    // can shave a few candidates off the smallest cells)
+    val total = byId.values.sum
+    total should be >= 30L
+    byId.values.max should be >= 3L
+  }
+
   "labelCentroidSim" should "report unit diagonal, orthogonal 0 and an exact mixed angle" in {
     // label 0 centroid → (1, 0); label 1 → (0, 1); label 2 → (1, 1)
     val emb = Seq(
