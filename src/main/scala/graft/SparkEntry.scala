@@ -344,7 +344,9 @@ object SparkEntry {
     // binary-segmentation changepoints (recursive CUSUM, depth 2)
     "ts_changepoints" -> (Timeseries.tsChangepoints _),
     // kNN-graph in-degree screen (hub/orphan pathology report)
-    "embed_hubness" -> (Similarity.embedHubness _)
+    "embed_hubness" -> (Similarity.embedHubness _),
+    // per-user first-order Markov transition matrix
+    "ts_transitions" -> (Timeseries.tsTransitions _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -557,6 +559,7 @@ object SparkEntry {
     "ann_recall_ivf" -> Similarity.annRecallIvfSql,
     "ts_haar" -> Timeseries.tsHaarSql,
     "ts_changepoints" -> Timeseries.tsChangepointsSql,
-    "embed_hubness" -> Similarity.embedHubnessSql
+    "embed_hubness" -> Similarity.embedHubnessSql,
+    "ts_transitions" -> Timeseries.tsTransitionsSql
   )
 }

@@ -4696,6 +4696,62 @@ object Timeseries {
   def tsJourneys(spark: SparkSession, dir: String): DataFrame =
     journeyTrigrams(Tables.ts(spark, dir)).orderBy(col("rank"))
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next = b | current = a) with counts and row
+    * totals — the behavioral-model primitive under [[journeyTrigrams]]
+    * (which keeps only the top paths; this keeps the full k² matrix a
+    * simulator or anomaly scorer consumes).
+    *
+    * Scale shape: the same user-keyed block-halo lag as journeys (a
+    * hot user splits across tasks); the matrix is one
+    * (from, to)-keyed partial agg at event-type² cardinality; row
+    * totals broadcast back. Probabilities are long/long divisions in
+    * pinned double order, round-6.
+    */
+  def transitionMatrix(ts: DataFrame, stitchBucketUs: Long = StitchBucketUs): DataFrame = {
+    val s = ts.select(
+      col("channel").as("et"),
+      col("t"),
+      col("event_id"),
+      col("user_id").as("channel")
+    )
+    val padded = withBlockHalo(s, halo = 1, stitchBucketUs, Seq("event_id"))
+    val w = Window.partitionBy(col("channel"), col("__tgt")).orderBy(col("__rn"))
+    val pairs = padded
+      .withColumn("__p1", lag(col("et"), 1).over(w))
+      .filter(col("__tgt") === col("__blk"))
+      .filter(col("__p1").isNotNull)
+      .groupBy(col("__p1").as("from_type"), col("et").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("row_n"))
+    pairs
+      .join(broadcast(totals), Seq("from_type"))
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n"),
+        col("row_n"),
+        round(col("n").cast("double") / col("row_n").cast("double"), 6).as("p")
+      )
+  }
+
+  def tsTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrix(Tables.ts(spark, dir)).orderBy(col("from_type"), col("to_type"))
+
+  val tsTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS et,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS p1
+      |  FROM events),
+      |g AS (
+      |  SELECT p1 AS from_type, et AS to_type, COUNT(*) AS n
+      |  FROM e WHERE p1 IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM g GROUP BY 1)
+      |SELECT g.from_type, g.to_type, g.n, t.row_n,
+      |  ROUND(CAST(g.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS p
+      |FROM g JOIN t ON t.from_type = g.from_type
+      |ORDER BY g.from_type, g.to_type""".stripMargin
+
   /** Oracle: the double-lag per-user window with the identical
     * (n DESC, steps) cut and rank.
     */

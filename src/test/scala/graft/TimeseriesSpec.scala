@@ -1544,6 +1544,37 @@ class TimeseriesSpec extends SparkSpec {
     out.foreach(r => math.abs(r.getAs[Double]("resid")) should be < 1e-5)
   }
 
+  "transitionMatrix" should "recover a planted deterministic chain with unit probabilities" in {
+    // user 1 cycles a->b->c; user 2 bounces a->b->a; rows are exact
+    def mk(u: Long, seq: Seq[String]) = seq.zipWithIndex.map { case (c, i) =>
+      (c, i.toLong * 1000L, (u * 1000 + i).toLong, u)
+    }
+    val rows = mk(1L, Seq("a", "b", "c", "a", "b", "c", "a")) ++ mk(2L, Seq("a", "b", "a", "b", "a"))
+    val df = rows.toDF("channel", "t", "event_id", "user_id")
+    val got = Timeseries.transitionMatrix(df).orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Double)].collect().toList
+    got shouldBe List(
+      ("a", "b", 4L, 4L, 1.0), // a always goes to b (both users)
+      ("b", "a", 2L, 4L, 0.5), // user 2 bounces back
+      ("b", "c", 2L, 4L, 0.5), // user 1 advances
+      ("c", "a", 2L, 2L, 1.0)
+    )
+  }
+
+  it should "be invariant to the stitch-bucket width" in {
+    val rows = (0L until 900L).map { i =>
+      (Seq("x", "y", "z")((i % 3).toInt), i * 777L, i, i % 7)
+    }
+    val df = rows.toDF("channel", "t", "event_id", "user_id")
+    val ref = Timeseries.transitionMatrix(df, stitchBucketUs = 1L << 60)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    ref should not be empty
+    for (bw <- Seq(1000L, 99999L)) {
+      Timeseries.transitionMatrix(df, stitchBucketUs = bw)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe ref
+    }
+  }
+
   "changepoints" should "recover both planted level shifts through two recursion levels" in {
     // three regimes: 0 (600 pts), 10 (600), 20 (600) + small wiggle.
     // level 1 finds ONE split (the bridge peaks between the regimes);
