@@ -346,7 +346,9 @@ object SparkEntry {
     // kNN-graph in-degree screen (hub/orphan pathology report)
     "embed_hubness" -> (Similarity.embedHubness _),
     // per-user first-order Markov transition matrix
-    "ts_transitions" -> (Timeseries.tsTransitions _)
+    "ts_transitions" -> (Timeseries.tsTransitions _),
+    // recall@k of the PQ index vs the exact baseline
+    "ann_recall_pq" -> (Similarity.annRecallPq _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -560,6 +562,7 @@ object SparkEntry {
     "ts_haar" -> Timeseries.tsHaarSql,
     "ts_changepoints" -> Timeseries.tsChangepointsSql,
     "embed_hubness" -> Similarity.embedHubnessSql,
-    "ts_transitions" -> Timeseries.tsTransitionsSql
+    "ts_transitions" -> Timeseries.tsTransitionsSql,
+    "ann_recall_pq" -> Similarity.annRecallPqSql
   )
 }

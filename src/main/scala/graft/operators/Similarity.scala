@@ -1753,6 +1753,43 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Recall@k of the PQ index against the exact baseline — the third
+    * acceptance curve: PQ's loss is QUANTIZATION (ADC distance error),
+    * not candidate pruning, so its recall curve moves with codebook
+    * count/size rather than probe count; a pipeline choosing an index
+    * wants all three curves side by side.
+    */
+  def annRecallPq(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteforce(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val pq = annPq(spark, dir)
+      .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
+    bf.join(
+        broadcast(pq),
+        col("query_id") === col("__q") && col("neighbor_id") === col("__n"),
+        "left_outer"
+      )
+      .groupBy(col("query_id"))
+      .agg(count(col("__n")).as("n_hit"))
+      .select(
+        col("query_id"),
+        col("n_hit"),
+        lit(TopK.toLong).as("k"),
+        round(col("n_hit") / lit(TopK.toDouble), 6).as("recall")
+      )
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallPqSql: String =
+    s"""WITH bf AS ($annBruteforceSql),
+       |pq AS ($annPqSql)
+       |SELECT bf.query_id, COUNT(pq.neighbor_id) AS n_hit,
+       |  CAST($TopK AS BIGINT) AS k,
+       |  ROUND(COUNT(pq.neighbor_id) / CAST($TopK AS DOUBLE), 6) AS recall
+       |FROM bf LEFT JOIN pq
+       |  ON pq.query_id = bf.query_id AND pq.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id
+       |ORDER BY bf.query_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Hubness screen (kNN in-degree over the LSH-bucketed graph)
   // ---------------------------------------------------------------------

@@ -1082,7 +1082,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  it should "keep exactly one state row per channel (fifteen numbers per quantile)" in {
+  "StreamingTransitions.transitions" should "reproduce the batch matrix counts on any carving" in {
+    import graft.streaming.StreamingTransitions
+    implicit val sqlCtx = spark.sqlContext
+
+    val data = (0 until 240).map { i =>
+      val u = (i % 3).toLong
+      (u, Seq("a", "b", "c", "b")((i / 3 + (u * 2).toInt) % 4), i.toLong * 100L, i.toLong)
+    }
+    val batch = graft.operators.Timeseries
+      .transitionMatrix(
+        data.toDF("user_id", "channel", "t", "event_id")
+      )
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) -> r.getAs[Long]("n"))
+      .toMap
+    batch should not be empty
+
+    for (split <- Seq(Seq(data.size), Seq(1, 100, data.size), Seq(79, 80, 239, data.size))) {
+      val mem = MemoryStream[(Long, String, Long, Long)]
+      val out = StreamingTransitions.transitions(
+        spark,
+        mem.toDF().toDF("user_id", "channel", "t", "event_id")
+      )
+      val name = s"trans_${split.mkString("_")}"
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var prev = 0
+        split.distinct.foreach { end =>
+          mem.addData(data.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val got = spark
+          .table(name)
+          .groupBy($"from_type", $"to_type")
+          .count()
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        withClue(s"split $split:") { got shouldBe batch }
+      } finally q.stop()
+    }
+  }
+
+  "StreamingQuantiles state" should "keep exactly one state row per channel (fifteen numbers per quantile)" in {
     import graft.streaming.StreamingQuantiles
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Double)]
