@@ -1025,7 +1025,10 @@ object Multimodal {
         col("doc_id"),
         col("frame_no"),
         col("k").as("dom_band"),
-        round(col("__p"), 6).as("dom_power"),
+        // share only, never the raw power: at ~1e6 magnitudes a second
+        // rounding of the round-9 power lands on the 6-decimal
+        // half-grid where the engines' double ROUND diverge (observed
+        // 1/20k rows at sf0.1); the O(1) ratio is grid-safe
         round(col("__p") / col("__tot"), 6).as("power_share")
       )
   }
@@ -1067,7 +1070,6 @@ object Multimodal {
        |    ROW_NUMBER() OVER (PARTITION BY doc_id, fno ORDER BY p DESC, k) AS rn
        |  FROM pw)
        |SELECT doc_id, CAST(fno AS BIGINT) AS frame_no, CAST(k AS BIGINT) AS dom_band,
-       |  ROUND(p, 6) AS dom_power,
        |  ROUND(p / tot, 6) AS power_share
        |FROM r
        |WHERE rn = 1 AND tot > 0
