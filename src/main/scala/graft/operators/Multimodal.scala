@@ -992,20 +992,27 @@ object Multimodal {
   ): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 10)
     val twoPi = 6.283185307179586
-    val arg = lit(twoPi) * col("k") * (col("j").cast("double") / lit(frameSamples.toDouble))
     val n = lit(frameSamples.toDouble)
+    // round-9 the trig BEFORE the product: PCM magnitudes (~3e4)
+    // amplify libm cos/sin ULP drift past the DECIMAL(27,10) grid, so
+    // the transcendental must land on the engine-shared round-9
+    // lattice (the ln discipline elsewhere). The lattice has only
+    // |ks|·frameSamples points, so it ships as a LITERAL table —
+    // Math.cos runs |ks|·frameSamples times at plan build instead of
+    // 2·|ks| times per sample (was the single slowest bench query)
+    def r9(x: Double): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cosT = typedlit(ks.flatMap(k => (0 until frameSamples).map(j => r9(math.cos(twoPi * k * (j.toDouble / frameSamples))))))
+    val sinT = typedlit(ks.flatMap(k => (0 until frameSamples).map(j => r9(math.sin(twoPi * k * (j.toDouble / frameSamples))))))
+    val idx = (col("__ki") * frameSamples + col("j") + 1).cast("int")
     import org.apache.spark.sql.expressions.Window
     val bands = audioSamples(spark, withPayload, frameSamples)
       .select(col("doc_id"), col("frame_no"), col("j"), col("v").cast("double").as("v"))
-      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
-      .groupBy(col("doc_id"), col("frame_no"), col("k"))
-      // round-9 the trig BEFORE the product: PCM magnitudes (~3e4)
-      // amplify libm cos/sin ULP drift past the DECIMAL(27,10) grid,
-      // so the transcendental itself must land on the engine-shared
-      // round-9 lattice (the ln discipline elsewhere)
+      .select(col("*"), explode(lit(ks.indices.map(_.toLong).toArray)).as("__ki"))
+      .groupBy(col("doc_id"), col("frame_no"), (col("__ki") + ks.head.toLong).as("k"))
       .agg(
-        sum((col("v") * round(cos(arg), 9)).cast(dec)).cast("double").as("__c"),
-        sum((col("v") * round(sin(arg), 9)).cast(dec)).cast("double").as("__s")
+        sum((col("v") * element_at(cosT, idx)).cast(dec)).cast("double").as("__c"),
+        sum((col("v") * element_at(sinT, idx)).cast(dec)).cast("double").as("__s")
       )
       .select(
         col("doc_id"),
