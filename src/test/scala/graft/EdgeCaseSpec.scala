@@ -102,4 +102,42 @@ class EdgeCaseSpec extends SparkSpec {
     graft.functions.Winnow.fingerprints("", 8, 4) shouldBe empty
     graft.functions.Winnow.fingerprints("ab", 8, 4).length shouldBe 1
   }
+
+  "round-8 grid operators" should "return empty results (not fail) on empty input" in {
+    val e = emptyTs.withColumn("user_id", lit(0L)).withColumn("event_id", lit(0L))
+    Timeseries.ewmaBaseline(e).count() shouldBe 0L
+    Timeseries.haarSpectrum(e).count() shouldBe 0L
+    Timeseries.grangerScreen(e).count() shouldBe 0L
+    Timeseries.psiScreen(e).count() shouldBe 0L
+    Timeseries.extremesScreen(e).count() shouldBe 0L
+    Timeseries.cadenceDrift(e).count() shouldBe 0L
+    Timeseries.changepoints(e).count() shouldBe 0L
+    Timeseries.seasonalAnomalies(e).count() shouldBe 0L
+    Timeseries.transitionMatrix(e).count() shouldBe 0L
+  }
+
+  it should "degrade gracefully on single-sample channels" in {
+    val one = Seq(("solo", 1000L, 5.0, 0L, 0L)).toDF("channel", "t", "v", "user_id", "event_id")
+    Timeseries.ewmaBaseline(one).count() shouldBe 1L // its own kernel
+    Timeseries.haarSpectrum(one).count() shouldBe 0L // no pair at any level
+    Timeseries.grangerScreen(one).count() shouldBe 0L // no lagged rows
+    Timeseries.cadenceDrift(one).count() shouldBe 0L // no intervals
+    Timeseries.transitionMatrix(one).count() shouldBe 0L // no transition
+    Timeseries.psiScreen(one).count() shouldBe 1L // one bin, PSI 0
+    noException should be thrownBy Timeseries.changepoints(one).collect()
+  }
+
+  "round-8 corpus operators" should "tolerate null and empty text" in {
+    import graft.operators.{Curation, Packing, Search, TextAnalysis}
+    val docs = Seq(
+      (1L, "normal words here", "s"),
+      (2L, null.asInstanceOf[String], "s"),
+      (3L, "", "s")
+    ).toDF("doc_id", "text", "source")
+    noException should be thrownBy TextAnalysis.oovRates(docs).collect()
+    Curation.trainSplit(docs).select(sum($"n_docs")).as[Long].head() shouldBe 3L
+    Packing.trainShards(docs, 100L).select(sum($"n_docs")).as[Long].head() shouldBe 3L
+    Search.booleanSearch(spark, docs, Seq(("q", Seq("words"), Seq.empty))).count() shouldBe 1L
+    Search.proximitySnippets(docs, "normal", "here", 5).count() shouldBe 1L
+  }
 }
