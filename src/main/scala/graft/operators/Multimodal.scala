@@ -1002,17 +1002,28 @@ object Multimodal {
     // 2·|ks| times per sample (was the single slowest bench query)
     def r9(x: Double): Double =
       BigDecimal(java.math.BigDecimal.valueOf(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val cosT = typedlit(ks.flatMap(k => (0 until frameSamples).map(j => r9(math.cos(twoPi * k * (j.toDouble / frameSamples))))))
-    val sinT = typedlit(ks.flatMap(k => (0 until frameSamples).map(j => r9(math.sin(twoPi * k * (j.toDouble / frameSamples))))))
-    val idx = (col("__ki") * frameSamples + col("j") + 1).cast("int")
+    // one agg COLUMN PAIR per band instead of an explode(|ks|) row
+    // fan: the sample stream is scanned once at its own grain and all
+    // band components reduce in the same partial aggregation
+    def table(f: Double => Double, k: Int) =
+      typedlit((0 until frameSamples).map(j => r9(f(twoPi * k * (j.toDouble / frameSamples)))))
+    val jIdx = (col("j") + 1).cast("int")
+    val bandAggs = ks.flatMap { k =>
+      Seq(
+        sum((col("v") * element_at(table(math.cos, k), jIdx)).cast(dec)).cast("double").as(s"__c$k"),
+        sum((col("v") * element_at(table(math.sin, k), jIdx)).cast(dec)).cast("double").as(s"__s$k")
+      )
+    }
+    val stackArgs = ks.map(k => s"${k}L, __c$k, __s$k").mkString(", ")
     import org.apache.spark.sql.expressions.Window
     val bands = audioSamples(spark, withPayload, frameSamples)
       .select(col("doc_id"), col("frame_no"), col("j"), col("v").cast("double").as("v"))
-      .select(col("*"), explode(lit(ks.indices.map(_.toLong).toArray)).as("__ki"))
-      .groupBy(col("doc_id"), col("frame_no"), (col("__ki") + ks.head.toLong).as("k"))
-      .agg(
-        sum((col("v") * element_at(cosT, idx)).cast(dec)).cast("double").as("__c"),
-        sum((col("v") * element_at(sinT, idx)).cast(dec)).cast("double").as("__s")
+      .groupBy(col("doc_id"), col("frame_no"))
+      .agg(bandAggs.head, bandAggs.tail: _*)
+      .select(
+        col("doc_id"),
+        col("frame_no"),
+        expr(s"stack(${ks.size}, $stackArgs) AS (k, __c, __s)")
       )
       .select(
         col("doc_id"),
