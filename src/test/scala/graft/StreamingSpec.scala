@@ -1126,6 +1126,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  "StreamingPsi.monitor" should "report the batch PSI bit-for-bit against the first-half profile" in {
+    import graft.streaming.StreamingPsi
+    implicit val sqlCtx = spark.sqlContext
+
+    // same fixture family as the batch psiScreen spec: stable wiggle
+    // first half, +8 level shift second half
+    val n = 2000
+    def v(i: Int): Double = { val w = (i % 17).toDouble / 17.0; if (i < n / 2) w else w + 8.0 }
+    val all = (0 until n).map(i => ("c", i.toLong * 1000L, v(i)))
+    val (firstHalf, secondHalf) = all.splitAt(n / 2)
+
+    // batch reference point: psiScreen over the full stream (its time
+    // midpoint splits exactly at our half boundary)
+    val batch = graft.operators.Timeseries
+      .psiScreen(
+        all.toDF("channel", "t", "v").withColumn("user_id", lit(0L)).withColumn("event_id", lit(0L))
+      )
+      .collect()
+      .head
+    val batchPsi = batch.getAs[Double]("psi")
+    batchPsi should be > 1.0
+
+    // offline profile from the first half, same binning formula
+    val vs = firstHalf.map(_._3)
+    val (amin, amax) = (vs.min, vs.max)
+    val ref0 = StreamingPsi.Reference(amin, amax, Seq.fill(8)(0.0))
+    val counts = Array.fill(8)(0L)
+    vs.foreach(x => counts(StreamingPsi.bin(x, ref0, 8)) += 1)
+    val ref = ref0.copy(p = counts.map(_.toDouble / vs.size).toSeq)
+
+    for (split <- Seq(Seq(secondHalf.size), Seq(3, 500, secondHalf.size))) {
+      val mem = MemoryStream[(String, Long, Double)]
+      val out = StreamingPsi.monitor(spark, mem.toDF().toDF("channel", "t", "v"), Map("c" -> ref))
+      val name = s"psi_${split.mkString("_")}"
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        var prev = 0
+        split.distinct.foreach { end =>
+          mem.addData(secondHalf.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val fin = spark.table(name).as[(String, Long, Double, Boolean)].collect().maxBy(_._2)
+        withClue(s"split $split:") {
+          fin._2 shouldBe (n / 2).toLong
+          fin._3 shouldBe batchPsi
+          fin._4 shouldBe true
+        }
+      } finally q.stop()
+    }
+  }
+
   "StreamingQuantiles state" should "keep exactly one state row per channel (fifteen numbers per quantile)" in {
     import graft.streaming.StreamingQuantiles
     implicit val sqlCtx = spark.sqlContext
