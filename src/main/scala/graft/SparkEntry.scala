@@ -348,7 +348,9 @@ object SparkEntry {
     // per-user first-order Markov transition matrix
     "ts_transitions" -> (Timeseries.tsTransitions _),
     // recall@k of the PQ index vs the exact baseline
-    "ann_recall_pq" -> (Similarity.annRecallPq _)
+    "ann_recall_pq" -> (Similarity.annRecallPq _),
+    // holdout backtest of the trend forecaster (MAE + MASE vs naive)
+    "ts_forecast_eval" -> (Timeseries.tsForecastEval _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -563,6 +565,7 @@ object SparkEntry {
     "ts_changepoints" -> Timeseries.tsChangepointsSql,
     "embed_hubness" -> Similarity.embedHubnessSql,
     "ts_transitions" -> Timeseries.tsTransitionsSql,
-    "ann_recall_pq" -> Similarity.annRecallPqSql
+    "ann_recall_pq" -> Similarity.annRecallPqSql,
+    "ts_forecast_eval" -> Timeseries.tsForecastEvalSql
   )
 }

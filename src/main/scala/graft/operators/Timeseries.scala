@@ -5112,6 +5112,135 @@ object Timeseries {
     ewmaBaseline(Tables.ts(spark, dir)).orderBy(col("channel"), col("bucket"))
 
   // -------------------------------------------------------------------
+  // Forecast backtest (holdout MAE / MASE)
+  // -------------------------------------------------------------------
+
+  /** Forecast backtest per channel: fit the [[olsForecast]]-style
+    * linear trend on the FIRST 80% of the bucket grid, score the last
+    * 20% with MAE, and normalize by the in-sample one-step naive error
+    * (MASE, Hyndman & Koehler 2006) — MASE < 1 beats "predict the
+    * previous bucket", the bar every forecast must clear before
+    * anyone trusts it. ts_forecast ships predictions; this ships the
+    * EVIDENCE.
+    *
+    * Scale shape: one corpus partial agg to the grid; the train cut is
+    * a k-row broadcast (integer div split point); OLS moments are one
+    * train-grain DECIMAL agg; the naive denominator uses a lag over
+    * the GRID (summary relation — the ts_rolling precedent); scoring
+    * is a broadcast-fit projection + one test-grain agg.
+    *
+    * Portability: x = bucket − b0 stays integer; every sum routes
+    * through DECIMAL; the fit and error expressions derive in pinned
+    * double order; MASE divides two DECIMAL-derived means.
+    */
+  def forecastBacktest(ts: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val g = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg((sum(col("v").cast(dec2710)).cast("double") / count(lit(1))).as("__m"))
+    val rng = g
+      .groupBy(col("channel"))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col("channel"), col("__b0"), (col("__b0") + expr("(__b1 - __b0) * 4 div 5")).as("__cut"))
+    val gg = g.join(broadcast(rng), Seq("channel"))
+    val train = gg.filter(col("bucket") <= col("__cut"))
+    val fit = train
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum((col("bucket") - col("__b0")).cast(dec3810)).cast("double").as("__sx"),
+        sum(col("__m").cast(dec3810)).cast("double").as("__sy"),
+        sum(((col("bucket") - col("__b0")) * col("__m")).cast(dec3810)).cast("double").as("__sxy"),
+        sum(((col("bucket") - col("__b0")) * (col("bucket") - col("__b0"))).cast(dec3810))
+          .cast("double")
+          .as("__sxx")
+      )
+      .withColumn("__den", col("n_train") * col("__sxx") - col("__sx") * col("__sx"))
+      .filter(col("__den") =!= 0.0)
+      .withColumn("__slope", (col("n_train") * col("__sxy") - col("__sx") * col("__sy")) / col("__den"))
+      .withColumn("__a", (col("__sy") - col("__slope") * col("__sx")) / col("n_train"))
+    val wG = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+    val naive = train
+      .withColumn("__pb_prev", lag(col("__m"), 1).over(wG))
+      .filter(col("__pb_prev").isNotNull)
+      .groupBy(col("channel"))
+      .agg(
+        (sum(abs(col("__m") - col("__pb_prev")).cast(dec3810)).cast("double") / count(lit(1)))
+          .as("__nmae")
+      )
+      .filter(col("__nmae") > 0.0)
+    val test = gg
+      .filter(col("bucket") > col("__cut"))
+      .join(broadcast(fit), Seq("channel"))
+      .withColumn("__err", abs(col("__a") + col("__slope") * (col("bucket") - col("__b0")) - col("__m")))
+      .groupBy(col("channel"), col("n_train"), col("__slope"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        (sum(col("__err").cast(dec3810)).cast("double") / count(lit(1))).as("__mae")
+      )
+    test
+      .join(broadcast(naive), Seq("channel"))
+      .select(
+        col("channel"),
+        col("n_train"),
+        col("n_test"),
+        round(col("__slope"), 9).as("slope"),
+        round(col("__mae"), 6).as("mae"),
+        round(col("__mae") / col("__nmae"), 6).as("mase")
+      )
+  }
+
+  def tsForecastEval(spark: SparkSession, dir: String): DataFrame =
+    forecastBacktest(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  val tsForecastEvalSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |rng AS (
+      |  SELECT channel, MIN(bucket) AS b0,
+      |    MIN(bucket) + (MAX(bucket) - MIN(bucket)) * 4 // 5 AS cut
+      |  FROM g GROUP BY 1),
+      |gg AS (SELECT g.channel, g.bucket, g.m, rng.b0, rng.cut
+      |       FROM g JOIN rng ON rng.channel = g.channel),
+      |tr AS (SELECT * FROM gg WHERE bucket <= cut),
+      |fit AS (
+      |  SELECT channel, COUNT(*) AS n_train,
+      |    CAST(SUM(CAST(bucket - b0 AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(m AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST((bucket - b0) * m AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST((bucket - b0) * (bucket - b0) AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+      |  FROM tr GROUP BY 1),
+      |sol AS (
+      |  SELECT channel, n_train,
+      |    (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) AS slope,
+      |    (sy - (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) * sx) / n_train AS a
+      |  FROM fit WHERE n_train * sxx - sx * sx <> 0.0),
+      |nv AS (
+      |  SELECT channel,
+      |    CAST(SUM(CAST(ABS(m - pm) AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS nmae
+      |  FROM (SELECT channel, m,
+      |          LAG(m) OVER (PARTITION BY channel ORDER BY bucket) AS pm
+      |        FROM tr) t
+      |  WHERE pm IS NOT NULL GROUP BY 1
+      |  HAVING CAST(SUM(CAST(ABS(m - pm) AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) > 0.0),
+      |te AS (
+      |  SELECT gg.channel, sol.n_train, sol.slope, COUNT(*) AS n_test,
+      |    CAST(SUM(CAST(ABS(sol.a + sol.slope * (gg.bucket - gg.b0) - gg.m) AS DECIMAL(38,10))) AS DOUBLE)
+      |      / COUNT(*) AS mae
+      |  FROM gg JOIN sol ON sol.channel = gg.channel
+      |  WHERE gg.bucket > gg.cut
+      |  GROUP BY 1, 2, 3)
+      |SELECT te.channel, te.n_train, te.n_test,
+      |  ROUND(te.slope, 9) AS slope,
+      |  ROUND(te.mae, 6) AS mae,
+      |  ROUND(te.mae / nv.nmae, 6) AS mase
+      |FROM te JOIN nv ON nv.channel = te.channel
+      |ORDER BY te.channel""".stripMargin
+
+  // -------------------------------------------------------------------
   // Granger-style lead-lag causality screen
   // -------------------------------------------------------------------
 

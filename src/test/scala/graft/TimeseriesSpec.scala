@@ -1544,6 +1544,30 @@ class TimeseriesSpec extends SparkSpec {
     out.foreach(r => math.abs(r.getAs[Double]("resid")) should be < 1e-5)
   }
 
+  "forecastBacktest" should "score a clean trend near zero error and beat naive on a steep one" in {
+    val hourUs = 3600000000L
+    // linear: perfectly forecastable → MAE ~0, MASE ~0;
+    // steppy: trend 1.0/bucket with ±2 zigzag — trend fit beats naive
+    val rows = (0L until 200L).flatMap { h =>
+      Seq(
+        ("linear", h * hourUs + 1L, 3.0 + 0.5 * h),
+        ("steppy", h * hourUs + 1L, 1.0 * h + (if (h % 2 == 0) 2.0 else -2.0))
+      )
+    }
+    val out = Timeseries.forecastBacktest(mkTs(rows)).collect()
+    val byC = out.map(r => r.getAs[String]("channel") -> r).toMap
+    byC("linear").getAs[Double]("mae") shouldBe 0.0 +- 1e-6
+    byC("linear").getAs[Double]("mase") shouldBe 0.0 +- 1e-6
+    byC("linear").getAs[Double]("slope") shouldBe 0.5 +- 1e-6
+    // naive one-step error on the zigzag is ~5 (trend 1 + swing 4);
+    // the trend fit's holdout error is the ±2 swing → MASE ≈ 0.4
+    byC("steppy").getAs[Double]("mase") should be < 0.6
+    byC("steppy").getAs[Double]("mae") shouldBe 2.0 +- 0.2
+    // split accounting: 200 buckets → cut at b0+159 → 160/40
+    byC("linear").getAs[Long]("n_train") shouldBe 160L
+    byC("linear").getAs[Long]("n_test") shouldBe 40L
+  }
+
   "transitionMatrix" should "recover a planted deterministic chain with unit probabilities" in {
     // user 1 cycles a->b->c; user 2 bounces a->b->a; rows are exact
     def mk(u: Long, seq: Seq[String]) = seq.zipWithIndex.map { case (c, i) =>
