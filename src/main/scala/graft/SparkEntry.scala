@@ -350,7 +350,9 @@ object SparkEntry {
     // recall@k of the PQ index vs the exact baseline
     "ann_recall_pq" -> (Similarity.annRecallPq _),
     // holdout backtest of the trend forecaster (MAE + MASE vs naive)
-    "ts_forecast_eval" -> (Timeseries.tsForecastEval _)
+    "ts_forecast_eval" -> (Timeseries.tsForecastEval _),
+    // precision@k / MRR of BM25 vs conjunctive-match relevance
+    "search_rank_eval" -> (Search.searchRankEval _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -566,6 +568,7 @@ object SparkEntry {
     "embed_hubness" -> Similarity.embedHubnessSql,
     "ts_transitions" -> Timeseries.tsTransitionsSql,
     "ann_recall_pq" -> Similarity.annRecallPqSql,
-    "ts_forecast_eval" -> Timeseries.tsForecastEvalSql
+    "ts_forecast_eval" -> Timeseries.tsForecastEvalSql,
+    "search_rank_eval" -> Search.searchRankEvalSql
   )
 }

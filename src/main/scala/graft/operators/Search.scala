@@ -757,6 +757,116 @@ object Search {
        |LIMIT $SnippetK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Retrieval evaluation (precision@k / MRR vs conjunctive relevance)
+  // ---------------------------------------------------------------------
+
+  /** Ranking-quality evaluation of the BM25 engine: relevance = the
+    * conjunctive match set (documents containing EVERY query term —
+    * the labelless-corpus stand-in for judgments, exactly the
+    * "known-item" protocol), scored per query with hits@k,
+    * precision@k and MRR. The IR counterpart of ann_recall: the
+    * lexical index needs an acceptance metric too.
+    *
+    * Scale shape: the relevance set reuses the boolean-conjunction
+    * shape (one tf agg, distinct-must-count); the BM25 side is the
+    * proven top-k pipeline (driver-size output); the join is
+    * (query, doc)-keyed at k·queries cardinality, metrics one partial
+    * agg per query.
+    */
+  /** A document is relevant to a query iff EVERY query term occurs at
+    * least this often in it — the strong-match protocol that keeps the
+    * judgment set selective on a small-vocabulary corpus (plain
+    * conjunctive presence matches most documents and scores every
+    * ranker 1.0).
+    */
+  val RelevanceMinTf = 3
+
+  def rankEval(spark: SparkSession, docs: DataFrame, queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    import spark.implicits._
+    val ranked = bm25TopK(spark, docs, queries, k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val spec = queries.flatMap { case (q, ts) => ts.map((q, _)) }.toDF("query_id", "term")
+    val nPos = queries.map { case (q, ts) => (q, ts.size.toLong) }.toDF("query_id", "__np")
+    val vocab = queries.flatMap(_._2).distinct
+    val rel = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(expr(WordsSql)).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .filter(col("__tf") >= RelevanceMinTf)
+      .join(broadcast(spec), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .join(broadcast(nPos), "query_id")
+      .filter(col("__hits") === col("__np"))
+      .select(col("query_id"), col("doc_id"))
+    val relCounts = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_relevant"))
+    ranked
+      .join(rel.withColumn("__rel", lit(1L)), Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(coalesce(col("__rel"), lit(0L))).as("hits_at_k"),
+        min(when(col("__rel").isNotNull, col("rank"))).as("__first")
+      )
+      .join(broadcast(relCounts), Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        col("hits_at_k"),
+        round(col("hits_at_k").cast("double") / lit(k.toDouble), 6).as("precision_at_k"),
+        round(
+          coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)),
+          6
+        ).as("mrr")
+      )
+  }
+
+  def searchRankEval(spark: SparkSession, dir: String): DataFrame =
+    rankEval(spark, Tables.documents(spark, dir), Queries, TopK)
+      .orderBy(col("query_id"))
+
+  val searchRankEvalSql: String = {
+    val specVals = Queries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }.mkString(", ")
+    val nposVals = Queries.map { case (q, ts) => s"('$q', ${ts.size})" }.mkString(", ")
+    val vocab = Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH ranked AS ($bm25SearchSql),
+       |w AS (
+       |  SELECT doc_id, u.term
+       |  FROM (SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |        FROM documents WHERE text IS NOT NULL) d,
+       |       UNNEST(ws) AS u(term)
+       |  WHERE u.term IN ($vocab)
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $RelevanceMinTf),
+       |spec(query_id, term) AS (VALUES $specVals),
+       |np(query_id, n_pos) AS (VALUES $nposVals),
+       |rel AS (
+       |  SELECT s.query_id, w.doc_id
+       |  FROM w JOIN spec s ON s.term = w.term
+       |  JOIN np ON np.query_id = s.query_id
+       |  GROUP BY s.query_id, w.doc_id, np.n_pos
+       |  HAVING COUNT(*) = np.n_pos),
+       |rc AS (SELECT query_id, COUNT(*) AS n_relevant FROM rel GROUP BY 1),
+       |j AS (
+       |  SELECT r.query_id, r.rank,
+       |    CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+       |  FROM ranked r LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id),
+       |m AS (
+       |  SELECT query_id,
+       |    CAST(SUM(is_rel) AS BIGINT) AS hits_at_k,
+       |    MIN(CASE WHEN is_rel = 1 THEN rank END) AS first_rel
+       |  FROM j GROUP BY 1)
+       |SELECT m.query_id,
+       |  CAST(COALESCE(rc.n_relevant, 0) AS BIGINT) AS n_relevant,
+       |  m.hits_at_k,
+       |  ROUND(CAST(m.hits_at_k AS DOUBLE) / $TopK.0, 6) AS precision_at_k,
+       |  ROUND(COALESCE(1.0 / CAST(m.first_rel AS DOUBLE), 0.0), 6) AS mrr
+       |FROM m LEFT JOIN rc ON rc.query_id = m.query_id
+       |ORDER BY m.query_id""".stripMargin
+  }
+
   val searchBooleanSql: String = {
     val specVals = BoolQueries
       .flatMap { case (q, must, not) =>

@@ -257,6 +257,35 @@ class SearchSpec extends SparkSpec {
     got shouldBe List(("q", 1L, 2L), ("q", 3L, 3L))
   }
 
+  "rankEval" should "score a ranker perfectly when every strong match fits in k" in {
+    // docs 1-3 carry 3+3 occurrences (relevant under min-tf 3); docs
+    // 4-5 carry the terms only weakly
+    val docs = Seq(
+      (1L, "a a a b b b x"),
+      (2L, "a a a a b b b y"),
+      (3L, "b b b a a a a a"),
+      (4L, "a b x y z"),
+      (5L, "a a b b x")
+    ).toDF("doc_id", "text")
+    val got = Search
+      .rankEval(spark, docs, Seq(("q", Seq("a", "b"))), k = 3)
+      .as[(String, Long, Long, Double, Double)]
+      .collect()
+      .toList
+    // BM25 ranks the heavy-tf docs 1-3 on top → all 3 relevant found
+    got shouldBe List(("q", 3L, 3L, 1.0, 1.0))
+  }
+
+  it should "report zero MRR when nothing relevant exists" in {
+    val docs = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = Search
+      .rankEval(spark, docs, Seq(("q", Seq("a", "b"))), k = 2)
+      .as[(String, Long, Long, Double, Double)]
+      .collect()
+      .toList
+    got shouldBe List(("q", 0L, 0L, 0.0, 0.0))
+  }
+
   "proximitySnippets" should "pick each doc's tightest window and rank docs by it" in {
     val docs = Seq(
       (1L, "spark x x x join spark y join"), // best: spark@5 join@4 span 1
