@@ -1126,6 +1126,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  "StreamingBandpower.track" should "emit the batch band-power rows bit-for-bit on any carving" in {
+    import graft.streaming.StreamingBandpower
+    implicit val sqlCtx = spark.sqlContext
+
+    // two channels, 10 windows x 25 samples: a k=2 tone on "a", mixed
+    // wobble on "b"
+    val data = for {
+      c <- Seq("a", "b")
+      i <- 0 until 250
+    } yield {
+      val t = (i % 25) * 40L + (i / 25) * 1000L
+      val v =
+        if (c == "a") math.sin(2 * math.Pi * 2 * (t % 1000L) / 1000.0) * 3.0
+        else 1.0 + math.cos(2 * math.Pi * (t % 1000L) / 1000.0) + (i % 3) * 0.1
+      (c, t, v)
+    }
+    val batch = graft.operators.Timeseries
+      .bandPower(
+        data.toDF("channel", "t", "v").withColumn("event_id", lit(0L)),
+        windowUs = 1000L
+      )
+      .collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("win"), r.getAs[Long]("k")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("power"))))
+      .toMap
+    batch.size shouldBe 80 // 2 channels x 10 windows x 4 harmonics
+
+    for (split <- Seq(Seq(data.size), Seq(30, 260, data.size), Seq(249, 250, 251, data.size))) {
+      val mem = MemoryStream[(String, Long, Double)]
+      val out = StreamingBandpower.track(spark, mem.toDF().toDF("channel", "t", "v"), windowUs = 1000L)
+      val name = s"bp_${split.mkString("_")}"
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        var prev = 0
+        split.distinct.foreach { end =>
+          mem.addData(data.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val rows = spark.table(name).as[(String, Long, Long, Long, Double, Boolean)].collect()
+        val closed = rows.filter(_._6)
+        closed.groupBy(r => (r._1, r._2, r._3)).foreach { case (_, g) => g.length shouldBe 1 }
+        val open = rows
+          .filter(!_._6)
+          .groupBy(r => (r._1, r._2, r._3))
+          .collect { case (key, g) if !closed.exists(r => (r._1, r._2, r._3) == key) => g.maxBy(_._4) }
+        val got = (closed ++ open).map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+        withClue(s"split $split:") { got shouldBe batch }
+      } finally q.stop()
+    }
+  }
+
   "StreamingPsi.monitor" should "report the batch PSI bit-for-bit against the first-half profile" in {
     import graft.streaming.StreamingPsi
     implicit val sqlCtx = spark.sqlContext
