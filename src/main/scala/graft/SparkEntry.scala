@@ -352,7 +352,9 @@ object SparkEntry {
     // holdout backtest of the trend forecaster (MAE + MASE vs naive)
     "ts_forecast_eval" -> (Timeseries.tsForecastEval _),
     // precision@k / MRR of BM25 vs conjunctive-match relevance
-    "search_rank_eval" -> (Search.searchRankEval _)
+    "search_rank_eval" -> (Search.searchRankEval _),
+    // montage -> band power chain (differential-channel spectra)
+    "ts_montage_bandpower" -> (Timeseries.tsMontageBandpower _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -569,6 +571,7 @@ object SparkEntry {
     "ts_transitions" -> Timeseries.tsTransitionsSql,
     "ann_recall_pq" -> Similarity.annRecallPqSql,
     "ts_forecast_eval" -> Timeseries.tsForecastEvalSql,
-    "search_rank_eval" -> Search.searchRankEvalSql
+    "search_rank_eval" -> Search.searchRankEvalSql,
+    "ts_montage_bandpower" -> Timeseries.tsMontageBandpowerSql
   )
 }

@@ -2332,6 +2332,54 @@ object Timeseries {
       |FROM a
       |ORDER BY channel, win, k""".stripMargin
 
+  /** Montage → band power composed — the clinical chain: virtual
+    * (lead − secondary) channels first, spectral features second, so
+    * the spectrum describes the DIFFERENTIAL signal the montage
+    * isolates (common-mode trends cancel before any DFT sees them).
+    * The montaged bucket index plays the sample clock: 24 hourly
+    * buckets per window = a daily differential spectrum.
+    *
+    * Scale shape: the montage reduces the corpus to the pair-bucket
+    * grid (broadcast pair table, bucket-keyed join); bandPower then
+    * runs entirely ON that summary relation. Portability: montage
+    * values are round-6 doubles, the bandPower discipline (trig on
+    * identical rationals, DECIMAL term sums) carries unchanged.
+    */
+  def tsMontageBandpower(spark: SparkSession, dir: String): DataFrame =
+    bandPower(
+      montage(spark, Tables.ts(spark, dir), MontagePairs, BucketUs)
+        .select(col("channel"), col("bucket").as("t"), col("v")),
+      windowUs = 24L
+    ).orderBy(col("channel"), col("win"), col("k"))
+
+  val tsMontageBandpowerSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type AS ch, CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket,
+       |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS av
+       |  FROM events GROUP BY 1, 2),
+       |p(lead, sec) AS (VALUES ('click','view'), ('error','purchase'), ('signup','click')),
+       |m AS (
+       |  SELECT p.lead || '<->' || p.sec AS channel, l.bucket AS t, ROUND(l.av - r.av, 6) AS v
+       |  FROM p
+       |  JOIN b l ON l.ch = p.lead
+       |  JOIN b r ON r.ch = p.sec AND r.bucket = l.bucket),
+       |x AS (
+       |  SELECT channel, t // 24 AS win, v,
+       |    CAST(t % 24 AS DOUBLE) / 24.0 AS frac
+       |  FROM m),
+       |e AS (
+       |  SELECT channel, win, v, frac, ks.k AS k
+       |  FROM x CROSS JOIN (SELECT UNNEST(range(1, 5)) AS k) ks),
+       |a AS (
+       |  SELECT channel, win, k, COUNT(*) AS n,
+       |    CAST(SUM(CAST(v * cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c,
+       |    CAST(SUM(CAST(v * sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s
+       |  FROM e GROUP BY 1, 2, 3)
+       |SELECT channel, win, k, n,
+       |  ROUND((c / n) * (c / n) + (s / n) * (s / n), 6) AS power
+       |FROM a
+       |ORDER BY channel, win, k""".stripMargin
+
   /** Welch-averaged power spectral density per (channel, harmonic):
     * the mean and spread of the per-window band power across all
     * windows (Welch 1967 — averaging periodogram segments trades

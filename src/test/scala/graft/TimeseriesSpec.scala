@@ -1544,6 +1544,28 @@ class TimeseriesSpec extends SparkSpec {
     out.foreach(r => math.abs(r.getAs[Double]("resid")) should be < 1e-5)
   }
 
+  "montage->bandPower composition" should "see only the differential tone, not the common mode" in {
+    val hourUs = 3600000000L
+    // lead and secondary share a strong common k=1 daily cycle; only
+    // the lead carries a k=3 tone — the montage cancels the common
+    // mode so the differential spectrum peaks at k=3 alone
+    val rows = (0L until 96L).flatMap { h =>
+      val common = 10.0 * math.sin(2 * math.Pi * (h % 24) / 24.0)
+      val tone = 2.0 * math.sin(2 * math.Pi * 3 * (h % 24) / 24.0)
+      Seq(("L", h * hourUs + 1L, common + tone), ("S", h * hourUs + 2L, common))
+    }
+    val m = Timeseries
+      .montage(spark, mkTs(rows), Seq(("L", "S")), hourUs)
+      .select(col("channel"), col("bucket").as("t"), col("v"))
+    val bp = Timeseries.bandPower(m, windowUs = 24L).collect()
+    val byK = bp.groupBy(_.getAs[Long]("k")).view
+      .mapValues(_.map(_.getAs[Double]("power")).max).toMap
+    byK(3L) shouldBe 1.0 +- 0.05 // (amp/2)^2 of the 2.0 tone
+    byK(1L) should be < 0.01 // common mode cancelled
+    byK(2L) should be < 0.01
+    byK(4L) should be < 0.01
+  }
+
   "forecastBacktest" should "score a clean trend near zero error and beat naive on a steep one" in {
     val hourUs = 3600000000L
     // linear: perfectly forecastable → MAE ~0, MASE ~0;
