@@ -4317,9 +4317,14 @@ object Timeseries {
     * count, partial map-side); the Wilson arithmetic is a pinned-order
     * projection at bucket grain.
     */
-  def errorRate(ts: DataFrame, bucketUs: Long, errorChannel: String = "error"): DataFrame = {
-    // z and z² are both pinned LITERALS (3.8416, not 1.96*1.96): the
-    // Scala product rounds differently than the parsed SQL literal
+  /** The pinned Wilson 95% projection over (n, errors) columns —
+    * shared by the batch screen and its streaming twin so both emit
+    * the identical doubles. z and z² are both pinned LITERALS (3.8416,
+    * not 1.96*1.96): the Scala product rounds differently than the
+    * parsed SQL literal. Clamped to [0, 1] — which also normalizes the
+    * −0.0 a zero-error bucket's rounding produces in one engine.
+    */
+  private[graft] def wilsonColumns: Seq[Column] = {
     val z = 1.96
     val n = col("n").cast("double")
     val p = col("errors").cast("double") / n
@@ -4327,6 +4332,14 @@ object Timeseries {
     val denom = lit(1.0) + z2 / n
     val center = p + z2 / (lit(2.0) * n)
     val half = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    Seq(
+      round(p, 6).as("rate"),
+      round(greatest((center - half) / denom, lit(0.0)), 6).as("wilson_lo"),
+      round(least((center + half) / denom, lit(1.0)), 6).as("wilson_hi")
+    )
+  }
+
+  def errorRate(ts: DataFrame, bucketUs: Long, errorChannel: String = "error"): DataFrame =
     ts
       .groupBy(microsBucket(col("t"), bucketUs).as("bucket"))
       .agg(
@@ -4334,16 +4347,8 @@ object Timeseries {
         count(when(col("channel") === errorChannel, lit(1))).as("errors")
       )
       .select(
-        (col("bucket") * bucketUs).as("t"),
-        col("n"),
-        col("errors"),
-        round(p, 6).as("rate"),
-        // clamped to [0, 1]: also normalizes the -0.0 a zero-error
-        // bucket's rounding produces in one engine but not the other
-        round(greatest((center - half) / denom, lit(0.0)), 6).as("wilson_lo"),
-        round(least((center + half) / denom, lit(1.0)), 6).as("wilson_hi")
+        Seq((col("bucket") * bucketUs).as("t"), col("n"), col("errors")) ++ wilsonColumns: _*
       )
-  }
 
   def tsErrorRate(spark: SparkSession, dir: String): DataFrame =
     errorRate(Tables.ts(spark, dir), BucketUs).orderBy(col("t"))

@@ -1126,6 +1126,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  "StreamingErrorRate.monitor" should "finalize windows equal to the batch Wilson rows" in {
+    import graft.streaming.StreamingErrorRate
+    implicit val sqlCtx = spark.sqlContext
+
+    val hourUs = 3600000000L
+    // 4 full hours with varying error mix + one far-future sentinel
+    // that advances the watermark past all of them
+    val body = (0 until 400).map { i =>
+      val ch = if (i % 10 < (i / 100) + 1) "error" else "view"
+      (ch, (i / 100).toLong * hourUs + (i % 100).toLong * 1000000L)
+    }
+    val sentinel = ("view", 100L * hourUs)
+    val batch = graft.operators.Timeseries
+      .errorRate(
+        body.toDF("channel", "t").withColumn("v", lit(0.0)),
+        hourUs
+      )
+      .collect()
+      .map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("errors"), r.getAs[Double]("rate"),
+          r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))))
+      .toMap
+    batch.size shouldBe 4
+
+    for (split <- Seq(Seq(body.size), Seq(37, 250, body.size))) {
+      val mem = MemoryStream[(String, Long)]
+      val out = StreamingErrorRate.monitor(mem.toDF().toDF("channel", "t"), hourUs)
+      val name = s"er_${split.mkString("_")}"
+      val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var prev = 0
+        split.distinct.foreach { end =>
+          mem.addData(body.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        mem.addData(sentinel) // watermark jumps; all body windows close
+        q.processAllAvailable()
+        val got = spark
+          .table(name)
+          .as[(Long, Long, Long, Double, Double, Double)]
+          .collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6)))
+          .toMap
+        withClue(s"split $split:") { got shouldBe batch }
+      } finally q.stop()
+    }
+  }
+
   "StreamingBandpower.track" should "emit the batch band-power rows bit-for-bit on any carving" in {
     import graft.streaming.StreamingBandpower
     implicit val sqlCtx = spark.sqlContext
