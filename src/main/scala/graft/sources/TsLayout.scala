@@ -96,6 +96,46 @@ object TsLayout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compaction maintenance pass: rewrite a (possibly fragmented)
+    * layout into `dstPath` with ONE writer task per partition
+    * directory (bounded by maxRecordsPerFile), preserving the bucket
+    * marker — the small-files problem is THE operational failure mode
+    * of streaming/append ingest into a partitioned lake, and a
+    * 100 TB layout pays it as listing latency and per-file open cost
+    * on every read. The rewrite is a pure repartition-by-partition-key
+    * plan (no wide shuffle beyond the partition hash), and the result
+    * is row-identical by construction — the spec proves count, hash
+    * equality, marker carry-over, and the file-count collapse.
+    */
+  def compact(
+    spark: SparkSession,
+    srcPath: String,
+    dstPath: String,
+    maxRecordsPerFile: Long = 5000000L
+  ): Unit = {
+    spark.read
+      .parquet(srcPath)
+      .repartition(col("p_channel"), col("p_bucket"))
+      .write
+      .partitionBy("p_channel", "p_bucket")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(dstPath)
+    markerWidth(srcPath, spark.sessionState.newHadoopConf()).foreach { w =>
+      writeMarker(spark, dstPath, w)
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, path: String, bucketUs: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path, BucketMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(marker, true)
+    try out.write(bucketUs.toString.getBytes("UTF-8"))
+    finally out.close()
+    widthCache.remove(path)
+    widthCache.remove(new java.io.File(path).getCanonicalPath)
+  }
+
   /** Range query that drives partition pruning: channel set + time
     * window, expressed against both the partition keys (pruning) and
     * the data column `t` (row-group stats + exact trim).

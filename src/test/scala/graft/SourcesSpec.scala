@@ -259,6 +259,56 @@ class SourcesSpec extends SparkSpec {
     got.map(_._3).toList shouldBe (50 until 100).map(_.toDouble).toList
   }
 
+  "TsLayout.compact" should "collapse fragmented partitions to single files with identical content" in {
+    import graft.sources.TsLayout
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-frag").toFile.getAbsolutePath
+    val dst = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    // fragment: three append passes, each scattering every partition
+    // across 4 writer tasks — the streaming-ingest small-files shape
+    val day = TsLayout.DayUs
+    (0 until 3).foreach { pass =>
+      val ts = (0 until 400).map { i =>
+        ("c" + (i % 2), (i % 4).toLong * day + i.toLong * 1000L + pass, (i + pass).toDouble)
+      }.toDF("channel", "t", "v")
+      ts.withColumn("p_channel", col("channel"))
+        .withColumn("p_bucket", floor(col("t") / lit(day.toDouble)).cast("long"))
+        .repartition(4)
+        .write
+        .partitionBy("p_channel", "p_bucket")
+        .mode("append")
+        .parquet(src)
+    }
+    // give the fragmented layout a marker like write() would
+    val marker = new java.io.File(src, "_graft_bucket_us")
+    Files.writeString(marker.toPath, day.toString)
+
+    def partFiles(root: String): Map[String, Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getPath.stripPrefix(root))
+        .view.mapValues(_.size).toMap
+    }
+    val before = partFiles(src)
+    before.values.max should be >= 3 // genuinely fragmented
+
+    TsLayout.compact(spark, src, dst)
+
+    val after = partFiles(dst)
+    after.keySet.map(_.replace(dst, "")) shouldBe before.keySet.map(_.replace(src, ""))
+    after.values.foreach(_ shouldBe 1) // one file per partition dir
+    // content identical
+    val a = TsLayout.read(spark, src).select("channel", "t", "v")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = TsLayout.read(spark, dst).select("channel", "t", "v")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    b shouldBe a
+    // the marker survives, so rule-derived pruning still works
+    TsLayout.markerWidth(dst, spark.sessionState.newHadoopConf()) shouldBe Some(day)
+  }
+
   "readCsv/readJson" should "load secondary formats" in {
     val dir = Files.createTempDirectory("graft-ing").toFile
     Files.writeString(new java.io.File(dir, "x.csv").toPath, "channel,t,v\na,1,2.5\nb,2,3.5\n")
