@@ -354,7 +354,11 @@ object SparkEntry {
     // precision@k / MRR of BM25 vs conjunctive-match relevance
     "search_rank_eval" -> (Search.searchRankEval _),
     // montage -> band power chain (differential-channel spectra)
-    "ts_montage_bandpower" -> (Timeseries.tsMontageBandpower _)
+    "ts_montage_bandpower" -> (Timeseries.tsMontageBandpower _),
+    // Gini of per-user activity (whale concentration, all-integer)
+    "ts_gini" -> (Timeseries.tsGini _),
+    // within-doc hapax rates (diversity tail next to repetition's head)
+    "corpus_hapax" -> (TextAnalysis.corpusHapax _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -572,6 +576,8 @@ object SparkEntry {
     "ann_recall_pq" -> Similarity.annRecallPqSql,
     "ts_forecast_eval" -> Timeseries.tsForecastEvalSql,
     "search_rank_eval" -> Search.searchRankEvalSql,
-    "ts_montage_bandpower" -> Timeseries.tsMontageBandpowerSql
+    "ts_montage_bandpower" -> Timeseries.tsMontageBandpowerSql,
+    "ts_gini" -> Timeseries.tsGiniSql,
+    "corpus_hapax" -> TextAnalysis.corpusHapaxSql
   )
 }

@@ -1852,6 +1852,61 @@ object TextAnalysis {
   def corpusOov(spark: SparkSession, dir: String): DataFrame =
     oovRates(Tables.documents(spark, dir)).orderBy(col("source"))
 
+  /** Per-document hapax legomena rate: the share of a document's
+    * distinct word TYPES occurring exactly once within it, plus the
+    * token share those hapaxes carry — the within-doc diversity tail
+    * next to [[textRepetition]]'s duplication head (high = open
+    * vocabulary or noise; near-zero = template text). All-integer
+    * until the two final ratios.
+    *
+    * Scale shape: corpus → (doc, word) counts → one doc-grain
+    * conditional agg; both keyed by doc_id, co-partitioned.
+    */
+  def hapaxRates(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), explode(expr(WordsSql)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("source"), col("word"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("__c")).as("n_tokens"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("hapaxes")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_types"),
+        col("n_tokens"),
+        col("hapaxes"),
+        round(col("hapaxes").cast("double") / col("n_types").cast("double"), 6).as("hapax_type_rate"),
+        round(col("hapaxes").cast("double") / col("n_tokens").cast("double"), 6).as("hapax_token_rate")
+      )
+
+  def corpusHapax(spark: SparkSession, dir: String): DataFrame =
+    hapaxRates(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val corpusHapaxSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, u.w AS word
+      |  FROM (SELECT doc_id, source, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |        FROM documents WHERE text IS NOT NULL) t, UNNEST(ws) AS u(w)
+      |  WHERE LENGTH(u.w) > 0),
+      |h AS (SELECT doc_id, source, word, COUNT(*) AS c FROM w GROUP BY 1, 2, 3)
+      |SELECT doc_id, source,
+      |  COUNT(*) AS n_types,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapaxes,
+      |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS hapax_type_rate,
+      |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+      |    AS hapax_token_rate
+      |FROM h
+      |GROUP BY 1, 2
+      |ORDER BY doc_id""".stripMargin
+
   val corpusOovSql: String =
     s"""WITH w AS (
        |  SELECT source, u.w AS word

@@ -5165,6 +5165,74 @@ object Timeseries {
     ewmaBaseline(Tables.ts(spark, dir)).orderBy(col("channel"), col("bucket"))
 
   // -------------------------------------------------------------------
+  // Engagement inequality (Gini over per-user activity)
+  // -------------------------------------------------------------------
+
+  /** Gini coefficient of per-user event counts per channel — the
+    * "whale concentration" readout (how much of the activity a few
+    * users carry; 0 = egalitarian, →1 = one user is the product).
+    * Computed EXACTLY from the count-value histogram via the pairwise
+    * identity G = ΣᵢΣⱼ mᵢmⱼ·|vᵢ−vⱼ| / (2·N·Σx): every quantity stays
+    * an integer until the single final division — no sort, no rank,
+    * no quantile machinery, fully engine-portable.
+    *
+    * Scale shape: events → (channel, user) counts (one user-keyed
+    * partial agg) → the (channel, count-value) HISTOGRAM (value
+    * cardinality — activity counts repeat heavily, so this is tiny) →
+    * a per-channel k² pair fan over the histogram. DECIMAL sums guard
+    * the numerator at web scale (users² × count range).
+    */
+  def giniScreen(ts: DataFrame): DataFrame = {
+    val dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u = ts
+      .groupBy(col("channel"), col("user_id"))
+      .agg(count(lit(1)).as("__x"))
+    val h = u.groupBy(col("channel"), col("__x")).agg(count(lit(1)).as("__m"))
+    val tot = u
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__x")).as("n_events"))
+    val a = h.select(col("channel"), col("__x").as("__xa"), col("__m").as("__ma"))
+    val b = h.select(col("channel"), col("__x").as("__xb"), col("__m").as("__mb"))
+    a.join(b, Seq("channel"))
+      .groupBy(col("channel"))
+      .agg(
+        sum((col("__ma") * col("__mb") * abs(col("__xa") - col("__xb"))).cast(dec380)).as("__num")
+      )
+      .join(broadcast(tot), Seq("channel"))
+      .select(
+        col("channel"),
+        col("n_users"),
+        col("n_events"),
+        round(
+          col("__num").cast("double") /
+            (lit(2.0) * col("n_users").cast("double") * col("n_events").cast("double")),
+          6
+        ).as("gini")
+      )
+  }
+
+  def tsGini(spark: SparkSession, dir: String): DataFrame =
+    giniScreen(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  val tsGiniSql: String =
+    """WITH u AS (
+      |  SELECT event_type AS channel, user_id, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |h AS (SELECT channel, x, COUNT(*) AS m FROM u GROUP BY 1, 2),
+      |t AS (SELECT channel, COUNT(*) AS n_users, CAST(SUM(x) AS BIGINT) AS n_events
+      |      FROM u GROUP BY 1),
+      |p AS (
+      |  SELECT a.channel,
+      |    SUM(CAST(a.m * b.m * ABS(a.x - b.x) AS DECIMAL(38,0))) AS num
+      |  FROM h a JOIN h b ON b.channel = a.channel
+      |  GROUP BY 1)
+      |SELECT p.channel, t.n_users, t.n_events,
+      |  ROUND(CAST(p.num AS DOUBLE) /
+      |        (2.0 * CAST(t.n_users AS DOUBLE) * CAST(t.n_events AS DOUBLE)), 6) AS gini
+      |FROM p JOIN t ON t.channel = p.channel
+      |ORDER BY p.channel""".stripMargin
+
+  // -------------------------------------------------------------------
   // Forecast backtest (holdout MAE / MASE)
   // -------------------------------------------------------------------
 

@@ -454,6 +454,25 @@ class TextAnalysisSpec extends SparkSpec {
     r.getAs[Double]("other_frac") shouldBe 0.3
   }
 
+  "hapaxRates" should "count exactly the words occurring once within each document" in {
+    val docs = Seq(
+      (1L, "a a b c c c d", "s"), // hapaxes: b, d → 2 of 4 types, 2 of 7 tokens
+      (2L, "x x x x", "s"), // no hapax
+      (3L, "p q r", "s") // all hapax
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis
+      .hapaxRates(docs)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Double, Double)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (1L, "s", 4L, 7L, 2L, 0.5, 0.285714),
+      (2L, "s", 1L, 4L, 0L, 0.0, 0.0),
+      (3L, "s", 3L, 3L, 3L, 1.0, 1.0)
+    )
+  }
+
   "oovRates" should "charge each source the tokens outside the capped global vocab" in {
     // global counts: the 4, of 3, cat 2, dog 1 → top-2 vocab {of, the}
     val docs = Seq(

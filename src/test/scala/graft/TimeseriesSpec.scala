@@ -1544,6 +1544,24 @@ class TimeseriesSpec extends SparkSpec {
     out.foreach(r => math.abs(r.getAs[Double]("resid")) should be < 1e-5)
   }
 
+  "giniScreen" should "score equality at 0 and a whale-dominated channel high" in {
+    // "flat": 10 users x 5 events each → Gini 0;
+    // "whale": one user with 96 events, 4 users with 1 → Gini near 0.76
+    val rows =
+      (0 until 50).map(i => ("flat", i.toLong * 1000L, 1.0, (i % 10).toLong, i.toLong)) ++
+        (0 until 96).map(i => ("whale", i.toLong * 1000L, 1.0, 0L, 1000L + i)) ++
+        (1 to 4).map(u => ("whale", 100000L + u, 1.0, u.toLong, 2000L + u))
+    val df = rows.toDF("channel", "t", "v", "user_id", "event_id")
+    val got = Timeseries.giniScreen(df).collect()
+    val byC = got.map(r => r.getAs[String]("channel") -> r).toMap
+    byC("flat").getAs[Double]("gini") shouldBe 0.0
+    byC("flat").getAs[Long]("n_users") shouldBe 10L
+    // exact: num = 2*Σ_{i<j} m_i m_j |x_i-x_j| = 2*(1*4*95) = 760;
+    // G = 760 / (2*5*100) = 0.76
+    byC("whale").getAs[Double]("gini") shouldBe 0.76
+    byC("whale").getAs[Long]("n_events") shouldBe 100L
+  }
+
   "montage->bandPower composition" should "see only the differential tone, not the common mode" in {
     val hourUs = 3600000000L
     // lead and secondary share a strong common k=1 daily cycle; only
