@@ -1821,7 +1821,11 @@ object Similarity {
     val knn = a
       .join(b, Seq("bucket"))
       .filter(col("__src") =!= col("__dst"))
-      .withColumn("__cos", VectorMath.cosine(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      // round to 9 BEFORE ranking (the repo's ranking discipline): a
+      // last-ULP accumulation-order difference between VecDot and the
+      // oracle's list_dot_product could otherwise flip a near-tie
+      // rank, moving the k-cut and the downstream hub/orphan flags
+      .withColumn("__cos", round(VectorMath.cosine(col("__va"), col("__vb"), col("__na"), col("__nb")), 9))
       .withColumn("__rk", row_number().over(bySrc))
       .filter(col("__rk") <= k)
       .select(col("__src"), col("__dst"))
@@ -1858,7 +1862,7 @@ object Similarity {
        |bk AS (SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n),
        |scored AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
-       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
+       |         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS cos_raw
        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
        |ranked AS (
        |  SELECT src, dst,

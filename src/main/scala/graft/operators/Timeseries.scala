@@ -5179,8 +5179,10 @@ object Timeseries {
     * Scale shape: events → (channel, user) counts (one user-keyed
     * partial agg) → the (channel, count-value) HISTOGRAM (value
     * cardinality — activity counts repeat heavily, so this is tiny) →
-    * a per-channel k² pair fan over the histogram. DECIMAL sums guard
-    * the numerator at web scale (users² × count range).
+    * a per-channel k² pair fan over the histogram. Each mᵢmⱼ|vᵢ−vⱼ|
+    * term is computed in DECIMAL(38,0) — the factors are cast BEFORE
+    * the multiply, not just the sum, so cell counts near 2^31+ cannot
+    * silently wrap in 64-bit intermediate arithmetic at web scale.
     */
   def giniScreen(ts: DataFrame): DataFrame = {
     val dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -5196,7 +5198,10 @@ object Timeseries {
     a.join(b, Seq("channel"))
       .groupBy(col("channel"))
       .agg(
-        sum((col("__ma") * col("__mb") * abs(col("__xa") - col("__xb"))).cast(dec380)).as("__num")
+        sum(
+          col("__ma").cast(dec380) * col("__mb").cast(dec380) *
+            abs(col("__xa") - col("__xb")).cast(dec380)
+        ).as("__num")
       )
       .join(broadcast(tot), Seq("channel"))
       .select(
@@ -5223,7 +5228,8 @@ object Timeseries {
       |      FROM u GROUP BY 1),
       |p AS (
       |  SELECT a.channel,
-      |    SUM(CAST(a.m * b.m * ABS(a.x - b.x) AS DECIMAL(38,0))) AS num
+      |    SUM(CAST(a.m AS HUGEINT) * CAST(b.m AS HUGEINT)
+      |        * CAST(ABS(a.x - b.x) AS HUGEINT)) AS num
       |  FROM h a JOIN h b ON b.channel = a.channel
       |  GROUP BY 1)
       |SELECT p.channel, t.n_users, t.n_events,
@@ -5622,8 +5628,11 @@ object Timeseries {
         col("t_at").as("t_cp"),
         (col("cusum") > threshold).as("significant")
       )
+    // level 1 keeps EVERY channel — a zero-variance (constant) channel
+    // carries NULL cusum/t_cp and significant=false, so the
+    // all-stationary corpus really does report "tested, nothing
+    // significant" rather than silently dropping constant channels
     val out1 = l1
-      .filter(col("t_at").isNotNull)
       .select(
         col("channel"),
         lit(1L).as("level"),
@@ -5633,7 +5642,7 @@ object Timeseries {
         col("sigma"),
         col("cusum"),
         col("t_at").as("t_cp"),
-        (col("cusum") > threshold).as("significant")
+        coalesce(col("cusum") > threshold, lit(false)).as("significant")
       )
     out1.union(l2)
   }
@@ -5683,8 +5692,9 @@ object Timeseries {
        |  FROM s JOIN cp1 ON cp1.channel = s.channel),
        |${chain("s2", "2")}
        |SELECT channel, CAST(1 AS BIGINT) AS level, 'all' AS segment,
-       |  n, mean, sigma, cusum, t_at AS t_cp, cusum > $CusumThreshold AS significant
-       |FROM l1 WHERE t_at IS NOT NULL
+       |  n, mean, sigma, cusum, t_at AS t_cp,
+       |  COALESCE(cusum > $CusumThreshold, FALSE) AS significant
+       |FROM l1
        |UNION ALL
        |SELECT split_part(channel, '#', 1) AS channel, CAST(2 AS BIGINT) AS level,
        |  split_part(channel, '#', 2) AS segment,
@@ -5779,6 +5789,11 @@ object Timeseries {
     * Portability: bin edges derive from exact min/max; proportions
     * are long/long divisions in pinned double order, clamped at the
     * literal epsilon; ln rounds to 9 before the DECIMAL term sum.
+    * Degenerate channels whose events all share one timestamp have an
+    * EMPTY second half (mid = t0, every event lands first) — their
+    * proportions would be 0/0 = NaN, which Spark's DECIMAL cast nulls
+    * while DuckDB's errors, so channels with an empty half are
+    * dropped before the term computation in both engines.
     */
   def psiScreen(ts: DataFrame, bins: Int = 8): DataFrame = {
     val trange = ts
@@ -5824,6 +5839,7 @@ object Timeseries {
     val p2 = greatest(col("__cb").cast("double") / col("n_second").cast("double"), lit(PsiEps))
     cells
       .join(broadcast(totals), Seq("channel"))
+      .filter(col("n_first") > 0 && col("n_second") > 0)
       .select(
         col("channel"),
         col("n_first"),
@@ -5871,7 +5887,8 @@ object Timeseries {
       |         - GREATEST(CAST(ca AS DOUBLE) / CAST(n_first AS DOUBLE), 0.0001))
       |      * ROUND(LN(GREATEST(CAST(cb AS DOUBLE) / CAST(n_second AS DOUBLE), 0.0001)
       |               / GREATEST(CAST(ca AS DOUBLE) / CAST(n_first AS DOUBLE), 0.0001)), 9), 9) AS term
-      |  FROM cells JOIN tot ON tot.channel = cells.channel)
+      |  FROM cells JOIN tot ON tot.channel = cells.channel
+      |  WHERE n_first > 0 AND n_second > 0)
       |SELECT channel, n_first, n_second,
       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27,10))) AS DOUBLE), 6) AS psi,
       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27,10))) AS DOUBLE), 6) > 0.1 AS drifted

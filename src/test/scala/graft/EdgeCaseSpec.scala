@@ -123,7 +123,10 @@ class EdgeCaseSpec extends SparkSpec {
     Timeseries.grangerScreen(one).count() shouldBe 0L // no lagged rows
     Timeseries.cadenceDrift(one).count() shouldBe 0L // no intervals
     Timeseries.transitionMatrix(one).count() shouldBe 0L // no transition
-    Timeseries.psiScreen(one).count() shouldBe 1L // one bin, PSI 0
+    // a single sample puts mid = t0 and EVERY event in the first half;
+    // the empty-half guard drops the channel rather than emitting the
+    // 0/0 = NaN proportions (Spark nulls the NaN, DuckDB errors on it)
+    Timeseries.psiScreen(one).count() shouldBe 0L
     noException should be thrownBy Timeseries.changepoints(one).collect()
   }
 

@@ -195,6 +195,43 @@ class PlanSpec extends SparkSpec {
     planString(Dedup.simhashNearDups(docs)) should not include "collect_list"
   }
 
+  "dedup/graph report plans" should "never broadcast a row-grain relation derived from the corpus scan" in {
+    // the OOM class the round-8 audit flagged in dedup_matrix /
+    // train_dedup_weights: broadcasting a relation that is still at
+    // (or above) corpus row grain — e.g. the doc_id→source map or the
+    // doc_id→cluster labels. A broadcast subtree that reaches the
+    // documents scan WITHOUT passing any aggregation is exactly that
+    // disease (aggregated sides — 1-row totals, k-row cells, counted
+    // buckets — are the legitimate broadcast-update shape and pass).
+    // Swept over every dedup/graph/report registry entry so the next
+    // report query written with the same disease fails here.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def rowGrainCorpus(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => false
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",").contains("documents")
+      case other => other.children.exists(rowGrainCorpus)
+    }
+    val guarded = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => n.startsWith("dedup_") || n.startsWith("graph_") || n == "train_dedup_weights")
+    guarded should not be empty
+    for (name <- guarded) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val offenders = root.collectWithSubqueries {
+        case b: BroadcastExchangeExec if rowGrainCorpus(b.child) => b
+      }
+      withClue(s"$name broadcasts a row-grain corpus relation:\n${offenders.mkString("\n")}\n") {
+        offenders shouldBe empty
+      }
+    }
+  }
+
   "two-phase ts operators" should "never window the data stream by channel alone" in {
     // the 100 TB constraint: a Window partitioned by channel alone
     // concentrates each channel's history into one task. After the
