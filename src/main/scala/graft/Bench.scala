@@ -142,11 +142,19 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val calib = calibrate()
     val calibPar = calibratePar(cpus)
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""boot_id":"${bootId()}","calib_sec":$calib,"calib_par_sec":$calibPar,""" +
         s""""calib_par_threads":$cpus}"""
-    )
+    println(line)
+    // the driver's artifact truncates to the last 2000 chars of stdout,
+    // which loses most of the per-query record — persist the COMPLETE
+    // line to a file too so cross-round comparisons can diff every query
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
+      line + "\n"
+    ): Unit
+    catch { case e: Throwable => Console.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -25,6 +25,7 @@ object SparkEntry {
     "ts_resample_chunk" -> (Timeseries.tsResampleChunk _),
     "ts_gaps" -> (Timeseries.tsGaps _),
     "ts_montage" -> (Timeseries.tsMontage _),
+    "ts_montage_named" -> (Timeseries.tsMontageNamed _),
     "ts_montage_aligned" -> (Timeseries.tsMontageAligned _),
     "ts_eventbin" -> (Timeseries.tsEventBin _),
     "ts_auto" -> (Timeseries.tsAuto _),
@@ -64,6 +65,9 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.mmFrames _), // frame-sample → decode chain
     // rows-only + FilteringSpec sequential-equivalence (montage → IIR chain)
     "ts_montage_filter" -> (Filtering.tsMontageFilter _),
+    // the reference hot path composed end to end; rows-only (IIR stage),
+    // byte-exactness carried by the golden end-to-end spec
+    "ts_hotpath" -> (Filtering.tsHotpath _),
     "ts_waveforms" -> (Timeseries.tsWaveforms _),
     "ts_histogram" -> (Timeseries.tsHistogram _),
     "ts_acf" -> (Timeseries.tsAcf _),
@@ -378,6 +382,7 @@ object SparkEntry {
     "ts_resample_chunk" -> Timeseries.tsResampleChunkSql,
     "ts_gaps" -> Timeseries.tsGapsSql,
     "ts_montage" -> Timeseries.tsMontageSql,
+    "ts_montage_named" -> Timeseries.tsMontageNamedSql,
     "ts_montage_aligned" -> Timeseries.tsMontageAlignedSql,
     "ts_eventbin" -> Timeseries.tsEventBinSql,
     "ts_auto" -> Timeseries.tsAutoSql,

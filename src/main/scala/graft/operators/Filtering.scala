@@ -189,4 +189,88 @@ object Filtering {
       gapUs = Timeseries.BucketUs
     ).select(col("channel"), col("t"), round(col("fv"), 6).as("fv"))
       .orderBy(col("channel"), col("t"))
+
+  // ---------------------------------------------------------------------
+  // The reference's actual serving workload composed end to end
+  // ---------------------------------------------------------------------
+
+  /** The reference hot path — what one websocket request actually
+    * costs — as ONE chain: time-range read → grid montage (virtual
+    * channels) → Butterworth cascade → shouldResample decision →
+    * min/max downsample → fillGaps render pass → Segment assembly →
+    * protobuf wire frames (server/TimeSeriesFlow.scala's
+    * request-to-frame flow, batch-expressed). Returns one row per
+    * emitted Segment with its exact wire bytes.
+    *
+    * The resample decision is the reference's per-request branch
+    * (query/BaseTimeSeriesQuery.scala:58-96): the virtual channels
+    * live on the `bucketUs` grid, so their rate is 1e6/bucketUs;
+    * when `shouldResample` rejects (under ~3 samples per pixel) the
+    * serve falls back to pixel = grid step, where each bucket holds
+    * exactly one sample and the min/max band degenerates to the raw
+    * stream — the raw branch in the same segment vocabulary.
+    *
+    * Scale shape: range prunes at the scan; the chain's data-grain
+    * shuffles are the grid aggregation, the montage equi-join, the
+    * filter's block shuffle, and the downsample aggregation — each
+    * keyed by (channel, time), none corpus-global; everything after
+    * the downsample is pixel-scale by construction (the SegmentSink
+    * argument).
+    */
+  def hotPathWire(
+    spark: SparkSession,
+    tsIn: DataFrame,
+    pairs: Seq[(String, String)],
+    bucketUs: Long,
+    pixelUs: Long,
+    cascade: Butterworth.Cascade = FixedCascade,
+    padLength: Int = FixedPad
+  ): DataFrame = {
+    import spark.implicits._
+    val virt = Timeseries.montageAlignedGrid(spark, tsIn, pairs, bucketUs)
+    val filtered = applyCascade(spark, virt, cascade, padLength, gapUs = bucketUs)
+      .select(col("channel"), col("t"), round(col("fv"), 6).as("v"))
+    val rate = 1e6 / bucketUs.toDouble
+    val servePixel = if (Timeseries.shouldResample(rate, pixelUs)) pixelUs else bucketUs
+    val down = Timeseries.downsample(filtered, servePixel)
+    graft.sources.SegmentSink
+      .toSegments(spark, down, servePixel, fillContinuity = true)
+      .map(s => (s.source, s.startTs, s.nrPoints, graft.sources.SegmentProto.encodeTimeSeriesMessage(s)))
+      .toDF("channel", "start_ts", "nr_points", "wire")
+  }
+
+  /** Fixed request window (first ~15 days of the event month) — the
+    * [range] stage; pushed into the parquet scan as a t predicate.
+    */
+  val HotpathRangeStartUs: Long = 1704067200000000L
+  val HotpathRangeEndUs: Long = 1705363200000000L
+
+  /** 4 grid steps per pixel → shouldResample(1e6/BucketUs, pixel) is
+    * true (ratio 4 > 3): the fixed request serves the downsampled
+    * branch, like the reference's default zoomed-out view.
+    */
+  val HotpathPixelUs: Long = 4L * Timeseries.BucketUs
+
+  /** The composed chain as a driver query: wire frames summarized to
+    * (channel, start_ts, nr_points, wire length, wire md5) — rows-only
+    * (the IIR stage is not ANSI-SQL-expressible; byte-exactness is
+    * carried by the end-to-end golden spec against the sequential
+    * kernels).
+    */
+  def tsHotpath(spark: SparkSession, dir: String): DataFrame =
+    hotPathWire(
+      spark,
+      Tables
+        .ts(spark, dir)
+        .filter(col("t") >= HotpathRangeStartUs && col("t") < HotpathRangeEndUs),
+      Timeseries.MontagePairs,
+      Timeseries.BucketUs,
+      HotpathPixelUs
+    ).select(
+      col("channel"),
+      col("start_ts"),
+      col("nr_points"),
+      length(col("wire")).as("wire_bytes"),
+      md5(col("wire")).as("wire_md5")
+    ).orderBy(col("channel"), col("start_ts"))
 }

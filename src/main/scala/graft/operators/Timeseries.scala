@@ -1968,6 +1968,158 @@ object Timeseries {
     montage(spark, Tables.ts(spark, dir), MontagePairs, BucketUs)
       .orderBy(col("channel"), col("bucket"))
 
+  /** Montage-name front door: a user's request arrives as VIRTUAL
+    * channel NAMES ("Fp1<->F7" / plain "Cz"), not pair tables — this is
+    * the reference's buildMontage dispatch (server/Montage.scala:127-217)
+    * as one relational answer. Each name parses via
+    * [[Montages.montagePair]]: a `lead<->secondary` name dispatches to
+    * the montaged subtraction serve, a bare name to the raw-channel
+    * serve, and an unparseable name (two separators) is surfaced as an
+    * `invalid_name` ROW — as is a name referencing a channel absent
+    * from the catalog (`missing_channel`, the reference's
+    * PackageMissingChannels error) — instead of failing the request.
+    * Valid names carry their served stream summarized to request grain
+    * (bucket count, bucket range, DECIMAL-routed value sum).
+    *
+    * Scale shape: the request is a k-row literal; the data-grain work
+    * is exactly the montage/raw bucket aggregation (one
+    * (channel, bucket)-keyed partial agg), the catalog is a
+    * channel-cardinality distinct, and every join above the stream is
+    * against a broadcast request/summary relation.
+    */
+  def namedMontageServe(
+    spark: SparkSession,
+    ts: DataFrame,
+    names: Seq[String],
+    bucketUs: Long
+  ): DataFrame = {
+    import spark.implicits._
+    val parsed = names.map { n =>
+      Montages.montagePair(n) match {
+        case Left(_) => (n, null: String, null: String, false)
+        case Right((l, s)) => (n, l, s.orNull, true)
+      }
+    }
+    val req = parsed.toDF("req_name", "lead", "sec", "parse_ok")
+    val cat = ts.select(col("channel")).distinct()
+    val st = req
+      .join(broadcast(cat.select(col("channel").as("lead"), lit(true).as("__lok"))), Seq("lead"), "left")
+      .join(broadcast(cat.select(col("channel").as("sec"), lit(true).as("__sok"))), Seq("sec"), "left")
+      .select(
+        col("req_name"),
+        when(!col("parse_ok"), lit(null).cast("string"))
+          .when(col("sec").isNotNull, lit("montaged"))
+          .otherwise(lit("raw"))
+          .as("kind"),
+        nullif(
+          concat_ws(
+            ",",
+            when(col("parse_ok") && col("__lok").isNull, col("lead")),
+            when(col("parse_ok") && col("sec").isNotNull && col("__sok").isNull, col("sec"))
+          ),
+          lit("")
+        ).as("missing")
+      )
+    val montPairs = parsed.collect { case (_, l, s, true) if s != null => (l, s) }
+    val rawChans = parsed.collect { case (_, l, s, true) if s == null => l }
+    // a pair touching an absent channel simply serves no rows (the
+    // isin filter never matches), so its request row reports
+    // missing_channel with NULL stats — no data-dependent driver logic
+    val mont = montage(spark, ts, montPairs, bucketUs)
+    val raw = ts
+      .filter(col("channel").isin(rawChans: _*))
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg(detAvg(col("v")).as("av"))
+      .select(col("channel"), col("bucket"), round(col("av"), 6).as("v"))
+    val summ = mont
+      .unionByName(raw)
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        min(col("bucket")).as("bucket_lo"),
+        max(col("bucket")).as("bucket_hi"),
+        round(sum(col("v").cast(dec2710)).cast("double"), 6).as("v_sum")
+      )
+      .withColumnRenamed("channel", "req_name")
+    st.join(broadcast(summ), Seq("req_name"), "left")
+      .select(
+        col("req_name"),
+        when(col("kind").isNull, lit("invalid_name"))
+          .when(col("missing").isNotNull, lit("missing_channel"))
+          .otherwise(lit("ok"))
+          .as("status"),
+        col("kind"),
+        col("missing"),
+        col("n_buckets"),
+        col("bucket_lo"),
+        col("bucket_hi"),
+        col("v_sum")
+      )
+  }
+
+  /** Fixed name-request mirroring a real stream request: two valid
+    * montaged names, one valid raw name, one pair with an absent
+    * secondary, one unparseable name, one absent raw channel.
+    */
+  val NamedMontageRequest: Seq[String] =
+    Seq("a<->b<->c", "click<->ghost", "click<->view", "ghost", "signup<->click", "view")
+
+  def tsMontageNamed(spark: SparkSession, dir: String): DataFrame =
+    namedMontageServe(spark, Tables.ts(spark, dir), NamedMontageRequest, BucketUs)
+      .orderBy(col("req_name"))
+
+  /** Oracle: the same parse results inlined as a VALUES request (the
+    * parse of a literal name list is itself literal), the shared
+    * bucket-average relation serving both dispatch arms, identical
+    * status algebra.
+    */
+  val tsMontageNamedSql: String =
+    s"""WITH req(req_name, lead, sec, parse_ok) AS (VALUES
+       |  ('a<->b<->c', NULL, NULL, FALSE),
+       |  ('click<->ghost', 'click', 'ghost', TRUE),
+       |  ('click<->view', 'click', 'view', TRUE),
+       |  ('ghost', 'ghost', NULL, TRUE),
+       |  ('signup<->click', 'signup', 'click', TRUE),
+       |  ('view', 'view', NULL, TRUE)),
+       |cat AS (SELECT DISTINCT event_type AS channel FROM events),
+       |b AS (
+       |  SELECT event_type AS ch, CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket,
+       |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS av
+       |  FROM events GROUP BY 1, 2),
+       |mont AS (
+       |  SELECT r.req_name, l.bucket, ROUND(l.av - s.av, 6) AS v
+       |  FROM req r
+       |  JOIN b l ON l.ch = r.lead
+       |  JOIN b s ON s.ch = r.sec AND s.bucket = l.bucket
+       |  WHERE r.parse_ok AND r.sec IS NOT NULL),
+       |raw AS (
+       |  SELECT r.req_name, b.bucket, ROUND(b.av, 6) AS v
+       |  FROM req r JOIN b ON b.ch = r.lead
+       |  WHERE r.parse_ok AND r.sec IS NULL),
+       |served AS (SELECT * FROM mont UNION ALL SELECT * FROM raw),
+       |summ AS (
+       |  SELECT req_name, COUNT(*) AS n_buckets, MIN(bucket) AS bucket_lo,
+       |    MAX(bucket) AS bucket_hi,
+       |    ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE), 6) AS v_sum
+       |  FROM served GROUP BY 1),
+       |st AS (
+       |  SELECT r.req_name,
+       |    CASE WHEN NOT r.parse_ok THEN NULL
+       |         WHEN r.sec IS NOT NULL THEN 'montaged' ELSE 'raw' END AS kind,
+       |    NULLIF(CONCAT_WS(',',
+       |      CASE WHEN r.parse_ok AND cl.channel IS NULL THEN r.lead END,
+       |      CASE WHEN r.parse_ok AND r.sec IS NOT NULL AND cs.channel IS NULL THEN r.sec END), '') AS missing
+       |  FROM req r
+       |  LEFT JOIN cat cl ON cl.channel = r.lead
+       |  LEFT JOIN cat cs ON cs.channel = r.sec)
+       |SELECT st.req_name,
+       |  CASE WHEN st.kind IS NULL THEN 'invalid_name'
+       |       WHEN st.missing IS NOT NULL THEN 'missing_channel'
+       |       ELSE 'ok' END AS status,
+       |  st.kind, st.missing, summ.n_buckets, summ.bucket_lo, summ.bucket_hi, summ.v_sum
+       |FROM st LEFT JOIN summ ON summ.req_name = st.req_name
+       |ORDER BY st.req_name""".stripMargin
+
   val tsMontageSql: String =
     s"""WITH b AS (
        |  SELECT event_type AS ch, CAST(FLOOR(epoch_us(ts) / $BucketUs) AS BIGINT) AS bucket,
@@ -1986,14 +2138,28 @@ object Timeseries {
     * deterministic average), then montaged sample-aligned on the grid
     * timestamps via the exact-t join.
     */
-  def tsMontageAligned(spark: SparkSession, dir: String): DataFrame = {
-    val grid = Tables
-      .ts(spark, dir)
-      .groupBy(col("channel"), microsBucket(col("t"), BucketUs).as("bucket"))
-      .agg(detAvg(col("v")).as("v"))
-      .select(col("channel"), (col("bucket") * BucketUs).as("t"), col("v"))
-    montageAligned(spark, grid, MontagePairs)
+  def tsMontageAligned(spark: SparkSession, dir: String): DataFrame =
+    montageAlignedGrid(spark, Tables.ts(spark, dir), MontagePairs, BucketUs)
       .orderBy(col("channel"), col("t"), col("v"))
+
+  /** Grid resample + aligned montage as one reusable stage: each
+    * channel averages onto the common `bucketUs` grid (deterministic
+    * DECIMAL-routed average), then virtual channels form by the
+    * sample-aligned subtraction — the front half of the reference's
+    * montaged serving path, shared by the fixed aligned-montage query
+    * and the composed hot-path chain.
+    */
+  def montageAlignedGrid(
+    spark: SparkSession,
+    ts: DataFrame,
+    pairs: Seq[(String, String)],
+    bucketUs: Long
+  ): DataFrame = {
+    val grid = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg(detAvg(col("v")).as("v"))
+      .select(col("channel"), (col("bucket") * bucketUs).as("t"), col("v"))
+    montageAligned(spark, grid, pairs)
   }
 
   val tsMontageAlignedSql: String =

@@ -171,4 +171,71 @@ class FilteringSpec extends SparkSpec {
     got.length shouldBe expected.size
     got.foreach { case (ch, t, fv) => fv shouldBe expected((ch, t)) +- 1e-6 }
   }
+
+  "hotPathWire" should "emit byte-exact wire frames for the composed chain" in {
+    // golden end-to-end: range-restricted grid → montage → Butterworth
+    // → downsample → fillGaps → Segment → protobuf, with the expected
+    // bytes built from the SEQUENTIAL kernels (filterBlock is
+    // golden-checked against the reference FilterSpec; the proto
+    // encoder against golden bytes) and hand-applied bucket algebra
+    val bucketUs = 10L
+    val n = 32
+    val rows = (0 until n).flatMap(i => Seq(("L", i * 10L, i.toDouble), ("S", i * 10L, 0.25)))
+    val df = rows.zipWithIndex
+      .map { case ((c, t, v), i) => (c, t, v, 0L, i.toLong) }
+      .toDF("channel", "t", "v", "user_id", "event_id")
+
+    val out = Filtering
+      .hotPathWire(spark, df, Seq(("L", "S")), bucketUs, pixelUs = 40L)
+      .as[(String, Long, Int, Array[Byte])]
+      .collect()
+    out.length shouldBe 1
+    val (ch, startTs, nr, wire) = out.head
+    ch shouldBe "L<->S"
+    startTs shouldBe 0L
+    nr shouldBe 8
+
+    // expected: virtual channel = L − S on the grid, one contiguous
+    // block through the cascade, rounded 6 (HALF_UP like Spark round)
+    val diffs = (0 until n).map(i => i.toDouble - 0.25).toArray
+    val filt = Butterworth
+      .filterBlock(Filtering.FixedCascade, diffs, Filtering.FixedPad)
+      .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // pixel = 4 grid steps (shouldResample ratio 4 > 3) → min/max per 4
+    val buckets = filt.grouped(4).map(g => (g.min, g.max)).toVector
+    // fillGaps: stretch each bucket's band to meet a disjoint successor
+    val filled = buckets.zipWithIndex.map { case ((lo, hi), i) =>
+      val nxt = if (i + 1 < buckets.length) Some(buckets(i + 1)) else None
+      (
+        nxt.filter(nb => lo > nb._2).map(_._2).getOrElse(lo),
+        nxt.filter(nb => hi < nb._1).map(_._1).getOrElse(hi)
+      )
+    }
+    val expSeg = graft.streaming.RealtimeResample.Segment(
+      source = "L<->S",
+      startTs = 0L,
+      samplePeriod = 40.0,
+      requestedSamplePeriod = 40L,
+      isMinMax = true,
+      segmentType = "continuous",
+      nrPoints = 8,
+      data = filled.flatMap { case (lo, hi) => Seq(lo, hi) }
+    )
+    wire shouldBe graft.sources.SegmentProto.encodeTimeSeriesMessage(expSeg)
+  }
+
+  it should "fall back to the raw-grain serve when shouldResample rejects the pixel" in {
+    val rows = (0 until 32).flatMap(i => Seq(("L", i * 10L, i.toDouble), ("S", i * 10L, 0.25)))
+    val df = rows.zipWithIndex
+      .map { case ((c, t, v), i) => (c, t, v, 0L, i.toLong) }
+      .toDF("channel", "t", "v", "user_id", "event_id")
+    // 2 grid steps per pixel → ratio 2 < 3 → serve at the grid step:
+    // one sample per bucket, the min/max band degenerates to the stream
+    val out = Filtering
+      .hotPathWire(spark, df, Seq(("L", "S")), bucketUs = 10L, pixelUs = 20L)
+      .as[(String, Long, Int, Array[Byte])]
+      .collect()
+    out.length shouldBe 1
+    out.head._3 shouldBe 32
+  }
 }

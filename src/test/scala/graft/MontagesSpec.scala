@@ -93,4 +93,51 @@ class MontagesSpec extends SparkSpec {
     // buckets [0,5) avg=2, [5,10) avg=7; Cz avg=1
     out shouldBe List(("F3<->Cz", 1.0), ("F3<->Cz", 6.0), ("Fp1<->Cz", 1.0), ("Fp1<->Cz", 6.0))
   }
+
+  "namedMontageServe" should "dispatch per name and surface invalid/missing names as rows" in {
+    // the buildMontage front door (reference server/Montage.scala:127-217):
+    // names dispatch raw vs montaged; bad names become status rows, not errors
+    val rows = for {
+      ch <- Seq("Fp1", "Cz")
+      t <- 0L until 10L
+    } yield (ch, t, if (ch == "Cz") 1.0 else t.toDouble, 0L, t)
+    val ts = rows.toDF("channel", "t", "v", "user_id", "event_id")
+    val out = graft.operators.Timeseries
+      .namedMontageServe(
+        spark,
+        ts,
+        Seq("Fp1<->Cz", "Cz", "Fp1<->Nope", "x<->y<->z", "Ghost"),
+        bucketUs = 5L
+      )
+      .collect()
+      .map(r => r.getAs[String]("req_name") -> r)
+      .toMap
+
+    // valid montaged name: served, summarized over 2 buckets
+    val m = out("Fp1<->Cz")
+    m.getAs[String]("status") shouldBe "ok"
+    m.getAs[String]("kind") shouldBe "montaged"
+    m.getAs[Long]("n_buckets") shouldBe 2L
+    // bucket avgs: Fp1 = 2, 7; Cz = 1 → diffs 1.0 + 6.0
+    m.getAs[Double]("v_sum") shouldBe 7.0
+    // bare name: raw serve of the physical channel
+    val r = out("Cz")
+    r.getAs[String]("status") shouldBe "ok"
+    r.getAs[String]("kind") shouldBe "raw"
+    r.getAs[Long]("n_buckets") shouldBe 2L
+    r.getAs[Double]("v_sum") shouldBe 2.0
+    // pair with an absent secondary: missing_channel row, NULL stats
+    val miss = out("Fp1<->Nope")
+    miss.getAs[String]("status") shouldBe "missing_channel"
+    miss.getAs[String]("missing") shouldBe "Nope"
+    miss.isNullAt(miss.fieldIndex("n_buckets")) shouldBe true
+    // unparseable name (two separators): invalid_name row
+    val bad = out("x<->y<->z")
+    bad.getAs[String]("status") shouldBe "invalid_name"
+    bad.isNullAt(bad.fieldIndex("kind")) shouldBe true
+    // absent raw channel: missing_channel with the lead listed
+    val g = out("Ghost")
+    g.getAs[String]("status") shouldBe "missing_channel"
+    g.getAs[String]("missing") shouldBe "Ghost"
+  }
 }

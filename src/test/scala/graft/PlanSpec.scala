@@ -232,6 +232,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "ts_hotpath" should "push the range to the scan and keep the composed chain's shuffle budget bounded" in {
+    val df = graft.operators.Filtering.tsHotpath(spark, sfDir)
+    // [range] reaches the events scan as a data filter on the
+    // timestamp column — the chain never reads outside the request
+    planString(df) should include("1704067200000000")
+    // stage budget: grid agg + montage join are the only DATA-grain
+    // exchanges; the filter's two-phase block machinery, downsample,
+    // segment assembly and output sort all operate at grid/pixel
+    // grain. The composed chain must not silently grow extra
+    // corpus-scale stages as its pieces evolve.
+    countShuffles(df) should be <= 20
+  }
+
   "two-phase ts operators" should "never window the data stream by channel alone" in {
     // the 100 TB constraint: a Window partitioned by channel alone
     // concentrates each channel's history into one task. After the
