@@ -1818,8 +1818,12 @@ object Similarity {
     val a = v.select(col("bucket"), col("vec_id").as("__src"), col("v").as("__va"), col("n").as("__na"))
     val b = v.select(col("bucket"), col("vec_id").as("__dst"), col("v").as("__vb"), col("n").as("__nb"))
     val bySrc = Window.partitionBy(col("__src")).orderBy(col("__cos").desc, col("__dst"))
+    // both self-join sides and the in-degree relation are CORPUS
+    // cardinality — merge-hinted so toy-scale stats never plan them
+    // as broadcasts (the bucket key co-partitions the join; at the
+    // design point neither side fits a broadcast)
     val knn = a
-      .join(b, Seq("bucket"))
+      .join(b.hint("merge"), Seq("bucket"))
       .filter(col("__src") =!= col("__dst"))
       // round to 9 BEFORE ranking (the repo's ranking discipline): a
       // last-ULP accumulation-order difference between VecDot and the
@@ -1832,7 +1836,7 @@ object Similarity {
     val inDeg = knn.groupBy(col("__dst").as("vec_id")).agg(count(lit(1)).as("in_degree"))
     val d = coalesce(col("in_degree"), lit(0L))
     v.select(col("vec_id"))
-      .join(inDeg, Seq("vec_id"), "left")
+      .join(inDeg.hint("merge"), Seq("vec_id"), "left")
       .select(
         col("vec_id"),
         d.as("in_degree"),

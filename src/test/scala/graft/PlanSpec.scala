@@ -232,6 +232,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "bucketed embedding self-join plans" should "never broadcast a row-grain relation derived from the corpus scan" in {
+    // the embeddings-table twin of the dedup/graph sweep above, for
+    // the operators whose scale story is a bucket-keyed CORPUS
+    // self-join (both sides corpus cardinality). The ann_* queries are
+    // deliberately NOT swept: their broadcasts are the REQUEST side —
+    // a literally-bounded query set that happens to live in the same
+    // parquet file in testdata — which is exactly the shape their
+    // docstrings declare.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def rowGrainCorpus(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => false
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",").contains("embeddings")
+      case other => other.children.exists(rowGrainCorpus)
+    }
+    val guarded = Seq("embed_hubness", "dedup_embed_blocked", "dedup_semantic", "dedup_semantic_clusters", "embed_dups")
+    for (name <- guarded) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val offenders = root.collectWithSubqueries {
+        case b: BroadcastExchangeExec if rowGrainCorpus(b.child) => b
+      }
+      withClue(s"$name broadcasts a row-grain embeddings relation:\n${offenders.mkString("\n")}\n") {
+        offenders shouldBe empty
+      }
+    }
+  }
+
   "ts_hotpath" should "push the range to the scan and keep the composed chain's shuffle budget bounded" in {
     val df = graft.operators.Filtering.tsHotpath(spark, sfDir)
     // [range] reaches the events scan as a data filter on the
