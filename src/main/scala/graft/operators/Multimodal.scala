@@ -796,7 +796,9 @@ object Multimodal {
       col("h3").as("b_h3")
     )
     lhs
-      .join(rhs, Seq("band", "chunk"))
+      // the banded hash relation is corpus cardinality on BOTH sides —
+      // merge-hinted so the self-join is never planned as a broadcast
+      .join(rhs.hint("merge"), Seq("band", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(
         col("doc_a"),

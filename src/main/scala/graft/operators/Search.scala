@@ -165,8 +165,10 @@ object Search {
     kOut: Int,
     kRrf: Int = 60
   ): DataFrame = {
+    // both sides corpus cardinality — merge-hinted so neither row-grain
+    // relation is ever planned as a broadcast (toy-scale stats would)
     val corpus = docs
-      .join(embeds, docs("doc_id") === embeds("vec_id"))
+      .join(embeds.hint("merge"), docs("doc_id") === embeds("vec_id"))
       .select(col("doc_id"), col("text"), col("embedding"))
     // semantic list: cosine brute-force over the shared pool
     val sem = Similarity
@@ -290,9 +292,12 @@ object Search {
     val first = words
       .filter(col("word") === phrase.head)
       .select(col("doc_id"), col("pos"))
+    // a common word's posting list is corpus-OCCURRENCE scale — the
+    // adjacency joins are merge-hinted so no posting relation is ever
+    // planned as a broadcast
     val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
       acc.join(
-        words.filter(col("word") === w).select(col("doc_id"), (col("pos") - i).as("pos")),
+        words.filter(col("word") === w).select(col("doc_id"), (col("pos") - i).as("pos")).hint("merge"),
         Seq("doc_id", "pos")
       )
     }
@@ -714,7 +719,8 @@ object Search {
       .filter(col("word").isin(termA, termB))
     val pa = pos.filter(col("word") === termA).select(col("doc_id"), col("pos").as("__pa"))
     val pb = pos.filter(col("word") === termB).select(col("doc_id"), col("pos").as("__pb"))
-    pa.join(pb, Seq("doc_id"))
+    // term-posting relations are corpus-occurrence scale: merge-hinted
+    pa.join(pb.hint("merge"), Seq("doc_id"))
       .groupBy(col("doc_id"))
       .agg(min(struct(abs(col("__pa") - col("__pb")).as("span"), col("__pa"), col("__pb"))).as("__best"))
       .select(

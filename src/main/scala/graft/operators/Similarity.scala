@@ -980,7 +980,9 @@ object Similarity {
     val normSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
     val dw = docs
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-      .join(asg, docs("doc_id") === asg("vec_id"))
+      // document and assignment relations are both corpus cardinality —
+      // merge-hinted to keep the doc-grain join off the broadcast path
+      .join(asg.hint("merge"), docs("doc_id") === asg("vec_id"))
       .select(col("cluster"), explode(split(expr(normSql), " ")).as("word"))
       .filter(length(col("word")) > 0)
     val cw = dw.groupBy(col("cluster"), col("word")).agg(count(lit(1)).as("cnt"))

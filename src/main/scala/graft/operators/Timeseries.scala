@@ -3233,8 +3233,11 @@ object Timeseries {
           if (i == 0) evts.groupBy(col("user_id")).agg(min(col("t")).as("t0"))
           else {
             val prev = acc.last.select(col("user_id"), col(s"t${i - 1}"))
+            // the step-filtered event stream is still stream-scale at
+            // the design point and the prior stage is user-grain —
+            // merge-hinted so neither side is ever planned broadcast
             evts
-              .join(prev, "user_id")
+              .join(prev.hint("merge"), "user_id")
               .filter(col("t") > col(s"t${i - 1}"))
               .groupBy(col("user_id"))
               .agg(min(col("t")).as(s"t$i"), min(col(s"t${i - 1}")).as(s"__p$i"))
@@ -4071,8 +4074,11 @@ object Timeseries {
         ).as("__tbkt")
       )
     conv
+      // both sides are event-stream scale — merge-hinted (the
+      // (user, bucket) equi keys co-partition the range pairing; a
+      // broadcast of either stream would OOM at the design point)
       .join(
-        touch,
+        touch.hint("merge"),
         conv("user_id") === touch("__tu") && col("__bkt") === col("__tbkt") &&
           col("t_touch") < col("t_conv") && col("t_touch") >= col("t_conv") - lookbackUs,
         "left"

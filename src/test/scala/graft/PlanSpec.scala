@@ -265,6 +265,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "timeseries plans" should "never broadcast a row-grain relation derived from the event stream" in {
+    // the events-table instance of the same sweep: events IS the
+    // 100 TB stream, so any broadcast whose subtree reaches the events
+    // scan without an aggregation is a row-grain stream broadcast — the
+    // shape that OOMs at the design point. Channel/user/bucket-grain
+    // aggregates broadcast back over the stream are the legitimate
+    // two-phase pattern and pass. Swept over EVERY ts_ registry entry.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def rowGrainStream(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => false
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",").contains("events")
+      case other => other.children.exists(rowGrainStream)
+    }
+    val guarded = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith("ts_"))
+    guarded.size should be > 70
+    for (name <- guarded) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val offenders = root.collectWithSubqueries {
+        case b: BroadcastExchangeExec if rowGrainStream(b.child) => b
+      }
+      withClue(s"$name broadcasts a row-grain event-stream relation:\n${offenders.mkString("\n")}\n") {
+        offenders shouldBe empty
+      }
+    }
+  }
+
   "ts_hotpath" should "push the range to the scan and keep the composed chain's shuffle budget bounded" in {
     val df = graft.operators.Filtering.tsHotpath(spark, sfDir)
     // [range] reaches the events scan as a data filter on the
