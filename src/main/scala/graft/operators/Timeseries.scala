@@ -358,26 +358,29 @@ object Timeseries {
           9
         )
       )
-    val chmax = scored.groupBy(col("channel")).agg(max(col("__a")).as("__amax"))
-    val at = scored
-      .join(broadcast(chmax), Seq("channel"))
-      .filter(col("__a") === col("__amax"))
+    // ONE argmax pass: lexicographic struct-max picks the max score
+    // and, among ties, the max of −t = the EARLIEST t — identical to
+    // the max-filter-join formulation but the stream-scale scored
+    // relation (a stitched prefix-sum pipeline) executes once, not
+    // twice. Zero-variance channels have every __a NULL (sigma 0
+    // nullifs the divisor): the when() guard makes their struct-max
+    // NULL, so they still appear with NULL cusum/t_at instead of
+    // silently vanishing from the report.
+    val best = scored
       .groupBy(col("channel"))
-      .agg(min(col("t")).as("t_at"))
-    // LEFT join the argmax relation: a zero-variance channel has every
-    // __a NULL (sigma 0 nullifs the divisor), so it has no argmax row
-    // — it still appears in the report with NULL cusum/t_at instead of
-    // silently vanishing from the output
+      .agg(
+        max(when(col("__a").isNotNull, struct(col("__a").as("__aa"), (-col("t")).as("__nt"))))
+          .as("__best")
+      )
     stats
-      .join(chmax, Seq("channel"))
-      .join(at, Seq("channel"), "left")
+      .join(best, Seq("channel"))
       .select(
         col("channel"),
         col("n"),
         round(col("__mu"), 6).as("mean"),
         round(col("__sigma"), 6).as("sigma"),
-        round(col("__amax"), 6).as("cusum"),
-        col("t_at")
+        round(col("__best.__aa"), 6).as("cusum"),
+        (-col("__best.__nt")).as("t_at")
       )
   }
 
@@ -1755,23 +1758,36 @@ object Timeseries {
       Seq("event_id")
     )
     val win = Window.partitionBy(col("channel"), col("__tgt")).orderBy(col("__rn"))
-    val pre = win.rowsBetween(-w, -1)
-    val post = win.rowsBetween(1, w)
-    def m1(f: org.apache.spark.sql.expressions.WindowSpec) =
-      sum(col("v").cast(dec2710)).over(f).cast("double") / lit(w.toDouble)
-    def m2(f: org.apache.spark.sql.expressions.WindowSpec) =
-      sum((col("v") * col("v")).cast(dec2710)).over(f).cast("double") / lit(w.toDouble)
+    val winCum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winAll = Window.partitionBy(col("channel"), col("__tgt"))
+    // the pre/post frame sums come from CUMULATIVE decimal sums
+    // differenced with lag/lead instead of four sliding frames: Spark
+    // re-evaluates a sliding frame per row (O(n·w) decimal adds), while
+    // the cumulative frame is O(n) — and because the sums are exact
+    // DECIMAL the prefix difference equals the direct frame sum bit
+    // for bit (no float cancellation to worry about)
+    val zeroDec = lit(java.math.BigDecimal.ZERO).cast(dec2710)
+    val cs = sum(col("v").cast(dec2710)).over(winCum)
+    val cs2 = sum((col("v") * col("v")).cast(dec2710)).over(winCum)
+    def m(s: Column) = s.cast("double") / lit(w.toDouble)
     padded
-      .withColumn("__npre", count(lit(1)).over(pre))
-      .withColumn("__npost", count(lit(1)).over(post))
-      .withColumn("__mpre", m1(pre))
-      .withColumn("__mpost", m1(post))
-      .withColumn("__vpre", m2(pre) - m1(pre) * m1(pre))
-      .withColumn("__vpost", m2(post) - m1(post) * m1(post))
+      .withColumn("__i", row_number().over(win))
+      .withColumn("__nrows", count(lit(1)).over(winAll))
+      .withColumn("__cs", cs)
+      .withColumn("__cs2", cs2)
+      .withColumn("__spre", coalesce(lag(col("__cs"), 1).over(win), zeroDec) - coalesce(lag(col("__cs"), w + 1).over(win), zeroDec))
+      .withColumn("__spost", lead(col("__cs"), w).over(win) - col("__cs"))
+      .withColumn("__s2pre", coalesce(lag(col("__cs2"), 1).over(win), zeroDec) - coalesce(lag(col("__cs2"), w + 1).over(win), zeroDec))
+      .withColumn("__s2post", lead(col("__cs2"), w).over(win) - col("__cs2"))
+      .withColumn("__mpre", m(col("__spre")))
+      .withColumn("__mpost", m(col("__spost")))
+      .withColumn("__vpre", m(col("__s2pre")) - m(col("__spre")) * m(col("__spre")))
+      .withColumn("__vpost", m(col("__s2post")) - m(col("__spost")) * m(col("__spost")))
       // core rows only — AFTER every frame evaluated over the halo —
       // then the same full-window gate as the global formulation
+      // (__i > w ⟺ the pre frame is full; __i ≤ n−w ⟺ the post frame is)
       .filter(col("__tgt") === col("__blk"))
-      .filter(col("__npre") === w && col("__npost") === w)
+      .filter(col("__i") > w && col("__i") <= col("__nrows") - w)
       .withColumn(
         "__sigma",
         round(sqrt(greatest((col("__vpre") + col("__vpost")) / lit(2.0), lit(0.0))), 9)
