@@ -269,12 +269,15 @@ object Dedup {
     // left join for zero-intersection pairs) and is tiny — persist it
     val pairs = pairsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the element stream is candidate-doc EXPLOSION grain (one row per
-    // shingle of every doc a candidate pair touches) — merge-hinted so
-    // the planner never builds a broadcast out of it; at a crawl-scale
-    // corpus the candidate subset alone overflows any broadcast
+    // shingle of every doc a candidate pair touches) — never
+    // broadcastable at a crawl-scale corpus. Shuffle-hash hints keep
+    // the joins broadcast-free without SMJ's sort of the exploded
+    // stream: join 1 builds on the PAIR relation (candidate-capped),
+    // join 2 on the per-partition slice of the element stream
     val inter = pairs
-      .join(elems.select(col("doc_id").as("doc_a"), col(elemCol).as("__e")).hint("merge"), "doc_a")
-      .join(elems.select(col("doc_id").as("doc_b"), col(elemCol).as("__e")).hint("merge"), Seq("doc_b", "__e"))
+      .hint("shuffle_hash")
+      .join(elems.select(col("doc_id").as("doc_a"), col(elemCol).as("__e")), "doc_a")
+      .join(elems.select(col("doc_id").as("doc_b"), col(elemCol).as("__e")).hint("shuffle_hash"), Seq("doc_b", "__e"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     pairs
@@ -1872,9 +1875,13 @@ object Dedup {
       .select(col("shingle"))
     val member = sh.join(admissible, "shingle")
     // the posting relation and the verify-side shingle stream are
-    // corpus-EXPLOSION grain — merge-hinted so the planner never
-    // builds a broadcast out of them (toy-scale stats would otherwise
-    // tempt it; at 100 TB that broadcast is an OOM, not a slowdown)
+    // corpus-EXPLOSION grain — never broadcastable (toy-scale stats
+    // would otherwise tempt the planner; at 100 TB that broadcast is
+    // an OOM, not a slowdown). The self-join stays merge-hinted (both
+    // sides unbounded — SMJ spills gracefully); the verify joins use
+    // shuffle-hash builds on the gated candidate relation / the
+    // per-partition slice of the shingle stream, avoiding SMJ's sort
+    // of the exploded streams
     val cand = member
       .as("x")
       .join(member.as("y").hint("merge"), Seq("shingle"))
@@ -1887,8 +1894,9 @@ object Dedup {
       .filter(col("n_shared") >= least(lit(minShared.toLong), col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")).hint("merge"), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")).hint("merge"), Seq("doc_b", "shingle"))
+      .hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")).hint("shuffle_hash"), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_inter"))
     inter

@@ -1016,40 +1016,37 @@ object Multimodal {
         sum((col("v") * element_at(table(math.sin, k), jIdx)).cast(dec)).cast("double").as(s"__s$k")
       )
     }
-    val stackArgs = ks.map(k => s"${k}L, __c$k, __s$k").mkString(", ")
-    import org.apache.spark.sql.expressions.Window
-    val bands = audioSamples(spark, withPayload, frameSamples)
+    // one row per frame with all band components as COLUMNS: the total
+    // and the dominant band are pure column arithmetic — no stack
+    // fan-out, no per-frame window shuffle+sort. The total is a DECIMAL
+    // column sum (exact, so column order ≡ the previous window sum over
+    // the stacked rows); the argmax is a lexicographic struct-greatest
+    // with −k as the tie-break (max p, then MIN k — identical to the
+    // old (p desc, k asc) rank).
+    def pCol(k: Int) =
+      round(
+        (col(s"__c$k") / n) * (col(s"__c$k") / n) + (col(s"__s$k") / n) * (col(s"__s$k") / n),
+        9
+      )
+    val tot = ks.map(k => col(s"__p$k").cast(dec)).reduce(_ + _).cast("double")
+    val best = greatest(ks.map(k => struct(col(s"__p$k").as("__p"), lit(-k.toLong).as("__nk"))): _*)
+    audioSamples(spark, withPayload, frameSamples)
       .select(col("doc_id"), col("frame_no"), col("j"), col("v").cast("double").as("v"))
       .groupBy(col("doc_id"), col("frame_no"))
       .agg(bandAggs.head, bandAggs.tail: _*)
+      .select(col("doc_id") +: col("frame_no") +: ks.map(k => pCol(k).as(s"__p$k")): _*)
+      .withColumn("__tot", tot)
+      .withColumn("__best", best)
+      .filter(col("__tot") > 0)
       .select(
         col("doc_id"),
         col("frame_no"),
-        expr(s"stack(${ks.size}, $stackArgs) AS (k, __c, __s)")
-      )
-      .select(
-        col("doc_id"),
-        col("frame_no"),
-        col("k"),
-        round(
-          (col("__c") / n) * (col("__c") / n) + (col("__s") / n) * (col("__s") / n),
-          9
-        ).as("__p")
-      )
-    val w = Window.partitionBy(col("doc_id"), col("frame_no"))
-    bands
-      .withColumn("__tot", sum(col("__p").cast(dec)).over(w).cast("double"))
-      .withColumn("__rn", row_number().over(w.orderBy(col("__p").desc, col("k"))))
-      .filter(col("__rn") === 1 && col("__tot") > 0)
-      .select(
-        col("doc_id"),
-        col("frame_no"),
-        col("k").as("dom_band"),
+        (-col("__best.__nk")).as("dom_band"),
         // share only, never the raw power: at ~1e6 magnitudes a second
         // rounding of the round-9 power lands on the 6-decimal
         // half-grid where the engines' double ROUND diverge (observed
         // 1/20k rows at sf0.1); the O(1) ratio is grid-safe
-        round(col("__p") / col("__tot"), 6).as("power_share")
+        round(col("__best.__p") / col("__tot"), 6).as("power_share")
       )
   }
 
