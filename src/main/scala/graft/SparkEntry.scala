@@ -32,6 +32,10 @@ object SparkEntry {
     // the partitioned layout end to end: write once per JVM, read with
     // rule-derived p_bucket partition pruning (DeriveBucketFilter)
     "ts_layout_range" -> (graft.sources.TsLayout.tsLayoutRange _),
+    // the LSH-bucket-partitioned embedding layout end to end: write
+    // once per JVM, read with p_bucket partition pruning over the
+    // multi-probe set — value-identical to ann_lsh (same oracle)
+    "ann_lsh_layout" -> (graft.sources.EmbLayout.annLshLayout _),
     "ts_spikes" -> (Timeseries.tsSpikes _),
     "ts_asof" -> (Timeseries.tsAsof _),
     "ts_stats" -> (Timeseries.tsStats _),
@@ -61,6 +65,8 @@ object SparkEntry {
     "text_chunk" -> (TextAnalysis.textChunk _),
     "dedup_cross_source" -> (Dedup.dedupCrossSource _),
     "ann_knn_label" -> (Similarity.annKnnLabel _),
+    "train_negatives" -> (Similarity.trainNegatives _),
+    "embed_lof" -> (Similarity.embedLof _),
     "mm_decode" -> (Multimodal.mmDecode _), // decode kernel is the sanctioned stub; features oracled
     "mm_frames" -> (Multimodal.mmFrames _), // frame-sample → decode chain
     // rows-only + FilteringSpec sequential-equivalence (montage → IIR chain)
@@ -119,6 +125,8 @@ object SparkEntry {
     // substring-level dup signal: per-doc fraction of word 5-grams
     // shared with any other document
     "dedup_spans" -> (Dedup.dedupSpans _),
+    "dedup_passage" -> (Dedup.dedupPassage _),
+    "corpus_overlap" -> (Dedup.corpusOverlap _),
     // corpus-LM nats/token quality proxy (KenLM-style document prior)
     "text_perplexity" -> (TextAnalysis.textPerplexity _),
     // concat-and-chunk sequence packing via two-phase prefix sum
@@ -321,6 +329,8 @@ object SparkEntry {
     "ts_ewma" -> (Timeseries.tsEwma _),
     // directional lead-lag F-test per ordered channel pair
     "ts_granger" -> (Timeseries.tsGranger _),
+    "ts_higuchi" -> (Timeseries.tsHiguchi _),
+    "ts_dfa" -> (Timeseries.tsDfa _),
     // label-centroid cosine matrix (semantic source distance)
     "embed_label_sim" -> (Similarity.embedLabelSim _),
     // neighbor-set Jaccard link prediction over the near-dup graph
@@ -362,7 +372,8 @@ object SparkEntry {
     // Gini of per-user activity (whale concentration, all-integer)
     "ts_gini" -> (Timeseries.tsGini _),
     // within-doc hapax rates (diversity tail next to repetition's head)
-    "corpus_hapax" -> (TextAnalysis.corpusHapax _)
+    "corpus_hapax" -> (TextAnalysis.corpusHapax _),
+    "text_readability" -> (TextAnalysis.textReadability _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -403,6 +414,7 @@ object SparkEntry {
     "dedup_embed_blocked" -> Dedup.dedupEmbedBlockedSql,
     "ann_bruteforce" -> Similarity.annBruteforceSql,
     "ann_lsh" -> Similarity.annLshSql,
+    "ann_lsh_layout" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,
@@ -414,6 +426,8 @@ object SparkEntry {
     "text_chunk" -> TextAnalysis.textChunkSql,
     "dedup_cross_source" -> Dedup.dedupCrossSourceSql,
     "ann_knn_label" -> Similarity.annKnnLabelSql,
+    "train_negatives" -> Similarity.trainNegativesSql,
+    "embed_lof" -> Similarity.embedLofSql,
     "mm_decode" -> Multimodal.mmDecodeSql,
     "mm_frames" -> Multimodal.mmFramesSql,
     "ts_histogram" -> Timeseries.tsHistogramSql,
@@ -454,6 +468,8 @@ object SparkEntry {
     "train_dedup_weights" -> Dedup.trainDedupWeightsSql,
     "ann_pq" -> Similarity.annPqSql,
     "dedup_spans" -> Dedup.dedupSpansSql,
+    "dedup_passage" -> Dedup.dedupPassageSql,
+    "corpus_overlap" -> Dedup.corpusOverlapSql,
     "text_perplexity" -> TextAnalysis.textPerplexitySql,
     "pack_sequences" -> Packing.packSequencesSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
@@ -563,6 +579,8 @@ object SparkEntry {
     "ts_anomaly" -> Timeseries.tsAnomalySql,
     "ts_ewma" -> Timeseries.tsEwmaSql,
     "ts_granger" -> Timeseries.tsGrangerSql,
+    "ts_higuchi" -> Timeseries.tsHiguchiSql,
+    "ts_dfa" -> Timeseries.tsDfaSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,
     "search_boolean" -> Search.searchBooleanSql,
@@ -583,6 +601,7 @@ object SparkEntry {
     "search_rank_eval" -> Search.searchRankEvalSql,
     "ts_montage_bandpower" -> Timeseries.tsMontageBandpowerSql,
     "ts_gini" -> Timeseries.tsGiniSql,
-    "corpus_hapax" -> TextAnalysis.corpusHapaxSql
+    "corpus_hapax" -> TextAnalysis.corpusHapaxSql,
+    "text_readability" -> TextAnalysis.textReadabilitySql
   )
 }

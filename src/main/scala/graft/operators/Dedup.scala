@@ -508,6 +508,98 @@ object Dedup {
        |GROUP BY s.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Passage-grain exact dedup (the "passage/tile" pass production
+    * pipelines run BETWEEN document-level and span-level dedup — e.g.
+    * Lee et al. 2022 §3's ExactSubstr operates on substrings; the tile
+    * variant here cuts each document into fixed non-overlapping w-word
+    * tiles and removes every tile whose exact content already occurred
+    * earlier in the corpus, keeping the first occurrence by
+    * (doc_id, tile_idx)): per document, how many tiles it has, how many
+    * are duplicated anywhere, how many the keep-first pass would REMOVE,
+    * and the surviving fraction — the removal budget a passage-dedup
+    * run reports before rewriting the corpus.
+    *
+    * Scale shape: tiles hash map-side to the 60-bit md5 prefix — the
+    * ONLY shuffle key is that 8-byte hash carrying (doc_id, tile_idx);
+    * tile text never crosses an exchange. The keeper per hash is one
+    * key-grain agg (lexicographic min struct — deterministic in both
+    * engines); the join back is on the same key (co-keyed exchange);
+    * the per-doc rollup is algebraic. Nothing is collected; no bucket
+    * materializes as a list.
+    */
+  def passageDedup(docs: DataFrame, w: Int = 20): DataFrame = {
+    val tiles = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(WordsSql).as("__ws"))
+      .withColumn("__nt", ceil(size(col("__ws")).cast("double") / w).cast("long"))
+      .withColumn("tile_idx", explode(sequence(lit(0L), col("__nt") - 1L)))
+      .withColumn(
+        "__tile",
+        array_join(slice(col("__ws"), (col("tile_idx") * w + 1).cast("int"), lit(w)), " ")
+      )
+      .select(col("doc_id"), col("tile_idx"), expr(md5Prefix60Sql("__tile")).as("__h"))
+    val keepers = tiles
+      .groupBy(col("__h"))
+      .agg(
+        count(lit(1)).as("__n"),
+        min(struct(col("doc_id"), col("tile_idx"))).as("__keep")
+      )
+    // both join sides are TILE grain (corpus-cardinality rows × the
+    // key-grain keeper relation) — merge-hinted so toy-scale stats
+    // never plan either as a broadcast; the identical __h key
+    // co-partitions the exchange pair
+    tiles
+      .join(keepers.hint("merge"), "__h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tiles"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_tiles"),
+        sum(
+          when(
+            col("__keep.doc_id") === col("doc_id") &&
+              col("__keep.tile_idx") === col("tile_idx"),
+            0L
+          ).otherwise(1L)
+        ).as("n_removed")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tiles"),
+        col("n_dup_tiles"),
+        col("n_removed"),
+        round(lit(1.0) - col("n_removed").cast("double") / col("n_tiles"), 6).as("keep_frac")
+      )
+  }
+
+  def dedupPassage(spark: SparkSession, dir: String): DataFrame =
+    passageDedup(withPlantedNearDups(Tables.documents(spark, dir))).orderBy(col("doc_id"))
+
+  /** Passage oracle: identical tiling (DuckDB's clamping list slice ≡
+    * Spark's clamping `slice`), the shared 60-bit md5-prefix key, and a
+    * lexicographic MIN over the (doc_id, tile_idx) ROW — DuckDB orders
+    * structs lexicographically, matching Spark's struct ordering.
+    */
+  lazy val dedupPassageSql: String =
+    s"""WITH $PlantedCorpusSql,
+       |ws AS (
+       |  SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |  FROM corpus WHERE text IS NOT NULL),
+       |tiles AS (
+       |  SELECT doc_id, i AS tile_idx,
+       |    ${md5Prefix60Duck("array_to_string(w[(CAST(i AS BIGINT)*20+1):(CAST(i AS BIGINT)*20+20)], ' ')")} AS h
+       |  FROM ws, UNNEST(range(0, CAST(CEIL(len(w) / 20.0) AS BIGINT))) AS t(i)),
+       |keepers AS (
+       |  SELECT h, COUNT(*) AS n, MIN(ROW(doc_id, tile_idx)) AS keep
+       |  FROM tiles GROUP BY h)
+       |SELECT t.doc_id, COUNT(*) AS n_tiles,
+       |  CAST(SUM(CASE WHEN k.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tiles,
+       |  CAST(SUM(CASE WHEN k.keep = ROW(t.doc_id, t.tile_idx) THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       |  ROUND(1.0 - CAST(SUM(CASE WHEN k.keep = ROW(t.doc_id, t.tile_idx) THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS keep_frac
+       |FROM tiles t JOIN keepers k USING (h)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Boilerplate gram report: the actual REPEATED WORD SPANS across the
     * corpus (license headers, templates, navigation chrome), ranked by
     * how many documents carry them — the strings a cleaning pass would
@@ -541,6 +633,77 @@ object Dedup {
 
   def corpusBoilerplate(spark: SparkSession, dir: String): DataFrame =
     boilerplateReport(Tables.documents(spark, dir)).orderBy(col("rank"))
+
+  /** Cross-source shingle overlap: for every source pair, the Jaccard
+    * and containment of their distinct word-5-gram vocabularies — the
+    * "how much of source B is already in source A" report that decides
+    * whether ingesting a new crawl slice adds anything (the
+    * source-grain complement of [[crossSourceDups]]' doc-grain
+    * contamination check: wholesale near-copy mirrors show up here
+    * even when no single document matches exactly).
+    *
+    * Scale shape: the corpus reduces map-side to distinct (source,
+    * gram) — one gram+source-keyed partial dedup; the pair counts are
+    * a gram-keyed co-join whose per-gram fan is bounded by S² (S =
+    * number of sources, a catalog constant); per-source vocabulary
+    * sizes are S-row aggregates (legitimate broadcasts). Pair grain
+    * everywhere after the join — nothing at corpus row grain moves.
+    */
+  def sourceOverlap(docs: DataFrame, w: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col("source"), explode(shingles(w)).as("gram"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col("source").as("src_a"), col("gram"))
+    val b = sh.select(col("source").as("src_b"), col("gram"))
+    a.join(b, Seq("gram"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("src_a"), col("__n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("__n").as("n_b")), "src_b")
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 6)
+          .as("jaccard"),
+        round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("containment")
+      )
+  }
+
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir)).orderBy(col("src_a"), col("src_b"))
+
+  /** Overlap oracle: the dedup_spans shingle CTEs at source grain. */
+  val corpusOverlapSql: String =
+    """WITH normed AS (
+      |  SELECT source, LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS nm
+      |  FROM documents WHERE text IS NOT NULL),
+      |words AS (SELECT source, string_split(nm, ' ') AS ws FROM normed),
+      |shpos AS (
+      |  SELECT source, ws, UNNEST(range(1, GREATEST(len(ws) - 4, 1) + 1)) AS i FROM words),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |    CASE WHEN len(ws) >= 5 THEN array_to_string(ws[i:i+4], ' ')
+      |         ELSE array_to_string(ws, ' ') END AS gram
+      |  FROM shpos),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON b.gram = a.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.src_a, i.src_b,
+      |  sa.n AS n_a, sb.n AS n_b, i.n_common,
+      |  ROUND(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard,
+      |  ROUND(CAST(i.n_common AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+      |FROM inter i
+      |JOIN sizes sa ON sa.source = i.src_a
+      |JOIN sizes sb ON sb.source = i.src_b
+      |ORDER BY i.src_a, i.src_b""".stripMargin
 
   /** Per-source duplication impact: how many documents and tokens each
     * source LOSES to exact dedup (survivor = min doc_id per content

@@ -259,6 +259,48 @@ object Similarity {
       .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
   }
 
+  /** Hard-negative mining — the contrastive-training data step (DPR,
+    * Karpukhin et al. 2020; ANCE, Xiong et al. 2021): for each query
+    * vector, the k most-similar corpus vectors carrying a DIFFERENT
+    * label. Those near-miss impostors are the negatives that actually
+    * move a dual encoder; random negatives are trivially separable.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — queries broadcast,
+    * corpus scanned once, the label-mismatch predicate applied BEFORE
+    * the distance kernel (joins on label inequality, so excluded rows
+    * never pay the dot product), per-query top-k cut by a
+    * WindowGroupLimit rank before the final shuffle. The bucketed ANN
+    * indexes (LSH/IVF) apply unchanged as the sub-scan path at 100 TB —
+    * mine candidates from buckets, filter labels, rerank exactly.
+    * Portability: the cosine is rounded to 9 BEFORE ranking (the
+    * hubness discipline) so a last-ULP libm divergence cannot flip a
+    * near-tie rank between engines; ties break on neighbor id.
+    */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = emb
+      .select(col("vec_id").as("negative_id"), col("embedding").as("vc"), col("label").as("negative_label"))
+      .withColumn("nc", VectorMath.norm(col("vc")))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("vq"), col("label").as("query_label"))
+      .withColumn("nq", VectorMath.norm(col("vq")))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("negative_id"))
+    c.join(
+        broadcast(q),
+        col("query_id") =!= col("negative_id") && col("negative_label") =!= col("query_label")
+      )
+      .withColumn("__cos", round(VectorMath.cosine(col("vq"), col("vc"), col("nq"), col("nc")), 9))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("query_label"),
+        col("rank").cast("long").as("rank"),
+        col("negative_id"),
+        col("negative_label"),
+        round(col("__cos"), 6).as("cosine")
+      )
+  }
+
   /** Lloyd k-means over the embedding corpus — the clustering primitive
     * under corpus cartography, IVF index builds, and SemDeDup-style
     * semantic dedup. A FIXED number of iterations from a deterministic
@@ -1675,6 +1717,35 @@ object Similarity {
        |FROM picked WHERE r = 1
        |ORDER BY query_id""".stripMargin
 
+  def trainNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    hardNegatives(emb, emb.filter(col("vec_id") < QueryCount), TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hard-negative oracle: the bruteforce ranked CTEs restricted to
+    * label-mismatched candidates, ranking on the same round-9 cosine.
+    */
+  val trainNegativesSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS query_label,
+       |         c.vec_id AS negative_id, c.label AS negative_label,
+       |         ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 9) AS cos9
+       |  FROM n q JOIN n c
+       |    ON q.vec_id < $QueryCount AND q.vec_id <> c.vec_id AND c.label <> q.label),
+       |ranked AS (
+       |  SELECT query_id, query_label, negative_id, negative_label, cos9,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos9 DESC, negative_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, query_label, rank, negative_id, negative_label,
+       |  ROUND(cos9, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------------
   // ANN quality evaluation (recall@k vs the exact baseline)
   // ---------------------------------------------------------------------
@@ -1813,28 +1884,34 @@ object Similarity {
     * top-k is a bucket-bounded rank; in-degree is one partial agg.
     * The corpus never crosses an exchange at pair grain.
     */
-  def hubnessScreen(emb: DataFrame, k: Int = 5, planes: Int = 4, dim: Int = 64): DataFrame = {
+  /** Bucket-restricted kNN graph (src, dst, round-9 cosine) — the
+    * shared candidate kernel under [[hubnessScreen]] and [[lofScreen]].
+    * Both self-join sides are CORPUS cardinality — merge-hinted so
+    * toy-scale stats never plan them as broadcasts (the bucket key
+    * co-partitions the join; at the design point neither side fits a
+    * broadcast). The cosine is rounded to 9 BEFORE ranking (the repo's
+    * ranking discipline): a last-ULP accumulation-order difference
+    * between VecDot and the oracle's list_dot_product could otherwise
+    * flip a near-tie rank, moving the k-cut and every downstream flag.
+    */
+  private def bucketedKnn(emb: DataFrame, k: Int, planes: Int, dim: Int): DataFrame = {
     val hp = hyperplanes(planes, dim)
     val v = prepped(emb, "vec_id", "v", "n")
       .withColumn("bucket", hyperplaneBucket(col("v"), hp))
     val a = v.select(col("bucket"), col("vec_id").as("__src"), col("v").as("__va"), col("n").as("__na"))
     val b = v.select(col("bucket"), col("vec_id").as("__dst"), col("v").as("__vb"), col("n").as("__nb"))
     val bySrc = Window.partitionBy(col("__src")).orderBy(col("__cos").desc, col("__dst"))
-    // both self-join sides and the in-degree relation are CORPUS
-    // cardinality — merge-hinted so toy-scale stats never plan them
-    // as broadcasts (the bucket key co-partitions the join; at the
-    // design point neither side fits a broadcast)
-    val knn = a
-      .join(b.hint("merge"), Seq("bucket"))
+    a.join(b.hint("merge"), Seq("bucket"))
       .filter(col("__src") =!= col("__dst"))
-      // round to 9 BEFORE ranking (the repo's ranking discipline): a
-      // last-ULP accumulation-order difference between VecDot and the
-      // oracle's list_dot_product could otherwise flip a near-tie
-      // rank, moving the k-cut and the downstream hub/orphan flags
       .withColumn("__cos", round(VectorMath.cosine(col("__va"), col("__vb"), col("__na"), col("__nb")), 9))
       .withColumn("__rk", row_number().over(bySrc))
       .filter(col("__rk") <= k)
-      .select(col("__src"), col("__dst"))
+      .select(col("__src"), col("__dst"), col("__cos"))
+  }
+
+  def hubnessScreen(emb: DataFrame, k: Int = 5, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val v = prepped(emb, "vec_id", "v", "n")
+    val knn = bucketedKnn(emb, k, planes, dim).select(col("__src"), col("__dst"))
     val inDeg = knn.groupBy(col("__dst").as("vec_id")).agg(count(lit(1)).as("in_degree"))
     val d = coalesce(col("in_degree"), lit(0L))
     v.select(col("vec_id"))
@@ -1881,6 +1958,135 @@ object Similarity {
        |  COALESCE(deg.in_degree, 0) >= ${2 * k} AS hub,
        |  COALESCE(deg.in_degree, 0) = 0 AS orphan
        |FROM n LEFT JOIN deg ON deg.vec_id = n.vec_id
+       |ORDER BY n.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Local outlier factor (density-ratio outliers over the bucketed kNN)
+  // ---------------------------------------------------------------------
+
+  /** Local outlier factor (Breunig et al., SIGMOD 2000) over the same
+    * bucket-restricted kNN graph as [[hubnessScreen]] — the DENSITY-
+    * RATIO outlier screen that catches what [[embedOutliers]]'
+    * global-distance z-score cannot: a point at the edge of a sparse
+    * region scores normal there but outlier-high when its neighbors
+    * are mutually far denser than it is. LOF(a) = mean(lrd(b)) /
+    * lrd(a) over a's neighbors; ≈1 inlier, >1.5 flagged.
+    *
+    * Scale shape: candidates come from the shared bucket-keyed
+    * self-join (Σ bucket²-bounded, merge-hinted); EVERYTHING after is
+    * kNN-graph grain (n·k rows) — k-distance one src-keyed agg,
+    * reachability one dst-keyed equi-join, lrd one src-keyed agg, the
+    * final ratio two more id-keyed joins. The corpus never moves at
+    * pair grain and nothing is collected.
+    *
+    * Portability: distances are 1 − round-9 cosines (identical IEEE
+    * subtraction); reach/lrd sums route through DECIMAL; lrd and the
+    * final ratio derive in one pinned double order before the round-6.
+    * Degenerate zero-distance neighborhoods (exact duplicates) yield
+    * NULL lrd via NULLIF in both engines and propagate to NULL lof.
+    */
+  def lofScreen(emb: DataFrame, k: Int = 5, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val knn = bucketedKnn(emb, k, planes, dim)
+      .select(col("__src"), col("__dst"), (lit(1.0) - col("__cos")).as("__d"))
+    val kdist = knn.groupBy(col("__src").as("__kv")).agg(max(col("__d")).as("__kd"))
+    val reach = knn
+      .join(kdist.hint("merge"), col("__dst") === col("__kv"))
+      .select(col("__src"), col("__dst"), greatest(col("__d"), col("__kd")).as("__r"))
+    val lrd = reach
+      .groupBy(col("__src"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__r").cast(dec3810)).cast("double").as("__sr")
+      )
+      .select(
+        col("__src").as("__lv"),
+        (col("__n").cast("double") / nullif(col("__sr"), lit(0.0))).as("__lrd")
+      )
+    val lofNum = reach
+      .join(
+        lrd.select(col("__lv").as("__bv"), col("__lrd").as("__lrdb")).hint("merge"),
+        col("__dst") === col("__bv")
+      )
+      .groupBy(col("__src"))
+      .agg(
+        count(lit(1)).as("n_nn"),
+        sum(col("__lrdb").cast(dec3810)).cast("double").as("__sl")
+      )
+    val lofExpr = col("__sl") / col("n_nn").cast("double") / col("__lrd")
+    val scored = lofNum
+      .join(lrd.hint("merge"), col("__src") === col("__lv"))
+      .select(
+        col("__src").as("vec_id"),
+        col("n_nn"),
+        round(lofExpr, 6).as("lof"),
+        coalesce(lofExpr > 1.5, lit(false)).as("outlier")
+      )
+    emb
+      .select(col("vec_id"))
+      .join(scored.hint("merge"), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("n_nn"), lit(0L)).as("n_nn"),
+        col("lof"),
+        coalesce(col("outlier"), lit(false)).as("outlier")
+      )
+  }
+
+  def embedLof(spark: SparkSession, dir: String): DataFrame =
+    lofScreen(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
+  val embedLofSql: String = {
+    val k = 5
+    val planes = 4
+    val hp = hyperplanes(planes, 64)
+    def bucketExpr(v: String): String =
+      hp.zipWithIndex
+        .map { case (p, i) =>
+          val lit = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product($v, $lit) > 0.0 THEN ${1L << i} ELSE 0 END)"
+        }
+        .mkString("(", " + ", ")")
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n),
+       |scored AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS cos9
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |knn AS (
+       |  SELECT src, dst, 1.0 - cos9 AS d FROM (
+       |    SELECT src, dst, cos9,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos9 DESC, dst) AS rk
+       |    FROM scored) r
+       |  WHERE rk <= $k),
+       |kdist AS (SELECT src AS kv, MAX(d) AS kd FROM knn GROUP BY 1),
+       |reach AS (
+       |  SELECT knn.src, knn.dst, GREATEST(knn.d, kdist.kd) AS r
+       |  FROM knn JOIN kdist ON kdist.kv = knn.dst),
+       |lrd AS (
+       |  SELECT src AS lv,
+       |    CAST(COUNT(*) AS DOUBLE)
+       |      / NULLIF(CAST(SUM(CAST(r AS DECIMAL(38,10))) AS DOUBLE), 0.0) AS lrd
+       |  FROM reach GROUP BY 1),
+       |num AS (
+       |  SELECT reach.src, COUNT(*) AS n_nn,
+       |    CAST(SUM(CAST(b.lrd AS DECIMAL(38,10))) AS DOUBLE) AS sl
+       |  FROM reach JOIN lrd b ON b.lv = reach.dst
+       |  GROUP BY 1),
+       |fin AS (
+       |  SELECT num.src AS vec_id, num.n_nn,
+       |    ROUND(num.sl / CAST(num.n_nn AS DOUBLE) / a.lrd, 6) AS lof,
+       |    COALESCE(num.sl / CAST(num.n_nn AS DOUBLE) / a.lrd > 1.5, FALSE) AS outlier
+       |  FROM num JOIN lrd a ON a.lv = num.src)
+       |SELECT n.vec_id,
+       |  CAST(COALESCE(fin.n_nn, 0) AS BIGINT) AS n_nn,
+       |  fin.lof,
+       |  COALESCE(fin.outlier, FALSE) AS outlier
+       |FROM n LEFT JOIN fin ON fin.vec_id = n.vec_id
        |ORDER BY n.vec_id""".stripMargin
   }
 

@@ -1930,4 +1930,74 @@ object TextAnalysis {
        |FROM f
        |GROUP BY 1
        |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Readability (Flesch reading ease / Flesch–Kincaid grade)
+  // ---------------------------------------------------------------------
+
+  /** Per-document Flesch reading ease and Flesch–Kincaid grade — the
+    * classic curation signal for audience targeting and quality
+    * bucketing (Flesch 1948; Kincaid et al. 1975). Syllables are the
+    * standard cheap proxy: maximal vowel-group runs `[aeiouy]+` over the
+    * lowercased text (the same heuristic readability libraries use when
+    * no pronunciation dictionary is available); sentences are terminal
+    * punctuation runs `[.!?]+`, floored at 1 so headline-only fragments
+    * still score.
+    *
+    * Scale shape: three codegen'd regexp counters per row, zero shuffle
+    * — pipelines into the scan like every per-doc signal here.
+    * Portability: counts are integers in both engines; the two ratios
+    * and the affine formulas derive in one pinned double expression
+    * order before the round-6.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = col("n_words").cast("double")
+    val wps = w / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / w
+    docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        size(expr(WordsSql)).cast("long").as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+          .as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("n_syllables")
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_sentences"),
+        col("n_syllables"),
+        round(wps, 6).as("words_per_sentence"),
+        round(spw, 6).as("syllables_per_word"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6).as("flesch"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6).as("fk_grade")
+      )
+  }
+
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Readability oracle: identical counters (RE2 and Java regex agree on
+    * these character-class patterns) and the same pinned formula order.
+    */
+  val textReadabilitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ')) AS n_words,
+      |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+      |    len(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS n_syllables
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_sentences AS BIGINT) AS n_sentences,
+      |  CAST(n_syllables AS BIGINT) AS n_syllables,
+      |  ROUND(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6) AS words_per_sentence,
+      |  ROUND(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS syllables_per_word,
+      |  ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch,
+      |  ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 6) AS fk_grade
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
 }

@@ -6157,4 +6157,305 @@ object Timeseries {
       |  ROUND(m.mean - CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE), 6) AS dev
       |FROM m JOIN a ON a.channel = m.channel AND a.bucket = m.bucket
       |ORDER BY m.channel, m.bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Higuchi fractal dimension (signal complexity over the bucket grid)
+  // -------------------------------------------------------------------
+
+  /** Higuchi fractal dimension per channel (Higuchi 1988) — the
+    * signal-complexity index EEG pipelines report next to [[hjorth]]
+    * and [[permutationEntropy]]: for lags k = 1..8 the mean normalized
+    * curve length L(k) of the bucket-mean series is computed over every
+    * phase offset, and the dimension is −slope of ln L(k) on ln k
+    * (≈1 for smooth trends, →2 for noise-like series).
+    *
+    * Scale shape: the event stream reduces to the hourly (channel,
+    * bucket) grid in ONE partial agg; the dense sample index is a
+    * row_number over the GRID (time-bounded summary — ~10⁴ rows per
+    * channel-year, the pacf/granger class, never the event stream);
+    * lag alignment is a (channel, idx)-keyed self equi-join with an
+    * 8-way literal lag fan; everything after is (channel, k, m)-grain
+    * partial aggs and a per-channel closed-form OLS. No event-grain
+    * window, nothing collected.
+    *
+    * Portability: bucket means and |Δ| sums route through DECIMAL
+    * (order-independent); L_m, L(k), ln and the 2×2 normal-equation
+    * slope derive in one pinned double expression order before the
+    * round-6.
+    */
+  def higuchiFd(ts: DataFrame, bucketUs: Long = BucketUs, kMax: Int = 8): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val g = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg(detAvg(col("v")).as("__m"))
+    val idxed = g
+      .withColumn(
+        "idx",
+        row_number()
+          .over(Window.partitionBy(col("channel")).orderBy(col("bucket")))
+          .cast("long")
+      )
+      .select(col("channel"), col("idx"), col("__m"))
+    val nPerCh = idxed.groupBy(col("channel")).agg(count(lit(1)).as("n"))
+    val a = idxed
+      .withColumn("k", explode(sequence(lit(1L), lit(kMax.toLong))))
+      .select(col("channel"), col("k"), col("idx"), col("__m").as("__ma"))
+    val b = idxed.select(col("channel"), col("idx").as("__ib"), col("__m").as("__mb"))
+    val offs = a
+      .join(b, a("channel") === b("channel") && col("__ib") === col("idx") + col("k"))
+      .drop(b("channel"))
+      .groupBy(col("channel"), col("k"), ((col("idx") - 1L) % col("k")).as("__off"))
+      .agg(
+        sum(abs(col("__mb") - col("__ma")).cast(dec3810)).cast("double").as("__sabs"),
+        count(lit(1)).as("__cnt")
+      )
+    val lk = offs
+      .join(nPerCh, "channel")
+      .withColumn(
+        "__lm",
+        col("__sabs") * (col("n") - 1L).cast("double") /
+          (col("__cnt").cast("double") * col("k").cast("double") * col("k").cast("double"))
+      )
+      .groupBy(col("channel"), col("k"))
+      .agg(
+        max(col("n")).as("n"),
+        (sum(col("__lm").cast(dec3810)).cast("double") / col("k").cast("double")).as("__l")
+      )
+      .filter(col("__l") > 0.0)
+      .select(
+        col("channel"),
+        col("n"),
+        log(col("k").cast("double")).as("__x"),
+        log(col("__l")).as("__y")
+      )
+    lk.groupBy(col("channel"))
+      .agg(
+        max(col("n")).as("n"),
+        count(lit(1)).as("n_k"),
+        sum(col("__x").cast(dec3810)).cast("double").as("__sx"),
+        sum(col("__y").cast(dec3810)).cast("double").as("__sy"),
+        sum((col("__x") * col("__x")).cast(dec3810)).cast("double").as("__sxx"),
+        sum((col("__x") * col("__y")).cast(dec3810)).cast("double").as("__sxy")
+      )
+      .filter(col("n_k") > 1)
+      .withColumn("__den", col("n_k") * col("__sxx") - col("__sx") * col("__sx"))
+      .filter(col("__den") =!= 0.0)
+      .select(
+        col("channel"),
+        col("n"),
+        col("n_k"),
+        round(-(col("n_k") * col("__sxy") - col("__sx") * col("__sy")) / col("__den"), 6)
+          .as("hfd")
+      )
+  }
+
+  def tsHiguchi(spark: SparkSession, dir: String): DataFrame =
+    higuchiFd(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  // -------------------------------------------------------------------
+  // Detrended fluctuation analysis (long-range correlation exponent)
+  // -------------------------------------------------------------------
+
+  /** DFA scaling exponent α per channel (Peng et al. 1994) — the
+    * long-range-correlation readout physiological pipelines report
+    * beside [[higuchiFd]]: integrate the mean-centered bucket series
+    * into a profile, split it into complete windows of s buckets for
+    * s ∈ {4,8,16,32,64}, linearly detrend each window in closed form,
+    * and fit F(s) ∝ s^α over the per-scale RMS residuals (α ≈ 0.5
+    * white noise, ≈ 1 pink/1⁄f, ≈ 1.5 Brownian).
+    *
+    * Scale shape: one partial agg to the hourly grid; the centered
+    * profile is a per-channel running DECIMAL sum over the GRID
+    * (summary scale — the higuchi/pacf class, never the event
+    * stream); the scale fan is a 5-way literal explode; per-(channel,
+    * scale, window) detrending is a closed-form OLS on DECIMAL moments
+    * (one partial agg, incomplete tail windows dropped by count); the
+    * final fit is a per-channel 5-point OLS. Nothing collected, no
+    * event-grain window.
+    *
+    * Portability: the profile, the within-window residual variance and
+    * both OLS fits route every sum through DECIMAL and derive in one
+    * pinned double expression order before the round-6.
+    */
+  def dfaAlpha(ts: DataFrame, bucketUs: Long = BucketUs, scales: Seq[Int] = Seq(4, 8, 16, 32, 64)): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val g = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg(detAvg(col("v")).as("__m"))
+    val byCh = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+    val prof = g
+      .withColumn("idx", row_number().over(byCh).cast("long"))
+      .withColumn("__mu", (sum(col("__m").cast(dec3810)).over(Window.partitionBy(col("channel"))).cast("double")
+        / count(lit(1)).over(Window.partitionBy(col("channel")))))
+      .withColumn(
+        "__y",
+        sum((col("__m") - col("__mu")).cast(dec3810))
+          .over(byCh.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double")
+      )
+      .select(col("channel"), col("idx"), col("__y"))
+    val fanned = prof
+      .withColumn("s", explode(typedlit(scales.map(_.toLong))))
+      .withColumn("__w", expr("(idx - 1) div s"))
+      .withColumn("__i", ((col("idx") - 1L) % col("s")).cast("double"))
+    val seg = fanned
+      .groupBy(col("channel"), col("s"), col("__w"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__i").cast(dec3810)).cast("double").as("__sx"),
+        sum(col("__y").cast(dec3810)).cast("double").as("__sy"),
+        sum((col("__i") * col("__i")).cast(dec3810)).cast("double").as("__sxx"),
+        sum((col("__i") * col("__y")).cast(dec3810)).cast("double").as("__sxy"),
+        sum((col("__y") * col("__y")).cast(dec3810)).cast("double").as("__syy")
+      )
+      .filter(col("__n") === col("s")) // complete windows only
+      .withColumn("__sxc", col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+      .withColumn("__beta", (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+      .withColumn(
+        "__rss",
+        greatest(
+          col("__syy") - col("__sy") * col("__sy") / col("__n") -
+            col("__beta") * col("__beta") * col("__sxc"),
+          lit(0.0)
+        )
+      )
+    val fs = seg
+      .groupBy(col("channel"), col("s"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum((col("__rss") / col("__n")).cast(dec3810)).cast("double").as("__msr")
+      )
+      .withColumn("__f", sqrt(col("__msr") / col("n_windows")))
+      .filter(col("__f") > 0.0)
+      .select(
+        col("channel"),
+        col("n_windows"),
+        log(col("s").cast("double")).as("__x"),
+        log(col("__f")).as("__y")
+      )
+    fs.groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_scales"),
+        sum(col("__x").cast(dec3810)).cast("double").as("__sx"),
+        sum(col("__y").cast(dec3810)).cast("double").as("__sy"),
+        sum((col("__x") * col("__x")).cast(dec3810)).cast("double").as("__sxx"),
+        sum((col("__x") * col("__y")).cast(dec3810)).cast("double").as("__sxy")
+      )
+      .filter(col("n_scales") > 1)
+      .withColumn("__den", col("n_scales") * col("__sxx") - col("__sx") * col("__sx"))
+      .filter(col("__den") =!= 0.0)
+      .select(
+        col("channel"),
+        col("n_scales"),
+        round((col("n_scales") * col("__sxy") - col("__sx") * col("__sy")) / col("__den"), 6)
+          .as("alpha")
+      )
+  }
+
+  def tsDfa(spark: SparkSession, dir: String): DataFrame =
+    dfaAlpha(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** DFA oracle: identical profile, window fan, closed-form detrend
+    * and pinned OLS algebra.
+    */
+  val tsDfaSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |prof AS (
+      |  SELECT channel,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY channel ORDER BY bucket) AS BIGINT) AS idx,
+      |    CAST(SUM(CAST(m - mu AS DECIMAL(38,10))) OVER (
+      |      PARTITION BY channel ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS y
+      |  FROM (
+      |    SELECT channel, bucket, m,
+      |      CAST(SUM(CAST(m AS DECIMAL(38,10))) OVER (PARTITION BY channel) AS DOUBLE)
+      |        / COUNT(*) OVER (PARTITION BY channel) AS mu
+      |    FROM g)),
+      |fanned AS (
+      |  SELECT p.channel, s.s, (p.idx - 1) // s.s AS w,
+      |    CAST((p.idx - 1) % s.s AS DOUBLE) AS i, p.y
+      |  FROM prof p JOIN (SELECT UNNEST([4,8,16,32,64]) AS s) s ON TRUE),
+      |seg AS (
+      |  SELECT channel, s, w, COUNT(*) AS n,
+      |    CAST(SUM(CAST(i AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(i * i AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(i * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+      |  FROM fanned GROUP BY 1, 2, 3),
+      |rss AS (
+      |  SELECT channel, s, n,
+      |    GREATEST(syy - sy * sy / n
+      |      - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      |        * ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sxx - sx * sx / n),
+      |      0.0) AS r
+      |  FROM seg WHERE n = s),
+      |fs AS (
+      |  SELECT channel, s, COUNT(*) AS n_windows,
+      |    SQRT(CAST(SUM(CAST(r / n AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*)) AS f
+      |  FROM rss GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT channel, LN(CAST(s AS DOUBLE)) AS x, LN(f) AS y
+      |  FROM fs WHERE f > 0.0),
+      |sums AS (
+      |  SELECT channel, COUNT(*) AS n_scales,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      |  FROM pts GROUP BY 1)
+      |SELECT channel, n_scales,
+      |  ROUND((n_scales * sxy - sx * sy) / (n_scales * sxx - sx * sx), 6) AS alpha
+      |FROM sums
+      |WHERE n_scales > 1 AND n_scales * sxx - sx * sx <> 0.0
+      |ORDER BY channel""".stripMargin
+
+  /** Higuchi oracle: identical grid, lag fan, offset-grain sums and
+    * pinned OLS algebra.
+    */
+  val tsHiguchiSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |idxed AS (
+      |  SELECT channel, m,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY channel ORDER BY bucket) AS BIGINT) AS idx
+      |  FROM g),
+      |nch AS (SELECT channel, COUNT(*) AS n FROM idxed GROUP BY 1),
+      |offs AS (
+      |  SELECT a.channel, k.k, (a.idx - 1) % k.k AS off,
+      |    CAST(SUM(CAST(ABS(b.m - a.m) AS DECIMAL(38,10))) AS DOUBLE) AS sabs,
+      |    COUNT(*) AS cnt
+      |  FROM idxed a
+      |  JOIN (SELECT UNNEST(range(1, 9)) AS k) k ON TRUE
+      |  JOIN idxed b ON b.channel = a.channel AND b.idx = a.idx + k.k
+      |  GROUP BY 1, 2, 3),
+      |lk AS (
+      |  SELECT o.channel, o.k, MAX(nch.n) AS n,
+      |    CAST(SUM(CAST(o.sabs * CAST(nch.n - 1 AS DOUBLE)
+      |      / (CAST(o.cnt AS DOUBLE) * CAST(o.k AS DOUBLE) * CAST(o.k AS DOUBLE))
+      |      AS DECIMAL(38,10))) AS DOUBLE) / CAST(o.k AS DOUBLE) AS l
+      |  FROM offs o JOIN nch ON nch.channel = o.channel
+      |  GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT channel, n, LN(CAST(k AS DOUBLE)) AS x, LN(l) AS y
+      |  FROM lk WHERE l > 0.0),
+      |s AS (
+      |  SELECT channel, MAX(n) AS n, COUNT(*) AS n_k,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      |  FROM pts GROUP BY 1)
+      |SELECT channel, n, n_k,
+      |  ROUND(-(n_k * sxy - sx * sy) / (n_k * sxx - sx * sx), 6) AS hfd
+      |FROM s
+      |WHERE n_k > 1 AND n_k * sxx - sx * sx <> 0.0
+      |ORDER BY channel""".stripMargin
 }

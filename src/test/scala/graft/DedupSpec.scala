@@ -492,4 +492,46 @@ class DedupSpec extends SparkSpec {
       (2L, 4L, 1L, 2L, 1L, 0.5, false)
     )
   }
+
+  "passageDedup" should "remove repeated tiles keeping the first (doc_id, tile_idx) occurrence" in {
+    val tileA = (1 to 20).map(i => s"a$i").mkString(" ")
+    val tileB = (1 to 20).map(i => s"b$i").mkString(" ")
+    val tileC = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$tileA $tileB"), // both tiles are the corpus-first occurrences
+      (2L, s"$tileA $tileC"), // tile 0 duplicates doc 1 tile 0 -> removed
+      (3L, s"$tileB $tileB"), // internal repeat: both dup doc 1 tile 1 -> both removed
+      (4L, "tiny doc under twenty words") // one partial tile, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .passageDedup(docs)
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_tiles", $"n_dup_tiles", $"n_removed", $"keep_frac")
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+      .toList
+    out shouldBe List(
+      (1L, 2L, 2L, 0L, 1.0),
+      (2L, 2L, 1L, 1L, 0.5),
+      (3L, 2L, 2L, 2L, 0.0),
+      (4L, 1L, 0L, 0L, 1.0)
+    )
+  }
+
+
+  "sourceOverlap" should "report pairwise shingle Jaccard and containment across sources" in {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6", "a"), // grams: w1..w5, w2..w6
+      (2L, "w1 w2 w3 w4 w5 x", "b"),  // grams: w1..w5, w2..x -> shares 1 of 2
+      (3L, "z1 z2", "c")               // short-doc whole-text shingle, disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup
+      .sourceOverlap(docs)
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_common", $"jaccard", $"containment")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect()
+      .toList
+    out shouldBe List(("a", "b", 2L, 2L, 1L, 0.333333, 0.5))
+  }
+
 }

@@ -249,7 +249,7 @@ class PlanSpec extends SparkSpec {
         f.relation.location.rootPaths.mkString(",").contains("embeddings")
       case other => other.children.exists(rowGrainCorpus)
     }
-    val guarded = Seq("embed_hubness", "dedup_embed_blocked", "dedup_semantic", "dedup_semantic_clusters", "embed_dups")
+    val guarded = Seq("embed_hubness", "embed_lof", "dedup_embed_blocked", "dedup_semantic", "dedup_semantic_clusters", "embed_dups")
     for (name <- guarded) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val root = df.queryExecution.executedPlan match {
@@ -483,6 +483,39 @@ class PlanSpec extends SparkSpec {
     val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     windows should not be empty
     windows.foreach(_.partitionSpec should not be empty)
+  }
+
+  "ann_lsh_layout" should "prune embedding-layout partitions to the multi-probe set" in {
+    import graft.sources.EmbLayout
+    import graft.operators.Similarity
+    val df = EmbLayout.annLshLayout(spark, sfDir)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = root.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",").contains("emb_layout") => f
+    }
+    scans should not be empty
+    // the probe IN-filter must reach the partition listing
+    val partFilters = scans.head.partitionFilters.map(_.toString).mkString(" ")
+    partFilters should include("p_bucket")
+    // and the listed directories must be exactly a subset of the
+    // driver-computed probe set — strictly fewer than the 2^planes
+    // bucket universe (the pruning IS the index)
+    val buckets = scans.head.selectedPartitions
+      .toPartitionArray
+      .map(_.urlEncodedPath)
+      .flatMap("p_bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      .toSet
+    buckets should not be empty
+    buckets.size should be < (1 << EmbLayout.Planes)
+    // value-identity with the flat-table query (the oracle also pins
+    // this, but here it is pinned against the in-process plan)
+    val flat = Similarity.annLsh(spark, sfDir).collect().toSeq
+    val layout = df.collect().toSeq
+    layout shouldBe flat
   }
 
   "ts_layout_range" should "prune layout partitions via rule-derived p_bucket bounds" in {

@@ -666,4 +666,59 @@ class SimilaritySpec extends SparkSpec {
       (2, 2, 2L, 2L, 1.0)
     )
   }
+
+  "hardNegatives" should "exclude same-label vectors and rank the rest by cosine" in {
+    val rows = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.999f, 0.01f), 0), // nearest overall but same label: excluded
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.5f, 0.5f), 2),
+      (4L, Array(0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity
+      .hardNegatives(rows, rows.filter($"vec_id" === 0L), 2)
+      .orderBy("rank")
+      .collect()
+    out.map(_.getAs[Long]("negative_id")).toList shouldBe List(2L, 3L)
+    out.map(_.getAs[Long]("rank")).toList shouldBe List(1L, 2L)
+    out.map(_.getAs[Int]("negative_label")).toList shouldBe List(1, 2)
+    out.foreach(r => r.getAs[Int]("query_label") shouldBe 0)
+  }
+
+
+  "lofScreen" should "flag the angular outlier of a tight cluster and score inliers near 1" in {
+    // all fixture vectors are positive second-coordinate perturbations
+    // of e1 and must share one hyperplane bucket for the LOF claims to
+    // hold — asserted directly (driver-side sign replay of the public
+    // hyperplanes) so a seed change fails loudly here instead of
+    // flaking the claims below
+    val hp = Similarity.hyperplanes(4, 64)
+    val cluster = (1 to 6).map(j => (j.toLong, Array(1f, 0.001f * j, 0f, 0f), 0))
+    val rows = cluster :+ ((99L, Array(1f, 0.5f, 0f, 0f), 0))
+    def bucketOf(v: Array[Float]): Long =
+      hp.zipWithIndex.map { case (p, i) =>
+        val d = v.toSeq.zip(p).map { case (x, y) => x * y }.sum
+        if (d > 0.0) 1L << i else 0L
+      }.sum
+    rows.map(r => bucketOf(r._2)).distinct should have size 1
+    val out = Similarity
+      .lofScreen(rows.toDF("vec_id", "embedding", "label").select($"vec_id", $"embedding"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_nn"), r.getAs[Double]("lof"), r.getAs[Boolean]("outlier"))))
+      .toMap
+    out.keySet shouldBe (1L to 6L).toSet + 99L
+    // every point sees 5 bucket-mates
+    out.values.foreach(_._1 shouldBe 5L)
+    // the far point is density-isolated: its neighbors are mutually
+    // much denser than it is
+    out(99L)._2 should be > 1.5
+    out(99L)._3 shouldBe true
+    // inliers sit near the reference density
+    (1L to 6L).foreach { j =>
+      out(j)._2 should be < 1.5
+      out(j)._3 shouldBe false
+    }
+  }
+
 }

@@ -491,4 +491,23 @@ class TextAnalysisSpec extends SparkSpec {
       ("b", 6L, 2L, 0.333333, 4L, 2L) // cat + dog OOV
     )
   }
+
+  "readability" should "compute the Flesch formulas on known sentences" in {
+    val docs = Seq(
+      (1L, "The cat sat on the mat."),
+      (2L, "no terminal punctuation here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).orderBy("doc_id").collect()
+    // 6 one-syllable words, 1 sentence
+    out(0).getAs[Long]("n_words") shouldBe 6L
+    out(0).getAs[Long]("n_sentences") shouldBe 1L
+    out(0).getAs[Long]("n_syllables") shouldBe 6L
+    out(0).getAs[Double]("flesch") shouldBe (206.835 - 1.015 * 6.0 - 84.6 * 1.0) +- 1e-6
+    out(0).getAs[Double]("fk_grade") shouldBe (0.39 * 6.0 + 11.8 * 1.0 - 15.59) +- 1e-6
+    // sentence count floors at 1 without terminal punctuation
+    out(1).getAs[Long]("n_sentences") shouldBe 1L
+    out(1).getAs[Long]("n_words") shouldBe 4L
+    out(1).getAs[Long]("n_syllables") shouldBe 9L
+  }
+
 }

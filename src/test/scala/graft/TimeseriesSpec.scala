@@ -1801,4 +1801,112 @@ class TimeseriesSpec extends SparkSpec {
     // after the gap the kernel sees only in-window survivors
     byB(64L) should be > 7.9
   }
+
+  "higuchiFd" should "report exactly 1 for a pure trend and 2 for an alternating series" in {
+    val hourUs = 3600000000L
+    val rows = (0L until 512L).flatMap { h =>
+      Seq(
+        ("trend", h * hourUs + 1L, h.toDouble),
+        ("alt", h * hourUs + 2L, if (h % 2 == 0) 1.0 else -1.0)
+      )
+    }
+    val out = Timeseries.higuchiFd(mkTs(rows)).collect()
+    val hfd = out.map(r => r.getAs[String]("channel") -> r.getAs[Double]("hfd")).toMap
+    // straight line: L(k) = (N-1)/k, slope -1 -> dimension 1
+    hfd("trend") shouldBe 1.0 +- 1e-6
+    // alternating: even-k curve lengths are 0 and drop; over odd k
+    // L(k) = 2(N-1)/k^2, slope -2 -> dimension 2
+    hfd("alt") shouldBe 2.0 +- 1e-6
+    out.find(_.getAs[String]("channel") == "alt").get.getAs[Long]("n_k") shouldBe 4L
+    out.find(_.getAs[String]("channel") == "trend").get.getAs[Long]("n_k") shouldBe 8L
+  }
+
+  it should "match the hand-rolled sequential Higuchi kernel on a deterministic series" in {
+    val hourUs = 3600000000L
+    def v(i: Long): Double = ((i * 2654435761L) % 997L) / 997.0
+    val n = 300
+    val rows = (0L until n.toLong).map(h => ("c", h * hourUs + 1L, v(h)))
+    val got = Timeseries.higuchiFd(mkTs(rows)).collect().head.getAs[Double]("hfd")
+    val xs = (0 until n).map(i => v(i.toLong))
+    val pts = (1 to 8).flatMap { k =>
+      val lms = (0 until k).flatMap { m =>
+        val is = Iterator.iterate(m)(_ + k).takeWhile(_ + k < n).toSeq
+        if (is.isEmpty) None
+        else {
+          val s = is.map(i => math.abs(xs(i + k) - xs(i))).sum
+          Some(s * (n - 1).toDouble / (is.size.toDouble * k * k))
+        }
+      }
+      val l = lms.sum / k
+      if (l > 0) Some((math.log(k.toDouble), math.log(l))) else None
+    }
+    val nk = pts.size.toDouble
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val expect = -(nk * sxy - sx * sy) / (nk * sxx - sx * sx)
+    got shouldBe expect +- 1e-4
+  }
+
+
+  "dfaAlpha" should "separate white noise (~0.5) from its integral (~1.5)" in {
+    val hourUs = 3600000000L
+    // splitmix64-mixed stream: an unmixed (a*i mod p) congruence is a
+    // quasi-periodic sawtooth, NOT noise, and DFA (correctly) reads it
+    // as long-range correlated
+    def v(i: Long): Double = {
+      var z = i * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    var acc = 0.0
+    val rows = (0L until 512L).flatMap { h =>
+      acc += v(h)
+      Seq(("white", h * hourUs + 1L, v(h)), ("brown", h * hourUs + 2L, acc))
+    }
+    val out = Timeseries.dfaAlpha(mkTs(rows)).collect()
+    val a = out.map(r => r.getAs[String]("channel") -> r.getAs[Double]("alpha")).toMap
+    a("white") shouldBe 0.5 +- 0.12
+    // finite-size DFA-1 underestimates Brownian alpha at N=512; the
+    // diagnostic claim is the wide separation from white noise
+    a("brown") should be > 1.2
+    a("brown") should be < 1.7
+    a("brown") should be > a("white") + 0.7
+  }
+
+  it should "match the hand-rolled sequential DFA kernel on a deterministic series" in {
+    val hourUs = 3600000000L
+    def v(i: Long): Double = ((i * 69069L) % 101L) / 101.0
+    val n = 400
+    val rows = (0L until n.toLong).map(h => ("c", h * hourUs + 1L, v(h)))
+    val got = Timeseries.dfaAlpha(mkTs(rows)).collect().head.getAs[Double]("alpha")
+    val xs = (0 until n).map(i => v(i.toLong))
+    val mu = xs.sum / n
+    val prof = xs.scanLeft(0.0)((acc, x) => acc + (x - mu)).drop(1)
+    val pts = Seq(4, 8, 16, 32, 64).flatMap { s =>
+      val wins = prof.grouped(s).filter(_.size == s).toSeq
+      val msrs = wins.map { w =>
+        val m = s.toDouble
+        val is = (0 until s).map(_.toDouble)
+        val sx = is.sum; val sy = w.sum
+        val sxx = is.map(x => x * x).sum
+        val sxy = is.zip(w).map { case (x, y) => x * y }.sum
+        val syy = w.map(y => y * y).sum
+        val beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+        math.max(syy - sy * sy / m - beta * beta * (sxx - sx * sx / m), 0.0) / m
+      }
+      val f = math.sqrt(msrs.sum / msrs.size)
+      if (f > 0) Some((math.log(s.toDouble), math.log(f))) else None
+    }
+    val nk = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val expect = (nk * sxy - sx * sy) / (nk * sxx - sx * sx)
+    got shouldBe expect +- 1e-4
+  }
+
 }
