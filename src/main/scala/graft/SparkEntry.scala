@@ -331,6 +331,7 @@ object SparkEntry {
     "ts_granger" -> (Timeseries.tsGranger _),
     "ts_higuchi" -> (Timeseries.tsHiguchi _),
     "ts_dfa" -> (Timeseries.tsDfa _),
+    "ts_sax" -> (Timeseries.tsSax _),
     // label-centroid cosine matrix (semantic source distance)
     "embed_label_sim" -> (Similarity.embedLabelSim _),
     // neighbor-set Jaccard link prediction over the near-dup graph
@@ -581,6 +582,7 @@ object SparkEntry {
     "ts_granger" -> Timeseries.tsGrangerSql,
     "ts_higuchi" -> Timeseries.tsHiguchiSql,
     "ts_dfa" -> Timeseries.tsDfaSql,
+    "ts_sax" -> Timeseries.tsSaxSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,
     "search_boolean" -> Search.searchBooleanSql,

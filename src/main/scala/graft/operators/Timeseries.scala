@@ -6356,6 +6356,112 @@ object Timeseries {
   def tsDfa(spark: SparkSession, dir: String): DataFrame =
     dfaAlpha(Tables.ts(spark, dir)).orderBy(col("channel"))
 
+  // -------------------------------------------------------------------
+  // SAX motifs (symbolic aggregate approximation over the bucket grid)
+  // -------------------------------------------------------------------
+
+  /** SAX motif histogram per channel (Lin et al. 2003): the hourly
+    * bucket means are the PAA reduction; each is z-normalized against
+    * its channel's PAA distribution and discretized into a 4-letter
+    * alphabet at the Gaussian quartile breakpoints (−0.6745, 0,
+    * 0.6745); consecutive `w`-letter words are counted — the repeated
+    * words are the channel's MOTIFS (recurring shapes), the backbone
+    * of classic time-series pattern mining and the cheap input to
+    * anomaly-by-rare-word screens.
+    *
+    * Scale shape: one partial agg to the grid; channel μ/σ is a
+    * k-row aggregate joined back (broadcast-legitimate); symbols are a
+    * map-side CASE; the w-letter word is two grid-window leads (the
+    * higuchi/pacf grid class — summary scale, never the event
+    * stream); the histogram is one (channel, word) partial agg.
+    *
+    * Portability: μ/σ come from DECIMAL sums (bit-identical), z is one
+    * pinned double expression, so the breakpoint CASE sees identical
+    * bits in both engines; counts are integers; support divides once
+    * at the end before the round-6.
+    */
+  def saxMotifs(ts: DataFrame, bucketUs: Long = BucketUs, w: Int = 3): DataFrame = {
+    val g = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg(detAvg(col("v")).as("__m"))
+    val stats = g
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("__n"),
+        detAvg(col("__m")).as("__mu"),
+        (detAvg(col("__m") * col("__m"))).as("__m2")
+      )
+      .select(
+        col("channel"),
+        col("__n"),
+        col("__mu"),
+        sqrt(greatest(col("__m2") - col("__mu") * col("__mu"), lit(0.0))).as("__sd")
+      )
+      .filter(col("__sd") > 0.0)
+    val byCh = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+    val z = (col("__m") - col("__mu")) / col("__sd")
+    val sym = when(z < -0.6745, "a").when(z < 0.0, "b").when(z < 0.6745, "c").otherwise("d")
+    val letters = col("__s") +: (1 until w).map(i => lead(col("__s"), i).over(byCh))
+    val lettered = g
+      .join(broadcast(stats), "channel")
+      .withColumn("__s", sym)
+      .withColumn("__word", concat(letters: _*))
+      .withColumn("__last", lead(col("__s"), w - 1).over(byCh))
+      .filter(col("__last").isNotNull)
+      .select(col("channel"), col("__n"), col("__word").as("word"))
+    lettered
+      .groupBy(col("channel"), col("word"))
+      .agg(count(lit(1)).as("n"), max(col("__n")).as("__gn"))
+      .select(
+        col("channel"),
+        col("word"),
+        col("n"),
+        round(col("n").cast("double") / (col("__gn") - lit(w - 1).cast("long")).cast("double"), 6)
+          .as("support")
+      )
+  }
+
+  def tsSax(spark: SparkSession, dir: String): DataFrame =
+    saxMotifs(Tables.ts(spark, dir)).orderBy(col("channel"), col("word"))
+
+  /** SAX oracle: identical grid, DECIMAL μ/σ, breakpoint CASE, window
+    * leads and word rollup.
+    */
+  val tsSaxSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT channel, COUNT(*) AS gn,
+      |    CAST(SUM(CAST(m AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mu,
+      |    SQRT(GREATEST(
+      |      CAST(SUM(CAST(m * m AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*)
+      |        - (CAST(SUM(CAST(m AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*))
+      |          * (CAST(SUM(CAST(m AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*)),
+      |      0.0)) AS sd
+      |  FROM g GROUP BY 1),
+      |lettered AS (
+      |  SELECT g.channel, st.gn,
+      |    CASE WHEN (g.m - st.mu) / st.sd < -0.6745 THEN 'a'
+      |         WHEN (g.m - st.mu) / st.sd < 0.0 THEN 'b'
+      |         WHEN (g.m - st.mu) / st.sd < 0.6745 THEN 'c'
+      |         ELSE 'd' END AS s,
+      |    g.bucket
+      |  FROM g JOIN st ON st.channel = g.channel AND st.sd > 0.0),
+      |words AS (
+      |  SELECT channel, gn,
+      |    s || LEAD(s, 1) OVER w || LEAD(s, 2) OVER w AS word,
+      |    LEAD(s, 2) OVER w AS s2
+      |  FROM lettered
+      |  WINDOW w AS (PARTITION BY channel ORDER BY bucket))
+      |SELECT channel, word, COUNT(*) AS n,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(gn) - 2 AS DOUBLE), 6) AS support
+      |FROM words WHERE s2 IS NOT NULL
+      |GROUP BY channel, word
+      |ORDER BY channel, word""".stripMargin
+
   /** DFA oracle: identical profile, window fan, closed-form detrend
     * and pinned OLS algebra.
     */

@@ -1909,4 +1909,21 @@ class TimeseriesSpec extends SparkSpec {
     got shouldBe expect +- 1e-4
   }
 
+
+  "saxMotifs" should "recover the exact motif histogram of a periodic series" in {
+    val hourUs = 3600000000L
+    // strict period-4 square wave over 16 hourly buckets: PAA values
+    // {0,0,10,10}, mu=5, sd=5 -> z = -1,-1,+1,+1 -> symbols a,a,d,d
+    val rows = (0L until 16L).map { h =>
+      ("sq", h * hourUs + 1L, if (h % 4 < 2) 0.0 else 10.0)
+    }
+    val out = Timeseries
+      .saxMotifs(mkTs(rows))
+      .select($"word", $"n")
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    out shouldBe Map("aad" -> 4L, "add" -> 4L, "dda" -> 3L, "daa" -> 3L)
+  }
+
 }
