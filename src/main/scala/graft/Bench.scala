@@ -150,10 +150,16 @@ object Bench {
     // the driver's artifact truncates to the last 2000 chars of stdout,
     // which loses most of the per-query record — persist the COMPLETE
     // line to a file too so cross-round comparisons can diff every query
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
-      line + "\n"
-    ): Unit
+    try {
+      // default under target/ so the artifact never lands in the repo
+      // root where it could be committed by accident — per-round
+      // records are deliberate bench_full_r{N}.json copies
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+      )
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent): Unit
+      java.nio.file.Files.writeString(out, line + "\n"): Unit
+    }
     catch { case e: Throwable => Console.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }

@@ -349,15 +349,23 @@ object Dedup {
   // scale; at a real 100 TB run this would be a parquet table written by
   // the mining job, which downstream reports scan.
   private val minedCache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private val minedLock = new Object
 
   /** The shared pre-τ candidate relation (doc_a, doc_b, jaccard-raw)
     * over [[withPlantedNearDups]] at the registry's fixed mining
-    * parameters, computed once per (SparkContext, sfDir).
+    * parameters, computed once per (SparkSession, sfDir). Keyed by the
+    * SESSION (not applicationId) so a checkpointed DataFrame is only
+    * ever consumed by the session that created it; entries whose
+    * context has stopped are evicted on access — their checkpoint
+    * blocks died with the context, and the keys would otherwise pin
+    * dead sessions for the JVM lifetime.
     */
   def minedJaccardFor(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark.sparkContext.applicationId, dir)
+    minedCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) minedCache.remove(k): Unit
+    }
+    val key = (spark, dir)
     minedCache.getOrElse(
       key,
       minedLock.synchronized {
@@ -531,6 +539,11 @@ object Dedup {
     val tiles = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), expr(WordsSql).as("__ws"))
+      // local invariant: __nt >= 1 below must not depend on split("")
+      // returning [""] — an empty word array would make sequence(0,
+      // __nt - 1) = sequence(0, -1) emit [0, -1] (descending default
+      // step) and create phantom tiles
+      .filter(size(col("__ws")) > 0)
       .withColumn("__nt", ceil(size(col("__ws")).cast("double") / w).cast("long"))
       .withColumn("tile_idx", explode(sequence(lit(0L), col("__nt") - 1L)))
       .withColumn(

@@ -789,12 +789,16 @@ object TextAnalysis {
     * probability terms contribute 0 by the usual convention.
     *
     * Scale shape: ONE (slice, word)-keyed partial aggregation reduces
-    * the corpus to vocabulary size; everything after (totals, the
-    * slice-pair × vocab grid, the divergence rollup) operates on
-    * vocabulary-scale relations — broadcast joins, no data-scale
-    * shuffle. Portability: probabilities are exact-integer ratios, the
-    * one transcendental (ln) is ROUNDed to 9 decimals on identical
-    * inputs, and per-word terms sum through DECIMAL.
+    * the corpus to vocabulary size; the per-pair support union is a
+    * FULL OUTER join ON THE WORD KEY (the [[sourceDivergence]]
+    * discipline — vocabulary-grain relations SHUFFLE on word, they are
+    * never broadcast; only the slice-grain totals and the slice-pair
+    * list, both |slices|-bounded, ride the broadcast). Words absent
+    * from both slices of a pair contribute an exact-zero term, so the
+    * union support sums identically to the full pair × vocab grid the
+    * oracle spells out. Portability: probabilities are exact-integer
+    * ratios, the one transcendental (ln) is ROUNDed to 9 decimals on
+    * identical inputs, and per-word terms sum through DECIMAL.
     */
   def corpusDrift(docs: DataFrame): DataFrame = {
     val d = docs.filter(col("text").isNotNull)
@@ -812,12 +816,14 @@ object TextAnalysis {
     val prs = langs
       .select(col("lang").as("la"))
       .join(langs.select(col("lang").as("lb")), col("la") < col("lb"))
-    val grid = prs.crossJoin(w.select(col("word")).distinct())
-    val pa = p.select(col("lang").as("la"), col("word"), col("p").as("pa"))
-    val pb = p.select(col("lang").as("lb"), col("word"), col("p").as("pb"))
-    val g = grid
-      .join(broadcast(pa), Seq("la", "word"), "left")
-      .join(broadcast(pb), Seq("lb", "word"), "left")
+    val pa = p
+      .join(broadcast(prs), col("lang") === col("la"))
+      .select(col("la"), col("lb"), col("word"), col("p").as("pa"))
+    val pb = p
+      .join(broadcast(prs), col("lang") === col("lb"))
+      .select(col("la"), col("lb"), col("word"), col("p").as("pb"))
+    val g = pa
+      .join(pb, Seq("la", "lb", "word"), "full_outer")
       .select(
         col("la"),
         col("lb"),
@@ -943,9 +949,11 @@ object TextAnalysis {
     * "how far apart are they".
     *
     * Same scale shape as corpusDrift: one (slice, word) partial
-    * aggregation reduces the corpus to vocabulary size; scoring and
-    * ranking run on vocabulary-scale relations (df/totals broadcast,
-    * top-k compiles to WindowGroupLimit). ln is ROUNDed to 9 decimals
+    * aggregation reduces the corpus to vocabulary size; scoring joins
+    * the word-keyed df relation ON THE WORD KEY (vocabulary grain
+    * shuffles, it is never broadcast — only the |slices|-bounded
+    * totals ride the broadcast) and the top-k rank compiles to
+    * WindowGroupLimit. ln is ROUNDed to 9 decimals
     * on exact-integer-ratio inputs; tf ratios are exact divisions —
     * engine-portable like the BM25 discipline.
     */
@@ -965,7 +973,7 @@ object TextAnalysis {
       .partitionBy(col("lang"))
       .orderBy(col("score").desc, col("word"))
     w.join(broadcast(tot), "lang")
-      .join(broadcast(dfc), "word")
+      .join(dfc, "word")
       .crossJoin(broadcast(nSlices))
       .select(col("lang"), col("word"), score.as("score"))
       .withColumn("rank", row_number().over(bySlice))
@@ -1633,11 +1641,15 @@ object TextAnalysis {
       .select(col("source").as("source_a"))
       .crossJoin(broadcast(sources.select(col("source").as("source_b"))))
       .filter(col("source_a") < col("source_b"))
-    val left = pairs
-      .join(probs, col("source") === col("source_a"))
+    // the pair list is the broadcast side — NEVER probs: the
+    // vocabulary-grain relation must stay distributed (build-side
+    // choice left to size estimates flips at toy scale and OOMs at
+    // the design point; the vocabulary-grain PlanSpec sweep pins this)
+    val left = probs
+      .join(broadcast(pairs), col("source") === col("source_a"))
       .select(col("source_a"), col("source_b"), col("word"), col("p").as("pa"))
-    val right = pairs
-      .join(probs, col("source") === col("source_b"))
+    val right = probs
+      .join(broadcast(pairs), col("source") === col("source_b"))
       .select(col("source_a"), col("source_b"), col("word"), col("p").as("pb"))
     val sup = left.join(right, Seq("source_a", "source_b", "word"), "full_outer")
     val m = (coalesce(col("pa"), lit(0.0)) + coalesce(col("pb"), lit(0.0))) / 2.0

@@ -6219,7 +6219,11 @@ object Timeseries {
       .groupBy(col("channel"), col("k"))
       .agg(
         max(col("n")).as("n"),
-        (sum(col("__lm").cast(dec3810)).cast("double") / col("k").cast("double")).as("__l")
+        // L(k) averages over the offsets that actually produced pairs
+        // (count over the offs grain) — the standard estimator; a
+        // literal /k would bias L(k) low on channels shorter than ~2k
+        // buckets, where some phase offsets yield no pairs
+        (sum(col("__lm").cast(dec3810)).cast("double") / count(lit(1)).cast("double")).as("__l")
       )
       .filter(col("__l") > 0.0)
       .select(
@@ -6546,7 +6550,7 @@ object Timeseries {
       |  SELECT o.channel, o.k, MAX(nch.n) AS n,
       |    CAST(SUM(CAST(o.sabs * CAST(nch.n - 1 AS DOUBLE)
       |      / (CAST(o.cnt AS DOUBLE) * CAST(o.k AS DOUBLE) * CAST(o.k AS DOUBLE))
-      |      AS DECIMAL(38,10))) AS DOUBLE) / CAST(o.k AS DOUBLE) AS l
+      |      AS DECIMAL(38,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS l
       |  FROM offs o JOIN nch ON nch.channel = o.channel
       |  GROUP BY 1, 2),
       |pts AS (

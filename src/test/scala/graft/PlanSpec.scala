@@ -298,6 +298,92 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "text-analysis plans" should "never broadcast a vocabulary-grain relation derived from the corpus" in {
+    // the round-9 corpus_drift disease class: a broadcast side that IS
+    // aggregated (so the row-grain sweep above passes it) but
+    // aggregated TO THE WORD KEY — vocabulary grain, 10^8-10^9 distinct
+    // tokens on a web corpus, NOT broadcast-sized at the design point.
+    // The detector walks each broadcast subtree toward the documents
+    // scan: an aggregation whose grouping keys still carry a token-ish
+    // column keeps vocabulary grain (descend); an aggregation that
+    // drops every such key collapses grain to slice size (stop); a
+    // LIMIT bounds cardinality outright (stop). Flag any surviving
+    // path that reaches a Generate (the word explode) over documents.
+    // The sweep runs with auto-broadcast DISABLED so only AUTHORED
+    // broadcast hints are judged: an auto build-side pick flips to
+    // shuffle at real scale when the stats grow, but a hint pins the
+    // vocabulary relation to the driver no matter the size.
+    import org.apache.spark.sql.execution.{
+      CollectLimitExec,
+      FileSourceScanExec,
+      GenerateExec,
+      GlobalLimitExec,
+      LocalLimitExec,
+      SparkPlan,
+      TakeOrderedAndProjectExec
+    }
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val tokenish =
+      Set("word", "token", "ngram", "gram", "bigram", "trigram", "shingle", "term", "pair", "piece")
+    def reachesDocs(n: SparkPlan): Boolean = n match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",").contains("documents")
+      case other => other.children.exists(reachesDocs)
+    }
+    def vocabGrain(n: SparkPlan): Boolean = n match {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.exists(e => tokenish.exists(e.name.toLowerCase.contains)) &&
+          a.children.exists(vocabGrain)
+      case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec |
+          _: CollectLimitExec =>
+        false
+      case g: GenerateExec => reachesDocs(g) || g.children.exists(vocabGrain)
+      case other => other.children.exists(vocabGrain)
+    }
+    def offendersOf(df: DataFrame): Seq[SparkPlan] = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      root.collectWithSubqueries { case b: BroadcastExchangeExec if vocabGrain(b.child) => b }
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+    // red-bar proof: the pre-fix corpus_drift shape (pair × vocab grid
+    // LEFT JOIN broadcast(word-keyed probabilities)) must be CAUGHT
+    val docs = graft.Tables.documents(spark, sfDir)
+    val w = docs
+      .filter(col("text").isNotNull)
+      .select(col("lang"), explode(expr(graft.operators.TextAnalysis.WordsSql)).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val langs = docs.select(col("lang")).distinct()
+    val prs = langs
+      .select(col("lang").as("la"))
+      .join(langs.select(col("lang").as("lb")), col("la") < col("lb"))
+    val broken = prs
+      .crossJoin(w.select(col("word")).distinct())
+      .join(broadcast(w.select(col("lang").as("la"), col("word"), col("c"))), Seq("la", "word"), "left")
+    withClue("the detector must flag the pre-fix grid + broadcast(word-keyed) shape:") {
+      offendersOf(broken) should not be empty
+    }
+    // sweep the whole text-analysis driver family
+    val guarded = SparkEntry.queries.keys.toSeq.sorted.filter(n =>
+      n.startsWith("corpus_") || n.startsWith("text_") || n.startsWith("quality_") ||
+        n.startsWith("tokenize_")
+    )
+    guarded.size should be > 25
+    for (name <- guarded) {
+      val offenders = offendersOf(SparkEntry.queries(name)(spark, sfDir))
+      withClue(s"$name broadcasts a vocabulary-grain corpus relation:\n${offenders.mkString("\n")}\n") {
+        offenders shouldBe empty
+      }
+    }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   "ts_hotpath" should "push the range to the scan and keep the composed chain's shuffle budget bounded" in {
     val df = graft.operators.Filtering.tsHotpath(spark, sfDir)
     // [range] reaches the events scan as a data filter on the

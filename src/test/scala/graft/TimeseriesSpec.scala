@@ -1837,7 +1837,9 @@ class TimeseriesSpec extends SparkSpec {
           Some(s * (n - 1).toDouble / (is.size.toDouble * k * k))
         }
       }
-      val l = lms.sum / k
+      // average over the offsets that produced pairs (all k of them on
+      // this full-length series) — the engine/oracle divisor
+      val l = lms.sum / lms.size
       if (l > 0) Some((math.log(k.toDouble), math.log(l))) else None
     }
     val nk = pts.size.toDouble
