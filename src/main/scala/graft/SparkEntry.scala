@@ -74,6 +74,9 @@ object SparkEntry {
     // the reference hot path composed end to end; rows-only (IIR stage),
     // byte-exactness carried by the golden end-to-end spec
     "ts_hotpath" -> (Filtering.tsHotpath _),
+    // the unit-channel serve composed end to end: event bins +
+    // index-trimmed spike waveforms -> TimeSeriesMessage{event} frames
+    "ts_unit_hotpath" -> (UnitHotpath.tsUnitHotpath _),
     "ts_waveforms" -> (Timeseries.tsWaveforms _),
     "ts_histogram" -> (Timeseries.tsHistogram _),
     "ts_acf" -> (Timeseries.tsAcf _),

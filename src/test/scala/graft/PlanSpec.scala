@@ -397,6 +397,18 @@ class PlanSpec extends SparkSpec {
     countShuffles(df) should be <= 20
   }
 
+  "ts_unit_hotpath" should "push the range to the scan and keep the composed chain's shuffle budget bounded" in {
+    val df = graft.operators.UnitHotpath.tsUnitHotpath(spark, sfDir)
+    // the page trim reaches the events scan as a data filter
+    planString(df) should include("1704067200000000")
+    // stage budget: the event-bin agg, the index-bound agg, the
+    // waveform two-phase rank/group machinery and the per-channel
+    // message assembly — none corpus-global beyond these; the chain
+    // must not silently grow extra data-grain stages as its pieces
+    // evolve (9 at writing)
+    countShuffles(df) should be <= 12
+  }
+
   "two-phase ts operators" should "never window the data stream by channel alone" in {
     // the 100 TB constraint: a Window partitioned by channel alone
     // concentrates each channel's history into one task. After the
