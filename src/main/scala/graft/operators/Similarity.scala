@@ -1877,31 +1877,98 @@ object Similarity {
     * the opposite failure: points no one retrieves.
     *
     * Scale shape: each vector lives in ONE hyperplane bucket; the kNN
-    * candidates come from a bucket-keyed self-join (pairs bounded by
-    * Σ bucket², with plane count the knob that keeps buckets flat —
-    * and the counted-cap admission of [[dedupSemantic]] is the
-    * documented escalation for adversarial buckets); the per-vector
-    * top-k is a bucket-bounded rank; in-degree is one partial agg.
-    * The corpus never crosses an exchange at pair grain.
+    * candidates come from the counted-cap admitted self-join
+    * ([[admittedBlocks]] — pairs bounded by maxBucket² per block even
+    * on adversarial all-identical buckets, the [[semanticDedup]]
+    * discipline); the per-vector top-k is a block-bounded rank;
+    * in-degree is one partial agg. The corpus never crosses an
+    * exchange at pair grain.
     */
+  /** The counted-cap admitted relation under [[bucketedKnn]] — the
+    * [[semanticDedup]] discipline applied to the hyperplane buckets:
+    *
+    *  1. bucket sizes are counted (algebraic agg, ≤ 2^planes rows,
+    *     broadcast);
+    *  2. a bucket over `maxBucket` rows is sub-split by FRESH
+    *     hyperplane bits (an offset slice of the generator — reusing
+    *     the bucketing planes would make the extra bits constant
+    *     within a bucket) at adaptive width ceil(log2(size/max)),
+    *     capped at `subPlanes`;
+    *  3. (bucket, block) sizes are re-counted and blocks STILL over
+    *     the cap (identical-direction mass no hyperplane separates)
+    *     are dropped by semi-join — their members leave the graph
+    *     (orphans downstream), the documented degradation.
+    *
+    * The worst self-join key is therefore maxBucket² by construction;
+    * buckets under the cap are admitted whole (block = 0) and the
+    * graph is unchanged.
+    */
+  private[graft] def admittedBlocks(
+    emb: DataFrame,
+    planes: Int,
+    dim: Int,
+    maxBucket: Long,
+    subPlanes: Int
+  ): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val hpSub = hyperplanes(planes + subPlanes, dim).drop(planes)
+    val v0 = prepped(emb, "vec_id", "v", "n")
+      .withColumn("bucket", hyperplaneBucket(col("v"), hp))
+    val sizes = v0.groupBy(col("bucket")).agg(count(lit(1)).as("__bSz"))
+    val width = least(
+      lit(subPlanes),
+      greatest(
+        lit(1),
+        ceil(log(2.0, col("__bSz").cast("double") / lit(maxBucket.toDouble))).cast("int")
+      )
+    )
+    val v = v0
+      .join(broadcast(sizes), "bucket")
+      .withColumn("__w", width)
+      .withColumn(
+        "block",
+        when(
+          col("__bSz") > maxBucket,
+          hyperplaneBucket(col("v"), hpSub)
+            .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), __w) - 1"))
+        ).otherwise(lit(0L))
+      )
+      .select(col("bucket"), col("block"), col("vec_id"), col("v"), col("n"))
+    val admissible = v
+      .groupBy(col("bucket"), col("block"))
+      .agg(count(lit(1)).as("__blkSz"))
+      .filter(col("__blkSz") <= maxBucket)
+      .select(col("bucket"), col("block"))
+    v.join(broadcast(admissible), Seq("bucket", "block"), "left_semi")
+  }
+
   /** Bucket-restricted kNN graph (src, dst, round-9 cosine) — the
     * shared candidate kernel under [[hubnessScreen]] and [[lofScreen]].
-    * Both self-join sides are CORPUS cardinality — merge-hinted so
-    * toy-scale stats never plan them as broadcasts (the bucket key
+    * Candidates come from the [[admittedBlocks]] relation, so one hot
+    * hyperplane bucket (boilerplate/all-identical embeddings) costs at
+    * most maxBucket² pairs instead of going quadratic. Both self-join
+    * sides are CORPUS cardinality — merge-hinted so toy-scale stats
+    * never plan them as broadcasts (the (bucket, block) key
     * co-partitions the join; at the design point neither side fits a
     * broadcast). The cosine is rounded to 9 BEFORE ranking (the repo's
     * ranking discipline): a last-ULP accumulation-order difference
     * between VecDot and the oracle's list_dot_product could otherwise
     * flip a near-tie rank, moving the k-cut and every downstream flag.
     */
-  private def bucketedKnn(emb: DataFrame, k: Int, planes: Int, dim: Int): DataFrame = {
-    val hp = hyperplanes(planes, dim)
-    val v = prepped(emb, "vec_id", "v", "n")
-      .withColumn("bucket", hyperplaneBucket(col("v"), hp))
-    val a = v.select(col("bucket"), col("vec_id").as("__src"), col("v").as("__va"), col("n").as("__na"))
-    val b = v.select(col("bucket"), col("vec_id").as("__dst"), col("v").as("__vb"), col("n").as("__nb"))
+  private[graft] def bucketedKnn(
+    emb: DataFrame,
+    k: Int,
+    planes: Int,
+    dim: Int,
+    maxBucket: Long = 100000L,
+    subPlanes: Int = 16
+  ): DataFrame = {
+    require(maxBucket > 0 && subPlanes > 0 && subPlanes < 63, s"bad cap ($maxBucket, $subPlanes)")
+    val m = admittedBlocks(emb, planes, dim, maxBucket, subPlanes)
+    val a = m.select(col("bucket"), col("block"), col("vec_id").as("__src"), col("v").as("__va"), col("n").as("__na"))
+    val b = m.select(col("bucket"), col("block"), col("vec_id").as("__dst"), col("v").as("__vb"), col("n").as("__nb"))
     val bySrc = Window.partitionBy(col("__src")).orderBy(col("__cos").desc, col("__dst"))
-    a.join(b.hint("merge"), Seq("bucket"))
+    a.join(b.hint("merge"), Seq("bucket", "block"))
       .filter(col("__src") =!= col("__dst"))
       .withColumn("__cos", round(VectorMath.cosine(col("__va"), col("__vb"), col("__na"), col("__nb")), 9))
       .withColumn("__rk", row_number().over(bySrc))
@@ -1909,9 +1976,16 @@ object Similarity {
       .select(col("__src"), col("__dst"), col("__cos"))
   }
 
-  def hubnessScreen(emb: DataFrame, k: Int = 5, planes: Int = 4, dim: Int = 64): DataFrame = {
+  def hubnessScreen(
+    emb: DataFrame,
+    k: Int = 5,
+    planes: Int = 4,
+    dim: Int = 64,
+    maxBucket: Long = 100000L,
+    subPlanes: Int = 16
+  ): DataFrame = {
     val v = prepped(emb, "vec_id", "v", "n")
-    val knn = bucketedKnn(emb, k, planes, dim).select(col("__src"), col("__dst"))
+    val knn = bucketedKnn(emb, k, planes, dim, maxBucket, subPlanes).select(col("__src"), col("__dst"))
     val inDeg = knn.groupBy(col("__dst").as("vec_id")).agg(count(lit(1)).as("in_degree"))
     val d = coalesce(col("in_degree"), lit(0L))
     v.select(col("vec_id"))
@@ -1986,9 +2060,16 @@ object Similarity {
     * Degenerate zero-distance neighborhoods (exact duplicates) yield
     * NULL lrd via NULLIF in both engines and propagate to NULL lof.
     */
-  def lofScreen(emb: DataFrame, k: Int = 5, planes: Int = 4, dim: Int = 64): DataFrame = {
+  def lofScreen(
+    emb: DataFrame,
+    k: Int = 5,
+    planes: Int = 4,
+    dim: Int = 64,
+    maxBucket: Long = 100000L,
+    subPlanes: Int = 16
+  ): DataFrame = {
     val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
-    val knn = bucketedKnn(emb, k, planes, dim)
+    val knn = bucketedKnn(emb, k, planes, dim, maxBucket, subPlanes)
       .select(col("__src"), col("__dst"), (lit(1.0) - col("__cos")).as("__d"))
     val kdist = knn.groupBy(col("__src").as("__kv")).agg(max(col("__d")).as("__kd"))
     val reach = knn

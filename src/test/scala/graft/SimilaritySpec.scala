@@ -721,4 +721,75 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  "bucketedKnn counted-cap admission" should "bound every admitted block and drop inseparable mega-buckets" in {
+    // a planted mega-bucket of 30 IDENTICAL vectors (no hyperplane can
+    // separate them) plus a tight normal cluster: with maxBucket = 8
+    // the identical mass must be dropped whole, the normal cluster
+    // admitted whole, and every admitted (bucket, block) bounded by
+    // the cap — the worst pair key is maxBucket² by construction
+    val mega = (1 to 30).map(j => (j.toLong, Seq(1.0, 1.0, 1.0, 1.0)))
+    val normal = (101 to 106).map(j => (j.toLong, Seq(-1.0, -1.0, -1.0, -0.001 * j)))
+    val emb = (mega ++ normal).toDF("vec_id", "embedding")
+    val admitted = Similarity
+      .admittedBlocks(emb, planes = 2, dim = 4, maxBucket = 8L, subPlanes = 4)
+      .select($"bucket", $"block", $"vec_id")
+      .collect()
+    val byBlock = admitted.groupBy(r => (r.getLong(0), r.getLong(1)))
+    byBlock.values.foreach(_.length should be <= 8)
+    val ids = admitted.map(_.getAs[Long]("vec_id")).toSet
+    ids shouldBe (101L to 106L).toSet
+    // behavior downstream: the dropped mass leaves the graph as
+    // orphans, the admitted cluster still gets its neighbors
+    val hub = Similarity
+      .hubnessScreen(emb, k = 3, planes = 2, dim = 4, maxBucket = 8L, subPlanes = 4)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("orphan"))
+      .toMap
+    hub.keySet should have size 36
+    (1L to 30L).foreach(j => hub(j) shouldBe true)
+    (101L to 106L).foreach(j => hub(j) shouldBe false)
+  }
+
+  it should "sub-split a separable over-cap bucket so both directions keep their neighbors" in {
+    // two direction groups that share the 2-plane base bucket but
+    // differ on a fresh sub-split plane: 10 + 10 > cap 12 forces the
+    // split; each admitted block holds one group, so every vector
+    // keeps in-block neighbors (recall inside the bucket is traded,
+    // never the bound)
+    val base = Similarity.hyperplanes(2, 4)
+    val sub = Similarity.hyperplanes(2 + 4, 4).drop(2)
+    def signs(v: Seq[Double], ps: Seq[Seq[Double]]): Seq[Boolean] =
+      ps.map(p => v.zip(p).map { case (a, b) => a * b }.sum > 0.0)
+    // deterministic search for two seed directions with equal base
+    // signs and opposite first-sub-plane signs
+    val cands = for {
+      a <- Seq(-1.0, 1.0); b <- Seq(-1.0, 1.0); c <- Seq(-1.0, 1.0); d <- Seq(-1.0, 1.0)
+    } yield Seq(a, b, c, d)
+    val grouped = cands.groupBy(v => signs(v, base))
+    val (d1, d2) = grouped.values
+      .flatMap { vs =>
+        val bySub = vs.groupBy(v => signs(v, sub).head)
+        if (bySub.size == 2) Some((bySub.values.head.head, bySub.values.last.head)) else None
+      }
+      .head
+    // perturb ONE coordinate (sign-preserving) so within-group cosines
+    // vary smoothly — parallel vectors would tie at cosine 1 and the
+    // id tie-break would orphan the largest ids
+    val g1 = (1 to 10).map(j => (j.toLong, d1.updated(0, d1.head * (1.0 + 0.02 * j))))
+    val g2 = (101 to 110).map(j => (j.toLong, d2.updated(0, d2.head * (1.0 + 0.02 * (j - 100)))))
+    val emb = (g1 ++ g2).toDF("vec_id", "embedding")
+    val admitted = Similarity
+      .admittedBlocks(emb, planes = 2, dim = 4, maxBucket = 12L, subPlanes = 4)
+      .select($"bucket", $"block", $"vec_id")
+      .collect()
+    admitted.length shouldBe 20
+    admitted.groupBy(r => (r.getLong(0), r.getLong(1))).values.foreach(_.length should be <= 12)
+    val hub = Similarity
+      .hubnessScreen(emb, k = 3, planes = 2, dim = 4, maxBucket = 12L, subPlanes = 4)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("orphan"))
+      .toMap
+    hub.values.foreach(_ shouldBe false)
+  }
+
 }
