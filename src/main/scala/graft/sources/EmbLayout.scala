@@ -30,10 +30,57 @@ object EmbLayout {
     */
   val Planes = 4
 
+  /** Marker file recording the plane COUNT a layout was written with
+    * (the hyperplane set is the deterministic generator at that count,
+    * so the count IS the plane-set identity). Underscore-prefixed, so
+    * parquet listing ignores it — the [[TsLayout]] `_graft_bucket_us`
+    * discipline: each layout carries its own probe geometry instead of
+    * trusting a session-global constant, and mixing plane counts in
+    * one session is safe.
+    */
+  private val PlanesMarker = "_graft_planes"
+
+  /** Cached marker lookups (misses cached too). */
+  private val planesCache = scala.collection.concurrent.TrieMap[String, Option[Int]]()
+
+  def markerPlanes(
+    rootPath: String,
+    hadoopConf: org.apache.hadoop.conf.Configuration
+  ): Option[Int] =
+    planesCache.getOrElseUpdate(
+      rootPath, {
+        try {
+          val marker = new org.apache.hadoop.fs.Path(rootPath, PlanesMarker)
+          val fs = marker.getFileSystem(hadoopConf)
+          if (!fs.exists(marker)) None
+          else {
+            val in = fs.open(marker)
+            val bytes =
+              try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+              finally in.close()
+            val p = new String(bytes, "UTF-8").trim.toInt
+            if (p > 0 && p < 63) Some(p) else None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    )
+
+  private def writeMarker(spark: SparkSession, path: String, planes: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path, PlanesMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(marker, true)
+    try out.write(planes.toString.getBytes("UTF-8"))
+    finally out.close()
+    // a rewrite with a different plane set must invalidate the lookup
+    planesCache.remove(path)
+    planesCache.remove(new java.io.File(path).getCanonicalPath)
+  }
+
   /** One-time write: vectors land in their bucket's directory. One
     * writer task per partition dir (the bucket key is the repartition
     * key); files inside a bucket are sorted by vec_id for stable
-    * row-group stats.
+    * row-group stats. The plane count is recorded in the layout's
+    * `_graft_planes` marker.
     */
   def write(emb: DataFrame, path: String, planes: Int = Planes, dim: Int = 64): Unit = {
     val hp = Similarity.hyperplanes(planes, dim)
@@ -45,10 +92,43 @@ object EmbLayout {
       .partitionBy("p_bucket")
       .mode("overwrite")
       .parquet(path)
+    writeMarker(emb.sparkSession, path, planes)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compaction maintenance pass — the [[TsLayout.compact]] twin for
+    * the embedding layout: streaming/append ingest scatters every
+    * bucket directory across many small files, and a 100 TB layout
+    * pays that as listing latency and per-file open cost on every
+    * probe. Rewrites `srcPath` into `dstPath` with ONE writer task per
+    * bucket dir (bounded by maxRecordsPerFile), restoring the
+    * vec_id-sorted row-group stats of a fresh write and carrying the
+    * `_graft_planes` marker so the probe geometry survives. The
+    * rewrite is a pure repartition-by-partition-key plan; the result
+    * is row-identical by construction (the spec proves content
+    * equality, marker carry-over and the file-count collapse).
+    */
+  def compact(
+    spark: SparkSession,
+    srcPath: String,
+    dstPath: String,
+    maxRecordsPerFile: Long = 5000000L
+  ): Unit = {
+    spark.read
+      .parquet(srcPath)
+      .repartition(col("p_bucket"))
+      .sortWithinPartitions(col("p_bucket"), col("vec_id"))
+      .write
+      .partitionBy("p_bucket")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(dstPath)
+    markerPlanes(srcPath, spark.sessionState.newHadoopConf()).foreach { p =>
+      writeMarker(spark, dstPath, p)
+    }
+  }
 
   /** Written-once-per-JVM layout for a testdata dir — query-time
     * setup, not query work (the [[TsLayout.layoutFor]] discipline), so
@@ -80,19 +160,23 @@ object EmbLayout {
     val path = layoutFor(spark, dir)
     val emb = graft.Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < Similarity.QueryCount)
-    val hp = Similarity.hyperplanes(Planes, 64)
+    // probe geometry comes from the layout's OWN marker (Planes is
+    // only the markerless fallback) — a layout written at a different
+    // plane count serves correctly without any session configuration
+    val planes = markerPlanes(path, spark.sessionState.newHadoopConf()).getOrElse(Planes)
+    val hp = Similarity.hyperplanes(planes, 64)
     // request-scale driver fetch: ≤ QueryCount base bucket ids
     val base = queries
       .select(Similarity.hyperplaneBucket(col("embedding"), hp).as("b"))
       .distinct()
       .collect()
       .map(_.getLong(0))
-    val probes = base.flatMap(b => b +: (0 until Planes).map(p => b ^ (1L << p))).distinct.sorted
+    val probes = base.flatMap(b => b +: (0 until planes).map(p => b ^ (1L << p))).distinct.sorted
     val corpus = read(spark, path)
       .filter(col("p_bucket").isin(probes: _*))
       .select(col("vec_id"), col("embedding"))
     Similarity
-      .lshTopK(corpus, queries, Similarity.TopK, planes = Planes)
+      .lshTopK(corpus, queries, Similarity.TopK, planes = planes)
       .orderBy(col("query_id"), col("rank"))
   }
 }

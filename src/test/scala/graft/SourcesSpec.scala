@@ -309,6 +309,66 @@ class SourcesSpec extends SparkSpec {
     TsLayout.markerWidth(dst, spark.sessionState.newHadoopConf()) shouldBe Some(day)
   }
 
+  "EmbLayout.compact" should "collapse fragmented bucket dirs to single files, content and marker intact" in {
+    import graft.sources.EmbLayout
+    import graft.operators.Similarity
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-emb-frag").toFile.getAbsolutePath
+    val dst = Files.createTempDirectory("graft-emb-compact").toFile.getAbsolutePath
+    val hp = Similarity.hyperplanes(EmbLayout.Planes, 8)
+    // fragment: three append passes, each scattering every bucket
+    // across 4 writer tasks — the streaming-ingest small-files shape
+    (0 until 3).foreach { pass =>
+      val emb = (0 until 120).map { i =>
+        val id = pass * 1000L + i
+        (id, (0 until 8).map(d => math.sin(id * 0.7 + d)))
+      }.toDF("vec_id", "embedding")
+      emb
+        .withColumn("p_bucket", Similarity.hyperplaneBucket(col("embedding"), hp))
+        .repartition(4)
+        .write
+        .partitionBy("p_bucket")
+        .mode("append")
+        .parquet(src)
+    }
+    Files.writeString(new java.io.File(src, "_graft_planes").toPath, EmbLayout.Planes.toString)
+
+    def partFiles(root: String): Map[String, Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getPath.stripPrefix(root))
+        .view.mapValues(_.size).toMap
+    }
+    val before = partFiles(src)
+    before.values.max should be >= 3 // genuinely fragmented
+
+    EmbLayout.compact(spark, src, dst)
+
+    val after = partFiles(dst)
+    after.keySet shouldBe before.keySet
+    after.values.foreach(_ shouldBe 1) // one file per bucket dir
+    val a = EmbLayout.read(spark, src).selectExpr("vec_id", "p_bucket", "embedding")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = EmbLayout.read(spark, dst).selectExpr("vec_id", "p_bucket", "embedding")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    b shouldBe a
+    // the plane-set marker survives, so probe geometry still resolves
+    EmbLayout.markerPlanes(dst, spark.sessionState.newHadoopConf()) shouldBe Some(EmbLayout.Planes)
+  }
+
+  "EmbLayout.write" should "record the plane marker and serve probes with the layout's own geometry" in {
+    import graft.sources.EmbLayout
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-emb-marker").toFile.getAbsolutePath
+    val emb = (0 until 64).map { i =>
+      (i.toLong, (0 until 8).map(d => math.cos(i * 1.3 + d)))
+    }.toDF("vec_id", "embedding")
+    EmbLayout.write(emb, path, planes = 5, dim = 8)
+    EmbLayout.markerPlanes(path, spark.sessionState.newHadoopConf()) shouldBe Some(5)
+  }
+
   "readCsv/readJson" should "load secondary formats" in {
     val dir = Files.createTempDirectory("graft-ing").toFile
     Files.writeString(new java.io.File(dir, "x.csv").toPath, "channel,t,v\na,1,2.5\nb,2,3.5\n")
