@@ -397,11 +397,38 @@ object Similarity {
   val QueryCount = 10
   val TopK = 5
 
-  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    bruteForceTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
-      .orderBy(col("query_id"), col("rank"))
+  /** Memoized exact ground truth per (SparkSession, dir) — the
+    * [[Dedup.minedJaccardFor]] discipline: the brute-force ranking is
+    * consumed by the ann_bruteforce report AND all three recall
+    * curves, and an eval suite computes its ground truth once. The
+    * checkpointed relation is queries×k rows (driver-size); entries of
+    * stopped contexts are evicted on access.
+    */
+  private val bfCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val bfLock = new Object
+
+  private def bruteForceFor(spark: SparkSession, dir: String): DataFrame = {
+    bfCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) bfCache.remove(k): Unit
+    }
+    val key = (spark, dir)
+    bfCache.getOrElse(
+      key,
+      bfLock.synchronized {
+        bfCache.getOrElseUpdate(
+          key, {
+            val emb = Tables.embeddings(spark, dir)
+            bruteForceTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
+              .localCheckpoint()
+          }
+        )
+      }
+    )
   }
+
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame =
+    bruteForceFor(spark, dir).orderBy(col("query_id"), col("rank"))
 
   val annBruteforceSql: String =
     s"""WITH n AS (
@@ -1227,12 +1254,13 @@ object Similarity {
     m: Int = PqSubspaces,
     dim: Int = KmeansDim,
     kCent: Int = PqCentroids,
-    iters: Int = PqIters
+    iters: Int = PqIters,
+    precomputedBooks: Option[Seq[(Int, Seq[(Int, Seq[Double])])]] = None
   ): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subLen = dim / m
     def sub(c: Column, s: Int): Column = slice(c, s * subLen + 1, subLen)
-    val books = pqCodebooks(corpus, m, dim, kCent, iters)
+    val books = precomputedBooks.getOrElse(pqCodebooks(corpus, m, dim, kCent, iters))
     // corpus → m argmin codes (pure projection against literal books);
     // subvectors project once per row, then the code structs reference
     // plain columns (slice inlined per centroid would bloat codegen)
@@ -1276,10 +1304,39 @@ object Similarity {
       )
   }
 
+  /** Memoized PQ codebooks per (SparkSession, dir) — the index-build
+    * (an iterative driver-side trajectory of sliced k-means collects)
+    * is paid once; ann_pq and ann_recall_pq both rank against the
+    * SAME index, exactly as a production eval would.
+    */
+  private val pqBookCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String), Seq[(Int, Seq[(Int, Seq[Double])])]]()
+  private val pqBookLock = new Object
+
+  private def pqBooksFor(spark: SparkSession, dir: String): Seq[(Int, Seq[(Int, Seq[Double])])] = {
+    pqBookCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) pqBookCache.remove(k): Unit
+    }
+    val key = (spark, dir)
+    pqBookCache.getOrElse(
+      key,
+      pqBookLock.synchronized {
+        pqBookCache.getOrElseUpdate(
+          key,
+          pqCodebooks(Tables.embeddings(spark, dir), PqSubspaces, KmeansDim, PqCentroids, PqIters)
+        )
+      }
+    )
+  }
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    pqTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
-      .orderBy(col("query_id"), col("rank"))
+    pqTopK(
+      emb,
+      emb.filter(col("vec_id") < QueryCount),
+      TopK,
+      precomputedBooks = Some(pqBooksFor(spark, dir))
+    ).orderBy(col("query_id"), col("rank"))
   }
 
   /** m independent sliced-kmeans trajectories; corpus codes from
@@ -1766,7 +1823,7 @@ object Similarity {
     * the constant k in one pinned order.
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val bf = annBruteforce(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val bf = bruteForceFor(spark, dir).select(col("query_id"), col("neighbor_id"))
     val ls = annLsh(spark, dir)
       .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
     bf.join(
@@ -1807,7 +1864,7 @@ object Similarity {
     * (queries × k) rankings, co-keyed.
     */
   def annRecallIvf(spark: SparkSession, dir: String): DataFrame = {
-    val bf = annBruteforce(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val bf = bruteForceFor(spark, dir).select(col("query_id"), col("neighbor_id"))
     val iv = annIvf(spark, dir)
       .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
     bf.join(
@@ -1833,7 +1890,7 @@ object Similarity {
     * wants all three curves side by side.
     */
   def annRecallPq(spark: SparkSession, dir: String): DataFrame = {
-    val bf = annBruteforce(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val bf = bruteForceFor(spark, dir).select(col("query_id"), col("neighbor_id"))
     val pq = annPq(spark, dir)
       .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
     bf.join(
@@ -2209,7 +2266,11 @@ object Similarity {
     * correctly-rounded IEEE. The whole trajectory is bit-identical,
     * so the oracle simply unrolls the same iterations as CTEs.
     */
-  def topPrincipalComponent(embeds: DataFrame, iters: Int = 8): DataFrame = {
+  /** The raw power-iteration result: (µ exact-decimal mean, final
+    * unnormalized update s, final norm) — the shared kernel under
+    * [[topPrincipalComponent]] and [[debiasTop]].
+    */
+  private def powerIteration(embeds: DataFrame, iters: Int): (Array[Double], Array[Double], Double) = {
     require(iters > 0, s"iters must be positive, got $iters")
     val dec = org.apache.spark.sql.types.DecimalType(27, 10)
     val e = embeds
@@ -2234,12 +2295,12 @@ object Similarity {
         acc
       }
       var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-      var lastUpd: DataFrame = null
+      var lastS = Array.empty[Double]
       var lastNorm = 0.0
       var i = 0
       while (i < iters) {
         val muDotV = orderedFold(mu.zip(v).map { case (a, b) => a * b })
-        val upd = e
+        val s = e
           .select(
             (VectorMath.dot(col("x"), typedlit(v)) - lit(muDotV)).as("score"),
             posexplode(col("x")).as(Seq("d", "val"))
@@ -2250,20 +2311,73 @@ object Similarity {
               .cast("double")
               .as("s")
           )
-        val s = upd.orderBy(col("d")).select(col("s")).collect().map(_.getDouble(0))
+          .orderBy(col("d"))
+          .select(col("s"))
+          .collect()
+          .map(_.getDouble(0))
         lastNorm = math.sqrt(orderedFold(s.map(z => z * z)))
         v = s.map(_ / lastNorm)
-        lastUpd = upd
+        lastS = s
         i += 1
       }
-      lastUpd
-        .select(col("d").cast("long").as("dim"), round(col("s") / lit(lastNorm), 6).as("loading"))
-        .orderBy(col("dim"))
+      (mu, lastS, lastNorm)
     } finally e.unpersist(false)
   }
 
-  def embedPca(spark: SparkSession, dir: String): DataFrame =
-    topPrincipalComponent(Tables.embeddings(spark, dir))
+  /** Spark round(x, 6) semantics on the driver: HALF_UP on the
+    * canonical decimal rendering — so locally-built outputs are
+    * bit-identical to the expression route.
+    */
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue
+
+  def topPrincipalComponent(embeds: DataFrame, iters: Int = 8): DataFrame = {
+    val (_, s, norm) = powerIteration(embeds, iters)
+    val spark = embeds.sparkSession
+    import spark.implicits._
+    s.toSeq.zipWithIndex
+      .map { case (z, d) => (d.toLong, round6(z / norm)) }
+      .toDF("dim", "loading")
+  }
+
+  /** Memoized (µ, published u₁) per (SparkSession, dir) — the
+    * [[Dedup.minedJaccardFor]] discipline: embed_pca and embed_debias
+    * are two REPORTS over one shared power-iteration result, computed
+    * once per session/data directory (a production diagnostics suite
+    * runs the iteration once and serves every consumer). Entries of
+    * stopped contexts are evicted on access; driver memory per entry
+    * is two d-element arrays.
+    */
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (Array[Double], Array[Double])]()
+  private val pcaLock = new Object
+
+  private def pcaFor(spark: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+    pcaCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) pcaCache.remove(k): Unit
+    }
+    val key = (spark, dir)
+    pcaCache.getOrElse(
+      key,
+      pcaLock.synchronized {
+        pcaCache.getOrElseUpdate(
+          key, {
+            val (mu, s, norm) = powerIteration(Tables.embeddings(spark, dir), iters = 8)
+            (mu, s.map(z => round6(z / norm)))
+          }
+        )
+      }
+    )
+  }
+
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pcaFor(spark, dir)._2.toSeq.zipWithIndex
+      .map { case (l, d) => (d.toLong, l) }
+      .toDF("dim", "loading")
+  }
 
   /** All-but-the-Top rank-1 debias report (Mu & Viswanath 2018): how
     * much of each embedding lies along the corpus's dominant
@@ -2283,20 +2397,8 @@ object Similarity {
     * ‖xc‖² − score² identity in one pinned expression order, guarded
     * at zero before the sqrt.
     */
-  def debiasTop(embeds: DataFrame, iters: Int = 8): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
-    val u: Array[Double] = topPrincipalComponent(embeds, iters)
-      .orderBy(col("dim"))
-      .collect()
-      .map(_.getDouble(1))
-    val mu: Array[Double] = embeds
-      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("d", "val")))
-      .groupBy(col("d"))
-      .agg((sum(col("val").cast(dec)).cast("double") / count(lit(1))).as("m"))
-      .orderBy(col("d"))
-      .select(col("m"))
-      .collect()
-      .map(_.getDouble(0))
+  /** The one-scan debias projection given the (µ, u₁) driver vectors. */
+  private def debiasProjection(embeds: DataFrame, mu: Array[Double], u: Array[Double]): DataFrame = {
     def fold(xs: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < xs.length) { acc += xs(i); i += 1 }
@@ -2305,8 +2407,8 @@ object Similarity {
     val muDotU = fold(mu.zip(u).map { case (a, b) => a * b })
     val muDotMu = fold(mu.map(m => m * m))
     val x = col("__x")
-    val sc = VectorMath.dot(x, typedlit(u)) - lit(muDotU)
-    val xxc = VectorMath.dot(x, x) - lit(2.0) * VectorMath.dot(x, typedlit(mu)) + lit(muDotMu)
+    val sc = VectorMath.dot(x, typedlit(u.toSeq)) - lit(muDotU)
+    val xxc = VectorMath.dot(x, x) - lit(2.0) * VectorMath.dot(x, typedlit(mu.toSeq)) + lit(muDotMu)
     embeds
       .select(col("vec_id"), col("embedding").cast("array<double>").as("__x"))
       .withColumn("__sc", sc)
@@ -2321,8 +2423,17 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  def embedDebias(spark: SparkSession, dir: String): DataFrame =
-    debiasTop(Tables.embeddings(spark, dir))
+  def debiasTop(embeds: DataFrame, iters: Int = 8): DataFrame = {
+    val (mu, s, norm) = powerIteration(embeds, iters)
+    debiasProjection(embeds, mu, s.map(z => round6(z / norm)))
+  }
+
+  def embedDebias(spark: SparkSession, dir: String): DataFrame = {
+    // the shared memoized (µ, u₁): debias is a single corpus scan on
+    // top of the iteration embed_pca already paid for
+    val (mu, u) = pcaFor(spark, dir)
+    debiasProjection(Tables.embeddings(spark, dir), mu, u)
+  }
 
   /** Debias oracle: the embedPca pipeline nested verbatim as a CTE
     * (already hash-proven) supplies u₁; µ rebuilds through the same
