@@ -335,6 +335,12 @@ object SparkEntry {
     "ts_higuchi" -> (Timeseries.tsHiguchi _),
     "ts_dfa" -> (Timeseries.tsDfa _),
     "ts_sax" -> (Timeseries.tsSax _),
+    // phase-locking value per channel pair (phase-only coupling next
+    // to the amplitude-weighted ts_coherence)
+    "ts_plv" -> (Timeseries.tsPlv _),
+    // count-min-sketch heavy hitters vs exact baseline (fixed-size
+    // partial-merge aggregate; estimate column is engine-native)
+    "corpus_cms" -> (TextAnalysis.corpusCms _),
     // label-centroid cosine matrix (semantic source distance)
     "embed_label_sim" -> (Similarity.embedLabelSim _),
     // neighbor-set Jaccard link prediction over the near-dup graph
@@ -586,6 +592,7 @@ object SparkEntry {
     "ts_higuchi" -> Timeseries.tsHiguchiSql,
     "ts_dfa" -> Timeseries.tsDfaSql,
     "ts_sax" -> Timeseries.tsSaxSql,
+    "ts_plv" -> Timeseries.tsPlvSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,
     "search_boolean" -> Search.searchBooleanSql,

@@ -843,6 +843,64 @@ object TextAnalysis {
       )
   }
 
+  /** Count-min sketch heavy-hitter report (Cormode & Muthukrishnan
+    * 2005) via Spark's NATIVE `count_min_sketch` aggregate: the
+    * fixed-memory path to approximate token counts when the exact
+    * vocabulary aggregation is too expensive to run on every pass.
+    * The report ranks the top-k exact heavy hitters (the acceptance
+    * baseline) against the sketch's point estimates — the
+    * overcount column is the thing a pipeline monitors before
+    * trusting sketch counts downstream.
+    *
+    * Scale shape — the whole point at 100 TB: the sketch aggregate's
+    * partial state is a FIXED d×w counter array, merged counter-wise
+    * across partitions map-side, so the exchange carries
+    * O(partitions × sketch) bytes regardless of vocabulary size
+    * (contrast the exact count's vocabulary-grain shuffle). The
+    * driver holds one sketch (~w·d longs) + k report rows.
+    * Determinism: the sketch's hash seeds derive from the fixed
+    * `seed`, so estimates are reproducible run to run; the spec pins
+    * the CMS guarantees (estimate ≥ exact, ≤ exact + ε·N) and
+    * counter-wise mergeability across corpus splits.
+    */
+  def corpusCmsReport(
+    docs: DataFrame,
+    k: Int = 25,
+    eps: Double = 0.0005,
+    confidence: Double = 0.99,
+    seed: Int = 42
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .filter(col("text").isNotNull)
+      .select(explode(expr(WordsSql)).as("word"))
+      .filter(length(col("word")) > 0)
+    val skBytes = words
+      .agg(count_min_sketch(col("word"), lit(eps), lit(confidence), lit(seed)).as("sk"))
+      .head()
+      .getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val top = words
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("word"))
+      .limit(k)
+      .as[(String, Long)]
+      .collect()
+    top.toSeq
+      .map { case (w, exact) =>
+        val est = cms.estimateCount(w)
+        (w, exact, est, est - exact)
+      }
+      .toDF("word", "exact", "estimate", "overcount")
+      .orderBy(col("exact").desc, col("word"))
+  }
+
+  def corpusCms(spark: SparkSession, dir: String): DataFrame =
+    corpusCmsReport(Tables.documents(spark, dir))
+
   /** Word burstiness (Church & Gale 1995, "Poisson mixtures"): the
     * variance-to-mean ratio of a word's per-document count over ALL
     * documents (absent docs contribute zero — the moments fold them in

@@ -1156,6 +1156,123 @@ object Timeseries {
       )
   }
 
+  /** Phase-locking value per channel pair (Lachaux et al. 1999) — the
+    * PHASE-ONLY coupling measure EEG pipelines report beside
+    * [[spectralCoherence]]: where coherence weights each window by
+    * amplitude, PLV normalizes every window's cross-spectrum to unit
+    * modulus first, so a weak-but-phase-locked rhythm scores 1 and an
+    * amplitude-correlated-but-phase-random pair scores ~0.
+    * PLV(a,b,k) = |1/n Σ_w e^{i(φa−φb)}| with
+    * e^{iΔφ} = X_a·conj(X_b)/(|X_a||X_b|) — computed WITHOUT atan2:
+    * cosΔφ and sinΔφ are ratios of the same DFT components the
+    * bandPower kernel produces, so the only transcendentals are the
+    * window trig (identical-rational arguments, the tsCoherence
+    * precedent) and correctly-rounded IEEE sqrt.
+    *
+    * Scale shape: identical to spectralCoherence — one sample-scale
+    * partial agg to (channel, window, k) components, a (window,
+    * k)-keyed pair join over the summary relation, one (pair, k)
+    * reduction. Portability: per-window cosΔφ/sinΔφ are ROUNDed to 9
+    * (a ratio of doubles is engine-identical, but the round pins the
+    * DECIMAL sum inputs), sums route through DECIMAL, zero-amplitude
+    * windows drop via NULLIF in both engines.
+    */
+  def phaseLocking(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame = {
+    val twoPi = 6.283185307179586
+    val frac = (col("t") % lit(windowUs)).cast("double") / lit(windowUs.toDouble)
+    val arg = lit(twoPi) * col("k") * col("__frac")
+    val comps = ts
+      .select(
+        col("channel"),
+        floor(col("t") / lit(windowUs)).cast("long").as("win"),
+        col("v"),
+        frac.as("__frac")
+      )
+      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
+      .groupBy(col("channel"), col("win"), col("k"))
+      .agg(detSum(col("v") * cos(arg)).as("c"), detSum(col("v") * sin(arg)).as("s"))
+    val lhs = comps.select(
+      col("channel").as("ch_a"),
+      col("win"),
+      col("k"),
+      col("c").as("ca"),
+      col("s").as("sa")
+    )
+    val rhs = comps.select(
+      col("channel").as("ch_b"),
+      col("win"),
+      col("k"),
+      col("c").as("cb"),
+      col("s").as("sb")
+    )
+    val denom = nullif(
+      sqrt(col("ca") * col("ca") + col("sa") * col("sa")) *
+        sqrt(col("cb") * col("cb") + col("sb") * col("sb")),
+      lit(0.0)
+    )
+    lhs
+      .join(rhs, Seq("win", "k"))
+      .filter(col("ch_a") < col("ch_b"))
+      .withColumn("__cosd", round((col("ca") * col("cb") + col("sa") * col("sb")) / denom, 9))
+      .withColumn("__sind", round((col("sa") * col("cb") - col("ca") * col("sb")) / denom, 9))
+      .filter(col("__cosd").isNotNull)
+      .groupBy(col("ch_a"), col("ch_b"), col("k"))
+      .agg(
+        count(lit(1)).as("n_win"),
+        detSum(col("__cosd")).as("__sc"),
+        detSum(col("__sind")).as("__ss")
+      )
+      .select(
+        col("ch_a"),
+        col("ch_b"),
+        col("k"),
+        col("n_win"),
+        round(
+          sqrt(col("__sc") * col("__sc") + col("__ss") * col("__ss")) / col("n_win"),
+          6
+        ).as("plv")
+      )
+  }
+
+  def tsPlv(spark: SparkSession, dir: String): DataFrame =
+    phaseLocking(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("ch_a"), col("ch_b"), col("k"))
+
+  /** PLV oracle: the tsCoherence component CTEs verbatim, then the
+    * unit-modulus per-window terms and the modulus-of-mean rollup.
+    */
+  val tsPlvSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win, value AS v,
+      |    CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0 AS frac
+      |  FROM events),
+      |e AS (
+      |  SELECT channel, win, v, frac, ks.k AS k
+      |  FROM x CROSS JOIN (SELECT UNNEST(range(1, 5)) AS k) ks),
+      |a AS (
+      |  SELECT channel, win, k,
+      |    CAST(SUM(CAST(v * cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c,
+      |    CAST(SUM(CAST(v * sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s
+      |  FROM e GROUP BY 1, 2, 3),
+      |terms AS (
+      |  SELECT l.channel AS ch_a, r.channel AS ch_b, l.k,
+      |    ROUND((l.c * r.c + l.s * r.s) /
+      |      NULLIF(SQRT(l.c * l.c + l.s * l.s) * SQRT(r.c * r.c + r.s * r.s), 0.0), 9) AS cosd,
+      |    ROUND((l.s * r.c - l.c * r.s) /
+      |      NULLIF(SQRT(l.c * l.c + l.s * l.s) * SQRT(r.c * r.c + r.s * r.s), 0.0), 9) AS sind
+      |  FROM a l JOIN a r ON l.win = r.win AND l.k = r.k AND l.channel < r.channel),
+      |pr AS (
+      |  SELECT ch_a, ch_b, k, COUNT(*) AS n_win,
+      |    CAST(SUM(CAST(cosd AS DECIMAL(27,10))) AS DOUBLE) AS sc,
+      |    CAST(SUM(CAST(sind AS DECIMAL(27,10))) AS DOUBLE) AS ss
+      |  FROM terms WHERE cosd IS NOT NULL
+      |  GROUP BY 1, 2, 3)
+      |SELECT ch_a, ch_b, k, n_win,
+      |  ROUND(SQRT(sc * sc + ss * ss) / n_win, 6) AS plv
+      |FROM pr
+      |ORDER BY ch_a, ch_b, k""".stripMargin
+
   /** Sessionization over any id column (users here, the classic
     * pipeline op): a session breaks when an id's inter-event gap
     * reaches gapUs; each event gets its id's 1-based session ordinal.

@@ -510,4 +510,51 @@ class TextAnalysisSpec extends SparkSpec {
     out(1).getAs[Long]("n_syllables") shouldBe 9L
   }
 
+
+  "corpusCmsReport" should "honor the CMS guarantees against exact counts" in {
+    // skewed corpus: word w_r appears ~(40 - r) times across docs
+    val docs = (0 until 40).map { d =>
+      val words = (0 until 40).filter(r => d >= r).map(r => s"w$r")
+      (d.toLong, words.mkString(" "), "en", "srcA", words.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eps = 0.01
+    val out = TextAnalysis.corpusCmsReport(docs, k = 10, eps = eps).collect()
+    out.length shouldBe 10
+    val totalTokens = (0 until 40).map(d => d + 1).sum // doc d holds d+1 words
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact")
+      val est = r.getAs[Long]("estimate")
+      val over = r.getAs[Long]("overcount")
+      est should be >= exact          // CMS never undercounts
+      over shouldBe est - exact
+      est should be <= exact + math.ceil(eps * totalTokens).toLong
+    }
+    // the exact ranking is the report order
+    out.map(_.getAs[Long]("exact")).toSeq shouldBe out.map(_.getAs[Long]("exact")).toSeq.sorted.reverse
+  }
+
+  it should "merge counter-wise across corpus splits to the whole-corpus sketch" in {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val docs = (0 until 30).map { d =>
+      val words = (0 to d % 7).map(r => s"m$r")
+      (d.toLong, words.mkString(" "), "en", "srcA", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def sketchOf(df: org.apache.spark.sql.DataFrame): CountMinSketch = {
+      val bytes = df
+        .filter($"text".isNotNull)
+        .select(explode(expr("split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')")).as("word"))
+        .filter($"word" =!= "")
+        .agg(count_min_sketch($"word", lit(0.001), lit(0.99), lit(42)).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    }
+    val whole = sketchOf(docs)
+    val even = sketchOf(docs.filter($"doc_id" % 2 === 0))
+    val odd = sketchOf(docs.filter($"doc_id" % 2 === 1))
+    even.mergeInPlace(odd)
+    (0 until 7).foreach { r =>
+      even.estimateCount(s"m$r") shouldBe whole.estimateCount(s"m$r")
+    }
+  }
+
 }

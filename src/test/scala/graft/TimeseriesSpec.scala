@@ -579,6 +579,42 @@ class TimeseriesSpec extends SparkSpec {
     out(("flip", "lock")) should be < 1e-9
   }
 
+  "phaseLocking" should "read 1 for a constant phase offset regardless of amplitude and ~0 for scrambled phase" in {
+    val w = 100L
+    val nWin = 64
+    // 'lock' holds a fixed 0.7-rad offset from base but its amplitude
+    // SWINGS per window (coherence would down-weight the quiet
+    // windows; PLV must not care); 'scramble' draws a deterministic
+    // per-window phase
+    def mix(x: Long): Double = {
+      var z = x * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2 * math.Pi
+    }
+    val rows = (0 until (nWin * 100)).flatMap { i =>
+      val t = i.toLong
+      val win = t / w
+      val ph = 2 * math.Pi * ((t % w).toDouble / w)
+      val amp = 0.1 + (win % 7).toDouble
+      Seq(
+        ("base", t, math.cos(ph)),
+        ("lock", t, amp * math.cos(ph + 0.7)),
+        ("scramble", t, math.cos(ph + mix(win)))
+      )
+    }
+    val out = Timeseries
+      .phaseLocking(mkTs(rows), windowUs = w, ks = Seq(1))
+      .select("ch_a", "ch_b", "plv")
+      .as[(String, String, Double)]
+      .collect()
+      .map(r => (r._1, r._2) -> r._3)
+      .toMap
+    out(("base", "lock")) shouldBe (1.0 +- 1e-6)
+    out(("base", "scramble")) should be < 0.25
+    out(("lock", "scramble")) should be < 0.25
+  }
+
   it should "be identically 1 over a single window (the degenerate estimate)" in {
     val rows = (0 until 100).flatMap { i =>
       Seq(("a", i.toLong, math.sin(i / 3.0)), ("b", i.toLong, math.cos(i / 7.0) + 0.3))
