@@ -338,6 +338,9 @@ object SparkEntry {
     // phase-locking value per channel pair (phase-only coupling next
     // to the amplitude-weighted ts_coherence)
     "ts_plv" -> (Timeseries.tsPlv _),
+    // Lomb-Scargle periodogram: spectral estimate on the raw IRREGULAR
+    // timestamps (the uneven-sampling twin of welch/bandpower)
+    "ts_lomb" -> (Timeseries.tsLomb _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -593,6 +596,7 @@ object SparkEntry {
     "ts_dfa" -> Timeseries.tsDfaSql,
     "ts_sax" -> Timeseries.tsSaxSql,
     "ts_plv" -> Timeseries.tsPlvSql,
+    "ts_lomb" -> Timeseries.tsLombSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,
     "search_boolean" -> Search.searchBooleanSql,

@@ -1273,6 +1273,152 @@ object Timeseries {
       |FROM pr
       |ORDER BY ch_a, ch_b, k""".stripMargin
 
+  /** Lomb-Scargle periodogram (Lomb 1976, Scargle 1982) — the
+    * spectral estimate for UNEVENLY sampled series: [[bandPower]] and
+    * tsWelch assume a uniform grid; Lomb-Scargle evaluates the
+    * least-squares sinusoid fit at each frequency directly on the raw
+    * irregular timestamps, so it is the estimator that pairs with this
+    * engine's gap story (ts_gaps/ts_fillgaps) when filling is NOT
+    * wanted. P(ω) = 1/(2σ²)·[ (Σĉv·cosω(t−τ))²/Σcos²ω(t−τ) +
+    * (Σĉv·sinω(t−τ))²/Σsin²ω(t−τ) ] with tan 2ωτ = Σsin2ωt/Σcos2ωt
+    * and ĉv the mean-centered values.
+    *
+    * NO atan2 (libm atan2 is not correctly rounded and diverges
+    * between engines): the τ rotation enters only through cos ωτ /
+    * sin ωτ, recovered algebraically from the half-angle identities —
+    * cos2ωτ = C₂/R, R = √(C₂²+S₂²), cτ = √((1+cos2ωτ)/2),
+    * sτ = ±√((1−cos2ωτ)/2) with the sign of S₂. That picks one of the
+    * two valid τ branches (P is invariant under τ → τ+π/ω, which
+    * flips both squared terms' signs together), identically in both
+    * engines; R = 0 degenerates to τ = 0. Every remaining op is IEEE
+    * +,·,/,√ on engine-identical inputs.
+    *
+    * Scale shape: ONE sample-scale partial agg to the (channel,
+    * window, k) grain — eight DECIMAL-routed sums + n per cell, trig
+    * args bounded rationals (frac = t mod W / W, the bandPower
+    * precedent) so cos/sin agree bit-for-bit across engines; the
+    * τ/normalization algebra runs on the summary grain. Zero joins.
+    */
+  def lombScargle(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 8): DataFrame = {
+    val twoPi = 6.283185307179586
+    val frac = (col("t") % lit(windowUs)).cast("double") / lit(windowUs.toDouble)
+    val arg = lit(twoPi) * col("k") * col("__frac")
+    val arg2 = lit(2.0) * lit(twoPi) * col("k") * col("__frac")
+    val g = ts
+      .select(
+        col("channel"),
+        floor(col("t") / lit(windowUs)).cast("long").as("win"),
+        col("v"),
+        frac.as("__frac")
+      )
+      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
+      .groupBy(col("channel"), col("win"), col("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        detSum(col("v")).as("sv"),
+        detSum(col("v") * col("v")).as("sv2"),
+        detSum(col("v") * cos(arg)).as("c1v"),
+        detSum(col("v") * sin(arg)).as("s1v"),
+        detSum(cos(arg)).as("c1"),
+        detSum(sin(arg)).as("s1"),
+        detSum(cos(arg2)).as("c2"),
+        detSum(sin(arg2)).as("s2")
+      )
+      .filter(col("n") > 2)
+    val vbar = col("sv") / col("n")
+    val cvc = col("c1v") - vbar * col("c1")
+    val cvs = col("s1v") - vbar * col("s1")
+    val cc = (col("n") + col("c2")) / lit(2.0)
+    val ss = (col("n") - col("c2")) / lit(2.0)
+    val cs = col("s2") / lit(2.0)
+    val r = sqrt(col("c2") * col("c2") + col("s2") * col("s2"))
+    val cos2t = when(r === 0.0, lit(1.0)).otherwise(col("c2") / r)
+    val ct = sqrt(greatest((lit(1.0) + cos2t) / lit(2.0), lit(0.0)))
+    val st = when(col("s2") < 0.0, lit(-1.0)).otherwise(lit(1.0)) *
+      sqrt(greatest((lit(1.0) - cos2t) / lit(2.0), lit(0.0)))
+    val varr = (col("sv2") - col("sv") * vbar) / (col("n") - lit(1))
+    g.withColumn("__ct", ct)
+      .withColumn("__st", st)
+      .withColumn("__a", col("__ct") * cvc + col("__st") * cvs)
+      .withColumn("__b", col("__ct") * cvs - col("__st") * cvc)
+      .withColumn(
+        "__da",
+        col("__ct") * col("__ct") * cc + lit(2.0) * col("__ct") * col("__st") * cs +
+          col("__st") * col("__st") * ss
+      )
+      .withColumn(
+        "__db",
+        col("__ct") * col("__ct") * ss - lit(2.0) * col("__ct") * col("__st") * cs +
+          col("__st") * col("__st") * cc
+      )
+      .select(
+        col("channel"),
+        col("win"),
+        col("k"),
+        col("n"),
+        round(
+          (col("__a") * col("__a") / nullif(col("__da"), lit(0.0)) +
+            col("__b") * col("__b") / nullif(col("__db"), lit(0.0))) /
+            (lit(2.0) * nullif(varr, lit(0.0))),
+          6
+        ).as("power")
+      )
+  }
+
+  def tsLomb(spark: SparkSession, dir: String): DataFrame =
+    lombScargle(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("channel"), col("win"), col("k"))
+
+  /** Lomb-Scargle oracle: the identical eight DECIMAL sums, then the
+    * τ-branch and normalization algebra with the same parenthesization.
+    */
+  val tsLombSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win, value AS v,
+      |    CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0 AS frac
+      |  FROM events),
+      |e AS (
+      |  SELECT channel, win, v, frac, ks.k AS k
+      |  FROM x CROSS JOIN (SELECT UNNEST(range(1, 9)) AS k) ks),
+      |g AS (
+      |  SELECT channel, win, k, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) AS sv,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(27,10))) AS DOUBLE) AS sv2,
+      |    CAST(SUM(CAST(v * cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c1v,
+      |    CAST(SUM(CAST(v * sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s1v,
+      |    CAST(SUM(CAST(cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c1,
+      |    CAST(SUM(CAST(sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(cos(2.0 * 6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c2,
+      |    CAST(SUM(CAST(sin(2.0 * 6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s2
+      |  FROM e GROUP BY 1, 2, 3
+      |  HAVING COUNT(*) > 2),
+      |tau AS (
+      |  SELECT *,
+      |    CASE WHEN SQRT(c2 * c2 + s2 * s2) = 0.0 THEN 1.0
+      |         ELSE c2 / SQRT(c2 * c2 + s2 * s2) END AS cos2t
+      |  FROM g),
+      |rot AS (
+      |  SELECT *,
+      |    SQRT(GREATEST((1.0 + cos2t) / 2.0, 0.0)) AS ct,
+      |    (CASE WHEN s2 < 0.0 THEN -1.0 ELSE 1.0 END) *
+      |      SQRT(GREATEST((1.0 - cos2t) / 2.0, 0.0)) AS st
+      |  FROM tau),
+      |terms AS (
+      |  SELECT channel, win, k, n, sv2, sv,
+      |    ct * (c1v - (sv / n) * c1) + st * (s1v - (sv / n) * s1) AS a,
+      |    ct * (s1v - (sv / n) * s1) - st * (c1v - (sv / n) * c1) AS b,
+      |    ct * ct * ((n + c2) / 2.0) + 2.0 * ct * st * (s2 / 2.0) +
+      |      st * st * ((n - c2) / 2.0) AS da,
+      |    ct * ct * ((n - c2) / 2.0) - 2.0 * ct * st * (s2 / 2.0) +
+      |      st * st * ((n + c2) / 2.0) AS db
+      |  FROM rot)
+      |SELECT channel, win, k, n,
+      |  ROUND((a * a / NULLIF(da, 0.0) + b * b / NULLIF(db, 0.0)) /
+      |    (2.0 * NULLIF((sv2 - sv * (sv / n)) / (n - 1), 0.0)), 6) AS power
+      |FROM terms
+      |ORDER BY channel, win, k""".stripMargin
+
   /** Sessionization over any id column (users here, the classic
     * pipeline op): a session breaks when an id's inter-event gap
     * reaches gapUs; each event gets its id's 1-based session ordinal.

@@ -615,7 +615,47 @@ class TimeseriesSpec extends SparkSpec {
     out(("lock", "scramble")) should be < 0.25
   }
 
-  it should "be identically 1 over a single window (the degenerate estimate)" in {
+  "lombScargle" should "recover the true frequency from irregular samples and normalize out amplitude" in {
+    val w = 10000L
+    // irregularly spaced timestamps (variable stride, ~60% coverage,
+    // never a uniform grid) — the case welch/bandpower can't serve
+    val times = Iterator
+      .iterate(0L)(t => t + 7 + (t % 13) + (if (t % 29 < 11) 15 else 0))
+      .takeWhile(_ < w)
+      .toSeq
+    def series(amp: Double) = times.map { t =>
+      val ph = 2 * math.Pi * 3 * (t.toDouble / w)
+      ("c", t, amp * math.cos(ph + 0.4))
+    }
+    def powers(amp: Double): Map[Int, Double] =
+      Timeseries
+        .lombScargle(mkTs(series(amp)), windowUs = w, ks = 1 to 8)
+        .select("k", "power")
+        .as[(Long, Double)]
+        .collect()
+        .map(p => p._1.toInt -> p._2)
+        .toMap
+    val p1 = powers(1.0)
+    // a pure sinusoid at harmonic 3 concentrates the fit there:
+    // P(3) ~ n/2, every other harmonic near zero
+    p1(3) should be > (times.length / 4.0)
+    (1 to 8).filter(_ != 3).foreach { k => p1(k) should be < (p1(3) / 20.0) }
+    // the 2sigma^2 normalization makes power amplitude-invariant
+    val p5 = powers(5.0)
+    (1 to 8).foreach { k => p5(k) shouldBe (p1(k) +- 1e-6) }
+  }
+
+  it should "drop degenerate cells: tiny windows are filtered, constant series yield NULL power" in {
+    val rows = Seq(("tiny", 1L, 1.0), ("tiny", 2L, 2.0)) ++
+      (0 until 50).map(i => ("flat", i.toLong * 11, 3.5))
+    val out = Timeseries
+      .lombScargle(mkTs(rows), windowUs = 1000L, ks = Seq(1, 2))
+      .collect()
+    out.map(_.getAs[String]("channel")).distinct.toSeq shouldBe Seq("flat")
+    out.foreach { r => r.isNullAt(r.fieldIndex("power")) shouldBe true }
+  }
+
+  "spectralCoherence" should "be identically 1 over a single window (the degenerate estimate)" in {
     val rows = (0 until 100).flatMap { i =>
       Seq(("a", i.toLong, math.sin(i / 3.0)), ("b", i.toLong, math.cos(i / 7.0) + 0.3))
     }
