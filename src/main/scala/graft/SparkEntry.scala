@@ -341,6 +341,9 @@ object SparkEntry {
     // Lomb-Scargle periodogram: spectral estimate on the raw IRREGULAR
     // timestamps (the uneven-sampling twin of welch/bandpower)
     "ts_lomb" -> (Timeseries.tsLomb _),
+    // banded DTW channel-pair distance over the z-normalized PAA grid
+    // (nested-fold DP expression; raster recursive-CTE oracle)
+    "ts_dtw" -> (Timeseries.tsDtw _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -597,6 +600,7 @@ object SparkEntry {
     "ts_sax" -> Timeseries.tsSaxSql,
     "ts_plv" -> Timeseries.tsPlvSql,
     "ts_lomb" -> Timeseries.tsLombSql,
+    "ts_dtw" -> Timeseries.tsDtwSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,
     "search_boolean" -> Search.searchBooleanSql,

@@ -1419,6 +1419,153 @@ object Timeseries {
       |FROM terms
       |ORDER BY channel, win, k""".stripMargin
 
+  /** Dynamic-time-warping distance per channel pair (Sakoe & Chiba
+    * 1978; Berndt & Clifford 1994) — the shape-similarity measure that
+    * tolerates local time misalignment where plain correlation
+    * ([[lagCorrelation]], ts_xcorr) does not. The 100 TB shape is the
+    * PAA reduction, NOT the DP: raw samples collapse to a per-(channel,
+    * window) z-normalized PAA grid of `buckets` means in ONE partial
+    * agg (the ts_sax grid discipline), so the O(g·band) banded DP runs
+    * on arrays of ≤ `buckets` doubles at SUMMARY grain — bounded flops
+    * per pair regardless of the raw sample rate, and the pair join
+    * inputs sit strictly above an Aggregate (the ts_coherence rule).
+    *
+    * The DP itself is declared as nested Catalyst `aggregate`
+    * higher-order functions (rolling linear-space recurrence: prev row
+    * carried as the fold state, current row grown cell by cell), not a
+    * UDF — Catalyst sees one deterministic expression. Out-of-band
+    * cells pin to 1e300; the Sakoe-Chiba radius widens to |n−m| so the
+    * corner stays reachable. Portability: PAA means, z-scores are
+    * ROUND(·,9) off DECIMAL sums, and every DP cell is one IEEE
+    * multiply-add + 3-way LEAST on engine-identical doubles, so the
+    * oracle (a raster-order recursive CTE carrying the same rolling
+    * state) hash-matches cell for cell.
+    */
+  def dtwDistance(
+    ts: DataFrame,
+    windowUs: Long,
+    buckets: Int = 24,
+    band: Int = 6
+  ): DataFrame = {
+    val bucketUs = windowUs / buckets
+    val paa = ts
+      .select(
+        col("channel"),
+        floor(col("t") / lit(windowUs)).cast("long").as("win"),
+        floor((col("t") % lit(windowUs)) / lit(bucketUs)).cast("long").as("bucket"),
+        col("v")
+      )
+      .groupBy(col("channel"), col("win"), col("bucket"))
+      .agg(round(detSum(col("v")) / count(lit(1)), 9).as("paa"))
+    val w = Window.partitionBy(col("channel"), col("win"))
+    val s1 = sum(col("paa").cast(dec2710)).over(w).cast("double")
+    val s2 = sum((col("paa") * col("paa")).cast(dec2710)).over(w).cast("double")
+    val nb = count(lit(1)).over(w)
+    val sig = sqrt(greatest(col("__s2") / col("__nb") -
+      (col("__s1") / col("__nb")) * (col("__s1") / col("__nb")), lit(0.0)))
+    val arrs = paa
+      .withColumn("__s1", s1)
+      .withColumn("__s2", s2)
+      .withColumn("__nb", nb)
+      .filter(sig > 0.0)
+      .withColumn(
+        "z",
+        round((col("paa") - col("__s1") / col("__nb")) / nullif(sig, lit(0.0)), 9)
+      )
+      .groupBy(col("channel"), col("win"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(bucket, z))), x -> x.z)").as("arr")
+      )
+    val lhs = arrs.select(col("channel").as("ch_a"), col("win"), col("arr").as("a"))
+    val rhs = arrs.select(col("channel").as("ch_b"), col("win"), col("arr").as("b"))
+    val dp =
+      """aggregate(
+        |  sequence(1, n),
+        |  transform(sequence(0, m), jj -> IF(jj = 0, CAST(0.0 AS DOUBLE), 1e300)),
+        |  (prev, i) -> aggregate(
+        |    sequence(1, m),
+        |    array(1e300),
+        |    (cur, j) -> array_append(cur,
+        |      IF(abs(i - j) <= band,
+        |        (element_at(a, i) - element_at(b, j)) * (element_at(a, i) - element_at(b, j)) +
+        |          least(element_at(cur, j), element_at(prev, j + 1), element_at(prev, j)),
+        |        1e300))),
+        |  acc -> element_at(acc, m + 1))""".stripMargin
+    lhs
+      .join(rhs, Seq("win"))
+      .filter(col("ch_a") < col("ch_b"))
+      .withColumn("n", size(col("a")))
+      .withColumn("m", size(col("b")))
+      .withColumn("band", greatest(lit(band), abs(col("n") - col("m"))))
+      .select(
+        col("ch_a"),
+        col("ch_b"),
+        col("win"),
+        col("n").as("n_a"),
+        col("m").as("n_b"),
+        round(sqrt(expr(dp)), 6).as("dtw")
+      )
+  }
+
+  def tsDtw(spark: SparkSession, dir: String): DataFrame =
+    dtwDistance(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("ch_a"), col("ch_b"), col("win"))
+
+  /** DTW oracle: the identical PAA/z grid, then the same rolling
+    * linear-space recurrence in raster-cell order — a recursive CTE
+    * whose state list carries the last m+1 cells, so every cell's
+    * multiply-add + LEAST sees the same operands as the engine's
+    * nested-fold form.
+    */
+  val tsDtwSql: String =
+    """WITH RECURSIVE x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win,
+      |    (epoch_us(ts) % 86400000000) // 3600000000 AS bucket,
+      |    value AS v
+      |  FROM events),
+      |p AS (
+      |  SELECT channel, win, bucket,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 9) AS paa
+      |  FROM x GROUP BY 1, 2, 3),
+      |st AS (
+      |  SELECT channel, win, bucket, paa,
+      |    CAST(SUM(CAST(paa AS DECIMAL(27,10))) OVER (PARTITION BY channel, win) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(paa * paa AS DECIMAL(27,10))) OVER (PARTITION BY channel, win) AS DOUBLE) AS s2,
+      |    COUNT(*) OVER (PARTITION BY channel, win) AS nb
+      |  FROM p),
+      |zz AS (
+      |  SELECT channel, win, bucket,
+      |    ROUND((paa - s1 / nb) /
+      |      NULLIF(SQRT(GREATEST(s2 / nb - (s1 / nb) * (s1 / nb), 0.0)), 0.0), 9) AS z
+      |  FROM st
+      |  WHERE SQRT(GREATEST(s2 / nb - (s1 / nb) * (s1 / nb), 0.0)) > 0.0),
+      |arr AS (
+      |  SELECT channel, win, list(z ORDER BY bucket) AS arr FROM zz GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT l.channel AS ch_a, r.channel AS ch_b, l.win,
+      |    l.arr AS a, r.arr AS b, len(l.arr) AS n, len(r.arr) AS m,
+      |    GREATEST(6, abs(len(l.arr) - len(r.arr))) AS band
+      |  FROM arr l JOIN arr r ON l.win = r.win AND l.channel < r.channel),
+      |dp AS (
+      |  SELECT ch_a, ch_b, win, a, b, n, m, band, 0 AS c,
+      |    list_append(
+      |      (list_concat([0.0], list_transform(range(1, m + 1), xx -> 1e300)))[2:],
+      |      (a[1] - b[1]) * (a[1] - b[1]) + 0.0) AS s
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT ch_a, ch_b, win, a, b, n, m, band, c + 1,
+      |    list_append(s[2:],
+      |      CASE WHEN abs((c + 1) // m - (c + 1) % m) <= band
+      |        THEN (a[(c + 1) // m + 1] - b[(c + 1) % m + 1]) *
+      |             (a[(c + 1) // m + 1] - b[(c + 1) % m + 1]) +
+      |          LEAST(CASE WHEN (c + 1) % m = 0 THEN 1e300 ELSE s[m + 1] END, s[2], s[1])
+      |        ELSE 1e300 END)
+      |  FROM dp WHERE c < n * m - 1)
+      |SELECT ch_a, ch_b, win, n AS n_a, m AS n_b, ROUND(SQRT(s[m + 1]), 6) AS dtw
+      |FROM dp WHERE c = n * m - 1
+      |ORDER BY ch_a, ch_b, win""".stripMargin
+
   /** Sessionization over any id column (users here, the classic
     * pipeline op): a session breaks when an id's inter-event gap
     * reaches gapUs; each event gets its id's 1-based session ordinal.

@@ -655,6 +655,88 @@ class TimeseriesSpec extends SparkSpec {
     out.foreach { r => r.isNullAt(r.fieldIndex("power")) shouldBe true }
   }
 
+  "dtwDistance" should "warp out a one-bucket shift down to the two corner cells and zero out identical shapes" in {
+    // one window = 2400 ticks, 24 buckets of 100; one sample per bucket.
+    // 'a' alternates 0,2 -> z exactly -1,+1; 'b' is 'a' shifted one
+    // bucket -> z exactly +1,-1; 'c' duplicates 'a'; 'd' is constant
+    // (sigma=0, must be filtered). The optimal warp aligns a/b at
+    // offset 1 with zero cost except the two pinned corners, each
+    // (1-(-1))^2=4 -> dtw = sqrt(8). Two windows, same pattern.
+    val rows = (0 until 48).flatMap { bkt =>
+      val t = bkt.toLong * 100
+      Seq(
+        ("a", t, if (bkt % 2 == 0) 0.0 else 2.0),
+        ("b", t, if (bkt % 2 == 0) 2.0 else 0.0),
+        ("c", t, if (bkt % 2 == 0) 0.0 else 2.0),
+        ("d", t, 7.0)
+      )
+    }
+    val out = Timeseries
+      .dtwDistance(mkTs(rows), windowUs = 2400L, buckets = 24)
+      .collect()
+    out.length shouldBe 6 // 3 live channels choose 2, times 2 windows
+    out.foreach { r =>
+      r.getAs[Int]("n_a") shouldBe 24
+      r.getAs[Int]("n_b") shouldBe 24
+      val d = r.getAs[Double]("dtw")
+      (r.getAs[String]("ch_a"), r.getAs[String]("ch_b")) match {
+        case ("a", "c") => d shouldBe 0.0
+        case _          => d shouldBe (math.sqrt(8.0) +- 1e-6)
+      }
+    }
+  }
+
+  it should "match a naive full-DP reference on irregular real-valued grids" in {
+    // irregular sample counts per bucket and non-trivial values; the
+    // engine's nested-fold DP must equal the classic two-array DP run
+    // on the engine's own z-grid (read back at bucket grain is not
+    // exposed, so recompute PAA/z with the same DECIMAL rounding).
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = 1200L
+    val nB = 12
+    val rows = Seq("p", "q").flatMap { ch =>
+      (0 until 120).filter(i => i % 17 != 0 || ch == "q").map { i =>
+        val t = i.toLong * 10
+        val v = if (ch == "p") math.sin(i / 5.0) + 0.3 * math.cos(i / 2.0)
+        else math.sin((i - 7) / 5.0)
+        (ch, t, v)
+      }
+    }
+    def grid(ch: String): Array[Double] = {
+      val byB = rows.filter(_._1 == ch).groupBy(x => (x._2 % w) / 100).toSeq.sortBy(_._1)
+      val paa = byB.map { case (_, xs) =>
+        val dec = xs.map(x => BigDecimal(x._3).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+        r((dec.toDouble / xs.length), 9)
+      }.toArray
+      val s1 = paa.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val s2 = paa.map(p => BigDecimal(p * p).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val mu = s1 / nB
+      val sig = math.sqrt(math.max(s2 / nB - mu * mu, 0.0))
+      paa.map(p => r((p - mu) / sig, 9))
+    }
+    def naive(a: Array[Double], b: Array[Double], band: Int): Double = {
+      val n = a.length; val m = b.length
+      val rad = math.max(band, math.abs(n - m))
+      var prev = Array.fill(m + 1)(1e300); prev(0) = 0.0
+      for (i <- 0 until n) {
+        val cur = Array.fill(m + 1)(1e300)
+        for (j <- 0 until m if math.abs(i - j) <= rad)
+          cur(j + 1) = (a(i) - b(j)) * (a(i) - b(j)) +
+            math.min(cur(j), math.min(prev(j + 1), prev(j)))
+        prev = cur
+      }
+      math.sqrt(prev(m))
+    }
+    val expected = naive(grid("p"), grid("q"), 6)
+    val out = Timeseries
+      .dtwDistance(mkTs(rows), windowUs = w, buckets = nB)
+      .select("dtw")
+      .as[Double]
+      .collect()
+    out.length shouldBe 1
+    out.head shouldBe (r(expected, 6) +- 1e-9)
+  }
+
   "spectralCoherence" should "be identically 1 over a single window (the degenerate estimate)" in {
     val rows = (0 until 100).flatMap { i =>
       Seq(("a", i.toLong, math.sin(i / 3.0)), ("b", i.toLong, math.cos(i / 7.0) + 0.3))
