@@ -344,6 +344,8 @@ object SparkEntry {
     // banded DTW channel-pair distance over the z-normalized PAA grid
     // (nested-fold DP expression; raster recursive-CTE oracle)
     "ts_dtw" -> (Timeseries.tsDtw _),
+    // Mann-Kendall trend + Sen's slope: integer order-statistic screen
+    "ts_mk" -> (Timeseries.tsMk _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -601,6 +603,7 @@ object SparkEntry {
     "ts_plv" -> Timeseries.tsPlvSql,
     "ts_lomb" -> Timeseries.tsLombSql,
     "ts_dtw" -> Timeseries.tsDtwSql,
+    "ts_mk" -> Timeseries.tsMkSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,
     "search_boolean" -> Search.searchBooleanSql,

@@ -1566,6 +1566,154 @@ object Timeseries {
       |FROM dp WHERE c = n * m - 1
       |ORDER BY ch_a, ch_b, win""".stripMargin
 
+  /** Mann-Kendall trend test + Sen's slope per (channel, window)
+    * (Mann 1945, Kendall 1975, Sen 1968) — the NONPARAMETRIC monotone
+    * trend screen that pairs with the parametric ts_cusum/ts_shift
+    * family: S = Σ_{i<j} sign(x_j − x_i) is pure integer order
+    * statistics, so it is immune to outliers and to the float-sum
+    * portability traps, with the normal approximation
+    * z = (S∓1)/√Var(S) and the tie-corrected variance
+    * Var = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18. Sen's slope is the
+    * median pairwise slope — picked by RANK (the two middle order
+    * statistics summed through DECIMAL and halved), never by
+    * interpolation, because engines disagree on `a+(b−a)·q` vs
+    * `(a+b)/2` rounding.
+    *
+    * Scale shape: raw samples collapse once to the hourly PAA grid
+    * (ts_sax discipline); the O(g²) pair set (≤276 rows per
+    * channel-window) lives entirely at SUMMARY grain — self-join,
+    * rank window and rollup all post-aggregate.
+    */
+  def mannKendall(ts: DataFrame, windowUs: Long, buckets: Int = 24): DataFrame = {
+    val bucketUs = windowUs / buckets
+    val paa = ts
+      .select(
+        col("channel"),
+        floor(col("t") / lit(windowUs)).cast("long").as("win"),
+        floor((col("t") % lit(windowUs)) / lit(bucketUs)).cast("long").as("bucket"),
+        col("v")
+      )
+      .groupBy(col("channel"), col("win"), col("bucket"))
+      .agg(round(detSum(col("v")) / count(lit(1)), 9).as("paa"))
+    val l = paa.select(col("channel"), col("win"), col("bucket").as("b1"), col("paa").as("x1"))
+    val r = paa.select(col("channel"), col("win"), col("bucket").as("b2"), col("paa").as("x2"))
+    val pairs = l
+      .join(r, Seq("channel", "win"))
+      .filter(col("b1") < col("b2"))
+      .select(
+        col("channel"),
+        col("win"),
+        signum(col("x2") - col("x1")).cast("long").as("sgn"),
+        ((col("x2") - col("x1")) / (col("b2") - col("b1")).cast("double")).as("slope")
+      )
+    val ranked = pairs.withColumn(
+      "__rn",
+      row_number().over(Window.partitionBy(col("channel"), col("win")).orderBy(col("slope")))
+    )
+    val np = col("__np")
+    val mk = ranked
+      .withColumn("__np", count(lit(1)).over(Window.partitionBy(col("channel"), col("win"))))
+      .filter(
+        col("__rn") === floor((np + 1) / lit(2)) || col("__rn") === floor((np + 2) / lit(2))
+      )
+      .groupBy(col("channel"), col("win"))
+      .agg((detSum(col("slope")) / count(lit(1))).as("sen_slope"))
+    val s = pairs.groupBy(col("channel"), col("win")).agg(sum(col("sgn")).as("s"))
+    val ties = paa
+      .groupBy(col("channel"), col("win"), col("paa"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("channel"), col("win"))
+      .agg(
+        sum(col("t")).as("nb"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("__tt")
+      )
+    val varS = (col("nb") * (col("nb") - 1) * (lit(2) * col("nb") + 5) - col("__tt"))
+      .cast("double") / lit(18.0)
+    s.join(ties, Seq("channel", "win"))
+      .join(mk, Seq("channel", "win"))
+      .filter(col("nb") > 2)
+      .withColumn("var_s", varS)
+      .select(
+        col("channel"),
+        col("win"),
+        col("nb"),
+        col("s"),
+        round(col("var_s"), 6).as("var_s"),
+        round(
+          when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))))
+            .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))))
+            .otherwise(lit(0.0)),
+          6
+        ).as("z"),
+        round(col("sen_slope"), 6).as("sen_slope"),
+        when(col("s") > 0 && (col("s") - 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))) > 1.959964, lit("up"))
+          .when(col("s") < 0 && (col("s") + 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))) < -1.959964, lit("down"))
+          .otherwise(lit("none"))
+          .as("trend")
+      )
+  }
+
+  def tsMk(spark: SparkSession, dir: String): DataFrame =
+    mannKendall(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("channel"), col("win"))
+
+  /** Mann-Kendall oracle: identical PAA grid, integer S and tie
+    * rollups, rank-picked Sen median through the same DECIMAL halving.
+    */
+  val tsMkSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win,
+      |    (epoch_us(ts) % 86400000000) // 3600000000 AS bucket,
+      |    value AS v
+      |  FROM events),
+      |p AS (
+      |  SELECT channel, win, bucket,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 9) AS paa
+      |  FROM x GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT l.channel, l.win,
+      |    CAST(SIGN(r.paa - l.paa) AS BIGINT) AS sgn,
+      |    (r.paa - l.paa) / CAST(r.bucket - l.bucket AS DOUBLE) AS slope
+      |  FROM p l JOIN p r
+      |    ON l.channel = r.channel AND l.win = r.win AND l.bucket < r.bucket),
+      |ranked AS (
+      |  SELECT channel, win, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY channel, win ORDER BY slope) AS rn,
+      |    COUNT(*) OVER (PARTITION BY channel, win) AS np
+      |  FROM pairs),
+      |sen AS (
+      |  SELECT channel, win,
+      |    CAST(SUM(CAST(slope AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS sen_slope
+      |  FROM ranked
+      |  WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+      |  GROUP BY 1, 2),
+      |ss AS (
+      |  SELECT channel, win, SUM(sgn) AS s FROM pairs GROUP BY 1, 2),
+      |ties AS (
+      |  SELECT channel, win, SUM(t) AS nb,
+      |    SUM(t * (t - 1) * (2 * t + 5)) AS tt
+      |  FROM (SELECT channel, win, paa, COUNT(*) AS t FROM p GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2),
+      |jj AS (
+      |  SELECT ss.channel, ss.win, ties.nb, ss.s, sen.sen_slope,
+      |    CAST(ties.nb * (ties.nb - 1) * (2 * ties.nb + 5) - ties.tt AS DOUBLE) / 18.0 AS var_s
+      |  FROM ss
+      |  JOIN ties ON ss.channel = ties.channel AND ss.win = ties.win
+      |  JOIN sen ON ss.channel = sen.channel AND ss.win = sen.win
+      |  WHERE ties.nb > 2)
+      |SELECT channel, win, nb, s,
+      |  ROUND(var_s, 6) AS var_s,
+      |  ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / SQRT(NULLIF(var_s, 0.0))
+      |             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / SQRT(NULLIF(var_s, 0.0))
+      |             ELSE 0.0 END, 6) AS z,
+      |  ROUND(sen_slope, 6) AS sen_slope,
+      |  CASE WHEN s > 0 AND CAST(s - 1 AS DOUBLE) / SQRT(NULLIF(var_s, 0.0)) > 1.959964 THEN 'up'
+      |       WHEN s < 0 AND CAST(s + 1 AS DOUBLE) / SQRT(NULLIF(var_s, 0.0)) < -1.959964 THEN 'down'
+      |       ELSE 'none' END AS trend
+      |FROM jj
+      |ORDER BY channel, win""".stripMargin
+
   /** Sessionization over any id column (users here, the classic
     * pipeline op): a session breaks when an id's inter-event gap
     * reaches gapUs; each event gets its id's 1-based session ordinal.

@@ -737,6 +737,50 @@ class TimeseriesSpec extends SparkSpec {
     out.head shouldBe (r(expected, 6) +- 1e-9)
   }
 
+  "mannKendall" should "flag a monotone ramp up, a flat line none, and shrug off one outlier" in {
+    val w = 2400L // 24 buckets of 100, one sample per bucket
+    val rows = (0 until 24).flatMap { b =>
+      val t = b.toLong * 100
+      Seq(
+        ("ramp", t, b * 0.5),                              // strict increase
+        ("flat", t, 3.0),                                  // constant
+        ("dirty", t, if (b == 11) 50.0 else b * 0.5)       // ramp + one spike
+      )
+    }
+    val out = Timeseries
+      .mannKendall(mkTs(rows), windowUs = w, buckets = 24)
+      .collect()
+      .map(r => r.getAs[String]("channel") -> r)
+      .toMap
+    // ramp: every pair positive -> S = 276, no ties, var = n(n-1)(2n+5)/18
+    out("ramp").getAs[Long]("s") shouldBe 276L
+    out("ramp").getAs[Double]("var_s") shouldBe (24.0 * 23 * 53 / 18) +- 1e-6
+    out("ramp").getAs[String]("trend") shouldBe "up"
+    out("ramp").getAs[Double]("sen_slope") shouldBe (0.5 +- 1e-9) // 0.5 per bucket index
+    // flat: all ties -> S = 0, tie correction kills the variance
+    out("flat").getAs[Long]("s") shouldBe 0L
+    out("flat").getAs[Double]("var_s") shouldBe 0.0
+    out("flat").getAs[String]("trend") shouldBe "none"
+    out("flat").getAs[Double]("sen_slope") shouldBe 0.0
+    // one outlier flips at most 2*(n-1) pair signs and cannot move the
+    // rank-based slope: trend call and Sen estimate survive
+    out("dirty").getAs[String]("trend") shouldBe "up"
+    out("dirty").getAs[Double]("sen_slope") shouldBe (0.5 +- 1e-9)
+    out("dirty").getAs[Long]("s").toDouble should be >= 276.0 - 2 * 23
+  }
+
+  it should "compute S by descending ramps as the negated ascending case" in {
+    val w = 1200L
+    val rows = (0 until 12).map { b => ("down", b.toLong * 100, -b * 1.5) }
+    val out = Timeseries
+      .mannKendall(mkTs(rows), windowUs = w, buckets = 12)
+      .collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("s") shouldBe -66L // all 66 pairs negative
+    out.head.getAs[String]("trend") shouldBe "down"
+    out.head.getAs[Double]("sen_slope") shouldBe (-1.5 +- 1e-9)
+  }
+
   "spectralCoherence" should "be identically 1 over a single window (the degenerate estimate)" in {
     val rows = (0 until 100).flatMap { i =>
       Seq(("a", i.toLong, math.sin(i / 3.0)), ("b", i.toLong, math.cos(i / 7.0) + 0.3))
