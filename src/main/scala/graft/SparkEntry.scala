@@ -351,6 +351,9 @@ object SparkEntry {
     "corpus_cms" -> (TextAnalysis.corpusCms _),
     // label-centroid cosine matrix (semantic source distance)
     "embed_label_sim" -> (Similarity.embedLabelSim _),
+    // clustering-vs-labels external validation: NMI + purity + ARI
+    // in one row off the shared kmeans trajectory's contingency table
+    "cluster_nmi" -> (Similarity.clusterNmiQ _),
     // neighbor-set Jaccard link prediction over the near-dup graph
     "graph_jaccard" -> (Dedup.graphJaccard _),
     // AND/NOT postings algebra over the query vocabulary
@@ -605,6 +608,7 @@ object SparkEntry {
     "ts_dtw" -> Timeseries.tsDtwSql,
     "ts_mk" -> Timeseries.tsMkSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
+    "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,
     "search_boolean" -> Search.searchBooleanSql,
     "train_shards" -> Packing.trainShardsSql,

@@ -1028,6 +1028,158 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Clustering-vs-labels external validation in ONE row — the eval a
+    * pipeline runs before trusting a clustering for curation decisions:
+    * normalized mutual information NMI = I(L;C)/√(H(L)·H(C))
+    * (Strehl & Ghosh 2002), cluster purity, and the adjusted Rand
+    * index (Hubert & Arabie 1985) between the k-means assignment and
+    * the ground-truth label column, all derived from the SAME
+    * label×cluster contingency table.
+    *
+    * Scale shape: label rides the assignment projection (no
+    * corpus-grain join — the ann_knn_label lesson inverted), so the
+    * only shuffle is the (label, cluster)-grain contingency partial
+    * agg; margins, entropies and the pair combinatorics all run on
+    * that ≤ L·k-row summary with broadcast margins. ARI's C(n,2) sums
+    * route through DECIMAL (counts² overflows long at corpus scale).
+    * Portability: each ln term is ROUND(·,9) before its DECIMAL sum
+    * (the corpus_pmi/ts_mi discipline); ratios form on the raw sums,
+    * outputs round to 6.
+    */
+  def clusterNmi(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val cents = kmeansCentroids(emb, k, iters)
+    val fin = kmeansAssignStruct(col("v"), cents)
+    val asg = emb
+      .select(col("label"), col("embedding").as("v"))
+      .select(col("label"), fin.getField("cid").cast("long").as("cluster"))
+    val cont = asg.groupBy(col("label"), col("cluster")).agg(count(lit(1)).as("nij"))
+    val tot = cont.agg(
+      sum(col("nij")).as("n"),
+      countDistinct(col("label")).as("n_labels"),
+      countDistinct(col("cluster")).as("n_clusters")
+    )
+    val labm = cont.groupBy(col("label")).agg(sum(col("nij")).as("ai"))
+    val clum = cont
+      .groupBy(col("cluster"))
+      .agg(sum(col("nij")).as("bj"), max(col("nij")).as("mx"))
+    val miRow = cont
+      .join(broadcast(labm), Seq("label"))
+      .join(broadcast(clum), Seq("cluster"))
+      .crossJoin(broadcast(tot.select(col("n"))))
+      .agg(
+        sum(
+          round(
+            (col("nij").cast("double") / col("n")) *
+              log(
+                col("n").cast("double") * col("nij") /
+                  (col("ai").cast("double") * col("bj"))
+              ),
+            9
+          ).cast(dec)
+        ).cast("double").as("mi_raw"),
+        sum((col("nij") * (col("nij") - 1)).cast(dec)).cast("double").as("sij2")
+      )
+    val huRow = labm
+      .crossJoin(broadcast(tot.select(col("n"))))
+      .agg(
+        sum(
+          round(
+            (col("ai").cast("double") / col("n")) * log(col("ai").cast("double") / col("n")),
+            9
+          ).cast(dec)
+        ).cast("double").as("__hun"),
+        sum((col("ai") * (col("ai") - 1)).cast(dec)).cast("double").as("sa2")
+      )
+    val hvRow = clum
+      .crossJoin(broadcast(tot.select(col("n"))))
+      .agg(
+        sum(
+          round(
+            (col("bj").cast("double") / col("n")) * log(col("bj").cast("double") / col("n")),
+            9
+          ).cast(dec)
+        ).cast("double").as("__hvn"),
+        sum((col("bj") * (col("bj") - 1)).cast(dec)).cast("double").as("sb2"),
+        sum(col("mx")).as("mxs")
+      )
+    val sij = col("sij2") / lit(2.0)
+    val sa = col("sa2") / lit(2.0)
+    val sb = col("sb2") / lit(2.0)
+    val t = (col("n") * (col("n") - 1)).cast("double") / lit(2.0)
+    val expI = sa * sb / t
+    miRow
+      .crossJoin(huRow)
+      .crossJoin(hvRow)
+      .crossJoin(tot)
+      .select(
+        col("n"),
+        col("n_labels"),
+        col("n_clusters"),
+        round(col("mi_raw"), 6).as("mi"),
+        round(-col("__hun"), 6).as("h_label"),
+        round(-col("__hvn"), 6).as("h_cluster"),
+        round(
+          col("mi_raw") / nullif(sqrt(-col("__hun") * -col("__hvn")), lit(0.0)),
+          6
+        ).as("nmi"),
+        round(col("mxs").cast("double") / col("n"), 6).as("purity"),
+        round((sij - expI) / nullif((sa + sb) / lit(2.0) - expI, lit(0.0)), 6).as("ari")
+      )
+  }
+
+  def clusterNmiQ(spark: SparkSession, dir: String): DataFrame =
+    clusterNmi(Tables.embeddings(spark, dir))
+
+  /** Oracle: the shared k-means trajectory, label joined back at
+    * vec_id grain (value-identical to the engine's carried label),
+    * then the identical contingency/margin/entropy/ARI algebra.
+    */
+  val clusterNmiSql: String =
+    s"""WITH $KmeansCtes,
+       |al AS (
+       |  SELECT e.label, k.cid AS cluster
+       |  FROM kasg k JOIN embeddings e ON k.vec_id = e.vec_id),
+       |cont AS (
+       |  SELECT label, cluster, COUNT(*) AS nij FROM al GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT SUM(nij) AS n, COUNT(DISTINCT label) AS n_labels,
+       |    COUNT(DISTINCT cluster) AS n_clusters
+       |  FROM cont),
+       |labm AS (SELECT label, SUM(nij) AS ai FROM cont GROUP BY 1),
+       |clum AS (SELECT cluster, SUM(nij) AS bj, MAX(nij) AS mx FROM cont GROUP BY 1),
+       |mi AS (
+       |  SELECT
+       |    CAST(SUM(CAST(ROUND((CAST(nij AS DOUBLE) / n) *
+       |      LN(CAST(n AS DOUBLE) * nij / (CAST(ai AS DOUBLE) * bj)), 9)
+       |      AS DECIMAL(27,10))) AS DOUBLE) AS mi_raw,
+       |    CAST(SUM(CAST(nij * (nij - 1) AS DECIMAL(27,10))) AS DOUBLE) AS sij2
+       |  FROM cont
+       |  JOIN labm USING (label) JOIN clum USING (cluster) CROSS JOIN tot),
+       |hu AS (
+       |  SELECT
+       |    CAST(SUM(CAST(ROUND((CAST(ai AS DOUBLE) / n) *
+       |      LN(CAST(ai AS DOUBLE) / n), 9) AS DECIMAL(27,10))) AS DOUBLE) AS hun,
+       |    CAST(SUM(CAST(ai * (ai - 1) AS DECIMAL(27,10))) AS DOUBLE) AS sa2
+       |  FROM labm CROSS JOIN tot),
+       |hv AS (
+       |  SELECT
+       |    CAST(SUM(CAST(ROUND((CAST(bj AS DOUBLE) / n) *
+       |      LN(CAST(bj AS DOUBLE) / n), 9) AS DECIMAL(27,10))) AS DOUBLE) AS hvn,
+       |    CAST(SUM(CAST(bj * (bj - 1) AS DECIMAL(27,10))) AS DOUBLE) AS sb2,
+       |    SUM(mx) AS mxs
+       |  FROM clum CROSS JOIN tot)
+       |SELECT n, n_labels, n_clusters,
+       |  ROUND(mi_raw, 6) AS mi,
+       |  ROUND(-hun, 6) AS h_label,
+       |  ROUND(-hvn, 6) AS h_cluster,
+       |  ROUND(mi_raw / NULLIF(SQRT(-hun * -hvn), 0.0), 6) AS nmi,
+       |  ROUND(CAST(mxs AS DOUBLE) / n, 6) AS purity,
+       |  ROUND((sij2 / 2.0 - (sa2 / 2.0) * (sb2 / 2.0) / (CAST(n * (n - 1) AS DOUBLE) / 2.0)) /
+       |    NULLIF((sa2 / 2.0 + sb2 / 2.0) / 2.0 -
+       |      (sa2 / 2.0) * (sb2 / 2.0) / (CAST(n * (n - 1) AS DOUBLE) / 2.0), 0.0), 6) AS ari
+       |FROM mi CROSS JOIN hu CROSS JOIN hv CROSS JOIN tot""".stripMargin
+
   /** Cluster topic labeling — the BERTopic-style "describe" step after
     * embedding clustering: every k-means cell labeled by its top
     * class-TF-IDF words (count of the word inside the cluster, scaled

@@ -792,4 +792,34 @@ class SimilaritySpec extends SparkSpec {
     hub.values.foreach(_ shouldBe false)
   }
 
+  "clusterNmi" should "score a label-aligned clustering 1.0 and a half-crossed one by hand" in {
+    // two well-separated blobs, k=2: kmeans recovers them exactly
+    val a = (0L until 4L).map(i => (i, Array(100.0f + i, 0.0f)))
+    val b = (4L until 8L).map(i => (i, Array(-100.0f - i, 0.0f)))
+    // labels follow the blobs -> perfect external agreement
+    val aligned = (a.map { case (i, v) => (i, v, "x") } ++ b.map { case (i, v) => (i, v, "y") })
+      .toDF("vec_id", "embedding", "label")
+    val outA = Similarity.clusterNmi(aligned, k = 2, iters = 4).collect()
+    outA.length shouldBe 1
+    outA.head.getAs[Long]("n") shouldBe 8L
+    outA.head.getAs[Long]("n_labels") shouldBe 2L
+    outA.head.getAs[Long]("n_clusters") shouldBe 2L
+    outA.head.getAs[Double]("nmi") shouldBe (1.0 +- 1e-6)
+    outA.head.getAs[Double]("purity") shouldBe 1.0
+    outA.head.getAs[Double]("ari") shouldBe (1.0 +- 1e-6)
+    outA.head.getAs[Double]("h_label") shouldBe (math.log(2.0) +- 1e-6)
+    // labels split each blob in half -> contingency all cells = 2:
+    // clustering carries NO label information
+    val crossed = (a ++ b).zipWithIndex
+      .map { case ((i, v), idx) => (i, v, if (idx % 2 == 0) "x" else "y") }
+      .toDF("vec_id", "embedding", "label")
+    val outC = Similarity.clusterNmi(crossed, k = 2, iters = 4).collect()
+    outC.head.getAs[Double]("mi") shouldBe (0.0 +- 1e-6)
+    outC.head.getAs[Double]("nmi") shouldBe (0.0 +- 1e-6)
+    outC.head.getAs[Double]("purity") shouldBe 0.5
+    // all cells 2: sumC2 = 4, sa = sb = 12, T = 28 -> exp = 36/7;
+    // ARI = (4 - 36/7)/(12 - 36/7) = -1/6 (below-chance agreement)
+    outC.head.getAs[Double]("ari") shouldBe (-1.0 / 6 +- 1e-6)
+  }
+
 }
