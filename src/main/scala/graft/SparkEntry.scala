@@ -354,6 +354,9 @@ object SparkEntry {
     // clustering-vs-labels external validation: NMI + purity + ARI
     // in one row off the shared kmeans trajectory's contingency table
     "cluster_nmi" -> (Similarity.clusterNmiQ _),
+    // synchronous label-propagation communities over the mined pair
+    // graph (density view beside dedup_clusters' connectivity view)
+    "graph_communities" -> (Dedup.graphCommunities _),
     // neighbor-set Jaccard link prediction over the near-dup graph
     "graph_jaccard" -> (Dedup.graphJaccard _),
     // AND/NOT postings algebra over the query vocabulary
@@ -610,6 +613,7 @@ object SparkEntry {
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,
+    "graph_communities" -> Dedup.graphCommunitiesSql,
     "search_boolean" -> Search.searchBooleanSql,
     "train_shards" -> Packing.trainShardsSql,
     "corpus_oov" -> TextAnalysis.corpusOovSql,

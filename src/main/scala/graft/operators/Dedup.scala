@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines:
@@ -1878,6 +1879,97 @@ object Dedup {
        |        ELSE 0.0 END, 6) AS clustering
        |FROM deg d LEFT JOIN pern p ON p.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Synchronous label propagation communities over the mined pair
+    * graph (Raghavan et al. 2007) — the density-based community view
+    * that complements the connectivity view of [[dedup_clusters]]:
+    * connected components merge template families bridged by ONE
+    * borderline pair; LPA's majority vote keeps loosely-bridged dense
+    * families apart, which is the granularity a curation pass
+    * deduplicates at. Fixed `rounds` SYNCHRONOUS updates (label_0 =
+    * own id; label_{r+1} = most frequent neighbor label, ties to the
+    * smallest label) — fully deterministic, no RNG, so the whole
+    * trajectory is oracle-reproducible round for round.
+    *
+    * Scale shape: each round is one edges⋈labels join co-keyed on the
+    * node id plus a (node, label)-grain count and a WindowGroupLimit
+    * argmax — all at POST-MINING pair scale (bucket-capped, orders
+    * below corpus), labels eagerly checkpointed per round so the plan
+    * stays flat (the pageRank discipline). Integer-only: no float
+    * portability surface at all.
+    */
+  def labelPropagation(pairsIn: DataFrame, rounds: Int = 4): DataFrame = {
+    val pairs = pairsIn
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(true)
+    val edges = pairs
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = edges
+      .select(col("u").as("node"))
+      .distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = edges
+        .join(labels.select(col("node").as("__v2"), col("lbl")), col("v") === col("__v2"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn(
+          "__rn",
+          row_number().over(
+            Window.partitionBy(col("u")).orderBy(col("__c").desc, col("lbl"))
+          )
+        )
+        .filter(col("__rn") === 1)
+        .select(col("u").as("node"), col("lbl"))
+        .localCheckpoint(true)
+      labels.unpersist(false)
+      labels = next
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels
+      .join(sizes, Seq("lbl"))
+      .select(col("node").as("doc_id"), col("lbl").as("community"), col("community_size"))
+  }
+
+  def graphCommunities(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(
+      minedPairsFor(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+    ).orderBy(col("doc_id"))
+
+  /** LPA oracle: the shared minhash pair pipeline feeding the
+    * identical synchronous rounds, unrolled one CTE per round with the
+    * same (count desc, label asc) argmax — integer-exact throughout.
+    */
+  val graphCommunitiesSql: String = {
+    val rounds = 4
+    val iterCtes = (1 to rounds)
+      .map { i =>
+        s"""l$i AS (
+           |  SELECT u AS node, lbl FROM (
+           |    SELECT e.u, p.lbl, COUNT(*) AS c,
+           |      ROW_NUMBER() OVER (PARTITION BY e.u
+           |                         ORDER BY COUNT(*) DESC, p.lbl) AS rn
+           |    FROM cedges e JOIN l${i - 1} p ON p.node = e.v
+           |    GROUP BY e.u, p.lbl) t
+           |  WHERE rn = 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $MinhashPipelineCtes,
+       |vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |cedges AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS v FROM vpairs
+       |  UNION ALL
+       |  SELECT doc_b AS u, doc_a AS v FROM vpairs),
+       |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM cedges),
+       |$iterCtes,
+       |csizes AS (SELECT lbl, COUNT(*) AS community_size FROM l$rounds GROUP BY lbl)
+       |SELECT l.node AS doc_id, l.lbl AS community, s.community_size
+       |FROM l$rounds l JOIN csizes s ON s.lbl = l.lbl
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Cluster oracle: the full minhash pipeline CTEs feed a recursive
     * transitive closure (UNION dedups, so cycles terminate); each

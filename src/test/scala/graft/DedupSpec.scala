@@ -452,6 +452,32 @@ class DedupSpec extends SparkSpec {
     )
   }
 
+  "labelPropagation" should "settle each clique on its minimum id and keep a one-edge bridge from merging them" in {
+    // two cliques {0,1,2,3} and {10,11,12} joined by the single bridge
+    // 3-10: connected components would merge them; LPA majorities must
+    // not (every bridge endpoint has more in-clique neighbors)
+    val clique1 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val clique2 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val pairs = (clique1 ++ clique2 :+ (3L, 10L)).toDF("doc_a", "doc_b")
+    val out = Dedup
+      .labelPropagation(pairs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("community"), r.getAs[Long]("community_size")))
+      .toMap
+    Seq(0L, 1L, 2L, 3L).foreach { n => out(n) shouldBe ((0L, 4L)) }
+    // the bridge leaks label "3" into the small clique as an
+    // IDENTIFIER (round-1 tie-breaks), but the grouping is right:
+    // three nodes, none of them in community 0
+    Seq(10L, 11L, 12L).foreach { n => out(n) shouldBe ((3L, 3L)) }
+    // deterministic across runs (synchronous rounds, integer tie-breaks)
+    val again = Dedup
+      .labelPropagation(pairs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("community"), r.getAs[Long]("community_size")))
+      .toMap
+    again shouldBe out
+  }
+
   "dedupImpact" should "charge duplicate docs and tokens to the source that carries them" in {
     val docs = Seq(
       (1L, "x y", "a"), // survivor of the x-y group (min doc_id)
