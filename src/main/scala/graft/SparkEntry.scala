@@ -346,6 +346,10 @@ object SparkEntry {
     "ts_dtw" -> (Timeseries.tsDtw _),
     // Mann-Kendall trend + Sen's slope: integer order-statistic screen
     "ts_mk" -> (Timeseries.tsMk _),
+    // sample entropy: regularity screen via template-pair counting
+    "ts_sampen" -> (Timeseries.tsSampen _),
+    // two-sample Kolmogorov-Smirnov drift screen between time halves
+    "ts_ks" -> (Timeseries.tsKs _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -610,6 +614,8 @@ object SparkEntry {
     "ts_lomb" -> Timeseries.tsLombSql,
     "ts_dtw" -> Timeseries.tsDtwSql,
     "ts_mk" -> Timeseries.tsMkSql,
+    "ts_sampen" -> Timeseries.tsSampenSql,
+    "ts_ks" -> Timeseries.tsKsSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,

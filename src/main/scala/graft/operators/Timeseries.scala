@@ -1714,6 +1714,171 @@ object Timeseries {
       |FROM jj
       |ORDER BY channel, win""".stripMargin
 
+  /** Sample entropy per (channel, window) (Richman & Moorman 2000) —
+    * the regularity/complexity screen clinicians run beside the
+    * spectral family: SampEn(m, r) = −ln(A/B) where B counts template
+    * pairs of length m within Chebyshev tolerance r and A the same at
+    * m+1. Low SampEn = self-similar/regular (heartbeat, artifact
+    * loops); high = irregular. Self-matches excluded; i<j counting
+    * halves A and B together so the ratio is the textbook estimator.
+    *
+    * Scale shape: raw samples collapse once to the z-normalized PAA
+    * grid (ts_sax discipline; r is in z units so the tolerance is
+    * amplitude-free), templates form via bucket-continuity LEADs over
+    * the summary grid, and the O(g²) pair joins run strictly at
+    * summary grain (≤ g² rows per channel-window). Integer counts all
+    * the way — the only transcendental is the final ln.
+    */
+  def sampleEntropy(
+    ts: DataFrame,
+    windowUs: Long,
+    buckets: Int = 24,
+    r: Double = 0.2
+  ): DataFrame = {
+    val bucketUs = windowUs / buckets
+    val paa = ts
+      .select(
+        col("channel"),
+        floor(col("t") / lit(windowUs)).cast("long").as("win"),
+        floor((col("t") % lit(windowUs)) / lit(bucketUs)).cast("long").as("bucket"),
+        col("v")
+      )
+      .groupBy(col("channel"), col("win"), col("bucket"))
+      .agg(round(detSum(col("v")) / count(lit(1)), 9).as("paa"))
+    val w = Window.partitionBy(col("channel"), col("win"))
+    val s1 = sum(col("paa").cast(dec2710)).over(w).cast("double")
+    val s2 = sum((col("paa") * col("paa")).cast(dec2710)).over(w).cast("double")
+    val nb = count(lit(1)).over(w)
+    val sig = sqrt(greatest(col("__s2") / col("__nb") -
+      (col("__s1") / col("__nb")) * (col("__s1") / col("__nb")), lit(0.0)))
+    val ord = Window.partitionBy(col("channel"), col("win")).orderBy(col("bucket"))
+    val grid = paa
+      .withColumn("__s1", s1)
+      .withColumn("__s2", s2)
+      .withColumn("__nb", nb)
+      .filter(sig > 0.0)
+      .withColumn(
+        "z",
+        round((col("paa") - col("__s1") / col("__nb")) / nullif(sig, lit(0.0)), 9)
+      )
+      .select(col("channel"), col("win"), col("bucket"), col("z"))
+      .withColumn("z1", lead(col("z"), 1).over(ord))
+      .withColumn("z2", lead(col("z"), 2).over(ord))
+      .withColumn("b1", lead(col("bucket"), 1).over(ord))
+      .withColumn("b2", lead(col("bucket"), 2).over(ord))
+    val t2 = grid
+      .filter(col("b1") === col("bucket") + 1)
+      .select(col("channel"), col("win"), col("bucket").as("i"), col("z"), col("z1"))
+    val t3 = grid
+      .filter(col("b1") === col("bucket") + 1 && col("b2") === col("bucket") + 2)
+      .select(
+        col("channel"),
+        col("win"),
+        col("bucket").as("i"),
+        col("z"),
+        col("z1"),
+        col("z2")
+      )
+    def pairs(t: DataFrame, cols: Seq[String]): DataFrame = {
+      val l = t.select(Seq(col("channel"), col("win"), col("i")) ++ cols.map(col): _*)
+      val rn = t.select(
+        Seq(col("channel"), col("win"), col("i").as("j")) ++
+          cols.map(c => col(c).as(c + "_r")): _*
+      )
+      val cheb = cols.map(c => abs(col(c) - col(c + "_r"))).reduce(greatest(_, _))
+      l.join(rn, Seq("channel", "win"))
+        .filter(col("i") < col("j") && cheb <= lit(r))
+        .groupBy(col("channel"), col("win"))
+        .agg(count(lit(1)).as(if (cols.size == 2) "b_pairs" else "a_pairs"))
+    }
+    val base = t2.groupBy(col("channel"), col("win")).agg(count(lit(1)).as("n_templates"))
+    base
+      .join(pairs(t2, Seq("z", "z1")), Seq("channel", "win"), "left")
+      .join(pairs(t3, Seq("z", "z1", "z2")), Seq("channel", "win"), "left")
+      .select(
+        col("channel"),
+        col("win"),
+        col("n_templates"),
+        coalesce(col("b_pairs"), lit(0L)).as("b_pairs"),
+        coalesce(col("a_pairs"), lit(0L)).as("a_pairs"),
+        when(
+          coalesce(col("a_pairs"), lit(0L)) > 0 && coalesce(col("b_pairs"), lit(0L)) > 0,
+          round(
+            -log(
+              coalesce(col("a_pairs"), lit(0L)).cast("double") /
+                coalesce(col("b_pairs"), lit(0L)).cast("double")
+            ),
+            6
+          )
+        ).as("sampen")
+      )
+  }
+
+  def tsSampen(spark: SparkSession, dir: String): DataFrame =
+    sampleEntropy(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("channel"), col("win"))
+
+  /** SampEn oracle: identical grid/LEAD templates and integer pair
+    * counts; ln only at the end.
+    */
+  val tsSampenSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win,
+      |    (epoch_us(ts) % 86400000000) // 3600000000 AS bucket,
+      |    value AS v
+      |  FROM events),
+      |p AS (
+      |  SELECT channel, win, bucket,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 9) AS paa
+      |  FROM x GROUP BY 1, 2, 3),
+      |st AS (
+      |  SELECT channel, win, bucket, paa,
+      |    CAST(SUM(CAST(paa AS DECIMAL(27,10))) OVER (PARTITION BY channel, win) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(paa * paa AS DECIMAL(27,10))) OVER (PARTITION BY channel, win) AS DOUBLE) AS s2,
+      |    COUNT(*) OVER (PARTITION BY channel, win) AS nb
+      |  FROM p),
+      |g AS (
+      |  SELECT channel, win, bucket,
+      |    ROUND((paa - s1 / nb) /
+      |      NULLIF(SQRT(GREATEST(s2 / nb - (s1 / nb) * (s1 / nb), 0.0)), 0.0), 9) AS z,
+      |    LEAD(bucket, 1) OVER o AS b1, LEAD(bucket, 2) OVER o AS b2
+      |  FROM st
+      |  WHERE SQRT(GREATEST(s2 / nb - (s1 / nb) * (s1 / nb), 0.0)) > 0.0
+      |  WINDOW o AS (PARTITION BY channel, win ORDER BY bucket)),
+      |gz AS (
+      |  SELECT channel, win, bucket, z, b1, b2,
+      |    LEAD(z, 1) OVER (PARTITION BY channel, win ORDER BY bucket) AS z1,
+      |    LEAD(z, 2) OVER (PARTITION BY channel, win ORDER BY bucket) AS z2
+      |  FROM g),
+      |t2 AS (
+      |  SELECT channel, win, bucket AS i, z, z1 FROM gz WHERE b1 = bucket + 1),
+      |t3 AS (
+      |  SELECT channel, win, bucket AS i, z, z1, z2 FROM gz
+      |  WHERE b1 = bucket + 1 AND b2 = bucket + 2),
+      |bc AS (
+      |  SELECT l.channel, l.win, COUNT(*) AS b_pairs
+      |  FROM t2 l JOIN t2 r ON l.channel = r.channel AND l.win = r.win AND l.i < r.i
+      |  WHERE GREATEST(ABS(l.z - r.z), ABS(l.z1 - r.z1)) <= 0.2
+      |  GROUP BY 1, 2),
+      |ac AS (
+      |  SELECT l.channel, l.win, COUNT(*) AS a_pairs
+      |  FROM t3 l JOIN t3 r ON l.channel = r.channel AND l.win = r.win AND l.i < r.i
+      |  WHERE GREATEST(ABS(l.z - r.z), ABS(l.z1 - r.z1), ABS(l.z2 - r.z2)) <= 0.2
+      |  GROUP BY 1, 2),
+      |base AS (
+      |  SELECT channel, win, COUNT(*) AS n_templates FROM t2 GROUP BY 1, 2)
+      |SELECT base.channel, base.win, base.n_templates,
+      |  COALESCE(bc.b_pairs, 0) AS b_pairs,
+      |  COALESCE(ac.a_pairs, 0) AS a_pairs,
+      |  CASE WHEN COALESCE(ac.a_pairs, 0) > 0 AND COALESCE(bc.b_pairs, 0) > 0
+      |    THEN ROUND(-LN(CAST(COALESCE(ac.a_pairs, 0) AS DOUBLE) /
+      |      CAST(COALESCE(bc.b_pairs, 0) AS DOUBLE)), 6) END AS sampen
+      |FROM base
+      |LEFT JOIN bc ON bc.channel = base.channel AND bc.win = base.win
+      |LEFT JOIN ac ON ac.channel = base.channel AND ac.win = base.win
+      |ORDER BY base.channel, base.win""".stripMargin
+
   /** Sessionization over any id column (users here, the classic
     * pipeline op): a session breaks when an id's inter-event gap
     * reaches gapUs; each event gets its id's 1-based session ordinal.
@@ -6639,6 +6804,142 @@ object Timeseries {
       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27,10))) AS DOUBLE), 6) AS psi,
       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27,10))) AS DOUBLE), 6) > 0.1 AS drifted
       |FROM terms GROUP BY 1, 2, 3
+      |ORDER BY channel""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov drift screen per channel between
+    * the first and second half of its time range: D = max |F₁−F₂| over
+    * a 256-cell binned ECDF (pooled min/max edges), with the
+    * asymptotic statistic λ = D·√(n₁n₂/(n₁+n₂)) and the α=0.05 call
+    * (λ > 1.36 — Smirnov 1948). The cumulative twin of [[psiScreen]]:
+    * PSI weighs per-cell density ratios, KS catches location/shape
+    * moves that density clamping dilutes, and neither needs the
+    * other's epsilon.
+    *
+    * Scale shape: the psi discipline end to end — channel-grain time
+    * midpoint and pooled value range broadcast back as k-row
+    * relations, binning is map-side arithmetic, conditional counts for
+    * both halves reduce by (channel, bin) in ONE partial agg; the
+    * cumulative sums then run over the ≤`bins`-row summary grid per
+    * channel (never the raw sample grain — the ts_rolling reduced-grid
+    * precedent), so the window cost is bounded by the literal bin
+    * count regardless of sample rate. Portability: ECDF proportions
+    * are long/long divisions in pinned order rounded at 9 before the
+    * max; the halving is integer div; channels with an empty half
+    * drop before the statistic (psi precedent).
+    */
+  def ksScreen(ts: DataFrame, bins: Int = 256): DataFrame = {
+    val trange = ts
+      .groupBy(col("channel"))
+      .agg(min(col("t")).as("__t0"), max(col("t")).as("__t1"))
+      .select(col("channel"), (col("__t0") + expr("(__t1 - __t0) div 2")).as("__mid"))
+    val withHalf = ts
+      .join(broadcast(trange), Seq("channel"))
+      .select(col("channel"), col("v"), (col("t") <= col("__mid")).as("__first"))
+    val vrange = withHalf
+      .groupBy(col("channel"))
+      .agg(min(col("v")).as("__vmin"), max(col("v")).as("__vmax"))
+    val cells = withHalf
+      .join(broadcast(vrange), Seq("channel"))
+      .select(
+        col("channel"),
+        col("__first"),
+        when(
+          col("__vmax") > col("__vmin"),
+          greatest(
+            least(
+              floor((col("v") - col("__vmin")) / (col("__vmax") - col("__vmin")) * bins),
+              lit((bins - 1).toLong)
+            ),
+            lit(0L)
+          )
+        ).otherwise(0L).cast("long").as("bin")
+      )
+      .groupBy(col("channel"), col("bin"))
+      .agg(
+        sum(when(col("__first"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__first"), 1L).otherwise(0L)).as("__cb")
+      )
+    val totals = cells
+      .groupBy(col("channel"))
+      .agg(sum(col("__ca")).as("n_first"), sum(col("__cb")).as("n_second"))
+    val ord = Window
+      .partitionBy(col("channel"))
+      .orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = abs(
+      sum(col("__ca")).over(ord).cast("double") / col("n_first").cast("double") -
+        sum(col("__cb")).over(ord).cast("double") / col("n_second").cast("double")
+    )
+    cells
+      .join(broadcast(totals), Seq("channel"))
+      .filter(col("n_first") > 0 && col("n_second") > 0)
+      .select(col("channel"), col("n_first"), col("n_second"), round(gap, 9).as("__gap"))
+      .groupBy(col("channel"), col("n_first"), col("n_second"))
+      .agg(max(col("__gap")).as("ks_d"))
+      .select(
+        col("channel"),
+        col("n_first"),
+        col("n_second"),
+        col("ks_d"),
+        round(
+          col("ks_d") * sqrt(
+            col("n_first").cast("double") * col("n_second").cast("double") /
+              (col("n_first") + col("n_second")).cast("double")
+          ),
+          6
+        ).as("ks_stat")
+      )
+      .withColumn("significant", col("ks_stat") > 1.36)
+  }
+
+  def tsKs(spark: SparkSession, dir: String): DataFrame =
+    ksScreen(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** KS oracle: identical midpoint/bin/count shape to the engine; the
+    * cumulative ECDF gap is the same pinned division order rounded at
+    * 9 before MAX.
+    */
+  val tsKsSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS channel, epoch_us(ts) AS t, value AS v FROM events),
+      |tr AS (
+      |  SELECT channel, MIN(t) + (MAX(t) - MIN(t)) // 2 AS mid
+      |  FROM e GROUP BY 1),
+      |wh AS (
+      |  SELECT e.channel, e.v, e.t <= tr.mid AS first
+      |  FROM e JOIN tr ON tr.channel = e.channel),
+      |vr AS (
+      |  SELECT channel, MIN(v) AS vmin, MAX(v) AS vmax FROM wh GROUP BY 1),
+      |cells AS (
+      |  SELECT wh.channel,
+      |    CASE WHEN vr.vmax > vr.vmin
+      |         THEN CAST(GREATEST(LEAST(FLOOR((wh.v - vr.vmin) / (vr.vmax - vr.vmin) * 256), 255), 0) AS BIGINT)
+      |         ELSE 0 END AS bin,
+      |    CAST(SUM(CASE WHEN first THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN NOT first THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM wh JOIN vr ON vr.channel = wh.channel
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT channel, CAST(SUM(ca) AS BIGINT) AS n_first, CAST(SUM(cb) AS BIGINT) AS n_second
+      |  FROM cells GROUP BY 1),
+      |gaps AS (
+      |  SELECT cells.channel, tot.n_first, tot.n_second,
+      |    ROUND(ABS(
+      |      CAST(SUM(ca) OVER w AS DOUBLE) / CAST(n_first AS DOUBLE)
+      |      - CAST(SUM(cb) OVER w AS DOUBLE) / CAST(n_second AS DOUBLE)), 9) AS gap
+      |  FROM cells JOIN tot ON tot.channel = cells.channel
+      |  WHERE n_first > 0 AND n_second > 0
+      |  WINDOW w AS (PARTITION BY cells.channel ORDER BY bin
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |d AS (
+      |  SELECT channel, n_first, n_second, MAX(gap) AS ks_d
+      |  FROM gaps GROUP BY 1, 2, 3)
+      |SELECT channel, n_first, n_second, ks_d,
+      |  ROUND(ks_d * SQRT(CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE)
+      |    / CAST(n_first + n_second AS DOUBLE)), 6) AS ks_stat,
+      |  ROUND(ks_d * SQRT(CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE)
+      |    / CAST(n_first + n_second AS DOUBLE)), 6) > 1.36 AS significant
+      |FROM d
       |ORDER BY channel""".stripMargin
 
   val tsGrangerSql: String =

@@ -781,6 +781,38 @@ class TimeseriesSpec extends SparkSpec {
     out.head.getAs[Double]("sen_slope") shouldBe (-1.5 +- 1e-9)
   }
 
+  "sampleEntropy" should "score a period-2 oscillation 0 and hashed noise strictly higher" in {
+    val w = 2400L // 24 buckets of 100, one sample per bucket
+    def mix(x: Long): Double = {
+      var z = x * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val rows = (0 until 24).flatMap { b =>
+      val t = b.toLong * 100
+      Seq(
+        ("osc", t, if (b % 2 == 0) -1.0 else 1.0), // perfectly regular
+        ("rnd", t, mix(b.toLong) * 4 - 2)          // deterministic noise
+      )
+    }
+    val out = Timeseries
+      .sampleEntropy(mkTs(rows), windowUs = w, buckets = 24)
+      .collect()
+      .map(r => r.getAs[String]("channel") -> r)
+      .toMap
+    // period-2: every m=2 template match extends to m=3 -> A/B -> 1,
+    // sampen = -ln(A/B) = -ln(253/242) is tiny but >= 0... in fact all
+    // templates are one of two alternating patterns, so A=B-? check >= 0 and < 0.1
+    val so = out("osc").getAs[Double]("sampen")
+    so should be >= 0.0
+    so should be < 0.1
+    out("osc").getAs[Long]("n_templates") shouldBe 23L
+    val sr = Option(out("rnd").getAs[Any]("sampen"))
+    // noise: few or no template matches -> NULL (a=0) or clearly above osc
+    sr.forall(_.asInstanceOf[Double] > so + 0.5) shouldBe true
+  }
+
   "spectralCoherence" should "be identically 1 over a single window (the degenerate estimate)" in {
     val rows = (0 until 100).flatMap { i =>
       Seq(("a", i.toLong, math.sin(i / 3.0)), ("b", i.toLong, math.cos(i / 7.0) + 0.3))
@@ -1951,6 +1983,32 @@ class TimeseriesSpec extends SparkSpec {
     psi("shifted") should be > 1.0 // total mass migration: far past the 0.25 action bar
     out.find(_.getAs[String]("channel") == "shifted").get.getAs[Boolean]("drifted") shouldBe true
     out.find(_.getAs[String]("channel") == "stable").get.getAs[Boolean]("drifted") shouldBe false
+  }
+
+  "ksScreen" should "flag a planted level shift with D=1 and keep a stable channel near zero" in {
+    // shifted: halves occupy disjoint value ranges -> the ECDF gap
+    // reaches 1 at the boundary bin; stable: the second half replays
+    // the first (off-by-one split: 1001 vs 999 rows) -> D stays tiny
+    val rows = (0L until 2000L).flatMap { i =>
+      val w = (i % 17).toDouble / 17.0
+      Seq(
+        ("stable", i * 1000000L, w),
+        ("shifted", i * 1000000L, if (i < 1000) w else w + 8.0)
+      )
+    }
+    val out = Timeseries.ksScreen(mkTs(rows)).collect()
+    val byc = out.map(r => r.getAs[String]("channel") -> r).toMap
+    byc("shifted").getAs[Double]("ks_d") shouldBe 1.0
+    byc("shifted").getAs[Boolean]("significant") shouldBe true
+    byc("stable").getAs[Double]("ks_d") should be < 0.01
+    byc("stable").getAs[Boolean]("significant") shouldBe false
+    byc("stable").getAs[Long]("n_first") shouldBe 1000L // mid = 999.5e6 -> i <= 999
+    // asymptotic statistic: D * sqrt(n1*n2/(n1+n2))
+    val r = byc("shifted")
+    val n1 = r.getAs[Long]("n_first").toDouble
+    val n2 = r.getAs[Long]("n_second").toDouble
+    r.getAs[Double]("ks_stat") shouldBe
+      (math.rint(math.sqrt(n1 * n2 / (n1 + n2)) * 1e6) / 1e6 +- 1e-9)
   }
 
   "grangerScreen" should "rank a planted lead-lag driver far above the reverse direction" in {
