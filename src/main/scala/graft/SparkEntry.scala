@@ -353,6 +353,9 @@ object SparkEntry {
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
+    // hand-rolled HyperLogLog distinct-token sketch vs exact (oracle-
+    // reproducible, unlike the native HLL++'s private seeds)
+    "corpus_hll" -> (TextAnalysis.corpusHll _),
     // label-centroid cosine matrix (semantic source distance)
     "embed_label_sim" -> (Similarity.embedLabelSim _),
     // clustering-vs-labels external validation: NMI + purity + ARI
@@ -616,6 +619,7 @@ object SparkEntry {
     "ts_mk" -> Timeseries.tsMkSql,
     "ts_sampen" -> Timeseries.tsSampenSql,
     "ts_ks" -> Timeseries.tsKsSql,
+    "corpus_hll" -> TextAnalysis.corpusHllSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,

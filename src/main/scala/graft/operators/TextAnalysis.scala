@@ -901,6 +901,161 @@ object TextAnalysis {
   def corpusCms(spark: SparkSession, dir: String): DataFrame =
     corpusCmsReport(Tables.documents(spark, dir))
 
+  /** HyperLogLog distinct-token report per language (Flajolet et al.
+    * 2007), hand-rolled on the shared 60-bit md5-prefix hash so the
+    * sketch is BIT-REPRODUCIBLE in any engine — the property the
+    * native `approx_count_distinct` (HLL++, private seeds) cannot
+    * give an oracle. p=10 → m=1024 registers: register = top 10 hash
+    * bits, rank = leading-zero count of the remaining 50-bit field +1
+    * (computed by bit-smear OR-cascade + bit_count — pure integer
+    * ops, no float log), estimate = αm²/Σ2^(−Mⱼ) with the standard
+    * small-range linear-counting switch at 2.5m. The report ranks the
+    * sketch against the exact per-language distinct count — the
+    * rel_err column is what a pipeline checks before trusting sketch
+    * cardinalities at 100 TB where the exact count is the expensive
+    * path.
+    *
+    * Scale shape: hashing/register/rank are map-side arithmetic on the
+    * exploded words; the ONE data-scale aggregation reduces each
+    * partition to ≤ m rows per language BEFORE the exchange (partial
+    * MAX per (lang, register)), so the shuffle carries
+    * O(partitions × m) rows regardless of vocabulary — the
+    * fixed-memory contrast to the exact count's vocabulary-grain
+    * shuffle (kept here only as the acceptance baseline, exactly as in
+    * [[corpusCmsReport]]). Portability: the register sum is
+    * integer-scaled by 2^51 (terms 2^(51−Mⱼ) are exact longs, total
+    * ≤ 2^61 — double summation would round past 2^53), the α·m²·2^51
+    * numerator is spelled from literals in identical op order in both
+    * engines, and the branch compares the identical raw double.
+    */
+  def corpusHllReport(docs: DataFrame): DataFrame = {
+    val words = docs
+      .filter(col("text").isNotNull)
+      .select(col("lang"), explode(expr(WordsSql)).as("word"))
+      .filter(length(col("word")) > 0)
+    // rank = 51 - bitlength(r) over the low 50 hash bits; bitlength by
+    // OR-smearing r into (2^bitlength - 1) then popcounting
+    val grid = words
+      .select(col("lang"), expr(Dedup.md5Prefix60Sql("word")).as("__h"))
+      .select(
+        col("lang"),
+        expr("shiftright(__h, 50)").as("__reg"),
+        expr("__h & 1125899906842623").as("__s") // low 50 bits
+      )
+      .withColumn("__s", col("__s").bitwiseOR(shiftright(col("__s"), 1)))
+      .withColumn("__s", col("__s").bitwiseOR(shiftright(col("__s"), 2)))
+      .withColumn("__s", col("__s").bitwiseOR(shiftright(col("__s"), 4)))
+      .withColumn("__s", col("__s").bitwiseOR(shiftright(col("__s"), 8)))
+      .withColumn("__s", col("__s").bitwiseOR(shiftright(col("__s"), 16)))
+      .withColumn("__s", col("__s").bitwiseOR(shiftright(col("__s"), 32)))
+      .select(
+        col("lang"),
+        col("__reg"),
+        (lit(51) - bit_count(col("__s"))).cast("long").as("__rank")
+      )
+      .groupBy(col("lang"), col("__reg"))
+      .agg(max(col("__rank")).as("__m"))
+    val perLang = grid
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("__present"),
+        // register sum integer-scaled by 2^51: terms are exact longs
+        sum(expr("shiftleft(cast(1 as bigint), cast(51 - __m as int))")).as("__zs")
+      )
+      .select(
+        col("lang"),
+        (lit(1024L) - col("__present")).as("v_zero"),
+        (col("__zs") + (lit(1024L) - col("__present")) * lit(2251799813685248L)).as("__z")
+      )
+      // alpha * m^2 * 2^51, spelled from literals in identical op order
+      // in both engines (0.7213/(1 + 1.079/m) is the standard m>=128 alpha)
+      .withColumn(
+        "__raw",
+        expr(
+          "(0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2251799813685248.0"
+        ) / col("__z").cast("double")
+      )
+      .select(
+        col("lang"),
+        col("v_zero"),
+        round(
+          when(
+            col("__raw") <= 2560.0 && col("v_zero") > 0,
+            lit(1024.0) * round(log(lit(1024.0) / col("v_zero").cast("double")), 9)
+          ).otherwise(col("__raw")),
+          6
+        ).as("hll_estimate")
+      )
+    val exact = words
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("word")).as("exact_distinct"))
+    perLang
+      .join(broadcast(exact), Seq("lang"))
+      .select(
+        col("lang"),
+        col("v_zero"),
+        col("hll_estimate"),
+        col("exact_distinct"),
+        round(
+          abs(col("hll_estimate") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"),
+          6
+        ).as("rel_err")
+      )
+  }
+
+  def corpusHll(spark: SparkSession, dir: String): DataFrame =
+    corpusHllReport(Tables.documents(spark, dir)).orderBy(col("lang"))
+
+  /** HLL oracle: identical hash/register/smear-rank integer pipeline,
+    * the same 2^51-scaled register sum, and the same literal-spelled
+    * α·m²·2^51 numerator and linear-counting branch.
+    */
+  val corpusHllSql: String =
+    s"""WITH w AS (
+      |  SELECT lang, u.word
+      |  FROM (SELECT lang, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      |        FROM documents WHERE text IS NOT NULL) t,
+      |       UNNEST(ws) AS u(word)
+      |  WHERE LENGTH(u.word) > 0),
+      |h AS (
+      |  SELECT lang, ${Dedup.md5Prefix60Duck("word")} AS h FROM w),
+      |r0 AS (
+      |  SELECT lang, h >> 50 AS reg, h & 1125899906842623 AS s FROM h),
+      |r1 AS (SELECT lang, reg, s | (s >> 1) AS s FROM r0),
+      |r2 AS (SELECT lang, reg, s | (s >> 2) AS s FROM r1),
+      |r3 AS (SELECT lang, reg, s | (s >> 4) AS s FROM r2),
+      |r4 AS (SELECT lang, reg, s | (s >> 8) AS s FROM r3),
+      |r5 AS (SELECT lang, reg, s | (s >> 16) AS s FROM r4),
+      |r6 AS (SELECT lang, reg, s | (s >> 32) AS s FROM r5),
+      |grid AS (
+      |  SELECT lang, reg, MAX(51 - bit_count(s)) AS m
+      |  FROM r6 GROUP BY 1, 2),
+      |pl AS (
+      |  SELECT lang,
+      |    1024 - COUNT(*) AS v_zero,
+      |    CAST(SUM(CAST(1 AS BIGINT) << CAST(51 - m AS INTEGER)) AS BIGINT)
+      |      + (1024 - COUNT(*)) * 2251799813685248 AS z
+      |  FROM grid GROUP BY 1),
+      |est AS (
+      |  SELECT lang, v_zero,
+      |    (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2251799813685248.0
+      |      / CAST(z AS DOUBLE) AS raw
+      |  FROM pl),
+      |fin AS (
+      |  SELECT lang, v_zero,
+      |    ROUND(CASE WHEN raw <= 2560.0 AND v_zero > 0
+      |      THEN 1024.0 * ROUND(LN(1024.0 / CAST(v_zero AS DOUBLE)), 9)
+      |      ELSE raw END, 6) AS hll_estimate
+      |  FROM est),
+      |ex AS (
+      |  SELECT lang, COUNT(DISTINCT word) AS exact_distinct FROM w GROUP BY 1)
+      |SELECT fin.lang, fin.v_zero, fin.hll_estimate, ex.exact_distinct,
+      |  ROUND(ABS(fin.hll_estimate - CAST(ex.exact_distinct AS DOUBLE))
+      |    / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+      |FROM fin JOIN ex ON ex.lang = fin.lang
+      |ORDER BY fin.lang""".stripMargin
+
   /** Word burstiness (Church & Gale 1995, "Poisson mixtures"): the
     * variance-to-mean ratio of a word's per-document count over ALL
     * documents (absent docs contribute zero — the moments fold them in

@@ -511,6 +511,49 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
 
+  "corpusHllReport" should "estimate a 10k-token vocabulary within the HLL error bound" in {
+    // one doc per 100 tokens, 10k distinct tokens total in one lang;
+    // expected HLL rel error at m=1024 is 1.04/sqrt(1024) ~ 3.25% --
+    // accept 4 sigma
+    val docs = (0 until 100).map { d =>
+      val words = (0 until 100).map(i => s"tok${d * 100 + i}")
+      (d.toLong, words.mkString(" "), "en", "srcA", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.corpusHllReport(docs).collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getAs[Long]("exact_distinct") shouldBe 10000L
+    r.getAs[Double]("rel_err") should be < 0.13
+    r.getAs[Double]("hll_estimate") shouldBe
+      (10000.0 +- 10000.0 * 0.13)
+  }
+
+  it should "switch to linear counting on a tiny vocabulary and land within one count" in {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon alpha beta", "en", "srcA", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.corpusHllReport(docs).collect().head
+    r.getAs[Long]("exact_distinct") shouldBe 5L
+    r.getAs[Long]("v_zero") should be >= 1019L // 5 distinct -> <= 5 registers hit
+    // linear counting m*ln(m/V) is near-exact at this fill level
+    r.getAs[Double]("hll_estimate") shouldBe (5.0 +- 0.5)
+  }
+
+  it should "be invariant to corpus splits (register max is associative)" in {
+    val docs = (0 until 60).map { d =>
+      val words = (0 to d % 11).map(r => s"v${(d * 7 + r) % 200}")
+      (d.toLong, words.mkString(" "), if (d % 2 == 0) "en" else "fr", "srcA", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val whole = TextAnalysis.corpusHllReport(docs)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("hll_estimate")).toMap
+    // per-language estimates are functions of per-language register
+    // maxes only: computing each language alone must reproduce them
+    val en = TextAnalysis.corpusHllReport(docs.filter($"lang" === "en")).collect().head
+    val fr = TextAnalysis.corpusHllReport(docs.filter($"lang" === "fr")).collect().head
+    en.getAs[Double]("hll_estimate") shouldBe whole("en")
+    fr.getAs[Double]("hll_estimate") shouldBe whole("fr")
+  }
+
   "corpusCmsReport" should "honor the CMS guarantees against exact counts" in {
     // skewed corpus: word w_r appears ~(40 - r) times across docs
     val docs = (0 until 40).map { d =>
