@@ -350,6 +350,8 @@ object SparkEntry {
     "ts_sampen" -> (Timeseries.tsSampen _),
     // two-sample Kolmogorov-Smirnov drift screen between time halves
     "ts_ks" -> (Timeseries.tsKs _),
+    // Poincare-plot SD1/SD2/RMSSD descriptors over successive pairs
+    "ts_poincare" -> (Timeseries.tsPoincare _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -620,6 +622,7 @@ object SparkEntry {
     "ts_sampen" -> Timeseries.tsSampenSql,
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,
+    "ts_poincare" -> Timeseries.tsPoincareSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,

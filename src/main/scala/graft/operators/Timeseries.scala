@@ -6407,6 +6407,97 @@ object Timeseries {
   def tsCadence(spark: SparkSession, dir: String): DataFrame =
     cadenceDrift(Tables.ts(spark, dir)).orderBy(col("channel"), col("bucket"))
 
+  /** Poincaré-plot descriptors per channel (Brennan et al. 2001 — the
+    * HRV geometry standard): over successive sample pairs
+    * (vᵢ, vᵢ₊₁), SD1 = √(var(vᵢ₊₁−vᵢ)/2) is the short-term
+    * (beat-to-beat) scatter across the identity line, SD2 =
+    * √(var(vᵢ₊₁+vᵢ)/2) the long-term scatter along it, plus RMSSD and
+    * the SD1/SD2 balance — the nonlinear-dynamics complement to
+    * [[hjorthParams]] (mobility is a spectral moment; SD1/SD2 split
+    * the same variance by lag-1 geometry).
+    *
+    * Scale shape: successive pairs come from [[withStitchedPrev]]
+    * (bucket-local lag + summary carry — never a per-channel sort of
+    * the stream); everything after is ONE channel-grain partial agg
+    * over the pair sums/squares. Portability: d and s are exact
+    * engine-identical doubles, moments route through DECIMAL(38,10)
+    * in pinned order, the three sqrt outputs round at 6, and the
+    * ratio divides the two ROUNDED descriptors (so both engines
+    * branch and divide on identical values); degenerate SD2 = 0
+    * yields a NULL ratio.
+    */
+  def poincareDescriptors(
+    ts: DataFrame,
+    stitchBucketUs: Long = StitchBucketUs
+  ): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val base = withTieBreak(ts).select(col("channel"), col("t"), col("v"), col("event_id"))
+    val pairs = withStitchedPrev(base, Seq("v"), stitchBucketUs, Seq("event_id"))
+      .filter(col("__prev_v").isNotNull)
+      .select(
+        col("channel"),
+        (col("v") - col("__prev_v")).as("__d"),
+        (col("v") + col("__prev_v")).as("__s")
+      )
+    val vard = col("__sdd").cast("double") / col("n_pairs") -
+      (col("__sd").cast("double") / col("n_pairs")) * (col("__sd").cast("double") / col("n_pairs"))
+    val vars = col("__sss").cast("double") / col("n_pairs") -
+      (col("__ss").cast("double") / col("n_pairs")) * (col("__ss").cast("double") / col("n_pairs"))
+    pairs
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__d").cast(dec3810)).as("__sd"),
+        sum((col("__d") * col("__d")).cast(dec3810)).as("__sdd"),
+        sum(col("__s").cast(dec3810)).as("__ss"),
+        sum((col("__s") * col("__s")).cast(dec3810)).as("__sss")
+      )
+      .select(
+        col("channel"),
+        col("n_pairs"),
+        round(sqrt(greatest(vard / 2.0, lit(0.0))), 6).as("sd1"),
+        round(sqrt(greatest(vars / 2.0, lit(0.0))), 6).as("sd2"),
+        round(sqrt(col("__sdd").cast("double") / col("n_pairs")), 6).as("rmssd")
+      )
+      .withColumn(
+        "sd_ratio",
+        when(col("sd2") > 0.0, round(col("sd1") / col("sd2"), 6))
+      )
+  }
+
+  def tsPoincare(spark: SparkSession, dir: String): DataFrame =
+    poincareDescriptors(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** Poincaré oracle: the stitched lag is plain LAG over the channel
+    * order; identical DECIMAL moments and rounded-descriptor ratio.
+    */
+  val tsPoincareSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS channel, epoch_us(ts) AS t, value AS v, event_id FROM events),
+      |p AS (
+      |  SELECT channel, v,
+      |    LAG(v) OVER (PARTITION BY channel ORDER BY t, event_id) AS pv
+      |  FROM e),
+      |d AS (
+      |  SELECT channel, v - pv AS d, v + pv AS s FROM p WHERE pv IS NOT NULL),
+      |mo AS (
+      |  SELECT channel, COUNT(*) AS n_pairs,
+      |    CAST(SUM(CAST(d AS DECIMAL(38,10))) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST(d * d AS DECIMAL(38,10))) AS DOUBLE) AS sdd,
+      |    CAST(SUM(CAST(s AS DECIMAL(38,10))) AS DOUBLE) AS ss,
+      |    CAST(SUM(CAST(s * s AS DECIMAL(38,10))) AS DOUBLE) AS sss
+      |  FROM d GROUP BY 1),
+      |f AS (
+      |  SELECT channel, n_pairs,
+      |    ROUND(SQRT(GREATEST((sdd / n_pairs - (sd / n_pairs) * (sd / n_pairs)) / 2.0, 0.0)), 6) AS sd1,
+      |    ROUND(SQRT(GREATEST((sss / n_pairs - (ss / n_pairs) * (ss / n_pairs)) / 2.0, 0.0)), 6) AS sd2,
+      |    ROUND(SQRT(sdd / n_pairs), 6) AS rmssd
+      |  FROM mo)
+      |SELECT channel, n_pairs, sd1, sd2, rmssd,
+      |  CASE WHEN sd2 > 0.0 THEN ROUND(sd1 / sd2, 6) END AS sd_ratio
+      |FROM f
+      |ORDER BY channel""".stripMargin
+
   // -------------------------------------------------------------------
   // Haar wavelet energy spectrum (multi-scale variance decomposition)
   // -------------------------------------------------------------------

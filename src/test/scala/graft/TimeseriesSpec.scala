@@ -1985,6 +1985,40 @@ class TimeseriesSpec extends SparkSpec {
     out.find(_.getAs[String]("channel") == "stable").get.getAs[Boolean]("drifted") shouldBe false
   }
 
+  "poincareDescriptors" should "recover the closed-form SD1/SD2 split and be stitch-width invariant" in {
+    // alternating +-1: d alternates +-2 (mean ~0, var ~4 -> SD1 ~ sqrt(2)),
+    // s = 0 always -> SD2 = 0, NULL ratio; ramp i: d = 1 constant ->
+    // SD1 = 0, s = 2i+1 has var((2i+1)) = 4*var(i)
+    val n = 1000
+    val rows = (0 until n).flatMap { i =>
+      Seq(
+        ("alt", i.toLong * 1000000L, if (i % 2 == 0) 1.0 else -1.0),
+        ("ramp", i.toLong * 1000000L, i.toDouble)
+      )
+    }
+    val out = Timeseries.poincareDescriptors(mkTs(rows)).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    val m = (n - 1).toDouble // pairs
+    out("alt").getAs[Long]("n_pairs") shouldBe (n - 1).toLong
+    // d = +-2 over 999 pairs (500 of one sign, 499 of the other)
+    val meanD = (500 * -2.0 + 499 * 2.0) / m
+    val expSd1 = math.sqrt((4.0 - meanD * meanD) / 2.0)
+    out("alt").getAs[Double]("sd1") shouldBe (expSd1 +- 1e-5)
+    out("alt").getAs[Double]("sd2") shouldBe 0.0
+    out("alt").isNullAt(out("alt").fieldIndex("sd_ratio")) shouldBe true
+    out("alt").getAs[Double]("rmssd") shouldBe (2.0 +- 1e-9)
+    out("ramp").getAs[Double]("sd1") shouldBe 0.0
+    // s_i = 2i+1, i=0..n-2: var = 4 * var(0..n-2)
+    val varI = (m * m - 1.0) / 12.0
+    out("ramp").getAs[Double]("sd2") shouldBe (math.sqrt(4.0 * varI / 2.0) +- 1e-4)
+    out("ramp").getAs[Double]("sd_ratio") shouldBe 0.0
+    // stitch width is a pure parallelism knob
+    val alt = Timeseries.poincareDescriptors(mkTs(rows), stitchBucketUs = 37000000L)
+      .collect().map(r => r.getAs[String]("channel") -> r.toSeq).toMap
+    alt("alt") shouldBe out("alt").toSeq
+    alt("ramp") shouldBe out("ramp").toSeq
+  }
+
   "ksScreen" should "flag a planted level shift with D=1 and keep a stable channel near zero" in {
     // shifted: halves occupy disjoint value ranges -> the ECDF gap
     // reaches 1 at the boundary bin; stable: the second half replays
