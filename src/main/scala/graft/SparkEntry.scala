@@ -366,6 +366,8 @@ object SparkEntry {
     // synchronous label-propagation communities over the mined pair
     // graph (density view beside dedup_clusters' connectivity view)
     "graph_communities" -> (Dedup.graphCommunities _),
+    // Newman degree assortativity of the near-dup graph
+    "graph_assortativity" -> (Dedup.graphAssortativity _),
     // neighbor-set Jaccard link prediction over the near-dup graph
     "graph_jaccard" -> (Dedup.graphJaccard _),
     // AND/NOT postings algebra over the query vocabulary
@@ -627,6 +629,7 @@ object SparkEntry {
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,
     "graph_communities" -> Dedup.graphCommunitiesSql,
+    "graph_assortativity" -> Dedup.graphAssortativitySql,
     "search_boolean" -> Search.searchBooleanSql,
     "train_shards" -> Packing.trainShardsSql,
     "corpus_oov" -> TextAnalysis.corpusOovSql,

@@ -1971,6 +1971,97 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Degree assortativity of the near-dup graph (Newman 2002, Phys.
+    * Rev. Lett. 89): the Pearson correlation of the degrees at the two
+    * ends of an edge, over BOTH orientations of each undirected edge
+    * (the standard symmetric treatment — Σx = Σy, so one moment set
+    * serves both axes). r → 1 means hubs pair with hubs (one template
+    * family snowballing), r → −1 means hubs pair with leaves (a few
+    * canonical documents each matched by many one-off variants) — the
+    * structural triage beside [[triangleStats]]' density view that
+    * tells a curator whether collapsing clusters keeps or destroys
+    * the long tail.
+    *
+    * Scale shape: degrees are one node-grain agg over the POST-MINING
+    * pair relation (bucket-capped, orders below corpus scale); the
+    * two degree attachments key on node ids; ONE final partial agg of
+    * DECIMAL moments reduces everything to a single row. Portability:
+    * degrees are exact longs, moments route through DECIMAL(38,10) in
+    * pinned order, r divides rounded-9 covariance by rounded-9
+    * variance and rounds at 6; a degree-regular graph (variance 0)
+    * yields NULL.
+    */
+  def degreeAssortativity(pairsIn: DataFrame): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val pairs = pairsIn
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(true)
+    val edges = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val ends = edges
+      .join(deg.select(col("u"), col("deg").as("__dx")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("__dy")), Seq("v"))
+    val mean = col("__sx").cast("double") / col("m_directed")
+    val varx = col("__sxx").cast("double") / col("m_directed") - mean * mean
+    val cov = col("__sxy").cast("double") / col("m_directed") - mean * mean
+    ends
+      .agg(
+        count(lit(1)).as("m_directed"),
+        sum(col("__dx").cast(dec3810)).as("__sx"),
+        sum((col("__dx") * col("__dx")).cast(dec3810)).as("__sxx"),
+        sum((col("__dx") * col("__dy")).cast(dec3810)).as("__sxy")
+      )
+      .select(
+        expr("m_directed div 2").as("n_edges"),
+        round(mean, 6).as("mean_degree"),
+        round(cov, 9).as("__cov"),
+        round(varx, 9).as("__var")
+      )
+      .select(
+        col("n_edges"),
+        col("mean_degree"),
+        when(col("__var") > 0.0, round(col("__cov") / col("__var"), 6)).as("assortativity")
+      )
+  }
+
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativity(
+      minedPairsFor(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+    )
+
+  /** Assortativity oracle: the shared minhash pair pipeline feeding
+    * the identical both-orientations moment aggregation.
+    */
+  val graphAssortativitySql: String =
+    s"""WITH $MinhashPipelineCtes,
+       |vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |aedges AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS v FROM vpairs
+       |  UNION ALL
+       |  SELECT doc_b AS u, doc_a AS v FROM vpairs),
+       |adeg AS (SELECT u, COUNT(*) AS deg FROM aedges GROUP BY u),
+       |ends AS (
+       |  SELECT dx.deg AS dxv, dy.deg AS dyv
+       |  FROM aedges e
+       |  JOIN adeg dx ON dx.u = e.u
+       |  JOIN adeg dy ON dy.u = e.v),
+       |mo AS (
+       |  SELECT COUNT(*) AS m_directed,
+       |    CAST(SUM(CAST(dxv AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(dxv * dxv AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(dxv * dyv AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+       |  FROM ends),
+       |f AS (
+       |  SELECT m_directed // 2 AS n_edges,
+       |    ROUND(sx / m_directed, 6) AS mean_degree,
+       |    ROUND(sxy / m_directed - (sx / m_directed) * (sx / m_directed), 9) AS cov,
+       |    ROUND(sxx / m_directed - (sx / m_directed) * (sx / m_directed), 9) AS var
+       |  FROM mo)
+       |SELECT n_edges, mean_degree,
+       |  CASE WHEN var > 0.0 THEN ROUND(cov / var, 6) END AS assortativity
+       |FROM f""".stripMargin
+
   /** Cluster oracle: the full minhash pipeline CTEs feed a recursive
     * transitive closure (UNION dedups, so cycles terminate); each
     * node's cluster is the minimum id it can reach, survivor = itself.

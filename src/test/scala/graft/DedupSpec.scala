@@ -452,6 +452,34 @@ class DedupSpec extends SparkSpec {
     )
   }
 
+  "degreeAssortativity" should "score a star -1, a clique NULL, and match the naive Pearson on a mixed graph" in {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("doc_a", "doc_b")
+    val s = Dedup.degreeAssortativity(star).collect().head
+    s.getAs[Long]("n_edges") shouldBe 4L
+    s.getAs[Double]("assortativity") shouldBe (-1.0 +- 1e-6)
+    // 4-clique: degree-regular -> zero degree variance -> NULL
+    val clique = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("doc_a", "doc_b")
+    val c = Dedup.degreeAssortativity(clique).collect().head
+    c.isNullAt(c.fieldIndex("assortativity")) shouldBe true
+    // mixed graph vs an in-test naive Pearson over both orientations
+    val mixed = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (4L, 0L))
+      .toDF("doc_a", "doc_b")
+    val m = Dedup.degreeAssortativity(mixed).collect().head
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (4L, 0L))
+    val dir = und ++ und.map(_.swap)
+    val degm = dir.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val xs = dir.map(e => degm(e._1))
+    val ys = dir.map(e => degm(e._2))
+    val n = xs.size.toDouble
+    val mu = xs.sum / n
+    val covN = (xs zip ys).map { case (x, y) => x * y }.sum / n - mu * mu
+    val varN = xs.map(x => x * x).sum / n - mu * mu
+    m.getAs[Double]("assortativity") shouldBe (covN / varN +- 1e-5)
+    m.getAs[Double]("mean_degree") shouldBe (mu +- 1e-6)
+    m.getAs[Long]("n_edges") shouldBe 6L
+  }
+
   "labelPropagation" should "settle each clique on its minimum id and keep a one-edge bridge from merging them" in {
     // two cliques {0,1,2,3} and {10,11,12} joined by the single bridge
     // 3-10: connected components would merge them; LPA majorities must
