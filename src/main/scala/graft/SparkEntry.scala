@@ -352,6 +352,8 @@ object SparkEntry {
     "ts_ks" -> (Timeseries.tsKs _),
     // Poincare-plot SD1/SD2/RMSSD descriptors over successive pairs
     "ts_poincare" -> (Timeseries.tsPoincare _),
+    // matrix profile: per-position nearest-neighbor subsequence distance
+    "ts_matrix_profile" -> (Timeseries.tsMatrixProfile _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -625,6 +627,7 @@ object SparkEntry {
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
+    "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,

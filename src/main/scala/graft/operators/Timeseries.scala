@@ -1879,6 +1879,165 @@ object Timeseries {
       |LEFT JOIN ac ON ac.channel = base.channel AND ac.win = base.win
       |ORDER BY base.channel, base.win""".stripMargin
 
+  /** Matrix profile per (channel, window) over the hourly PAA grid
+    * (Yeh et al. 2016, ICDM — the all-pairs nearest-neighbor
+    * subsequence distance that unifies motif discovery (low profile:
+    * this shape recurs) and discord/anomaly detection (high profile:
+    * nothing else looks like this) in one artifact). Subsequences of
+    * m=4 consecutive grid buckets are INDIVIDUALLY z-normalized (the
+    * MP distance is shape-only), distances exclude the trivial-match
+    * zone |i−j| < m, and each position reports its nearest neighbor
+    * and the distance to it.
+    *
+    * Scale shape: raw samples collapse once to the per-(channel,
+    * window) PAA grid in ONE partial agg (the ts_sax/ts_dtw grid
+    * discipline); subsequences form via bucket-continuity LEADs over
+    * the ≤g-row summary grid; the O(g²) pair join runs strictly at
+    * summary grain — bounded by the literal window/bucket ratio
+    * (g ≤ 168 at the 7-day/1-hour defaults) regardless of raw sample
+    * rate. Portability: PAA rounds at 9; per-subsequence μ/σ and the
+    * m-term distance are pinned literal-order expressions (no
+    * aggregate over the components); z rounds at 9, the distance at
+    * 9 before the min, the reported profile at 6; flat (σ=0)
+    * subsequences drop from both sides; the nearest neighbor
+    * tie-breaks on the smaller j.
+    */
+  def matrixProfile(
+    ts: DataFrame,
+    windowUs: Long,
+    bucketUs: Long = BucketUs
+  ): DataFrame = {
+    val paa = ts
+      .select(
+        col("channel"),
+        floor(col("t") / lit(windowUs)).cast("long").as("win"),
+        floor((col("t") % lit(windowUs)) / lit(bucketUs)).cast("long").as("bucket"),
+        col("v")
+      )
+      .groupBy(col("channel"), col("win"), col("bucket"))
+      .agg(round(detSum(col("v")) / count(lit(1)), 9).as("paa"))
+    val ord = Window.partitionBy(col("channel"), col("win")).orderBy(col("bucket"))
+    val grid = paa
+      .withColumn("a1", lead(col("paa"), 1).over(ord))
+      .withColumn("a2", lead(col("paa"), 2).over(ord))
+      .withColumn("a3", lead(col("paa"), 3).over(ord))
+      .withColumn("b1", lead(col("bucket"), 1).over(ord))
+      .withColumn("b2", lead(col("bucket"), 2).over(ord))
+      .withColumn("b3", lead(col("bucket"), 3).over(ord))
+      .filter(
+        col("b1") === col("bucket") + 1 &&
+          col("b2") === col("bucket") + 2 &&
+          col("b3") === col("bucket") + 3
+      )
+    val mu = (col("paa") + col("a1") + col("a2") + col("a3")) / 4.0
+    val s2 = (col("paa") * col("paa") + col("a1") * col("a1") +
+      col("a2") * col("a2") + col("a3") * col("a3")) / 4.0 - mu * mu
+    val sig = sqrt(greatest(s2, lit(0.0)))
+    val subs = grid
+      .withColumn("__mu", mu)
+      .withColumn("__sig", sig)
+      .filter(col("__sig") > 0.0)
+      .select(
+        col("channel"),
+        col("win"),
+        col("bucket").as("i"),
+        round((col("paa") - col("__mu")) / col("__sig"), 9).as("z0"),
+        round((col("a1") - col("__mu")) / col("__sig"), 9).as("z1"),
+        round((col("a2") - col("__mu")) / col("__sig"), 9).as("z2"),
+        round((col("a3") - col("__mu")) / col("__sig"), 9).as("z3")
+      )
+    val rhs = subs.select(
+      col("channel"),
+      col("win"),
+      col("i").as("j"),
+      col("z0").as("y0"),
+      col("z1").as("y1"),
+      col("z2").as("y2"),
+      col("z3").as("y3")
+    )
+    val d2 = (col("z0") - col("y0")) * (col("z0") - col("y0")) +
+      (col("z1") - col("y1")) * (col("z1") - col("y1")) +
+      (col("z2") - col("y2")) * (col("z2") - col("y2")) +
+      (col("z3") - col("y3")) * (col("z3") - col("y3"))
+    subs
+      .join(rhs, Seq("channel", "win"))
+      .filter(abs(col("i") - col("j")) >= 4)
+      .select(
+        col("channel"),
+        col("win"),
+        col("i"),
+        col("j"),
+        round(sqrt(d2), 9).as("__d")
+      )
+      .withColumn(
+        "__rn",
+        row_number().over(
+          Window
+            .partitionBy(col("channel"), col("win"), col("i"))
+            .orderBy(col("__d"), col("j"))
+        )
+      )
+      .filter(col("__rn") === 1)
+      .select(
+        col("channel"),
+        col("win"),
+        col("i"),
+        col("j").as("nn_j"),
+        round(col("__d"), 6).as("mp")
+      )
+  }
+
+  def tsMatrixProfile(spark: SparkSession, dir: String): DataFrame =
+    matrixProfile(Tables.ts(spark, dir), windowUs = 604800000000L)
+      .orderBy(col("channel"), col("win"), col("i"))
+
+  /** MP oracle: identical PAA grid, LEAD continuity, pinned
+    * subsequence z-normalization and literal-order distance, the same
+    * (distance, j) nearest-neighbor argmin.
+    */
+  val tsMatrixProfileSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 604800000000 AS win,
+      |    (epoch_us(ts) % 604800000000) // 3600000000 AS bucket,
+      |    value AS v
+      |  FROM events),
+      |p AS (
+      |  SELECT channel, win, bucket,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 9) AS paa
+      |  FROM x GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT channel, win, bucket, paa,
+      |    LEAD(paa, 1) OVER o AS a1, LEAD(paa, 2) OVER o AS a2, LEAD(paa, 3) OVER o AS a3,
+      |    LEAD(bucket, 1) OVER o AS b1, LEAD(bucket, 2) OVER o AS b2, LEAD(bucket, 3) OVER o AS b3
+      |  FROM p
+      |  WINDOW o AS (PARTITION BY channel, win ORDER BY bucket)),
+      |gs AS (
+      |  SELECT channel, win, bucket, paa, a1, a2, a3,
+      |    (paa + a1 + a2 + a3) / 4.0 AS mu,
+      |    SQRT(GREATEST((paa * paa + a1 * a1 + a2 * a2 + a3 * a3) / 4.0
+      |      - ((paa + a1 + a2 + a3) / 4.0) * ((paa + a1 + a2 + a3) / 4.0), 0.0)) AS sig
+      |  FROM g
+      |  WHERE b1 = bucket + 1 AND b2 = bucket + 2 AND b3 = bucket + 3),
+      |subs AS (
+      |  SELECT channel, win, bucket AS i,
+      |    ROUND((paa - mu) / sig, 9) AS z0, ROUND((a1 - mu) / sig, 9) AS z1,
+      |    ROUND((a2 - mu) / sig, 9) AS z2, ROUND((a3 - mu) / sig, 9) AS z3
+      |  FROM gs WHERE sig > 0.0),
+      |pairs AS (
+      |  SELECT l.channel, l.win, l.i, r.i AS j,
+      |    ROUND(SQRT((l.z0 - r.z0) * (l.z0 - r.z0) + (l.z1 - r.z1) * (l.z1 - r.z1)
+      |      + (l.z2 - r.z2) * (l.z2 - r.z2) + (l.z3 - r.z3) * (l.z3 - r.z3)), 9) AS d
+      |  FROM subs l
+      |  JOIN subs r ON r.channel = l.channel AND r.win = l.win AND ABS(l.i - r.i) >= 4),
+      |rn AS (
+      |  SELECT channel, win, i, j, d,
+      |    ROW_NUMBER() OVER (PARTITION BY channel, win, i ORDER BY d, j) AS rn
+      |  FROM pairs)
+      |SELECT channel, win, i, j AS nn_j, ROUND(d, 6) AS mp
+      |FROM rn WHERE rn = 1
+      |ORDER BY channel, win, i""".stripMargin
+
   /** Sessionization over any id column (users here, the classic
     * pipeline op): a session breaks when an id's inter-event gap
     * reaches gapUs; each event gets its id's 1-based session ordinal.

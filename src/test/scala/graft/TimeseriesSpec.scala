@@ -1985,6 +1985,40 @@ class TimeseriesSpec extends SparkSpec {
     out.find(_.getAs[String]("channel") == "stable").get.getAs[Boolean]("drifted") shouldBe false
   }
 
+  "matrixProfile" should "zero the planted motif pair, point it at its twin, and isolate the discord" in {
+    val hr = 3600000000L
+    // ramp base (every pure-ramp subsequence is z-identical -> mp 0);
+    // the SAME bump pattern at 20..23 and 100..103 (constant offset
+    // -> z-identical twins); a lone spike at 60 (unique shapes)
+    val bump = Map(0 -> 5.0, 1 -> 9.0, 2 -> 2.0, 3 -> 7.0)
+    def v(b: Int): Double = {
+      val r = b * 0.1
+      if (b >= 20 && b <= 23) r + bump(b - 20)
+      else if (b >= 100 && b <= 103) r + bump(b - 100)
+      else if (b == 60) 50.0
+      else r
+    }
+    val rows = (0 until 130).map(b => ("c", b.toLong * hr, v(b)))
+    val out = Timeseries.matrixProfile(mkTs(rows), windowUs = 604800000000L)
+      .collect()
+      .map(r => r.getAs[Long]("i") -> (r.getAs[Double]("mp"), r.getAs[Long]("nn_j")))
+      .toMap
+    out.size shouldBe 127 // i = 0..126, all sigma > 0 on a ramp
+    // motif: the bump and its copy are exact z-twins, including every
+    // partial-overlap alignment
+    (17 to 23).foreach { i =>
+      out(i)._1 shouldBe 0.0
+      out(i)._2 shouldBe (i + 80).toLong
+    }
+    // discord: spike-containing shapes have no exact twin, and the
+    // window's MAX profile value sits on the spike
+    (57 to 60).foreach { i => out(i)._1 should be > 0.01 }
+    val argmax = out.maxBy(_._2._1)._1
+    argmax should (be >= 57L and be <= 60L)
+    // pure-ramp positions away from bump/spike all have exact twins
+    Seq(5, 30, 70, 110).foreach { i => out(i)._1 shouldBe 0.0 }
+  }
+
   "poincareDescriptors" should "recover the closed-form SD1/SD2 split and be stitch-width invariant" in {
     // alternating +-1: d alternates +-2 (mean ~0, var ~4 -> SD1 ~ sqrt(2)),
     // s = 0 always -> SD2 = 0, NULL ratio; ramp i: d = 1 constant ->
