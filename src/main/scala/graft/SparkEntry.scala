@@ -354,6 +354,8 @@ object SparkEntry {
     "ts_poincare" -> (Timeseries.tsPoincare _),
     // matrix profile: per-position nearest-neighbor subsequence distance
     "ts_matrix_profile" -> (Timeseries.tsMatrixProfile _),
+    // Ljung-Box portmanteau white-noise test over lags 1..6
+    "ts_ljungbox" -> (Timeseries.tsLjungbox _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -628,6 +630,7 @@ object SparkEntry {
     "corpus_hll" -> TextAnalysis.corpusHllSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
+    "ts_ljungbox" -> Timeseries.tsLjungboxSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,

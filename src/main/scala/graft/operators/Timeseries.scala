@@ -3345,6 +3345,115 @@ object Timeseries {
       |FROM s
       |ORDER BY channel""".stripMargin
 
+  /** Ljung–Box portmanteau white-noise test per channel (Ljung & Box
+    * 1978 Biometrika — "is anything left after my model/detrend?"):
+    * Q = n(n+2) Σ_{k=1..6} ρ̂ₖ²/(n−k) over the hourly-mean grid, with
+    * the χ²₆ 0.95 rejection bar (12.592). [[lagCorrelation]] reports
+    * the lag-1 coefficient alone; this pools six lags into the one
+    * number the Box–Jenkins residual check wants, and complements
+    * [[runsTest]] (signs) with a magnitude-weighted test.
+    *
+    * Scale shape: raw samples collapse to the (channel, bucket) grid
+    * in ONE partial agg; the channel mean broadcasts back as a k-row
+    * relation; the six lag products come from six LEADs in a single
+    * window pass over the REDUCED grid (the ts_rolling summary-grid
+    * precedent — never the raw stream); one final channel-grain agg.
+    * Portability: means/products route through DECIMAL in pinned
+    * order, each ρ̂ₖ rounds at 9, Q is a literal-order six-term sum
+    * rounded at 6. Channels need n > 6 grid buckets and a nonzero
+    * denominator; others drop.
+    */
+  def ljungBox(ts: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val grid = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg((sum(col("v").cast(dec2710)).cast("double") / count(lit(1))).as("m"))
+    val mu = grid
+      .groupBy(col("channel"))
+      .agg((sum(col("m").cast(dec2710)).cast("double") / count(lit(1))).as("__mu"))
+    val w = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+    val led = (1 to 6)
+      .foldLeft(grid.join(broadcast(mu), Seq("channel"))) { (d, k) =>
+        d.withColumn(s"__l$k", lead(col("m"), k).over(w))
+      }
+    val aggExprs =
+      count(lit(1)).as("n_buckets") +:
+        sum(((col("m") - col("__mu")) * (col("m") - col("__mu"))).cast(dec3810))
+          .cast("double").as("__den") +:
+        (1 to 6).map { k =>
+          sum(((col("m") - col("__mu")) * (col(s"__l$k") - col("__mu"))).cast(dec3810))
+            .cast("double").as(s"__num$k")
+        }
+    val agged = led
+      .groupBy(col("channel"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .filter(col("n_buckets") > 6 && col("__den") > 0.0)
+    val withRho = (1 to 6).foldLeft(agged) { (d, k) =>
+      d.withColumn(s"rho$k", round(col(s"__num$k") / col("__den"), 9))
+    }
+    val n = col("n_buckets").cast("double")
+    val q = (1 to 6)
+      .map(k => col(s"rho$k") * col(s"rho$k") / (n - k))
+      .reduce(_ + _)
+    withRho
+      .select(
+        col("channel") +: col("n_buckets") +:
+          (1 to 6).map(k => col(s"rho$k")) :+
+          round(n * (n + 2.0) * q, 6).as("q_stat"): _*
+      )
+      .withColumn("white_noise_rejected", col("q_stat") > 12.592)
+  }
+
+  def tsLjungbox(spark: SparkSession, dir: String): DataFrame =
+    ljungBox(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** Ljung–Box oracle: identical grid/mean/LEAD products, the same
+    * round-9 ρ̂ₖ and literal-order Q sum.
+    */
+  val tsLjungboxSql: String = {
+    val nums = (1 to 6)
+      .map(k =>
+        s"CAST(SUM(CAST((m - mu) * (l$k - mu) AS DECIMAL(38,10))) AS DOUBLE) AS num$k"
+      )
+      .mkString(",\n      |    ")
+    val leads = (1 to 6)
+      .map(k => s"LEAD(m, $k) OVER (PARTITION BY g.channel ORDER BY bucket) AS l$k")
+      .mkString(",\n      |    ")
+    val rhos = (1 to 6).map(k => s"ROUND(num$k / den, 9) AS rho$k").mkString(", ")
+    val qTerms = (1 to 6)
+      .map(k => s"rho$k * rho$k / (CAST(n_buckets AS DOUBLE) - $k)")
+      .mkString(" + ")
+    s"""WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |mu AS (
+      |  SELECT channel, CAST(SUM(CAST(m AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mu
+      |  FROM g GROUP BY 1),
+      |led AS (
+      |  SELECT g.channel, g.m, mu.mu,
+      |    $leads
+      |  FROM g JOIN mu ON mu.channel = g.channel),
+      |s AS (
+      |  SELECT channel, COUNT(*) AS n_buckets,
+      |    CAST(SUM(CAST((m - mu) * (m - mu) AS DECIMAL(38,10))) AS DOUBLE) AS den,
+      |    $nums
+      |  FROM led GROUP BY 1),
+      |r AS (
+      |  SELECT channel, n_buckets, $rhos
+      |  FROM s WHERE n_buckets > 6 AND den > 0.0),
+      |f AS (
+      |  SELECT channel, n_buckets, rho1, rho2, rho3, rho4, rho5, rho6,
+      |    ROUND(CAST(n_buckets AS DOUBLE) * (CAST(n_buckets AS DOUBLE) + 2.0)
+      |      * ($qTerms), 6) AS q_stat
+      |  FROM r)
+      |SELECT channel, n_buckets, rho1, rho2, rho3, rho4, rho5, rho6, q_stat,
+      |  q_stat > 12.592 AS white_noise_rejected
+      |FROM f
+      |ORDER BY channel""".stripMargin
+  }
+
   /** 30-minute user sessions over the event stream. */
   def tsSessions(spark: SparkSession, dir: String): DataFrame =
     sessionize(Tables.ts(spark, dir), gapUs = 1800000000L)

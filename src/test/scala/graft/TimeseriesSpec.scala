@@ -1985,6 +1985,33 @@ class TimeseriesSpec extends SparkSpec {
     out.find(_.getAs[String]("channel") == "stable").get.getAs[Boolean]("drifted") shouldBe false
   }
 
+  "ljungBox" should "reject a periodic channel and keep hashed noise under the chi2 bar" in {
+    val hr = 3600000000L
+    def mix(x: Long): Double = {
+      var z = x * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    // one sample per hourly bucket so the grid is the series itself
+    val rows = (0 until 500).flatMap { b =>
+      Seq(
+        ("per", b.toLong * hr, math.sin(b * math.Pi / 12.0)), // 24h cycle
+        ("rnd", b.toLong * hr, mix(b.toLong))
+      )
+    }
+    val out = Timeseries.ljungBox(mkTs(rows)).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    out("per").getAs[Boolean]("white_noise_rejected") shouldBe true
+    out("per").getAs[Double]("q_stat") should be > 100.0
+    // lag-6 autocorrelation of a 24-bucket sine is cos(6*pi/12) = 0
+    out("per").getAs[Double]("rho6") shouldBe (0.0 +- 0.05)
+    out("per").getAs[Double]("rho1") should be > 0.9 // cos(pi/12) ~ 0.966
+    out("rnd").getAs[Boolean]("white_noise_rejected") shouldBe false
+    out("rnd").getAs[Double]("q_stat") should be < 12.592
+    out("rnd").getAs[Long]("n_buckets") shouldBe 500L
+  }
+
   "matrixProfile" should "zero the planted motif pair, point it at its twin, and isolate the discord" in {
     val hr = 3600000000L
     // ramp base (every pure-ramp subsequence is z-identical -> mp 0);
