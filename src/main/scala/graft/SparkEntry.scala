@@ -362,6 +362,8 @@ object SparkEntry {
     // hand-rolled HyperLogLog distinct-token sketch vs exact (oracle-
     // reproducible, unlike the native HLL++'s private seeds)
     "corpus_hll" -> (TextAnalysis.corpusHll _),
+    // C4 line/document cleaning rule report (Raffel et al. 2020)
+    "quality_c4" -> (TextAnalysis.qualityC4 _),
     // label-centroid cosine matrix (semantic source distance)
     "embed_label_sim" -> (Similarity.embedLabelSim _),
     // clustering-vs-labels external validation: NMI + purity + ARI
@@ -628,6 +630,7 @@ object SparkEntry {
     "ts_sampen" -> Timeseries.tsSampenSql,
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,
+    "quality_c4" -> TextAnalysis.qualityC4Sql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

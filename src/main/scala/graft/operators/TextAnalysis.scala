@@ -142,6 +142,89 @@ object TextAnalysis {
       )
   }
 
+  /** C4-style cleaning report (Raffel et al. 2020 §2.2 — the line +
+    * document rule battery behind the C4 corpus, the pragmatic
+    * complement to [[gopherRules]]' document-statistics gates): a LINE
+    * survives when it has ≥ 3 words, ends in terminal punctuation
+    * (. ! ? "), and does not mention javascript; the DOCUMENT passes
+    * when it contains no "lorem ipsum", no curly brace, and its
+    * surviving lines carry ≥ `minSentences` sentences. The report
+    * keeps the per-rule evidence (line/sentence counts, kept-char
+    * ratio, the two content flags) so a curator can tune each gate
+    * instead of reading one opaque boolean.
+    *
+    * Scale shape: a pure map-side projection — line split + lambda
+    * filters + regex counts, whole-stage codegen, no UDF, no shuffle
+    * (the gopherRules discipline). Portability: counts are integers;
+    * the kept-char ratio divides the single-space rejoined survivor
+    * text by the raw length with the NULLIF(…,0) guard.
+    */
+  def c4Rules(docs: DataFrame, minSentences: Int = 5): DataFrame = {
+    val keptSql =
+      """filter(split(text, '\n'), l ->
+        |  size(filter(split(trim(l), ' '), w -> w != '')) >= 3
+        |  AND trim(l) rlike '[.!?"]$'
+        |  AND NOT contains(lower(l), 'javascript'))""".stripMargin.replaceAll("\n", " ")
+    docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        size(expr("split(text, '\\n')")).cast("long").as("n_lines"),
+        expr(keptSql).as("__kept"),
+        contains(lower(col("text")), lit("lorem ipsum")).as("has_lorem"),
+        contains(col("text"), lit("{")).as("has_brace"),
+        length(col("text")).cast("long").as("__len")
+      )
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        regexp_count(array_join(col("__kept"), " "), lit("[.!?]")).cast("long").as("n_sentences"),
+        round(
+          length(array_join(col("__kept"), " ")).cast("double") /
+            nullif(col("__len"), lit(0L)).cast("double"),
+          6
+        ).as("kept_ratio"),
+        col("has_lorem"),
+        col("has_brace")
+      )
+      .withColumn(
+        "pass",
+        !col("has_lorem") && !col("has_brace") && col("n_sentences") >= minSentences
+      )
+  }
+
+  def qualityC4(spark: SparkSession, dir: String): DataFrame =
+    c4Rules(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** C4 oracle: identical line lambda, sentence regex and rejoin. */
+  val qualityC4Sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |k AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      len(list_filter(string_split(TRIM(l), ' '), w -> w != '')) >= 3
+      |      AND regexp_matches(TRIM(l), '[.!?"]$')
+      |      AND NOT contains(LOWER(l), 'javascript')) AS kept,
+      |    contains(LOWER(text), 'lorem ipsum') AS has_lorem,
+      |    contains(text, '{') AS has_brace
+      |  FROM d),
+      |f AS (
+      |  SELECT doc_id, n_lines,
+      |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      |    -- DuckDB's array_to_string([]) is NULL (Spark's array_join is '') — coalesce
+      |    CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, ' '), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+      |    ROUND(CAST(LENGTH(COALESCE(array_to_string(kept, ' '), '')) AS DOUBLE)
+      |      / CAST(NULLIF(LENGTH(text), 0) AS DOUBLE), 6) AS kept_ratio,
+      |    has_lorem, has_brace
+      |  FROM k)
+      |SELECT doc_id, n_lines, n_kept_lines, n_sentences, kept_ratio,
+      |  has_lorem, has_brace,
+      |  NOT has_lorem AND NOT has_brace AND n_sentences >= 5 AS pass
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-document Shannon entropy at character and word granularity —
     * the compressibility signals that flag binary junk, boilerplate
     * and keyword-stuffed spam (low entropy) or encrypted/encoded noise

@@ -273,6 +273,47 @@ class TextAnalysisSpec extends SparkSpec {
     rows.drop(1).foreach(r => r.getAs[Boolean]("pass") shouldBe false)
   }
 
+  "c4Rules" should "apply each line and document gate separately" in {
+    // five terminal-punctuated 3+-word lines → clean doc with 5 sentences
+    val clean = (1 to 5).map(i => s"this is good sentence number $i.").mkString("\n")
+    val docs = Seq(
+      (1L, clean),
+      // line gates: <3 words / no terminal punct / javascript mention — all dropped
+      (2L, "too short.\nthis line has no terminal punctuation\n" +
+        "please enable javascript to continue.\n" + clean),
+      (3L, clean + "\nlorem ipsum dolor sit amet."), // document gate: placeholder text
+      (4L, clean + "\nfunction f() { return 1; }"), // document gate: curly brace
+      (5L, "one good sentence here.\nand a second one here."), // < 5 sentences
+      (6L, null.asInstanceOf[String]) // null text dropped entirely
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.c4Rules(docs).orderBy($"doc_id").collect()
+    rows should have length 5
+    rows(0).getAs[Boolean]("pass") shouldBe true
+    rows(0).getAs[Long]("n_lines") shouldBe 5L
+    rows(0).getAs[Long]("n_kept_lines") shouldBe 5L
+    rows(0).getAs[Long]("n_sentences") shouldBe 5L
+    rows(0).getAs[Double]("kept_ratio") shouldBe 1.0 +- 1e-9
+    // doc 2: the three bad lines are dropped, the clean tail survives
+    rows(1).getAs[Long]("n_lines") shouldBe 8L
+    rows(1).getAs[Long]("n_kept_lines") shouldBe 5L
+    rows(1).getAs[Boolean]("pass") shouldBe true
+    rows(2).getAs[Boolean]("has_lorem") shouldBe true
+    rows(2).getAs[Boolean]("pass") shouldBe false
+    rows(3).getAs[Boolean]("has_brace") shouldBe true
+    rows(3).getAs[Boolean]("pass") shouldBe false
+    rows(4).getAs[Long]("n_sentences") shouldBe 2L
+    rows(4).getAs[Boolean]("pass") shouldBe false
+  }
+
+  "c4Rules" should "stay a zero-shuffle projection" in {
+    val plan = TextAnalysis
+      .c4Rules(Tables.documents(spark, sfDir))
+      .queryExecution
+      .executedPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
   "gopherRules" should "stay a zero-shuffle projection" in {
     val plan = TextAnalysis
       .gopherRules(Tables.documents(spark, sfDir))
