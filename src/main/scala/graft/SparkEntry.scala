@@ -356,6 +356,8 @@ object SparkEntry {
     "ts_matrix_profile" -> (Timeseries.tsMatrixProfile _),
     // Ljung-Box portmanteau white-noise test over lags 1..6
     "ts_ljungbox" -> (Timeseries.tsLjungbox _),
+    // Dickey-Fuller unit-root / stationarity test per channel
+    "ts_adf" -> (Timeseries.tsAdf _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -634,6 +636,7 @@ object SparkEntry {
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,
+    "ts_adf" -> Timeseries.tsAdfSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,

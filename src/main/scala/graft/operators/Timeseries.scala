@@ -7786,4 +7786,109 @@ object Timeseries {
       |FROM s
       |WHERE n_k > 1 AND n_k * sxx - sx * sx <> 0.0
       |ORDER BY channel""".stripMargin
+
+  /** Dickey–Fuller unit-root test per channel (Dickey & Fuller 1979
+    * JASA — "is this series a random walk or mean-reverting?", the
+    * stationarity gate every downstream model assumes): regress
+    * Δm_t = α + β·m_{t−1} + ε over the hourly-mean grid and report
+    * the β t-statistic against the −2.86 constant-case 5% bar
+    * (MacKinnon large-n). Complements [[lagCorrelation]]/[[ljungBox]]
+    * (dependence STRENGTH) with the unit-root DECISION, and [[dfa]]
+    * (long-memory exponent) with the classic parametric test.
+    *
+    * Scale shape: raw samples collapse to the (channel, bucket) grid
+    * in ONE partial agg; the lag pair comes from one window pass over
+    * the REDUCED grid (ts_rolling discipline); ONE channel-grain
+    * moment agg ends the plan — nothing but k rows past the grid.
+    * Portability: moments route through DECIMAL(38,10) in pinned
+    * order; β rounds at 9 before the residual algebra; the t-stat
+    * rounds at 6. Channels need n > 2 pairs, regressor variance > 0
+    * and residual variance > 0 (an exact linear fit has no t-stat);
+    * others drop.
+    */
+  def dickeyFuller(ts: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val grid = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg((sum(col("v").cast(dec2710)).cast("double") / count(lit(1))).as("m"))
+    val w = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+    val p = grid
+      .withColumn("__x", lag(col("m"), 1).over(w))
+      .filter(col("__x").isNotNull)
+      .withColumn("__y", col("m") - col("__x"))
+    val s = p
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__x").cast(dec3810)).cast("double").as("__sx"),
+        sum(col("__y").cast(dec3810)).cast("double").as("__sy"),
+        sum((col("__x") * col("__x")).cast(dec3810)).cast("double").as("__sxx"),
+        sum((col("__x") * col("__y")).cast(dec3810)).cast("double").as("__sxy"),
+        sum((col("__y") * col("__y")).cast(dec3810)).cast("double").as("__syy")
+      )
+    val n = col("n_pairs").cast("double")
+    s.filter(col("n_pairs") > 2)
+      .withColumn("__cxx", col("__sxx") - col("__sx") * col("__sx") / n)
+      .withColumn("__cxy", col("__sxy") - col("__sx") * col("__sy") / n)
+      .withColumn("__cyy", col("__syy") - col("__sy") * col("__sy") / n)
+      .filter(col("__cxx") > 0.0)
+      .withColumn("beta", round(col("__cxy") / col("__cxx"), 9))
+      .withColumn("alpha", round((col("__sy") - col("beta") * col("__sx")) / n, 9))
+      .withColumn("__rss", greatest(col("__cyy") - col("beta") * col("__cxy"), lit(0.0)))
+      .withColumn("__s2", col("__rss") / (n - 2.0))
+      .filter(col("__s2") > 0.0)
+      .withColumn("t_stat", round(col("beta") / sqrt(col("__s2") / col("__cxx")), 6))
+      .withColumn("unit_root_rejected", col("t_stat") < -2.86)
+      .select("channel", "n_pairs", "beta", "alpha", "t_stat", "unit_root_rejected")
+  }
+
+  def tsAdf(spark: SparkSession, dir: String): DataFrame =
+    dickeyFuller(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** Dickey–Fuller oracle: identical grid/lag/moment pipeline with the
+    * same pinned centering, round-9 β and round-6 t-stat.
+    */
+  val tsAdfSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT channel, m,
+      |    LAG(m) OVER (PARTITION BY channel ORDER BY bucket) AS x
+      |  FROM g),
+      |q AS (SELECT channel, x, m - x AS y FROM p WHERE x IS NOT NULL),
+      |s AS (
+      |  SELECT channel, COUNT(*) AS n_pairs,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+      |  FROM q GROUP BY 1),
+      |c AS (
+      |  SELECT channel, n_pairs,
+      |    sxx - sx * sx / CAST(n_pairs AS DOUBLE) AS cxx,
+      |    sxy - sx * sy / CAST(n_pairs AS DOUBLE) AS cxy,
+      |    syy - sy * sy / CAST(n_pairs AS DOUBLE) AS cyy,
+      |    sx, sy
+      |  FROM s WHERE n_pairs > 2),
+      |b AS (
+      |  SELECT channel, n_pairs, cxx, cxy, cyy, sx, sy,
+      |    ROUND(cxy / cxx, 9) AS beta
+      |  FROM c WHERE cxx > 0.0),
+      |r AS (
+      |  SELECT channel, n_pairs, cxx, beta,
+      |    ROUND((sy - beta * sx) / CAST(n_pairs AS DOUBLE), 9) AS alpha,
+      |    GREATEST(cyy - beta * cxy, 0.0) / (CAST(n_pairs AS DOUBLE) - 2.0) AS s2
+      |  FROM b),
+      |f AS (
+      |  SELECT channel, n_pairs, beta, alpha,
+      |    ROUND(beta / SQRT(s2 / cxx), 6) AS t_stat
+      |  FROM r WHERE s2 > 0.0)
+      |SELECT channel, n_pairs, beta, alpha, t_stat,
+      |  t_stat < -2.86 AS unit_root_rejected
+      |FROM f
+      |ORDER BY channel""".stripMargin
 }

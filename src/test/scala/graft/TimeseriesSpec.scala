@@ -2012,6 +2012,43 @@ class TimeseriesSpec extends SparkSpec {
     out("rnd").getAs[Long]("n_buckets") shouldBe 500L
   }
 
+  "dickeyFuller" should "reject the unit root for noise, keep it for a random walk, and match naive OLS" in {
+    val hr = 3600000000L
+    def mix(x: Long): Double = {
+      var z = x * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val noise = (0 until 400).map(b => mix(b.toLong) - 0.5)
+    val walk = noise.scanLeft(0.0)(_ + _).drop(1)
+    val rows = (0 until 400).flatMap { b =>
+      Seq(("wn", b.toLong * hr, noise(b)), ("rw", b.toLong * hr, walk(b)))
+    }
+    val out = Timeseries.dickeyFuller(mkTs(rows)).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    // white noise: beta ~ -1, t-stat deeply below the -2.86 bar
+    out("wn").getAs[Boolean]("unit_root_rejected") shouldBe true
+    out("wn").getAs[Double]("t_stat") should be < -10.0
+    out("wn").getAs[Double]("beta") shouldBe (-1.0 +- 0.15)
+    // random walk: beta ~ 0, the test must NOT reject the unit root
+    out("rw").getAs[Boolean]("unit_root_rejected") shouldBe false
+    out("rw").getAs[Double]("beta") shouldBe (0.0 +- 0.15)
+    out("rw").getAs[Long]("n_pairs") shouldBe 399L
+    // kernel check: the engine's t-stat equals a naive driver-side OLS
+    val x = walk.dropRight(1)
+    val y = walk.sliding(2).map(p => p(1) - p(0)).toSeq
+    val n = x.size.toDouble
+    val (sx, sy) = (x.sum, y.sum)
+    val cxx = x.map(v => v * v).sum - sx * sx / n
+    val cxy = x.zip(y).map { case (a, b) => a * b }.sum - sx * sy / n
+    val cyy = y.map(v => v * v).sum - sy * sy / n
+    val beta = cxy / cxx
+    val s2 = (cyy - beta * cxy) / (n - 2.0)
+    val tRef = beta / math.sqrt(s2 / cxx)
+    out("rw").getAs[Double]("t_stat") shouldBe (tRef +- 1e-4)
+  }
+
   "matrixProfile" should "zero the planted motif pair, point it at its twin, and isolate the discord" in {
     val hr = 3600000000L
     // ramp base (every pure-ramp subsequence is z-identical -> mp 0);
