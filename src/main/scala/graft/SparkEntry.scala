@@ -358,6 +358,8 @@ object SparkEntry {
     "ts_ljungbox" -> (Timeseries.tsLjungbox _),
     // Dickey-Fuller unit-root / stationarity test per channel
     "ts_adf" -> (Timeseries.tsAdf _),
+    // Lo-MacKinlay variance-ratio random-walk test at q=2/4/8
+    "ts_vr" -> (Timeseries.tsVr _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -637,6 +639,7 @@ object SparkEntry {
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,
     "ts_adf" -> Timeseries.tsAdfSql,
+    "ts_vr" -> Timeseries.tsVrSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,

@@ -7891,4 +7891,142 @@ object Timeseries {
       |  t_stat < -2.86 AS unit_root_rejected
       |FROM f
       |ORDER BY channel""".stripMargin
+
+  /** Lo–MacKinlay variance-ratio random-walk test per channel (Lo &
+    * MacKinlay 1988 RFS — does variance scale LINEARLY with horizon,
+    * the random-walk signature?): VR(q) = Var(q-step diff)/(q·Var(
+    * 1-step diff)) over the hourly-mean grid at q ∈ {2,4,8}, with the
+    * homoskedastic z-statistic z(q) = (VR−1)·√n/√φ(q),
+    * φ(q) = 2(2q−1)(q−1)/(3q), two-sided 1.96 bar. VR < 1 flags mean
+    * reversion, VR > 1 trending — the DIRECTION [[dickeyFuller]]'s
+    * one-sided unit-root decision can't report.
+    *
+    * Scale shape: ONE partial agg to the grid, one window pass with
+    * lags 1/2/4/8 on the REDUCED grid, channel-mean broadcast, ONE
+    * channel-grain DECIMAL(38,10) moment agg. Portability: q-step
+    * deviations center on q·μ̂ (μ̂ = mean 1-diff, the Lo-MacKinlay
+    * drift), variances use n−1; VR rounds at 9 before z, z rounds at
+    * 6; φ spelled as the literals 1.0 / 3.5 / 8.75. Channels need
+    * var1 > 0 and > 1 diffs at every horizon; others drop.
+    */
+  def varianceRatio(ts: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val grid = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg((sum(col("v").cast(dec2710)).cast("double") / count(lit(1))).as("m"))
+    val w = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+    val lagged = Seq(1, 2, 4, 8).foldLeft(grid) { (d, k) =>
+      d.withColumn(s"__d$k", col("m") - lag(col("m"), k).over(w))
+    }
+    val mu = lagged
+      .filter(col("__d1").isNotNull)
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_diffs"),
+        (sum(col("__d1").cast(dec3810)).cast("double") / count(lit(1))).as("__mu")
+      )
+    val devAggs: Seq[Column] = Seq(1, 2, 4, 8).flatMap { k =>
+      Seq(
+        count(col(s"__d$k")).as(s"__n$k"),
+        sum(
+          ((col(s"__d$k") - lit(k) * col("__mu")) * (col(s"__d$k") - lit(k) * col("__mu")))
+            .cast(dec3810)
+        ).cast("double").as(s"__ss$k")
+      )
+    }
+    val s = lagged
+      .join(broadcast(mu), Seq("channel"))
+      .groupBy(col("channel"), col("n_diffs"), col("__mu"))
+      .agg(devAggs.head, devAggs.tail: _*)
+      .filter(Seq(1, 2, 4, 8).map(k => col(s"__n$k") > 1).reduce(_ && _))
+      .withColumn("__var1", col("__ss1") / (col("__n1") - 1).cast("double"))
+      .filter(col("__var1") > 0.0)
+    val phi = Map(2 -> 1.0, 4 -> 3.5, 8 -> 8.75)
+    val withVr = Seq(2, 4, 8).foldLeft(s) { (d, k) =>
+      d.withColumn(
+        s"vr$k",
+        round(
+          col(s"__ss$k") / (col(s"__n$k") - 1).cast("double") / (lit(k) * col("__var1")),
+          9
+        )
+      ).withColumn(
+        s"z$k",
+        round(
+          (col(s"vr$k") - 1.0) * sqrt(col("n_diffs").cast("double")) / math.sqrt(phi(k)),
+          6
+        )
+      )
+    }
+    withVr
+      .withColumn(
+        "random_walk_rejected",
+        Seq(2, 4, 8).map(k => abs(col(s"z$k")) > 1.96).reduce(_ || _)
+      )
+      .select(
+        col("channel") +: col("n_diffs") +: round(col("__mu"), 9).as("mu_diff") +:
+          Seq(2, 4, 8).flatMap(k => Seq(col(s"vr$k"), col(s"z$k"))) :+
+          col("random_walk_rejected"): _*
+      )
+  }
+
+  def tsVr(spark: SparkSession, dir: String): DataFrame =
+    varianceRatio(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** Variance-ratio oracle: identical grid/lag/moment pipeline, the
+    * same q·μ̂ centering, round-9 VR and round-6 z with literal φ.
+    */
+  val tsVrSql: String = {
+    val lags = Seq(1, 2, 4, 8)
+      .map(k => s"m - LAG(m, $k) OVER (PARTITION BY channel ORDER BY bucket) AS d$k")
+      .mkString(",\n      |    ")
+    val sums = Seq(1, 2, 4, 8)
+      .map(k =>
+        s"COUNT(d$k) AS n$k,\n      |    CAST(SUM(CAST((d$k - $k * mu) * (d$k - $k * mu) AS DECIMAL(38,10))) AS DOUBLE) AS ss$k"
+      )
+      .mkString(",\n      |    ")
+    val phi = Map(2 -> "1.0", 4 -> "3.5", 8 -> "8.75")
+    val vrs = Seq(2, 4, 8)
+      .map(k =>
+        s"ROUND(ss$k / CAST(n$k - 1 AS DOUBLE) / ($k * var1), 9) AS vr$k"
+      )
+      .mkString(",\n      |    ")
+    val zs = Seq(2, 4, 8)
+      .map(k =>
+        s"ROUND((vr$k - 1.0) * SQRT(CAST(n_diffs AS DOUBLE)) / SQRT(${phi(k)}), 6) AS z$k"
+      )
+      .mkString(",\n      |    ")
+    s"""WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT channel,
+      |    $lags
+      |  FROM g),
+      |mu AS (
+      |  SELECT channel, COUNT(*) AS n_diffs,
+      |    CAST(SUM(CAST(d1 AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS mu
+      |  FROM d WHERE d1 IS NOT NULL GROUP BY 1),
+      |s AS (
+      |  SELECT d.channel, mu.n_diffs, mu.mu,
+      |    $sums
+      |  FROM d JOIN mu ON mu.channel = d.channel
+      |  GROUP BY 1, 2, 3),
+      |v AS (
+      |  SELECT *, ss1 / CAST(n1 - 1 AS DOUBLE) AS var1
+      |  FROM s WHERE n1 > 1 AND n2 > 1 AND n4 > 1 AND n8 > 1),
+      |r AS (
+      |  SELECT channel, n_diffs, ROUND(mu, 9) AS mu_diff,
+      |    $vrs
+      |  FROM v WHERE var1 > 0.0),
+      |f AS (
+      |  SELECT channel, n_diffs, mu_diff, vr2, vr4, vr8,
+      |    $zs
+      |  FROM r)
+      |SELECT channel, n_diffs, mu_diff, vr2, z2, vr4, z4, vr8, z8,
+      |  ABS(z2) > 1.96 OR ABS(z4) > 1.96 OR ABS(z8) > 1.96 AS random_walk_rejected
+      |FROM f
+      |ORDER BY channel""".stripMargin
+  }
 }

@@ -2049,6 +2049,39 @@ class TimeseriesSpec extends SparkSpec {
     out("rw").getAs[Double]("t_stat") shouldBe (tRef +- 1e-4)
   }
 
+  "varianceRatio" should "hit 1/q on noise levels, 1 on a random walk, and match the naive estimator" in {
+    val hr = 3600000000L
+    def mix(x: Long): Double = {
+      var z = x * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val noise = (0 until 800).map(b => mix(b.toLong) - 0.5)
+    val walk = noise.scanLeft(0.0)(_ + _).drop(1)
+    val rows = (0 until 800).flatMap { b =>
+      Seq(("wn", b.toLong * hr, noise(b)), ("rw", b.toLong * hr, walk(b)))
+    }
+    val out = Timeseries.varianceRatio(mkTs(rows)).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    // iid levels: q-step and 1-step diffs share Var = 2σ² -> VR(q) = 1/q
+    out("wn").getAs[Double]("vr2") shouldBe (0.5 +- 0.1)
+    out("wn").getAs[Double]("vr8") shouldBe (0.125 +- 0.1)
+    out("wn").getAs[Boolean]("random_walk_rejected") shouldBe true
+    // random walk: variance scales linearly -> VR ~ 1 at every horizon
+    out("rw").getAs[Double]("vr2") shouldBe (1.0 +- 0.2)
+    out("rw").getAs[Double]("vr8") shouldBe (1.0 +- 0.4)
+    out("rw").getAs[Long]("n_diffs") shouldBe 799L
+    // kernel check: engine VR(4) equals the naive driver-side estimator
+    val d1 = walk.sliding(2).map(p => p(1) - p(0)).toSeq
+    val d4 = walk.sliding(5).map(p => p(4) - p(0)).toSeq
+    val mu = d1.sum / d1.size
+    def ssVar(ds: Seq[Double], k: Int) =
+      ds.map(d => (d - k * mu) * (d - k * mu)).sum / (ds.size - 1)
+    val vrRef = ssVar(d4, 4) / (4 * ssVar(d1, 1))
+    out("rw").getAs[Double]("vr4") shouldBe (vrRef +- 1e-6)
+  }
+
   "matrixProfile" should "zero the planted motif pair, point it at its twin, and isolate the discord" in {
     val hr = 3600000000L
     // ramp base (every pure-ramp subsequence is z-identical -> mp 0);
