@@ -360,6 +360,8 @@ object SparkEntry {
     "ts_adf" -> (Timeseries.tsAdf _),
     // Lo-MacKinlay variance-ratio random-walk test at q=2/4/8
     "ts_vr" -> (Timeseries.tsVr _),
+    // rescaled-range Hurst exponent over dyadic block sizes
+    "ts_hurst" -> (Timeseries.tsHurst _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -640,6 +642,7 @@ object SparkEntry {
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,
     "ts_adf" -> Timeseries.tsAdfSql,
     "ts_vr" -> Timeseries.tsVrSql,
+    "ts_hurst" -> Timeseries.tsHurstSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,

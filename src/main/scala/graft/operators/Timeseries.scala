@@ -8029,4 +8029,141 @@ object Timeseries {
       |FROM f
       |ORDER BY channel""".stripMargin
   }
+
+  /** Rescaled-range Hurst exponent per channel (Hurst 1951 / Mandelbrot
+    * & Wallis 1969 — long-memory persistence: H > 0.5 trending,
+    * H < 0.5 anti-persistent, 0.5 = memoryless; the CLASSIC R/S twin
+    * of [[dfa]]'s detrended estimator, kept side by side because the
+    * two disagree exactly when nonstationarity is masquerading as
+    * memory): split the hourly grid into blocks of g ∈ {8,16,32,64},
+    * per block R = range of the cumulative mean-deviation and
+    * S = population std, average R/S per size, then the log-log slope.
+    *
+    * Scale shape: ONE partial agg to the grid, a 4× size explode still
+    * at grid grain, two window passes keyed (channel, size, block) —
+    * count+mean unordered, the cumulative deviation ordered but
+    * BLOCK-bounded (≤ 64 rows per frame) — one block-grain agg, one
+    * (channel, size) agg, one channel-grain pivot. Portability: the
+    * cumulative sum routes through DECIMAL(38,10) so accumulation
+    * association can't skew it; mean R/S rounds at 9; the slope uses
+    * the closed form over the dyadic sizes — x−x̄ = (j−4.5)·ln2 for
+    * g = 2^j, so H = (−1.5·ln rs₈ − 0.5·ln rs₁₆ + 0.5·ln rs₃₂ +
+    * 1.5·ln rs₆₄)/(5·ln2) — rounded at 6. Channels need ≥ 1 full
+    * 64-bucket block and all four mean R/S > 0; others drop.
+    */
+  def hurstRs(ts: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val grid = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg((sum(col("v").cast(dec2710)).cast("double") / count(lit(1))).as("m"))
+    val idxed = grid.withColumn(
+      "__idx",
+      row_number().over(Window.partitionBy(col("channel")).orderBy(col("bucket")))
+    )
+    val sized = idxed
+      .withColumn("g", explode(array(Seq(8, 16, 32, 64).map(lit): _*)))
+      .withColumn("__blk", floor((col("__idx") - 1).cast("double") / col("g")).cast("long"))
+    val wBlk = Window.partitionBy(col("channel"), col("g"), col("__blk"))
+    val wRun = wBlk.orderBy(col("__idx")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = sized
+      .withColumn("__cnt", count(lit(1)).over(wBlk))
+      .withColumn("__mu", sum(col("m").cast(dec3810)).over(wBlk).cast("double") / col("g"))
+      .filter(col("__cnt") === col("g"))
+      .withColumn("__z", sum((col("m") - col("__mu")).cast(dec3810)).over(wRun))
+    val blocks = dev
+      .groupBy(col("channel"), col("g"), col("__blk"))
+      .agg(
+        (max(col("__z")) - min(col("__z"))).cast("double").as("__r"),
+        sum(((col("m") - col("__mu")) * (col("m") - col("__mu"))).cast(dec3810))
+          .cast("double").as("__ss")
+      )
+      .withColumn("__s", sqrt(col("__ss") / col("g")))
+      .filter(col("__s") > 0.0)
+      .withColumn("__rs", col("__r") / col("__s"))
+    val bySize = blocks
+      .groupBy(col("channel"), col("g"))
+      .agg(
+        count(lit(1)).as("__n_blocks"),
+        round(sum(col("__rs").cast(dec3810)).cast("double") / count(lit(1)), 9).as("__mean_rs")
+      )
+    val wide = bySize
+      .groupBy(col("channel"))
+      .agg(
+        sum(col("__n_blocks")).as("n_blocks"),
+        max(when(col("g") === 8, col("__mean_rs"))).as("rs8"),
+        max(when(col("g") === 16, col("__mean_rs"))).as("rs16"),
+        max(when(col("g") === 32, col("__mean_rs"))).as("rs32"),
+        max(when(col("g") === 64, col("__mean_rs"))).as("rs64")
+      )
+      .filter(
+        col("rs8") > 0.0 && col("rs16") > 0.0 && col("rs32") > 0.0 && col("rs64") > 0.0
+      )
+    wide.withColumn(
+      "hurst",
+      round(
+        (lit(-1.5) * log(col("rs8")) - lit(0.5) * log(col("rs16")) +
+          lit(0.5) * log(col("rs32")) + lit(1.5) * log(col("rs64"))) /
+          (lit(5.0) * math.log(2.0)),
+        6
+      )
+    )
+  }
+
+  def tsHurst(spark: SparkSession, dir: String): DataFrame =
+    hurstRs(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** R/S Hurst oracle: identical grid/block/cumulative pipeline with
+    * the same DECIMAL routing, round-9 mean R/S and closed-form slope.
+    */
+  val tsHurstSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |idxed AS (
+      |  SELECT channel, m,
+      |    ROW_NUMBER() OVER (PARTITION BY channel ORDER BY bucket) AS idx
+      |  FROM g),
+      |sized AS (
+      |  SELECT channel, m, idx, gs.g AS g,
+      |    CAST(FLOOR(CAST(idx - 1 AS DOUBLE) / gs.g) AS BIGINT) AS blk
+      |  FROM idxed CROSS JOIN (SELECT UNNEST([8, 16, 32, 64]) AS g) gs),
+      |dev AS (
+      |  SELECT channel, g, blk, m, idx,
+      |    COUNT(*) OVER (PARTITION BY channel, g, blk) AS cnt,
+      |    CAST(SUM(CAST(m AS DECIMAL(38,10))) OVER (PARTITION BY channel, g, blk)
+      |      AS DOUBLE) / g AS mu
+      |  FROM sized),
+      |run AS (
+      |  SELECT channel, g, blk, m, mu,
+      |    SUM(CAST(m - mu AS DECIMAL(38,10))) OVER (
+      |      PARTITION BY channel, g, blk ORDER BY idx
+      |      ROWS UNBOUNDED PRECEDING) AS z
+      |  FROM dev WHERE cnt = g),
+      |blocks AS (
+      |  SELECT channel, g, blk,
+      |    CAST(MAX(z) - MIN(z) AS DOUBLE) AS r,
+      |    CAST(SUM(CAST((m - mu) * (m - mu) AS DECIMAL(38,10))) AS DOUBLE) AS ss
+      |  FROM run GROUP BY 1, 2, 3),
+      |rs AS (
+      |  SELECT channel, g, r / SQRT(ss / g) AS rs
+      |  FROM blocks WHERE SQRT(ss / g) > 0.0),
+      |bysize AS (
+      |  SELECT channel, g, COUNT(*) AS n_blocks,
+      |    ROUND(CAST(SUM(CAST(rs AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 9) AS mean_rs
+      |  FROM rs GROUP BY 1, 2),
+      |wide AS (
+      |  SELECT channel, CAST(SUM(n_blocks) AS BIGINT) AS n_blocks,
+      |    MAX(CASE WHEN g = 8 THEN mean_rs END) AS rs8,
+      |    MAX(CASE WHEN g = 16 THEN mean_rs END) AS rs16,
+      |    MAX(CASE WHEN g = 32 THEN mean_rs END) AS rs32,
+      |    MAX(CASE WHEN g = 64 THEN mean_rs END) AS rs64
+      |  FROM bysize GROUP BY 1)
+      |SELECT channel, n_blocks, rs8, rs16, rs32, rs64,
+      |  ROUND((-1.5 * LN(rs8) - 0.5 * LN(rs16) + 0.5 * LN(rs32) + 1.5 * LN(rs64))
+      |    / (5.0 * 0.6931471805599453), 6) AS hurst
+      |FROM wide
+      |WHERE rs8 > 0.0 AND rs16 > 0.0 AND rs32 > 0.0 AND rs64 > 0.0
+      |ORDER BY channel""".stripMargin
 }

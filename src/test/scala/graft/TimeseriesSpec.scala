@@ -2082,6 +2082,40 @@ class TimeseriesSpec extends SparkSpec {
     out("rw").getAs[Double]("vr4") shouldBe (vrRef +- 1e-6)
   }
 
+  "hurstRs" should "separate memoryless, anti-persistent and trending series" in {
+    val hr = 3600000000L
+    def mix(x: Long): Double = {
+      var z = x * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val rows = (0 until 512).flatMap { b =>
+      Seq(
+        ("wn", b.toLong * hr, mix(b.toLong) - 0.5), // iid noise: H ~ 0.5
+        ("alt", b.toLong * hr, if (b % 2 == 0) 1.0 else -1.0), // anti-persistent: H -> 0
+        ("trend", b.toLong * hr, b * 0.1 + 0.001 * (mix(b.toLong) - 0.5)) // ramp: H -> 1
+      )
+    }
+    val out = Timeseries.hurstRs(mkTs(rows)).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    // small-sample R/S biases noise upward of 0.5 — accept the band
+    out("wn").getAs[Double]("hurst") should (be > 0.4 and be < 0.75)
+    out("alt").getAs[Double]("hurst") should be < 0.2
+    out("trend").getAs[Double]("hurst") should be > 0.9
+    // 512 buckets -> 64+32+16+8 = 120 full blocks across the four sizes
+    out("wn").getAs[Long]("n_blocks") shouldBe 120L
+    // kernel check at g=8: mean R/S equals the naive per-block estimator
+    val xs = (0 until 512).map(b => mix(b.toLong) - 0.5)
+    val rsRef = xs.grouped(8).map { blk =>
+      val mu = blk.sum / 8
+      val z = blk.map(_ - mu).scanLeft(0.0)(_ + _).drop(1)
+      val s = math.sqrt(blk.map(v => (v - mu) * (v - mu)).sum / 8)
+      (z.max - z.min) / s
+    }.toSeq
+    out("wn").getAs[Double]("rs8") shouldBe (rsRef.sum / rsRef.size +- 1e-6)
+  }
+
   "matrixProfile" should "zero the planted motif pair, point it at its twin, and isolate the discord" in {
     val hr = 3600000000L
     // ramp base (every pure-ramp subsequence is z-identical -> mp 0);
