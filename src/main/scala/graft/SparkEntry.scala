@@ -362,6 +362,8 @@ object SparkEntry {
     "ts_vr" -> (Timeseries.tsVr _),
     // rescaled-range Hurst exponent over dyadic block sizes
     "ts_hurst" -> (Timeseries.tsHurst _),
+    // KPSS level-stationarity test (reversed-null complement of ts_adf)
+    "ts_kpss" -> (Timeseries.tsKpss _),
     // count-min-sketch heavy hitters vs exact baseline (fixed-size
     // partial-merge aggregate; estimate column is engine-native)
     "corpus_cms" -> (TextAnalysis.corpusCms _),
@@ -643,6 +645,7 @@ object SparkEntry {
     "ts_adf" -> Timeseries.tsAdfSql,
     "ts_vr" -> Timeseries.tsVrSql,
     "ts_hurst" -> Timeseries.tsHurstSql,
+    "ts_kpss" -> Timeseries.tsKpssSql,
     "embed_label_sim" -> Similarity.embedLabelSimSql,
     "cluster_nmi" -> Similarity.clusterNmiSql,
     "graph_jaccard" -> Dedup.graphJaccardSql,

@@ -8166,4 +8166,118 @@ object Timeseries {
       |FROM wide
       |WHERE rs8 > 0.0 AND rs16 > 0.0 AND rs32 > 0.0 AND rs64 > 0.0
       |ORDER BY channel""".stripMargin
+
+  /** KPSS level-stationarity test per channel (Kwiatkowski, Phillips,
+    * Schmidt & Shin 1992 J.Econometrics — the REVERSED-null complement
+    * of [[dickeyFuller]]: KPSS's null IS stationarity, so running both
+    * is the standard two-test protocol that separates "stationary",
+    * "unit root" and "not enough evidence either way"): η = (Σ S_t²/n²)
+    * / σ̂²_LR over the hourly-mean grid, S_t the cumulative demeaned
+    * partial sum and σ̂²_LR the Bartlett long-run variance at lag 4,
+    * against the 0.463 level-case 5% bar.
+    *
+    * Scale shape: ONE partial agg to the grid, channel-mean broadcast,
+    * one ordered window pass for the partial sums (REDUCED grid, the
+    * ts_rolling discipline) and four LEADs in the same pass, ONE
+    * channel-grain DECIMAL(38,10) moment agg. Portability: S_t routes
+    * through DECIMAL so accumulation association can't skew it; the
+    * Bartlett weights are the literals 0.8/0.6/0.4/0.2; σ̂²_LR rounds
+    * at 9 before the ratio, η at 6. Channels need n > 5 grid buckets
+    * and σ̂²_LR > 0; others drop.
+    */
+  def kpss(ts: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val grid = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg((sum(col("v").cast(dec2710)).cast("double") / count(lit(1))).as("m"))
+    val mu = grid
+      .groupBy(col("channel"))
+      .agg((sum(col("m").cast(dec2710)).cast("double") / count(lit(1))).as("__mu"))
+    val w = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = grid
+      .join(broadcast(mu), Seq("channel"))
+      .withColumn("__e", col("m") - col("__mu"))
+    val led = (1 to 4).foldLeft(
+      base.withColumn("__s", sum(col("__e").cast(dec3810)).over(wRun).cast("double"))
+    ) { (d, l) => d.withColumn(s"__e$l", lead(col("__e"), l).over(w)) }
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_buckets") +:
+        sum((col("__s") * col("__s")).cast(dec3810)).cast("double").as("__ssq") +:
+        sum((col("__e") * col("__e")).cast(dec3810)).cast("double").as("__g0") +:
+        (1 to 4).map { l =>
+          sum((col("__e") * col(s"__e$l")).cast(dec3810)).cast("double").as(s"__g$l")
+        }
+    val s = led
+      .groupBy(col("channel"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_buckets") > 5)
+    val n = col("n_buckets").cast("double")
+    s.withColumn(
+      "sigma2_lr",
+      round(
+        col("__g0") / n + lit(2.0) * (lit(0.8) * col("__g1") / n + lit(0.6) * col("__g2") / n +
+          lit(0.4) * col("__g3") / n + lit(0.2) * col("__g4") / n),
+        9
+      )
+    ).filter(col("sigma2_lr") > 0.0)
+      .withColumn("eta", round(col("__ssq") / (n * n) / col("sigma2_lr"), 6))
+      .withColumn("stationarity_rejected", col("eta") > 0.463)
+      .select("channel", "n_buckets", "sigma2_lr", "eta", "stationarity_rejected")
+  }
+
+  def tsKpss(spark: SparkSession, dir: String): DataFrame =
+    kpss(Tables.ts(spark, dir)).orderBy(col("channel"))
+
+  /** KPSS oracle: identical grid/partial-sum/Bartlett pipeline with
+    * the same literal weights, round-9 σ̂²_LR and round-6 η.
+    */
+  val tsKpssSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |mu AS (
+      |  SELECT channel, CAST(SUM(CAST(m AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mu
+      |  FROM g GROUP BY 1),
+      |e AS (
+      |  SELECT g.channel, g.bucket, g.m - mu.mu AS e
+      |  FROM g JOIN mu ON mu.channel = g.channel),
+      |led AS (
+      |  SELECT channel, e,
+      |    CAST(SUM(CAST(e AS DECIMAL(38,10))) OVER (
+      |      PARTITION BY channel ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s,
+      |    LEAD(e, 1) OVER (PARTITION BY channel ORDER BY bucket) AS e1,
+      |    LEAD(e, 2) OVER (PARTITION BY channel ORDER BY bucket) AS e2,
+      |    LEAD(e, 3) OVER (PARTITION BY channel ORDER BY bucket) AS e3,
+      |    LEAD(e, 4) OVER (PARTITION BY channel ORDER BY bucket) AS e4
+      |  FROM e),
+      |s AS (
+      |  SELECT channel, COUNT(*) AS n_buckets,
+      |    CAST(SUM(CAST(s * s AS DECIMAL(38,10))) AS DOUBLE) AS ssq,
+      |    CAST(SUM(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS g0,
+      |    CAST(SUM(CAST(e * e1 AS DECIMAL(38,10))) AS DOUBLE) AS g1,
+      |    CAST(SUM(CAST(e * e2 AS DECIMAL(38,10))) AS DOUBLE) AS g2,
+      |    CAST(SUM(CAST(e * e3 AS DECIMAL(38,10))) AS DOUBLE) AS g3,
+      |    CAST(SUM(CAST(e * e4 AS DECIMAL(38,10))) AS DOUBLE) AS g4
+      |  FROM led GROUP BY 1),
+      |v AS (
+      |  SELECT channel, n_buckets,
+      |    ROUND(g0 / CAST(n_buckets AS DOUBLE)
+      |      + 2.0 * (0.8 * g1 / CAST(n_buckets AS DOUBLE)
+      |             + 0.6 * g2 / CAST(n_buckets AS DOUBLE)
+      |             + 0.4 * g3 / CAST(n_buckets AS DOUBLE)
+      |             + 0.2 * g4 / CAST(n_buckets AS DOUBLE)), 9) AS sigma2_lr,
+      |    ssq
+      |  FROM s WHERE n_buckets > 5),
+      |f AS (
+      |  SELECT channel, n_buckets, sigma2_lr,
+      |    ROUND(ssq / (CAST(n_buckets AS DOUBLE) * CAST(n_buckets AS DOUBLE))
+      |      / sigma2_lr, 6) AS eta
+      |  FROM v WHERE sigma2_lr > 0.0)
+      |SELECT channel, n_buckets, sigma2_lr, eta,
+      |  eta > 0.463 AS stationarity_rejected
+      |FROM f
+      |ORDER BY channel""".stripMargin
 }

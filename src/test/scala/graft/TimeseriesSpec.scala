@@ -2116,6 +2116,36 @@ class TimeseriesSpec extends SparkSpec {
     out("wn").getAs[Double]("rs8") shouldBe (rsRef.sum / rsRef.size +- 1e-6)
   }
 
+  "kpss" should "keep stationary noise, reject a random walk, and agree with ADF's verdicts" in {
+    val hr = 3600000000L
+    def mix(x: Long): Double = {
+      var z = x * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val noise = (0 until 600).map(b => mix(b.toLong) - 0.5)
+    val walk = noise.scanLeft(0.0)(_ + _).drop(1)
+    val rows = (0 until 600).flatMap { b =>
+      Seq(("wn", b.toLong * hr, noise(b)), ("rw", b.toLong * hr, walk(b)))
+    }
+    val ts = mkTs(rows)
+    val out = Timeseries.kpss(ts).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    // KPSS null IS stationarity: noise stays under the 0.463 bar,
+    // the random walk blows far past it
+    out("wn").getAs[Boolean]("stationarity_rejected") shouldBe false
+    out("wn").getAs[Double]("eta") should be < 0.463
+    out("rw").getAs[Boolean]("stationarity_rejected") shouldBe true
+    out("rw").getAs[Double]("eta") should be > 1.0
+    out("rw").getAs[Long]("n_buckets") shouldBe 600L
+    // two-test protocol: ADF and KPSS must agree on both channels
+    val adf = Timeseries.dickeyFuller(ts).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    adf("wn").getAs[Boolean]("unit_root_rejected") shouldBe true
+    adf("rw").getAs[Boolean]("unit_root_rejected") shouldBe false
+  }
+
   "matrixProfile" should "zero the planted motif pair, point it at its twin, and isolate the discord" in {
     val hr = 3600000000L
     // ramp base (every pure-ramp subsequence is z-identical -> mp 0);
