@@ -46,6 +46,9 @@ object SparkEntry {
     "ts_butterworth" -> (Filtering.tsButterworth _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_exact_hash" -> (Dedup.dedupExactHash _),
+    // lead-fingerprint dedup: first-50-words hash catches appended-footer
+    // re-crawls that full-text dedup misses
+    "dedup_prefix" -> (Dedup.dedupPrefix _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
@@ -455,6 +458,7 @@ object SparkEntry {
     "ts_waveforms" -> Timeseries.tsWaveformsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_exact_hash" -> Dedup.dedupExactHashSql,
+    "dedup_prefix" -> Dedup.dedupPrefixSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,

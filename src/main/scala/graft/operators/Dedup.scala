@@ -101,6 +101,72 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** Lead-fingerprint dedup: group on a 60-bit md5 prefix of the first
+    * `w` normalized WORDS — the cheap industrial screen (the CCNet /
+    * RefinedWeb lineage of URL-and-lead heuristics) for re-crawls and
+    * mirrors that differ only in appended footers, timestamps or
+    * injected trailing boilerplate, which [[exact]] misses entirely.
+    * Reports, per lead group, how many members there are and how many
+    * DISTINCT full texts hide inside it: `fuzzy_only = true` rows are
+    * exactly the catches full-text dedup would have lost.
+    *
+    * Same 100 TB shape as [[exactByHash]]: both keys are 8-byte md5
+    * prefixes, so only (lead-hash, full-hash, doc_id) crosses the
+    * exchange — never the text. One shuffle, algebraic aggregates.
+    */
+  def prefixDedup(docs: DataFrame, w: Int = 50): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        expr(md5Prefix60Sql(s"array_join(slice($WordsSql, 1, $w), ' ')")).as("__hp"),
+        expr(md5Prefix60Sql(NormSql)).as("__hf")
+      )
+      .groupBy(col("__hp"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("__hf")).as("n_distinct_full")
+      )
+      .withColumn("fuzzy_only", col("n_distinct_full") > 1)
+      .select("doc_id", "n_copies", "n_distinct_full", "fuzzy_only")
+
+  /** The fixed query plants guaranteed footer-variant duplicates from
+    * the data itself (for doc_id % 9 == 0 with ≥ 50 words, a copy with
+    * a trailing footer appended as doc_id + 3000000) so fuzzy_only
+    * rows exist at every scale factor; the oracle mirrors the corpus.
+    */
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = docs
+      .filter(col("doc_id") % 9 === 0 && size(expr(WordsSql)) >= 50)
+      .select(
+        (col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" planted trailing footer")).as("text")
+      )
+    prefixDedup(docs.unionByName(planted)).orderBy(col("doc_id"))
+  }
+
+  val dedupPrefixSql: String = {
+    val norm = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id, text || ' planted trailing footer' AS text
+       |  FROM documents
+       |  WHERE doc_id % 9 = 0 AND len(string_split($norm, ' ')) >= 50),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${md5Prefix60Duck(s"array_to_string((string_split($norm, ' '))[1:50], ' ')")} AS hp,
+       |    ${md5Prefix60Duck(norm)} AS hf
+       |  FROM corpus)
+       |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+       |  COUNT(DISTINCT hf) AS n_distinct_full,
+       |  COUNT(DISTINCT hf) > 1 AS fuzzy_only
+       |FROM h
+       |GROUP BY hp
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Cross-source contamination report: exact-duplicate groups whose
     * members span MORE THAN ONE source — the check a training pipeline
     * runs to catch benchmark/eval text leaking into training corpora

@@ -96,6 +96,27 @@ class DedupSpec extends SparkSpec {
     byHash shouldBe byText
   }
 
+  "prefixDedup" should "merge appended-footer variants that exact dedup keeps apart" in {
+    val lead = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, lead),
+      (2L, lead + " extra appended footer text"), // same 50-word lead
+      (3L, "completely different " + lead), // shifted lead -> own group
+      (4L, lead) // exact copy of 1
+    ).toDF("doc_id", "text")
+    val rows = Dedup.prefixDedup(docs).orderBy($"doc_id").collect()
+    rows should have length 2
+    // group {1,2,4}: three copies, TWO distinct full texts -> fuzzy catch
+    rows(0).getAs[Long]("doc_id") shouldBe 1L
+    rows(0).getAs[Long]("n_copies") shouldBe 3L
+    rows(0).getAs[Long]("n_distinct_full") shouldBe 2L
+    rows(0).getAs[Boolean]("fuzzy_only") shouldBe true
+    rows(1).getAs[Long]("doc_id") shouldBe 3L
+    rows(1).getAs[Boolean]("fuzzy_only") shouldBe false
+    // exact dedup on the same corpus misses the footer variant: 3 groups
+    Dedup.exact(docs).count() shouldBe 3L
+  }
+
   "crossSourceExactDups" should "report every planted cross-source mirror" in {
     // planted mirrors are a GUARANTEED subset; larger scale factors
     // also ship naturally-occurring cross-source dup groups, which the
