@@ -1744,9 +1744,12 @@ object TextAnalysis {
     *
     * Scale shape: pair and unigram counts are each ONE map-side
     * partially-aggregated shuffle at vocabulary / vocabulary² key
-    * cardinality — the corpus itself never re-shuffles; the unigram and
-    * total relations broadcast onto the pair table, so the score is a
-    * projection over a vocabulary-scale frame.
+    * cardinality — the corpus itself never re-shuffles; the unigram
+    * relation is VOCABULARY grain, so it attaches to the pair table by
+    * word-keyed joins (the corpus_jsd shape — never a broadcast, which
+    * would pin 10^8-10^9 tokens to every executor); only the 1-row
+    * totals broadcast. The score is then a projection over the
+    * vocabulary-scale frame.
     *
     * Portability: counts are exact integers; every ln is taken on an
     * exact-integer input and ROUNDed to 9 decimals before entering the
@@ -1789,10 +1792,13 @@ object TextAnalysis {
     )
     val order =
       org.apache.spark.sql.expressions.Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    // the unigram relation is VOCABULARY grain (10^8-10^9 distinct
+    // tokens on a web corpus) — join it on the word key like
+    // corpus_jsd, never broadcast it (the corpus_drift disease class)
     pairs
       .filter(col("c_pair") >= minPair)
-      .join(broadcast(uni.select(col("w").as("w1"), col("c_uni").as("c_u1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c_uni").as("c_u2"))), "w2")
+      .join(uni.select(col("w").as("w1"), col("c_uni").as("c_u1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_uni").as("c_u2")), "w2")
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("c_pair"), pmi.as("pmi"))
       .withColumn("rank", row_number().over(order).cast("long"))

@@ -324,22 +324,53 @@ class PlanSpec extends SparkSpec {
     }
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-    val tokenish =
-      Set("word", "token", "ngram", "gram", "bigram", "trigram", "shingle", "term", "pair", "piece")
+    import org.apache.spark.sql.execution.ProjectExec
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.types.StringType
     def reachesDocs(n: SparkPlan): Boolean = n match {
       case f: FileSourceScanExec =>
         f.relation.location.rootPaths.mkString(",").contains("documents")
       case other => other.children.exists(reachesDocs)
     }
-    def vocabGrain(n: SparkPlan): Boolean = n match {
+    // PROVENANCE taint, not names: the round-9 detector matched
+    // token-ish COLUMN NAMES, which a relation keyed `w` (the pre-fix
+    // corpus_pmi unigram table) slipped straight past. Here an
+    // attribute is tainted when its lineage reaches the word-explode
+    // Generate over documents; aggregation keeps taint only on
+    // grouping keys that still reference tainted STRING columns (the
+    // raw token — numeric derivations like hash buckets / sketch
+    // registers are bounded-by-construction key transforms and pass),
+    // and a LIMIT clears taint outright (cardinality bounded).
+    def taintedAttrs(n: SparkPlan): Set[Long] = n match {
+      case g: GenerateExec =>
+        val below = g.children.map(taintedAttrs).fold(Set.empty[Long])(_ ++ _)
+        if (reachesDocs(g))
+          below ++ g.generatorOutput.filter(_.dataType == StringType).map(_.exprId.id)
+        else below
+      case p: ProjectExec =>
+        val below = p.children.map(taintedAttrs).fold(Set.empty[Long])(_ ++ _)
+        below ++ p.projectList.collect {
+          case a: Alias
+              if a.dataType == StringType &&
+                a.references.exists(r => below(r.exprId.id)) =>
+            a.exprId.id
+        }
       case a: BaseAggregateExec =>
-        a.groupingExpressions.exists(e => tokenish.exists(e.name.toLowerCase.contains)) &&
-          a.children.exists(vocabGrain)
+        val below = a.children.map(taintedAttrs).fold(Set.empty[Long])(_ ++ _)
+        a.groupingExpressions.collect {
+          case g
+              if g.dataType == StringType &&
+                g.references.exists(r => below(r.exprId.id)) =>
+            g.toAttribute.exprId.id
+        }.toSet
       case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec |
           _: CollectLimitExec =>
-        false
-      case g: GenerateExec => reachesDocs(g) || g.children.exists(vocabGrain)
-      case other => other.children.exists(vocabGrain)
+        Set.empty
+      case other => other.children.map(taintedAttrs).fold(Set.empty[Long])(_ ++ _)
+    }
+    def vocabGrain(n: SparkPlan): Boolean = {
+      val t = taintedAttrs(n)
+      n.output.exists(o => t(o.exprId.id))
     }
     def offendersOf(df: DataFrame): Seq[SparkPlan] = {
       val root = df.queryExecution.executedPlan match {
@@ -352,30 +383,48 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try {
     // red-bar proof: the pre-fix corpus_drift shape (pair × vocab grid
-    // LEFT JOIN broadcast(word-keyed probabilities)) must be CAUGHT
+    // LEFT JOIN broadcast(word-keyed probabilities)) must be CAUGHT —
+    // with the key deliberately named the single letter `w`, the exact
+    // naming that walked the round-9 name-matching detector straight
+    // past the pre-fix corpus_pmi unigram broadcast
     val docs = graft.Tables.documents(spark, sfDir)
     val w = docs
       .filter(col("text").isNotNull)
-      .select(col("lang"), explode(expr(graft.operators.TextAnalysis.WordsSql)).as("word"))
-      .groupBy(col("lang"), col("word"))
+      .select(col("lang"), explode(expr(graft.operators.TextAnalysis.WordsSql)).as("w"))
+      .groupBy(col("lang"), col("w"))
       .agg(count(lit(1)).as("c"))
     val langs = docs.select(col("lang")).distinct()
     val prs = langs
       .select(col("lang").as("la"))
       .join(langs.select(col("lang").as("lb")), col("la") < col("lb"))
     val broken = prs
-      .crossJoin(w.select(col("word")).distinct())
-      .join(broadcast(w.select(col("lang").as("la"), col("word"), col("c"))), Seq("la", "word"), "left")
-    withClue("the detector must flag the pre-fix grid + broadcast(word-keyed) shape:") {
+      .crossJoin(w.select(col("w")).distinct())
+      .join(broadcast(w.select(col("lang").as("la"), col("w"), col("c"))), Seq("la", "w"), "left")
+    withClue("the detector must flag the grid + broadcast(word-keyed) shape even named `w`:") {
       offendersOf(broken) should not be empty
     }
-    // sweep the whole text-analysis driver family
+    // ...and a LIMITed vocabulary head (the corpus_oov shape) must PASS
+    val limited = docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(expr(graft.operators.TextAnalysis.WordsSql)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(100)
+    withClue("a LIMIT-bounded vocabulary head is broadcast-legal:") {
+      offendersOf(w.join(broadcast(limited), Seq("w"), "left")) shouldBe empty
+    }
+    // sweep the whole text-analysis driver family. text_decontam (and
+    // corpus_funnel, which composes its kernel) broadcast a relation
+    // the taint walk flags — the eval-suite shingle set — but that set
+    // is bounded by the benchmark suite, not the corpus: the documented
+    // decontaminate contract (Curation.scala). DECLARED here instead of
+    // silently escaping on a column name.
+    val declaredBounded = Set("text_decontam", "corpus_funnel")
     val guarded = SparkEntry.queries.keys.toSeq.sorted.filter(n =>
       n.startsWith("corpus_") || n.startsWith("text_") || n.startsWith("quality_") ||
         n.startsWith("tokenize_")
     )
     guarded.size should be > 25
-    for (name <- guarded) {
+    for (name <- guarded if !declaredBounded(name)) {
       val offenders = offendersOf(SparkEntry.queries(name)(spark, sfDir))
       withClue(s"$name broadcasts a vocabulary-grain corpus relation:\n${offenders.mkString("\n")}\n") {
         offenders shouldBe empty
