@@ -375,6 +375,9 @@ object SparkEntry {
     "corpus_hll" -> (TextAnalysis.corpusHll _),
     // C4 line/document cleaning rule report (Raffel et al. 2020)
     "quality_c4" -> (TextAnalysis.qualityC4 _),
+    // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
+    // sharing both existing index builds
+    "ann_ivf_pq" -> (Similarity.annIvfPq _),
     // label-centroid cosine matrix (semantic source distance)
     "embed_label_sim" -> (Similarity.embedLabelSim _),
     // clustering-vs-labels external validation: NMI + purity + ARI
@@ -643,6 +646,7 @@ object SparkEntry {
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,
     "quality_c4" -> TextAnalysis.qualityC4Sql,
+    "ann_ivf_pq" -> Similarity.annIvfPqSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

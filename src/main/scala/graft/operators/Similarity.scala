@@ -1534,6 +1534,174 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // IVFADC: coarse IVF cells + PQ asymmetric distance inside them
+  // ---------------------------------------------------------------------
+
+  /** IVFADC top-k (Jégou, Douze & Schmid 2011 §IV — the composition
+    * their system actually ships, and the canonical billion-scale ANN
+    * shape): a coarse inverted-file quantizer restricts each query to
+    * `nProbe` of `nCentroids` cells, and candidates inside the probed
+    * cells are ranked by the PQ asymmetric distance — [[ivfTopK]]'s
+    * candidate pruning under [[pqTopK]]'s compressed scoring, sharing
+    * BOTH existing index builds (the hash-ranked coarse centroids and
+    * the deterministic sliced-k-means codebooks).
+    *
+    * Scale shape: the index constants stay driver-sized (nCentroids
+    * coarse vectors + m·kCent sub-centroids); the corpus is coded in
+    * ONE projection (coarse cell + m PQ codes — at ingest these
+    * persist as the index and the raw vectors never rejoin the scan);
+    * queries ship as a broadcast (LUT array per subspace, one row per
+    * probed cell), so the only join is broadcast-hash on the cell id
+    * — cell restriction cuts the scored pairs by ~nProbe/nCentroids
+    * versus ann_pq at identical ADC cost per candidate, which is the
+    * entire point of the composition. Portability: coarse assignment
+    * uses the exact (dot desc, cid desc) struct-greatest ivfTopK
+    * pins; ADC sums subspace terms left-to-right like pqTopK; final
+    * adist rounds at 6.
+    */
+  def ivfPqTopK(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: Int,
+    nCentroids: Int = 16,
+    nProbe: Int = 4,
+    m: Int = PqSubspaces,
+    dim: Int = KmeansDim,
+    kCent: Int = PqCentroids,
+    iters: Int = PqIters,
+    precomputedBooks: Option[Seq[(Int, Seq[(Int, Seq[Double])])]] = None
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subLen = dim / m
+    def sub(c: Column, s: Int): Column = slice(c, s * subLen + 1, subLen)
+    val books = precomputedBooks.getOrElse(pqCodebooks(corpus, m, dim, kCent, iters))
+    val centroids: Array[Seq[Double]] = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCentroids)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .collect()
+      .map(_.getSeq[Double](0))
+    def simStructs(v: Column): Seq[Column] = centroids.zipWithIndex.map { case (cv, i) =>
+      struct(VectorMath.dot(v, typedlit(cv)).as("sim"), lit(i).as("cid"))
+    }
+    val subCols = (0 until m).map(s => sub(col("embedding"), s).as(s"v$s"))
+    val coded = corpus
+      .select(col("vec_id").as("neighbor_id") +: col("embedding").as("__e") +: subCols: _*)
+      .select(
+        col("neighbor_id") +:
+          greatest(simStructs(col("__e")): _*).getField("cid").as("cid") +:
+          books.map { case (s, cents) =>
+            kmeansAssignStruct(col(s"v$s"), cents).getField("cid").as(s"c$s")
+          }: _*
+      )
+    val withLuts = queries
+      .select(col("vec_id").as("query_id") +: col("embedding").as("__e") +: subCols: _*)
+      .select(
+        col("query_id") +:
+          slice(reverse(array_sort(array(simStructs(col("__e")): _*))), 1, nProbe)
+            .getField("cid").as("__cids") +:
+          books.map { case (s, cents) =>
+            array(cents.map { case (_, cv) =>
+              val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+              val qs = col(s"v$s")
+              VectorMath.dot(qs, qs) - lit(2.0) * VectorMath.dot(qs, typedlit(cv)) + lit(cc)
+            }: _*).as(s"lut$s")
+          }: _*
+      )
+      .withColumn("cid", explode(col("__cids")))
+      .drop("__cids")
+    val adist = (0 until m)
+      .map(s => element_at(col(s"lut$s"), col(s"c$s").cast("int") + 1))
+      .reduce(_ + _)
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    coded
+      .join(broadcast(withLuts), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("adist"), 6).as("adist")
+      )
+  }
+
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfPqTopK(
+      emb,
+      emb.filter(col("vec_id") < QueryCount),
+      TopK,
+      precomputedBooks = Some(pqBooksFor(spark, dir))
+    ).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVFADC oracle: the coarse cent/casg/qasg CTEs from annIvfSql
+    * composed with annPqSql's sliced-kmeans codebook joins — the ADC
+    * sum restricted to probed cells.
+    */
+  val annIvfPqSql: String = {
+    val nCentroids = 16
+    val nProbe = 4
+    val subLen = KmeansDim / PqSubspaces
+    val ctes = (0 until PqSubspaces)
+      .map(s => kmeansCtesSliced(s"_s$s", s * subLen + 1, (s + 1) * subLen, PqCentroids, PqIters))
+      .mkString(",\n")
+    val dists = (0 until PqSubspaces).map { s =>
+      s"""(list_dot_product(q.v_s$s, q.v_s$s)
+         |   - 2.0 * list_dot_product(q.v_s$s, cb$s.cv)
+         |   + list_dot_product(cb$s.cv, cb$s.cv))""".stripMargin
+    }
+    val qCols = (0 until PqSubspaces).map(s => s"n_s$s.v AS v_s$s").mkString(", ")
+    val qJoins = (1 until PqSubspaces)
+      .map(s => s"JOIN n_s$s ON n_s$s.vec_id = n_s0.vec_id")
+      .mkString("\n       |  ")
+    val cJoins = (0 until PqSubspaces)
+      .map(s =>
+        s"JOIN kasg_s$s k$s ON k$s.vec_id = c.neighbor_id JOIN cent${PqIters}_s$s cb$s ON cb$s.cid = k$s.cid"
+      )
+      .mkString("\n       |  ")
+    s"""WITH $ctes,
+       |nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (
+       |  SELECT v AS cv,
+       |         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+       |  FROM (SELECT * FROM nv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCentroids) s),
+       |casg AS (
+       |  SELECT neighbor_id, cell FROM (
+       |    SELECT nv.vec_id AS neighbor_id, cent.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+       |                              ORDER BY list_dot_product(nv.v, cent.cv) DESC, cent.cid DESC) AS rn
+       |    FROM nv CROSS JOIN cent) a WHERE rn = 1),
+       |qasg AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT nv.vec_id AS query_id, cent.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+       |                              ORDER BY list_dot_product(nv.v, cent.cv) DESC, cent.cid DESC) AS rn
+       |    FROM nv CROSS JOIN cent WHERE nv.vec_id < $QueryCount) a WHERE rn <= $nProbe),
+       |q AS (
+       |  SELECT n_s0.vec_id AS query_id, $qCols
+       |  FROM n_s0 $qJoins
+       |  WHERE n_s0.vec_id < $QueryCount),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |    ${dists.map(d => s"($d)").mkString(" + ")} AS adist
+       |  FROM q
+       |  JOIN qasg ON qasg.query_id = q.query_id
+       |  JOIN casg c ON c.cell = qasg.cell AND q.query_id <> c.neighbor_id
+       |  $cJoins),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(adist, 6) AS adist
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Scalar quantization
   // ---------------------------------------------------------------------
 

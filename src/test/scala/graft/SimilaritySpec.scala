@@ -226,6 +226,52 @@ class SimilaritySpec extends SparkSpec {
     core.min should be > sil(6L) // every core point beats the straggler
   }
 
+  "ivfPqTopK" should "be pqTopK's ADC restricted to the probed coarse cells" in {
+    val queries = emb.filter($"vec_id" < 6)
+    val books = Similarity.pqCodebooks(emb, 4, 64, 8, 2)
+    val ivfpq = Similarity
+      .ivfPqTopK(emb, queries, 5, nCentroids = 8, nProbe = 3, precomputedBooks = Some(books))
+      .collect()
+    ivfpq should not be empty
+    // same books -> every emitted pair's ADC must equal the full-PQ
+    // score for that pair (cell restriction prunes candidates, never
+    // changes a surviving candidate's distance)
+    val fullPq = Similarity
+      .pqTopK(emb, queries, Int.MaxValue, precomputedBooks = Some(books))
+      .select($"query_id", $"neighbor_id", $"adist")
+      .as[(Long, Long, Double)]
+      .collect()
+      .map { case (q, n, d) => (q, n) -> d }
+      .toMap
+    ivfpq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      r.getAs[Double]("adist") shouldBe fullPq(key) +- 1e-9
+    }
+    // ranks are contiguous from 1 and adist is monotone within a query
+    ivfpq.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      sorted.map(_.getAs[Long]("rank")).toSeq shouldBe (1L to sorted.size)
+      sorted.map(_.getAs[Double]("adist")).toSeq shouldBe sorted
+        .map(_.getAs[Double]("adist")).toSeq.sorted
+    }
+    // a planted exact copy of a query vector shares its coarse cell
+    // and all PQ codes, so its ADC equals the query's own quantization
+    // error — the MINIMUM any candidate can achieve. It must surface
+    // in the top list carrying the same adist as the rank-1 row.
+    val planted = emb.unionByName(
+      queries.filter($"vec_id" === 0L)
+        .select(lit(990000L).as("vec_id"), $"embedding", $"label")
+    )
+    val withCopy = Similarity
+      .ivfPqTopK(planted, planted.filter($"vec_id" === 0L), 5,
+        nCentroids = 8, nProbe = 3, precomputedBooks = Some(books))
+      .collect()
+    val copyRow = withCopy.find(_.getAs[Long]("neighbor_id") == 990000L)
+    copyRow should not be empty
+    val best = withCopy.minBy(_.getAs[Long]("rank")).getAs[Double]("adist")
+    copyRow.get.getAs[Double]("adist") shouldBe best +- 1e-9
+  }
+
   "pqTopK" should "emit complete rank lists ordered by asymmetric distance" in {
     val out = Similarity
       .pqTopK(emb, emb, 5)
