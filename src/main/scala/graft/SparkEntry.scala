@@ -375,6 +375,9 @@ object SparkEntry {
     "corpus_hll" -> (TextAnalysis.corpusHll _),
     // C4 line/document cleaning rule report (Raffel et al. 2020)
     "quality_c4" -> (TextAnalysis.qualityC4 _),
+    // bigram conditional entropy H(W2|W1) per language: the
+    // sequence-predictability screen (Shannon 1951)
+    "corpus_cond_entropy" -> (TextAnalysis.corpusCondEntropy _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -647,6 +650,7 @@ object SparkEntry {
     "corpus_hll" -> TextAnalysis.corpusHllSql,
     "quality_c4" -> TextAnalysis.qualityC4Sql,
     "ann_ivf_pq" -> Similarity.annIvfPqSql,
+    "corpus_cond_entropy" -> TextAnalysis.corpusCondEntropySql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

@@ -1841,6 +1841,136 @@ object TextAnalysis {
       |LIMIT 25""".stripMargin
 
   // -------------------------------------------------------------------
+  // Bigram conditional entropy
+  // -------------------------------------------------------------------
+
+  /** Bigram conditional entropy H(W₂|W₁) per language (Shannon 1951,
+    * "Prediction and Entropy of Printed English" — how predictable is
+    * the next word given the current one?). Natural prose sits well
+    * below its unigram entropy (context pays); word-soup spam and
+    * shuffled scrapes show H(W₂|W₁) ≈ H(W₂) (context buys nothing) —
+    * the SEQUENCE-structure screen beside [[pmiCollocations]]'
+    * pair-level view and [[entropyScores]]' per-document marginal.
+    * Reports the chain-rule triple H(W₁,W₂), H(W₁), H(W₂|W₁) so the
+    * identity H(W₂|W₁) = H(W₁,W₂) − H(W₁) is checkable on the output.
+    *
+    * Scale shape: adjacent pairs reduce to (lang, w1, w2) counts in
+    * ONE map-side partial agg; the prefix marginal derives from the
+    * bigram relation itself (one more partial agg — the corpus is
+    * never re-scanned); the attach is a (lang, w1)-KEYED join —
+    * vocabulary grain, so never a broadcast (the corpus_jsd/corpus_pmi
+    * discipline); only the k-row per-lang totals broadcast. Final agg
+    * is lang-grain. Portability: every ln is round-9 on an exact
+    * integer; each entropy term multiplies (c/N) in one pinned order
+    * and sums through DECIMAL(38,10); finals round at 6.
+    */
+  def conditionalEntropy(docs: DataFrame): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val ln9 = (c: Column) => round(log(c.cast("double")), 9)
+    val pairs = docs
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), expr(WordsSql).as("ws"))
+      .select(
+        col("lang"),
+        explode(
+          expr(
+            """case when size(ws) >= 2
+              |     then transform(sequence(1, size(ws) - 1),
+              |                    i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))
+              |     else cast(array() as array<struct<w1:string,w2:string>>) end""".stripMargin
+          )
+        ).as("p")
+      )
+      .groupBy(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val prefix = pairs
+      .groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val totals = pairs
+      .groupBy(col("lang"))
+      .agg(sum(col("c12")).as("n_bigrams"), count(lit(1)).as("n_pairs"))
+    val joined = pairs
+      .join(prefix, Seq("lang", "w1"))
+      .join(broadcast(totals), Seq("lang"))
+    val p12 = col("c12").cast("double") / col("n_bigrams").cast("double")
+    val hJoint = joined
+      .groupBy(col("lang"), col("n_bigrams"), col("n_pairs"))
+      .agg(
+        sum((p12 * (ln9(col("c12")) - ln9(col("n_bigrams")))).cast(dec3810))
+          .cast("double").as("__hj"),
+        sum((p12 * (ln9(col("c12")) - ln9(col("c1")))).cast(dec3810))
+          .cast("double").as("__hc")
+      )
+    val hPrefix = prefix
+      .join(broadcast(totals), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_prefixes"),
+        sum(((col("c1").cast("double") / col("n_bigrams").cast("double")) *
+          (ln9(col("c1")) - ln9(col("n_bigrams")))).cast(dec3810))
+          .cast("double").as("__hp")
+      )
+    hJoint
+      .join(hPrefix, Seq("lang"))
+      .select(
+        col("lang"),
+        col("n_bigrams"),
+        col("n_pairs"),
+        col("n_prefixes"),
+        round(-col("__hj"), 6).as("h_joint"),
+        round(-col("__hp"), 6).as("h_prefix"),
+        round(-col("__hc"), 6).as("h_cond")
+      )
+  }
+
+  def corpusCondEntropy(spark: SparkSession, dir: String): DataFrame =
+    conditionalEntropy(Tables.documents(spark, dir)).orderBy(col("lang"))
+
+  /** Conditional-entropy oracle: identical pair/prefix/total counts,
+    * round-9 integer logs, pinned term order, DECIMAL sums.
+    */
+  val corpusCondEntropySql: String =
+    """WITH wsa AS (
+      |  SELECT lang, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      |bg AS (
+      |  SELECT lang, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM wsa, UNNEST(range(1, len(ws))) AS t(i)
+      |  WHERE len(ws) >= 2),
+      |pairs AS (
+      |  SELECT lang, w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+      |prefix AS (
+      |  SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pairs GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT lang, CAST(SUM(c12) AS BIGINT) AS n_bigrams, COUNT(*) AS n_pairs
+      |  FROM pairs GROUP BY 1),
+      |hj AS (
+      |  SELECT p.lang, t.n_bigrams, t.n_pairs,
+      |    CAST(SUM(CAST((CAST(p.c12 AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE))
+      |      * (ROUND(LN(CAST(p.c12 AS DOUBLE)), 9) - ROUND(LN(CAST(t.n_bigrams AS DOUBLE)), 9))
+      |      AS DECIMAL(38,10))) AS DOUBLE) AS hjs,
+      |    CAST(SUM(CAST((CAST(p.c12 AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE))
+      |      * (ROUND(LN(CAST(p.c12 AS DOUBLE)), 9) - ROUND(LN(CAST(x.c1 AS DOUBLE)), 9))
+      |      AS DECIMAL(38,10))) AS DOUBLE) AS hcs
+      |  FROM pairs p
+      |  JOIN prefix x ON x.lang = p.lang AND x.w1 = p.w1
+      |  JOIN tot t ON t.lang = p.lang
+      |  GROUP BY 1, 2, 3),
+      |hp AS (
+      |  SELECT x.lang, COUNT(*) AS n_prefixes,
+      |    CAST(SUM(CAST((CAST(x.c1 AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE))
+      |      * (ROUND(LN(CAST(x.c1 AS DOUBLE)), 9) - ROUND(LN(CAST(t.n_bigrams AS DOUBLE)), 9))
+      |      AS DECIMAL(38,10))) AS DOUBLE) AS hps
+      |  FROM prefix x JOIN tot t ON t.lang = x.lang
+      |  GROUP BY 1)
+      |SELECT hj.lang, hj.n_bigrams, hj.n_pairs, hp.n_prefixes,
+      |  ROUND(-hjs, 6) AS h_joint,
+      |  ROUND(-hps, 6) AS h_prefix,
+      |  ROUND(-hcs, 6) AS h_cond
+      |FROM hj JOIN hp ON hp.lang = hj.lang
+      |ORDER BY hj.lang""".stripMargin
+
+  // -------------------------------------------------------------------
   // Vocabulary coverage curve
   // -------------------------------------------------------------------
 

@@ -314,6 +314,34 @@ class TextAnalysisSpec extends SparkSpec {
     plan.collect { case e: Exchange => e } shouldBe empty
   }
 
+  "conditionalEntropy" should "zero out a deterministic chain and match the chain rule" in {
+    def mix(x: Long): Int = {
+      var z = x * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      (((z ^ (z >>> 27)) >>> 11) % 4).toInt
+    }
+    val syms = Vector("aa", "bb", "cc", "dd")
+    // det: a fixed cycle -> every prefix predicts its successor exactly
+    val det = (0 until 400).map(i => syms(i % 4)).mkString(" ")
+    // rnd: hashed draws -> knowing the prefix buys (almost) nothing
+    val rnd = (0 until 400).map(i => syms(mix(i.toLong))).mkString(" ")
+    val docs = Seq((1L, "det", det), (2L, "rnd", rnd)).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.conditionalEntropy(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    out("det").getAs[Double]("h_cond") shouldBe 0.0 +- 1e-9
+    out("det").getAs[Double]("h_prefix") shouldBe math.log(4) +- 1e-3
+    out("det").getAs[Long]("n_pairs") shouldBe 4L
+    // random: conditional entropy stays within a few percent of the
+    // prefix marginal (context is uninformative)
+    val r = out("rnd")
+    r.getAs[Double]("h_cond") should be > 0.9 * r.getAs[Double]("h_prefix")
+    // chain rule holds on the emitted triple: H(W1,W2) = H(W1) + H(W2|W1)
+    Seq(out("det"), r).foreach { row =>
+      row.getAs[Double]("h_joint") shouldBe
+        (row.getAs[Double]("h_prefix") + row.getAs[Double]("h_cond")) +- 1e-4
+    }
+  }
+
   "gopherRules" should "stay a zero-shuffle projection" in {
     val plan = TextAnalysis
       .gopherRules(Tables.documents(spark, sfDir))
