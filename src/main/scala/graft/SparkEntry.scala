@@ -378,6 +378,9 @@ object SparkEntry {
     // bigram conditional entropy H(W2|W1) per language: the
     // sequence-predictability screen (Shannon 1951)
     "corpus_cond_entropy" -> (TextAnalysis.corpusCondEntropy _),
+    // offset-voting audio constellation match (Wang 2003): finds
+    // time-shifted audio twins whole-blob hashing can't see
+    "mm_audio_match" -> (Multimodal.mmAudioMatch _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -651,6 +654,7 @@ object SparkEntry {
     "quality_c4" -> TextAnalysis.qualityC4Sql,
     "ann_ivf_pq" -> Similarity.annIvfPqSql,
     "corpus_cond_entropy" -> TextAnalysis.corpusCondEntropySql,
+    "mm_audio_match" -> Multimodal.mmAudioMatchSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

@@ -1057,9 +1057,12 @@ object Multimodal {
   /** Oracle: the mm_audio hex PCM decode CTEs feeding the identical
     * Goertzel components, pinned power order, round-9 rank and share.
     */
-  val mmAudioFpSql: String =
-    s"""WITH p AS (
-       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+  /** The fingerprint pipeline as reusable oracle CTEs over any source
+    * CTE exposing (doc_id, hx, nb) — hex payload + octet length. Ends
+    * in `fp(doc_id, frame_no, dom_band, power_share)`.
+    */
+  private[operators] def mmAudioFpCtes(src: String): String =
+    s"""p AS ($src),
        |fr AS (
        |  SELECT doc_id, hx, UNNEST(range(0, (nb // 2) // 32)) AS fno FROM p),
        |sv AS (
@@ -1085,10 +1088,150 @@ object Multimodal {
        |  SELECT doc_id, fno, k, p,
        |    CAST(SUM(CAST(p AS DECIMAL(27,10))) OVER (PARTITION BY doc_id, fno) AS DOUBLE) AS tot,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id, fno ORDER BY p DESC, k) AS rn
-       |  FROM pw)
-       |SELECT doc_id, CAST(fno AS BIGINT) AS frame_no, CAST(k AS BIGINT) AS dom_band,
-       |  ROUND(p / tot, 6) AS power_share
-       |FROM r
-       |WHERE rn = 1 AND tot > 0
+       |  FROM pw),
+       |fp AS (
+       |  SELECT doc_id, CAST(fno AS BIGINT) AS frame_no, CAST(k AS BIGINT) AS dom_band,
+       |    ROUND(p / tot, 6) AS power_share
+       |  FROM r
+       |  WHERE rn = 1 AND tot > 0)""".stripMargin
+
+  val mmAudioFpSql: String = {
+    val src = "SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents"
+    s"""WITH ${mmAudioFpCtes(src)}
+       |SELECT doc_id, frame_no, dom_band, power_share
+       |FROM fp
        |ORDER BY doc_id, frame_no""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Audio constellation match (offset voting)
+  // ---------------------------------------------------------------------
+
+  /** Offset-voting audio match over the shared [[audioFingerprint]]
+    * landmark stream (Wang 2003, the Shazam search shape): consecutive
+    * frames fold into an integer SIGNATURE (per frame, the dominant
+    * band enriched with the quantized power share — 24 symbols — so
+    * `winFrames` frames span 24^winFrames signature space), documents
+    * sharing a signature vote on their frame-index OFFSET, and a pair
+    * whose best offset collects ≥ `minVotes` is a time-shifted audio
+    * duplicate — the match [[mmPhashClusters]]-style whole-blob
+    * hashing can never see, because every frame hash differs once the
+    * stream is shifted.
+    *
+    * Scale shape: landmarks reduce per blob (frame windows are
+    * blob-bounded LEADs); the ONLY corpus-grain join is signature-
+    * keyed and gated by a COUNTED admission — signatures hotter than
+    * `cap` (silence, test tones, templated headers) are dropped
+    * before the pair product, so worst-case pairs are Σ min(n_sig,cap)²
+    * by construction (the dedup_semantic/bucketedKnn discipline). The
+    * offset histogram aggregates at pair grain; the per-pair argmax is
+    * a struct-max, no window. Portability: the share quantizer floors
+    * an identical round-6 double ×5.0; vote tie-break pins to the
+    * SMALLEST offset.
+    */
+  def audioConstellationMatch(
+      spark: SparkSession,
+      withPayload: DataFrame,
+      winFrames: Int = 3,
+      cap: Long = 64L,
+      minVotes: Long = 2L
+  ): DataFrame = {
+    val fp = audioFingerprint(spark, withPayload)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val symbol =
+      (col("dom_band") - 1L) + lit(4L) * floor(col("power_share") * lit(5.0)).cast("long")
+    val base = fp.withColumn("__s0", symbol)
+    val folded = (1 until winFrames).foldLeft(base) { (d, i) =>
+      d.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
+    }
+    val sig = (0 until winFrames)
+      .map(i => col(s"__s$i") * lit(math.pow(24.0, i.toDouble).toLong))
+      .reduce(_ + _)
+    val sigs = folded
+      .filter((1 until winFrames).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .select(col("doc_id"), col("frame_no").as("widx"), sig.as("sig"))
+    val admitted = sigs.join(
+      sigs.groupBy(col("sig")).agg(count(lit(1)).as("__n")).filter(col("__n") <= cap),
+      Seq("sig")
+    )
+    val a = admitted.select(col("sig"), col("doc_id").as("doc_a"), col("widx").as("__wa"))
+    val b = admitted.select(col("sig"), col("doc_id").as("doc_b"), col("widx").as("__wb"))
+    val votes = a
+      .join(b, Seq("sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), (col("__wa") - col("__wb")).as("delta"))
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(struct(col("votes").as("v"), (-col("delta")).as("nd"))).as("__m"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (-col("__m.nd")).as("delta"),
+        col("__m.v").as("votes")
+      )
+      .filter(col("votes") >= minVotes)
+  }
+
+  /** The fixed query plants guaranteed time-shifted twins from the
+    * data itself: for doc_id % 11 == 0 with ≥ 5 frames of payload, a
+    * copy with the FIRST FRAME DROPPED (substring from byte 65) joins
+    * as doc_id + 4000000 — every surviving landmark matches the
+    * original at offset +1, the signal whole-blob hashing misses.
+    */
+  def mmAudioMatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = withPayloads(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("payload"))
+    val planted = base
+      .filter(col("doc_id") % 11 === 0 && length(col("payload")) >= 320)
+      .select((col("doc_id") + 4000000L).as("doc_id"), expr("substring(payload, 65)").as("payload"))
+    audioConstellationMatch(spark, base.unionByName(planted))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Constellation oracle: the shared fp CTEs over the planted corpus,
+    * identical symbol fold, counted admission, offset voting and
+    * (votes desc, delta asc) argmax.
+    */
+  val mmAudioMatchSql: String = {
+    val src =
+      """SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id, substr(hex(encode(text)), 129) AS hx,
+        |    octet_length(encode(text)) - 64 AS nb
+        |  FROM documents
+        |  WHERE doc_id % 11 = 0 AND octet_length(encode(text)) >= 320""".stripMargin
+    s"""WITH ${mmAudioFpCtes(src)},
+       |sym AS (
+       |  SELECT doc_id, frame_no,
+       |    (dom_band - 1) + 4 * CAST(FLOOR(power_share * 5.0) AS BIGINT) AS s0
+       |  FROM fp),
+       |win AS (
+       |  SELECT doc_id, frame_no AS widx, s0,
+       |    LEAD(s0, 1) OVER (PARTITION BY doc_id ORDER BY frame_no) AS s1,
+       |    LEAD(s0, 2) OVER (PARTITION BY doc_id ORDER BY frame_no) AS s2
+       |  FROM sym),
+       |sigs AS (
+       |  SELECT doc_id, widx, s0 * 1 + s1 * 24 + s2 * 576 AS sig
+       |  FROM win WHERE s1 IS NOT NULL AND s2 IS NOT NULL),
+       |admitted AS (
+       |  SELECT sigs.* FROM sigs
+       |  JOIN (SELECT sig, COUNT(*) AS n FROM sigs GROUP BY 1) f
+       |    ON f.sig = sigs.sig AND f.n <= 64),
+       |v AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.widx - b.widx AS delta,
+       |    COUNT(*) AS votes
+       |  FROM admitted a JOIN admitted b
+       |    ON b.sig = a.sig AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT doc_a, doc_b, delta, votes,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b ORDER BY votes DESC, delta) AS rn
+       |  FROM v)
+       |SELECT doc_a, doc_b, delta, votes
+       |FROM best
+       |WHERE rn = 1 AND votes >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -255,6 +255,37 @@ class MultimodalSpec extends SparkSpec {
     shots(2L) shouldBe 1L
   }
 
+  "audioConstellationMatch" should "vote a shifted twin to its offset and respect the admission cap" in {
+    import spark.implicits._
+    def pcmSeq(bands: Seq[Int]): Array[Byte] = {
+      val out = new Array[Byte](bands.size * 32 * 2)
+      for ((k, f) <- bands.zipWithIndex; j <- 0 until 32) {
+        val v = math.round(8000.0 * math.sin(2 * math.Pi * k * j / 32.0)).toInt
+        val idx = 2 * (f * 32 + j)
+        out(idx) = (v & 0xff).toByte
+        out(idx + 1) = ((v >> 8) & 0xff).toByte
+      }
+      out
+    }
+    val seqA = Seq(1, 2, 3, 4, 1, 3, 2, 4)
+    val payloads = Seq(
+      (1L, pcmSeq(seqA)),
+      (2L, pcmSeq(seqA.drop(1))), // first frame dropped: shifted twin
+      (3L, pcmSeq(Seq.fill(8)(4))) // constant tone, unrelated
+    ).toDF("doc_id", "payload")
+    val rows = Multimodal.audioConstellationMatch(spark, payloads).collect()
+    rows should have length 1
+    rows.head.getAs[Long]("doc_a") shouldBe 1L
+    rows.head.getAs[Long]("doc_b") shouldBe 2L
+    // twin frame w aligns with original frame w+1 -> offset +1, and
+    // every one of the twin's 5 windows votes for it
+    rows.head.getAs[Long]("delta") shouldBe 1L
+    rows.head.getAs[Long]("votes") shouldBe 5L
+    // counted admission: at cap 1 every shared signature is "hot" and
+    // drops before the pair product -> no matches, by construction
+    Multimodal.audioConstellationMatch(spark, payloads, cap = 1L).collect() shouldBe empty
+  }
+
   "audioFingerprint" should "land on the planted tone's band, invariant to gain" in {
     import spark.implicits._
     // three frames of a k=2 tone at two different gains, one of k=3
