@@ -381,6 +381,8 @@ object SparkEntry {
     // offset-voting audio constellation match (Wang 2003): finds
     // time-shifted audio twins whole-blob hashing can't see
     "mm_audio_match" -> (Multimodal.mmAudioMatch _),
+    // code-vs-prose router: 4-signal per-line-rate vote
+    "text_code_detect" -> (TextAnalysis.textCodeDetect _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -655,6 +657,7 @@ object SparkEntry {
     "ann_ivf_pq" -> Similarity.annIvfPqSql,
     "corpus_cond_entropy" -> TextAnalysis.corpusCondEntropySql,
     "mm_audio_match" -> Multimodal.mmAudioMatchSql,
+    "text_code_detect" -> TextAnalysis.textCodeDetectSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

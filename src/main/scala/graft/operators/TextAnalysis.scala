@@ -225,6 +225,83 @@ object TextAnalysis {
       |FROM f
       |ORDER BY doc_id""".stripMargin
 
+  /** Code-vs-prose detector: the routing signal that sends source code
+    * to a code pipeline instead of the prose quality gates (whose
+    * stopword/punctuation priors misfire on it — [[gopherRules]] and
+    * [[c4Rules]] both reject good code). Four per-line rates —
+    * semicolons, braces/brackets, indented lines, reserved-word hits —
+    * vote; ≥ 2 votes classifies the document as code. The rates ship
+    * alongside the flag so a curator can re-weight the vote without
+    * re-scanning.
+    *
+    * Scale shape: pure map-side projection — three regexp counters, a
+    * line-lambda filter and integer arithmetic, whole-stage codegen,
+    * no UDF, no shuffle (the quality_c4 discipline). Portability: all
+    * counts are integers; rates round at 6 over NULLIF'd line counts.
+    */
+  def codeDetect(docs: DataFrame): DataFrame = {
+    val kw = "(^|[^a-z0-9_])(def|class|import|return|function|const|var|void|int|public|static|struct|fn|let|elif|lambda|null|nullptr|printf|println)([^a-z0-9_]|$)"
+    docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        size(expr("split(text, '\\n')")).cast("long").as("n_lines"),
+        regexp_count(col("text"), lit(";")).cast("long").as("__semi"),
+        regexp_count(col("text"), lit("[{}\\[\\]()]")).cast("long").as("__brace"),
+        size(expr("filter(split(text, '\\n'), l -> l rlike '^(  |\\t)')")).cast("long")
+          .as("__indented"),
+        regexp_count(lower(col("text")), lit(kw)).cast("long").as("__kw")
+      )
+      .withColumn("semi_per_line", round(col("__semi") / nullif(col("n_lines"), lit(0L)).cast("double"), 6))
+      .withColumn("brace_per_line", round(col("__brace") / nullif(col("n_lines"), lit(0L)).cast("double"), 6))
+      .withColumn("indent_frac", round(col("__indented") / nullif(col("n_lines"), lit(0L)).cast("double"), 6))
+      .withColumn("kw_per_line", round(col("__kw") / nullif(col("n_lines"), lit(0L)).cast("double"), 6))
+      .withColumn(
+        "is_code",
+        (when(col("semi_per_line") > 0.2, 1).otherwise(0) +
+          when(col("brace_per_line") > 0.5, 1).otherwise(0) +
+          when(col("indent_frac") > 0.3, 1).otherwise(0) +
+          when(col("kw_per_line") > 0.3, 1).otherwise(0)) >= 2
+      )
+      .select(
+        "doc_id", "n_lines", "semi_per_line", "brace_per_line",
+        "indent_frac", "kw_per_line", "is_code"
+      )
+  }
+
+  def textCodeDetect(spark: SparkSession, dir: String): DataFrame =
+    codeDetect(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Code-detector oracle: identical counters, thresholds and NULLIF'd
+    * round-6 rates.
+    */
+  val textCodeDetectSql: String = {
+    val kw = "(^|[^a-z0-9_])(def|class|import|return|function|const|var|void|int|public|static|struct|fn|let|elif|lambda|null|nullptr|printf|println)([^a-z0-9_]|$)"
+    s"""WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    CAST(len(regexp_extract_all(text, ';')) AS BIGINT) AS n_semi,
+      |    CAST(len(regexp_extract_all(text, '[{}[\\]()]')) AS BIGINT) AS brace,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(l, '^(  |\\t)'))) AS BIGINT) AS indented,
+      |    CAST(len(regexp_extract_all(LOWER(text), '$kw')) AS BIGINT) AS kw
+      |  FROM documents WHERE text IS NOT NULL),
+      |r AS (
+      |  SELECT doc_id, n_lines,
+      |    ROUND(n_semi / CAST(NULLIF(n_lines, 0) AS DOUBLE), 6) AS semi_per_line,
+      |    ROUND(brace / CAST(NULLIF(n_lines, 0) AS DOUBLE), 6) AS brace_per_line,
+      |    ROUND(indented / CAST(NULLIF(n_lines, 0) AS DOUBLE), 6) AS indent_frac,
+      |    ROUND(kw / CAST(NULLIF(n_lines, 0) AS DOUBLE), 6) AS kw_per_line
+      |  FROM c)
+      |SELECT doc_id, n_lines, semi_per_line, brace_per_line, indent_frac, kw_per_line,
+      |  (CASE WHEN semi_per_line > 0.2 THEN 1 ELSE 0 END
+      |   + CASE WHEN brace_per_line > 0.5 THEN 1 ELSE 0 END
+      |   + CASE WHEN indent_frac > 0.3 THEN 1 ELSE 0 END
+      |   + CASE WHEN kw_per_line > 0.3 THEN 1 ELSE 0 END) >= 2 AS is_code
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-document Shannon entropy at character and word granularity —
     * the compressibility signals that flag binary junk, boilerplate
     * and keyword-stuffed spam (low entropy) or encrypted/encoded noise

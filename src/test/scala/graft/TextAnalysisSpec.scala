@@ -314,6 +314,42 @@ class TextAnalysisSpec extends SparkSpec {
     plan.collect { case e: Exchange => e } shouldBe empty
   }
 
+  "codeDetect" should "route code to code and leave prose, indented quotes and null text alone" in {
+    val scalaCode =
+      """def add(a: Int, b: Int): Int = {
+        |  val s = a + b;
+        |  return s;
+        |}""".stripMargin
+    val prose = "the quick brown fox jumps over the lazy dog and keeps going\n" +
+      "until it reaches the river where it stops to rest for a while."
+    // poetry-style indentation alone must NOT classify as code
+    val indentedQuote = "  roses are red\n  violets are blue\n  sugar is sweet\n  and so are you"
+    val docs = Seq(
+      (1L, scalaCode),
+      (2L, prose),
+      (3L, indentedQuote),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.codeDetect(docs).orderBy($"doc_id").collect()
+    rows should have length 3
+    rows(0).getAs[Boolean]("is_code") shouldBe true
+    rows(0).getAs[Double]("semi_per_line") should be > 0.2
+    rows(0).getAs[Double]("brace_per_line") should be > 0.5
+    rows(1).getAs[Boolean]("is_code") shouldBe false
+    rows(1).getAs[Double]("kw_per_line") shouldBe 0.0 +- 1e-12
+    rows(2).getAs[Boolean]("is_code") shouldBe false
+    rows(2).getAs[Double]("indent_frac") shouldBe 1.0 +- 1e-12
+  }
+
+  "codeDetect" should "stay a zero-shuffle projection" in {
+    val plan = TextAnalysis
+      .codeDetect(Tables.documents(spark, sfDir))
+      .queryExecution
+      .executedPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
   "conditionalEntropy" should "zero out a deterministic chain and match the chain rule" in {
     def mix(x: Long): Int = {
       var z = x * 0x9e3779b97f4a7c15L
