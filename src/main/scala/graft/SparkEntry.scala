@@ -383,6 +383,11 @@ object SparkEntry {
     "mm_audio_match" -> (Multimodal.mmAudioMatch _),
     // code-vs-prose router: 4-signal per-line-rate vote
     "text_code_detect" -> (TextAnalysis.textCodeDetect _),
+    // one-row anisotropy report: mean share + top-eigendirection share
+    // off the shared (mu, u1) — embed_debias's acceptance metric
+    "embed_isotropy" -> (Similarity.embedIsotropy _),
+    // fourth recall curve: SQ's loss is the shortlist margin only
+    "ann_recall_sq" -> (Similarity.annRecallSq _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -658,6 +663,8 @@ object SparkEntry {
     "corpus_cond_entropy" -> TextAnalysis.corpusCondEntropySql,
     "mm_audio_match" -> Multimodal.mmAudioMatchSql,
     "text_code_detect" -> TextAnalysis.textCodeDetectSql,
+    "embed_isotropy" -> Similarity.embedIsotropySql,
+    "ann_recall_sq" -> Similarity.annRecallSqSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

@@ -2240,6 +2240,49 @@ object Similarity {
        |GROUP BY bf.query_id
        |ORDER BY bf.query_id""".stripMargin
 
+  /** Recall@k of the SQ index against the exact baseline — the fourth
+    * acceptance curve, completing the family (LSH = pruning loss, IVF
+    * = cell-pruning loss, PQ = distance-quantization loss): SQ's only
+    * loss channel is the SHORTLIST MARGIN, because the emitted top-k
+    * is an exact rerank of raw vectors — a true neighbor is missed
+    * only when per-dim grid snapping pushes it below the
+    * shortlistFactor·k cut. The curve therefore reads as a direct
+    * check on the 256-point grid resolution and the shortlist factor,
+    * and a deployment tunes exactly those two knobs against it.
+    * Same scale shape as [[annRecall]]: both rankings are driver-size
+    * (queries × k) relations, hit join broadcast, rollup per query.
+    */
+  def annRecallSq(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceFor(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val sq = annSq(spark, dir)
+      .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
+    bf.join(
+        broadcast(sq),
+        col("query_id") === col("__q") && col("neighbor_id") === col("__n"),
+        "left_outer"
+      )
+      .groupBy(col("query_id"))
+      .agg(count(col("__n")).as("n_hit"))
+      .select(
+        col("query_id"),
+        col("n_hit"),
+        lit(TopK.toLong).as("k"),
+        round(col("n_hit") / lit(TopK.toDouble), 6).as("recall")
+      )
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallSqSql: String =
+    s"""WITH bf AS ($annBruteforceSql),
+       |sq AS ($annSqSql)
+       |SELECT bf.query_id, COUNT(sq.neighbor_id) AS n_hit,
+       |  CAST($TopK AS BIGINT) AS k,
+       |  ROUND(COUNT(sq.neighbor_id) / CAST($TopK AS DOUBLE), 6) AS recall
+       |FROM bf LEFT JOIN sq
+       |  ON sq.query_id = bf.query_id AND sq.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id
+       |ORDER BY bf.query_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Hubness screen (kNN in-degree over the LSH-bucketed graph)
   // ---------------------------------------------------------------------
@@ -2754,6 +2797,89 @@ object Similarity {
     val (mu, u) = pcaFor(spark, dir)
     debiasProjection(Tables.embeddings(spark, dir), mu, u)
   }
+
+  /** Embedding-table isotropy report in ONE row (Mu & Viswanath 2018 /
+    * Ethayarajh 2019 — "does everything point one way?"): the two
+    * anisotropy ratios that decide whether cosine retrieval over this
+    * table is trustworthy. `mean_share` = ‖µ‖²/E‖x‖² (how much of the
+    * average vector is the common offset); `lambda1_share` =
+    * E[((x−µ)·u₁)²]/E‖x−µ‖² (how much centered variance the top
+    * principal direction owns — λ₁/trace). Isotropic tables sit near
+    * (0, 1/d); an anisotropic one is what [[embedDebias]] then fixes,
+    * so this is its acceptance metric.
+    *
+    * Scale shape: (µ, u₁) are the SAME memoized d-element driver
+    * vectors embed_pca/embed_debias already share — the report is one
+    * corpus scan folding three dots per row into a single partial
+    * agg: zero shuffles past the final 1-row reduce. Portability:
+    * ‖µ‖² folds left-to-right driver-side (= the oracle's
+    * list_reduce), dots are the shared VectorMath fold, sums route
+    * through DECIMAL(27,10), ratios round at 6.
+    */
+  def embedIsotropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val (mu, u) = pcaFor(spark, dir)
+    def fold(xs: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < xs.length) { acc += xs(i); i += 1 }
+      acc
+    }
+    val muDotU = fold(mu.zip(u).map { case (a, b) => a * b })
+    val muDotMu = fold(mu.map(m => m * m))
+    val x = col("__x")
+    val sc = VectorMath.dot(x, typedlit(u.toSeq)) - lit(muDotU)
+    val xx = VectorMath.dot(x, x)
+    val xxc = xx - lit(2.0) * VectorMath.dot(x, typedlit(mu.toSeq)) + lit(muDotMu)
+    Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>").as("__x"))
+      .select(sc.as("__sc"), xx.as("__xx"), xxc.as("__xxc"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__xx").cast(dec)).cast("double").as("__sxx"),
+        sum(col("__xxc").cast(dec)).cast("double").as("__sxxc"),
+        sum((col("__sc") * col("__sc")).cast(dec)).cast("double").as("__ssc2")
+      )
+      .select(
+        col("n"),
+        round(lit(muDotMu) / (col("__sxx") / col("n")), 6).as("mean_share"),
+        round(col("__ssc2") / col("__sxxc"), 6).as("lambda1_share"),
+        round(sqrt(col("__sxxc") / col("n")), 6).as("avg_cnorm")
+      )
+  }
+
+  /** Isotropy oracle: the debias proj CTE extended with ‖x‖², the same
+    * DECIMAL sums and the list_reduce ‖µ‖² fold.
+    */
+  lazy val embedIsotropySql: String =
+    s"""WITH pc AS ($embedPcaSql),
+       |u AS (SELECT list(loading ORDER BY dim) AS u FROM pc),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |vals AS (
+       |  SELECT vec_id, CAST(i.i - 1 AS INT) AS d, x[i.i] AS val
+       |  FROM e, UNNEST(range(1, len(x) + 1)) AS i(i)),
+       |mu AS (
+       |  SELECT d, CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM vals GROUP BY d),
+       |mulist AS (SELECT list(m ORDER BY d) AS m FROM mu),
+       |proj AS (
+       |  SELECT e.vec_id,
+       |    list_dot_product(e.x, u.u) - list_dot_product(ml.m, u.u) AS sc,
+       |    list_dot_product(e.x, e.x) AS xx,
+       |    list_dot_product(e.x, e.x) - 2.0 * list_dot_product(e.x, ml.m)
+       |      + list_dot_product(ml.m, ml.m) AS xxc
+       |  FROM e CROSS JOIN u CROSS JOIN mulist ml),
+       |s AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(xx AS DECIMAL(27,10))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(xxc AS DECIMAL(27,10))) AS DOUBLE) AS sxxc,
+       |    CAST(SUM(CAST(sc * sc AS DECIMAL(27,10))) AS DOUBLE) AS ssc2
+       |  FROM proj),
+       |m2 AS (SELECT list_dot_product(m, m) AS mm FROM mulist)
+       |SELECT s.n,
+       |  ROUND(m2.mm / (s.sxx / s.n), 6) AS mean_share,
+       |  ROUND(s.ssc2 / s.sxxc, 6) AS lambda1_share,
+       |  ROUND(SQRT(s.sxxc / s.n), 6) AS avg_cnorm
+       |FROM s CROSS JOIN m2""".stripMargin
 
   /** Debias oracle: the embedPca pipeline nested verbatim as a CTE
     * (already hash-proven) supplies u₁; µ rebuilds through the same

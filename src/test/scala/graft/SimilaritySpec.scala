@@ -127,6 +127,29 @@ class SimilaritySpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  "annRecallSq" should "stay within bounds and equal a driver-side set intersection" in {
+    val rows = Similarity.annRecallSq(spark, sfDir).collect()
+    rows.length shouldBe Similarity.QueryCount
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_hit")
+      val k = r.getAs[Long]("k")
+      hit should (be >= 0L and be <= k)
+      r.getAs[Double]("recall") shouldBe hit.toDouble / k +- 1e-9
+    }
+    // recompute one query's hit count from the two published rankings
+    val bf = Similarity.annBruteforce(spark, sfDir)
+      .filter($"query_id" === 0L).select($"neighbor_id").as[Long].collect().toSet
+    val sq = Similarity.annSq(spark, sfDir)
+      .filter($"query_id" === 0L).select($"neighbor_id").as[Long].collect().toSet
+    rows.find(_.getAs[Long]("query_id") == 0L).get
+      .getAs[Long]("n_hit") shouldBe (bf intersect sq).size.toLong
+    // exact rerank means SQ recall can only lose at the shortlist
+    // margin: on this table the average must clear the LSH curve's
+    // pruning-loss territory by a wide margin
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    mean should be >= 0.8
+  }
+
   "ivfTopK" should "beat the probe fraction's random-recall baseline" in {
     val exactAll = Similarity
       .bruteForceTopK(emb, emb, 1)
@@ -224,6 +247,32 @@ class SimilaritySpec extends SparkSpec {
     val sil = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("silhouette")).toMap
     val core = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(sil)
     core.min should be > sil(6L) // every core point beats the straggler
+  }
+
+  "embedIsotropy" should "match a naive driver-side computation and its eigen bounds" in {
+    val row = Similarity.embedIsotropy(spark, sfDir).collect().head
+    val n = row.getAs[Long]("n")
+    val meanShare = row.getAs[Double]("mean_share")
+    val l1 = row.getAs[Double]("lambda1_share")
+    // naive reference from the collected table and the PUBLISHED u1
+    val xs = emb.orderBy($"vec_id").select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val u = Similarity.embedPca(spark, sfDir).orderBy($"dim")
+      .collect().map(_.getAs[Double]("loading"))
+    val d = xs.head.length
+    val mu = Array.tabulate(d)(j => xs.map(_(j)).sum / xs.length)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (p, q) => p * q }.sum
+    val sxx = xs.map(x => dot(x, x)).sum
+    val sxxc = xs.map { x => val c = x.zip(mu).map { case (a, m) => a - m }; dot(c, c) }.sum
+    val ssc2 = xs.map { x => val s = dot(x, u) - dot(mu, u); s * s }.sum
+    n shouldBe xs.length.toLong
+    meanShare shouldBe dot(mu, mu) / (sxx / xs.length) +- 1e-4
+    l1 shouldBe ssc2 / sxxc +- 1e-4
+    row.getAs[Double]("avg_cnorm") shouldBe math.sqrt(sxxc / xs.length) +- 1e-4
+    // the top direction owns at least the average share (1/d) and at
+    // most everything; the mean share is a nonnegative fraction
+    l1 should (be >= 1.0 / d and be <= 1.0)
+    meanShare should (be >= 0.0 and be <= 1.0)
   }
 
   "ivfPqTopK" should "be pqTopK's ADC restricted to the probed coarse cells" in {
