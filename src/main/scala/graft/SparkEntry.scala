@@ -388,6 +388,8 @@ object SparkEntry {
     "embed_isotropy" -> (Similarity.embedIsotropy _),
     // fourth recall curve: SQ's loss is the shortlist margin only
     "ann_recall_sq" -> (Similarity.annRecallSq _),
+    // per-lang tokenizer parity off the shared (memoized) BPE training
+    "tokenize_fertility" -> (Tokenizer.tokenizeFertility _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -665,6 +667,7 @@ object SparkEntry {
     "text_code_detect" -> TextAnalysis.textCodeDetectSql,
     "embed_isotropy" -> Similarity.embedIsotropySql,
     "ann_recall_sq" -> Similarity.annRecallSqSql,
+    "tokenize_fertility" -> Tokenizer.tokenizeFertilitySql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

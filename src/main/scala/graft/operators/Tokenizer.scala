@@ -141,11 +141,97 @@ object Tokenizer {
       .withColumn("ratio", round(col("n_tokens").cast("double") / col("n_chars"), 6))
   }
 
+  // The registry has three consumers of the SAME training run (merge
+  // table, per-doc encode, per-lang fertility); a real pipeline trains
+  // once and every report reads the trained artifact. Train once per
+  // (SparkSession, sfDir) — the final vocabulary is already
+  // localCheckpoint'd by the round loop, and the merge table is a
+  // driver-size local relation — and let consumers share it (the
+  // minedJaccardFor discipline, including the dead-session eviction).
+  private val trainCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private val trainLock = new Object
+
+  /** (merges, final vocab) for the registry's fixed 10-round training
+    * run, computed once per (SparkSession, sfDir).
+    */
+  def trainedFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    trainCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) trainCache.remove(k): Unit
+    }
+    val key = (spark, dir)
+    trainCache.getOrElse(
+      key,
+      trainLock.synchronized {
+        trainCache.getOrElseUpdate(key, bpeTrain(Tables.documents(spark, dir)))
+      }
+    )
+  }
+
+  /** The (doc_id, word) stream + vocabulary join behind every encode
+    * consumer: per-doc word/char/token partial sums.
+    */
+  private def encodedDocWords(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val enc = vocab.select(col("word"), size(col("syms")).cast("long").as("w_tokens"))
+    docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(expr(TextAnalysis.NormSql), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("w_tokens")).as("n_tokens")
+      )
+  }
+
   def trainBpe(spark: SparkSession, dir: String): DataFrame =
-    bpeMerges(Tables.documents(spark, dir))
+    trainedFor(spark, dir)._1
 
   def tokenizeBpe(spark: SparkSession, dir: String): DataFrame =
-    bpeEncodeStats(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    encodedDocWords(Tables.documents(spark, dir), trainedFor(spark, dir)._2)
+      .withColumn("ratio", round(col("n_tokens").cast("double") / col("n_chars"), 6))
+      .orderBy(col("doc_id"))
+
+  /** Per-language tokenizer fertility under the trained BPE — the
+    * standard multilingual tokenizer-parity report (how many tokens a
+    * word costs per language, and how many characters each token
+    * carries): a tokenizer trained on a skewed mix over-fragments the
+    * under-represented languages, which silently inflates their
+    * training/inference cost per character; pipelines gate the merge
+    * budget and the language mix on exactly this table.
+    *
+    * Scale shape: composes the per-doc encode rollup (word-keyed
+    * vocabulary join, per-doc partial agg — the proven tokenize_bpe
+    * plan) with a doc-keyed attach of the language column and a
+    * |langs|-row rollup; nothing wider than the vocabulary relation
+    * ever shuffles, and the fertility division happens once per lang
+    * row. Portability: integer sums all the way, two pinned round-6
+    * divisions at the end.
+    */
+  def tokenizeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    encodedDocWords(docs, trainedFor(spark, dir)._2)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens")
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_words"),
+        col("n_chars"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token")
+      )
+      .orderBy(col("lang"))
+  }
 
   /** The merge trajectory unrolled round by round in MATERIALIZED CTEs:
     * identical pair grid (1-based adjacent indices), identical
@@ -219,5 +305,36 @@ object Tokenizer {
        |WHERE LENGTH(d.word) > 0
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Fertility oracle: the identical training replay and per-doc word
+    * join, rolled up per language with the same two round-6 divisions.
+    */
+  val tokenizeFertilitySql: String = {
+    val rounds = 10
+    s"""WITH ${bpeCtesSql(rounds)},
+       |docw AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0),
+       |perdoc AS (
+       |  SELECT d.doc_id,
+       |    COUNT(*) AS n_words,
+       |    CAST(SUM(LENGTH(d.word)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens
+       |  FROM docw d JOIN vocab$rounds v ON v.word = d.word
+       |  WHERE LENGTH(d.word) > 0
+       |  GROUP BY d.doc_id)
+       |SELECT doc.lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(p.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(SUM(p.n_tokens) AS DOUBLE) / CAST(SUM(p.n_words) AS DOUBLE), 6) AS fertility,
+       |  ROUND(CAST(SUM(p.n_chars) AS DOUBLE) / CAST(SUM(p.n_tokens) AS DOUBLE), 6) AS chars_per_token
+       |FROM perdoc p JOIN documents doc ON doc.doc_id = p.doc_id
+       |GROUP BY doc.lang
+       |ORDER BY doc.lang""".stripMargin
   }
 }

@@ -53,6 +53,33 @@ class TokenizerSpec extends SparkSpec {
     rows(1).getAs[Long]("n_tokens") shouldBe 2L // cd alone never merges
   }
 
+  "tokenizeFertility" should "roll the per-doc encode up by language with consistent bounds" in {
+    import org.apache.spark.sql.functions.col
+    val rows = Tokenizer.tokenizeFertility(spark, sfDir).collect()
+    rows.length should be >= 2 // testdata carries several languages
+    // recompute one language's row from the published per-doc stats
+    val perDoc = Tokenizer.tokenizeBpe(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect()
+      .groupBy(_.getAs[String]("lang"))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val docs = perDoc(lang)
+      r.getAs[Long]("n_docs") shouldBe docs.length.toLong
+      val (w, c, t) = (
+        docs.map(_.getAs[Long]("n_words")).sum,
+        docs.map(_.getAs[Long]("n_chars")).sum,
+        docs.map(_.getAs[Long]("n_tokens")).sum
+      )
+      r.getAs[Long]("n_tokens") shouldBe t
+      r.getAs[Double]("fertility") shouldBe t.toDouble / w +- 1e-6
+      r.getAs[Double]("chars_per_token") shouldBe c.toDouble / t +- 1e-6
+      // a word is at least one token; a token at most a word's chars
+      r.getAs[Double]("fertility") should be >= 1.0
+      r.getAs[Double]("chars_per_token") should be >= 1.0
+    }
+  }
+
   it should "never beat character count and agree with the merge-table size" in {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
