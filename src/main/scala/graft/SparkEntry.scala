@@ -390,6 +390,8 @@ object SparkEntry {
     "ann_recall_sq" -> (Similarity.annRecallSq _),
     // per-lang tokenizer parity off the shared (memoized) BPE training
     "tokenize_fertility" -> (Tokenizer.tokenizeFertility _),
+    // coreness ladder over the near-dup graph: iterated h-index rounds
+    "graph_kcore" -> (Dedup.graphKcore _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -668,6 +670,7 @@ object SparkEntry {
     "embed_isotropy" -> Similarity.embedIsotropySql,
     "ann_recall_sq" -> Similarity.annRecallSqSql,
     "tokenize_fertility" -> Tokenizer.tokenizeFertilitySql,
+    "graph_kcore" -> Dedup.graphKcoreSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

@@ -2128,6 +2128,97 @@ object Dedup {
        |  CASE WHEN var > 0.0 THEN ROUND(cov / var, 6) END AS assortativity
        |FROM f""".stripMargin
 
+  /** Coreness of every node in the near-dup graph by the iterated
+    * h-index fixpoint (Lü, Chen, Ren, Zhou, Zhang & Stanley, Nature
+    * Communications 2016: h⁰ = degree; hⁿ⁺¹(u) = H(hⁿ over u's
+    * neighbors); hⁿ → coreness) — the density ladder BETWEEN
+    * [[triangleStats]]' local view and [[labelPropagation]]'s
+    * communities: a node's coreness says how deep it sits inside a
+    * template family (coreness 1 = tail variant hanging off the
+    * family, ≥ 3 = member of a dense re-crawl clique), which is the
+    * signal a curator ranks survivors by before collapsing a cluster.
+    * Fixed synchronous `rounds` — deterministic, integer-only,
+    * oracle-reproducible round for round; on bucket-capped mined
+    * graphs the fixpoint lands in a handful of rounds (monotone
+    * non-increasing, bounded below by the true coreness).
+    *
+    * Scale shape: every round is one edges⋈values join co-keyed on
+    * the node id, a per-node window over the NEIGHBOR LIST (bounded by
+    * degree, which is bucket-capped post-mining — never corpus-grain),
+    * and a per-node max — all at mined-pair scale; values eagerly
+    * checkpointed per round (the LPA/pageRank plan-flatness
+    * discipline). The h-index itself is max(min(value, rank)) over
+    * neighbors sorted by value descending — rank-tie order cannot move
+    * it, but the sort still pins a (value desc, v) total order so both
+    * engines window identically.
+    */
+  def kcoreness(pairsIn: DataFrame, rounds: Int = 4): DataFrame = {
+    val pairs = pairsIn
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(true)
+    val edges = pairs
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var h = deg.select(col("u").as("node"), col("deg").cast("long").as("hv"))
+    for (_ <- 1 to rounds) {
+      val next = edges
+        .join(h.select(col("node").as("__v2"), col("hv")), col("v") === col("__v2"))
+        .withColumn(
+          "__rn",
+          row_number().over(
+            Window.partitionBy(col("u")).orderBy(col("hv").desc, col("v"))
+          )
+        )
+        .groupBy(col("u"))
+        .agg(max(least(col("hv"), col("__rn").cast("long"))).as("hv"))
+        .select(col("u").as("node"), col("hv"))
+        .localCheckpoint(true)
+      h.unpersist(false)
+      h = next
+    }
+    deg
+      .join(h, col("u") === col("node"))
+      .select(col("u").as("doc_id"), col("deg").as("degree"), col("hv").as("coreness"))
+  }
+
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreness(
+      minedPairsFor(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+    ).orderBy(col("doc_id"))
+
+  /** Coreness oracle: the shared minhash pair pipeline feeding the
+    * identical synchronous h-index rounds, unrolled one CTE per round
+    * with the same (value desc, v) neighbor ranking — integer-exact.
+    */
+  val graphKcoreSql: String = {
+    val rounds = 4
+    val iterCtes = (1 to rounds)
+      .map { i =>
+        s"""kh$i AS (
+           |  SELECT u AS node, MAX(LEAST(hv, rn)) AS hv FROM (
+           |    SELECT e.u, p.hv,
+           |      ROW_NUMBER() OVER (PARTITION BY e.u
+           |                         ORDER BY p.hv DESC, e.v) AS rn
+           |    FROM kedges e JOIN kh${i - 1} p ON p.node = e.v) t
+           |  GROUP BY u)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $MinhashPipelineCtes,
+       |vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |kedges AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS v FROM vpairs
+       |  UNION ALL
+       |  SELECT doc_b AS u, doc_a AS v FROM vpairs),
+       |kdeg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM kedges GROUP BY u),
+       |kh0 AS (SELECT u AS node, deg AS hv FROM kdeg),
+       |$iterCtes
+       |SELECT d.u AS doc_id, d.deg AS degree, CAST(h.hv AS BIGINT) AS coreness
+       |FROM kdeg d JOIN kh$rounds h ON h.node = d.u
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Cluster oracle: the full minhash pipeline CTEs feed a recursive
     * transitive closure (UNION dedups, so cycles terminate); each
     * node's cluster is the minimum id it can reach, survivor = itself.

@@ -501,6 +501,31 @@ class DedupSpec extends SparkSpec {
     m.getAs[Long]("n_edges") shouldBe 6L
   }
 
+  "kcoreness" should "reach the exact coreness on canonical graphs within the fixed rounds" in {
+    // triangle {0,1,2} with tail 2-3: coreness 2,2,2 and 1 at the tail
+    val triTail = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val t = Dedup.kcoreness(triTail).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("coreness")).toMap
+    t shouldBe Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L)
+    // 4-clique: every node coreness 3
+    val clique = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("doc_a", "doc_b")
+    Dedup.kcoreness(clique).collect()
+      .map(_.getAs[Long]("coreness")).toSeq shouldBe Seq.fill(4)(3L)
+    // star: the hub's h-index collapses from degree 4 to 1 in one round
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("doc_a", "doc_b")
+    val s = Dedup.kcoreness(star).collect()
+    s.map(_.getAs[Long]("coreness")).distinct.toSeq shouldBe Seq(1L)
+    s.find(_.getAs[Long]("doc_id") == 0L).get.getAs[Long]("degree") shouldBe 4L
+    // coreness never exceeds degree on a mixed graph
+    val mixed = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (4L, 0L))
+      .toDF("doc_a", "doc_b")
+    Dedup.kcoreness(mixed).collect().foreach { r =>
+      r.getAs[Long]("coreness") should be <= r.getAs[Long]("degree")
+      r.getAs[Long]("coreness") should be >= 1L
+    }
+  }
+
   "labelPropagation" should "settle each clique on its minimum id and keep a one-edge bridge from merging them" in {
     // two cliques {0,1,2,3} and {10,11,12} joined by the single bridge
     // 3-10: connected components would merge them; LPA majorities must
