@@ -392,6 +392,8 @@ object SparkEntry {
     "tokenize_fertility" -> (Tokenizer.tokenizeFertility _),
     // coreness ladder over the near-dup graph: iterated h-index rounds
     "graph_kcore" -> (Dedup.graphKcore _),
+    // 1/f aperiodic exponent: log-log OLS over the welch summary
+    "ts_psd_slope" -> (Timeseries.tsPsdSlope _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -671,6 +673,7 @@ object SparkEntry {
     "ann_recall_sq" -> Similarity.annRecallSqSql,
     "tokenize_fertility" -> Tokenizer.tokenizeFertilitySql,
     "graph_kcore" -> Dedup.graphKcoreSql,
+    "ts_psd_slope" -> Timeseries.tsPsdSlopeSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

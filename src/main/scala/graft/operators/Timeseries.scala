@@ -3731,6 +3731,111 @@ object Timeseries {
       |FROM agg
       |ORDER BY channel""".stripMargin
 
+  /** Aperiodic (1/f) spectral exponent per channel: OLS fit of
+    * log-power on log-harmonic over the Welch-averaged spectrum —
+    * psd ∝ 1/f^α ⇒ log psd = −α·log f + c, so the NEGATED slope is
+    * the aperiodic exponent the FOOOF-style decompositions report
+    * (Donoghue et al., Nature Neuroscience 2020): α ≈ 0 = white,
+    * ≈ 2 = Brownian/integrated noise; EEG pipelines track α as an
+    * arousal/pathology covariate and subtract the fit before calling
+    * anything an oscillation. r² says how much of the spectrum the
+    * aperiodic line explains (low r² = strong peaked rhythms).
+    *
+    * Scale shape: runs entirely ON the welchPsd summary relation
+    * (channels × |ks| rows — the one sample-scale pass is bandPower's
+    * partial agg); the fit is a channel-grain five-moment agg over
+    * |ks| points. Portability: both logs round to 9 before the
+    * DECIMAL-routed moment sums, slope/intercept/r² evaluate in one
+    * pinned expression order, round 6; non-positive powers drop
+    * before the log (both engines), channels left with < 2 points
+    * drop entirely.
+    */
+  def psdSlope(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame = {
+    val psd = welchPsd(ts, windowUs, ks)
+      .select(col("channel"), col("k"), col("psd_mean"))
+      .filter(col("psd_mean") > 0)
+    val x = round(log(col("k").cast("double")), 9)
+    val y = round(log(col("psd_mean")), 9)
+    val n = col("n_pts").cast("double")
+    val sdn = n * col("sxy") - col("sx") * col("sy")
+    val sdx = n * col("sxx") - col("sx") * col("sx")
+    val sdy = n * col("syy") - col("sy") * col("sy")
+    psd
+      .select(col("channel"), x.as("__x"), y.as("__y"))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_pts"),
+        detSum(col("__x")).as("sx"),
+        detSum(col("__y")).as("sy"),
+        detSum(col("__x") * col("__x")).as("sxx"),
+        detSum(col("__x") * col("__y")).as("sxy"),
+        detSum(col("__y") * col("__y")).as("syy")
+      )
+      .filter(col("n_pts") >= 2)
+      .select(
+        col("channel"),
+        col("n_pts"),
+        round(sdn / sdx, 6).as("slope"),
+        round(-sdn / sdx, 6).as("exponent"),
+        round((col("sy") - (sdn / sdx) * col("sx")) / n, 6).as("intercept"),
+        when(sdy > 0, round(sdn * sdn / (sdx * sdy), 6)).as("r2")
+      )
+  }
+
+  def tsPsdSlope(spark: SparkSession, dir: String): DataFrame =
+    psdSlope(Tables.ts(spark, dir), windowUs = 86400000000L)
+      .orderBy(col("channel"))
+
+  /** Oracle: the Welch pipeline nested verbatim, identical round-9
+    * logs, DECIMAL moment sums, pinned slope/intercept/r² order.
+    */
+  val tsPsdSlopeSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 86400000000 AS win, value AS v,
+      |    CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0 AS frac
+      |  FROM events),
+      |e AS (
+      |  SELECT channel, win, v, frac, ks.k AS k
+      |  FROM x CROSS JOIN (SELECT UNNEST(range(1, 5)) AS k) ks),
+      |a AS (
+      |  SELECT channel, win, k, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v * cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c,
+      |    CAST(SUM(CAST(v * sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s
+      |  FROM e GROUP BY 1, 2, 3),
+      |pw AS (
+      |  SELECT channel, win, k,
+      |    ROUND((c / n) * (c / n) + (s / n) * (s / n), 6) AS power
+      |  FROM a),
+      |r AS (
+      |  SELECT channel, k, COUNT(*) AS n_windows,
+      |    CAST(SUM(CAST(power AS DECIMAL(27,10))) AS DOUBLE) AS s1
+      |  FROM pw GROUP BY 1, 2),
+      |psd AS (
+      |  SELECT channel, k, ROUND(s1 / n_windows, 6) AS psd_mean FROM r),
+      |pts AS (
+      |  SELECT channel,
+      |    ROUND(LN(CAST(k AS DOUBLE)), 9) AS lx,
+      |    ROUND(LN(psd_mean), 9) AS ly
+      |  FROM psd WHERE psd_mean > 0),
+      |mo AS (
+      |  SELECT channel, COUNT(*) AS n_pts,
+      |    CAST(SUM(CAST(lx AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ly AS DECIMAL(27,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(lx * lx AS DECIMAL(27,10))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(lx * ly AS DECIMAL(27,10))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ly * ly AS DECIMAL(27,10))) AS DOUBLE) AS syy
+      |  FROM pts GROUP BY channel)
+      |SELECT channel, n_pts,
+      |  ROUND((n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx), 6) AS slope,
+      |  ROUND(-(n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx), 6) AS exponent,
+      |  ROUND((sy - ((n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx)) * sx) / n_pts, 6) AS intercept,
+      |  CASE WHEN n_pts * syy - sy * sy > 0
+      |       THEN ROUND((n_pts * sxy - sx * sy) * (n_pts * sxy - sx * sy)
+      |                  / ((n_pts * sxx - sx * sx) * (n_pts * syy - sy * sy)), 6) END AS r2
+      |FROM mo WHERE n_pts >= 2
+      |ORDER BY channel""".stripMargin
+
   /** Dominant harmonic per channel (the "alpha peak" readout): the k
     * whose Welch-averaged power is largest, with its share of the
     * channel's total harmonic power. Ties break toward the lowest k.

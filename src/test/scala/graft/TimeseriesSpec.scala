@@ -1403,6 +1403,34 @@ class TimeseriesSpec extends SparkSpec {
     rows.head.getAs[Double]("power_frac") should be > 0.95
   }
 
+  "psdSlope" should "recover the exponent of a planted 1/k^2 spectrum with r2 ~ 1" in {
+    // v = sum_k (1/k) cos(2pi k frac) over one exact window: DFT
+    // orthogonality puts power(k) = 1/(4 k^2), so log-power on log-k
+    // is an exact line of slope -2 (exponent 2)
+    val n = 1024
+    val W = 1024L
+    val ts = mkTs((0 until n).map { i =>
+      val frac = i.toDouble / n
+      val v = (1 to 4).map(k => math.cos(2 * math.Pi * k * frac) / k).sum
+      ("c", (frac * W).toLong, v)
+    })
+    val rows = Timeseries.psdSlope(ts, windowUs = W).collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    r.getAs[Long]("n_pts") shouldBe 4L
+    r.getAs[Double]("slope") shouldBe -2.0 +- 0.01
+    r.getAs[Double]("exponent") shouldBe 2.0 +- 0.01
+    r.getAs[Double]("r2") should be > 0.999
+    // white spectrum: equal power at every harmonic -> slope ~ 0
+    val white = mkTs((0 until n).map { i =>
+      val frac = i.toDouble / n
+      val v = (1 to 4).map(k => math.cos(2 * math.Pi * k * frac)).sum
+      ("c", (frac * W).toLong, v)
+    })
+    val w = Timeseries.psdSlope(white, windowUs = W).collect().head
+    w.getAs[Double]("slope") shouldBe 0.0 +- 0.01
+  }
+
   "peaks" should "mark local maxima above the floor, plateau firsts only, edges never" in {
     // 0,10,0,10,10,0,... : isolated peak at i=1; plateau (i=3,4) marks
     // only i=3; final sample i=9 is high but has no successor — drops
