@@ -394,6 +394,8 @@ object SparkEntry {
     "graph_kcore" -> (Dedup.graphKcore _),
     // 1/f aperiodic exponent: log-log OLS over the welch summary
     "ts_psd_slope" -> (Timeseries.tsPsdSlope _),
+    // Engle-Granger two-step: shared-trend test per channel pair
+    "ts_cointegration" -> (Timeseries.tsCointegration _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -674,6 +676,7 @@ object SparkEntry {
     "tokenize_fertility" -> Tokenizer.tokenizeFertilitySql,
     "graph_kcore" -> Dedup.graphKcoreSql,
     "ts_psd_slope" -> Timeseries.tsPsdSlopeSql,
+    "ts_cointegration" -> Timeseries.tsCointegrationSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

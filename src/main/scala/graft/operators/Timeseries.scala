@@ -7997,6 +7997,149 @@ object Timeseries {
       |FROM f
       |ORDER BY channel""".stripMargin
 
+  /** Engle–Granger cointegration test per channel pair (Engle &
+    * Granger 1987 Econometrica — "do these two random walks share ONE
+    * common trend?"): step 1 regresses m_a on m_b over the aligned
+    * hourly grid; step 2 runs the no-constant Dickey–Fuller on the
+    * residual u_t = m_a − c − γ·m_b against the −3.34 two-variable 5%
+    * bar (MacKinnon). Two individually unit-rooted channels
+    * ([[dickeyFuller]]'s verdict) whose residual IS stationary move
+    * together long-run — the pairs-relationship [[tsGranger]]'s
+    * short-lag causality and [[spectralCoherence]]'s per-band phase
+    * locking both miss. Completes the unit-root protocol: ADF/KPSS
+    * decide per channel, this decides per pair.
+    *
+    * Scale shape: raw samples collapse ONCE to the hourly grid; the
+    * pair join fans channel² only within a bucket (summary grain —
+    * the ts_coherence shape); step-1 is one pair-grain moment agg
+    * whose (γ, c) — a channels²-row relation — BROADCASTS back onto
+    * the pair-bucket stream; the residual lag is one window pass over
+    * the REDUCED grid per pair; step-2 is a second pair-grain moment
+    * agg. Portability: moments through DECIMAL(38,10) in pinned
+    * order, γ/c/u round-9, β round-9, t round-6; degenerate pairs
+    * (regressor variance 0, exact fits) drop at the same guards as
+    * [[dickeyFuller]].
+    */
+  def engleGranger(ts: DataFrame, bucketUs: Long = BucketUs): DataFrame = {
+    val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val grid = ts
+      .groupBy(col("channel"), microsBucket(col("t"), bucketUs).as("bucket"))
+      .agg((sum(col("v").cast(dec2710)).cast("double") / count(lit(1))).as("m"))
+    val pairs = grid
+      .select(col("channel").as("ch_a"), col("bucket"), col("m").as("ma"))
+      .join(
+        grid.select(col("channel").as("ch_b"), col("bucket"), col("m").as("mb")),
+        Seq("bucket")
+      )
+      .filter(col("ch_a") < col("ch_b"))
+    val n1 = col("n_buckets").cast("double")
+    val s1 = pairs
+      .groupBy(col("ch_a"), col("ch_b"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("mb").cast(dec3810)).cast("double").as("__sx"),
+        sum(col("ma").cast(dec3810)).cast("double").as("__sy"),
+        sum((col("mb") * col("mb")).cast(dec3810)).cast("double").as("__sxx"),
+        sum((col("mb") * col("ma")).cast(dec3810)).cast("double").as("__sxy")
+      )
+      .filter(col("n_buckets") > 2)
+      .withColumn("__cxx", col("__sxx") - col("__sx") * col("__sx") / n1)
+      .withColumn("__cxy", col("__sxy") - col("__sx") * col("__sy") / n1)
+      .filter(col("__cxx") > 0.0)
+      .withColumn("gamma", round(col("__cxy") / col("__cxx"), 9))
+      .withColumn("c0", round((col("__sy") - col("gamma") * col("__sx")) / n1, 9))
+      .select(col("ch_a"), col("ch_b"), col("n_buckets"), col("gamma"), col("c0"))
+    val resid = pairs
+      .join(broadcast(s1), Seq("ch_a", "ch_b"))
+      .withColumn("__u", round(col("ma") - col("c0") - col("gamma") * col("mb"), 9))
+    val w = Window.partitionBy(col("ch_a"), col("ch_b")).orderBy(col("bucket"))
+    val d = resid
+      .withColumn("__x", lag(col("__u"), 1).over(w))
+      .filter(col("__x").isNotNull)
+      .withColumn("__y", col("__u") - col("__x"))
+    val n2 = col("__n2").cast("double")
+    d.groupBy(col("ch_a"), col("ch_b"), col("n_buckets"), col("gamma"), col("c0"))
+      .agg(
+        count(lit(1)).as("__n2"),
+        sum((col("__x") * col("__x")).cast(dec3810)).cast("double").as("__sxx2"),
+        sum((col("__x") * col("__y")).cast(dec3810)).cast("double").as("__sxy2"),
+        sum((col("__y") * col("__y")).cast(dec3810)).cast("double").as("__syy2")
+      )
+      .filter(col("__n2") > 2 && col("__sxx2") > 0.0)
+      .withColumn("beta", round(col("__sxy2") / col("__sxx2"), 9))
+      .withColumn("__rss", greatest(col("__syy2") - col("beta") * col("__sxy2"), lit(0.0)))
+      .withColumn("__s2", col("__rss") / (n2 - 1.0))
+      .filter(col("__s2") > 0.0)
+      .withColumn("adf_t", round(col("beta") / sqrt(col("__s2") / col("__sxx2")), 6))
+      .withColumn("cointegrated", col("adf_t") < -3.34)
+      .select("ch_a", "ch_b", "n_buckets", "gamma", "c0", "adf_t", "cointegrated")
+  }
+
+  def tsCointegration(spark: SparkSession, dir: String): DataFrame =
+    engleGranger(Tables.ts(spark, dir)).orderBy(col("ch_a"), col("ch_b"))
+
+  /** Engle–Granger oracle: identical grid, pair join, two-stage
+    * pinned moment algebra with the same round-9/round-6 gates.
+    */
+  val tsCointegrationSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS channel,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a.channel AS ch_a, b.channel AS ch_b, a.bucket,
+      |    a.m AS ma, b.m AS mb
+      |  FROM g a JOIN g b ON b.bucket = a.bucket AND a.channel < b.channel),
+      |s1 AS (
+      |  SELECT ch_a, ch_b, COUNT(*) AS n_buckets,
+      |    CAST(SUM(CAST(mb AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ma AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(mb * mb AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(mb * ma AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      |  FROM pr GROUP BY 1, 2),
+      |gm AS (
+      |  SELECT ch_a, ch_b, n_buckets, gamma,
+      |    ROUND((sy - gamma * sx) / CAST(n_buckets AS DOUBLE), 9) AS c0
+      |  FROM (
+      |    SELECT ch_a, ch_b, n_buckets, sx, sy,
+      |      ROUND((sxy - sx * sy / CAST(n_buckets AS DOUBLE))
+      |            / (sxx - sx * sx / CAST(n_buckets AS DOUBLE)), 9) AS gamma
+      |    FROM s1
+      |    WHERE n_buckets > 2
+      |      AND sxx - sx * sx / CAST(n_buckets AS DOUBLE) > 0.0) t),
+      |u AS (
+      |  SELECT p.ch_a, p.ch_b, p.bucket, gm.n_buckets, gm.gamma, gm.c0,
+      |    ROUND(p.ma - gm.c0 - gm.gamma * p.mb, 9) AS uu
+      |  FROM pr p JOIN gm ON gm.ch_a = p.ch_a AND gm.ch_b = p.ch_b),
+      |dl AS (
+      |  SELECT ch_a, ch_b, n_buckets, gamma, c0, uu,
+      |    LAG(uu) OVER (PARTITION BY ch_a, ch_b ORDER BY bucket) AS x
+      |  FROM u),
+      |dq AS (
+      |  SELECT ch_a, ch_b, n_buckets, gamma, c0, x, uu - x AS y
+      |  FROM dl WHERE x IS NOT NULL),
+      |s2 AS (
+      |  SELECT ch_a, ch_b, n_buckets, gamma, c0, COUNT(*) AS n2,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx2,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy2,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy2
+      |  FROM dq GROUP BY 1, 2, 3, 4, 5),
+      |b AS (
+      |  SELECT ch_a, ch_b, n_buckets, gamma, c0, n2, sxx2,
+      |    ROUND(sxy2 / sxx2, 9) AS beta,
+      |    GREATEST(syy2 - ROUND(sxy2 / sxx2, 9) * sxy2, 0.0)
+      |      / (CAST(n2 AS DOUBLE) - 1.0) AS s2v
+      |  FROM s2 WHERE n2 > 2 AND sxx2 > 0.0),
+      |f AS (
+      |  SELECT ch_a, ch_b, n_buckets, gamma, c0,
+      |    ROUND(beta / SQRT(s2v / sxx2), 6) AS adf_t
+      |  FROM b WHERE s2v > 0.0)
+      |SELECT ch_a, ch_b, n_buckets, gamma, c0, adf_t,
+      |  adf_t < -3.34 AS cointegrated
+      |FROM f
+      |ORDER BY ch_a, ch_b""".stripMargin
+
   /** Lo–MacKinlay variance-ratio random-walk test per channel (Lo &
     * MacKinlay 1988 RFS — does variance scale LINEARLY with horizon,
     * the random-walk signature?): VR(q) = Var(q-step diff)/(q·Var(

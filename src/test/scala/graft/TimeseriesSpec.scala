@@ -1403,6 +1403,43 @@ class TimeseriesSpec extends SparkSpec {
     rows.head.getAs[Double]("power_frac") should be > 0.95
   }
 
+  "engleGranger" should "flag the planted shared-trend pair and clear the independent walk" in {
+    // walk w shared by a and b (b = 2w + stationary wobble): their
+    // step-1 residual is stationary -> cointegrated; c walks its own
+    // path -> the residual inherits a unit root and the test clears it
+    val n = 300
+    val hr = 3600000000L
+    // deterministic +-1 LCG walks: genuinely unit-rooted, unlike
+    // bounded sin-sums which are stationary and cointegrate with
+    // everything
+    def walk(seed0: Long): IndexedSeq[Double] = {
+      var s = seed0; var acc = 0.0
+      (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        acc += (if (s > 0) 1.0 else -1.0)
+        acc
+      }
+    }
+    val w1 = walk(42L)
+    val w2 = walk(7777L)
+    val rows = (0 until n).flatMap { i =>
+      Seq(
+        ("a", i * hr, w1(i)),
+        ("b", i * hr, 2.0 * w1(i) + 0.5 * math.cos(i * 3.7)),
+        ("c", i * hr, w2(i))
+      )
+    }
+    val out = Timeseries.engleGranger(mkTs(rows)).collect()
+      .map(r => (r.getAs[String]("ch_a"), r.getAs[String]("ch_b")) -> r).toMap
+    val ab = out(("a", "b"))
+    ab.getAs[Long]("n_buckets") shouldBe n.toLong
+    ab.getAs[Double]("gamma") shouldBe 0.5 +- 0.05
+    ab.getAs[Double]("adf_t") should be < -3.34
+    ab.getAs[Boolean]("cointegrated") shouldBe true
+    out(("a", "c")).getAs[Boolean]("cointegrated") shouldBe false
+    out(("b", "c")).getAs[Boolean]("cointegrated") shouldBe false
+  }
+
   "psdSlope" should "recover the exponent of a planted 1/k^2 spectrum with r2 ~ 1" in {
     // v = sum_k (1/k) cos(2pi k frac) over one exact window: DFT
     // orthogonality puts power(k) = 1/(4 k^2), so log-power on log-k
