@@ -396,6 +396,8 @@ object SparkEntry {
     "ts_psd_slope" -> (Timeseries.tsPsdSlope _),
     // Engle-Granger two-step: shared-trend test per channel pair
     "ts_cointegration" -> (Timeseries.tsCointegration _),
+    // recurrence quantification: RR/DET/Lmax over the PAA grid
+    "ts_rqa" -> (Timeseries.tsRqa _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -677,6 +679,7 @@ object SparkEntry {
     "graph_kcore" -> Dedup.graphKcoreSql,
     "ts_psd_slope" -> Timeseries.tsPsdSlopeSql,
     "ts_cointegration" -> Timeseries.tsCointegrationSql,
+    "ts_rqa" -> Timeseries.tsRqaSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

@@ -2038,6 +2038,188 @@ object Timeseries {
       |FROM rn WHERE rn = 1
       |ORDER BY channel, win, i""".stripMargin
 
+  /** Recurrence quantification per (channel, window) (Zbilut & Webber
+    * 1992; Marwan et al., Physics Reports 2007 — how often does the
+    * trajectory REVISIT a state, and do revisits come in deterministic
+    * runs?): m=2 delay embedding of the z-normalized PAA grid, a
+    * recurrence when the Chebyshev distance of two templates is ≤ ε,
+    * and the three canonical RQA numbers — recurrence rate RR
+    * (recurrent share of admissible pairs), determinism DET (share of
+    * recurrent points sitting on diagonal lines of length ≥ 2 — runs
+    * of (i,j),(i+1,j+1) recurrences = "the system repeats whole
+    * SEGMENTS", the signature separating deterministic cycling from
+    * incidental revisits), and the longest diagonal Lmax (inverse
+    * divergence proxy). Complements [[sampleEntropy]] (which counts
+    * the same template matches but reports a rate, not structure) and
+    * [[matrixProfile]] (nearest neighbor only; RQA sees ALL
+    * neighbors).
+    *
+    * Scale shape: one partial agg to the PAA grid; per-window moments
+    * at (channel, window) grain joined back at summary grain; the
+    * O(g²) pair join and the gaps-and-islands diagonal detection
+    * (ROW_NUMBER difference per diagonal offset) run strictly on the
+    * ≤g-row summary grid — bounded by the window/bucket ratio,
+    * regardless of raw sample rate. Portability: PAA/μ/σ/z round-9,
+    * the ε compare sees bit-identical doubles both engines, the line
+    * machinery is pure integers; RR/DET round at 6. Flat windows
+    * (σ=0) and windows with < 3 templates drop.
+    */
+  def rqa(
+    ts: DataFrame,
+    windowUs: Long,
+    bucketUs: Long = BucketUs,
+    eps: Double = 0.2
+  ): DataFrame = {
+    val paa = ts
+      .select(
+        col("channel"),
+        floor(col("t") / lit(windowUs)).cast("long").as("win"),
+        floor((col("t") % lit(windowUs)) / lit(bucketUs)).cast("long").as("bucket"),
+        col("v")
+      )
+      .groupBy(col("channel"), col("win"), col("bucket"))
+      .agg(round(detSum(col("v")) / count(lit(1)), 9).as("paa"))
+    val stats = paa
+      .groupBy(col("channel"), col("win"))
+      .agg(
+        count(lit(1)).as("__nb"),
+        detSum(col("paa")).as("__s1"),
+        detSum(col("paa") * col("paa")).as("__s2")
+      )
+      .withColumn("__mu", round(col("__s1") / col("__nb"), 9))
+      .withColumn(
+        "__sig",
+        round(
+          sqrt(greatest(col("__s2") / col("__nb") - col("__mu") * col("__mu"), lit(0.0))),
+          9
+        )
+      )
+      .filter(col("__sig") > 0.0)
+      .select(col("channel"), col("win"), col("__mu"), col("__sig"))
+    val ord = Window.partitionBy(col("channel"), col("win")).orderBy(col("bucket"))
+    val emb = paa
+      .join(stats, Seq("channel", "win"))
+      .withColumn("__z", round((col("paa") - col("__mu")) / col("__sig"), 9))
+      .withColumn("__z1", lead(col("__z"), 1).over(ord))
+      .withColumn("__b1", lead(col("bucket"), 1).over(ord))
+      .filter(col("__b1") === col("bucket") + 1)
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .select(col("channel"), col("win"), col("i"), col("__z"), col("__z1"))
+    val rhs = emb.select(
+      col("channel"),
+      col("win"),
+      col("i").as("j"),
+      col("__z").as("__y"),
+      col("__z1").as("__y1")
+    )
+    val rec = emb
+      .join(rhs, Seq("channel", "win"))
+      .filter(col("j") - col("i") >= 2)
+      .filter(greatest(abs(col("__z") - col("__y")), abs(col("__z1") - col("__y1"))) <= eps)
+      .select(col("channel"), col("win"), col("i"), col("j"), (col("j") - col("i")).as("d"))
+    val lines = rec
+      .withColumn(
+        "__rn",
+        row_number().over(
+          Window.partitionBy(col("channel"), col("win"), col("d")).orderBy(col("i"))
+        )
+      )
+      .groupBy(col("channel"), col("win"), col("d"), (col("i") - col("__rn")).as("__isl"))
+      .agg(count(lit(1)).as("len"))
+    val per = lines
+      .groupBy(col("channel"), col("win"))
+      .agg(
+        sum(col("len")).as("__nrec"),
+        sum(when(col("len") >= 2, col("len")).otherwise(lit(0L))).as("__det_num"),
+        max(col("len")).as("__lmax")
+      )
+    val npts = emb.groupBy(col("channel"), col("win")).agg(count(lit(1)).as("n_points"))
+    val nAdm = (col("n_points") - 1).cast("double") * (col("n_points") - 2).cast("double") / 2.0
+    npts
+      .join(per, Seq("channel", "win"), "left")
+      .filter(col("n_points") >= 3)
+      .select(
+        col("channel"),
+        col("win"),
+        col("n_points"),
+        coalesce(col("__nrec"), lit(0L)).as("n_rec"),
+        round(coalesce(col("__nrec"), lit(0L)).cast("double") / nAdm, 6).as("rr"),
+        when(
+          coalesce(col("__nrec"), lit(0L)) > 0,
+          round(col("__det_num").cast("double") / col("__nrec"), 6)
+        ).as("det"),
+        coalesce(col("__lmax"), lit(0L)).as("lmax")
+      )
+  }
+
+  def tsRqa(spark: SparkSession, dir: String): DataFrame =
+    rqa(Tables.ts(spark, dir), windowUs = 604800000000L)
+      .orderBy(col("channel"), col("win"))
+
+  /** RQA oracle: identical PAA grid, per-window pinned moments,
+    * embedding LEADs, ε compare, and ROW_NUMBER-difference islands.
+    */
+  val tsRqaSql: String =
+    """WITH x AS (
+      |  SELECT event_type AS channel,
+      |    epoch_us(ts) // 604800000000 AS win,
+      |    (epoch_us(ts) % 604800000000) // 3600000000 AS bucket,
+      |    value AS v
+      |  FROM events),
+      |p AS (
+      |  SELECT channel, win, bucket,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 9) AS paa
+      |  FROM x GROUP BY 1, 2, 3),
+      |st AS (
+      |  SELECT channel, win, mu,
+      |    ROUND(SQRT(GREATEST(s2 / nb - mu * mu, 0.0)), 9) AS sig
+      |  FROM (
+      |    SELECT channel, win, COUNT(*) AS nb,
+      |      ROUND(CAST(SUM(CAST(paa AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 9) AS mu,
+      |      CAST(SUM(CAST(paa * paa AS DECIMAL(27,10))) AS DOUBLE) AS s2
+      |    FROM p GROUP BY 1, 2) t),
+      |z AS (
+      |  SELECT p.channel, p.win, p.bucket,
+      |    ROUND((p.paa - st.mu) / st.sig, 9) AS z
+      |  FROM p JOIN st ON st.channel = p.channel AND st.win = p.win AND st.sig > 0.0),
+      |e0 AS (
+      |  SELECT channel, win, bucket, z,
+      |    LEAD(z, 1) OVER o AS z1, LEAD(bucket, 1) OVER o AS b1
+      |  FROM z
+      |  WINDOW o AS (PARTITION BY channel, win ORDER BY bucket)),
+      |emb AS (
+      |  SELECT channel, win, z, z1,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY channel, win ORDER BY bucket) AS BIGINT) AS i
+      |  FROM e0 WHERE b1 = bucket + 1),
+      |rec AS (
+      |  SELECT l.channel, l.win, l.i, r.i AS j, r.i - l.i AS d
+      |  FROM emb l
+      |  JOIN emb r ON r.channel = l.channel AND r.win = l.win AND r.i - l.i >= 2
+      |  WHERE GREATEST(ABS(l.z - r.z), ABS(l.z1 - r.z1)) <= 0.2),
+      |lines AS (
+      |  SELECT channel, win, d, isl, COUNT(*) AS len FROM (
+      |    SELECT channel, win, d, i,
+      |      i - ROW_NUMBER() OVER (PARTITION BY channel, win, d ORDER BY i) AS isl
+      |    FROM rec) t
+      |  GROUP BY 1, 2, 3, 4),
+      |per AS (
+      |  SELECT channel, win,
+      |    CAST(SUM(len) AS BIGINT) AS nrec,
+      |    CAST(SUM(CASE WHEN len >= 2 THEN len ELSE 0 END) AS BIGINT) AS det_num,
+      |    CAST(MAX(len) AS BIGINT) AS lmax
+      |  FROM lines GROUP BY 1, 2),
+      |np AS (SELECT channel, win, COUNT(*) AS n_points FROM emb GROUP BY 1, 2)
+      |SELECT np.channel, np.win, np.n_points,
+      |  COALESCE(per.nrec, 0) AS n_rec,
+      |  ROUND(CAST(COALESCE(per.nrec, 0) AS DOUBLE)
+      |        / (CAST(np.n_points - 1 AS DOUBLE) * CAST(np.n_points - 2 AS DOUBLE) / 2.0), 6) AS rr,
+      |  CASE WHEN COALESCE(per.nrec, 0) > 0
+      |       THEN ROUND(CAST(per.det_num AS DOUBLE) / per.nrec, 6) END AS det,
+      |  COALESCE(per.lmax, 0) AS lmax
+      |FROM np LEFT JOIN per ON per.channel = np.channel AND per.win = np.win
+      |WHERE np.n_points >= 3
+      |ORDER BY np.channel, np.win""".stripMargin
+
   /** Sessionization over any id column (users here, the classic
     * pipeline op): a session breaks when an id's inter-event gap
     * reaches gapUs; each event gets its id's 1-based session ordinal.

@@ -1403,6 +1403,28 @@ class TimeseriesSpec extends SparkSpec {
     rows.head.getAs[Double]("power_frac") should be > 0.95
   }
 
+  "rqa" should "read a period-4 pattern as fully deterministic with the exact pair count" in {
+    // 32 buckets of the pattern [0,5,1,7]: recurrences exist only at
+    // diagonal offsets d = 4k, every one on a full-length diagonal
+    val pattern = Array(0.0, 5.0, 1.0, 7.0)
+    val ts = mkTs((0 until 32).map(i => ("c", i.toLong, pattern(i % 4))))
+    val rows = Timeseries.rqa(ts, windowUs = 32L, bucketUs = 1L).collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    r.getAs[Long]("n_points") shouldBe 31L // m=2 embedding of 32 buckets
+    // same-phase pairs at d in {4,8,...,28}: sum(31 - 4k) for k=1..7
+    r.getAs[Long]("n_rec") shouldBe (1 to 7).map(k => 31 - 4 * k).sum.toLong
+    r.getAs[Double]("rr") shouldBe (105.0 / (30 * 29 / 2)) +- 1e-6
+    r.getAs[Double]("det") shouldBe 1.0 // every recurrent point on a line >= 2
+    r.getAs[Long]("lmax") shouldBe 27L // the d=4 diagonal spans all 27 starts
+    // a linear ramp never revisits a state: the d>=2 Chebyshev gap is
+    // 2/sigma = 0.217 > eps, so zero recurrences
+    val ramp = mkTs((0 until 32).map(i => ("c", i.toLong, i.toDouble)))
+    val r2 = Timeseries.rqa(ramp, windowUs = 32L, bucketUs = 1L).collect().head
+    r2.getAs[Long]("n_rec") shouldBe 0L
+    r2.isNullAt(r2.fieldIndex("det")) shouldBe true
+  }
+
   "engleGranger" should "flag the planted shared-trend pair and clear the independent walk" in {
     // walk w shared by a and b (b = 2w + stationary wobble): their
     // step-1 residual is stationary -> cointegrated; c walks its own
