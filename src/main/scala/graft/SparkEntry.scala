@@ -398,6 +398,8 @@ object SparkEntry {
     "ts_cointegration" -> (Timeseries.tsCointegration _),
     // recurrence quantification: RR/DET/Lmax over the PAA grid
     "ts_rqa" -> (Timeseries.tsRqa _),
+    // Davies-Bouldin: the cheap k-selection curve off the shared Lloyd run
+    "cluster_db_index" -> (Similarity.clusterDbIndex _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -680,6 +682,7 @@ object SparkEntry {
     "ts_psd_slope" -> Timeseries.tsPsdSlopeSql,
     "ts_cointegration" -> Timeseries.tsCointegrationSql,
     "ts_rqa" -> Timeseries.tsRqaSql,
+    "cluster_db_index" -> Similarity.clusterDbIndexSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

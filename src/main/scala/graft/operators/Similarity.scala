@@ -827,6 +827,111 @@ object Similarity {
        |FROM kasg
        |ORDER BY vec_id""".stripMargin
 
+  /** Davies–Bouldin index over the k-means cells (Davies & Bouldin,
+    * IEEE TPAMI 1979 — the third internal-validation lens beside
+    * [[embedSilhouette]] (per-point separation) and [[clusterNmi]]
+    * (external labels): per cluster, how does within-cluster scatter
+    * compare against the gap to the MOST CONFUSABLE other cluster?
+    * R_i = max_{j≠i} (S_i+S_j)/M_ij, DB = mean R_i — lower is better;
+    * unlike silhouette it needs only k² centroid distances, so it is
+    * THE cheap k-selection curve a pipeline sweeps before committing
+    * a cartography run). Emits the per-cluster rows (n, S_i, R_i —
+    * which other cluster crowds you) plus the one DB number.
+    *
+    * Scale shape: S_i is a k-row aggregate over the assignment
+    * relation (the [[embedOutliers]] shape — corpus scanned once by
+    * the shared Lloyd trajectory, never reshuffled); M_ij comes from
+    * the k·dim DRIVER-side centroids with the same left-to-right dot
+    * fold both engines use, shipped as a k²-row literal; everything
+    * past the assignment is k-grain. Portability: member distances
+    * enter as the assignment's round-6 dist2, √ rounds at 9 before
+    * the DECIMAL sum, ratios round at 9 before the max, S/R at 6 and
+    * DB at 6 at the end.
+    */
+  def dbIndex(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val cents = kmeansCentroids(emb, k, iters)
+    def dotLR(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val mRows: Seq[(Long, Long, Double)] = for {
+      (i, ci) <- cents
+      (j, cj) <- cents if j != i
+    } yield (
+      i.toLong,
+      j.toLong,
+      math.sqrt(math.max(dotLR(ci, ci) - 2.0 * dotLR(ci, cj) + dotLR(cj, cj), 0.0))
+    )
+    val mDf = emb.sparkSession
+      .range(1)
+      .select(explode(typedlit(mRows)).as("p"))
+      .select(col("p._1").as("__i"), col("p._2").as("__j"), col("p._3").as("__mij"))
+    // assign against the SAME centroid set (one Lloyd trajectory, not
+    // a second run through kmeansAssign)
+    val fin = kmeansAssignStruct(col("v"), cents)
+    val s = emb
+      .select(col("vec_id"), col("embedding").as("v"))
+      .select(
+        fin.getField("cid").cast("long").as("cluster"),
+        round(fin.getField("d"), 6).as("dist2")
+      )
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(sqrt(col("dist2")), 9).cast(dec)).cast("double") / count(lit(1))).as("__si")
+      )
+    val r = mDf
+      .join(s.select(col("cluster").as("__i"), col("__si").as("__sa")), Seq("__i"))
+      .join(s.select(col("cluster").as("__j"), col("__si").as("__sb")), Seq("__j"))
+      .groupBy(col("__i").as("cluster"))
+      .agg(max(round((col("__sa") + col("__sb")) / col("__mij"), 9)).as("__r"))
+    val db = r.agg(
+      round(sum(col("__r").cast(dec)).cast("double") / count(lit(1)), 6).as("db_index")
+    )
+    s.join(r, Seq("cluster"))
+      .crossJoin(broadcast(db))
+      .select(
+        col("cluster"),
+        col("n"),
+        round(col("__si"), 6).as("s_intra"),
+        round(col("__r"), 6).as("r"),
+        col("db_index")
+      )
+  }
+
+  def clusterDbIndex(spark: SparkSession, dir: String): DataFrame =
+    dbIndex(Tables.embeddings(spark, dir)).orderBy(col("cluster"))
+
+  /** DB oracle: the proven k-means trajectory CTEs supply kasg and
+    * cent3; identical √/ratio rounding and the same i-then-j sum.
+    */
+  val clusterDbIndexSql: String =
+    s"""WITH $KmeansCtes,
+       |s AS (
+       |  SELECT cid, COUNT(*) AS n,
+       |    CAST(SUM(CAST(ROUND(SQRT(ROUND(d, 6)), 9) AS DECIMAL(27,10))) AS DOUBLE)
+       |      / COUNT(*) AS si
+       |  FROM kasg GROUP BY cid),
+       |m AS (
+       |  SELECT a.cid AS i, b.cid AS j,
+       |    SQRT(GREATEST(list_dot_product(a.cv, a.cv)
+       |      - 2.0 * list_dot_product(a.cv, b.cv)
+       |      + list_dot_product(b.cv, b.cv), 0.0)) AS mij
+       |  FROM cent$KmeansIters a JOIN cent$KmeansIters b ON a.cid <> b.cid),
+       |r AS (
+       |  SELECT m.i AS cluster, MAX(ROUND((sa.si + sb.si) / m.mij, 9)) AS r
+       |  FROM m JOIN s sa ON sa.cid = m.i JOIN s sb ON sb.cid = m.j
+       |  GROUP BY 1),
+       |db AS (
+       |  SELECT ROUND(CAST(SUM(CAST(r AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS db_index
+       |  FROM r)
+       |SELECT CAST(s.cid AS BIGINT) AS cluster, s.n, ROUND(s.si, 6) AS s_intra,
+       |  ROUND(r.r, 6) AS r, db.db_index
+       |FROM s JOIN r ON r.cluster = s.cid CROSS JOIN db
+       |ORDER BY cluster""".stripMargin
+
   /** Embedding-space outlier flags — the prototypicality gate that
     * prunes corrupt or off-manifold embeddings before they poison
     * nearest-neighbor mining: each vector's (already-deterministic)

@@ -127,6 +127,31 @@ class SimilaritySpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  "dbIndex" should "hit the closed-form value on two separated pairs and rank tight-vs-loose" in {
+    // clusters {(0,0),(0,2)} and {(10,0),(10,2)}: S = 1 each, M = 10,
+    // so every R = (1+1)/10 = 0.2 and DB = 0.2 exactly
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 2f)),
+      (2L, Array(10f, 0f)), (3L, Array(10f, 2f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.dbIndex(pts, k = 2, iters = 3).collect()
+    rows.length shouldBe 2
+    rows.foreach { r =>
+      r.getAs[Long]("n") shouldBe 2L
+      r.getAs[Double]("s_intra") shouldBe 1.0 +- 1e-6
+      r.getAs[Double]("r") shouldBe 0.2 +- 1e-6
+      r.getAs[Double]("db_index") shouldBe 0.2 +- 1e-6
+    }
+    // spreading one cluster out must worsen (raise) the index
+    val loose = Seq(
+      (0L, Array(0f, -3f)), (1L, Array(0f, 5f)),
+      (2L, Array(10f, 0f)), (3L, Array(10f, 2f))
+    ).toDF("vec_id", "embedding")
+    val dbLoose = Similarity.dbIndex(loose, k = 2, iters = 3)
+      .collect().head.getAs[Double]("db_index")
+    dbLoose should be > 0.2
+  }
+
   "annRecallSq" should "stay within bounds and equal a driver-side set intersection" in {
     val rows = Similarity.annRecallSq(spark, sfDir).collect()
     rows.length shouldBe Similarity.QueryCount
