@@ -344,8 +344,34 @@ object Similarity {
     * round is one corpus scan (assignment = literal-centroid
     * projection, update = k·dim-group partial aggregation) plus a
     * k·dim-row driver collect — the standard broadcast-update shape.
+    *
+    * Memoized per (session, input-plan semantic hash, k, iters): the
+    * registry has SEVEN consumers of the same trajectory (kmeans /
+    * outliers / silhouette / topics / nmi / ivf_kmeans / db_index),
+    * and a real pipeline trains the cartography once. The cached
+    * value is k·dim driver doubles — no executor-state lifecycle —
+    * and the semantic hash covers LocalRelation data, so spec-local
+    * inputs never collide; dead-session keys evict on access (the
+    * minedJaccardFor discipline).
     */
+  private val kmCentCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, Int, Int, Int), Seq[(Int, Seq[Double])]]()
+  private val kmCentLock = new Object
+
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    kmCentCache.keys.foreach { kk =>
+      if (kk._1.sparkContext.isStopped) kmCentCache.remove(kk): Unit
+    }
+    val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(), k, iters)
+    kmCentCache.getOrElse(
+      key,
+      kmCentLock.synchronized {
+        kmCentCache.getOrElseUpdate(key, kmeansCentroidsUncached(emb, k, iters))
+      }
+    )
+  }
+
+  private def kmeansCentroidsUncached(emb: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 10)
     val base = emb.select(col("vec_id"), col("embedding").as("v"))
     var cents: Seq[(Int, Seq[Double])] = emb
