@@ -400,6 +400,8 @@ object SparkEntry {
     "ts_rqa" -> (Timeseries.tsRqa _),
     // Davies-Bouldin: the cheap k-selection curve off the shared Lloyd run
     "cluster_db_index" -> (Similarity.clusterDbIndex _),
+    // per-bin cross-doc contamination report for concat-and-chunk packing
+    "pack_bins" -> (Packing.packBinsQ _),
     // IVFADC: coarse IVF cells + PQ asymmetric distance inside them,
     // sharing both existing index builds
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
@@ -683,6 +685,7 @@ object SparkEntry {
     "ts_cointegration" -> Timeseries.tsCointegrationSql,
     "ts_rqa" -> Timeseries.tsRqaSql,
     "cluster_db_index" -> Similarity.clusterDbIndexSql,
+    "pack_bins" -> Packing.packBinsSql,
     "ts_poincare" -> Timeseries.tsPoincareSql,
     "ts_matrix_profile" -> Timeseries.tsMatrixProfileSql,
     "ts_ljungbox" -> Timeseries.tsLjungboxSql,

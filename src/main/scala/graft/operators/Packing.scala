@@ -101,6 +101,94 @@ object Packing {
       |FROM c
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-bin composition report for the concat-and-chunk layout — the
+    * cross-document attention-contamination curve (Zhao et al. 2024
+    * "fewer truncations" line of work): concat-and-chunk wastes zero
+    * padding but makes every bin that mixes documents attend across
+    * unrelated contexts, and the standard diagnostic is exactly this
+    * table — how many documents each training sequence mixes, and how
+    * much of the sequence its DOMINANT document owns (main_frac → 1 =
+    * clean, → 1/n_docs = fully contaminated). Pipelines weigh this
+    * against the padding waste a no-split packer would pay.
+    *
+    * Scale shape: rides [[packSequences]]' two-phase prefix sum; the
+    * bin explode adds ~⌈n/L⌉ rows per doc (≤ 2 for typical docs);
+    * the rollup and the dominant-doc rank are keyed by BIN id — a
+    * fine-grained corpus-scale key (a few docs per bin), never a
+    * channel-alone window. Integer token arithmetic end to end;
+    * main_frac is the one round-6 division.
+    */
+  def packBins(docs: DataFrame, seqLen: Int, shardWidth: Long): DataFrame = {
+    val pk = packSequences(docs, seqLen, shardWidth)
+    val l = lit(seqLen.toLong)
+    val per = pk
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("t_offset"),
+        explode(sequence(col("bin_first"), col("bin_last"))).as("bin")
+      )
+      .withColumn(
+        "tok_in",
+        least((col("bin") + 1) * l, col("t_offset") + col("n_tokens")) -
+          greatest(col("bin") * l, col("t_offset"))
+      )
+      .filter(col("tok_in") > 0)
+    val agg = per
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok_in")).as("n_tokens"))
+    val main = per
+      .withColumn(
+        "__rn",
+        row_number().over(
+          Window.partitionBy(col("bin")).orderBy(col("tok_in").desc, col("doc_id"))
+        )
+      )
+      .filter(col("__rn") === 1)
+      .select(col("bin"), col("doc_id").as("main_doc"), col("tok_in").as("main_tokens"))
+    agg
+      .join(main, Seq("bin"))
+      .select(
+        col("bin"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("main_doc"),
+        col("main_tokens"),
+        round(col("main_tokens").cast("double") / col("n_tokens"), 6).as("main_frac")
+      )
+  }
+
+  def packBinsQ(spark: SparkSession, dir: String): DataFrame =
+    packBins(Tables.documents(spark, dir), seqLen = 128, shardWidth = 64L)
+      .orderBy(col("bin"))
+
+  /** Oracle: the pack prefix-sum CTE, the identical bin-span UNNEST
+    * and integer overlap arithmetic, the same (tokens desc, doc asc)
+    * dominant pick.
+    */
+  val packBinsSql: String =
+    s"""WITH pk AS ($packSequencesSql),
+       |per AS (
+       |  SELECT doc_id, n_tokens, t_offset, u.bin AS bin,
+       |    LEAST((u.bin + 1) * 128, t_offset + n_tokens)
+       |      - GREATEST(u.bin * 128, t_offset) AS tok_in
+       |  FROM pk, UNNEST(range(bin_first, bin_last + 1)) AS u(bin)),
+       |pp AS (SELECT * FROM per WHERE tok_in > 0),
+       |agg AS (
+       |  SELECT bin, COUNT(*) AS n_docs, CAST(SUM(tok_in) AS BIGINT) AS n_tokens
+       |  FROM pp GROUP BY bin),
+       |main AS (
+       |  SELECT bin, doc_id AS main_doc, CAST(tok_in AS BIGINT) AS main_tokens FROM (
+       |    SELECT bin, doc_id, tok_in,
+       |      ROW_NUMBER() OVER (PARTITION BY bin ORDER BY tok_in DESC, doc_id) AS rn
+       |    FROM pp) t
+       |  WHERE rn = 1)
+       |SELECT CAST(agg.bin AS BIGINT) AS bin, agg.n_docs, agg.n_tokens,
+       |  main.main_doc, main.main_tokens,
+       |  ROUND(CAST(main.main_tokens AS DOUBLE) / agg.n_tokens, 6) AS main_frac
+       |FROM agg JOIN main ON main.bin = agg.bin
+       |ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------------------
   // Token-balanced shard manifest (the distributed writer layout)
   // ---------------------------------------------------------------------

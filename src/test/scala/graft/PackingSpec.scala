@@ -31,6 +31,27 @@ class PackingSpec extends SparkSpec {
     )
   }
 
+  "packBins" should "report per-bin doc mix, dominant shares and min-doc tie-break" in {
+    // word counts 7, 6, 10, 3 at seqLen 10 -> offsets 0, 7, 13, 23:
+    // bin0 = {d0:7, d1:3}, bin1 = {d1:3, d2:7}, bin2 = {d2:3, d3:3}
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, words(7)), (1L, words(6)), (2L, words(10)), (3L, words(3))
+    ).toDF("doc_id", "text")
+    val got = Packing
+      .packBins(docs, seqLen = 10, shardWidth = 2L)
+      .orderBy("bin")
+      .select("bin", "n_docs", "n_tokens", "main_doc", "main_tokens", "main_frac")
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect()
+      .toList
+    got shouldBe List(
+      (0L, 2L, 10L, 0L, 7L, 0.7),
+      (1L, 2L, 10L, 2L, 7L, 0.7),
+      (2L, 2L, 6L, 2L, 3L, 0.5) // 3-3 tie breaks to the lower doc_id
+    )
+  }
+
   it should "be bit-identical for every shard width (two-phase scan == global scan)" in {
     // the distributed prefix sum must not depend on how the corpus is
     // sharded: sweep widths from per-doc shards to one giant shard
