@@ -1175,7 +1175,13 @@ object Similarity {
     * route through DECIMAL (counts² overflows long at corpus scale).
     * Portability: each ln term is ROUND(·,9) before its DECIMAL sum
     * (the corpus_pmi/ts_mi discipline); ratios form on the raw sums,
-    * outputs round to 6.
+    * outputs round to 6. The round-10 driver-red lesson: `mi`,
+    * `h_label` and `h_cluster` are exact DECIMAL quantities, so their
+    * final 6-round runs IN DECIMAL (BigDecimal HALF_UP and DuckDB's
+    * decimal ROUND agree on every exact decimal — no double half-grid
+    * to straddle), and every double-quotient output (`nmi`, `purity`,
+    * `ari`) carries a `+ 0.0` guard so a tiny-negative round's −0.0
+    * canonicalizes to +0.0 in both engines before hashing.
     */
   def clusterNmi(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 10)
@@ -1208,7 +1214,7 @@ object Similarity {
               ),
             9
           ).cast(dec)
-        ).cast("double").as("mi_raw"),
+        ).as("mi_dec"),
         sum((col("nij") * (col("nij") - 1)).cast(dec)).cast("double").as("sij2")
       )
     val huRow = labm
@@ -1219,7 +1225,7 @@ object Similarity {
             (col("ai").cast("double") / col("n")) * log(col("ai").cast("double") / col("n")),
             9
           ).cast(dec)
-        ).cast("double").as("__hun"),
+        ).as("hun_dec"),
         sum((col("ai") * (col("ai") - 1)).cast(dec)).cast("double").as("sa2")
       )
     val hvRow = clum
@@ -1230,7 +1236,7 @@ object Similarity {
             (col("bj").cast("double") / col("n")) * log(col("bj").cast("double") / col("n")),
             9
           ).cast(dec)
-        ).cast("double").as("__hvn"),
+        ).as("hvn_dec"),
         sum((col("bj") * (col("bj") - 1)).cast(dec)).cast("double").as("sb2"),
         sum(col("mx")).as("mxs")
       )
@@ -1247,15 +1253,16 @@ object Similarity {
         col("n"),
         col("n_labels"),
         col("n_clusters"),
-        round(col("mi_raw"), 6).as("mi"),
-        round(-col("__hun"), 6).as("h_label"),
-        round(-col("__hvn"), 6).as("h_cluster"),
-        round(
-          col("mi_raw") / nullif(sqrt(-col("__hun") * -col("__hvn")), lit(0.0)),
+        round(col("mi_dec"), 6).cast("double").as("mi"),
+        round(-col("hun_dec"), 6).cast("double").as("h_label"),
+        round(-col("hvn_dec"), 6).cast("double").as("h_cluster"),
+        (round(
+          col("mi_dec").cast("double") /
+            nullif(sqrt(-col("hun_dec").cast("double") * -col("hvn_dec").cast("double")), lit(0.0)),
           6
-        ).as("nmi"),
-        round(col("mxs").cast("double") / col("n"), 6).as("purity"),
-        round((sij - expI) / nullif((sa + sb) / lit(2.0) - expI, lit(0.0)), 6).as("ari")
+        ) + lit(0.0)).as("nmi"),
+        (round(col("mxs").cast("double") / col("n"), 6) + lit(0.0)).as("purity"),
+        (round((sij - expI) / nullif((sa + sb) / lit(2.0) - expI, lit(0.0)), 6) + lit(0.0)).as("ari")
       )
   }
 
@@ -1281,34 +1288,35 @@ object Similarity {
        |clum AS (SELECT cluster, SUM(nij) AS bj, MAX(nij) AS mx FROM cont GROUP BY 1),
        |mi AS (
        |  SELECT
-       |    CAST(SUM(CAST(ROUND((CAST(nij AS DOUBLE) / n) *
+       |    SUM(CAST(ROUND((CAST(nij AS DOUBLE) / n) *
        |      LN(CAST(n AS DOUBLE) * nij / (CAST(ai AS DOUBLE) * bj)), 9)
-       |      AS DECIMAL(27,10))) AS DOUBLE) AS mi_raw,
+       |      AS DECIMAL(27,10))) AS mi_dec,
        |    CAST(SUM(CAST(nij * (nij - 1) AS DECIMAL(27,10))) AS DOUBLE) AS sij2
        |  FROM cont
        |  JOIN labm USING (label) JOIN clum USING (cluster) CROSS JOIN tot),
        |hu AS (
        |  SELECT
-       |    CAST(SUM(CAST(ROUND((CAST(ai AS DOUBLE) / n) *
-       |      LN(CAST(ai AS DOUBLE) / n), 9) AS DECIMAL(27,10))) AS DOUBLE) AS hun,
+       |    SUM(CAST(ROUND((CAST(ai AS DOUBLE) / n) *
+       |      LN(CAST(ai AS DOUBLE) / n), 9) AS DECIMAL(27,10))) AS hun_dec,
        |    CAST(SUM(CAST(ai * (ai - 1) AS DECIMAL(27,10))) AS DOUBLE) AS sa2
        |  FROM labm CROSS JOIN tot),
        |hv AS (
        |  SELECT
-       |    CAST(SUM(CAST(ROUND((CAST(bj AS DOUBLE) / n) *
-       |      LN(CAST(bj AS DOUBLE) / n), 9) AS DECIMAL(27,10))) AS DOUBLE) AS hvn,
+       |    SUM(CAST(ROUND((CAST(bj AS DOUBLE) / n) *
+       |      LN(CAST(bj AS DOUBLE) / n), 9) AS DECIMAL(27,10))) AS hvn_dec,
        |    CAST(SUM(CAST(bj * (bj - 1) AS DECIMAL(27,10))) AS DOUBLE) AS sb2,
        |    SUM(mx) AS mxs
        |  FROM clum CROSS JOIN tot)
        |SELECT n, n_labels, n_clusters,
-       |  ROUND(mi_raw, 6) AS mi,
-       |  ROUND(-hun, 6) AS h_label,
-       |  ROUND(-hvn, 6) AS h_cluster,
-       |  ROUND(mi_raw / NULLIF(SQRT(-hun * -hvn), 0.0), 6) AS nmi,
-       |  ROUND(CAST(mxs AS DOUBLE) / n, 6) AS purity,
+       |  CAST(ROUND(mi_dec, 6) AS DOUBLE) AS mi,
+       |  CAST(ROUND(-hun_dec, 6) AS DOUBLE) AS h_label,
+       |  CAST(ROUND(-hvn_dec, 6) AS DOUBLE) AS h_cluster,
+       |  ROUND(CAST(mi_dec AS DOUBLE) /
+       |    NULLIF(SQRT(-CAST(hun_dec AS DOUBLE) * -CAST(hvn_dec AS DOUBLE)), 0.0), 6) + 0.0 AS nmi,
+       |  ROUND(CAST(mxs AS DOUBLE) / n, 6) + 0.0 AS purity,
        |  ROUND((sij2 / 2.0 - (sa2 / 2.0) * (sb2 / 2.0) / (CAST(n * (n - 1) AS DOUBLE) / 2.0)) /
        |    NULLIF((sa2 / 2.0 + sb2 / 2.0) / 2.0 -
-       |      (sa2 / 2.0) * (sb2 / 2.0) / (CAST(n * (n - 1) AS DOUBLE) / 2.0), 0.0), 6) AS ari
+       |      (sa2 / 2.0) * (sb2 / 2.0) / (CAST(n * (n - 1) AS DOUBLE) / 2.0), 0.0), 6) + 0.0 AS ari
        |FROM mi CROSS JOIN hu CROSS JOIN hv CROSS JOIN tot""".stripMargin
 
   /** Cluster topic labeling — the BERTopic-style "describe" step after

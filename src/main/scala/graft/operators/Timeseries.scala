@@ -1559,7 +1559,8 @@ object Timeseries {
       |      CASE WHEN abs((c + 1) // m - (c + 1) % m) <= band
       |        THEN (a[(c + 1) // m + 1] - b[(c + 1) % m + 1]) *
       |             (a[(c + 1) // m + 1] - b[(c + 1) % m + 1]) +
-      |          LEAST(CASE WHEN (c + 1) % m = 0 THEN 1e300 ELSE s[m + 1] END, s[2], s[1])
+      |          LEAST(CASE WHEN (c + 1) % m = 0 THEN 1e300 ELSE s[m + 1] END, s[2],
+      |                CASE WHEN (c + 1) % m = 0 THEN 1e300 ELSE s[1] END)
       |        ELSE 1e300 END)
       |  FROM dp WHERE c < n * m - 1)
       |SELECT ch_a, ch_b, win, n AS n_a, m AS n_b, ROUND(SQRT(s[m + 1]), 6) AS dtw
@@ -1575,9 +1576,20 @@ object Timeseries {
     * z = (S∓1)/√Var(S) and the tie-corrected variance
     * Var = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18. Sen's slope is the
     * median pairwise slope — picked by RANK (the two middle order
-    * statistics summed through DECIMAL and halved), never by
-    * interpolation, because engines disagree on `a+(b−a)·q` vs
-    * `(a+b)/2` rounding.
+    * statistics), never by interpolation, because engines disagree on
+    * `a+(b−a)·q` vs `(a+b)/2` rounding.
+    *
+    * Portability (the round-10 driver-red lesson): each pairwise slope
+    * is rounded ONCE at scale 0 into integer NANO units
+    * (`round(slope·1e9, 0)` — scale-0 double rounding never diverges
+    * cross-engine because there is no pre-round multiply: a double
+    * exactly at n+0.5 is the same "half away from zero" in BigDecimal
+    * HALF_UP and std::round, and any other double is unambiguously on
+    * one side), then ranking, median halving and the final
+    * micro-rounding are pure INTEGER arithmetic — sign(x)·⌊(|x|+1000)
+    * /2000⌋ is HALF_UP of x/2000 — so `sen_slope` is an integer/1e6
+    * quotient no ROUND implementation can split, and integer zero
+    * divides to +0.0 in every engine (no −0.0 hash skew).
     *
     * Scale shape: raw samples collapse once to the hourly PAA grid
     * (ts_sax discipline); the O(g²) pair set (≤276 rows per
@@ -1604,11 +1616,14 @@ object Timeseries {
         col("channel"),
         col("win"),
         signum(col("x2") - col("x1")).cast("long").as("sgn"),
-        ((col("x2") - col("x1")) / (col("b2") - col("b1")).cast("double")).as("slope")
+        round(
+          (col("x2") - col("x1")) / (col("b2") - col("b1")).cast("double") * lit(1e9),
+          0
+        ).cast("long").as("slope_n")
       )
     val ranked = pairs.withColumn(
       "__rn",
-      row_number().over(Window.partitionBy(col("channel"), col("win")).orderBy(col("slope")))
+      row_number().over(Window.partitionBy(col("channel"), col("win")).orderBy(col("slope_n")))
     )
     val np = col("__np")
     val mk = ranked
@@ -1617,7 +1632,18 @@ object Timeseries {
         col("__rn") === floor((np + 1) / lit(2)) || col("__rn") === floor((np + 2) / lit(2))
       )
       .groupBy(col("channel"), col("win"))
-      .agg((detSum(col("slope")) / count(lit(1))).as("sen_slope"))
+      .agg(sum(col("slope_n")).as("__sn"), count(lit(1)).as("__sc"))
+      .select(
+        col("channel"),
+        col("win"),
+        when(col("__sc") === 1, col("__sn") * 2).otherwise(col("__sn")).as("__sen2")
+      )
+      .select(
+        col("channel"),
+        col("win"),
+        (signum(col("__sen2")).cast("long") *
+          expr("(abs(__sen2) + 1000) div 2000")).as("__senm")
+      )
     val s = pairs.groupBy(col("channel"), col("win")).agg(sum(col("sgn")).as("s"))
     val ties = paa
       .groupBy(col("channel"), col("win"), col("paa"))
@@ -1639,13 +1665,13 @@ object Timeseries {
         col("nb"),
         col("s"),
         round(col("var_s"), 6).as("var_s"),
-        round(
+        (round(
           when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))))
             .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))))
             .otherwise(lit(0.0)),
           6
-        ).as("z"),
-        round(col("sen_slope"), 6).as("sen_slope"),
+        ) + lit(0.0)).as("z"),
+        (col("__senm").cast("double") / lit(1000000.0)).as("sen_slope"),
         when(col("s") > 0 && (col("s") - 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))) > 1.959964, lit("up"))
           .when(col("s") < 0 && (col("s") + 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))) < -1.959964, lit("down"))
           .otherwise(lit("none"))
@@ -1674,20 +1700,25 @@ object Timeseries {
       |pairs AS (
       |  SELECT l.channel, l.win,
       |    CAST(SIGN(r.paa - l.paa) AS BIGINT) AS sgn,
-      |    (r.paa - l.paa) / CAST(r.bucket - l.bucket AS DOUBLE) AS slope
+      |    CAST(ROUND((r.paa - l.paa) / CAST(r.bucket - l.bucket AS DOUBLE)
+      |      * 1000000000.0, 0) AS BIGINT) AS slope_n
       |  FROM p l JOIN p r
       |    ON l.channel = r.channel AND l.win = r.win AND l.bucket < r.bucket),
       |ranked AS (
-      |  SELECT channel, win, slope,
-      |    ROW_NUMBER() OVER (PARTITION BY channel, win ORDER BY slope) AS rn,
+      |  SELECT channel, win, slope_n,
+      |    ROW_NUMBER() OVER (PARTITION BY channel, win ORDER BY slope_n) AS rn,
       |    COUNT(*) OVER (PARTITION BY channel, win) AS np
       |  FROM pairs),
-      |sen AS (
-      |  SELECT channel, win,
-      |    CAST(SUM(CAST(slope AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS sen_slope
+      |senr AS (
+      |  SELECT channel, win, SUM(slope_n) AS sn, COUNT(*) AS sc
       |  FROM ranked
       |  WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
       |  GROUP BY 1, 2),
+      |sen AS (
+      |  SELECT channel, win,
+      |    CAST(SIGN(CASE WHEN sc = 1 THEN sn * 2 ELSE sn END) AS BIGINT)
+      |      * ((ABS(CASE WHEN sc = 1 THEN sn * 2 ELSE sn END) + 1000) // 2000) AS senm
+      |  FROM senr),
       |ss AS (
       |  SELECT channel, win, SUM(sgn) AS s FROM pairs GROUP BY 1, 2),
       |ties AS (
@@ -1696,7 +1727,7 @@ object Timeseries {
       |  FROM (SELECT channel, win, paa, COUNT(*) AS t FROM p GROUP BY 1, 2, 3)
       |  GROUP BY 1, 2),
       |jj AS (
-      |  SELECT ss.channel, ss.win, ties.nb, ss.s, sen.sen_slope,
+      |  SELECT ss.channel, ss.win, ties.nb, ss.s, sen.senm,
       |    CAST(ties.nb * (ties.nb - 1) * (2 * ties.nb + 5) - ties.tt AS DOUBLE) / 18.0 AS var_s
       |  FROM ss
       |  JOIN ties ON ss.channel = ties.channel AND ss.win = ties.win
@@ -1706,8 +1737,8 @@ object Timeseries {
       |  ROUND(var_s, 6) AS var_s,
       |  ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / SQRT(NULLIF(var_s, 0.0))
       |             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / SQRT(NULLIF(var_s, 0.0))
-      |             ELSE 0.0 END, 6) AS z,
-      |  ROUND(sen_slope, 6) AS sen_slope,
+      |             ELSE 0.0 END, 6) + 0.0 AS z,
+      |  CAST(senm AS DOUBLE) / 1000000.0 AS sen_slope,
       |  CASE WHEN s > 0 AND CAST(s - 1 AS DOUBLE) / SQRT(NULLIF(var_s, 0.0)) > 1.959964 THEN 'up'
       |       WHEN s < 0 AND CAST(s + 1 AS DOUBLE) / SQRT(NULLIF(var_s, 0.0)) < -1.959964 THEN 'down'
       |       ELSE 'none' END AS trend
