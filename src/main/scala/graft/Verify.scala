@@ -48,6 +48,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Environment pin (separate file — an extra key in oracle_sql.json
+    // would be read by the driver as a query named "__env"): records
+    // the engine versions a correctness run was produced under, so a
+    // cross-engine hash divergence is diagnosable against the oracle
+    // side's own version instead of invisible environment skew.
+    val env = Map(
+      "spark_version" -> spark.version,
+      "scala_version" -> scala.util.Properties.versionNumberString,
+      "java_version" -> System.getProperty("java.version")
+    )
+    Files.writeString(
+      Paths.get(s"$outDir/verify_env.json"),
+      env.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    )
     spark.stop()
   }
 }

@@ -40,15 +40,25 @@ object EmbLayout {
     */
   private val PlanesMarker = "_graft_planes"
 
-  /** Cached marker lookups (misses cached too). */
+  /** Cached marker lookups, keyed by CANONICAL path (misses cached
+    * too): a probe via any alias of the same directory — trailing
+    * slash, relative path, symlink — must hit the same cache entry
+    * that [[writeMarker]] invalidates, or a pre-write miss cached
+    * under the alias would pin the default plane count against a
+    * layout later written at another count.
+    */
   private val planesCache = scala.collection.concurrent.TrieMap[String, Option[Int]]()
+
+  private def canonKey(path: String): String =
+    try new java.io.File(path).getCanonicalPath
+    catch { case scala.util.control.NonFatal(_) => path }
 
   def markerPlanes(
     rootPath: String,
     hadoopConf: org.apache.hadoop.conf.Configuration
   ): Option[Int] =
     planesCache.getOrElseUpdate(
-      rootPath, {
+      canonKey(rootPath), {
         try {
           val marker = new org.apache.hadoop.fs.Path(rootPath, PlanesMarker)
           val fs = marker.getFileSystem(hadoopConf)
@@ -72,8 +82,7 @@ object EmbLayout {
     try out.write(planes.toString.getBytes("UTF-8"))
     finally out.close()
     // a rewrite with a different plane set must invalidate the lookup
-    planesCache.remove(path)
-    planesCache.remove(new java.io.File(path).getCanonicalPath)
+    planesCache.remove(canonKey(path))
   }
 
   /** One-time write: vectors land in their bucket's directory. One
@@ -116,6 +125,15 @@ object EmbLayout {
     dstPath: String,
     maxRecordsPerFile: Long = 5000000L
   ): Unit = {
+    // the overwrite is lazy w.r.t. the read — compacting a layout onto
+    // itself (or into a dir nested under itself) would truncate the
+    // layout being read and destroy it
+    val srcCanon = canonKey(srcPath)
+    val dstCanon = canonKey(dstPath)
+    require(
+      srcCanon != dstCanon && !dstCanon.startsWith(srcCanon + java.io.File.separator),
+      s"compact dstPath must not be srcPath or nested under it: src=$srcCanon dst=$dstCanon"
+    )
     spark.read
       .parquet(srcPath)
       .repartition(col("p_bucket"))

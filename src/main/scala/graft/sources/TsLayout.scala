@@ -29,10 +29,18 @@ object TsLayout {
   /** Marker file recording the bucket width a layout was written with. */
   private val BucketMarker = "_graft_bucket_us"
 
-  /** Cached marker lookups, keyed by layout root path as it appears in
-    * the scan (misses cached too — the optimizer asks on every query).
+  /** Cached marker lookups, keyed by CANONICAL root path (misses
+    * cached too — the optimizer asks on every query). Canonicalizing
+    * the key means a probe via any alias of the same directory
+    * (trailing slash, relative path, symlink) hits the entry that
+    * [[writeMarker]] invalidates — a miss cached under an alias would
+    * otherwise pin "markerless" against a layout written later.
     */
   private val widthCache = scala.collection.concurrent.TrieMap[String, Option[Long]]()
+
+  private def canonKey(path: String): String =
+    try new java.io.File(path).getCanonicalPath
+    catch { case scala.util.control.NonFatal(_) => path }
 
   /** The bucket width recorded in a layout's `_graft_bucket_us` marker,
     * None for markerless paths. This is how [[graft.plans.DeriveBucketFilter]]
@@ -42,7 +50,7 @@ object TsLayout {
     */
   def markerWidth(rootPath: String, hadoopConf: org.apache.hadoop.conf.Configuration): Option[Long] =
     widthCache.getOrElseUpdate(
-      rootPath, {
+      canonKey(rootPath), {
         try {
           val marker = new org.apache.hadoop.fs.Path(rootPath, BucketMarker)
           val fs = marker.getFileSystem(hadoopConf)
@@ -84,8 +92,7 @@ object TsLayout {
     try out.write(bucketUs.toString.getBytes("UTF-8"))
     finally out.close()
     // a rewrite with a different width must invalidate the cached lookup
-    widthCache.remove(path)
-    widthCache.remove(new java.io.File(path).getCanonicalPath)
+    widthCache.remove(canonKey(path))
   }
 
   /** Read a layout. Width handling needs no session step: the rule
@@ -113,6 +120,15 @@ object TsLayout {
     dstPath: String,
     maxRecordsPerFile: Long = 5000000L
   ): Unit = {
+    // the overwrite is lazy w.r.t. the read — compacting a layout onto
+    // itself (or into a dir nested under itself) would truncate the
+    // layout being read and destroy it
+    val srcCanon = canonKey(srcPath)
+    val dstCanon = canonKey(dstPath)
+    require(
+      srcCanon != dstCanon && !dstCanon.startsWith(srcCanon + java.io.File.separator),
+      s"compact dstPath must not be srcPath or nested under it: src=$srcCanon dst=$dstCanon"
+    )
     spark.read
       .parquet(srcPath)
       .repartition(col("p_channel"), col("p_bucket"))
@@ -132,8 +148,7 @@ object TsLayout {
     val out = fs.create(marker, true)
     try out.write(bucketUs.toString.getBytes("UTF-8"))
     finally out.close()
-    widthCache.remove(path)
-    widthCache.remove(new java.io.File(path).getCanonicalPath)
+    widthCache.remove(canonKey(path))
   }
 
   /** Range query that drives partition pruning: channel set + time

@@ -40,6 +40,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * one-pixel-lookahead continuity clamp — advances on closure, so the
   * emitted prefix is always final (no retractions).
   *
+  * Quiescence is INTENTIONALLY not a close signal: a buffered block
+  * shorter than padLength (and the open pixel above it) is withheld
+  * until data advances past it, even if the channel goes silent
+  * forever. A wall-clock timeout flush would break both invariants
+  * above — the flushed tail is filtered with short-block prewarm, so
+  * if the channel later resumes inside the gap window the emitted
+  * bytes would differ from what the batch twin computes over the full
+  * block (a retraction). A producer that wants the tail served closes
+  * the stream the way the reference's websocket flow does: emit one
+  * final past-gap sample (any t > lastT + gap), which flushes the
+  * pending short block and closes the pixel deterministically.
+  *
   * State per key is O(pad + cap): the open-bucket accumulators of the
   * two sides (bounded by inter-channel skew), ≤ padLength pending
   * prewarm samples, one open pixel, and ≤ cap+1 closed pixels

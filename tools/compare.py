@@ -41,6 +41,17 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Environment pin: print (and persist beside the Spark artifacts) the
+    # oracle engine's version, so a hash divergence seen only in another
+    # environment can be diagnosed against a recorded DuckDB version
+    # instead of invisible skew (the round-10 ts_mk/cluster_nmi lesson).
+    env_path = os.path.join(out_dir, "verify_env.json")
+    env = {}
+    if os.path.exists(env_path):
+        env = json.load(open(env_path))
+    env["duckdb_version"] = duckdb.__version__
+    json.dump(env, open(env_path, "w"), indent=1)
+    print("engines: " + ", ".join(f"{k}={v}" for k, v in sorted(env.items())))
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
