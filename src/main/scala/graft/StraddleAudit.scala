@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Half-grid straddle audit — turns cross-engine ROUND coin-flips into
+  * deterministic red bars BEFORE a driver correctness run sees them.
+  *
+  * The residual risk of the rounding discipline (rounds 9-10 history:
+  * ts_error_rate, ts_cadence, then the round-10 driver-red ts_mk /
+  * cluster_nmi) is an output double that sits essentially ON the
+  * ROUND half grid at the column's final scale: engines that round by
+  * decimal-string (Spark's BigDecimal HALF_UP) and by multiplication
+  * (DuckDB) can split such a value to different sides. A PROPERLY
+  * 6-rounded (or integer/1e6-quotient) output lands on the grid —
+  * scaled fractional part ≈ 0 — so anything found within `eps` of the
+  * half grid is evidence that an unrounded (or deeper-scale) quantity
+  * leaks into the output, exactly the class that produced the two
+  * round-10 failures.
+  *
+  * Scale shape: the audit is one predicate-pushed scan per result —
+  * a single OR filter over the double columns with a `limit` sample —
+  * so auditing every verify dump adds one cheap job per query.
+  */
+object StraddleAudit {
+
+  final case class Straddle(column: String, value: Double)
+
+  /** True when `c` is a finite double within `eps` of the ROUND half
+    * grid at `scale` — i.e. |c|·10^scale has fractional part within
+    * eps·10^scale of 0.5. Magnitudes ≥ 1e9 are skipped (their scaled
+    * image exceeds 2^52 and the fractional part is no longer
+    * meaningful — nor roundable differently — at that magnitude).
+    */
+  def straddleCond(c: Column, scale: Int, eps: Double): Column = {
+    val p = math.pow(10.0, scale)
+    val s = abs(c) * lit(p)
+    val f = s - floor(s)
+    c.isNotNull && !isnan(c) && abs(c) < lit(1e9) &&
+      abs(f - lit(0.5)) < lit(eps * p)
+  }
+
+  private def isStraddle(v: Double, scale: Int, eps: Double): Boolean = {
+    val p = math.pow(10.0, scale)
+    val s = math.abs(v) * p
+    !v.isNaN && !v.isInfinite && math.abs(v) < 1e9 &&
+    math.abs(s - math.floor(s) - 0.5) < eps * p
+  }
+
+  /** Sample (up to `limit` rows) the values in `df`'s double columns
+    * that sit within `eps` of the ROUND half grid at `scale`.
+    */
+  def audit(
+    df: DataFrame,
+    scale: Int = 6,
+    eps: Double = 1e-9,
+    limit: Int = 5
+  ): Seq[Straddle] = {
+    val dcols = df.schema.fields.filter(_.dataType == DoubleType).map(_.name).toSeq
+    if (dcols.isEmpty) Nil
+    else {
+      val anyHit = dcols.map(n => straddleCond(col(n), scale, eps)).reduce(_ || _)
+      df.filter(anyHit)
+        .select(dcols.map(col): _*)
+        .limit(limit)
+        .collect()
+        .toSeq
+        .flatMap { r =>
+          dcols.zipWithIndex.collect {
+            case (n, i) if !r.isNullAt(i) && isStraddle(r.getDouble(i), scale, eps) =>
+              Straddle(n, r.getDouble(i))
+          }
+        }
+        .distinct
+    }
+  }
+}

@@ -26,10 +26,21 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val straddles = scala.collection.mutable.ArrayBuffer[String]()
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // half-grid straddle audit on the written result: any double
+        // within 1e-9 of the scale-6 ROUND half grid is a future
+        // cross-engine coin-flip — surface it here, at THIS scale
+        // factor, instead of in a remote driver's hash mismatch
+        StraddleAudit.audit(spark.read.parquet(s"$outDir/$name")).foreach { h =>
+          val line = s"$name.${h.column}=${h.value}"
+          straddles += line
+          System.err.println(s"[straddle] $line")
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -61,6 +72,10 @@ object Verify {
     Files.writeString(
       Paths.get(s"$outDir/verify_env.json"),
       env.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    )
+    Files.writeString(
+      Paths.get(s"$outDir/straddles.json"),
+      straddles.map(q).mkString("[", ",", "]")
     )
     spark.stop()
   }

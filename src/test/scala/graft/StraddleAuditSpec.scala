@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The half-grid straddle sweep (see [[StraddleAudit]]): red-bars any
+  * oracled query whose output carries a double essentially ON the
+  * scale-6 ROUND half grid — the value class whose cross-engine
+  * rounding split produced the round-10 driver failures (ts_mk,
+  * cluster_nmi) while every local replica stayed green.
+  */
+class StraddleAuditSpec extends SparkSpec {
+
+  "StraddleAudit" should "red-bar a planted half-grid value and pass grid-aligned ones" in {
+    import spark.implicits._
+    val planted = Seq(
+      ("half_micro", 0.0000005), // exactly on the scale-6 half grid
+      ("deep_half", 1.2345675), // 7th decimal is a trailing 5
+      ("negative_half", -0.0000015)
+    ).toDF("tag", "v")
+    val hits = StraddleAudit.audit(planted)
+    hits.map(_.column).distinct shouldBe Seq("v")
+    hits should have size 3
+
+    val clean = Seq(
+      0.123456, // on the scale-6 grid
+      12.0, // integer
+      0.000001, // one micro
+      -3.141592, // 6-rounded
+      1234567.89 // |v| large but grid-aligned at its magnitude
+    ).toDF("v")
+    StraddleAudit.audit(clean) shouldBe empty
+  }
+
+  it should "skip NaN, null and overflow-magnitude values" in {
+    import spark.implicits._
+    val df = Seq(
+      Option(Double.NaN),
+      None,
+      Option(4.5e15), // beyond 2^52/1e6 — scaled frac meaningless
+      Option(Double.PositiveInfinity)
+    ).toDF("v")
+    StraddleAudit.audit(df) shouldBe empty
+  }
+
+  "every registry query" should "emit no double within 1e-9 of the scale-6 ROUND half grid" in {
+    // the full sweep at sf0.001: a hit here is a deterministic red bar
+    // for a cross-engine coin-flip the driver would otherwise surface
+    // as an unexplained hash mismatch at its own scale factor
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    val offenders = names.flatMap { name =>
+      val hits =
+        try StraddleAudit.audit(SparkEntry.queries(name)(spark, sfDir))
+        catch {
+          // a few operators assume per-block sample counts sf0.001
+          // cannot supply (e.g. ts_hampel's rolling frame); they run
+          // at the driver's sf0.01+, where Verify's straddles.json
+          // audit covers them — tolerate a FEW here, never many
+          case e: Throwable => skipped += s"$name (${e.getMessage.take(60)})"; Nil
+        }
+      hits.map(h => s"$name.${h.column}=${h.value}")
+    }
+    withClue(s"too many sweep skips: $skipped: ") { skipped.size should be <= 3 }
+    withClue("half-grid straddles (query.column=value): ") {
+      offenders shouldBe empty
+    }
+  }
+}
