@@ -375,6 +375,9 @@ object SparkEntry {
     "corpus_hll" -> (TextAnalysis.corpusHll _),
     // C4 line/document cleaning rule report (Raffel et al. 2020)
     "quality_c4" -> (TextAnalysis.qualityC4 _),
+    // FineWeb/MassiveText repetition-removal battery (Penedo et al.
+    // 2024; Rae et al. 2021 §A1.1)
+    "quality_fineweb" -> (TextAnalysis.qualityFineweb _),
     // bigram conditional entropy H(W2|W1) per language: the
     // sequence-predictability screen (Shannon 1951)
     "corpus_cond_entropy" -> (TextAnalysis.corpusCondEntropy _),
@@ -673,6 +676,7 @@ object SparkEntry {
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,
     "quality_c4" -> TextAnalysis.qualityC4Sql,
+    "quality_fineweb" -> TextAnalysis.qualityFinewebSql,
     "ann_ivf_pq" -> Similarity.annIvfPqSql,
     "corpus_cond_entropy" -> TextAnalysis.corpusCondEntropySql,
     "mm_audio_match" -> Multimodal.mmAudioMatchSql,

@@ -225,6 +225,192 @@ object TextAnalysis {
       |FROM f
       |ORDER BY doc_id""".stripMargin
 
+  /** FineWeb-style repetition-removal battery (Penedo et al. 2024,
+    * adopting the MassiveText repetition filters of Rae et al. 2021
+    * §A1.1): the four repetition signals that catch the boilerplate
+    * C4/Gopher's length/stopword priors walk past — duplicate-line
+    * fraction (> 0.30 rejects), duplicate-line CHARACTER fraction
+    * (> 0.20), the character fraction covered by repeats of the top
+    * word 2-gram (> 0.20), and the character fraction in duplicated
+    * word 5-grams (> 0.15). The report keeps every rate plus the
+    * winning bigram as evidence, so a curator tunes gates instead of
+    * reading one opaque boolean.
+    *
+    * Scale shape: a pure map-side projection, zero shuffle (the
+    * quality_c4 discipline) — each signal is ONE fold over a
+    * sorted-in-row array (lines, bigrams, 5-grams), so repetition
+    * counting never leaves the document's own row; no (doc, gram)
+    * exchange exists to skew. Portability: every rate is an
+    * integer/integer ratio computed as HALF_UP integer division into
+    * MICRO units then /1e6 — the quotient lands exactly on the
+    * scale-6 grid in any engine (no ROUND of a raw double anywhere),
+    * and the top-bigram tie-break is "first maximum over the sorted
+    * gram array" = lexicographically smallest, pinned cross-engine by
+    * the shared binary sort order.
+    */
+  def finewebRules(docs: DataFrame): DataFrame = {
+    // HALF_UP integer division to micro units: round(num/den, 6) with
+    // no double half-grid anywhere (num, den integer, den > 0)
+    def microFrac(num: String, den: String): String =
+      s"CASE WHEN ($den) <= 0 THEN 0.0 ELSE CAST((($num) * 2000000 + ($den)) DIV (($den) * 2) AS DOUBLE) / 1000000.0 END"
+    val lineFold =
+      """aggregate(
+        |  slice(__lines, 2, size(__lines) - 1),
+        |  named_struct('prev', element_at(__lines, 1), 'dis', 1L, 'dupch', 0L),
+        |  (acc, l) -> IF(l <=> acc.prev,
+        |    named_struct('prev', l, 'dis', acc.dis, 'dupch', acc.dupch + length(l)),
+        |    named_struct('prev', l, 'dis', acc.dis + 1, 'dupch', acc.dupch)))""".stripMargin
+    val top2Fold =
+      """CASE WHEN size(__w2s) = 0 THEN named_struct('bg', '', 'bc', 0L)
+        |ELSE aggregate(
+        |  slice(__w2s, 2, size(__w2s) - 1),
+        |  named_struct('prev', element_at(__w2s, 1), 'run', 1L,
+        |               'bg', element_at(__w2s, 1), 'bc', 1L),
+        |  (acc, g) -> CASE WHEN g <=> acc.prev THEN
+        |      IF(acc.run + 1 > acc.bc,
+        |        named_struct('prev', g, 'run', acc.run + 1, 'bg', g, 'bc', acc.run + 1),
+        |        named_struct('prev', g, 'run', acc.run + 1, 'bg', acc.bg, 'bc', acc.bc))
+        |    ELSE named_struct('prev', g, 'run', 1L, 'bg', acc.bg, 'bc', acc.bc) END,
+        |  acc -> named_struct('bg', acc.bg, 'bc', acc.bc)) END""".stripMargin
+    val dup5Fold =
+      """CASE WHEN size(__w5s) = 0 THEN 0L
+        |ELSE aggregate(
+        |  slice(__w5s, 2, size(__w5s) - 1),
+        |  named_struct('prev', element_at(__w5s, 1), 'dupch', 0L),
+        |  (acc, g) -> IF(g <=> acc.prev,
+        |    named_struct('prev', g, 'dupch', acc.dupch + length(g) - 4),
+        |    named_struct('prev', g, 'dupch', acc.dupch)),
+        |  acc -> acc.dupch) END""".stripMargin
+    docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("__len"),
+        expr("array_sort(split(text, '\\n'))").as("__lines"),
+        expr(s"filter($WordsSql, w -> w != '')").as("__words")
+      )
+      .select(
+        col("doc_id"),
+        col("__len"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        expr(lineFold).as("__lf"),
+        expr("aggregate(__words, 0L, (a, w) -> a + length(w))").as("__chars"),
+        expr(
+          """CASE WHEN size(__words) < 2 THEN array()
+            |ELSE array_sort(transform(sequence(1, size(__words) - 1),
+            |  i -> concat(element_at(__words, i), ' ', element_at(__words, i + 1)))) END""".stripMargin
+        ).as("__w2s"),
+        expr(
+          """CASE WHEN size(__words) < 5 THEN array()
+            |ELSE array_sort(transform(sequence(1, size(__words) - 4),
+            |  i -> concat_ws(' ', slice(__words, i, 5)))) END""".stripMargin
+        ).as("__w5s")
+      )
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        expr(microFrac("n_lines - __lf.dis", "n_lines")).as("dup_line_frac"),
+        expr(microFrac("__lf.dupch", "__len - (n_lines - 1)")).as("dup_line_char_frac"),
+        expr(s"($top2Fold).bg").as("top2_gram"),
+        expr(
+          microFrac(
+            s"greatest(($top2Fold).bc - 1, 0L) * greatest(length(($top2Fold).bg) - 1, 0)",
+            "__chars"
+          )
+        ).as("top2_char_frac"),
+        expr(microFrac(dup5Fold, "__chars")).as("dup5_char_frac")
+      )
+      .withColumn(
+        "pass",
+        col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+          col("top2_char_frac") <= 0.20 && col("dup5_char_frac") <= 0.15
+      )
+  }
+
+  def qualityFineweb(spark: SparkSession, dir: String): DataFrame =
+    finewebRules(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** FineWeb oracle: the RELATIONAL form of the same four signals —
+    * UNNEST + GROUP BY run-length counts and a (c DESC, gram ASC)
+    * argmax, value-identical to the engine's sorted-array folds (a
+    * run-length fold over a sorted array computes exactly the
+    * per-value counts; "first maximum in sort order" = smallest gram
+    * among the argmax). Deliberately NOT a list_reduce replay: DuckDB
+    * 1.0.0 misaligns rows when list_reduce over struct elements runs
+    * vectorized across a table (single-row probes give the right
+    * answer; full scans shift results between neighboring rows), so
+    * the oracle stays on plain relational operators.
+    */
+  val qualityFinewebSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len,
+      |    string_split(text, chr(10)) AS lines,
+      |    list_filter(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' '),
+      |                w -> w != '') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |base AS (
+      |  SELECT doc_id, len, CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(COALESCE(list_sum(list_transform(ws, w -> CAST(LENGTH(w) AS BIGINT))), 0)
+      |      AS BIGINT) AS chars
+      |  FROM d),
+      |lc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    CAST(SUM((c - 1) * ll) AS BIGINT) AS dupch
+      |  FROM (
+      |    SELECT doc_id, l, COUNT(*) AS c, LENGTH(l) AS ll
+      |    FROM (SELECT doc_id, UNNEST(lines) AS l FROM d)
+      |    GROUP BY doc_id, l)
+      |  GROUP BY doc_id),
+      |g2 AS (
+      |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (
+      |    SELECT doc_id, UNNEST(CASE WHEN len(ws) < 2 THEN []
+      |      ELSE list_transform(range(1, len(ws)),
+      |        i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]) END) AS g
+      |    FROM d)
+      |  GROUP BY doc_id, g),
+      |t2 AS (
+      |  SELECT doc_id, g AS bg, c AS bc FROM (
+      |    SELECT doc_id, g, c,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+      |    FROM g2)
+      |  WHERE rn = 1),
+      |d5 AS (
+      |  SELECT doc_id, CAST(SUM((c - 1) * (LENGTH(g) - 4)) AS BIGINT) AS dup5ch
+      |  FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c
+      |    FROM (
+      |      SELECT doc_id, UNNEST(CASE WHEN len(ws) < 5 THEN []
+      |        ELSE list_transform(range(1, len(ws) - 3),
+      |          i -> array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 4], ' ')) END) AS g
+      |      FROM d)
+      |    GROUP BY doc_id, g)
+      |  WHERE c >= 2
+      |  GROUP BY doc_id),
+      |r AS (
+      |  SELECT b.doc_id, b.n_lines,
+      |    CASE WHEN b.n_lines <= 0 THEN 0.0 ELSE CAST(((b.n_lines - lc.n_distinct) * 2000000
+      |      + b.n_lines) // (b.n_lines * 2) AS DOUBLE) / 1000000.0 END AS dup_line_frac,
+      |    CASE WHEN b.len - (b.n_lines - 1) <= 0 THEN 0.0 ELSE CAST((lc.dupch * 2000000
+      |      + (b.len - (b.n_lines - 1))) // ((b.len - (b.n_lines - 1)) * 2) AS DOUBLE)
+      |      / 1000000.0 END AS dup_line_char_frac,
+      |    COALESCE(t2.bg, '') AS top2_gram,
+      |    CASE WHEN b.chars <= 0 THEN 0.0 ELSE CAST((GREATEST(COALESCE(t2.bc, 0) - 1, 0)
+      |      * GREATEST(LENGTH(COALESCE(t2.bg, '')) - 1, 0) * 2000000 + b.chars)
+      |      // (b.chars * 2) AS DOUBLE) / 1000000.0 END AS top2_char_frac,
+      |    CASE WHEN b.chars <= 0 THEN 0.0 ELSE CAST((COALESCE(d5.dup5ch, 0) * 2000000
+      |      + b.chars) // (b.chars * 2) AS DOUBLE) / 1000000.0 END AS dup5_char_frac
+      |  FROM base b
+      |  JOIN lc USING (doc_id)
+      |  LEFT JOIN t2 USING (doc_id)
+      |  LEFT JOIN d5 USING (doc_id))
+      |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, top2_gram,
+      |  top2_char_frac, dup5_char_frac,
+      |  dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+      |    AND top2_char_frac <= 0.20 AND dup5_char_frac <= 0.15 AS pass
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   /** Code-vs-prose detector: the routing signal that sends source code
     * to a code pipeline instead of the prose quality gates (whose
     * stopword/punctuation priors misfire on it — [[gopherRules]] and

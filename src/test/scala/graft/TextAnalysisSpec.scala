@@ -314,6 +314,56 @@ class TextAnalysisSpec extends SparkSpec {
     plan.collect { case e: Exchange => e } shouldBe empty
   }
 
+  "finewebRules" should "measure each repetition signal on planted docs by hand" in {
+    val cleanText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dupLines = "same line here\nsame line here\nsame line here\nother line"
+    // "big cat" appears 3 times over 8 words (24 word-chars): repeated
+    // occurrences cover (3-1)*6 = 12 of them
+    val topBigram = "big cat big cat big cat and dog"
+    // a 6-word doc whose single 5-gram window repeats: "a b c d e a b c d e"
+    // has 5-grams at offsets 1..6; "a b c d e" occurs twice
+    val dupFive = "a b c d e a b c d e"
+    val docs = Seq(
+      (1L, cleanText),
+      (2L, dupLines),
+      (3L, topBigram),
+      (4L, dupFive)
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.finewebRules(docs).orderBy("doc_id").collect()
+
+    rows(0).getAs[Double]("dup_line_frac") shouldBe 0.0
+    rows(0).getAs[Double]("top2_char_frac") shouldBe 0.0
+    rows(0).getAs[Double]("dup5_char_frac") shouldBe 0.0
+    rows(0).getAs[Boolean]("pass") shouldBe true
+
+    // 4 lines, 2 distinct → dup fraction 2/4; dup chars = 2 repeats of
+    // the 14-char line over 4 lines' 54-3=51... chars = 14*3+10 = 52;
+    // dup chars 28 of 52
+    rows(1).getAs[Long]("n_lines") shouldBe 4L
+    rows(1).getAs[Double]("dup_line_frac") shouldBe 0.5
+    rows(1).getAs[Double]("dup_line_char_frac") shouldBe 0.538462 +- 1e-9
+    rows(1).getAs[Boolean]("pass") shouldBe false
+
+    // top bigram "big cat": 3 occurrences, 6 chars sans space, word
+    // chars = 8*3 = 24 → (3-1)*6/24 = 0.5
+    rows(2).getAs[String]("top2_gram") shouldBe "big cat"
+    rows(2).getAs[Double]("top2_char_frac") shouldBe 0.5
+    rows(2).getAs[Boolean]("pass") shouldBe false
+
+    // "a b c d e" duplicated once: (2-1)*5 chars over 10 chars = 0.5
+    rows(3).getAs[Double]("dup5_char_frac") shouldBe 0.5
+    rows(3).getAs[Boolean]("pass") shouldBe false
+  }
+
+  "finewebRules" should "stay a zero-shuffle projection" in {
+    val plan = TextAnalysis
+      .finewebRules(Tables.documents(spark, sfDir))
+      .queryExecution
+      .executedPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
   "codeDetect" should "route code to code and leave prose, indented quotes and null text alone" in {
     val scalaCode =
       """def add(a: Int, b: Int): Int = {
