@@ -378,6 +378,10 @@ object SparkEntry {
     // FineWeb/MassiveText repetition-removal battery (Penedo et al.
     // 2024; Rae et al. 2021 §A1.1)
     "quality_fineweb" -> (TextAnalysis.qualityFineweb _),
+    // unigram-LM tokenizer: hard-EM piece probabilities (Kudo 2018)
+    "train_unigram" -> (Tokenizer.trainUnigram _),
+    // per-doc token accounting under the trained unigram LM
+    "tokenize_unigram" -> (Tokenizer.tokenizeUnigram _),
     // bigram conditional entropy H(W2|W1) per language: the
     // sequence-predictability screen (Shannon 1951)
     "corpus_cond_entropy" -> (TextAnalysis.corpusCondEntropy _),
@@ -677,6 +681,8 @@ object SparkEntry {
     "corpus_hll" -> TextAnalysis.corpusHllSql,
     "quality_c4" -> TextAnalysis.qualityC4Sql,
     "quality_fineweb" -> TextAnalysis.qualityFinewebSql,
+    "train_unigram" -> Tokenizer.trainUnigramSql,
+    "tokenize_unigram" -> Tokenizer.tokenizeUnigramSql,
     "ann_ivf_pq" -> Similarity.annIvfPqSql,
     "corpus_cond_entropy" -> TextAnalysis.corpusCondEntropySql,
     "mm_audio_match" -> Multimodal.mmAudioMatchSql,

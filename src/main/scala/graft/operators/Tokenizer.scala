@@ -233,6 +233,338 @@ object Tokenizer {
       .orderBy(col("lang"))
   }
 
+  // -------------------------------------------------------------------
+  // Unigram-LM tokenizer (SentencePiece-style, Kudo 2018)
+  // -------------------------------------------------------------------
+
+  /** Unigram-LM tokenizer training (Kudo 2018, as shipped in
+    * SentencePiece) — the OTHER canonical subword learner next to BPE:
+    * a vocabulary of pieces with probabilities, fit by EM, where a
+    * word's tokenization is its minimum-cost (Viterbi) segmentation
+    * under cost(piece) = −ln p(piece). This implementation is the
+    * deterministic hard-EM variant: seed pieces are all substrings of
+    * length ≤ 4 (every single char, plus the top-48 multi-char
+    * substrings by corpus count — ties by piece), and each of the
+    * FIXED 2 EM iterations Viterbi-segments the vocabulary and
+    * re-estimates p from the segment counts (singles Laplace-smoothed
+    * +1 so coverage never collapses; unobserved multis drop out).
+    *
+    * Scale shape — why this trains at 100 TB: exactly the train_bpe
+    * discipline. The corpus reduces ONCE to the zipf-bounded
+    * (word, freq) vocabulary; seeding, every Viterbi pass (a ≤4L-entry
+    * cost-array build + ONE codegen'd fold per word — no per-position
+    * joins, no driver loop over positions), and every M-step are
+    * vocabulary-grain; nothing corpus-sized ever shuffles. The piece
+    * table is aggregation-derived (never a row-grain broadcast).
+    *
+    * Portability: piece costs are ROUND(−ln(cnt/total), 9) on integer
+    * ratios (the established transcendental discipline); the DP adds
+    * the same doubles in the same order in both engines, argmin
+    * tie-breaks by smallest piece length via pinned CASE-arm order,
+    * and out-of-range DP lookups are clamped behind 1e300 edge costs
+    * so they can never win. The oracle replays the DP as a recursive
+    * CTE (the ts_dtw pattern) — NOT list_reduce, which DuckDB 1.0.0
+    * misaligns across rows for struct accumulators.
+    */
+  private val UnigramBig = 1e300
+
+  /** The Viterbi fold: costs per position + best path's piece list,
+    * over a pre-joined edge-cost array ec with ec[(j-1)*4+k] = cost of
+    * the length-k piece ending at position j (1e300 when absent or
+    * k > j).
+    */
+  private val ViterbiFoldSql: String = {
+    def ck(k: Int) =
+      s"(element_at(acc.cs, greatest(j - ${k - 1}, 1)) + element_at(ec, (j - 1) * 4 + $k))"
+    val m = s"least(${ck(1)}, ${ck(2)}, ${ck(3)}, ${ck(4)})"
+    def arm(k: Int) =
+      s"""WHEN ${ck(k)} = $m THEN concat(
+         |  element_at(acc.ps, greatest(j - ${k - 1}, 1)),
+         |  array(substring(word, j - ${k - 1}, $k)))""".stripMargin
+    s"""aggregate(
+       |  sequence(1, length(word)),
+       |  named_struct('cs', array(CAST(0.0 AS DOUBLE)),
+       |               'ps', array(CAST(array() AS ARRAY<STRING>))),
+       |  (acc, j) -> named_struct(
+       |    'cs', concat(acc.cs, array($m)),
+       |    'ps', concat(acc.ps, array(CASE ${arm(1)} ${arm(2)} ${arm(3)} ELSE concat(
+       |      element_at(acc.ps, greatest(j - 3, 1)),
+       |      array(substring(word, j - 3, 4))) END))),
+       |  acc -> element_at(acc.ps, length(word) + 1))""".stripMargin
+  }
+
+  /** One Viterbi pass: (word, freq) × (piece, cost) → (word, freq,
+    * pieces). Vocabulary-grain: the (j, k) grid explode, the left join
+    * against the piece table and the fold all run at ≤ 4·|word| rows
+    * per DISTINCT word.
+    */
+  private[graft] def viterbiSegment(vocab: DataFrame, costs: DataFrame): DataFrame =
+    vocab
+      .select(col("word"), col("freq"), explode(expr("sequence(1, length(word))")).as("j"))
+      .select(col("word"), col("freq"), col("j"), explode(expr("array(1, 2, 3, 4)")).as("k"))
+      .withColumn("piece", expr("IF(k <= j, substring(word, j - k + 1, k), NULL)"))
+      .join(costs, Seq("piece"), "left")
+      .groupBy(col("word"), col("freq"))
+      .agg(
+        sort_array(
+          collect_list(
+            struct(
+              expr("(j - 1) * 4 + k").as("idx"),
+              coalesce(col("cost"), lit(UnigramBig)).as("c")
+            )
+          )
+        ).as("__ecs")
+      )
+      .withColumn("ec", expr("transform(__ecs, e -> e.c)"))
+      .select(col("word"), col("freq"), expr(ViterbiFoldSql).as("pieces"))
+
+  /** M-step counts from a segmented vocabulary: observed piece counts
+    * weighted by word freq; every seed single char kept with +1
+    * Laplace smoothing (coverage), unobserved multis dropped.
+    */
+  private def unigramCounts(assigned: DataFrame, singles: DataFrame): DataFrame = {
+    val obs = assigned
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("freq")).as("obs"))
+    singles
+      .join(obs, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("obs"), lit(0L)) + 1).as("cnt"))
+      .unionByName(
+        obs.filter(length(col("piece")) >= 2).select(col("piece"), col("obs").as("cnt"))
+      )
+  }
+
+  /** cost(piece) = ROUND(−ln(cnt/total), 9); the 1-row total rides a
+    * broadcast cross join (the Lloyd broadcast-update shape).
+    */
+  private def unigramCosts(cnts: DataFrame): DataFrame =
+    cnts
+      .crossJoin(broadcast(cnts.agg(sum(col("cnt")).as("__total"))))
+      .select(
+        col("piece"),
+        round(-log(col("cnt").cast("double") / col("__total")), 9).as("cost")
+      )
+
+  /** Full training run: returns (final piece counts, encoded vocab
+    * (word, freq, n_pieces) under the final costs, final singles-count
+    * total for the report).
+    */
+  private[graft] def unigramTrain(docs: DataFrame): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val vocab = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(explode(split(expr(TextAnalysis.NormSql), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val seed = vocab
+      .select(col("word"), col("freq"), explode(expr("sequence(1, length(word))")).as("i"))
+      .select(col("word"), col("freq"), col("i"), explode(expr("array(1, 2, 3, 4)")).as("k"))
+      .filter(expr("i + k - 1 <= length(word)"))
+      .select(expr("substring(word, i, k)").as("piece"), col("freq"))
+      .groupBy(col("piece"))
+      .agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint(true)
+    val singles = seed.filter(length(col("piece")) === 1).select(col("piece"))
+    val multis0 = seed
+      .filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(48)
+    val cnt0 = seed.join(singles, Seq("piece")).unionByName(multis0)
+    val c0 = unigramCosts(cnt0).localCheckpoint(true)
+    val n1 = unigramCounts(viterbiSegment(vocab, c0), singles).localCheckpoint(true)
+    val c1 = unigramCosts(n1).localCheckpoint(true)
+    val n2 = unigramCounts(viterbiSegment(vocab, c1), singles).localCheckpoint(true)
+    val c2 = unigramCosts(n2).localCheckpoint(true)
+    val enc = viterbiSegment(vocab, c2)
+      .select(col("word"), col("freq"), size(col("pieces")).cast("long").as("w_tokens"))
+      .localCheckpoint(true)
+    (n2, enc)
+  }
+
+  private val unigramCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private val unigramLock = new Object
+
+  /** (final counts, encoded vocab) for the registry's fixed training
+    * run, computed once per (SparkSession, sfDir) — the trainedFor
+    * discipline, shared by the train and tokenize consumers.
+    */
+  def unigramFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    unigramCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) unigramCache.remove(k): Unit
+    }
+    val key = (spark, dir)
+    unigramCache.getOrElse(
+      key,
+      unigramLock.synchronized {
+        unigramCache.getOrElseUpdate(key, unigramTrain(Tables.documents(spark, dir)))
+      }
+    )
+  }
+
+  /** Top-20 final pieces by (count DESC, piece) with their log
+    * probabilities — the trained-tokenizer report.
+    */
+  def trainUnigram(spark: SparkSession, dir: String): DataFrame = {
+    val (n2, _) = unigramFor(spark, dir)
+    n2.crossJoin(broadcast(n2.agg(sum(col("cnt")).as("__total"))))
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(20)
+      .select(
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("piece"))
+        ).cast("long").as("rank"),
+        col("piece"),
+        col("cnt").cast("long").as("cnt"),
+        (round(log(col("cnt").cast("double") / col("__total")), 6) + lit(0.0)).as("logprob")
+      )
+  }
+
+  /** Per-document token accounting under the trained unigram LM — the
+    * tokenize_bpe twin: corpus words join the encoded vocabulary (no
+    * DP ever runs at corpus grain), per-doc partial sums, and the
+    * chars-per-token ratio as HALF_UP integer division into micro
+    * units (exactly on the 1e-6 grid — no double ROUND to straddle).
+    */
+  def tokenizeUnigram(spark: SparkSession, dir: String): DataFrame = {
+    val (_, enc) = unigramFor(spark, dir)
+    Tables
+      .documents(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(expr(TextAnalysis.NormSql), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(enc.select(col("word"), col("w_tokens")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("w_tokens")).as("n_tokens")
+      )
+      .withColumn(
+        "ratio",
+        expr("CAST((n_tokens * 2000000 + n_chars) DIV (n_chars * 2) AS DOUBLE) / 1000000.0")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared oracle CTE chain: vocabulary, substring seeding, and
+    * the 2-iteration hard-EM trajectory with each Viterbi pass as a
+    * recursive-CTE DP (dp0/dp1/dp2) over the same edge-cost arrays.
+    */
+  private def unigramCtesSql: String = {
+    def wordec(i: Int, costs: String) =
+      s"""wordec$i AS (
+         |  SELECT g.word, g.freq, g.L,
+         |    list(COALESCE(c.cost, 1e300) ORDER BY (g.j - 1) * 4 + g.k) AS ec
+         |  FROM (SELECT v.word, v.freq, LENGTH(v.word) AS L,
+         |          CAST(u.j AS INT) AS j, CAST(kk.k AS INT) AS k
+         |        FROM uvocab v, UNNEST(range(1, LENGTH(v.word) + 1)) u(j),
+         |             UNNEST([1, 2, 3, 4]) kk(k)) g
+         |  LEFT JOIN $costs c
+         |    ON g.k <= g.j AND c.piece = substr(g.word, g.j - g.k + 1, g.k)
+         |  GROUP BY g.word, g.freq, g.L)""".stripMargin
+    def dp(i: Int) =
+      s"""dp$i AS (
+         |  SELECT word, freq, L, ec, 0 AS j,
+         |    [CAST(0.0 AS DOUBLE)] AS cs, [CAST([] AS VARCHAR[])] AS ps
+         |  FROM wordec$i
+         |  UNION ALL
+         |  SELECT word, freq, L, ec, j + 1,
+         |    list_append(cs, LEAST(c1, c2, c3, c4)),
+         |    list_append(ps,
+         |      CASE WHEN c1 = LEAST(c1, c2, c3, c4)
+         |             THEN list_append(ps[GREATEST(j + 1, 1)], substr(word, j + 1, 1))
+         |           WHEN c2 = LEAST(c1, c2, c3, c4)
+         |             THEN list_append(ps[GREATEST(j, 1)], substr(word, j, 2))
+         |           WHEN c3 = LEAST(c1, c2, c3, c4)
+         |             THEN list_append(ps[GREATEST(j - 1, 1)], substr(word, j - 1, 3))
+         |           ELSE list_append(ps[GREATEST(j - 2, 1)], substr(word, j - 2, 4)) END)
+         |  FROM (
+         |    SELECT word, freq, L, ec, j, cs, ps,
+         |      cs[GREATEST(j + 1, 1)] + ec[j * 4 + 1] AS c1,
+         |      cs[GREATEST(j, 1)] + ec[j * 4 + 2] AS c2,
+         |      cs[GREATEST(j - 1, 1)] + ec[j * 4 + 3] AS c3,
+         |      cs[GREATEST(j - 2, 1)] + ec[j * 4 + 4] AS c4
+         |    FROM dp$i WHERE j < L) t),
+         |asg$i AS (SELECT word, freq, ps[L + 1] AS pieces FROM dp$i WHERE j = L)""".stripMargin
+    def em(i: Int) =
+      s"""obs$i AS (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS obs
+         |  FROM (SELECT freq, UNNEST(pieces) AS piece FROM asg$i)
+         |  GROUP BY piece),
+         |n${i + 1} AS (
+         |  SELECT s.piece, COALESCE(o.obs, 0) + 1 AS cnt
+         |  FROM usingles s LEFT JOIN obs$i o USING (piece)
+         |  UNION ALL
+         |  SELECT piece, obs AS cnt FROM obs$i WHERE LENGTH(piece) >= 2),
+         |c${i + 1} AS (
+         |  SELECT piece, ROUND(-LN(CAST(cnt AS DOUBLE) / t.total), 9) AS cost
+         |  FROM n${i + 1} CROSS JOIN
+         |    (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM n${i + 1}) t)""".stripMargin
+    s"""uwords AS (
+       |  SELECT UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS w
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0),
+       |uvocab AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM uwords WHERE LENGTH(w) > 0 GROUP BY w),
+       |useed AS MATERIALIZED (
+       |  SELECT substr(word, CAST(u.i AS INT), CAST(kk.k AS INT)) AS piece,
+       |    CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM uvocab, UNNEST(range(1, LENGTH(word) + 1)) u(i), UNNEST([1, 2, 3, 4]) kk(k)
+       |  WHERE CAST(u.i AS INT) + CAST(kk.k AS INT) - 1 <= LENGTH(word)
+       |  GROUP BY 1),
+       |usingles AS (SELECT piece FROM useed WHERE LENGTH(piece) = 1),
+       |cnt0 AS (
+       |  SELECT s.piece, s.cnt FROM useed s JOIN usingles USING (piece)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM
+       |    (SELECT piece, cnt FROM useed WHERE LENGTH(piece) >= 2
+       |     ORDER BY cnt DESC, piece LIMIT 48)),
+       |c0 AS MATERIALIZED (
+       |  SELECT piece, ROUND(-LN(CAST(cnt AS DOUBLE) / t.total), 9) AS cost
+       |  FROM cnt0 CROSS JOIN (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt0) t),
+       |${wordec(0, "c0")},
+       |${dp(0)},
+       |${em(0)},
+       |${wordec(1, "c1")},
+       |${dp(1)},
+       |${em(1)},
+       |${wordec(2, "c2")},
+       |${dp(2)}""".stripMargin
+  }
+
+  val trainUnigramSql: String =
+    s"""WITH RECURSIVE ${unigramCtesSql}
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
+       |  piece, CAST(cnt AS BIGINT) AS cnt,
+       |  ROUND(LN(CAST(cnt AS DOUBLE) / t.total), 6) + 0.0 AS logprob
+       |FROM n2 CROSS JOIN (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM n2) t
+       |ORDER BY cnt DESC, piece
+       |LIMIT 20""".stripMargin
+
+  val tokenizeUnigramSql: String =
+    s"""WITH RECURSIVE ${unigramCtesSql},
+       |docw AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0)
+       |SELECT d.doc_id,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(LENGTH(d.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(len(a.pieces)) AS BIGINT) AS n_tokens,
+       |  CAST((CAST(SUM(len(a.pieces)) AS BIGINT) * 2000000 + CAST(SUM(LENGTH(d.word)) AS BIGINT))
+       |    // (CAST(SUM(LENGTH(d.word)) AS BIGINT) * 2) AS DOUBLE) / 1000000.0 AS ratio
+       |FROM docw d JOIN asg2 a ON a.word = d.word
+       |WHERE LENGTH(d.word) > 0
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The merge trajectory unrolled round by round in MATERIALIZED CTEs:
     * identical pair grid (1-based adjacent indices), identical
     * (cnt DESC, lhs, rhs) argmax order, and the same greedy

@@ -92,4 +92,71 @@ class TokenizerSpec extends SparkSpec {
       r.getAs[Long]("n_tokens") should be >= r.getAs[Long]("n_words")
     }
   }
+
+  // ---- unigram-LM tokenizer ----
+
+  "viterbiSegment" should "pick the minimum-cost segmentation and break ties toward shorter pieces" in {
+    import org.apache.spark.sql.functions.col
+    val vocab = Seq(("abab", 1L), ("ab", 1L), ("c", 1L)).toDF("word", "freq")
+    val costs = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0), ("ab", 0.9)).toDF("piece", "cost")
+    val out = Tokenizer
+      .viterbiSegment(vocab, costs)
+      .collect()
+      .map(r => r.getAs[String]("word") -> r.getSeq[String](r.fieldIndex("pieces")))
+      .toMap
+    out("abab") shouldBe Seq("ab", "ab")
+    out("ab") shouldBe Seq("ab")
+    out("c") shouldBe Seq("c")
+
+    // exact cost tie between [a, b] and [ab]: the pinned CASE-arm order
+    // prefers the SHORTER piece (k = 1 first)
+    val tieCosts = Seq(("a", 0.5), ("b", 0.5), ("ab", 1.0)).toDF("piece", "cost")
+    val tie = Tokenizer
+      .viterbiSegment(Seq(("ab", 1L)).toDF("word", "freq"), tieCosts)
+      .collect()
+      .head
+    tie.getSeq[String](tie.fieldIndex("pieces")) shouldBe Seq("a", "b")
+  }
+
+  it should "fall back to single characters when no multi-char piece is priced" in {
+    val vocab = Seq(("xyz", 1L)).toDF("word", "freq")
+    val costs = Seq(("x", 1.0), ("y", 1.0), ("z", 1.0)).toDF("piece", "cost")
+    val r = Tokenizer.viterbiSegment(vocab, costs).collect().head
+    r.getSeq[String](r.fieldIndex("pieces")) shouldBe Seq("x", "y", "z")
+  }
+
+  "unigramTrain" should "reconstruct every vocabulary word from its pieces and keep char coverage" in {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val docs = Seq(
+      (1L, "abab abab abab ab"),
+      (2L, "abab cd cd cde"),
+      (3L, "fgh abab ab cd")
+    ).toDF("doc_id", "text")
+    val (cnts, enc) = Tokenizer.unigramTrain(docs)
+    // coverage: every single char of the corpus priced (Laplace floor)
+    val pieces = cnts.collect().map(r => r.getAs[String]("piece") -> r.getAs[Long]("cnt")).toMap
+    "abcdefgh".foreach { ch => pieces(ch.toString) should be >= 1L }
+    // the dominant repeated substring is a high-count piece
+    pieces.keys should contain("abab")
+    // encode covers every word with >= 1 piece and never beats chars
+    val rows = enc.collect()
+    rows.length shouldBe 5 // the 5 distinct corpus words, none dropped
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      val t = r.getAs[Long]("w_tokens")
+      t should be >= 1L
+      t should be <= w.length.toLong
+    }
+    // reconstruction: re-run the final Viterbi and check concat(pieces) == word
+    val c2 = cnts
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        cnts.agg(org.apache.spark.sql.functions.sum(col("cnt")).as("__total"))))
+      .select(col("piece"),
+        org.apache.spark.sql.functions.round(
+          -org.apache.spark.sql.functions.log(col("cnt").cast("double") / col("__total")), 9).as("cost"))
+    val vocab = Seq("abab", "ab", "cd", "cde", "fgh").map((_, 1L)).toDF("word", "freq")
+    Tokenizer.viterbiSegment(vocab, c2).collect().foreach { r =>
+      r.getSeq[String](r.fieldIndex("pieces")).mkString shouldBe r.getAs[String]("word")
+    }
+  }
 }
