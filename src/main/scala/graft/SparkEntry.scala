@@ -378,6 +378,9 @@ object SparkEntry {
     // FineWeb/MassiveText repetition-removal battery (Penedo et al.
     // 2024; Rae et al. 2021 §A1.1)
     "quality_fineweb" -> (TextAnalysis.qualityFineweb _),
+    // ExactSubstr span dedup: maximal duplicated ≥30-token spans
+    // (Lee et al. 2022 §4, sliding-window form)
+    "dedup_substr" -> (Dedup.dedupSubstr _),
     // unigram-LM tokenizer: hard-EM piece probabilities (Kudo 2018)
     "train_unigram" -> (Tokenizer.trainUnigram _),
     // per-doc token accounting under the trained unigram LM
@@ -681,6 +684,7 @@ object SparkEntry {
     "corpus_hll" -> TextAnalysis.corpusHllSql,
     "quality_c4" -> TextAnalysis.qualityC4Sql,
     "quality_fineweb" -> TextAnalysis.qualityFinewebSql,
+    "dedup_substr" -> Dedup.dedupSubstrSql,
     "train_unigram" -> Tokenizer.trainUnigramSql,
     "tokenize_unigram" -> Tokenizer.tokenizeUnigramSql,
     "ann_ivf_pq" -> Similarity.annIvfPqSql,

@@ -680,6 +680,111 @@ object Dedup {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** ExactSubstr span dedup proper (Lee et al. 2022 §4): the maximal
+    * substrings of ≥ w tokens that occur MORE THAN ONCE anywhere in the
+    * corpus, reported as per-document (start, end) token spans — the
+    * pass that removes a license header mid-document where document-
+    * and tile-grain dedup both miss it (dedup_passage is the
+    * fixed-tile approximation; this is the sliding-window real thing).
+    * The published algorithm sorts a suffix array; the equivalent
+    * Spark-native shape is the SLIDING w-gram form: a span of L ≥ w
+    * tokens is duplicated iff all of its L − w + 1 covering w-windows
+    * are duplicated, so duplicated maximal spans = run-length-merged
+    * runs of duplicated window starts. No suffix array, no driver
+    * state — a sorted gram stream with boundary stitching per doc.
+    *
+    * Scale shape: windows hash map-side to the 60-bit md5 prefix (the
+    * dedup_passage discipline — window text never crosses an
+    * exchange); ONE key-grain counted agg gates to the ≥2-occurrence
+    * hashes; the join back is co-keyed on the same 8-byte hash;
+    * the run-length merge is a per-doc window function over the
+    * DUPLICATED starts only — a doc-length-bounded reduced grid, never
+    * corpus-wide. Output integers only, so nothing rounds.
+    */
+  def exactSubstrSpans(docs: DataFrame, w: Int = 30): DataFrame = {
+    val wins = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(WordsSql).as("__ws"))
+      .filter(size(col("__ws")) >= w)
+      .withColumn("i", explode(sequence(lit(1L), size(col("__ws")).cast("long") - (w - 1))))
+      .select(
+        col("doc_id"),
+        col("i"),
+        expr(md5Prefix60Sql(s"array_join(slice(__ws, cast(i as int), $w), ' ')")).as("__h")
+      )
+    val dupKeys = wins
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__h"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("i"))
+    wins
+      .join(dupKeys.hint("merge"), "__h")
+      .select(col("doc_id"), col("i"))
+      .withColumn(
+        "__new",
+        // sentinel -1000000: any real first i (≥ 1) exceeds it + w, so
+        // the first duplicated start always opens an island (and no
+        // Long.MinValue + w overflow)
+        when(col("i") > coalesce(lag(col("i"), 1).over(byDoc), lit(-1000000L)) + w, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(
+        min(col("i")).as("span_start"),
+        (max(col("i")) + (w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows")
+      )
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows")
+      )
+  }
+
+  def dedupSubstr(spark: SparkSession, dir: String): DataFrame =
+    exactSubstrSpans(withPlantedNearDups(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** ExactSubstr oracle: identical sliding windows over the planted
+    * corpus, the shared 60-bit hash, the same counted gate and the
+    * same LAG/SUM island grammar.
+    */
+  lazy val dedupSubstrSql: String =
+    s"""WITH $PlantedCorpusSql,
+       |ws AS (
+       |  SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |  FROM corpus WHERE text IS NOT NULL),
+       |wins AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    ${md5Prefix60Duck("array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 29], ' ')")} AS h
+       |  FROM ws, UNNEST(range(1, len(w) - 28)) AS t(i)
+       |  WHERE len(w) >= 30),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+       |d AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN i > COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i),
+       |                           -1000000) + 30 THEN 1 ELSE 0 END AS nw
+       |  FROM wins JOIN dup USING (h)),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+       |                  ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM d)
+       |SELECT doc_id,
+       |  MIN(i) AS span_start,
+       |  MAX(i) + 29 AS span_end,
+       |  MAX(i) + 29 - MIN(i) + 1 AS span_tokens,
+       |  COUNT(*) AS n_windows
+       |FROM isl
+       |GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   /** Boilerplate gram report: the actual REPEATED WORD SPANS across the
     * corpus (license headers, templates, navigation chrome), ranked by
     * how many documents carry them — the strings a cleaning pass would

@@ -634,4 +634,44 @@ class DedupSpec extends SparkSpec {
     out shouldBe List(("a", "b", 2L, 2L, 1L, 0.333333, 0.5))
   }
 
+
+  "exactSubstrSpans" should "merge duplicated window runs into maximal spans and split across gaps" in {
+    import spark.implicits._
+    // shared 5-word run "a b c d e" sits at tokens 3..7 of doc 1 and
+    // 1..5 of doc 2; with w=3 its covering windows (and only those)
+    // are duplicated, so each doc reports ONE merged span
+    val docs = Seq(
+      (1L, "x1 x2 a b c d e y1 y2"),
+      (2L, "a b c d e z1 z2"),
+      // "a b c" appears twice in doc 3 (tokens 1..3 and 9..11), more
+      // than w apart: two islands, not one
+      (3L, "a b c q1 q2 q3 q4 q5 a b c"),
+      // no duplicated window at all: no rows
+      (4L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .exactSubstrSpans(docs, w = 3)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"), r.getAs[Long]("n_windows")))
+      .toList
+    out shouldBe List(
+      (1L, 3L, 7L, 5L, 3L),
+      (2L, 1L, 5L, 5L, 3L),
+      (3L, 1L, 3L, 3L, 1L),
+      (3L, 9L, 11L, 3L, 1L)
+    )
+  }
+
+  it should "gate pair work on the counted 8-byte hash key (no window text past the exchange)" in {
+    // plan hygiene: the only exchange keys upstream of the island
+    // window are the hash aggregation/join and the doc_id window —
+    // the window STRING never shuffles
+    val df = graft.operators.Dedup.dedupSubstr(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("hashpartitioning")
+    plan shouldNot include("hashpartitioning(__tile")
+  }
+
 }
