@@ -32,20 +32,33 @@ object StraddleAudit {
     * eps·10^scale of 0.5. Magnitudes ≥ 1e9 are skipped (their scaled
     * image exceeds 2^52 and the fractional part is no longer
     * meaningful — nor roundable differently — at that magnitude).
+    *
+    * Values ON the 1e-9 grid are exempt: a declared ROUND(·, 9) output
+    * (ts_hurst's rs columns, the transcendental-discipline columns) is
+    * the SAME 9-rounded double in both engines — nothing ever rounds
+    * it at 6, so sitting 1e-9 from the scale-6 half grid (k ≡ 500 mod
+    * 1000 nano-units, 3/1000 of legitimate scale-9 values) carries no
+    * cross-engine risk. The audit's target is the value with MORE
+    * precision than the declared grids — a raw quotient — parked on
+    * the half grid.
     */
   def straddleCond(c: Column, scale: Int, eps: Double): Column = {
     val p = math.pow(10.0, scale)
     val s = abs(c) * lit(p)
     val f = s - floor(s)
+    val s9 = abs(c) * lit(1e9)
+    val onGrid9 = abs(s9 - round(s9, 0)) < lit(0.01)
     c.isNotNull && !isnan(c) && abs(c) < lit(1e9) &&
-      abs(f - lit(0.5)) < lit(eps * p)
+      abs(f - lit(0.5)) < lit(eps * p) && !onGrid9
   }
 
   private def isStraddle(v: Double, scale: Int, eps: Double): Boolean = {
     val p = math.pow(10.0, scale)
     val s = math.abs(v) * p
+    val s9 = math.abs(v) * 1e9
     !v.isNaN && !v.isInfinite && math.abs(v) < 1e9 &&
-    math.abs(s - math.floor(s) - 0.5) < eps * p
+    math.abs(s - math.floor(s) - 0.5) < eps * p &&
+    math.abs(s9 - math.rint(s9)) >= 0.01
   }
 
   /** Sample (up to `limit` rows) the values in `df`'s double columns

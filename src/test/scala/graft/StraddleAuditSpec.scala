@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   */
 class StraddleAuditSpec extends SparkSpec {
 
-  "StraddleAudit" should "red-bar a planted half-grid value and pass grid-aligned ones" in {
+  "StraddleAudit" should "red-bar raw half-grid values and exempt declared-grid ones" in {
     import spark.implicits._
+    // raw-quotient-like values: near the scale-6 half grid but OFF the
+    // 1e-9 grid (so no declared rounding produced them)
     val planted = Seq(
-      ("half_micro", 0.0000005), // exactly on the scale-6 half grid
-      ("deep_half", 1.2345675), // 7th decimal is a trailing 5
-      ("negative_half", -0.0000015)
+      ("half_micro", 5.0005e-7),
+      ("deep_half", 1.23456750003),
+      ("negative_half", -1.50005e-6)
     ).toDF("tag", "v")
     val hits = StraddleAudit.audit(planted)
     hits.map(_.column).distinct shouldBe Seq("v")
@@ -26,7 +28,12 @@ class StraddleAuditSpec extends SparkSpec {
       12.0, // integer
       0.000001, // one micro
       -3.141592, // 6-rounded
-      1234567.89 // |v| large but grid-aligned at its magnitude
+      1234567.89, // |v| large but grid-aligned at its magnitude
+      // declared ROUND(·,9) outputs: ON the 1e-9 grid, so even sitting
+      // 1e-9 from the scale-6 half grid carries no cross-engine risk
+      // (the ts_hurst rs64 case found at sf0.1)
+      8.483482501,
+      0.0000005
     ).toDF("v")
     StraddleAudit.audit(clean) shouldBe empty
   }
