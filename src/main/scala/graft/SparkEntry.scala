@@ -381,10 +381,19 @@ object SparkEntry {
     // ExactSubstr span dedup: maximal duplicated ≥30-token spans
     // (Lee et al. 2022 §4, sliding-window form)
     "dedup_substr" -> (Dedup.dedupSubstr _),
+    // one-row ExactSubstr removal budget (duplicated-token fraction)
+    "dedup_substr_impact" -> (Dedup.dedupSubstrImpact _),
+    // fifth recall curve: the composed IVFADC index vs exact
+    "ann_recall_ivfpq" -> (Similarity.annRecallIvfPq _),
+    // bigram interpolated-LM document score (order-2 CCNet-style
+    // quality screen next to text_perplexity's unigram prior)
+    "text_perplexity2" -> (TextAnalysis.textPerplexity2 _),
     // unigram-LM tokenizer: hard-EM piece probabilities (Kudo 2018)
     "train_unigram" -> (Tokenizer.trainUnigram _),
     // per-doc token accounting under the trained unigram LM
     "tokenize_unigram" -> (Tokenizer.tokenizeUnigram _),
+    // BPE vs unigram per-language parity (tokenizer selection report)
+    "tokenize_parity" -> (Tokenizer.tokenizeParity _),
     // bigram conditional entropy H(W2|W1) per language: the
     // sequence-predictability screen (Shannon 1951)
     "corpus_cond_entropy" -> (TextAnalysis.corpusCondEntropy _),
@@ -685,6 +694,10 @@ object SparkEntry {
     "quality_c4" -> TextAnalysis.qualityC4Sql,
     "quality_fineweb" -> TextAnalysis.qualityFinewebSql,
     "dedup_substr" -> Dedup.dedupSubstrSql,
+    "text_perplexity2" -> TextAnalysis.textPerplexity2Sql,
+    "tokenize_parity" -> Tokenizer.tokenizeParitySql,
+    "dedup_substr_impact" -> Dedup.dedupSubstrImpactSql,
+    "ann_recall_ivfpq" -> Similarity.annRecallIvfPqSql,
     "train_unigram" -> Tokenizer.trainUnigramSql,
     "tokenize_unigram" -> Tokenizer.tokenizeUnigramSql,
     "ann_ivf_pq" -> Similarity.annIvfPqSql,

@@ -785,6 +785,93 @@ object Dedup {
        |GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** The ExactSubstr removal budget in ONE row — what a pipeline reads
+    * before deciding to run the span rewrite: how many documents carry
+    * any duplicated ≥w-token span, how many tokens those spans cover,
+    * and the corpus-wide duplicated-token fraction. The per-span
+    * detail is [[exactSubstrSpans]]; this is its algebraic rollup plus
+    * the corpus token denominator.
+    *
+    * Scale shape: the span relation is already doc-bounded; the
+    * denominator is ONE corpus-scan partial sum of per-doc word
+    * counts; the final row is two 1-row aggregates cross-joined
+    * (broadcast). Integer sums; the fraction is HALF_UP integer micro
+    * division.
+    */
+  def exactSubstrImpact(docs: DataFrame, w: Int = 30): DataFrame = {
+    val spans = exactSubstrSpans(docs, w)
+      .agg(
+        countDistinct(col("doc_id")).as("docs_with_dups"),
+        count(lit(1)).as("n_spans"),
+        coalesce(sum(col("span_tokens")), lit(0L)).as("dup_tokens"),
+        coalesce(max(col("span_tokens")), lit(0L)).as("max_span_tokens")
+      )
+    val tok = docs
+      .filter(col("text").isNotNull)
+      .select(size(expr(WordsSql)).cast("long").as("__n"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))
+    tok
+      .crossJoin(broadcast(spans))
+      .select(
+        col("n_docs"),
+        col("total_tokens"),
+        col("docs_with_dups"),
+        col("n_spans"),
+        col("dup_tokens"),
+        col("max_span_tokens"),
+        expr(
+          "CASE WHEN total_tokens <= 0 THEN 0.0 ELSE CAST((dup_tokens * 2000000 + total_tokens) DIV (total_tokens * 2) AS DOUBLE) / 1000000.0 END"
+        ).as("dup_token_frac")
+      )
+  }
+
+  def dedupSubstrImpact(spark: SparkSession, dir: String): DataFrame =
+    exactSubstrImpact(withPlantedNearDups(Tables.documents(spark, dir)))
+
+  /** Impact oracle: the span chain verbatim, rolled to one row beside
+    * the corpus token denominator.
+    */
+  lazy val dedupSubstrImpactSql: String =
+    s"""WITH $PlantedCorpusSql,
+       |ws AS (
+       |  SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |  FROM corpus WHERE text IS NOT NULL),
+       |wins AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    ${md5Prefix60Duck("array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 29], ' ')")} AS h
+       |  FROM ws, UNNEST(range(1, len(w) - 28)) AS t(i)
+       |  WHERE len(w) >= 30),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+       |d AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN i > COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i),
+       |                           -1000000) + 30 THEN 1 ELSE 0 END AS nw
+       |  FROM wins JOIN dup USING (h)),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+       |                  ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM d),
+       |spans AS (
+       |  SELECT doc_id, MAX(i) + 29 - MIN(i) + 1 AS span_tokens
+       |  FROM isl GROUP BY doc_id, island),
+       |sp AS (
+       |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_with_dups,
+       |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT) AS dup_tokens,
+       |    CAST(COALESCE(MAX(span_tokens), 0) AS BIGINT) AS max_span_tokens
+       |  FROM spans),
+       |tok AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(w)) AS BIGINT) AS total_tokens
+       |  FROM ws)
+       |SELECT n_docs, total_tokens, docs_with_dups, n_spans, dup_tokens,
+       |  max_span_tokens,
+       |  CASE WHEN total_tokens <= 0 THEN 0.0
+       |       ELSE CAST((dup_tokens * 2000000 + total_tokens)
+       |         // (total_tokens * 2) AS DOUBLE) / 1000000.0 END AS dup_token_frac
+       |FROM tok CROSS JOIN sp""".stripMargin
+
   /** Boilerplate gram report: the actual REPEATED WORD SPANS across the
     * corpus (license headers, templates, navigation chrome), ranked by
     * how many documents carry them — the strings a cleaning pass would

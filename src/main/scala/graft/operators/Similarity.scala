@@ -2422,6 +2422,45 @@ object Similarity {
        |GROUP BY bf.query_id
        |ORDER BY bf.query_id""".stripMargin
 
+  /** Recall@k of the composed IVF+PQ index (IVFADC) against the exact
+    * baseline — the FIFTH acceptance curve, for the one index shape
+    * that actually ships at billion scale: its loss channel is the SUM
+    * of IVF's cell pruning and PQ's distance quantization, so its
+    * curve is what a deployment tunes nprobe AND codebook size
+    * against, and it must sit at-or-below both parents' curves. Same
+    * driver-size join shape as the other four.
+    */
+  def annRecallIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceFor(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val ip = annIvfPq(spark, dir)
+      .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
+    bf.join(
+        broadcast(ip),
+        col("query_id") === col("__q") && col("neighbor_id") === col("__n"),
+        "left_outer"
+      )
+      .groupBy(col("query_id"))
+      .agg(count(col("__n")).as("n_hit"))
+      .select(
+        col("query_id"),
+        col("n_hit"),
+        lit(TopK.toLong).as("k"),
+        round(col("n_hit") / lit(TopK.toDouble), 6).as("recall")
+      )
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallIvfPqSql: String =
+    s"""WITH bf AS ($annBruteforceSql),
+       |ip AS ($annIvfPqSql)
+       |SELECT bf.query_id, COUNT(ip.neighbor_id) AS n_hit,
+       |  CAST($TopK AS BIGINT) AS k,
+       |  ROUND(COUNT(ip.neighbor_id) / CAST($TopK AS DOUBLE), 6) AS recall
+       |FROM bf LEFT JOIN ip
+       |  ON ip.query_id = bf.query_id AND ip.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id
+       |ORDER BY bf.query_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Hubness screen (kNN in-degree over the LSH-bucketed graph)
   // ---------------------------------------------------------------------

@@ -1045,6 +1045,96 @@ object TextAnalysis {
   def textPerplexity(spark: SparkSession, dir: String): DataFrame =
     tokenPerplexity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** Bigram-LM document score — the order-2 step of the CCNet/KenLM
+    * quality ladder that [[tokenPerplexity]] starts at order 1: each
+    * document's mean −ln P(w₂|w₁) under a Jelinek-Mercer interpolated
+    * bigram model estimated from the corpus itself,
+    * P(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/T with pinned λ = 0.75.
+    * Sequence-breaking text (shuffled words, gibberish transitions)
+    * scores high even when its unigram mix looks normal — exactly the
+    * failure mode the unigram prior cannot see. Documents need ≥ 2
+    * words to have a bigram; shorter ones are excluded (declared).
+    *
+    * Scale shape: ONE bigram-keyed partial agg estimates c(w₁w₂) (the
+    * corpus_cond_entropy key), word-keyed aggs for c(w₁·) and c(w₂),
+    * score joins co-keyed on the same bigram/word keys, 1-row total
+    * broadcast, per-doc rollup — vocabulary-grain relations only, the
+    * corpus is never joined to itself or broadcast. Portability: the
+    * interpolation is evaluated in ONE pinned expression order, its ln
+    * rounds at 9, per-doc sums route through DECIMAL.
+    */
+  def bigramPerplexity(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val words = docs.select(col("doc_id"), expr(WordsSql).as("__ws"))
+    val bi = words
+      .filter(size(col("__ws")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            """transform(sequence(1, size(__ws) - 1),
+              |  i -> struct(element_at(__ws, i) AS w1, element_at(__ws, i + 1) AS w2))""".stripMargin
+          )
+        ).as("__b")
+      )
+      .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val cw = bi.groupBy(col("w2")).agg(count(lit(1)).as("cw"))
+    val total = cw.agg(sum(col("cw")).cast("double").as("total"))
+    bi
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .join(cw, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        round(
+          log(
+            lit(lambda) * (col("cb").cast("double") / col("cu")) +
+              lit(1.0 - lambda) * (col("cw").cast("double") / col("total"))
+          ),
+          9
+        ).as("lp")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-sum(col("lp").cast(dec)).cast("double") / count(lit(1)), 6).as("nll2")
+      )
+  }
+
+  def textPerplexity2(spark: SparkSession, dir: String): DataFrame =
+    bigramPerplexity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Bigram-LM oracle: identical bigram/margin counts and the same
+    * pinned interpolation order, ln-round-9, DECIMAL per-doc sums.
+    */
+  val textPerplexity2Sql: String =
+    s"""WITH normed AS (
+       |  SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id,
+       |    ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+       |  FROM normed, UNNEST(range(1, len(ws))) AS u(i)
+       |  WHERE len(ws) >= 2),
+       |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+       |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+       |cw AS (SELECT w2, COUNT(*) AS cw FROM bi GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(cw) AS DOUBLE) AS total FROM cw),
+       |s AS (
+       |  SELECT bi.doc_id,
+       |    ROUND(LN(0.75 * (CAST(cb.cb AS DOUBLE) / cu.cu)
+       |      + 0.25 * (CAST(cw.cw AS DOUBLE) / tt.total)), 9) AS lp
+       |  FROM bi
+       |  JOIN cb USING (w1, w2) JOIN cu USING (w1) JOIN cw USING (w2)
+       |  CROSS JOIN tt)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  ROUND(-CAST(SUM(CAST(lp AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS nll2
+       |FROM s GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val textPerplexitySql: String =
     s"""WITH normed AS (
        |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm

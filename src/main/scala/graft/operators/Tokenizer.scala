@@ -451,6 +451,107 @@ object Tokenizer {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-vs-unigram tokenizer parity per language — the selection
+    * report a pipeline reads before committing to a tokenizer: both
+    * trained artifacts encode the same corpus, and each language gets
+    * its fertility under each plus the unigram/BPE token-count parity
+    * ratio. A parity far from 1 on one language flags that the two
+    * learners fragment it differently (the multilingual-budget
+    * analogue of tokenize_fertility, across TOKENIZERS instead of
+    * languages).
+    *
+    * Scale shape: BOTH training runs are memoized per (session, dir)
+    * ([[trainedFor]], [[unigramFor]]) and both encodings are word-keyed
+    * joins against vocabulary-grain relations on the SAME key (one
+    * co-partitioned exchange family), then a doc-keyed lang attach and
+    * a |langs|-row rollup — the proven tokenize_fertility plan with a
+    * second vocabulary join. Portability: integer sums; fertilities
+    * and parity are HALF_UP integer micro divisions (exactly on the
+    * 1e-6 grid).
+    */
+  def tokenizeParity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bpeVocab = trainedFor(spark, dir)._2
+      .select(col("word"), size(col("syms")).cast("long").as("__bt"))
+    val uniVocab = unigramFor(spark, dir)._2
+      .select(col("word"), col("w_tokens").as("__ut"))
+    docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(expr(TextAnalysis.NormSql), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(bpeVocab, Seq("word"))
+      .join(uniVocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("__w"),
+        sum(col("__bt")).as("__b"),
+        sum(col("__ut")).as("__u")
+      )
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__b")).as("bpe_tokens"),
+        sum(col("__u")).as("uni_tokens")
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_words"),
+        col("bpe_tokens"),
+        col("uni_tokens"),
+        expr("CAST((bpe_tokens * 2000000 + n_words) DIV (n_words * 2) AS DOUBLE) / 1000000.0")
+          .as("bpe_fertility"),
+        expr("CAST((uni_tokens * 2000000 + n_words) DIV (n_words * 2) AS DOUBLE) / 1000000.0")
+          .as("uni_fertility"),
+        expr("CAST((uni_tokens * 2000000 + bpe_tokens) DIV (bpe_tokens * 2) AS DOUBLE) / 1000000.0")
+          .as("parity")
+      )
+      .orderBy(col("lang"))
+  }
+
+  /** Parity oracle: the two training replays side by side (the BPE
+    * merge unroll + the unigram recursive-CTE EM), the shared word
+    * stream joined to both final vocabularies, per-lang rollup with
+    * the identical micro divisions.
+    */
+  lazy val tokenizeParitySql: String =
+    s"""WITH RECURSIVE ${bpeCtesSql(10)},
+       |${unigramCtesSql},
+       |pdocw AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0),
+       |perdoc AS (
+       |  SELECT d.doc_id,
+       |    COUNT(*) AS w,
+       |    CAST(SUM(len(v.syms)) AS BIGINT) AS b,
+       |    CAST(SUM(len(a.pieces)) AS BIGINT) AS u
+       |  FROM pdocw d
+       |  JOIN vocab10 v ON v.word = d.word
+       |  JOIN asg2 a ON a.word = d.word
+       |  WHERE LENGTH(d.word) > 0
+       |  GROUP BY d.doc_id),
+       |bylang AS (
+       |  SELECT doc.lang,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(p.w) AS BIGINT) AS n_words,
+       |    CAST(SUM(p.b) AS BIGINT) AS bpe_tokens,
+       |    CAST(SUM(p.u) AS BIGINT) AS uni_tokens
+       |  FROM perdoc p JOIN documents doc ON doc.doc_id = p.doc_id
+       |  GROUP BY doc.lang)
+       |SELECT lang, n_docs, n_words, bpe_tokens, uni_tokens,
+       |  CAST((bpe_tokens * 2000000 + n_words) // (n_words * 2) AS DOUBLE) / 1000000.0
+       |    AS bpe_fertility,
+       |  CAST((uni_tokens * 2000000 + n_words) // (n_words * 2) AS DOUBLE) / 1000000.0
+       |    AS uni_fertility,
+       |  CAST((uni_tokens * 2000000 + bpe_tokens) // (bpe_tokens * 2) AS DOUBLE) / 1000000.0
+       |    AS parity
+       |FROM bylang
+       |ORDER BY lang""".stripMargin
+
   /** The shared oracle CTE chain: vocabulary, substring seeding, and
     * the 2-iteration hard-EM trajectory with each Viterbi pass as a
     * recursive-CTE DP (dp0/dp1/dp2) over the same edge-cost arrays.

@@ -674,4 +674,22 @@ class DedupSpec extends SparkSpec {
     plan shouldNot include("hashpartitioning(__tile")
   }
 
+
+  "exactSubstrImpact" should "roll the span report up to the hand-computed removal budget" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x1 x2 a b c d e y1 y2"), // 9 tokens, span 3..7 (5 dup)
+      (2L, "a b c d e z1 z2"), //        7 tokens, span 1..5 (5 dup)
+      (3L, "a b c q1 q2 q3 q4 q5 a b c"), // 11 tokens, two 3-token spans
+      (4L, "u1 u2 u3 u4 u5 u6") //      6 tokens, clean
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.exactSubstrImpact(docs, w = 3).collect().head
+    r.getAs[Long]("n_docs") shouldBe 4L
+    r.getAs[Long]("total_tokens") shouldBe 33L
+    r.getAs[Long]("docs_with_dups") shouldBe 3L
+    r.getAs[Long]("n_spans") shouldBe 4L
+    r.getAs[Long]("dup_tokens") shouldBe 16L
+    r.getAs[Long]("max_span_tokens") shouldBe 5L
+    r.getAs[Double]("dup_token_frac") shouldBe 0.484848
+  }
 }

@@ -942,4 +942,16 @@ class SimilaritySpec extends SparkSpec {
     outC.head.getAs[Double]("ari") shouldBe (-1.0 / 6 +- 1e-6)
   }
 
+
+  "annRecallIvfPq" should "stay inside [0, 1] with the constant k and full query coverage" in {
+    val rows = Similarity.annRecallIvfPq(spark, sfDir).collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      r.getAs[Long]("k") shouldBe 5L
+      r.getAs[Long]("n_hit") should be <= 5L
+      val rec = r.getAs[Double]("recall")
+      rec should be >= 0.0
+      rec should be <= 1.0
+    }
+  }
 }

@@ -355,6 +355,29 @@ class TextAnalysisSpec extends SparkSpec {
     rows(3).getAs[Boolean]("pass") shouldBe false
   }
 
+  "bigramPerplexity" should "score interpolated bigram nats by hand and exclude sub-bigram docs" in {
+    // bigrams: (a,b) x2, (a,c) x1; c(a.) = 3; unigram-w2: b=2, c=1, T=3
+    // P(b|a) = .75*(2/3) + .25*(2/3) = 2/3; P(c|a) = 1/3
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "a b"),
+      (3L, "a c"),
+      (4L, "z") // no bigram: excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .bigramPerplexity(docs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll2")))
+      .toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L)._1 shouldBe 1L
+    out(1L)._2 shouldBe (-math.log(2.0 / 3.0) +- 1e-6)
+    out(3L)._2 shouldBe (-math.log(1.0 / 3.0) +- 1e-6)
+    // the rarer transition scores strictly higher than the common one
+    out(3L)._2 should be > out(1L)._2
+  }
+
   "finewebRules" should "stay a zero-shuffle projection" in {
     val plan = TextAnalysis
       .finewebRules(Tables.documents(spark, sfDir))

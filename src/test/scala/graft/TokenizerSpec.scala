@@ -1,5 +1,6 @@
 package graft
 
+import graft.Tables
 import graft.operators.Tokenizer
 
 class TokenizerSpec extends SparkSpec {
@@ -157,6 +158,29 @@ class TokenizerSpec extends SparkSpec {
     val vocab = Seq("abab", "ab", "cd", "cde", "fgh").map((_, 1L)).toDF("word", "freq")
     Tokenizer.viterbiSegment(vocab, c2).collect().foreach { r =>
       r.getSeq[String](r.fieldIndex("pieces")).mkString shouldBe r.getAs[String]("word")
+    }
+  }
+
+  "tokenizeParity" should "agree with the two per-doc encodes and keep fertility bounds" in {
+    import org.apache.spark.sql.functions.col
+    val par = Tokenizer.tokenizeParity(spark, sfDir).collect()
+    par.length should be >= 1
+    // recompute each lang's sums from the two per-doc encode queries
+    val bpe = Tokenizer.tokenizeBpe(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect().groupBy(_.getAs[String]("lang"))
+    val uni = Tokenizer.tokenizeUnigram(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect().groupBy(_.getAs[String]("lang"))
+    par.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      r.getAs[Long]("bpe_tokens") shouldBe bpe(lang).map(_.getAs[Long]("n_tokens")).sum
+      r.getAs[Long]("uni_tokens") shouldBe uni(lang).map(_.getAs[Long]("n_tokens")).sum
+      r.getAs[Long]("n_words") shouldBe bpe(lang).map(_.getAs[Long]("n_words")).sum
+      // a word costs at least one token under either tokenizer
+      r.getAs[Double]("bpe_fertility") should be >= 1.0
+      r.getAs[Double]("uni_fertility") should be >= 1.0
+      r.getAs[Double]("parity") should be > 0.0
     }
   }
 }
