@@ -1296,35 +1296,80 @@ object Timeseries {
     * Scale shape: ONE sample-scale partial agg to the (channel,
     * window, k) grain — eight DECIMAL-routed sums + n per cell, trig
     * args bounded rationals (frac = t mod W / W, the bandPower
-    * precedent) so cos/sin agree bit-for-bit across engines; the
-    * τ/normalization algebra runs on the summary grain. Zero joins.
+    * precedent); the τ/normalization algebra runs on the summary
+    * grain. Zero joins.
+    *
+    * Harmonic-lattice trig: the frequency grid is harmonic (kω₀, plus
+    * 2kω₀ for the τ terms), so each raw sample computes ONE (cos, sin)
+    * pair at the base angle and derives every harmonic up to 2·max(k)
+    * by the unrolled angle-addition recurrence
+    * cosₖ = c₁·cosₖ₋₁ − s₁·sinₖ₋₁, sinₖ = c₁·sinₖ₋₁ + s₁·cosₖ₋₁ —
+    * 2 transcendentals per sample instead of 32 (the dominant cost of
+    * the old plan at any scale). The oracle unrolls the IDENTICAL
+    * recurrence text (same IEEE op order), so both engines produce the
+    * same doubles by construction — the recurrence replaces libm
+    * agreement with arithmetic identity.
     */
   def lombScargle(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 8): DataFrame = {
     val twoPi = 6.283185307179586
+    val kmax = ks.max * 2
     val frac = (col("t") % lit(windowUs)).cast("double") / lit(windowUs.toDouble)
-    val arg = lit(twoPi) * col("k") * col("__frac")
-    val arg2 = lit(2.0) * lit(twoPi) * col("k") * col("__frac")
-    val g = ts
+    var base = ts
       .select(
         col("channel"),
         floor(col("t") / lit(windowUs)).cast("long").as("win"),
         col("v"),
         frac.as("__frac")
       )
-      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
-      .groupBy(col("channel"), col("win"), col("k"))
+      .withColumn("__hc1", cos(lit(twoPi) * col("__frac")))
+      .withColumn("__hs1", sin(lit(twoPi) * col("__frac")))
+    for (k <- 2 to kmax) {
+      base = base
+        .withColumn(
+          s"__hc$k",
+          col("__hc1") * col(s"__hc${k - 1}") - col("__hs1") * col(s"__hs${k - 1}")
+        )
+        .withColumn(
+          s"__hs$k",
+          col("__hc1") * col(s"__hs${k - 1}") + col("__hs1") * col(s"__hc${k - 1}")
+        )
+    }
+    val ca = element_at(col("__ca"), col("k").cast("int"))
+    val sa = element_at(col("__sa"), col("k").cast("int"))
+    val ca2 = element_at(col("__ca"), (col("k") * 2).cast("int"))
+    val sa2 = element_at(col("__sa"), (col("k") * 2).cast("int"))
+    val withArrays = base
+      .select(
+        col("channel"),
+        col("win"),
+        col("v"),
+        array((1 to kmax).map(i => col(s"__hc$i")): _*).as("__ca"),
+        array((1 to kmax).map(i => col(s"__hs$i")): _*).as("__sa")
+      )
+    // n, Σv and Σv² are k-INDEPENDENT: summing them inside the k fan
+    // would pay the DECIMAL route |ks| times per sample for the same
+    // number. One per-(channel, win) agg computes them once; the join
+    // back is summary-grain on the same keys.
+    val totals = withArrays
+      .groupBy(col("channel"), col("win"))
       .agg(
         count(lit(1)).as("n"),
         detSum(col("v")).as("sv"),
-        detSum(col("v") * col("v")).as("sv2"),
-        detSum(col("v") * cos(arg)).as("c1v"),
-        detSum(col("v") * sin(arg)).as("s1v"),
-        detSum(cos(arg)).as("c1"),
-        detSum(sin(arg)).as("s1"),
-        detSum(cos(arg2)).as("c2"),
-        detSum(sin(arg2)).as("s2")
+        detSum(col("v") * col("v")).as("sv2")
       )
       .filter(col("n") > 2)
+    val g = withArrays
+      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
+      .groupBy(col("channel"), col("win"), col("k"))
+      .agg(
+        detSum(col("v") * ca).as("c1v"),
+        detSum(col("v") * sa).as("s1v"),
+        detSum(ca).as("c1"),
+        detSum(sa).as("s1"),
+        detSum(ca2).as("c2"),
+        detSum(sa2).as("s2")
+      )
+      .join(totals, Seq("channel", "win"))
     val vbar = col("sv") / col("n")
     val cvc = col("c1v") - vbar * col("c1")
     val cvs = col("s1v") - vbar * col("s1")
@@ -1369,30 +1414,51 @@ object Timeseries {
     lombScargle(Tables.ts(spark, dir), windowUs = 86400000000L)
       .orderBy(col("channel"), col("win"), col("k"))
 
-  /** Lomb-Scargle oracle: the identical eight DECIMAL sums, then the
-    * τ-branch and normalization algebra with the same parenthesization.
+  /** Lomb-Scargle oracle: the identical unrolled harmonic recurrence
+    * (same IEEE op order as the engine's lattice, so the doubles agree
+    * by arithmetic identity), the identical eight DECIMAL sums, then
+    * the τ-branch and normalization algebra with the same
+    * parenthesization.
     */
-  val tsLombSql: String =
-    """WITH x AS (
+  val tsLombSql: String = {
+    val rec = (2 to 16).map { k =>
+      s"""b$k AS (
+         |  SELECT *, hc1 * hc${k - 1} - hs1 * hs${k - 1} AS hc$k,
+         |    hc1 * hs${k - 1} + hs1 * hc${k - 1} AS hs$k
+         |  FROM b${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val caList = (1 to 16).map(i => s"hc$i").mkString("[", ", ", "]")
+    val saList = (1 to 16).map(i => s"hs$i").mkString("[", ", ", "]")
+    s"""WITH x AS (
       |  SELECT event_type AS channel,
       |    epoch_us(ts) // 86400000000 AS win, value AS v,
       |    CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0 AS frac
       |  FROM events),
+      |b1 AS (
+      |  SELECT channel, win, v,
+      |    cos(6.283185307179586 * frac) AS hc1,
+      |    sin(6.283185307179586 * frac) AS hs1
+      |  FROM x),
+      |$rec,
       |e AS (
-      |  SELECT channel, win, v, frac, ks.k AS k
-      |  FROM x CROSS JOIN (SELECT UNNEST(range(1, 9)) AS k) ks),
-      |g AS (
-      |  SELECT channel, win, k, COUNT(*) AS n,
+      |  SELECT channel, win, v, $caList AS ca, $saList AS sa, ks.k AS k
+      |  FROM b16 CROSS JOIN (SELECT UNNEST(range(1, 9)) AS k) ks),
+      |tot AS (
+      |  SELECT channel, win, COUNT(*) AS n,
       |    CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) AS sv,
-      |    CAST(SUM(CAST(v * v AS DECIMAL(27,10))) AS DOUBLE) AS sv2,
-      |    CAST(SUM(CAST(v * cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c1v,
-      |    CAST(SUM(CAST(v * sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s1v,
-      |    CAST(SUM(CAST(cos(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c1,
-      |    CAST(SUM(CAST(sin(6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s1,
-      |    CAST(SUM(CAST(cos(2.0 * 6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS c2,
-      |    CAST(SUM(CAST(sin(2.0 * 6.283185307179586 * k * frac) AS DECIMAL(27,10))) AS DOUBLE) AS s2
-      |  FROM e GROUP BY 1, 2, 3
+      |    CAST(SUM(CAST(v * v AS DECIMAL(27,10))) AS DOUBLE) AS sv2
+      |  FROM b16 GROUP BY 1, 2
       |  HAVING COUNT(*) > 2),
+      |g AS (
+      |  SELECT e.channel, e.win, e.k, tot.n, tot.sv, tot.sv2,
+      |    CAST(SUM(CAST(v * ca[CAST(k AS INT)] AS DECIMAL(27,10))) AS DOUBLE) AS c1v,
+      |    CAST(SUM(CAST(v * sa[CAST(k AS INT)] AS DECIMAL(27,10))) AS DOUBLE) AS s1v,
+      |    CAST(SUM(CAST(ca[CAST(k AS INT)] AS DECIMAL(27,10))) AS DOUBLE) AS c1,
+      |    CAST(SUM(CAST(sa[CAST(k AS INT)] AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(ca[CAST(k * 2 AS INT)] AS DECIMAL(27,10))) AS DOUBLE) AS c2,
+      |    CAST(SUM(CAST(sa[CAST(k * 2 AS INT)] AS DECIMAL(27,10))) AS DOUBLE) AS s2
+      |  FROM e JOIN tot ON tot.channel = e.channel AND tot.win = e.win
+      |  GROUP BY 1, 2, 3, 4, 5, 6),
       |tau AS (
       |  SELECT *,
       |    CASE WHEN SQRT(c2 * c2 + s2 * s2) = 0.0 THEN 1.0
@@ -1418,6 +1484,7 @@ object Timeseries {
       |    (2.0 * NULLIF((sv2 - sv * (sv / n)) / (n - 1), 0.0)), 6) AS power
       |FROM terms
       |ORDER BY channel, win, k""".stripMargin
+  }
 
   /** Dynamic-time-warping distance per channel pair (Sakoe & Chiba
     * 1978; Berndt & Clifford 1994) — the shape-similarity measure that
