@@ -1050,9 +1050,38 @@ object Multimodal {
       )
   }
 
+  // The registry has two consumers of the SAME landmark stream (the
+  // fingerprint report and the constellation match); a real pipeline
+  // fingerprints the corpus once and every search/dedup pass reads the
+  // landmark artifact. Fingerprint once per (SparkSession, sfDir) —
+  // the trainedFor/minedJaccardFor discipline, including dead-session
+  // eviction.
+  private val fpCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val fpLock = new Object
+
+  /** The corpus landmark stream, computed once per (session, dir) and
+    * localCheckpoint'd.
+    */
+  def fingerprintFor(spark: SparkSession, dir: String): DataFrame = {
+    fpCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) fpCache.remove(k): Unit
+    }
+    val key = (spark, dir)
+    fpCache.getOrElse(
+      key,
+      fpLock.synchronized {
+        fpCache.getOrElseUpdate(
+          key,
+          audioFingerprint(spark, withPayloads(Tables.documents(spark, dir)))
+            .localCheckpoint(true)
+        )
+      }
+    )
+  }
+
   def mmAudioFp(spark: SparkSession, dir: String): DataFrame =
-    audioFingerprint(spark, withPayloads(Tables.documents(spark, dir)))
-      .orderBy(col("doc_id"), col("frame_no"))
+    fingerprintFor(spark, dir).orderBy(col("doc_id"), col("frame_no"))
 
   /** Oracle: the mm_audio hex PCM decode CTEs feeding the identical
     * Goertzel components, pinned power order, round-9 rank and share.
@@ -1135,8 +1164,19 @@ object Multimodal {
       winFrames: Int = 3,
       cap: Long = 64L,
       minVotes: Long = 2L
+  ): DataFrame =
+    audioConstellationMatchFp(audioFingerprint(spark, withPayload), winFrames, cap, minVotes)
+
+  /** The match over an already-built landmark stream — the entry the
+    * fixed query uses so the memoized corpus fingerprint
+    * ([[fingerprintFor]]) is shared instead of recomputed.
+    */
+  def audioConstellationMatchFp(
+      fp: DataFrame,
+      winFrames: Int = 3,
+      cap: Long = 64L,
+      minVotes: Long = 2L
   ): DataFrame = {
-    val fp = audioFingerprint(spark, withPayload)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_no"))
     val symbol =
@@ -1181,12 +1221,16 @@ object Multimodal {
     * original at offset +1, the signal whole-blob hashing misses.
     */
   def mmAudioMatch(spark: SparkSession, dir: String): DataFrame = {
-    val base = withPayloads(Tables.documents(spark, dir))
+    // fingerprints are per-doc independent, so fp(base ∪ planted) =
+    // memoized fp(base) ∪ fp(planted) — only the ~1/11 planted slice
+    // pays a fresh decode+DFT
+    val planted = withPayloads(Tables.documents(spark, dir))
       .select(col("doc_id"), col("payload"))
-    val planted = base
       .filter(col("doc_id") % 11 === 0 && length(col("payload")) >= 320)
       .select((col("doc_id") + 4000000L).as("doc_id"), expr("substring(payload, 65)").as("payload"))
-    audioConstellationMatch(spark, base.unionByName(planted))
+    val fp = fingerprintFor(spark, dir)
+      .unionByName(audioFingerprint(spark, planted))
+    audioConstellationMatchFp(fp)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
