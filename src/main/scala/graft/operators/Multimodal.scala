@@ -826,11 +826,34 @@ object Multimodal {
     )
   }
 
+  // Two registry consumers read the SAME mined phash pair relation
+  // (the pair report and the cluster collapse) — mine once per
+  // (session, dir), the minedJaccardFor discipline.
+  private val phashCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val phashLock = new Object
+
+  def phashPairsFor(spark: SparkSession, dir: String): DataFrame = {
+    phashCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) phashCache.remove(k): Unit
+    }
+    val key = (spark, dir)
+    phashCache.getOrElse(
+      key,
+      phashLock.synchronized {
+        phashCache.getOrElseUpdate(
+          key,
+          phashNearDups(
+            spark,
+            withPayloads(withPlantedExactCopies(Tables.documents(spark, dir)))
+          ).localCheckpoint(true)
+        )
+      }
+    )
+  }
+
   def mmPhash(spark: SparkSession, dir: String): DataFrame =
-    phashNearDups(
-      spark,
-      withPayloads(withPlantedExactCopies(Tables.documents(spark, dir)))
-    ).orderBy(col("doc_a"), col("doc_b"))
+    phashPairsFor(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** The phash pair pipeline as shared oracle CTEs (planted corpus →
     * hex-sliced grid bytes → bands → counted buckets → Hamming-scored
@@ -903,10 +926,7 @@ object Multimodal {
     */
   def mmPhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.clustersWithSurvivors(
-      phashNearDups(
-        spark,
-        withPayloads(withPlantedExactCopies(Tables.documents(spark, dir)))
-      ).select(col("doc_a"), col("doc_b"))
+      phashPairsFor(spark, dir).select(col("doc_a"), col("doc_b"))
     ).orderBy(col("doc_id"))
 
   /** Cluster oracle: the shared phash pair CTEs feeding the identical
