@@ -383,6 +383,9 @@ object SparkEntry {
     "dedup_substr" -> (Dedup.dedupSubstr _),
     // one-row ExactSubstr removal budget (duplicated-token fraction)
     "dedup_substr_impact" -> (Dedup.dedupSubstrImpact _),
+    // sampled closeness centrality over the mined near-dup graph
+    // (Eppstein & Wang 2001, pinned sources)
+    "graph_closeness" -> (Dedup.graphCloseness _),
     // fifth recall curve: the composed IVFADC index vs exact
     "ann_recall_ivfpq" -> (Similarity.annRecallIvfPq _),
     // bigram interpolated-LM document score (order-2 CCNet-style
@@ -697,6 +700,7 @@ object SparkEntry {
     "text_perplexity2" -> TextAnalysis.textPerplexity2Sql,
     "tokenize_parity" -> Tokenizer.tokenizeParitySql,
     "dedup_substr_impact" -> Dedup.dedupSubstrImpactSql,
+    "graph_closeness" -> Dedup.graphClosenessSql,
     "ann_recall_ivfpq" -> Similarity.annRecallIvfPqSql,
     "train_unigram" -> Tokenizer.trainUnigramSql,
     "tokenize_unigram" -> Tokenizer.tokenizeUnigramSql,

@@ -2411,6 +2411,122 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sampled closeness centrality over the mined near-dup graph
+    * (Eppstein & Wang 2001): BFS from a FIXED pinned source sample
+    * (the `nSources` smallest node ids — deterministic, no RNG) gives
+    * every node its distance to each reachable source, and
+    * closeness(v) ≈ reached(v)/Σ_s d(s,v). The centrality that ranks
+    * which template family sits nearest everything else — pagerank
+    * weights endorsement, coreness weights density; closeness weights
+    * REACH, and the sampled estimator is the published way to get it
+    * without APSP.
+    *
+    * Scale shape: `maxHops` SYNCHRONOUS frontier expansions, each one
+    * frontier⋈edges join co-keyed on the node id plus a left-anti
+    * visited check against the accumulated distance relation — all at
+    * post-mining pair scale with per-round localCheckpoint (the
+    * pagerank/LPA loop discipline). Distances beyond `maxHops` count
+    * as unreached in BOTH engines (declared estimator cut). Integer
+    * arithmetic throughout; the final ratio is a HALF_UP integer
+    * micro division (exactly on the 1e-6 grid).
+    */
+  def sampledCloseness(
+    pairsIn: DataFrame,
+    nSources: Int = 4,
+    maxHops: Int = 6
+  ): DataFrame = {
+    val pairs = pairsIn.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val edges = pairs
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("doc_id")).distinct().localCheckpoint(true)
+    val sources = nodes.orderBy(col("doc_id")).limit(nSources).select(col("doc_id").as("src"))
+    var dist = sources
+      .select(col("src"), col("src").as("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (r <- 1 to maxHops) {
+      val nxt = frontier
+        .join(edges, frontier("node") === edges("u"))
+        .select(col("src"), col("v").as("node"))
+        .distinct()
+        .join(dist.select(col("src"), col("node")), Seq("src", "node"), "left_anti")
+        .withColumn("d", lit(r.toLong))
+        .localCheckpoint(true)
+      val next = dist.unionByName(nxt).localCheckpoint(true)
+      dist.unpersist(false)
+      dist = next
+      frontier = nxt
+    }
+    val agg = dist
+      .filter(col("d") > 0)
+      .groupBy(col("node").as("doc_id"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_dist"))
+    nodes
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist")
+      )
+      .withColumn(
+        "closeness",
+        expr(
+          "CASE WHEN sum_dist <= 0 THEN 0.0 ELSE CAST((n_reached * 2000000 + sum_dist) DIV (sum_dist * 2) AS DOUBLE) / 1000000.0 END"
+        )
+      )
+  }
+
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame =
+    sampledCloseness(
+      minedPairsFor(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+    ).orderBy(col("doc_id"))
+
+  /** Closeness oracle: the shared minhash pair pipeline feeding the
+    * identical pinned-source BFS, unrolled one level CTE per hop with
+    * a NOT EXISTS visited check against the cumulative relation —
+    * integer-exact, same micro division.
+    */
+  val graphClosenessSql: String = {
+    val hops = 6
+    val levelCtes = (1 to hops)
+      .map { r =>
+        s"""gl$r AS (
+           |  SELECT DISTINCT f.src, e.v AS node, CAST($r AS BIGINT) AS d
+           |  FROM gl${r - 1} f JOIN gedges e ON e.u = f.node
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM gc${r - 1} x WHERE x.src = f.src AND x.node = e.v)),
+           |gc$r AS (SELECT * FROM gc${r - 1} UNION ALL SELECT * FROM gl$r)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $MinhashPipelineCtes,
+       |vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |gedges AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT doc_a AS u, doc_b AS v FROM vpairs
+       |    UNION ALL
+       |    SELECT doc_b AS u, doc_a AS v FROM vpairs)),
+       |gnodes AS (SELECT DISTINCT u AS doc_id FROM gedges),
+       |gsrc AS (SELECT doc_id AS src FROM gnodes ORDER BY doc_id LIMIT 4),
+       |gl0 AS (SELECT src, src AS node, CAST(0 AS BIGINT) AS d FROM gsrc),
+       |gc0 AS (SELECT * FROM gl0),
+       |$levelCtes,
+       |gagg AS (
+       |  SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |    CAST(SUM(d) AS BIGINT) AS sum_dist
+       |  FROM gc$hops WHERE d > 0 GROUP BY node)
+       |SELECT n.doc_id,
+       |  COALESCE(a.n_reached, 0) AS n_reached,
+       |  COALESCE(a.sum_dist, 0) AS sum_dist,
+       |  CASE WHEN COALESCE(a.sum_dist, 0) <= 0 THEN 0.0
+       |       ELSE CAST((COALESCE(a.n_reached, 0) * 2000000 + a.sum_dist)
+       |         // (a.sum_dist * 2) AS DOUBLE) / 1000000.0 END AS closeness
+       |FROM gnodes n LEFT JOIN gagg a ON a.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   /** Cluster oracle: the full minhash pipeline CTEs feed a recursive
     * transitive closure (UNION dedups, so cycles terminate); each
     * node's cluster is the minimum id it can reach, survivor = itself.

@@ -692,4 +692,27 @@ class DedupSpec extends SparkSpec {
     r.getAs[Long]("max_span_tokens") shouldBe 5L
     r.getAs[Double]("dup_token_frac") shouldBe 0.484848
   }
+
+  "sampledCloseness" should "compute pinned-source BFS closeness by hand with the hop cut" in {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6-7-8-9 plus a disconnected pair (10, 11);
+    // pinned sources = the 4 smallest nodes {1, 2, 3, 4}
+    val chain = (1L to 8L).map(i => (i, i + 1))
+    val pairs = (chain :+ (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup
+      .sampledCloseness(pairs, nSources = 4, maxHops = 6)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("sum_dist"), r.getAs[Double]("closeness")))
+      .toMap
+    out(1L) shouldBe ((3L, 6L, 0.5)) // d to 2,3,4 = 1,2,3
+    out(2L) shouldBe ((3L, 4L, 0.75))
+    out(5L) shouldBe ((4L, 10L, 0.4)) // 4+3+2+1
+    // node 9: d from sources 1..4 = 8,7,6,5 — hops 8 and 7 are cut at
+    // maxHops=6, so only sources 3 and 4 reach it
+    out(9L) shouldBe ((2L, 11L, 0.181818))
+    // disconnected from every source: zero closeness, not NULL
+    out(10L) shouldBe ((0L, 0L, 0.0))
+    out(11L) shouldBe ((0L, 0L, 0.0))
+  }
 }
