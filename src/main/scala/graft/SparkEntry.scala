@@ -386,6 +386,8 @@ object SparkEntry {
     // sampled closeness centrality over the mined near-dup graph
     // (Eppstein & Wang 2001, pinned sources)
     "graph_closeness" -> (Dedup.graphCloseness _),
+    // sampled betweenness centrality (Brandes 2001, pinned sources)
+    "graph_betweenness" -> (Dedup.graphBetweenness _),
     // fifth recall curve: the composed IVFADC index vs exact
     "ann_recall_ivfpq" -> (Similarity.annRecallIvfPq _),
     // bigram interpolated-LM document score (order-2 CCNet-style
@@ -701,6 +703,7 @@ object SparkEntry {
     "tokenize_parity" -> Tokenizer.tokenizeParitySql,
     "dedup_substr_impact" -> Dedup.dedupSubstrImpactSql,
     "graph_closeness" -> Dedup.graphClosenessSql,
+    "graph_betweenness" -> Dedup.graphBetweennessSql,
     "ann_recall_ivfpq" -> Similarity.annRecallIvfPqSql,
     "train_unigram" -> Tokenizer.trainUnigramSql,
     "tokenize_unigram" -> Tokenizer.tokenizeUnigramSql,

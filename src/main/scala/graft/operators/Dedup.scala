@@ -2527,6 +2527,179 @@ object Dedup {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** Sampled betweenness centrality (Brandes 2001 with the standard
+    * source-sampling estimator; Brandes & Pich 2007) over the mined
+    * near-dup graph — the "bridge" view the other centralities miss:
+    * a node with modest degree and reach can still carry most shortest
+    * paths BETWEEN template families, and removing it (the dedup
+    * survivor decision) disconnects them. From each of the same 4
+    * pinned sources: a forward level-synchronous BFS accumulating
+    * shortest-path counts σ, then Brandes' backward dependency pass
+    * δ(v) = Σ_w (σᵥ/σ_w)(1+δ_w) over the next level's neighbors;
+    * bc(v) = Σ_src δ(v)/2 (undirected halving, source excluded).
+    * Paths longer than `maxHops` are cut identically in both engines
+    * (declared truncated-BFS estimator).
+    *
+    * Scale shape: 6 forward rounds (frontier⋈edges, left-anti visited,
+    * (src, node)-grain σ partial sum) + 6 backward rounds (level ⋈
+    * edges ⋈ next-level δ, (src, node)-grain DECIMAL sum), all at
+    * post-mining pair scale with per-round localCheckpoint. σ is
+    * integer; each δ term and each level δ round at 9; the final
+    * halving runs in INTEGER nano units (the ts_mk sen_slope idiom) so
+    * `betweenness` is an integer/1e6 quotient no ROUND can split.
+    */
+  def sampledBetweenness(
+    pairsIn: DataFrame,
+    nSources: Int = 4,
+    maxHops: Int = 6
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val pairs = pairsIn.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val edges = pairs
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("doc_id")).distinct().localCheckpoint(true)
+    val sources = nodes.orderBy(col("doc_id")).limit(nSources).select(col("doc_id").as("src"))
+    var vis = sources
+      .select(col("src"), col("src").as("node"), lit(0L).as("d"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var frontier = vis
+    for (r <- 1 to maxHops) {
+      val nxt = frontier
+        .join(edges, frontier("node") === edges("u"))
+        .select(col("src"), col("v").as("node"), col("sigma"))
+        .join(vis.select(col("src"), col("node")), Seq("src", "node"), "left_anti")
+        .groupBy(col("src"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumn("d", lit(r.toLong))
+        .select(col("src"), col("node"), col("d"), col("sigma"))
+        .localCheckpoint(true)
+      val next = vis.unionByName(nxt).localCheckpoint(true)
+      vis.unpersist(false)
+      vis = next
+      frontier = nxt
+    }
+    var prevDelta = vis
+      .filter(col("d") === maxHops)
+      .select(col("src"), col("node"), lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    var acc = prevDelta
+    for (l <- (maxHops - 1) to 0 by -1) {
+      val lvl = vis.filter(col("d") === l).select(col("src"), col("node"), col("sigma"))
+      val deeper = vis
+        .filter(col("d") === l + 1)
+        .select(col("src"), col("node").as("w"), col("sigma").as("sw"))
+        .join(
+          prevDelta.select(col("src"), col("node").as("w"), col("delta").as("dw")),
+          Seq("src", "w")
+        )
+      val contrib = lvl
+        .join(edges, lvl("node") === edges("u"))
+        .select(col("src"), col("node"), col("sigma"), col("v").as("w"))
+        .join(deeper, Seq("src", "w"))
+        .select(
+          col("src"),
+          col("node"),
+          round((col("sigma").cast("double") / col("sw")) * (lit(1.0) + col("dw")), 9).as("term")
+        )
+        .groupBy(col("src"), col("node"))
+        .agg(round(sum(col("term").cast(dec)).cast("double"), 9).as("delta"))
+      val dlvl = lvl
+        .select(col("src"), col("node"))
+        .join(contrib, Seq("src", "node"), "left")
+        .select(col("src"), col("node"), coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      val nacc = acc.unionByName(dlvl).localCheckpoint(true)
+      acc.unpersist(false)
+      acc = nacc
+      prevDelta = dlvl
+    }
+    val bsum = acc
+      .filter(col("node") =!= col("src"))
+      .groupBy(col("node").as("doc_id"))
+      .agg((sum(col("delta").cast(dec)) * lit(1000000000L)).cast("long").as("__nano"))
+    nodes
+      .join(bsum, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        expr(
+          "CAST((COALESCE(__nano, 0) + 1000) DIV 2000 AS DOUBLE) / 1000000.0"
+        ).as("betweenness")
+      )
+  }
+
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame =
+    sampledBetweenness(
+      minedPairsFor(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+    ).orderBy(col("doc_id"))
+
+  /** Betweenness oracle: the shared minhash pair pipeline feeding the
+    * identical pinned-source forward BFS (unrolled level CTEs carrying
+    * σ partial sums) and the identical unrolled backward dependency
+    * levels, with the same round-9 terms, DECIMAL sums and integer
+    * nano halving.
+    */
+  val graphBetweennessSql: String = {
+    val hops = 6
+    val fwd = (1 to hops)
+      .map { r =>
+        s"""bf$r AS (
+           |  SELECT f.src, e.v AS node, CAST($r AS BIGINT) AS d,
+           |    CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |  FROM bf${r - 1} f JOIN gedges e ON e.u = f.node
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM bcum${r - 1} x WHERE x.src = f.src AND x.node = e.v)
+           |  GROUP BY f.src, e.v),
+           |bcum$r AS (SELECT * FROM bcum${r - 1} UNION ALL SELECT src, node, d, sigma FROM bf$r)""".stripMargin
+      }
+      .mkString(",\n")
+    val bwd = ((hops - 1) to 0 by -1)
+      .map { l =>
+        s"""bd$l AS (
+           |  SELECT lv.src, lv.node,
+           |    COALESCE(ROUND(CAST(SUM(CAST(ROUND(
+           |      (CAST(lv.sigma AS DOUBLE) / dp.sigma) * (1.0 + dp.delta), 9)
+           |      AS DECIMAL(38,10))) AS DOUBLE), 9), 0.0) AS delta
+           |  FROM bf$l lv
+           |  LEFT JOIN gedges e ON e.u = lv.node
+           |  LEFT JOIN (
+           |    SELECT f.src, f.node, f.sigma, dd.delta
+           |    FROM bf${l + 1} f JOIN bd${l + 1} dd
+           |      ON dd.src = f.src AND dd.node = f.node) dp
+           |    ON dp.src = lv.src AND dp.node = e.v
+           |  GROUP BY lv.src, lv.node)""".stripMargin
+      }
+      .mkString(",\n")
+    val ball = (0 to hops).map(l => s"SELECT * FROM bd$l").mkString("\n  UNION ALL\n  ")
+    s"""WITH $MinhashPipelineCtes,
+       |vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+       |gedges AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT doc_a AS u, doc_b AS v FROM vpairs
+       |    UNION ALL
+       |    SELECT doc_b AS u, doc_a AS v FROM vpairs)),
+       |gnodes AS (SELECT DISTINCT u AS doc_id FROM gedges),
+       |gsrc AS (SELECT doc_id AS src FROM gnodes ORDER BY doc_id LIMIT 4),
+       |bf0 AS (SELECT src, src AS node, CAST(0 AS BIGINT) AS d,
+       |  CAST(1 AS BIGINT) AS sigma FROM gsrc),
+       |bcum0 AS (SELECT * FROM bf0),
+       |$fwd,
+       |bd$hops AS (SELECT src, node, CAST(0.0 AS DOUBLE) AS delta FROM bf$hops),
+       |$bwd,
+       |ball AS (
+       |  $ball),
+       |bsum AS (
+       |  SELECT node AS doc_id,
+       |    CAST(SUM(CAST(delta AS DECIMAL(38,10))) * 1000000000 AS BIGINT) AS nano
+       |  FROM ball WHERE node <> src GROUP BY node)
+       |SELECT n.doc_id,
+       |  CAST((COALESCE(b.nano, 0) + 1000) // 2000 AS DOUBLE) / 1000000.0 AS betweenness
+       |FROM gnodes n LEFT JOIN bsum b ON b.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   /** Cluster oracle: the full minhash pipeline CTEs feed a recursive
     * transitive closure (UNION dedups, so cycles terminate); each
     * node's cluster is the minimum id it can reach, survivor = itself.

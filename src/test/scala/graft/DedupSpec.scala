@@ -715,4 +715,34 @@ class DedupSpec extends SparkSpec {
     out(10L) shouldBe ((0L, 0L, 0.0))
     out(11L) shouldBe ((0L, 0L, 0.0))
   }
+
+  "sampledBetweenness" should "accumulate Brandes dependencies on a path by hand" in {
+    import spark.implicits._
+    // path 1-2-3-4-5, sources {1,2,3,4}: delta sums per node over
+    // sources (excluding self) are 0, 5, 6, 3, 0 -> halved
+    val pairs = (1L to 4L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup
+      .sampledBetweenness(pairs, nSources = 4, maxHops = 6)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("betweenness"))
+      .toMap
+    out(1L) shouldBe 0.0
+    out(2L) shouldBe 2.5
+    out(3L) shouldBe 3.0
+    out(4L) shouldBe 1.5
+    out(5L) shouldBe 0.0
+  }
+
+  it should "split path counts through a diamond (sigma > 1)" in {
+    import spark.implicits._
+    // square 1-2-4, 1-3-4: every node carries half a path from each of
+    // two opposite sources -> bc = (0.5 + 0.5) / 2 = 0.5 for all four
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup
+      .sampledBetweenness(pairs, nSources = 4, maxHops = 6)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("betweenness"))
+      .toMap
+    Seq(1L, 2L, 3L, 4L).foreach { n => out(n) shouldBe 0.5 }
+  }
 }
