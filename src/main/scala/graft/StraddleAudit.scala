@@ -42,12 +42,19 @@ object StraddleAudit {
     * precision than the declared grids — a raw quotient — parked on
     * the half grid.
     */
+  /** 2^52: above this, s9 = |v|·1e9 is always an exact integer double
+    * and the grid-9 test degenerates to "always on grid" — the
+    * exemption must not apply there, or the audit goes blind for
+    * 4.5e6 < |v| < 1e9 where the scale-6 fraction is still meaningful.
+    */
+  private val Grid9Max = 4503599627370496.0
+
   def straddleCond(c: Column, scale: Int, eps: Double): Column = {
     val p = math.pow(10.0, scale)
     val s = abs(c) * lit(p)
     val f = s - floor(s)
     val s9 = abs(c) * lit(1e9)
-    val onGrid9 = abs(s9 - round(s9, 0)) < lit(0.01)
+    val onGrid9 = s9 < lit(Grid9Max) && abs(s9 - round(s9, 0)) < lit(0.01)
     c.isNotNull && !isnan(c) && abs(c) < lit(1e9) &&
       abs(f - lit(0.5)) < lit(eps * p) && !onGrid9
   }
@@ -56,9 +63,9 @@ object StraddleAudit {
     val p = math.pow(10.0, scale)
     val s = math.abs(v) * p
     val s9 = math.abs(v) * 1e9
+    val onGrid9 = s9 < Grid9Max && math.abs(s9 - math.rint(s9)) < 0.01
     !v.isNaN && !v.isInfinite && math.abs(v) < 1e9 &&
-    math.abs(s - math.floor(s) - 0.5) < eps * p &&
-    math.abs(s9 - math.rint(s9)) >= 0.01
+    math.abs(s - math.floor(s) - 0.5) < eps * p && !onGrid9
   }
 
   /** Sample (up to `limit` rows) the values in `df`'s double columns

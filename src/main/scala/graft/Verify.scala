@@ -28,20 +28,31 @@ object Verify {
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     val straddles = scala.collection.mutable.ArrayBuffer[String]()
     selected.foreach { case (name, fn) =>
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        // half-grid straddle audit on the written result: any double
-        // within 1e-9 of the scale-6 ROUND half grid is a future
-        // cross-engine coin-flip — surface it here, at THIS scale
-        // factor, instead of in a remote driver's hash mismatch
-        StraddleAudit.audit(spark.read.parquet(s"$outDir/$name")).foreach { h =>
-          val line = s"$name.${h.column}=${h.value}"
-          straddles += line
-          System.err.println(s"[straddle] $line")
+      val wrote =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          false
         }
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // half-grid straddle audit on the written result: any double
+      // within 1e-9 of the scale-6 ROUND half grid is a future
+      // cross-engine coin-flip — surface it here, at THIS scale
+      // factor, instead of in a remote driver's hash mismatch. Its own
+      // try/catch: an audit-only failure must not masquerade as a
+      // query failure (the artifact is present and valid).
+      if (wrote) {
+        try {
+          StraddleAudit.audit(spark.read.parquet(s"$outDir/$name")).foreach { h =>
+            val line = s"$name.${h.column}=${h.value}"
+            straddles += line
+            System.err.println(s"[straddle] $line")
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[straddle-audit] $name audit failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

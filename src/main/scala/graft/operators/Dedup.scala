@@ -751,13 +751,14 @@ object Dedup {
     exactSubstrSpans(withPlantedNearDups(Tables.documents(spark, dir)))
       .orderBy(col("doc_id"), col("span_start"))
 
-  /** ExactSubstr oracle: identical sliding windows over the planted
-    * corpus, the shared 60-bit hash, the same counted gate and the
-    * same LAG/SUM island grammar.
+  /** The sliding-window span chain (words → hashed windows → counted
+    * gate → LAG/SUM islands) as shared oracle CTEs over the planted
+    * corpus — consumed by dedupSubstrSql and dedupSubstrImpactSql so
+    * the span grammar exists in exactly one place (the
+    * MinhashPipelineCtes discipline).
     */
-  lazy val dedupSubstrSql: String =
-    s"""WITH $PlantedCorpusSql,
-       |ws AS (
+  private lazy val ExactSubstrSpanCtes: String =
+    s"""ws AS (
        |  SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS w
        |  FROM corpus WHERE text IS NOT NULL),
        |wins AS (
@@ -775,7 +776,15 @@ object Dedup {
        |  SELECT doc_id, i,
        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
        |                  ROWS UNBOUNDED PRECEDING) AS island
-       |  FROM d)
+       |  FROM d)""".stripMargin
+
+  /** ExactSubstr oracle: identical sliding windows over the planted
+    * corpus, the shared 60-bit hash, the same counted gate and the
+    * same LAG/SUM island grammar.
+    */
+  lazy val dedupSubstrSql: String =
+    s"""WITH $PlantedCorpusSql,
+       |$ExactSubstrSpanCtes
        |SELECT doc_id,
        |  MIN(i) AS span_start,
        |  MAX(i) + 29 AS span_end,
@@ -833,25 +842,7 @@ object Dedup {
     */
   lazy val dedupSubstrImpactSql: String =
     s"""WITH $PlantedCorpusSql,
-       |ws AS (
-       |  SELECT doc_id, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS w
-       |  FROM corpus WHERE text IS NOT NULL),
-       |wins AS (
-       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
-       |    ${md5Prefix60Duck("array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 29], ' ')")} AS h
-       |  FROM ws, UNNEST(range(1, len(w) - 28)) AS t(i)
-       |  WHERE len(w) >= 30),
-       |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
-       |d AS (
-       |  SELECT doc_id, i,
-       |    CASE WHEN i > COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i),
-       |                           -1000000) + 30 THEN 1 ELSE 0 END AS nw
-       |  FROM wins JOIN dup USING (h)),
-       |isl AS (
-       |  SELECT doc_id, i,
-       |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
-       |                  ROWS UNBOUNDED PRECEDING) AS island
-       |  FROM d),
+       |$ExactSubstrSpanCtes,
        |spans AS (
        |  SELECT doc_id, MAX(i) + 29 - MIN(i) + 1 AS span_tokens
        |  FROM isl GROUP BY doc_id, island),

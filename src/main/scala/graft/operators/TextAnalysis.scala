@@ -306,19 +306,32 @@ object TextAnalysis {
             |  i -> concat_ws(' ', slice(__words, i, 5)))) END""".stripMargin
         ).as("__w5s")
       )
+      // hoist the two gram folds ONCE (aggregate() is CodegenFallback
+      // with no common-subexpression elimination — inlining the top-2
+      // fold three times in the final projection would run the
+      // dominant per-row cost three times; the __lf pattern)
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        col("__len"),
+        col("__lf"),
+        col("__chars"),
+        expr(top2Fold).as("__t2"),
+        expr(dup5Fold).as("__d5ch")
+      )
       .select(
         col("doc_id"),
         col("n_lines"),
         expr(microFrac("n_lines - __lf.dis", "n_lines")).as("dup_line_frac"),
         expr(microFrac("__lf.dupch", "__len - (n_lines - 1)")).as("dup_line_char_frac"),
-        expr(s"($top2Fold).bg").as("top2_gram"),
+        col("__t2.bg").as("top2_gram"),
         expr(
           microFrac(
-            s"greatest(($top2Fold).bc - 1, 0L) * greatest(length(($top2Fold).bg) - 1, 0)",
+            "greatest(__t2.bc - 1, 0L) * greatest(length(__t2.bg) - 1, 0)",
             "__chars"
           )
         ).as("top2_char_frac"),
-        expr(microFrac(dup5Fold, "__chars")).as("dup5_char_frac")
+        expr(microFrac("__d5ch", "__chars")).as("dup5_char_frac")
       )
       .withColumn(
         "pass",
@@ -1100,7 +1113,10 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(-sum(col("lp").cast(dec)).cast("double") / count(lit(1)), 6).as("nll2")
+        // + 0.0: a degenerate all-certain doc has sum(lp) = 0 and the
+        // negated round can emit −0.0 in one engine (the clusterNmi
+        // signed-zero guard)
+        (round(-sum(col("lp").cast(dec)).cast("double") / count(lit(1)), 6) + lit(0.0)).as("nll2")
       )
   }
 
@@ -1131,7 +1147,7 @@ object TextAnalysis {
        |  JOIN cb USING (w1, w2) JOIN cu USING (w1) JOIN cw USING (w2)
        |  CROSS JOIN tt)
        |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |  ROUND(-CAST(SUM(CAST(lp AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS nll2
+       |  ROUND(-CAST(SUM(CAST(lp AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS nll2
        |FROM s GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 

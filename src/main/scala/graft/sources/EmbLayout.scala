@@ -131,8 +131,10 @@ object EmbLayout {
     val srcCanon = canonKey(srcPath)
     val dstCanon = canonKey(dstPath)
     require(
-      srcCanon != dstCanon && !dstCanon.startsWith(srcCanon + java.io.File.separator),
-      s"compact dstPath must not be srcPath or nested under it: src=$srcCanon dst=$dstCanon"
+      srcCanon != dstCanon && !dstCanon.startsWith(srcCanon + java.io.File.separator) &&
+        !srcCanon.startsWith(dstCanon + java.io.File.separator),
+      s"compact src and dst must not coincide or nest either way " +
+        s"(overwrite would truncate the layout being read): src=$srcCanon dst=$dstCanon"
     )
     spark.read
       .parquet(srcPath)
