@@ -376,4 +376,25 @@ class SourcesSpec extends SparkSpec {
     BinarySegments.readCsv(spark, s"$dir/x.csv").count() shouldBe 2L
     BinarySegments.readJson(spark, s"$dir/x.json").select("channel", "t", "v").count() shouldBe 1L
   }
+
+  "compact self-overwrite guards" should "refuse identical, nested and parent destinations" in {
+    import graft.sources.{EmbLayout, TsLayout}
+    val src = Files.createTempDirectory("graft-guard").toFile.getAbsolutePath
+    // same path
+    an[IllegalArgumentException] should be thrownBy TsLayout.compact(spark, src, src)
+    an[IllegalArgumentException] should be thrownBy EmbLayout.compact(spark, src, src)
+    // destination nested under the source
+    an[IllegalArgumentException] should be thrownBy
+      TsLayout.compact(spark, src, src + "/inner")
+    // source nested under the destination: overwriting the parent
+    // deletes the child layout being read — must refuse too
+    an[IllegalArgumentException] should be thrownBy
+      TsLayout.compact(spark, src + "/inner", src)
+    an[IllegalArgumentException] should be thrownBy
+      EmbLayout.compact(spark, src + "/inner", src)
+    // trailing-slash alias of the same path must not slip through the
+    // canonicalization
+    an[IllegalArgumentException] should be thrownBy
+      TsLayout.compact(spark, src, src + "/")
+  }
 }
