@@ -349,6 +349,18 @@ object SparkEntry {
     "ts_dtw" -> (Timeseries.tsDtw _),
     // Mann-Kendall trend + Sen's slope: integer order-statistic screen
     "ts_mk" -> (Timeseries.tsMk _),
+    // round-12 driver-bisection probes: ts_mk / cluster_nmi have been
+    // driver-red (hash only) for two rounds while the local replica is
+    // green; these per-column decompositions make the driver's next
+    // correctness run NAME the divergent column (or prove the values
+    // all match and the red is a harness artifact)
+    "ts_mk_probe_int" -> (Timeseries.tsMkProbeInt _),
+    "ts_mk_probe_var" -> (Timeseries.tsMkProbeVar _),
+    "ts_mk_probe_z" -> (Timeseries.tsMkProbeZ _),
+    "ts_mk_probe_sen" -> (Timeseries.tsMkProbeSen _),
+    "cluster_nmi_probe_counts" -> (Similarity.clusterNmiProbeCounts _),
+    "cluster_nmi_probe_mi" -> (Similarity.clusterNmiProbeMi _),
+    "cluster_nmi_probe_ratios" -> (Similarity.clusterNmiProbeRatios _),
     // sample entropy: regularity screen via template-pair counting
     "ts_sampen" -> (Timeseries.tsSampen _),
     // two-sample Kolmogorov-Smirnov drift screen between time halves
@@ -693,6 +705,13 @@ object SparkEntry {
     "ts_lomb" -> Timeseries.tsLombSql,
     "ts_dtw" -> Timeseries.tsDtwSql,
     "ts_mk" -> Timeseries.tsMkSql,
+    "ts_mk_probe_int" -> Timeseries.tsMkProbeIntSql,
+    "ts_mk_probe_var" -> Timeseries.tsMkProbeVarSql,
+    "ts_mk_probe_z" -> Timeseries.tsMkProbeZSql,
+    "ts_mk_probe_sen" -> Timeseries.tsMkProbeSenSql,
+    "cluster_nmi_probe_counts" -> Similarity.clusterNmiProbeCountsSql,
+    "cluster_nmi_probe_mi" -> Similarity.clusterNmiProbeMiSql,
+    "cluster_nmi_probe_ratios" -> Similarity.clusterNmiProbeRatiosSql,
     "ts_sampen" -> Timeseries.tsSampenSql,
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,

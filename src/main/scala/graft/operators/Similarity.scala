@@ -1183,14 +1183,23 @@ object Similarity {
     * `ari`) carries a `+ 0.0` guard so a tiny-negative round's −0.0
     * canonicalizes to +0.0 in both engines before hashing.
     */
-  def clusterNmi(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+  /** The label×cluster integer contingency table under the shared
+    * k-means trajectory — factored out so the cluster_nmi_probe_counts
+    * diagnostic serves the EXACT relation the parent consumes.
+    */
+  private[operators] def nmiContingency(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val cents = kmeansCentroids(emb, k, iters)
     val fin = kmeansAssignStruct(col("v"), cents)
-    val asg = emb
+    emb
       .select(col("label"), col("embedding").as("v"))
       .select(col("label"), fin.getField("cid").cast("long").as("cluster"))
-    val cont = asg.groupBy(col("label"), col("cluster")).agg(count(lit(1)).as("nij"))
+      .groupBy(col("label"), col("cluster"))
+      .agg(count(lit(1)).as("nij"))
+  }
+
+  def clusterNmi(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 10)
+    val cont = nmiContingency(emb, k, iters)
     val tot = cont.agg(
       sum(col("nij")).as("n"),
       countDistinct(col("label")).as("n_labels"),
@@ -1245,6 +1254,18 @@ object Similarity {
     val sb = col("sb2") / lit(2.0)
     val t = (col("n") * (col("n") - 1)).cast("double") / lit(2.0)
     val expI = sa * sb / t
+    // Final quantization discipline (round-12): no ROUND(double-quotient,
+    // n) survives in the projection. `purity` is a pure-integer HALF_UP
+    // micro division routed through DECIMAL(38,0) (mxs·2e6 would wrap
+    // BIGINT past ~4.6e12 rows — the dedup_substr_impact overflow
+    // class). `nmi`/`ari`/`z`-style quotients have irrational (√) or
+    // DECIMAL-38-overflowing exact forms (ARI's integer numerator is
+    // T2·S2ij ≤ n⁴ — past 38 digits beyond ~1.8e9 vectors), so they
+    // quantize by explicit FLOOR(q·1e6 + 0.5)/1e6 — the same IEEE
+    // doubles in both engines, zero engine ROUND-mode dependence.
+    val nmiq = col("mi_dec").cast("double") /
+      nullif(sqrt(-col("hun_dec").cast("double") * -col("hvn_dec").cast("double")), lit(0.0))
+    val ariq = (sij - expI) / nullif((sa + sb) / lit(2.0) - expI, lit(0.0))
     miRow
       .crossJoin(huRow)
       .crossJoin(hvRow)
@@ -1256,13 +1277,10 @@ object Similarity {
         round(col("mi_dec"), 6).cast("double").as("mi"),
         round(-col("hun_dec"), 6).cast("double").as("h_label"),
         round(-col("hvn_dec"), 6).cast("double").as("h_cluster"),
-        (round(
-          col("mi_dec").cast("double") /
-            nullif(sqrt(-col("hun_dec").cast("double") * -col("hvn_dec").cast("double")), lit(0.0)),
-          6
-        ) + lit(0.0)).as("nmi"),
-        (round(col("mxs").cast("double") / col("n"), 6) + lit(0.0)).as("purity"),
-        (round((sij - expI) / nullif((sa + sb) / lit(2.0) - expI, lit(0.0)), 6) + lit(0.0)).as("ari")
+        (floor(nmiq * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)).as("nmi"),
+        (expr("(cast(mxs as decimal(38,0)) * 2000000 + n) div (n * 2)").cast("double") /
+          lit(1e6) + lit(0.0)).as("purity"),
+        (floor(ariq * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)).as("ari")
       )
   }
 
@@ -1311,13 +1329,54 @@ object Similarity {
        |  CAST(ROUND(mi_dec, 6) AS DOUBLE) AS mi,
        |  CAST(ROUND(-hun_dec, 6) AS DOUBLE) AS h_label,
        |  CAST(ROUND(-hvn_dec, 6) AS DOUBLE) AS h_cluster,
-       |  ROUND(CAST(mi_dec AS DOUBLE) /
-       |    NULLIF(SQRT(-CAST(hun_dec AS DOUBLE) * -CAST(hvn_dec AS DOUBLE)), 0.0), 6) + 0.0 AS nmi,
-       |  ROUND(CAST(mxs AS DOUBLE) / n, 6) + 0.0 AS purity,
-       |  ROUND((sij2 / 2.0 - (sa2 / 2.0) * (sb2 / 2.0) / (CAST(n * (n - 1) AS DOUBLE) / 2.0)) /
+       |  FLOOR(CAST(mi_dec AS DOUBLE) /
+       |    NULLIF(SQRT(-CAST(hun_dec AS DOUBLE) * -CAST(hvn_dec AS DOUBLE)), 0.0)
+       |    * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS nmi,
+       |  CAST((CAST(mxs AS HUGEINT) * 2000000 + n) // (n * 2) AS DOUBLE) / 1000000.0
+       |    + 0.0 AS purity,
+       |  FLOOR((sij2 / 2.0 - (sa2 / 2.0) * (sb2 / 2.0) / (CAST(n * (n - 1) AS DOUBLE) / 2.0)) /
        |    NULLIF((sa2 / 2.0 + sb2 / 2.0) / 2.0 -
-       |      (sa2 / 2.0) * (sb2 / 2.0) / (CAST(n * (n - 1) AS DOUBLE) / 2.0), 0.0), 6) + 0.0 AS ari
+       |      (sa2 / 2.0) * (sb2 / 2.0) / (CAST(n * (n - 1) AS DOUBLE) / 2.0), 0.0)
+       |    * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS ari
        |FROM mi CROSS JOIN hu CROSS JOIN hv CROSS JOIN tot""".stripMargin
+
+  // -------------------------------------------------------------------
+  // cluster_nmi per-column diagnostic probes (round-12 driver
+  // bisection). cluster_nmi has failed the driver's hash check two
+  // rounds running while the local replica passes and round-11
+  // forensics showed every final rounding-safe, with the driver-green
+  // cluster_db_index proving the k-means assignment matches. These
+  // decompose by value class: the FULL integer contingency (strictly
+  // stronger than a checksum — if green, the assignment and counts
+  // match exactly), the DECIMAL-rounded entropies, and the ratio
+  // columns. Green probes + red parent ⇒ the divergence is in the
+  // driver harness/composition, not the values.
+  // -------------------------------------------------------------------
+
+  def clusterNmiProbeCounts(spark: SparkSession, dir: String): DataFrame =
+    nmiContingency(Tables.embeddings(spark, dir), KmeansK, KmeansIters)
+      .orderBy(col("label"), col("cluster"))
+
+  def clusterNmiProbeMi(spark: SparkSession, dir: String): DataFrame =
+    clusterNmiQ(spark, dir).select(col("n"), col("mi"), col("h_label"), col("h_cluster"))
+
+  def clusterNmiProbeRatios(spark: SparkSession, dir: String): DataFrame =
+    clusterNmiQ(spark, dir).select(col("nmi"), col("purity"), col("ari"))
+
+  val clusterNmiProbeCountsSql: String =
+    s"""WITH $KmeansCtes,
+       |al AS (
+       |  SELECT e.label, k.cid AS cluster
+       |  FROM kasg k JOIN embeddings e ON k.vec_id = e.vec_id)
+       |SELECT label, CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS nij
+       |FROM al GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  val clusterNmiProbeMiSql: String =
+    s"SELECT n, mi, h_label, h_cluster FROM ($clusterNmiSql) __nmi"
+
+  val clusterNmiProbeRatiosSql: String =
+    s"SELECT nmi, purity, ari FROM ($clusterNmiSql) __nmi"
 
   /** Cluster topic labeling — the BERTopic-style "describe" step after
     * embedding clustering: every k-means cell labeled by its top
