@@ -19,6 +19,16 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Canonical form of a data directory for (SparkSession, dir) cache
+    * keys (the EmbLayout/TsLayout canonKey pattern): aliases of the
+    * same directory — trailing slash, relative path, `..` segments —
+    * must hit the SAME memoized artifact instead of retraining and
+    * pinning a duplicate localCheckpoint for the session's lifetime.
+    */
+  def canonDir(dir: String): String =
+    try new java.io.File(dir).getCanonicalPath
+    catch { case scala.util.control.NonFatal(_) => dir }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

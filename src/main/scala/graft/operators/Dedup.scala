@@ -432,7 +432,7 @@ object Dedup {
     minedCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) minedCache.remove(k): Unit
     }
-    val key = (spark, dir)
+    val key = (spark, Tables.canonDir(dir))
     minedCache.getOrElse(
       key,
       minedLock.synchronized {
@@ -828,8 +828,11 @@ object Dedup {
         col("n_spans"),
         col("dup_tokens"),
         col("max_span_tokens"),
+        // numerator through DECIMAL(38,0): dup_tokens is corpus-grain, so
+        // dup_tokens·2e6 wraps signed 64-bit past ~4.6e12 tokens — well
+        // inside the 100-TB envelope (DuckDB's HUGEINT sum is already wide)
         expr(
-          "CASE WHEN total_tokens <= 0 THEN 0.0 ELSE CAST((dup_tokens * 2000000 + total_tokens) DIV (total_tokens * 2) AS DOUBLE) / 1000000.0 END"
+          "CASE WHEN total_tokens <= 0 THEN 0.0 ELSE CAST((CAST(dup_tokens AS DECIMAL(38,0)) * 2000000 + total_tokens) DIV (total_tokens * 2) AS DOUBLE) / 1000000.0 END"
         ).as("dup_token_frac")
       )
   }
@@ -859,7 +862,7 @@ object Dedup {
        |SELECT n_docs, total_tokens, docs_with_dups, n_spans, dup_tokens,
        |  max_span_tokens,
        |  CASE WHEN total_tokens <= 0 THEN 0.0
-       |       ELSE CAST((dup_tokens * 2000000 + total_tokens)
+       |       ELSE CAST((CAST(dup_tokens AS HUGEINT) * 2000000 + total_tokens)
        |         // (total_tokens * 2) AS DOUBLE) / 1000000.0 END AS dup_token_frac
        |FROM tok CROSS JOIN sp""".stripMargin
 

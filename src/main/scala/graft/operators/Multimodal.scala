@@ -837,7 +837,7 @@ object Multimodal {
     phashCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) phashCache.remove(k): Unit
     }
-    val key = (spark, dir)
+    val key = (spark, Tables.canonDir(dir))
     phashCache.getOrElse(
       key,
       phashLock.synchronized {
@@ -1087,7 +1087,7 @@ object Multimodal {
     fpCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) fpCache.remove(k): Unit
     }
-    val key = (spark, dir)
+    val key = (spark, Tables.canonDir(dir))
     fpCache.getOrElse(
       key,
       fpLock.synchronized {

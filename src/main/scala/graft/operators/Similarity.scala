@@ -438,7 +438,7 @@ object Similarity {
     bfCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) bfCache.remove(k): Unit
     }
-    val key = (spark, dir)
+    val key = (spark, Tables.canonDir(dir))
     bfCache.getOrElse(
       key,
       bfLock.synchronized {
@@ -1667,7 +1667,7 @@ object Similarity {
     pqBookCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) pqBookCache.remove(k): Unit
     }
-    val key = (spark, dir)
+    val key = (spark, Tables.canonDir(dir))
     pqBookCache.getOrElse(
       key,
       pqBookLock.synchronized {
@@ -2958,7 +2958,7 @@ object Similarity {
     pcaCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) pcaCache.remove(k): Unit
     }
-    val key = (spark, dir)
+    val key = (spark, Tables.canonDir(dir))
     pcaCache.getOrElse(
       key,
       pcaLock.synchronized {

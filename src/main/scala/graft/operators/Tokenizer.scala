@@ -159,7 +159,7 @@ object Tokenizer {
     trainCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) trainCache.remove(k): Unit
     }
-    val key = (spark, dir)
+    val key = (spark, Tables.canonDir(dir))
     trainCache.getOrElse(
       key,
       trainLock.synchronized {
@@ -396,7 +396,7 @@ object Tokenizer {
     unigramCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) unigramCache.remove(k): Unit
     }
-    val key = (spark, dir)
+    val key = (spark, Tables.canonDir(dir))
     unigramCache.getOrElse(
       key,
       unigramLock.synchronized {
@@ -501,11 +501,15 @@ object Tokenizer {
         col("n_words"),
         col("bpe_tokens"),
         col("uni_tokens"),
-        expr("CAST((bpe_tokens * 2000000 + n_words) DIV (n_words * 2) AS DOUBLE) / 1000000.0")
+        // numerators through DECIMAL(38,0): per-language token sums are
+        // corpus-grain, so token_sum·2e6 wraps signed 64-bit past
+        // ~4.6e12 tokens for a dominant language (the
+        // dedup_substr_impact overflow class; DuckDB sums are HUGEINT)
+        expr("CAST((CAST(bpe_tokens AS DECIMAL(38,0)) * 2000000 + n_words) DIV (n_words * 2) AS DOUBLE) / 1000000.0")
           .as("bpe_fertility"),
-        expr("CAST((uni_tokens * 2000000 + n_words) DIV (n_words * 2) AS DOUBLE) / 1000000.0")
+        expr("CAST((CAST(uni_tokens AS DECIMAL(38,0)) * 2000000 + n_words) DIV (n_words * 2) AS DOUBLE) / 1000000.0")
           .as("uni_fertility"),
-        expr("CAST((uni_tokens * 2000000 + bpe_tokens) DIV (bpe_tokens * 2) AS DOUBLE) / 1000000.0")
+        expr("CAST((CAST(uni_tokens AS DECIMAL(38,0)) * 2000000 + bpe_tokens) DIV (bpe_tokens * 2) AS DOUBLE) / 1000000.0")
           .as("parity")
       )
       .orderBy(col("lang"))
@@ -543,11 +547,11 @@ object Tokenizer {
        |  FROM perdoc p JOIN documents doc ON doc.doc_id = p.doc_id
        |  GROUP BY doc.lang)
        |SELECT lang, n_docs, n_words, bpe_tokens, uni_tokens,
-       |  CAST((bpe_tokens * 2000000 + n_words) // (n_words * 2) AS DOUBLE) / 1000000.0
+       |  CAST((CAST(bpe_tokens AS HUGEINT) * 2000000 + n_words) // (n_words * 2) AS DOUBLE) / 1000000.0
        |    AS bpe_fertility,
-       |  CAST((uni_tokens * 2000000 + n_words) // (n_words * 2) AS DOUBLE) / 1000000.0
+       |  CAST((CAST(uni_tokens AS HUGEINT) * 2000000 + n_words) // (n_words * 2) AS DOUBLE) / 1000000.0
        |    AS uni_fertility,
-       |  CAST((uni_tokens * 2000000 + bpe_tokens) // (bpe_tokens * 2) AS DOUBLE) / 1000000.0
+       |  CAST((CAST(uni_tokens AS HUGEINT) * 2000000 + bpe_tokens) // (bpe_tokens * 2) AS DOUBLE) / 1000000.0
        |    AS parity
        |FROM bylang
        |ORDER BY lang""".stripMargin

@@ -60,14 +60,20 @@ class StraddleAuditSpec extends SparkSpec {
         try StraddleAudit.audit(SparkEntry.queries(name)(spark, sfDir))
         catch {
           // a few operators assume per-block sample counts sf0.001
-          // cannot supply (e.g. ts_hampel's rolling frame); they run
-          // at the driver's sf0.01+, where Verify's straddles.json
-          // audit covers them — tolerate a FEW here, never many
+          // cannot supply (e.g. ts_hampel's rolling frame); they run at
+          // the driver's sf0.01+, where Verify's straddles.json audit
+          // covers them — the tolerated set is PINNED BY NAME below,
+          // so a new failure in a previously-green operator (or a
+          // pinned one coming back to life) is a red bar, never an
+          // anonymous count
           case e: Throwable => skipped += s"$name (${e.getMessage.take(60)})"; Nil
         }
       hits.map(h => s"$name.${h.column}=${h.value}")
     }
-    withClue(s"too many sweep skips: $skipped: ") { skipped.size should be <= 3 }
+    val allowedSkips = Set("ts_hampel")
+    withClue(s"sweep skips drifted from the pinned allowlist: $skipped: ") {
+      skipped.map(_.takeWhile(_ != ' ')).toSet shouldBe allowedSkips
+    }
     withClue("half-grid straddles (query.column=value): ") {
       offenders shouldBe empty
     }
