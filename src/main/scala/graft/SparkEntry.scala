@@ -497,6 +497,20 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
+  /** Pre-round straddle-audit twins (see [[StraddleAudit.auditTwins]]):
+    * per query, a frame of the UNROUNDED quantities its quantized
+    * finals consumed, double columns named `<base>__s<k>` (k = the
+    * final's rounding scale). The output-side straddle scan is blind
+    * to a pre-round half-grid value — it rounds ONTO the grid in both
+    * engines (possibly to opposite sides) before the scan sees it —
+    * so Verify audits these frames beside each output. Registered for
+    * the two historically driver-red queries; any operator can join.
+    */
+  def preRoundTwins: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_mk" -> (Timeseries.tsMkTwins _),
+    "cluster_nmi" -> (Similarity.clusterNmiTwins _)
+  )
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Relational.q1Sql,
     "q2_join" -> Relational.q2Sql,

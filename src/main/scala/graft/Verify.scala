@@ -53,6 +53,21 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[straddle-audit] $name audit failed: ${e.getMessage}")
         }
+        // pre-round twin audit: scan the UNROUNDED quantities the
+        // query's quantized finals consumed — the straddle class the
+        // output scan is structurally blind to (a pre-round half
+        // rounds onto the grid in both engines before the scan).
+        SparkEntry.preRoundTwins.get(name).foreach { twinFn =>
+          try {
+            StraddleAudit.auditTwins(twinFn(spark, sfDir)).foreach { h =>
+              val line = s"$name.pre.${h.column}=${h.value}"
+              straddles += line
+              System.err.println(s"[straddle] $line")
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[straddle-audit] $name twin audit failed: ${e.getMessage}")
+          }
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1197,7 +1197,18 @@ object Similarity {
       .agg(count(lit(1)).as("nij"))
   }
 
-  def clusterNmi(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+  def clusterNmi(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame =
+    clusterNmiWide(emb, k, iters).drop("__nmi_q", "__ari_q")
+
+  /** [[clusterNmi]] plus the UNROUNDED quotient twins of its
+    * double-quantized ratio columns (`__nmi_q`/`__ari_q`) — consumed
+    * by the pre-round straddle audit; the public operator drops them.
+    */
+  private[operators] def clusterNmiWide(
+    emb: DataFrame,
+    k: Int = KmeansK,
+    iters: Int = KmeansIters
+  ): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 10)
     val cont = nmiContingency(emb, k, iters)
     val tot = cont.agg(
@@ -1280,9 +1291,24 @@ object Similarity {
         (floor(nmiq * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)).as("nmi"),
         (expr("(cast(mxs as decimal(38,0)) * 2000000 + n) div (n * 2)").cast("double") /
           lit(1e6) + lit(0.0)).as("purity"),
-        (floor(ariq * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)).as("ari")
+        (floor(ariq * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)).as("ari"),
+        nmiq.as("__nmi_q"),
+        ariq.as("__ari_q")
       )
   }
+
+  /** Pre-round twin frame for [[graft.StraddleAudit.auditTwins]]: the
+    * raw nmi/ari quotients BEFORE their FLOOR micro quantization.
+    * purity has no twin — its final is a pure DECIMAL-routed HALF_UP
+    * integer division, deterministic in both engines even at an exact
+    * half (the tsMkTwins rationale).
+    */
+  def clusterNmiTwins(spark: SparkSession, dir: String): DataFrame =
+    clusterNmiWide(Tables.embeddings(spark, dir))
+      .select(
+        col("__nmi_q").as("nmi__s6"),
+        col("__ari_q").as("ari__s6")
+      )
 
   def clusterNmiQ(spark: SparkSession, dir: String): DataFrame =
     clusterNmi(Tables.embeddings(spark, dir))

@@ -1663,9 +1663,13 @@ object Timeseries {
     * channel-window) lives entirely at SUMMARY grain — self-join,
     * rank window and rollup all post-aggregate.
     */
-  def mannKendall(ts: DataFrame, windowUs: Long, buckets: Int = 24): DataFrame = {
+  /** The (channel, win, bucket) PAA grid behind ts_mk, carrying BOTH
+    * the declared round-9 value and its raw quotient twin (`paa_q`) so
+    * the pre-round straddle audit can scan what the ROUND consumed.
+    */
+  private def mkPaaGrid(ts: DataFrame, windowUs: Long, buckets: Int): DataFrame = {
     val bucketUs = windowUs / buckets
-    val paa = ts
+    ts
       .select(
         col("channel"),
         floor(col("t") / lit(windowUs)).cast("long").as("win"),
@@ -1673,7 +1677,14 @@ object Timeseries {
         col("v")
       )
       .groupBy(col("channel"), col("win"), col("bucket"))
-      .agg(round(detSum(col("v")) / count(lit(1)), 9).as("paa"))
+      .agg(
+        round(detSum(col("v")) / count(lit(1)), 9).as("paa"),
+        (detSum(col("v")) / count(lit(1))).as("paa_q")
+      )
+  }
+
+  def mannKendall(ts: DataFrame, windowUs: Long, buckets: Int = 24): DataFrame = {
+    val paa = mkPaaGrid(ts, windowUs, buckets).drop("paa_q")
     val l = paa.select(col("channel"), col("win"), col("bucket").as("b1"), col("paa").as("x1"))
     val r = paa.select(col("channel"), col("win"), col("bucket").as("b2"), col("paa").as("x2"))
     // Pairwise Sen slope in PURE INTEGER nano units: the 9-rounded PAA
@@ -1880,6 +1891,37 @@ object Timeseries {
 
   val tsMkProbeSenSql: String =
     s"SELECT channel, win, sen_slope FROM ($tsMkSql) __mk"
+
+  /** Pre-round twin frame for [[graft.StraddleAudit.auditTwins]]: the
+    * UNROUNDED double each of ts_mk's DOUBLE-QUANTIZED finals consumed
+    * — the PAA quotient before its ROUND(·,9) and the z quotient
+    * before its FLOOR micro quantization (rebuilt from the output's
+    * exact var_s/s, which are the quotient's exact inputs). A value
+    * essentially ON its half grid here is the straddle class the
+    * OUTPUT scan cannot see (it rounds onto the grid in both engines —
+    * possibly to opposite sides).
+    *
+    * Deliberately ABSENT: the Sen slope and var_s quotients. Those
+    * finals are pure sign-decomposed HALF_UP INTEGER divisions —
+    * deterministic in both engines even AT an exact half — and exact
+    * halves are routine there (this audit's very first run at sf0.1
+    * surfaced the 732 exact-half slope quotients the round-11 verdict
+    * measured; the integer idiom is what de-fanged them). The twin
+    * registry covers only finals quantized FROM a double, where a
+    * half-grid park is a genuine cross-engine hazard.
+    */
+  def tsMkTwins(spark: SparkSession, dir: String): DataFrame = {
+    val g = mkPaaGrid(Tables.ts(spark, dir), windowUs = 86400000000L, buckets = 24)
+    val zQ = tsMk(spark, dir)
+      .select(
+        when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))))
+          .otherwise(lit(0.0))
+          .as("z__s6")
+      )
+    g.select(col("paa_q").as("paa__s9"))
+      .unionByName(zQ, allowMissingColumns = true)
+  }
 
   /** Sample entropy per (channel, window) (Richman & Moorman 2000) —
     * the regularity/complexity screen clinicians run beside the

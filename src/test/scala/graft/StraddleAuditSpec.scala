@@ -38,6 +38,34 @@ class StraddleAuditSpec extends SparkSpec {
     StraddleAudit.audit(clean) shouldBe empty
   }
 
+  it should "red-bar a planted PRE-ROUND half-grid value the output scan passes" in {
+    import spark.implicits._
+    // 1.0000005 sits EXACTLY on the scale-6 half grid — and also ON
+    // the 1e-9 grid, so the OUTPUT scan's grid-9 exemption passes it
+    // even before rounding, and after ROUND(·,6) it lands on the grid
+    // in both engines (to engine-dependent sides): the blind spot.
+    val preRound = 1.0000005
+    StraddleAudit.audit(Seq(preRound).toDF("v")) shouldBe empty // blind
+    StraddleAudit.audit(Seq(1.000001).toDF("v")) shouldBe empty // rounded output
+    val hits = StraddleAudit.auditTwins(Seq(preRound).toDF("v__s6"))
+    hits.map(_.column) shouldBe Seq("v__s6")
+    // non-suffixed columns are grain keys, ignored; a scale-0 twin
+    // audits at its own grid (2.5 is an exact scale-0 half)
+    StraddleAudit
+      .auditTwins(Seq((preRound, 2.5)).toDF("plain", "slope__s0"))
+      .map(_.column) shouldBe Seq("slope__s0")
+    // clean twins stay clean
+    StraddleAudit.auditTwins(Seq((1.23, 3.0)).toDF("a__s6", "b__s0")) shouldBe empty
+  }
+
+  "the registered pre-round twin frames" should "run clean at sf0.001" in {
+    SparkEntry.preRoundTwins.foreach { case (name, fn) =>
+      withClue(s"$name pre-round twins: ") {
+        StraddleAudit.auditTwins(fn(spark, sfDir)) shouldBe empty
+      }
+    }
+  }
+
   it should "skip NaN, null and overflow-magnitude values" in {
     import spark.implicits._
     val df = Seq(
