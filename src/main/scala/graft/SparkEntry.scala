@@ -361,6 +361,10 @@ object SparkEntry {
     "cluster_nmi_probe_counts" -> (Similarity.clusterNmiProbeCounts _),
     "cluster_nmi_probe_mi" -> (Similarity.clusterNmiProbeMi _),
     "cluster_nmi_probe_ratios" -> (Similarity.clusterNmiProbeRatios _),
+    // graph-based ANN: beam search over the mined kNN graph (the
+    // HNSW-class index family member), plus its recall acceptance curve
+    "ann_graph" -> (Similarity.annGraph _),
+    "ann_recall_graph" -> (Similarity.annRecallGraph _),
     // sample entropy: regularity screen via template-pair counting
     "ts_sampen" -> (Timeseries.tsSampen _),
     // two-sample Kolmogorov-Smirnov drift screen between time halves
@@ -726,6 +730,8 @@ object SparkEntry {
     "cluster_nmi_probe_counts" -> Similarity.clusterNmiProbeCountsSql,
     "cluster_nmi_probe_mi" -> Similarity.clusterNmiProbeMiSql,
     "cluster_nmi_probe_ratios" -> Similarity.clusterNmiProbeRatiosSql,
+    "ann_graph" -> Similarity.annGraphSql,
+    "ann_recall_graph" -> Similarity.annRecallGraphSql,
     "ts_sampen" -> Timeseries.tsSampenSql,
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,

@@ -943,6 +943,60 @@ class SimilaritySpec extends SparkSpec {
   }
 
 
+  "graphBeamTopK" should "recover the exact top-k in a connected-graph regime" in {
+    import spark.implicits._
+    // 12 near-collinear 64-dim vectors: every pair's cosine is high and
+    // all share the 4-hyperplane bucket signature, so the mined kNN
+    // graph is dense and 3 beam hops from the hash-pinned entries reach
+    // the whole set — beam retrieval must equal the exact baseline.
+    val base = Array.tabulate(64)(d => 1.0f + 0.01f * d)
+    val emb = (0L until 12L)
+      .map { i =>
+        val v = base.clone()
+        v((i % 8).toInt) = v((i % 8).toInt) + 0.05f * (i + 1)
+        (i, v)
+      }
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Similarity
+      .graphBeamTopK(emb, queries, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val exact = Similarity
+      .bruteForceTopK(emb, queries, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    got shouldBe exact
+  }
+
+  it should "never return self and respect the beam contract on real data" in {
+    val rows = Similarity.annGraph(spark, sfDir).collect()
+    rows.foreach { r =>
+      r.getAs[Long]("neighbor_id") should not be r.getAs[Long]("query_id")
+      r.getAs[Long]("rank") should be <= 5L
+      math.abs(r.getAs[Double]("cosine")) should be <= 1.0 + 1e-9
+    }
+    // every query produces a full or partial ranking starting at 1
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      g.map(_.getAs[Long]("rank")).min shouldBe 1L
+    }
+  }
+
+  "annRecallGraph" should "stay inside [0, 1] with the constant k and full query coverage" in {
+    val rows = Similarity.annRecallGraph(spark, sfDir).collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      r.getAs[Long]("k") shouldBe 5L
+      r.getAs[Long]("n_hit") should be >= 0L
+      r.getAs[Long]("n_hit") should be <= 5L
+      r.getAs[Double]("recall") should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   "annRecallIvfPq" should "stay inside [0, 1] with the constant k and full query coverage" in {
     val rows = Similarity.annRecallIvfPq(spark, sfDir).collect()
     rows.length shouldBe 10
