@@ -365,6 +365,9 @@ object SparkEntry {
     // HNSW-class index family member), plus its recall acceptance curve
     "ann_graph" -> (Similarity.annGraph _),
     "ann_recall_graph" -> (Similarity.annRecallGraph _),
+    // cross-modal retrieval: stub image encoder queried against the
+    // text embedding corpus in the shared d=64 space
+    "mm_crossmodal" -> (Multimodal.mmCrossmodal _),
     // sample entropy: regularity screen via template-pair counting
     "ts_sampen" -> (Timeseries.tsSampen _),
     // two-sample Kolmogorov-Smirnov drift screen between time halves
@@ -732,6 +735,7 @@ object SparkEntry {
     "cluster_nmi_probe_ratios" -> Similarity.clusterNmiProbeRatiosSql,
     "ann_graph" -> Similarity.annGraphSql,
     "ann_recall_graph" -> Similarity.annRecallGraphSql,
+    "mm_crossmodal" -> Multimodal.mmCrossmodalSql,
     "ts_sampen" -> Timeseries.tsSampenSql,
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,

@@ -1298,4 +1298,111 @@ object Multimodal {
        |WHERE rn = 1 AND votes >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Cross-modal retrieval (image queries against text embeddings)
+  // ---------------------------------------------------------------------
+
+  val CrossModalQueries = 10
+  val CrossModalK = 5
+
+  /** Cross-modal retrieval — the CLIP-style query the multimodal family
+    * was missing (it had dedup/features/matching but no retrieval
+    * view): IMAGE-modality queries searched against the TEXT embedding
+    * corpus in a shared d=64 space. The image "encoder" is the
+    * declared deterministic stub (the resizeStub 8x8 grid, mean-
+    * centered so cosine has contrast — the aHash contract as a dense
+    * vector, zero-padded to d); a real vision tower drops into the
+    * kernel without touching the retrieval plumbing, which is the real
+    * deliverable: modality-partitioned grain, broadcast query set, one
+    * corpus scan, WindowGroupLimit top-k — the ann_bruteforce shape.
+    *
+    * Scale shape: queries are query-set grain (broadcast); the text
+    * corpus is scanned once and never shuffled; because both
+    * modalities land in the SAME vector space, the existing LSH/IVF/
+    * graph indexes apply unchanged as the sub-scan path at 100 TB —
+    * this exact scan is the declared acceptance baseline, exactly as
+    * for ann_bruteforce. Portability: dots fold left-to-right in
+    * doubles (zip_with+aggregate mirrors list_dot_product), cosine
+    * rounds to 9 before the rank and the output IS that grid-9 value.
+    */
+  def crossModalTopK(docs: DataFrame, emb: DataFrame, k: Int = CrossModalK): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qImg = withPayloads(docs.filter(col("doc_id") < CrossModalQueries))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val g = resizeStub(p, 8, 8)
+        val n = math.max(g.length, 1)
+        var s = 0L
+        var i = 0
+        while (i < g.length) { s += g(i) & 0xff; i += 1 }
+        val mean = s.toDouble / n
+        val v = new Array[Double](64)
+        i = 0
+        while (i < g.length) { v(i) = (g(i) & 0xff).toDouble - mean; i += 1 }
+        (id, v.toSeq)
+      })
+      .toDF("query_id", "qv")
+    val t = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("tv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val byQ = Window.partitionBy(col("query_id")).orderBy(col("cos9").desc, col("vec_id"))
+    t.crossJoin(broadcast(qImg))
+      .withColumn("__qn", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("__tn", sqrt(dot(col("tv"), col("tv"))))
+      .filter(col("__qn") > 0 && col("__tn") > 0)
+      .withColumn("cos9", round(dot(col("qv"), col("tv")) / (col("__qn") * col("__tn")), 9))
+      .withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("text_id"), col("cos9").as("cosine"))
+  }
+
+  def mmCrossmodal(spark: SparkSession, dir: String): DataFrame =
+    crossModalTopK(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Oracle: the image grid recovered by hex-slicing the payload bytes
+    * (the mmPhash grid CTE), mean-centered and zero-padded to 64, then
+    * the identical cosine/rank algebra against the text embeddings.
+    */
+  val mmCrossmodalSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+       |  FROM documents WHERE doc_id < $CrossModalQueries),
+       |dims AS (
+       |  SELECT doc_id, hx, nb, LEAST(64, GREATEST(nb, 1)) AS ol FROM p),
+       |g AS (
+       |  SELECT doc_id, ol, i,
+       |    CASE WHEN nb = 0 THEN 0
+       |         ELSE CAST(('0x' || substr(hx,
+       |           CAST(2 * LEAST(i * GREATEST(nb // ol, 1), nb - 1) + 1 AS INT), 2)) AS INT)
+       |    END AS b
+       |  FROM (SELECT doc_id, hx, nb, ol, UNNEST(range(0, ol)) AS i FROM dims) t),
+       |m AS (SELECT doc_id, CAST(SUM(b) AS DOUBLE) / MAX(ol) AS mean FROM g GROUP BY doc_id),
+       |qv0 AS (
+       |  SELECT g.doc_id AS query_id, list(CAST(g.b AS DOUBLE) - m.mean ORDER BY g.i) AS v
+       |  FROM g JOIN m USING (doc_id) GROUP BY g.doc_id),
+       |qv AS (
+       |  SELECT query_id,
+       |    list_concat(v, list_transform(range(0, 64 - len(v)), x -> 0.0)) AS v
+       |  FROM qv0),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv FROM embeddings),
+       |sc AS (
+       |  SELECT q.query_id, t.vec_id,
+       |    ROUND(list_dot_product(q.v, t.tv) /
+       |      (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(t.tv, t.tv))), 9) AS cos9
+       |  FROM qv q CROSS JOIN t
+       |  WHERE SQRT(list_dot_product(q.v, q.v)) > 0
+       |    AND SQRT(list_dot_product(t.tv, t.tv)) > 0),
+       |rk AS (
+       |  SELECT query_id, vec_id, cos9,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos9 DESC, vec_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, vec_id AS text_id, cos9 AS cosine
+       |FROM rk WHERE rank <= $CrossModalK
+       |ORDER BY query_id, rank""".stripMargin
 }

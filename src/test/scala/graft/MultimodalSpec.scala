@@ -321,4 +321,37 @@ class MultimodalSpec extends SparkSpec {
     val s2 = got.filter(_.getAs[Long]("doc_id") == 2L).head.getAs[Double]("power_share")
     s1 shouldBe s2 +- 0.01
   }
+
+  "crossModalTopK" should "rank the aligned text embedding first when encoders agree" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // replicate the stub image encoder for each doc's payload…
+    def centeredGrid(text: String): Array[Float] = {
+      val p = text.getBytes("UTF-8")
+      val g = Multimodal.resizeStub(p, 8, 8)
+      val n = math.max(g.length, 1)
+      val mean = g.map(b => (b & 0xff).toLong).sum.toDouble / n
+      val v = new Array[Float](64)
+      g.zipWithIndex.foreach { case (b, i) => v(i) = ((b & 0xff).toDouble - mean).toFloat }
+      v
+    }
+    val texts = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "quick brown foxes jump over lazy dogs daily",
+      2L -> "numbers one two three four five six seven"
+    )
+    val docs = texts.toDF("doc_id", "text")
+    // …as the text-side embedding: a perfectly aligned dual encoder,
+    // so cross-modal top-1 for query i must be text i at cosine ~1
+    val emb = texts.map { case (i, t) => (i, centeredGrid(t)) }.toDF("vec_id", "embedding")
+    val top1 = Multimodal
+      .crossModalTopK(docs, emb, k = 1)
+      .orderBy(col("query_id"))
+      .collect()
+    top1.length shouldBe 3
+    top1.foreach { r =>
+      r.getAs[Long]("text_id") shouldBe r.getAs[Long]("query_id")
+      r.getAs[Double]("cosine") shouldBe (1.0 +- 1e-6)
+    }
+  }
 }
