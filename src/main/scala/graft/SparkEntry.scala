@@ -368,6 +368,9 @@ object SparkEntry {
     // cross-modal retrieval: stub image encoder queried against the
     // text embedding corpus in the shared d=64 space
     "mm_crossmodal" -> (Multimodal.mmCrossmodal _),
+    // WordPiece completes the tokenizer triad (BPE / unigram / wordpiece)
+    "train_wordpiece" -> (Tokenizer.trainWordpiece _),
+    "tokenize_wordpiece" -> (Tokenizer.tokenizeWordpiece _),
     // sample entropy: regularity screen via template-pair counting
     "ts_sampen" -> (Timeseries.tsSampen _),
     // two-sample Kolmogorov-Smirnov drift screen between time halves
@@ -736,6 +739,8 @@ object SparkEntry {
     "ann_graph" -> Similarity.annGraphSql,
     "ann_recall_graph" -> Similarity.annRecallGraphSql,
     "mm_crossmodal" -> Multimodal.mmCrossmodalSql,
+    "train_wordpiece" -> Tokenizer.trainWordpieceSql,
+    "tokenize_wordpiece" -> Tokenizer.tokenizeWordpieceSql,
     "ts_sampen" -> Timeseries.tsSampenSql,
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,

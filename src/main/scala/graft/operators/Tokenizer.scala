@@ -774,4 +774,196 @@ object Tokenizer {
        |GROUP BY doc.lang
        |ORDER BY doc.lang""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // WordPiece training (likelihood-scored merges)
+  // ---------------------------------------------------------------------
+
+  /** WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
+    * tokenizer's learner) — completes the tokenizer triad beside BPE
+    * and unigram. Identical loop shape to [[bpeTrain]] (vocabulary-
+    * relation rounds, argmax collect, codegen'd merge fold) with the
+    * WordPiece selection rule: instead of raw pair count, each round
+    * merges the pair maximizing the likelihood gain
+    * score = cnt(pair) / (cnt(lhs)·cnt(rhs)).
+    *
+    * Portability: the score is ranked as a HALF_UP INTEGER PICO
+    * division ((cnt·2e12 + den) div (2·den), den = cnt_l·cnt_r, routed
+    * through DECIMAL(38,0) — symbol counts are corpus-grain, so the
+    * products overflow BIGINT inside the 100-TB envelope) with
+    * (score_pico DESC, lhs, rhs) tie-break — no double quotient ever
+    * ranks, so the argmax cannot coin-flip cross-engine.
+    *
+    * Scale shape: identical to BPE — ONE corpus scan to the zipf-
+    * bounded (word, freq) vocabulary, every round a vocab-grain pair
+    * partial agg plus a symbol-grain count agg, a 1-row argmax
+    * collect, and a map-side fold rewrite; localCheckpoint per round
+    * keeps the plan flat.
+    */
+  def wordpieceTrain(docs: DataFrame, rounds: Int = 10): (DataFrame, DataFrame) = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(explode(split(expr(TextAnalysis.NormSql), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.Buffer.empty[(Long, String, String, String, Long, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val symCnt = vocab
+        .select(col("freq"), explode(col("syms")).as("s"))
+        .groupBy(col("s"))
+        .agg(sum(col("freq")).as("scnt"))
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(
+          col("freq"),
+          explode(
+            expr(
+              """transform(sequence(1, size(syms) - 1),
+                |  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))""".stripMargin
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .join(symCnt.select(col("s").as("lhs"), col("scnt").as("__cl")), Seq("lhs"))
+        .join(symCnt.select(col("s").as("rhs"), col("scnt").as("__cr")), Seq("rhs"))
+        .withColumn(
+          "score_pico",
+          expr(
+            """(cast(cnt as decimal(38,0)) * 2000000000000 +
+              |  cast(__cl as decimal(38,0)) * __cr)
+              | div (cast(__cl as decimal(38,0)) * __cr * 2)""".stripMargin
+          )
+        )
+        .orderBy(col("score_pico").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt, sp) = (
+          best(0).getAs[String]("lhs"),
+          best(0).getAs[String]("rhs"),
+          best(0).getAs[Long]("cnt"),
+          best(0).getAs[Long]("score_pico")
+        )
+        merges += ((r.toLong, l, rr, l + rr, cnt, sp))
+        val next = vocab.withColumn("syms", mergeFold(col("syms"), l, rr)).localCheckpoint(true)
+        vocab.unpersist(false)
+        vocab = next
+      }
+    }
+    (
+      merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count", "score_pico"),
+      vocab
+    )
+  }
+
+  // train once per (SparkSession, sfDir) — the trainedFor discipline
+  private val wordpieceCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private val wordpieceLock = new Object
+
+  def wordpieceFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    wordpieceCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) wordpieceCache.remove(k): Unit
+    }
+    val key = (spark, Tables.canonDir(dir))
+    wordpieceCache.getOrElse(
+      key,
+      wordpieceLock.synchronized {
+        wordpieceCache.getOrElseUpdate(key, wordpieceTrain(Tables.documents(spark, dir)))
+      }
+    )
+  }
+
+  def trainWordpiece(spark: SparkSession, dir: String): DataFrame =
+    wordpieceFor(spark, dir)._1
+
+  def tokenizeWordpiece(spark: SparkSession, dir: String): DataFrame =
+    encodedDocWords(Tables.documents(spark, dir), wordpieceFor(spark, dir)._2)
+      .withColumn("ratio", round(col("n_tokens").cast("double") / col("n_chars"), 6))
+      .orderBy(col("doc_id"))
+
+  /** The BPE round CTEs with the WordPiece argmax: per round, a symbol
+    * count CTE joins into the pair relation and the pick orders by the
+    * identical integer pico score.
+    */
+  private def wordpieceCtesSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""wsym$r AS (
+         |  SELECT u.s AS s, CAST(SUM(freq) AS HUGEINT) AS scnt
+         |  FROM wvocab${r - 1}, UNNEST(syms) AS u(s)
+         |  GROUP BY 1),
+         |wpairs$r AS (
+         |  SELECT syms[CAST(u.i AS INT)] AS lhs, syms[CAST(u.i AS INT) + 1] AS rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM wvocab${r - 1}, UNNEST(range(1, len(syms))) AS u(i)
+         |  WHERE len(syms) >= 2
+         |  GROUP BY 1, 2),
+         |wbest$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, cnt, score_pico FROM (
+         |    SELECT p.lhs, p.rhs, p.cnt,
+         |      CAST((CAST(p.cnt AS HUGEINT) * 2000000000000 + a.scnt * b.scnt)
+         |        // (a.scnt * b.scnt * 2) AS BIGINT) AS score_pico
+         |    FROM wpairs$r p
+         |    JOIN wsym$r a ON a.s = p.lhs
+         |    JOIN wsym$r b ON b.s = p.rhs)
+         |  ORDER BY score_pico DESC, lhs, rhs LIMIT 1),
+         |wvocab$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    CASE WHEN len(syms) = 1 THEN syms
+         |         ELSE list_reduce(
+         |           list_transform(syms, s -> [s]),
+         |           (acc, cur) -> CASE WHEN acc[-1] = b.lhs AND cur[1] = b.rhs
+         |                              THEN list_append(acc[1:len(acc) - 1], b.lhs || b.rhs)
+         |                              ELSE list_append(acc, cur[1]) END) END AS syms
+         |  FROM wvocab${r - 1} CROSS JOIN wbest$r b)""".stripMargin
+    }
+    s"""wwords AS (
+       |  SELECT UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS w
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0),
+       |wvocab0 AS MATERIALIZED (
+       |  SELECT w AS word, COUNT(*) AS freq,
+       |    list_transform(range(1, LENGTH(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+       |  FROM wwords WHERE LENGTH(w) > 0 GROUP BY w),
+       |${roundCtes.mkString(",\n")}""".stripMargin
+  }
+
+  val trainWordpieceSql: String = {
+    val rounds = 10
+    s"""WITH ${wordpieceCtesSql(rounds)}
+       |SELECT rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count, score_pico FROM (
+       |${(1 to rounds)
+        .map(r => s"  SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, cnt, score_pico FROM wbest$r")
+        .mkString("\n  UNION ALL\n")}) s
+       |ORDER BY rank""".stripMargin
+  }
+
+  val tokenizeWordpieceSql: String = {
+    val rounds = 10
+    s"""WITH ${wordpieceCtesSql(rounds)},
+       |wdocw AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0)
+       |SELECT d.doc_id,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(LENGTH(d.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(SUM(len(v.syms)) AS DOUBLE) / CAST(SUM(LENGTH(d.word)) AS DOUBLE), 6) AS ratio
+       |FROM wdocw d JOIN wvocab$rounds v ON v.word = d.word
+       |WHERE LENGTH(d.word) > 0
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

