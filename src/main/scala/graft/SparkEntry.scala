@@ -371,6 +371,8 @@ object SparkEntry {
     // WordPiece completes the tokenizer triad (BPE / unigram / wordpiece)
     "train_wordpiece" -> (Tokenizer.trainWordpiece _),
     "tokenize_wordpiece" -> (Tokenizer.tokenizeWordpiece _),
+    // farthest-point diversity sampling (greedy k-center, Gonzalez 1985)
+    "sample_kcenter" -> (Similarity.sampleKcenterQ _),
     // sample entropy: regularity screen via template-pair counting
     "ts_sampen" -> (Timeseries.tsSampen _),
     // two-sample Kolmogorov-Smirnov drift screen between time halves
@@ -741,6 +743,7 @@ object SparkEntry {
     "mm_crossmodal" -> Multimodal.mmCrossmodalSql,
     "train_wordpiece" -> Tokenizer.trainWordpieceSql,
     "tokenize_wordpiece" -> Tokenizer.tokenizeWordpieceSql,
+    "sample_kcenter" -> Similarity.sampleKcenterSql,
     "ts_sampen" -> Timeseries.tsSampenSql,
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,

@@ -1070,6 +1070,96 @@ object Similarity {
       .limit(m)
   }
 
+  // ---------------------------------------------------------------------
+  // Farthest-point (k-center) diversity sampling
+  // ---------------------------------------------------------------------
+
+  val KcenterK = 8
+
+  /** Farthest-point / greedy k-center sampling (Gonzalez 1985; the
+    * 2-approximation to the k-center cover) — the DIVERSITY-first
+    * curation sampler beside [[sampleCoreset]]'s importance sampler:
+    * seed at a hash-pinned point, then repeatedly add the point
+    * FARTHEST from everything selected so far. The emitted `dist2`
+    * column is the k-center radius curve — the standard "how much
+    * diversity does the next pick buy" acceptance plot.
+    *
+    * Scale shape: the Lloyd shape exactly — each of the k−1 rounds is
+    * ONE corpus scan against ≤k LITERAL selected vectors (broadcast by
+    * construction, no join) with a TakeOrderedAndProject top-1; the
+    * corpus never shuffles. Portability: per-selected distances round
+    * to 9 BEFORE the min/argmax (the kmeans ranking discipline), the
+    * argmax tie-breaks on vec_id, and the oracle replays the identical
+    * trajectory relationally (MATERIALIZED per-round picks).
+    */
+  def sampleKcenter(emb: DataFrame, k: Int = KcenterK): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seed = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(1)
+      .collect()
+      .head
+    var selected = Vector((seed.getLong(0), seed.getSeq[Float](1)))
+    var out = Vector((1L, seed.getLong(0), Option.empty[Double]))
+    for (r <- 2 to k) {
+      val dcols = selected.map { case (_, sv) =>
+        val svd = sv.map(_.toDouble)
+        val ss = svd.foldLeft(0.0)((a, x) => a + x * x)
+        round(
+          VectorMath.dot(col("embedding"), col("embedding")) -
+            lit(2.0) * VectorMath.dot(col("embedding"), array(svd.map(lit(_)): _*)) +
+            lit(ss),
+          9
+        )
+      }
+      val dmin = dcols.reduce((a, b) => least(a, b))
+      val best = emb
+        .filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .select(col("vec_id"), col("embedding"), dmin.as("__dmin"))
+        .orderBy(col("__dmin").desc, col("vec_id"))
+        .limit(1)
+        .collect()
+        .head
+      selected = selected :+ ((best.getLong(0), best.getSeq[Float](1)))
+      out = out :+ ((r.toLong, best.getLong(0), Option(best.getDouble(2))))
+    }
+    out.toDF("rank", "vec_id", "dist2")
+  }
+
+  def sampleKcenterQ(spark: SparkSession, dir: String): DataFrame =
+    sampleKcenter(Tables.embeddings(spark, dir)).orderBy(col("rank"))
+
+  /** Oracle: the identical greedy trajectory replayed relationally —
+    * per round, the min of round-9 distances to every prior pick
+    * (MATERIALIZED), argmax by (dmin DESC, vec_id).
+    */
+  val sampleKcenterSql: String = {
+    def distExpr(x: String, s: String) =
+      s"ROUND(list_dot_product($x, $x) - 2.0 * list_dot_product($x, $s) + list_dot_product($s, $s), 9)"
+    val rounds = (2 to KcenterK).map { r =>
+      val union = (1 until r).map(i => s"SELECT vec_id, v FROM ks$i").mkString(" UNION ALL ")
+      s"""ks$r AS MATERIALIZED (
+         |  SELECT vec_id, v, dmin FROM (
+         |    SELECT x.vec_id, x.v, MIN(${distExpr("x.v", "s.v")}) AS dmin
+         |    FROM kn x CROSS JOIN ($union) s
+         |    WHERE x.vec_id NOT IN (SELECT vec_id FROM ($union))
+         |    GROUP BY x.vec_id, x.v)
+         |  ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val finals = Seq(s"SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS dist2 FROM ks1") ++
+      (2 to KcenterK).map(r => s"SELECT CAST($r AS BIGINT) AS rank, vec_id, dmin AS dist2 FROM ks$r")
+    s"""WITH kn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ks1 AS MATERIALIZED (
+       |  SELECT vec_id, v FROM kn
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |${rounds.mkString(",\n")}
+       |${finals.mkString("\nUNION ALL\n")}
+       |ORDER BY rank""".stripMargin
+  }
+
   def sampleCoresetQ(spark: SparkSession, dir: String): DataFrame =
     sampleCoreset(Tables.embeddings(spark, dir))
 

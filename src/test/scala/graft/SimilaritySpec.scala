@@ -943,6 +943,34 @@ class SimilaritySpec extends SparkSpec {
   }
 
 
+  "sampleKcenter" should "pick spread-out corners and never both members of a near-dup pair" in {
+    import spark.implicits._
+    // four far corners + one near-duplicate of corner 0: greedy
+    // farthest-point with k=4 must cover the corners and can never
+    // spend two picks on the duplicate pair (0, 4)
+    def vec(x: Float, y: Float): Array[Float] = {
+      val v = new Array[Float](64)
+      v(0) = x; v(1) = y
+      v
+    }
+    val emb = Seq(
+      (0L, vec(0f, 0f)),
+      (1L, vec(100f, 0f)),
+      (2L, vec(0f, 100f)),
+      (3L, vec(100f, 100f)),
+      (4L, vec(0.1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.sampleKcenter(emb, k = 4).collect()
+    picks.length shouldBe 4
+    val ids = picks.map(_.getAs[Long]("vec_id")).toSet
+    (ids.contains(0L) && ids.contains(4L)) shouldBe false
+    // the radius curve is non-increasing after the seed
+    val radii = picks.filter(!_.isNullAt(2)).map(_.getAs[Double]("dist2"))
+    radii.zip(radii.tail).foreach { case (a, b) => b should be <= a }
+    // rank 1 is the seed with NULL distance
+    picks.find(_.getAs[Long]("rank") == 1L).get.isNullAt(2) shouldBe true
+  }
+
   "graphBeamTopK" should "recover the exact top-k in a connected-graph regime" in {
     import spark.implicits._
     // 12 near-collinear 64-dim vectors: every pair's cosine is high and
