@@ -1291,4 +1291,67 @@ class StreamingSpec extends SparkSpec {
       q.lastProgress.stateOperators.head.numRowsTotal shouldBe 2L
     } finally q.stop()
   }
+
+  "StreamingAnn.topK" should "converge to the exact top-k regardless of micro-batch boundaries" in {
+    import graft.streaming.StreamingAnn
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Long): Array[Float] = {
+      // deterministic pseudo-random unit-ish vectors
+      Array.tabulate(8) { d =>
+        val z = seed * 0x9e3779b97f4a7c15L + d * 0xbf58476d1ce4e5b9L
+        (((z >>> 16) % 1000L).toFloat / 500f) - 1f
+      }
+    }
+    val corpus = (10L until 40L).map(i => (i, vec(i)))
+    val queries = Seq((0L, vec(0L)), (1L, vec(1L))).toDF("vec_id", "embedding")
+    def runSplit(name: String, splitAt: Int): Map[(Long, Int), Long] = {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val out = StreamingAnn.topK(spark, mem.toDF().toDF("vec_id", "embedding"), queries, k = 3)
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        val (a, b) = corpus.splitAt(splitAt)
+        mem.addData(a: _*); q.processAllAvailable()
+        mem.addData(b: _*); q.processAllAvailable()
+        // latest snapshot per (query, rank)
+        spark.table(name).as[(Long, Int, Long, Double)].collect().zipWithIndex
+          .groupBy(x => (x._1._1, x._1._2))
+          .map { case (key, xs) => key -> xs.maxBy(_._2)._1._3 }
+      } finally q.stop()
+    }
+    val early = runSplit("ann_s1", 5)
+    val late = runSplit("ann_s2", 25)
+    // batch-boundary independence: both splits converge to the same ranking
+    early shouldBe late
+    // and that ranking is the exact batch top-k over the full corpus
+    import graft.operators.Similarity
+    val exact = Similarity
+      .bruteForceTopK(corpus.toDF("vec_id", "embedding"), queries, k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank").toInt) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    early shouldBe exact
+  }
+
+  it should "keep state bounded at |Q| keys and dedup re-delivered vectors" in {
+    import graft.streaming.StreamingAnn
+    implicit val sqlCtx = spark.sqlContext
+    val v = Array.tabulate(8)(d => (d + 1).toFloat)
+    val queries = Seq((0L, v)).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = StreamingAnn.topK(spark, mem.toDF().toDF("vec_id", "embedding"), queries, k = 2)
+    val q = out.toDF().writeStream.format("memory").queryName("ann_dedup").outputMode("update").start()
+    try {
+      mem.addData((5L, v), (6L, v.map(_ * 2f)))
+      q.processAllAvailable()
+      // at-least-once replay of the same vector must not occupy two slots
+      mem.addData((5L, v), (5L, v))
+      q.processAllAvailable()
+      q.lastProgress.stateOperators.head.numRowsTotal shouldBe 1L
+      val latest = spark.table("ann_dedup").as[(Long, Int, Long, Double)].collect().zipWithIndex
+        .groupBy(x => (x._1._1, x._1._2))
+        .map { case (key, xs) => key -> xs.maxBy(_._2)._1._3 }
+      latest((0L, 1)) should (be(5L) or be(6L))
+      latest.keys.map(_._2).max shouldBe 2
+    } finally q.stop()
+  }
 }
