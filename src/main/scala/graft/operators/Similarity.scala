@@ -2751,16 +2751,45 @@ object Similarity {
       .select(col("__src"), col("__dst"), col("__cos"))
   }
 
+  // The default-parameter kNN mine (k=5, planes=4, dim=64) feeds THREE
+  // registry consumers (embed_hubness, embed_lof, ann_graph's view A)
+  // and ann_graph's second view (seed 7) — mine once per
+  // (session, dir, seed) and share the checkpointed edge relation
+  // (the minedJaccardFor / trainedFor discipline).
+  private val knnCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, Long), DataFrame]()
+  private val knnLock = new Object
+
+  private[graft] def knnFor(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+    knnCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) knnCache.remove(k): Unit
+    }
+    val key = (spark, Tables.canonDir(dir), seed)
+    knnCache.getOrElse(
+      key,
+      knnLock.synchronized {
+        knnCache.getOrElseUpdate(
+          key,
+          bucketedKnn(Tables.embeddings(spark, dir), 5, 4, 64, seed = seed)
+            .localCheckpoint()
+        )
+      }
+    )
+  }
+
   def hubnessScreen(
     emb: DataFrame,
     k: Int = 5,
     planes: Int = 4,
     dim: Int = 64,
     maxBucket: Long = 100000L,
-    subPlanes: Int = 16
+    subPlanes: Int = 16,
+    mined: Option[DataFrame] = None
   ): DataFrame = {
     val v = prepped(emb, "vec_id", "v", "n")
-    val knn = bucketedKnn(emb, k, planes, dim, maxBucket, subPlanes).select(col("__src"), col("__dst"))
+    val knn = mined
+      .getOrElse(bucketedKnn(emb, k, planes, dim, maxBucket, subPlanes))
+      .select(col("__src"), col("__dst"))
     val inDeg = knn.groupBy(col("__dst").as("vec_id")).agg(count(lit(1)).as("in_degree"))
     val d = coalesce(col("in_degree"), lit(0L))
     v.select(col("vec_id"))
@@ -2774,7 +2803,8 @@ object Similarity {
   }
 
   def embedHubness(spark: SparkSession, dir: String): DataFrame =
-    hubnessScreen(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+    hubnessScreen(Tables.embeddings(spark, dir), mined = Some(knnFor(spark, dir)))
+      .orderBy(col("vec_id"))
 
   val embedHubnessSql: String = {
     val k = 5
@@ -2841,10 +2871,12 @@ object Similarity {
     planes: Int = 4,
     dim: Int = 64,
     maxBucket: Long = 100000L,
-    subPlanes: Int = 16
+    subPlanes: Int = 16,
+    mined: Option[DataFrame] = None
   ): DataFrame = {
     val dec3810 = org.apache.spark.sql.types.DecimalType(38, 10)
-    val knn = bucketedKnn(emb, k, planes, dim, maxBucket, subPlanes)
+    val knn = mined
+      .getOrElse(bucketedKnn(emb, k, planes, dim, maxBucket, subPlanes))
       .select(col("__src"), col("__dst"), (lit(1.0) - col("__cos")).as("__d"))
     val kdist = knn.groupBy(col("__src").as("__kv")).agg(max(col("__d")).as("__kd"))
     val reach = knn
@@ -2891,7 +2923,8 @@ object Similarity {
   }
 
   def embedLof(spark: SparkSession, dir: String): DataFrame =
-    lofScreen(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+    lofScreen(Tables.embeddings(spark, dir), mined = Some(knnFor(spark, dir)))
+      .orderBy(col("vec_id"))
 
   val embedLofSql: String = {
     val k = 5
@@ -2998,7 +3031,8 @@ object Similarity {
     hops: Int = GraphHops,
     entries: Int = GraphEntryCount,
     planes: Int = 4,
-    dim: Int = 64
+    dim: Int = 64,
+    minedViews: Option[(DataFrame, DataFrame)] = None
   ): DataFrame = {
     // TWO-VIEW NSW-style graph: a single LSH-bucketed kNN mine only has
     // INTRA-bucket edges, so true neighbors hashed into other buckets
@@ -3010,8 +3044,8 @@ object Similarity {
     // recall@5 0.12 (one view, out-edges) → 0.16 (+reverse) → 0.60
     // (+second view) at 2× the mining cost, still bucket-capped/linear
     // — best-in-family beside IVF's 0.62, ahead of LSH's 0.42.
-    val minedA = bucketedKnn(emb, graphK, planes, dim)
-    val minedB = bucketedKnn(emb, graphK, planes, dim, seed = GraphSeedB)
+    val minedA = minedViews.map(_._1).getOrElse(bucketedKnn(emb, graphK, planes, dim))
+    val minedB = minedViews.map(_._2).getOrElse(bucketedKnn(emb, graphK, planes, dim, seed = GraphSeedB))
     val mined = minedA.union(minedB)
     // the edge relation is THE INDEX — materialize it once (eager
     // localCheckpoint) so the fixed hop unroll replays a flat scan per
@@ -3084,8 +3118,12 @@ object Similarity {
         graphCache.getOrElseUpdate(
           key, {
             val emb = Tables.embeddings(spark, dir)
-            graphBeamTopK(emb, emb.filter(col("vec_id") < QueryCount), TopK)
-              .localCheckpoint()
+            graphBeamTopK(
+              emb,
+              emb.filter(col("vec_id") < QueryCount),
+              TopK,
+              minedViews = Some((knnFor(spark, dir), knnFor(spark, dir, GraphSeedB)))
+            ).localCheckpoint()
           }
         )
       }
