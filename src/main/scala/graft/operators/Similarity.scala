@@ -3691,8 +3691,14 @@ object Similarity {
           ),
           6
         ).as("std"),
-        col("min_x"),
-        col("max_x")
+        // range endpoints round to the repo's scale-6 output grid:
+        // raw float32 passthroughs are cross-engine identical but land
+        // arbitrarily close to the audit's half grid when the data
+        // happens to (observed at sf0.01 round 12); rounding identical
+        // doubles cannot diverge (scale-6 halves are not binary
+        // fractions, so an exact tie is unrepresentable)
+        round(col("min_x"), 6).as("min_x"),
+        round(col("max_x"), 6).as("max_x")
       )
   }
 
@@ -3714,7 +3720,7 @@ object Similarity {
       |  FROM v GROUP BY 1)
       |SELECT dim, n, ROUND(s1 / n, 6) AS mean,
       |  ROUND(SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS std,
-      |  min_x, max_x
+      |  ROUND(min_x, 6) AS min_x, ROUND(max_x, 6) AS max_x
       |FROM a
       |ORDER BY dim""".stripMargin
 
