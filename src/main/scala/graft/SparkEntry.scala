@@ -373,6 +373,8 @@ object SparkEntry {
     "tokenize_wordpiece" -> (Tokenizer.tokenizeWordpiece _),
     // farthest-point diversity sampling (greedy k-center, Gonzalez 1985)
     "sample_kcenter" -> (Similarity.sampleKcenterQ _),
+    // MMR diversification rerank (Carbonell-Goldstein 1998)
+    "ann_mmr" -> (Similarity.annMmr _),
     // sample entropy: regularity screen via template-pair counting
     "ts_sampen" -> (Timeseries.tsSampen _),
     // two-sample Kolmogorov-Smirnov drift screen between time halves
@@ -744,6 +746,7 @@ object SparkEntry {
     "train_wordpiece" -> Tokenizer.trainWordpieceSql,
     "tokenize_wordpiece" -> Tokenizer.tokenizeWordpieceSql,
     "sample_kcenter" -> Similarity.sampleKcenterSql,
+    "ann_mmr" -> Similarity.annMmrSql,
     "ts_sampen" -> Timeseries.tsSampenSql,
     "ts_ks" -> Timeseries.tsKsSql,
     "corpus_hll" -> TextAnalysis.corpusHllSql,

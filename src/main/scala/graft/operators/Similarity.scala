@@ -3253,6 +3253,170 @@ object Similarity {
        |ORDER BY bf.query_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // MMR diversification rerank
+  // ---------------------------------------------------------------------
+
+  val MmrPool = 10
+  val MmrK = 5
+  val MmrLambda = 0.7
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversification post-processor every RAG retrieval
+    * stack runs between ANN top-N and the context window: greedily
+    * re-pick m of the top-N candidates maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s), so near-duplicate
+    * hits stop crowding out coverage. The per-query twin of
+    * [[sampleKcenter]]'s corpus-level diversity pass.
+    *
+    * Scale shape: the candidate pool is the ann top-N — a
+    * (queries×N)-row relation, driver-size regardless of corpus — so
+    * the candidate-pair similarity matrix (≤ N² per query) and the m
+    * greedy rounds are query-set-grain joins; the only corpus-scale
+    * work is the ONE exact scan producing the pool (the
+    * ann_bruteforce shape; an index pool composes identically). Each
+    * round eagerly checkpoints (the pagerank discipline) so the fixed
+    * unroll stays flat. Portability: sims round to 9 before anything
+    * ranks; the marginal score ranks as the same IEEE double in both
+    * engines (products of identical grid-9 inputs, cand tie-break) and
+    * OUTPUTS through the FLOOR(q·1e6+0.5)/1e6 idiom.
+    */
+  def mmrRerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    pool: Int = MmrPool,
+    m: Int = MmrK,
+    lambda: Double = MmrLambda
+  ): DataFrame = {
+    val c = prepped(emb, "__cid", "__vc", "__nc")
+    val q = prepped(queries, "query_id", "__vq", "__nq")
+    val byQsim = Window.partitionBy(col("query_id")).orderBy(col("sim9").desc, col("__cand"))
+    val byQsimC = Window.partitionBy(col("query_id")).orderBy(col("sim9").desc, col("__cid"))
+    val cands = c
+      .join(broadcast(q), col("query_id") =!= col("__cid"))
+      .withColumn(
+        "sim9",
+        round(VectorMath.cosine(col("__vq"), col("__vc"), col("__nq"), col("__nc")), 9)
+      )
+      .withColumn("__rk", row_number().over(byQsimC))
+      .filter(col("__rk") <= pool)
+      .select(col("query_id"), col("__cid").as("__cand"), col("sim9"), col("__vc"), col("__nc"))
+      .localCheckpoint(true)
+    val a = cands.select(col("query_id"), col("__cand").as("__a"), col("__vc").as("__va"), col("__nc").as("__na"))
+    val b = cands.select(col("query_id"), col("__cand").as("__b"), col("__vc").as("__vb"), col("__nc").as("__nb"))
+    val csim = a
+      .join(b, Seq("query_id"))
+      .filter(col("__a") =!= col("__b"))
+      .select(
+        col("query_id"),
+        col("__a"),
+        col("__b"),
+        round(VectorMath.cosine(col("__va"), col("__vb"), col("__na"), col("__nb")), 9).as("cs9")
+      )
+      .localCheckpoint(true)
+    val pool0 = cands.select(col("query_id"), col("__cand"), col("sim9"))
+    var selected = pool0
+      .withColumn("__rk", row_number().over(byQsim))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("__cand"), lit(1L).as("rank"), col("sim9"),
+        col("sim9").as("__mmrq"))
+      .localCheckpoint(true)
+    for (r <- 2 to m) {
+      val rem = pool0.join(
+        selected.select(col("query_id"), col("__cand")),
+        Seq("query_id", "__cand"),
+        "left_anti"
+      )
+      val maxSel = rem
+        .join(
+          csim.join(
+            selected.select(col("query_id"), col("__cand").as("__b")),
+            Seq("query_id", "__b")
+          ).select(col("query_id"), col("__a").as("__cand"), col("cs9")),
+          Seq("query_id", "__cand")
+        )
+        .groupBy(col("query_id"), col("__cand"), col("sim9"))
+        .agg(max(col("cs9")).as("__ms"))
+      val byScore = Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__mmr").desc, col("__cand"))
+      val pick = maxSel
+        .withColumn("__mmr", lit(lambda) * col("sim9") - lit(1.0 - lambda) * col("__ms"))
+        .withColumn("__rk", row_number().over(byScore))
+        .filter(col("__rk") === 1)
+        .select(col("query_id"), col("__cand"), lit(r.toLong).as("rank"), col("sim9"),
+          col("__mmr").as("__mmrq"))
+      selected = selected.union(pick).localCheckpoint(true)
+    }
+    selected.select(
+      col("query_id"),
+      col("rank"),
+      col("__cand").as("neighbor_id"),
+      col("sim9").as("relevance"),
+      (floor(col("__mmrq") * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)).as("mmr")
+    )
+  }
+
+  def annMmr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mmrRerank(emb, emb.filter(col("vec_id") < QueryCount))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: the exact top-N pool + candidate-pair sims as CTEs, then
+    * the m greedy rounds unrolled with the identical λ-marginal argmax
+    * and (score DESC, cand) tie-break.
+    */
+  val annMmrSql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      val selU = (1 until r).map(i => s"SELECT query_id, cand, rank, sim9, mmrq FROM msel$i").mkString(" UNION ALL ")
+      s"""msel$r AS MATERIALIZED (
+         |  SELECT query_id, cand, CAST($r AS BIGINT) AS rank, sim9, mmr AS mmrq FROM (
+         |    SELECT x.query_id, x.cand, x.sim9,
+         |      $MmrLambda * x.sim9 - ${1.0 - MmrLambda} * MAX(cs.cs9) AS mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY x.query_id
+         |        ORDER BY $MmrLambda * x.sim9 - ${1.0 - MmrLambda} * MAX(cs.cs9) DESC, x.cand) AS rk
+         |    FROM mpool x
+         |    JOIN mcsim cs ON cs.query_id = x.query_id AND cs.a = x.cand
+         |      AND cs.b IN (SELECT cand FROM ($selU) s WHERE s.query_id = x.query_id)
+         |    WHERE x.cand NOT IN (SELECT cand FROM ($selU) s WHERE s.query_id = x.query_id)
+         |    GROUP BY x.query_id, x.cand, x.sim9)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    val finals = (1 to MmrK).map(i => s"SELECT query_id, rank, cand, sim9, mmrq FROM msel$i")
+    s"""WITH mn AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |mq AS (SELECT vec_id AS query_id, v, nrm FROM mn WHERE vec_id < $QueryCount),
+       |mpool AS MATERIALIZED (
+       |  SELECT query_id, cand, sim9 FROM (
+       |    SELECT q.query_id, c.vec_id AS cand,
+       |      ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 9) AS sim9,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 9) DESC, c.vec_id) AS rk
+       |    FROM mq q JOIN mn c ON c.vec_id <> q.query_id)
+       |  WHERE rk <= $MmrPool),
+       |mcsim AS MATERIALIZED (
+       |  SELECT p.query_id, p.cand AS a, p2.cand AS b,
+       |    ROUND(list_dot_product(ca.v, cb.v) / (ca.nrm * cb.nrm), 9) AS cs9
+       |  FROM mpool p
+       |  JOIN mpool p2 ON p2.query_id = p.query_id AND p2.cand <> p.cand
+       |  JOIN mn ca ON ca.vec_id = p.cand
+       |  JOIN mn cb ON cb.vec_id = p2.cand),
+       |msel1 AS MATERIALIZED (
+       |  SELECT query_id, cand, CAST(1 AS BIGINT) AS rank, sim9, sim9 AS mmrq FROM (
+       |    SELECT query_id, cand, sim9,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim9 DESC, cand) AS rk
+       |    FROM mpool)
+       |  WHERE rk = 1),
+       |${rounds.mkString(",\n")}
+       |SELECT query_id, rank, cand AS neighbor_id, sim9 AS relevance,
+       |  FLOOR(mmrq * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS mmr
+       |FROM (${finals.mkString(" UNION ALL ")})
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Top principal component (power iteration)
   // ---------------------------------------------------------------------
 

@@ -943,6 +943,39 @@ class SimilaritySpec extends SparkSpec {
   }
 
 
+  "mmrRerank" should "demote a near-duplicate of the top hit below a diverse alternative" in {
+    import spark.implicits._
+    def vec(x: Float, y: Float): Array[Float] = {
+      val v = new Array[Float](64)
+      v(0) = x; v(1) = y
+      v
+    }
+    // query q points along +x; 10 and 12 are MIRRORED equally-relevant
+    // hits (tie on sim -> 10 first by id), 11 a near-clone of 10 with
+    // slightly lower relevance. Pure relevance ranks (10, 11, 12);
+    // MMR must rank (10, 12, 11): 11's redundancy penalty against the
+    // selected 10 (cos ~ 1) loses to 12's (cos 0.6 across the mirror),
+    // 0.7*0.890 - 0.3*1.0 = 0.32 < 0.7*0.894 - 0.3*0.6 = 0.45.
+    val emb = Seq(
+      (0L, vec(1f, 0f)),
+      (10L, vec(0.9f, 0.45f)),
+      (11L, vec(0.9f, 0.46f)),
+      (12L, vec(0.9f, -0.45f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .mmrRerank(emb, emb.filter(col("vec_id") === 0L), pool = 3, m = 3)
+      .orderBy(col("rank"))
+      .collect()
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(10L, 12L, 11L)
+    // rank-1 mmr equals its relevance (no penalty yet; mmr is
+    // micro-quantized, relevance grid-9); later picks carry the
+    // penalty so mmr < relevance
+    out.head.getAs[Double]("mmr") shouldBe out.head.getAs[Double]("relevance") +- 1e-6
+    out.tail.foreach { r =>
+      r.getAs[Double]("mmr") should be < r.getAs[Double]("relevance")
+    }
+  }
+
   "sampleKcenter" should "pick spread-out corners and never both members of a near-dup pair" in {
     import spark.implicits._
     // four far corners + one near-duplicate of corner 0: greedy
