@@ -1092,39 +1092,89 @@ object Similarity {
     * argmax tie-breaks on vec_id, and the oracle replays the identical
     * trajectory relationally (MATERIALIZED per-round picks).
     */
-  def sampleKcenter(emb: DataFrame, k: Int = KcenterK): DataFrame = {
+  /** Above this k the greedy loop stops embedding every selected
+    * vector as plan literals (plan size O(k²·d)) and switches to a
+    * broadcast selected-set relation — plan size O(k) (only the id
+    * skip-list grows), values identical (same round-9 per-selected
+    * distances, same min, same argmax tie-break).
+    */
+  val KcenterLiteralMax = 16
+
+  def sampleKcenter(
+    emb: DataFrame,
+    k: Int = KcenterK,
+    literalMax: Int = KcenterLiteralMax
+  ): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val spark = emb.sparkSession
     import spark.implicits._
-    val seed = emb
+    val seedOpt = emb
       .select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(1)
       .collect()
-      .head
-    var selected = Vector((seed.getLong(0), seed.getSeq[Float](1)))
-    var out = Vector((1L, seed.getLong(0), Option.empty[Double]))
-    for (r <- 2 to k) {
-      val dcols = selected.map { case (_, sv) =>
-        val svd = sv.map(_.toDouble)
-        val ss = svd.foldLeft(0.0)((a, x) => a + x * x)
-        round(
-          VectorMath.dot(col("embedding"), col("embedding")) -
-            lit(2.0) * VectorMath.dot(col("embedding"), array(svd.map(lit(_)): _*)) +
-            lit(ss),
-          9
-        )
+      .headOption
+    var selected = seedOpt.toVector.map(s => (s.getLong(0), s.getSeq[Float](1)))
+    var out = seedOpt.toVector.map(s => (1L, s.getLong(0), Option.empty[Double]))
+    var exhausted = selected.isEmpty
+    for (r <- 2 to k if !exhausted) {
+      val rest = emb.filter(!col("vec_id").isin(selected.map(_._1): _*))
+      val bestOpt =
+        if (k <= literalMax) {
+          val dcols = selected.map { case (_, sv) =>
+            val svd = sv.map(_.toDouble)
+            val ss = svd.foldLeft(0.0)((a, x) => a + x * x)
+            round(
+              VectorMath.dot(col("embedding"), col("embedding")) -
+                lit(2.0) * VectorMath.dot(col("embedding"), array(svd.map(lit(_)): _*)) +
+                lit(ss),
+              9
+            )
+          }
+          val dmin = dcols.reduce((a, b) => least(a, b))
+          rest
+            .select(col("vec_id"), col("embedding"), dmin.as("__dmin"))
+            .orderBy(col("__dmin").desc, col("vec_id"))
+            .limit(1)
+            .collect()
+            .headOption
+            .map(b => (b.getLong(0), b.getSeq[Float](1), b.getDouble(2)))
+        } else {
+          val selRel = broadcast(selected.toDF("sel_id", "sel_emb"))
+          rest
+            .crossJoin(selRel)
+            .select(
+              col("vec_id"),
+              round(
+                VectorMath.dot(col("embedding"), col("embedding")) -
+                  lit(2.0) * VectorMath.dot(col("embedding"), col("sel_emb")) +
+                  VectorMath.dot(col("sel_emb"), col("sel_emb")),
+                9
+              ).as("__d")
+            )
+            .groupBy(col("vec_id"))
+            .agg(min(col("__d")).as("__dmin"))
+            .orderBy(col("__dmin").desc, col("vec_id"))
+            .limit(1)
+            .collect()
+            .headOption
+            .map { b =>
+              val ev = emb
+                .filter(col("vec_id") === b.getLong(0))
+                .select(col("embedding"))
+                .collect()
+                .head
+                .getSeq[Float](0)
+              (b.getLong(0), ev, b.getDouble(1))
+            }
+        }
+      bestOpt match {
+        case Some((id, ev, dm)) =>
+          selected = selected :+ ((id, ev))
+          out = out :+ ((r.toLong, id, Option(dm)))
+        case None =>
+          exhausted = true
       }
-      val dmin = dcols.reduce((a, b) => least(a, b))
-      val best = emb
-        .filter(!col("vec_id").isin(selected.map(_._1): _*))
-        .select(col("vec_id"), col("embedding"), dmin.as("__dmin"))
-        .orderBy(col("__dmin").desc, col("vec_id"))
-        .limit(1)
-        .collect()
-        .head
-      selected = selected :+ ((best.getLong(0), best.getSeq[Float](1)))
-      out = out :+ ((r.toLong, best.getLong(0), Option(best.getDouble(2))))
     }
     out.toDF("rank", "vec_id", "dist2")
   }
@@ -1288,7 +1338,8 @@ object Similarity {
   }
 
   def clusterNmi(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame =
-    clusterNmiWide(emb, k, iters).drop("__nmi_q", "__ari_q")
+    clusterNmiWide(emb, k, iters)
+      .drop("__nmi_q", "__ari_q", "__mi_q", "__hun_q", "__hvn_q")
 
   /** [[clusterNmi]] plus the UNROUNDED quotient twins of its
     * double-quantized ratio columns (`__nmi_q`/`__ari_q`) — consumed
@@ -1383,21 +1434,31 @@ object Similarity {
           lit(1e6) + lit(0.0)).as("purity"),
         (floor(ariq * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)).as("ari"),
         nmiq.as("__nmi_q"),
-        ariq.as("__ari_q")
+        ariq.as("__ari_q"),
+        col("mi_dec").cast("double").as("__mi_q"),
+        (-col("hun_dec")).cast("double").as("__hun_q"),
+        (-col("hvn_dec")).cast("double").as("__hvn_q")
       )
   }
 
   /** Pre-round twin frame for [[graft.StraddleAudit.auditTwins]]: the
-    * raw nmi/ari quotients BEFORE their FLOOR micro quantization.
-    * purity has no twin — its final is a pure DECIMAL-routed HALF_UP
-    * integer division, deterministic in both engines even at an exact
-    * half (the tsMkTwins rationale).
+    * raw nmi/ari quotients BEFORE their FLOOR micro quantization, plus
+    * (round-13) the DECIMAL entropy intermediates mi_dec/hun_dec/
+    * hvn_dec before their ROUND(·,6). The entropy finals round IN
+    * DECIMAL — deterministic HALF_UP in both engines even at an exact
+    * half — so a flagged straddle there would be benign; registering
+    * them anyway completes the audit's coverage of every rounded final
+    * in this query. purity keeps no twin — a pure DECIMAL-routed
+    * HALF_UP integer division (the tsMkTwins rationale).
     */
   def clusterNmiTwins(spark: SparkSession, dir: String): DataFrame =
     clusterNmiWide(Tables.embeddings(spark, dir))
       .select(
         col("__nmi_q").as("nmi__s6"),
-        col("__ari_q").as("ari__s6")
+        col("__ari_q").as("ari__s6"),
+        col("__mi_q").as("mi__s6"),
+        col("__hun_q").as("h_label__s6"),
+        col("__hvn_q").as("h_cluster__s6")
       )
 
   def clusterNmiQ(spark: SparkSession, dir: String): DataFrame =
@@ -1441,7 +1502,7 @@ object Similarity {
        |    CAST(SUM(CAST(bj * (bj - 1) AS DECIMAL(27,10))) AS DOUBLE) AS sb2,
        |    SUM(mx) AS mxs
        |  FROM clum CROSS JOIN tot)
-       |SELECT n, n_labels, n_clusters,
+       |SELECT CAST(n AS BIGINT) AS n, n_labels, n_clusters,
        |  CAST(ROUND(mi_dec, 6) AS DOUBLE) AS mi,
        |  CAST(ROUND(-hun_dec, 6) AS DOUBLE) AS h_label,
        |  CAST(ROUND(-hvn_dec, 6) AS DOUBLE) AS h_cluster,
@@ -3136,6 +3197,17 @@ object Similarity {
   /** Oracle: the kNN-graph mine (the embed_hubness CTEs), hash-pinned
     * entries, and the beam unrolled hop by hop with the identical
     * round-9 scoring and (cos9 DESC, cand) tie-break.
+    *
+    * Bucket-size bound (embedHubnessSql convention, shared by all
+    * mined-kNN oracles): the SQL mines each view with a plain
+    * `a.bucket = b.bucket` self-join, while the engine routes through
+    * [[admittedBlocks]] (maxBucket=100000 cap + subPlanes
+    * sub-splitting). The two mine the SAME graph iff every one of the
+    * 16 LSH buckets per view holds ≤ 100000 vectors — true by a wide
+    * margin at every driver SF (sf0.1 ≈ 6k vectors TOTAL). At a scale
+    * where a single bucket exceeds the cap the engine's block split
+    * kicks in and this oracle stops being value-exact by design; the
+    * engine side is the scale path.
     */
   val annGraphSql: String = {
     def bucketExpr(v: String, seed: Long): String =

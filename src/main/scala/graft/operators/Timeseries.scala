@@ -1783,8 +1783,15 @@ object Timeseries {
       )
   }
 
+  /** ts_mk's PAA grid parameters, shared with [[tsMkTwins]] so the
+    * pre-round twin audit always scans the SAME grid the query rounds
+    * over (a drifted copy would silently audit a different grid).
+    */
+  val TsMkWindowUs: Long = 86400000000L
+  val TsMkBuckets: Int = 24
+
   def tsMk(spark: SparkSession, dir: String): DataFrame =
-    mannKendall(Tables.ts(spark, dir), windowUs = 86400000000L)
+    mannKendall(Tables.ts(spark, dir), windowUs = TsMkWindowUs, buckets = TsMkBuckets)
       .orderBy(col("channel"), col("win"))
 
   /** Mann-Kendall oracle: identical PAA grid, integer S and tie
@@ -1842,7 +1849,8 @@ object Timeseries {
       |  JOIN ties ON ss.channel = ties.channel AND ss.win = ties.win
       |  JOIN sen ON ss.channel = sen.channel AND ss.win = sen.win
       |  WHERE ties.nb > 2)
-      |SELECT channel, win, nb, s,
+      |SELECT channel, win,
+      |  CAST(nb AS BIGINT) AS nb, CAST(s AS BIGINT) AS s,
       |  var_s,
       |  FLOOR(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / SQRT(NULLIF(var_s, 0.0))
       |             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / SQRT(NULLIF(var_s, 0.0))
@@ -1911,7 +1919,7 @@ object Timeseries {
     * half-grid park is a genuine cross-engine hazard.
     */
   def tsMkTwins(spark: SparkSession, dir: String): DataFrame = {
-    val g = mkPaaGrid(Tables.ts(spark, dir), windowUs = 86400000000L, buckets = 24)
+    val g = mkPaaGrid(Tables.ts(spark, dir), windowUs = TsMkWindowUs, buckets = TsMkBuckets)
     val zQ = tsMk(spark, dir)
       .select(
         when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(nullif(col("var_s"), lit(0.0))))

@@ -1004,6 +1004,36 @@ class SimilaritySpec extends SparkSpec {
     picks.find(_.getAs[Long]("rank") == 1L).get.isNullAt(2) shouldBe true
   }
 
+  it should "emit the identical trajectory through the relational large-k path, and degrade gracefully below k" in {
+    import spark.implicits._
+    def vec(x: Float, y: Float): Array[Float] = {
+      val v = new Array[Float](64)
+      v(0) = x; v(1) = y
+      v
+    }
+    val emb = Seq(
+      (0L, vec(0f, 0f)),
+      (1L, vec(100f, 0f)),
+      (2L, vec(0f, 100f)),
+      (3L, vec(100f, 100f)),
+      (4L, vec(0.1f, 0f))
+    ).toDF("vec_id", "embedding")
+    // literalMax = 0 forces the broadcast selected-set relation path:
+    // the values (round-9 distances, min, argmax tie-break) must be
+    // bit-identical to the literal path
+    val lit4 = Similarity.sampleKcenter(emb, k = 4).collect().map(r => r.toSeq).toVector
+    val rel4 =
+      Similarity.sampleKcenter(emb, k = 4, literalMax = 0).collect().map(r => r.toSeq).toVector
+    rel4 shouldBe lit4
+    // k beyond the corpus: stop at the corpus size instead of crashing
+    val over = Similarity.sampleKcenter(emb, k = 9).collect()
+    over.length shouldBe 5
+    // empty corpus: empty trajectory, same schema
+    val none = Similarity.sampleKcenter(emb.filter(col("vec_id") < 0L), k = 3)
+    none.count() shouldBe 0L
+    none.columns.toSeq shouldBe Seq("rank", "vec_id", "dist2")
+  }
+
   "graphBeamTopK" should "recover the exact top-k in a connected-graph regime" in {
     import spark.implicits._
     // 12 near-collinear 64-dim vectors: every pair's cosine is high and

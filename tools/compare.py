@@ -28,6 +28,40 @@ def canon(v):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
+def type_class(t):
+    """Collapse a DuckDB type name to a canonicalization class."""
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "int128"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return t
+
+def type_audit(con, sql, spark_dir):
+    """The round-12 lesson, machine-enforced: an oracle column whose
+    DuckDB type canonicalizes differently from its Spark twin (HUGEINT
+    vs BIGINT, DECIMAL vs DOUBLE) hashes red in the driver even when
+    every value is equal — and the local str()-canon replica cannot
+    see it. DESCRIBE both sides and red-bar the mismatch here instead.
+    Returns a list of 'col: oracleType vs sparkType' offender strings."""
+    o_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    s_types = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchall()}
+    bad = []
+    for c, ot in sorted(o_types.items()):
+        st = s_types.get(c)
+        if st is None:
+            continue  # schema check reports missing columns
+        oc, sc = type_class(ot), type_class(st)
+        if oc == "int128" or (oc != sc and not (oc == "int" and sc == "int")):
+            bad.append(f"{c}: oracle {ot} vs spark {st}")
+    return bad
+
 def table_hash(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -80,13 +114,18 @@ def main():
         rows_ok = len(o_rows) == len(s_rows)
         schema_ok = sorted(o_cols) == sorted(s_cols)
         hash_ok = schema_ok and table_hash(o_rows, o_cols) == table_hash(s_rows, s_cols)
-        if rows_ok and schema_ok and hash_ok:
+        try:
+            bad_types = type_audit(con, sql, spark_dir)
+        except Exception as e:
+            bad_types = [f"AUDIT ERROR {e}"]
+        if rows_ok and schema_ok and hash_ok and not bad_types:
             n_pass += 1
             print(f"{name}: PASS ({len(s_rows)} rows)")
         else:
             n_fail += 1
             print(f"{name}: FAIL rows={len(s_rows)}/{len(o_rows)} "
                   f"schema={schema_ok} hash={hash_ok} "
+                  f"types={bad_types if bad_types else 'ok'} "
                   f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
