@@ -349,18 +349,6 @@ object SparkEntry {
     "ts_dtw" -> (Timeseries.tsDtw _),
     // Mann-Kendall trend + Sen's slope: integer order-statistic screen
     "ts_mk" -> (Timeseries.tsMk _),
-    // round-12 driver-bisection probes: ts_mk / cluster_nmi have been
-    // driver-red (hash only) for two rounds while the local replica is
-    // green; these per-column decompositions make the driver's next
-    // correctness run NAME the divergent column (or prove the values
-    // all match and the red is a harness artifact)
-    "ts_mk_probe_int" -> (Timeseries.tsMkProbeInt _),
-    "ts_mk_probe_var" -> (Timeseries.tsMkProbeVar _),
-    "ts_mk_probe_z" -> (Timeseries.tsMkProbeZ _),
-    "ts_mk_probe_sen" -> (Timeseries.tsMkProbeSen _),
-    "cluster_nmi_probe_counts" -> (Similarity.clusterNmiProbeCounts _),
-    "cluster_nmi_probe_mi" -> (Similarity.clusterNmiProbeMi _),
-    "cluster_nmi_probe_ratios" -> (Similarity.clusterNmiProbeRatios _),
     // graph-based ANN: beam search over the mined kNN graph (the
     // HNSW-class index family member), plus its recall acceptance curve
     "ann_graph" -> (Similarity.annGraph _),
@@ -733,13 +721,6 @@ object SparkEntry {
     "ts_lomb" -> Timeseries.tsLombSql,
     "ts_dtw" -> Timeseries.tsDtwSql,
     "ts_mk" -> Timeseries.tsMkSql,
-    "ts_mk_probe_int" -> Timeseries.tsMkProbeIntSql,
-    "ts_mk_probe_var" -> Timeseries.tsMkProbeVarSql,
-    "ts_mk_probe_z" -> Timeseries.tsMkProbeZSql,
-    "ts_mk_probe_sen" -> Timeseries.tsMkProbeSenSql,
-    "cluster_nmi_probe_counts" -> Similarity.clusterNmiProbeCountsSql,
-    "cluster_nmi_probe_mi" -> Similarity.clusterNmiProbeMiSql,
-    "cluster_nmi_probe_ratios" -> Similarity.clusterNmiProbeRatiosSql,
     "ann_graph" -> Similarity.annGraphSql,
     "ann_recall_graph" -> Similarity.annRecallGraphSql,
     "mm_crossmodal" -> Multimodal.mmCrossmodalSql,

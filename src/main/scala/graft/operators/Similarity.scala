@@ -1517,44 +1517,6 @@ object Similarity {
        |    * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS ari
        |FROM mi CROSS JOIN hu CROSS JOIN hv CROSS JOIN tot""".stripMargin
 
-  // -------------------------------------------------------------------
-  // cluster_nmi per-column diagnostic probes (round-12 driver
-  // bisection). cluster_nmi has failed the driver's hash check two
-  // rounds running while the local replica passes and round-11
-  // forensics showed every final rounding-safe, with the driver-green
-  // cluster_db_index proving the k-means assignment matches. These
-  // decompose by value class: the FULL integer contingency (strictly
-  // stronger than a checksum — if green, the assignment and counts
-  // match exactly), the DECIMAL-rounded entropies, and the ratio
-  // columns. Green probes + red parent ⇒ the divergence is in the
-  // driver harness/composition, not the values.
-  // -------------------------------------------------------------------
-
-  def clusterNmiProbeCounts(spark: SparkSession, dir: String): DataFrame =
-    nmiContingency(Tables.embeddings(spark, dir), KmeansK, KmeansIters)
-      .orderBy(col("label"), col("cluster"))
-
-  def clusterNmiProbeMi(spark: SparkSession, dir: String): DataFrame =
-    clusterNmiQ(spark, dir).select(col("n"), col("mi"), col("h_label"), col("h_cluster"))
-
-  def clusterNmiProbeRatios(spark: SparkSession, dir: String): DataFrame =
-    clusterNmiQ(spark, dir).select(col("nmi"), col("purity"), col("ari"))
-
-  val clusterNmiProbeCountsSql: String =
-    s"""WITH $KmeansCtes,
-       |al AS (
-       |  SELECT e.label, k.cid AS cluster
-       |  FROM kasg k JOIN embeddings e ON k.vec_id = e.vec_id)
-       |SELECT label, CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS nij
-       |FROM al GROUP BY 1, 2
-       |ORDER BY 1, 2""".stripMargin
-
-  val clusterNmiProbeMiSql: String =
-    s"SELECT n, mi, h_label, h_cluster FROM ($clusterNmiSql) __nmi"
-
-  val clusterNmiProbeRatiosSql: String =
-    s"SELECT nmi, purity, ari FROM ($clusterNmiSql) __nmi"
-
   /** Cluster topic labeling — the BERTopic-style "describe" step after
     * embedding clustering: every k-means cell labeled by its top
     * class-TF-IDF words (count of the word inside the cluster, scaled

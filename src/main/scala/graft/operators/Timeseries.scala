@@ -1862,44 +1862,6 @@ object Timeseries {
       |FROM jj
       |ORDER BY channel, win""".stripMargin
 
-  // -------------------------------------------------------------------
-  // ts_mk per-column diagnostic probes (round-12 driver bisection).
-  //
-  // ts_mk has failed the driver's hash check two rounds running while
-  // every local replica (same DuckDB version) passes, and round-11
-  // forensics showed every final column rounding-safe at sf0.1. These
-  // probes decompose the query BY COLUMN so the driver's own
-  // correctness run names the divergent one — or proves the divergence
-  // lives outside the values (harness/composition) if all probes are
-  // green while the parent stays red. Each is the parent pipeline with
-  // a column-subset projection; oracles wrap the parent oracle, so any
-  // probe red isolates a value class (integer S/counts, var_s, z, Sen).
-  // -------------------------------------------------------------------
-
-  def tsMkProbeInt(spark: SparkSession, dir: String): DataFrame =
-    tsMk(spark, dir).select(col("channel"), col("win"), col("nb"), col("s"), col("trend"))
-
-  def tsMkProbeVar(spark: SparkSession, dir: String): DataFrame =
-    tsMk(spark, dir).select(col("channel"), col("win"), col("var_s"))
-
-  def tsMkProbeZ(spark: SparkSession, dir: String): DataFrame =
-    tsMk(spark, dir).select(col("channel"), col("win"), col("z"))
-
-  def tsMkProbeSen(spark: SparkSession, dir: String): DataFrame =
-    tsMk(spark, dir).select(col("channel"), col("win"), col("sen_slope"))
-
-  val tsMkProbeIntSql: String =
-    s"SELECT channel, win, nb, s, trend FROM ($tsMkSql) __mk"
-
-  val tsMkProbeVarSql: String =
-    s"SELECT channel, win, var_s FROM ($tsMkSql) __mk"
-
-  val tsMkProbeZSql: String =
-    s"SELECT channel, win, z FROM ($tsMkSql) __mk"
-
-  val tsMkProbeSenSql: String =
-    s"SELECT channel, win, sen_slope FROM ($tsMkSql) __mk"
-
   /** Pre-round twin frame for [[graft.StraddleAudit.auditTwins]]: the
     * UNROUNDED double each of ts_mk's DOUBLE-QUANTIZED finals consumed
     * — the PAA quotient before its ROUND(·,9) and the z quotient
