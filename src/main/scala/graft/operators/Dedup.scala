@@ -1442,25 +1442,73 @@ object Dedup {
     tau: Double,
     planes: Int = 8,
     maxBucketSize: Int = 4096
+  ): DataFrame =
+    blockedPairs(emb, tau, planes, _ => lit(planes), maxBucketSize)
+
+  /** Count-adaptive blocking: the fixed-planes variant keeps bucket
+    * COUNT constant, so a 4× corpus quadruples bucket occupancy and
+    * the verify stage pays 16× — the round-13 scale rehearsal measured
+    * the blocked path LOSING to the exact baseline at sf1.0 for
+    * exactly this reason. Here the bucket-bit count derives from the
+    * corpus count through a pure-integer threshold ladder (bits =
+    * minPlanes + |{k : n > targetOcc·2^k}|, identical arithmetic in
+    * the DuckDB oracle — no float log2 to diverge), which pins
+    * EXPECTED OCCUPANCY at ~targetOcc for any corpus size: verify cost
+    * stays n·targetOcc·(bits+1)/2 instead of n²/2^planes. At the
+    * driver SFs: 500 vecs → 2 bits, 2000 → 4 (bit-identical to the
+    * previous fixed-4 behavior at the bench SF), 8000 → 6.
+    */
+  def embedNearDupsBlockedAdaptive(
+    emb: DataFrame,
+    tau: Double,
+    targetOcc: Int = 128,
+    minPlanes: Int = 2,
+    maxPlanes: Int = 12,
+    maxBucketSize: Int = 4096
+  ): DataFrame = {
+    val bitsFor = (n: Column) =>
+      (minPlanes until maxPlanes)
+        .map(k => when(n > lit(targetOcc.toLong << k), 1).otherwise(0))
+        .reduce(_ + _) + lit(minPlanes)
+    blockedPairs(emb, tau, maxPlanes, bitsFor, maxBucketSize)
+  }
+
+  /** Shared blocked near-dup core. `bitsFor` maps the corpus count to
+    * the number of LOW hyperplane bits actually used for bucketing
+    * (≤ maxPlanes; the full maxPlanes-bit signature is computed once
+    * per row and masked): the 1-row bits relation broadcasts, so the
+    * only corpus-scale exchanges remain the (bucket, id) hash joins.
+    */
+  private def blockedPairs(
+    emb: DataFrame,
+    tau: Double,
+    maxPlanes: Int,
+    bitsFor: Column => Column,
+    maxBucketSize: Int
   ): DataFrame = {
     import graft.functions.VectorMath
-    val hp = Similarity.hyperplanes(planes, 64)
-    val prepped = emb
+    val hp = Similarity.hyperplanes(maxPlanes, 64)
+    val raw = emb
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", VectorMath.norm(col("v")))
-      .withColumn("b0", Similarity.hyperplaneBucket(col("v"), hp))
+      .withColumn("bf", Similarity.hyperplaneBucket(col("v"), hp))
+    val cfg = raw.agg(bitsFor(count(lit(1))).cast("int").as("bits"))
+    val prepped = raw
+      .crossJoin(broadcast(cfg))
+      .withColumn("b0", expr("bf & (shiftleft(CAST(1 AS BIGINT), bits) - 1)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // probe buckets: own bucket + each 1-bit flip; for a pair
-    // straddling one hyperplane, EACH side's flipped probe lands in
-    // the other's home bucket, so the pair survives as long as either
-    // home bucket is admissible
-    val probes = col("b0") +: (0 until planes).map(p => col("b0").bitwiseXOR(lit(1L << p)))
+    // probe buckets: own bucket + each 1-bit flip of the USED bits;
+    // for a pair straddling one hyperplane, EACH side's flipped probe
+    // lands in the other's home bucket, so the pair survives as long
+    // as either home bucket is admissible
     val probed = prepped.select(
       col("vec_id"),
       col("v"),
       col("nrm"),
       col("b0"),
-      explode(array(probes: _*)).as("bucket")
+      explode(expr(
+        "concat(array(b0), transform(sequence(0, bits - 1), " +
+          "p -> b0 ^ shiftleft(CAST(1 AS BIGINT), p)))")).as("bucket")
     )
     val admissible = prepped
       .groupBy(col("b0").as("bucket"))
@@ -2983,16 +3031,18 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
 
   def dedupEmbedBlocked(spark: SparkSession, dir: String): DataFrame =
-    embedNearDupsBlocked(Tables.embeddings(spark, dir), tau = 0.4, planes = 4)
+    embedNearDupsBlockedAdaptive(Tables.embeddings(spark, dir), tau = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Blocked-embedding oracle: same inlined-hyperplane bucket bits as
-    * the ann_lsh oracle, 1-bit probe fan-out, bucket cap, id-pair
-    * dedup, exact-cosine verify.
+    * the ann_lsh oracle, count-adaptive bit masking through the SAME
+    * pure-integer threshold ladder as the engine, 1-bit probe fan-out
+    * over the used bits, bucket cap, id-pair dedup, exact-cosine
+    * verify.
     */
   val dedupEmbedBlockedSql: String = {
-    val planes = 4
-    val hp = Similarity.hyperplanes(planes, 64)
+    val (targetOcc, minPlanes, maxPlanes) = (128, 2, 12)
+    val hp = Similarity.hyperplanes(maxPlanes, 64)
     val bucketExpr =
       hp.zipWithIndex
         .map { case (p, i) =>
@@ -3000,15 +3050,25 @@ object Dedup {
           s"(CASE WHEN list_dot_product(v, $pl) > 0.0 THEN ${1L << i} ELSE 0 END)"
         }
         .mkString("(", " + ", ")")
-    val probeList =
-      s"[b0${(0 until planes).map(p => s", xor(b0, ${1L << p})").mkString}]"
+    val bitsLadder = (minPlanes until maxPlanes)
+      .map(k => s"(CASE WHEN COUNT(*) > ${targetOcc.toLong << k} THEN 1 ELSE 0 END)")
+      .mkString(s"$minPlanes + ", " + ", "")
     s"""WITH n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
-       |bkt AS (SELECT vec_id, v, nrm, $bucketExpr AS b0 FROM n),
+       |cfg AS (SELECT $bitsLadder AS bits FROM n),
+       |bktf AS (SELECT vec_id, v, nrm, $bucketExpr AS bf FROM n),
+       |bkt AS (
+       |  SELECT vec_id, v, nrm,
+       |         bf & ((CAST(1 AS BIGINT) << bits) - 1) AS b0
+       |  FROM bktf CROSS JOIN cfg),
        |admissible AS (SELECT b0 AS bucket FROM bkt GROUP BY b0 HAVING COUNT(*) <= 4096),
-       |probed AS (SELECT vec_id, UNNEST($probeList) AS bucket FROM bkt),
+       |probed AS (
+       |  SELECT vec_id,
+       |         UNNEST(list_prepend(b0, list_transform(range(bits),
+       |           p -> xor(b0, CAST(1 AS BIGINT) << p)))) AS bucket
+       |  FROM bkt CROSS JOIN cfg),
        |lhs AS (SELECT p.bucket, p.vec_id AS id_l FROM probed p JOIN admissible a ON p.bucket = a.bucket),
        |rhs AS (SELECT b.b0 AS bucket, b.vec_id AS id_r FROM bkt b JOIN admissible a ON b.b0 = a.bucket),
        |cand AS (
