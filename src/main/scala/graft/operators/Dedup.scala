@@ -1473,6 +1473,19 @@ object Dedup {
     blockedPairs(emb, tau, maxPlanes, bitsFor, maxBucketSize)
   }
 
+  /** Pure mirror of the adaptive bits ladder (same expression the
+    * engine evaluates as a Column and the oracle inlines as CASE
+    * terms) — exists so specs can pin the ladder's values without
+    * running a plan.
+    */
+  def adaptiveBits(
+    n: Long,
+    targetOcc: Int = 128,
+    minPlanes: Int = 2,
+    maxPlanes: Int = 12
+  ): Int =
+    minPlanes + (minPlanes until maxPlanes).count(k => n > (targetOcc.toLong << k))
+
   /** Shared blocked near-dup core. `bitsFor` maps the corpus count to
     * the number of LOW hyperplane bits actually used for bucketing
     * (≤ maxPlanes; the full maxPlanes-bit signature is computed once

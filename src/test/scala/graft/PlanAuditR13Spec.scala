@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.Dedup
 
 /** Round-13 plan-shape audit — pins the scale claims of this round's
   * changes, most importantly that sample_kcenter's large-k relational
@@ -54,5 +55,34 @@ class PlanAuditR13Spec extends SparkSpec {
       p.length < 20000,
       s"relational round plan unexpectedly large (${p.length} chars)"
     )
+  }
+
+  "the adaptive blocking bits ladder" should "pin occupancy ~targetOcc across decades and clamp" in {
+    // expected occupancy n/2^bits stays within [targetOcc/2, targetOcc]
+    // until the maxPlanes clamp engages
+    Dedup.adaptiveBits(125) shouldBe 2
+    Dedup.adaptiveBits(500) shouldBe 2
+    Dedup.adaptiveBits(513) shouldBe 3
+    Dedup.adaptiveBits(2000) shouldBe 4 // the r12 bench SF: identical to the old fixed-4 planes
+    Dedup.adaptiveBits(8000) shouldBe 6
+    Dedup.adaptiveBits(32000) shouldBe 8
+    Dedup.adaptiveBits((128L << 11) + 1) shouldBe 12
+    Dedup.adaptiveBits(Long.MaxValue) shouldBe 12 // clamp
+    // monotone in n
+    val probe = Seq(1L, 100L, 1000L, 10000L, 100000L, 1000000L).map(Dedup.adaptiveBits(_))
+    probe shouldBe probe.sorted
+  }
+
+  it should "make the adaptive engine path bit-identical to fixed planes at the ladder's value" in {
+    // splitmix hyperplane generation is sequential, so hyperplanes(12)
+    // is prefix-stable over hyperplanes(b): masking the 12-bit
+    // signature to b low bits == bucketing with b planes directly.
+    val emb = Tables.embeddings(spark, sfDir)
+    val b = Dedup.adaptiveBits(emb.count())
+    val adaptive = Dedup.embedNearDupsBlockedAdaptive(emb, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fixed = Dedup.embedNearDupsBlocked(emb, tau = 0.3, planes = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    adaptive shouldBe fixed
   }
 }
