@@ -63,9 +63,16 @@ object ScaleGen {
   def run(spark: SparkSession, inDir: String, outDir: String,
           replicas: Int, embReplicas: Int): Unit = {
 
-    def save(df: DataFrame, name: String, parts: Int): Unit = {
+    // output split count grows with the tiling factor, exactly as a
+    // real ingest layout would: a fixed file count would cap SCAN
+    // parallelism at the base SF's task count and masquerade as a
+    // super-linear operator in the exponent measurements (round-13
+    // lesson: 4-file documents made map-only quality scans read as
+    // exponent ~1.1 — 10x work on the same 4 tasks)
+    def save(df: DataFrame, name: String, baseParts: Int): Unit = {
+      val parts = baseParts * math.max(1, replicas / 2)
       df.repartition(parts).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[scalegen] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+      println(s"[scalegen] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows ($parts files)")
     }
 
     // fixed dimension tables: copy as-is (TPC-H keeps them SF-invariant)
