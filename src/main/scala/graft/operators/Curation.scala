@@ -222,7 +222,7 @@ object Curation {
   // ---------------------------------------------------------------------
 
   def piiDetect(spark: SparkSession, dir: String): DataFrame =
-    piiScan(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    piiScan(Tables.documents(spark, dir))
 
   val piiDetectSql: String = {
     def n(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
@@ -264,7 +264,7 @@ object Curation {
     decontaminate(
       planted.filter(col("doc_id") < 1000000L),
       planted.filter(col("doc_id") >= 1000000L)
-    ).orderBy(col("doc_id"))
+    )
   }
 
   /** Same shingle CTE shape as the minhash oracle at w=8, over the same
@@ -463,7 +463,7 @@ object Curation {
   }
 
   def trainDsir(spark: SparkSession, dir: String): DataFrame =
-    dsirWeights(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    dsirWeights(Tables.documents(spark, dir))
 
   val trainDsirSql: String = {
     import graft.functions.Winnow
@@ -865,7 +865,7 @@ object Curation {
   }
 
   def trainCurriculum(spark: SparkSession, dir: String): DataFrame =
-    curriculumStages(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    curriculumStages(Tables.documents(spark, dir))
 
   /** Oracle: identical quantile_cont boundaries, identical unrounded
     * comparisons, identical stage arithmetic.

@@ -143,7 +143,7 @@ object Dedup {
         (col("doc_id") + 3000000L).as("doc_id"),
         concat(col("text"), lit(" planted trailing footer")).as("text")
       )
-    prefixDedup(docs.unionByName(planted)).orderBy(col("doc_id"))
+    prefixDedup(docs.unionByName(planted))
   }
 
   val dedupPrefixSql: String = {
@@ -557,7 +557,7 @@ object Dedup {
   }
 
   def dedupSpans(spark: SparkSession, dir: String): DataFrame =
-    spanDupStats(withPlantedNearDups(Tables.documents(spark, dir))).orderBy(col("doc_id"))
+    spanDupStats(withPlantedNearDups(Tables.documents(spark, dir)))
 
   /** Distinct word-5-gram sets per doc (the minhash shingle shape at
     * w=5), doc counts per gram, per-doc dup fraction. Lazy:
@@ -652,7 +652,7 @@ object Dedup {
   }
 
   def dedupPassage(spark: SparkSession, dir: String): DataFrame =
-    passageDedup(withPlantedNearDups(Tables.documents(spark, dir))).orderBy(col("doc_id"))
+    passageDedup(withPlantedNearDups(Tables.documents(spark, dir)))
 
   /** Passage oracle: identical tiling (DuckDB's clamping list slice ≡
     * Spark's clamping `slice`), the shared 60-bit md5-prefix key, and a
@@ -749,7 +749,6 @@ object Dedup {
 
   def dedupSubstr(spark: SparkSession, dir: String): DataFrame =
     exactSubstrSpans(withPlantedNearDups(Tables.documents(spark, dir)))
-      .orderBy(col("doc_id"), col("span_start"))
 
   /** The sliding-window span chain (words → hashed windows → counted
     * gate → LAG/SUM islands) as shared oracle CTEs over the planted
@@ -1560,7 +1559,7 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    exact(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    exact(Tables.documents(spark, dir))
 
   val dedupExactSql: String =
     """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -1569,7 +1568,7 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   def dedupExactHash(spark: SparkSession, dir: String): DataFrame =
-    exactByHash(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    exactByHash(Tables.documents(spark, dir))
 
   val dedupExactHashSql: String =
     s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -1609,7 +1608,7 @@ object Dedup {
     val planted = docs
       .filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), lit("planted-mirror").as("source"))
-    crossSourceExactDups(docs.unionByName(planted)).orderBy(col("doc_id"))
+    crossSourceExactDups(docs.unionByName(planted))
   }
 
   val dedupCrossSourceSql: String =
@@ -1640,7 +1639,7 @@ object Dedup {
           .filter(col("doc_id") % 7 === 1)
           .select((col("doc_id") + 4000000L).as("doc_id"), concat(col("text"), lit(" zz")).as("text"))
       )
-    bloomCrossDups(docs, incoming).orderBy(col("doc_id"))
+    bloomCrossDups(docs, incoming)
   }
 
   /** Bloom oracle: the exact membership semi join — the sketch is a
@@ -1662,11 +1661,9 @@ object Dedup {
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), w = 3, tau = 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashNearDups(withPlantedNearDups(Tables.documents(spark, dir)), maxHamming = 3)
-      .orderBy(col("doc_a"), col("doc_b"))
 
   /** The planted corpus as a DuckDB CTE — mirror of withPlantedNearDups. */
   private[operators] val PlantedCorpusSql: String =
@@ -1758,7 +1755,7 @@ object Dedup {
     clustersWithSurvivors(
       minedPairsFor(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-    ).orderBy(col("doc_id"))
+    )
 
   /** The same mined-pair pipeline as [[dedupClusters]] with components
     * formed by the O(log n) [[connectedComponentsStar]] rounds instead
@@ -1774,7 +1771,7 @@ object Dedup {
       col("node").as("doc_id"),
       col("cluster"),
       (col("node") === col("cluster")).as("survivor")
-    ).orderBy(col("doc_id"))
+    )
 
   /** Cluster-size histogram + singleton row from a corpus and its
     * cluster labels — the run report every dedup job publishes: how
@@ -1854,7 +1851,6 @@ object Dedup {
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 9).as("weight")
       )
-      .orderBy(col("doc_id"))
   }
 
   /** Report oracle: the dedup_clusters transitive closure aggregated
@@ -2064,7 +2060,7 @@ object Dedup {
     pageRank(
       minedPairsFor(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-    ).orderBy(col("doc_id"))
+    )
 
   /** PageRank oracle: the minhash pair pipeline feeds the identical
     * power iteration, unrolled as one CTE per round — every round's
@@ -2163,7 +2159,7 @@ object Dedup {
     triangleStats(
       minedPairsFor(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-    ).orderBy(col("doc_id"))
+    )
 
   /** Triangle oracle: the shared minhash pair pipeline feeding the
     * identical ordered wedge join and degree rollup.
@@ -2250,7 +2246,7 @@ object Dedup {
     labelPropagation(
       minedPairsFor(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-    ).orderBy(col("doc_id"))
+    )
 
   /** LPA oracle: the shared minhash pair pipeline feeding the
     * identical synchronous rounds, unrolled one CTE per round with the
@@ -2433,7 +2429,7 @@ object Dedup {
     kcoreness(
       minedPairsFor(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-    ).orderBy(col("doc_id"))
+    )
 
   /** Coreness oracle: the shared minhash pair pipeline feeding the
     * identical synchronous h-index rounds, unrolled one CTE per round
@@ -2537,7 +2533,7 @@ object Dedup {
     sampledCloseness(
       minedPairsFor(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-    ).orderBy(col("doc_id"))
+    )
 
   /** Closeness oracle: the shared minhash pair pipeline feeding the
     * identical pinned-source BFS, unrolled one level CTE per hop with
@@ -2688,7 +2684,7 @@ object Dedup {
     sampledBetweenness(
       minedPairsFor(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-    ).orderBy(col("doc_id"))
+    )
 
   /** Betweenness oracle: the shared minhash pair pipeline feeding the
     * identical pinned-source forward BFS (unrolled level CTEs carrying
@@ -2849,7 +2845,7 @@ object Dedup {
     val pairs = docs
       .filter(col("doc_id") >= 1000000L)
       .select((col("doc_id") - 1000000L).as("doc_a"), col("doc_id").as("doc_b"))
-    ngramJaccard(docs, pairs, n = 3).orderBy(col("doc_a"), col("doc_b"))
+    ngramJaccard(docs, pairs, n = 3)
   }
 
   /** Exact char-3-gram Jaccard oracle over the planted pairs: distinct
@@ -2913,13 +2909,53 @@ object Dedup {
     * missed only if all but minShared−1 of them are corpus-common
     * (df > maxDf) — at which point the contained doc is boilerplate,
     * not content (the same trade the docstring's previous paragraph
-    * already accepts). Verification computes exact containment over
-    * gated pairs only.
+    * already accepts). Verification computes containment over gated
+    * pairs only, and — the round-13 watch item's fix — over a BOUNDED
+    * per-doc sample rather than the full shingle set: verify cost was
+    * the one surviving super-linear term (measured exponent 1.08
+    * across two rehearsal decades; pairs × per-doc shingle-set size,
+    * the set growing with document length). Each doc's verification
+    * fingerprint is its `sampleK` smallest shingles by md5 — a
+    * deterministic min-K sketch, identically computable in the oracle —
+    * and `cont_a` becomes `|Â ∩ B| / |Â|` (the sample intersected with
+    * the OTHER side's FULL set, so a true subset pair still scores
+    * exactly 1.0: every sampled shingle of a contained doc is in the
+    * container; for non-subset pairs it is the standard unbiased
+    * bottom-K containment estimate). Per-pair verify work is now
+    * ≤ 2·sampleK regardless of document length.
     */
-  def containmentNearDups(docs: DataFrame, w: Int, tau: Double, maxDf: Int, minShared: Int = 3): DataFrame = {
-    require(w > 0 && maxDf > 1 && minShared > 0, s"need w > 0, maxDf > 1, minShared > 0; got w=$w maxDf=$maxDf minShared=$minShared")
+  def containmentNearDups(docs: DataFrame, w: Int, tau: Double, maxDf: Int,
+                          minShared: Int = 3, sampleK: Int = 128): DataFrame = {
+    require(w > 0 && maxDf > 1 && minShared > 0 && sampleK > 0,
+      s"need w > 0, maxDf > 1, minShared > 0, sampleK > 0; got w=$w maxDf=$maxDf minShared=$minShared sampleK=$sampleK")
     val sh = docs.select(col("doc_id"), explode(shingles(w)).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // per-doc distinct-shingle count: a function of the doc's own
+    // shingle array — one map-side projection, never a stream agg
+    val sizes = docs.select(col("doc_id"), size(shingles(w)).cast("long").as("n"))
+    // deterministic per-doc verify sample: the sampleK smallest
+    // shingles by (md5, shingle) — computed MAP-SIDE from the doc's own
+    // shingle array (sort + slice over the per-row array), never as a
+    // window over the exploded stream: a min-K sketch is a function of
+    // one document, so it costs one projection, not a corpus-explosion
+    // shuffle. The shingle tiebreak is unreachable (shingles are
+    // distinct per doc) but pins the order against hash collisions.
+    // docs whose whole set fits in the sample skip the hash+sort
+    // entirely (min-K of a ≤K set IS the set; the explode consumes it
+    // as a set, so order is irrelevant) — at today's corpus that is
+    // most docs, and at scale the md5 cost applies only to the long
+    // tail that actually needs bounding
+    val sampled = docs.select(
+      col("doc_id"),
+      explode(
+        when(size(shingles(w)) <= sampleK, shingles(w)).otherwise(
+          transform(
+            slice(
+              array_sort(transform(shingles(w), s =>
+                struct(md5(s.cast("binary")).as("h"), s.as("s")))),
+              1, sampleK),
+            x => x.getField("s")))
+      ).as("shingle")
+    )
     val admissible = sh
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
@@ -2941,30 +2977,49 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      // sizes is a MAP-SIDE projection of the documents scan — doc
+      // cardinality, so never broadcastable at the design point (the
+      // row-grain broadcast ban); the shuffle-hash hint pins the
+      // honest 100 TB join shape against toy-scale stats
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")).hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")).hint("shuffle_hash"), "doc_b")
       .filter(col("n_shared") >= least(lit(minShared.toLong), col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-    val inter = cand
+    // ONE tagged verify chain for both containments: each pair probes
+    // twice — side 'a' sends Â (doc_a's min-K sample) against doc_b's
+    // full set, side 'b' the symmetric probe — so the sampled stream
+    // and the full shingle stream each shuffle exactly ONCE, and the
+    // per-pair fan-out is ≤ 2·sampleK rows regardless of doc length.
+    val probes = cand.select(
+      col("doc_a"), col("doc_b"),
+      explode(array(
+        struct(lit("a").as("side"), col("doc_a").as("sample_doc"), col("doc_b").as("probe_doc")),
+        struct(lit("b").as("side"), col("doc_b").as("sample_doc"), col("doc_a").as("probe_doc"))
+      )).as("__p")
+    ).select(col("doc_a"), col("doc_b"), col("__p.side").as("side"),
+      col("__p.sample_doc").as("sample_doc"), col("__p.probe_doc").as("probe_doc"))
+    val inter = probes
       .hint("shuffle_hash")
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")).hint("shuffle_hash"), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+      .join(sampled.select(col("doc_id").as("sample_doc"), col("shingle")), "sample_doc")
+      .join(sh.select(col("doc_id").as("probe_doc"), col("shingle")).hint("shuffle_hash"),
+        Seq("probe_doc", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        count(when(col("side") === "a", 1)).as("ia"),
+        count(when(col("side") === "b", 1)).as("ib")
+      )
+    val contA = coalesce(col("ia"), lit(0L)).cast("double") / least(col("na"), lit(sampleK.toLong))
+    val contB = coalesce(col("ib"), lit(0L)).cast("double") / least(col("nb"), lit(sampleK.toLong))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
       // the filter runs on the UNROUNDED ratio (identical int/int
       // division on both engines); rounding is presentation only
-      .filter(
-        greatest(
-          col("n_inter").cast("double") / col("na"),
-          col("n_inter").cast("double") / col("nb")
-        ) >= tau
-      )
+      .filter(greatest(contA, contB) >= tau)
       .select(
         col("doc_a"),
         col("doc_b"),
-        round(col("n_inter").cast("double") / col("na"), 6).as("cont_a"),
-        round(col("n_inter").cast("double") / col("nb"), 6).as("cont_b")
+        round(contA, 6).as("cont_a"),
+        round(contB, 6).as("cont_b")
       )
   }
 
@@ -2987,12 +3042,14 @@ object Dedup {
 
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     containmentNearDups(withPlantedContainment(Tables.documents(spark, dir)), w = 3, tau = 0.9, maxDf = 256)
-      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Full-pipeline containment oracle: planted prefix corpus → distinct
     * word 3-shingles (short-doc whole-text fallback, mirroring the
     * Shingling kernel) → df-admissible postings → candidate pairs →
-    * exact intersection → containment ratios, filtered unrounded.
+    * min-128-by-md5 verify samples (identical to the engine's
+    * deterministic sketch — DuckDB and Spark md5 agree on UTF-8 bytes
+    * and lowercase hex ordering) → bounded intersections → containment
+    * estimates, filtered unrounded.
     */
   val dedupContainmentSql: String =
     """WITH base AS (
@@ -3026,26 +3083,38 @@ object Dedup {
       |  JOIN sizes sa ON sa.doc_id = c.doc_a
       |  JOIN sizes sb ON sb.doc_id = c.doc_b
       |  WHERE c.n_shared >= LEAST(3, sa.n, sb.n)),
-      |inter AS (
-      |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS n_inter
+      |samp AS (
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT doc_id, shingle,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle), shingle) AS rk
+      |    FROM sh) WHERE rk <= 128),
+      |ia AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ia
       |  FROM cand c
-      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN samp a ON a.doc_id = c.doc_a
       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      |  GROUP BY 1, 2, 3, 4)
-      |SELECT doc_a, doc_b,
-      |  ROUND(CAST(n_inter AS DOUBLE) / na, 6) AS cont_a,
-      |  ROUND(CAST(n_inter AS DOUBLE) / nb, 6) AS cont_b
-      |FROM inter
-      |WHERE GREATEST(CAST(n_inter AS DOUBLE) / na, CAST(n_inter AS DOUBLE) / nb) >= 0.9
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  GROUP BY 1, 2),
+      |ib AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ib
+      |  FROM cand c
+      |  JOIN samp b ON b.doc_id = c.doc_b
+      |  JOIN sh a ON a.doc_id = c.doc_a AND a.shingle = b.shingle
+      |  GROUP BY 1, 2)
+      |SELECT c.doc_a, c.doc_b,
+      |  ROUND(CAST(COALESCE(ia.ia, 0) AS DOUBLE) / LEAST(c.na, 128), 6) AS cont_a,
+      |  ROUND(CAST(COALESCE(ib.ib, 0) AS DOUBLE) / LEAST(c.nb, 128), 6) AS cont_b
+      |FROM cand c
+      |LEFT JOIN ia ON ia.doc_a = c.doc_a AND ia.doc_b = c.doc_b
+      |LEFT JOIN ib ON ib.doc_a = c.doc_a AND ib.doc_b = c.doc_b
+      |WHERE GREATEST(CAST(COALESCE(ia.ia, 0) AS DOUBLE) / LEAST(c.na, 128),
+      |               CAST(COALESCE(ib.ib, 0) AS DOUBLE) / LEAST(c.nb, 128)) >= 0.9
+      |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     embedNearDups(Tables.embeddings(spark, dir), tau = 0.4)
-      .orderBy(col("id_a"), col("id_b"))
 
   def dedupEmbedBlocked(spark: SparkSession, dir: String): DataFrame =
     embedNearDupsBlockedAdaptive(Tables.embeddings(spark, dir), tau = 0.4)
-      .orderBy(col("id_a"), col("id_b"))
 
   /** Blocked-embedding oracle: same inlined-hyperplane bucket bits as
     * the ann_lsh oracle, count-adaptive bit masking through the SAME
@@ -3165,7 +3234,7 @@ object Dedup {
     neighborJaccard(
       minedPairsFor(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-    ).orderBy(col("doc_a"), col("doc_b"))
+    )
 
   /** Oracle: the shared minhash pair pipeline feeding the identical
     * symmetric-edge wedge join and degree algebra.

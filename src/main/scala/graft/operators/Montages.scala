@@ -85,6 +85,130 @@ object Montages {
     if (missing.isEmpty) Right(()) else Left(missing)
   }
 
+  // ---------------------------------------------------------------------
+  // Served error contract (reference server/Error.scala:25-113,
+  // server/MontageValidationService.scala:1-42, server/Montage.scala:35-76)
+  // ---------------------------------------------------------------------
+
+  /** Wire name of a montage type (reference TSJsonSupport
+    * MontageTypeFormat, TSJsonSupport.scala:250-257).
+    */
+  def wireName(mt: MontageType): String = mt match {
+    case NotMontaged => "NOT_MONTAGED"
+    case BipolarAntPos => "BIPOLAR_ANT_POS"
+    case BipolarTransverse => "BIPOLAR_TRANSVERSE"
+    case ReferentialVsCz => "REFERENTIAL_VS_CZ"
+    case Custom(_) => "CUSTOM_MONTAGE"
+  }
+
+  /** Every physical channel any shipped montage touches — the set the
+    * reference's validate-all endpoint checks a package against
+    * (Montage.allMontageChannelNames, server/Montage.scala:31-33).
+    */
+  def allMontageChannelNames: Set[String] =
+    ReferentialVsCz.distinctChannels | BipolarAntPos.distinctChannels |
+      BipolarTransverse.distinctChannels
+
+  /** The reference's served validation-error surface: name, reason,
+    * channelNames, HTTP status, the `name: reason: channelNames`
+    * rendering and the `{"error","reason","channelNames"}` wire JSON —
+    * string-for-string (MontagesSpec pins the contract against the
+    * reference's literals).
+    */
+  sealed trait ValidationError {
+    def name: String
+    def reason: String
+    def channelNames: List[String] = List.empty
+    def statusCode: Int
+
+    final def render: String = s"$name: $reason: $channelNames"
+
+    final def json: String = {
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+      s"""{"error":"${esc(name)}","reason":"${esc(reason)}",""" +
+        s""""channelNames":[${channelNames.map(c => s""""${esc(c)}"""").mkString(",")}]}"""
+    }
+  }
+
+  /** Channels existed in the request but not in the package. */
+  final case class PackageMissingChannels(override val channelNames: List[String], packageId: String)
+      extends ValidationError {
+    val name = "PackageMissingChannels"
+    val reason = s"Some of the requested channels do not exist in this package: $packageId"
+    val statusCode = 404
+  }
+
+  /** The request carried neither channel key. */
+  case object RequestMissingChannels extends ValidationError {
+    val name = "RequestMissingChannels"
+    val reason = "The request did not have a 'channels' or a 'virtualChannels' key"
+    val statusCode = 400
+  }
+
+  /** A montage name contained too many separators. */
+  final case class InvalidMontageName(montageName: String) extends ValidationError {
+    val name = "InvalidMontageName"
+    val reason = s"Invalid montage name: $montageName"
+    val statusCode = 400
+  }
+
+  /** Lead and secondary channel data were not co-partitioned. */
+  final case class MontageMisalignment(leadChannelName: String, secondaryChannelName: String)
+      extends ValidationError {
+    val name = "MontageMisalignment"
+    val reason = "The lead channel did not correspond to the same file structure as the secondary channel"
+    override val channelNames: List[String] = List(leadChannelName, secondaryChannelName)
+    val statusCode = 400
+  }
+
+  /** The package is missing channels the montage requires. The reason
+    * string embeds the montage's wire name QUOTED — the reference
+    * interpolates `mt.toJson` (a JSON string literal, quotes included)
+    * — or the literal "all montages" for the validate-all endpoint.
+    */
+  final case class PackageCannotBeMontaged(missingChannelNames: List[String], montageType: MontageType)
+      extends ValidationError {
+    val name = "PackageCannotBeMontaged"
+    private val montageName = montageType match {
+      case NotMontaged => "all montages"
+      case mt => s"""the "${wireName(mt)}" montage"""
+    }
+    val reason = s"This package is missing channels that are required for $montageName"
+    override val channelNames: List[String] = missingChannelNames
+    val statusCode = 400
+  }
+
+  /** Reference Montage.validateMontage (server/Montage.scala:35-46):
+    * NotMontaged accepts anything; otherwise every channel the montage
+    * touches must be present.
+    */
+  def validateMontage(channelNames: List[String], mt: MontageType): Either[ValidationError, Unit] =
+    mt match {
+      case NotMontaged => Right(())
+      case m => ensureAllChannelsArePresent(channelNames.toSet, m.distinctChannels, m)
+    }
+
+  /** Reference Montage.validateAllMontages (server/Montage.scala:48-52,
+    * the MontageValidationService endpoint): the package must cover the
+    * union channel set of every shipped montage.
+    */
+  def validateAllMontages(channelNames: List[String]): Either[ValidationError, Unit] =
+    ensureAllChannelsArePresent(channelNames.toSet, allMontageChannelNames, NotMontaged)
+
+  private def ensureAllChannelsArePresent(
+      channelNames: Set[String],
+      desired: Set[String],
+      mt: MontageType
+  ): Either[ValidationError, Unit] = {
+    val missing = desired -- channelNames
+    if (missing.isEmpty) Right(())
+    else Left(PackageCannotBeMontaged(missing.toList, mt))
+  }
+
   /** Apply a montage over ts(channel, t, v): one bucket-aligned
     * subtraction stream per pair (delegates to Timeseries.montage).
     */

@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque binary payloads with typed
   * metadata, decoded/feature-extracted in bounded batches.
   *
-  * The decode KERNEL is a clearly-marked deterministic STUB (no image /
-  * audio codecs exist in this environment); everything around it — the
-  * (payload binary, meta struct) schema, the typed mapPartitions with
-  * explicit batch accumulation (the JVM shape of a vectorized
-  * mapInPandas decode), and the feature-table output — is the real
-  * pipeline and is what the tests cover.
+  * The decode kernel is PLUGGABLE ([[Multimodal.ImageKernel]]): the
+  * default [[Multimodal.StubKernel]] computes deterministic byte
+  * statistics (the test/oracle path — the driver testdata payloads are
+  * synthetic, and the stub is bit-reproducible in SQL), while
+  * [[Multimodal.ImageIoKernel]] is a real javax.imageio decoder
+  * selected via `spark.graft.mm.kernel=imageio` for genuine image
+  * columns. Outputs carry a `kernel` provenance column. Everything
+  * around the kernel — the (payload binary, meta struct) schema, the
+  * typed mapPartitions with explicit batch accumulation (the JVM shape
+  * of a vectorized mapInPandas decode), and the feature-table output —
+  * is kernel-independent; KernelSpec proves the real decoder slots in
+  * with no plan change.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no row-level
   * string materialization); batches bound peak decode memory
@@ -67,12 +73,85 @@ object Multimodal {
     (checksum, mean, math.sqrt(math.max(sumSq.toDouble / n - mean * mean, 0.0)))
   }
 
+  /** Pluggable decode kernel: the unit of work a batched decode stage
+    * applies to one payload. [[StubKernel]] (the default and the
+    * driver/oracle path) computes deterministic byte statistics;
+    * [[ImageIoKernel]] is a REAL decoder (javax.imageio — PNG/JPEG/BMP
+    * ship with the JDK) that decodes to an 8-bit luma plane and
+    * computes the SAME feature triple over decoded luminance. Selected
+    * per-session via `spark.graft.mm.kernel` = stub | imageio; the
+    * active kernel is surfaced in the output schema (`kernel` column)
+    * so downstream consumers know whether features are stub-derived.
+    * Swapping kernels changes no plan shape — both run inside the same
+    * typed mapPartitions stage (KernelSpec pins this).
+    */
+  sealed trait ImageKernel extends Serializable {
+    def name: String
+
+    /** payload → (checksum, mean, std) feature triple. */
+    def decode(payload: Array[Byte]): (Long, Double, Double)
+
+    /** payload → resampled payload at (outW × outH). */
+    def resize(payload: Array[Byte], outW: Int, outH: Int): Array[Byte]
+  }
+
+  case object StubKernel extends ImageKernel {
+    def name: String = "stub"
+    def decode(payload: Array[Byte]): (Long, Double, Double) = decodeStub(payload)
+    def resize(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] =
+      resizeStub(payload, outW, outH)
+  }
+
+  /** javax.imageio-backed kernel: payloads must be real encoded images
+    * (PNG/JPEG/BMP/GIF). Decode renders to TYPE_BYTE_GRAY — an 8-bit
+    * luma plane — and the feature triple runs over the decoded plane's
+    * bytes with the exact same arithmetic as the stub, so downstream
+    * consumers (phash banding, dup clustering, entropy screens) are
+    * kernel-agnostic. Resize = decode → area-interpolated redraw at
+    * (outW × outH) → the luma plane bytes as the new payload.
+    */
+  case object ImageIoKernel extends ImageKernel {
+    def name: String = "imageio"
+
+    private def lumaPlane(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image (imageio kernel)")
+      val (ow, oh) = if (w > 0 && h > 0) (w, h) else (img.getWidth, img.getHeight)
+      val gray = new java.awt.image.BufferedImage(ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = gray.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow, oh, null): Unit
+      } finally g.dispose()
+      gray.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData.clone()
+    }
+
+    def decode(payload: Array[Byte]): (Long, Double, Double) =
+      decodeStub(lumaPlane(payload, -1, -1))
+    def resize(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] =
+      lumaPlane(payload, outW, outH)
+  }
+
+  /** Session-selected kernel: `spark.graft.mm.kernel` = stub (default)
+    * | imageio. The driver testdata payloads are synthetic (UTF-8 text
+    * bytes), so the driver path always runs the stub; the flag exists
+    * for real image columns.
+    */
+  def kernelFor(spark: SparkSession): ImageKernel =
+    spark.conf.get("spark.graft.mm.kernel", "stub") match {
+      case "imageio" => ImageIoKernel
+      case _ => StubKernel
+    }
+
   /** Batched decode: typed mapPartitions that accumulates `batchSize`
     * payloads, "decodes" the batch, and emits one feature row per
     * payload — the JVM analog of a vectorized Python decode over
     * mapInPandas batches.
     */
-  def decodeFeatures(spark: SparkSession, withPayload: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeFeatures(spark: SparkSession, withPayload: DataFrame, batchSize: Int = 64,
+                     kernel: ImageKernel = StubKernel): DataFrame = {
     import spark.implicits._
     withPayload
       .select(
@@ -87,12 +166,14 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // batch boundary = unit of vectorized decode work
           batch.iterator.map { case (id, payload, format, w, h) =>
-            val (checksum, mean, std) = decodeStub(payload)
+            val (checksum, mean, std) = kernel.decode(payload)
             (id, format, w, h, payload.length.toLong, checksum, mean, std)
           }
         }
       }
       .toDF("doc_id", "format", "width", "height", "n_bytes", "checksum", "byte_mean", "byte_std")
+      // provenance: which kernel produced these feature values
+      .withColumn("kernel", lit(kernel.name))
   }
 
   /** STUB resize kernel: deterministic byte-decimation standing in for
@@ -119,7 +200,8 @@ object Multimodal {
     * actual resized byte count — so resize composes with decodeFeatures
     * and sampleFrames.
     */
-  def resize(spark: SparkSession, withPayload: DataFrame, outW: Int, outH: Int, batchSize: Int = 64): DataFrame = {
+  def resize(spark: SparkSession, withPayload: DataFrame, outW: Int, outH: Int, batchSize: Int = 64,
+             kernel: ImageKernel = StubKernel): DataFrame = {
     import spark.implicits._
     withPayload
       .select(col("doc_id"), col("payload"), col("meta.format").as("format"))
@@ -127,7 +209,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, payload, format) =>
-            val resized = resizeStub(payload, outW, outH)
+            val resized = kernel.resize(payload, outW, outH)
             (id, resized, format)
           }
         }
@@ -259,7 +341,6 @@ object Multimodal {
 
   def mmEntropy(spark: SparkSession, dir: String): DataFrame =
     payloadEntropy(spark, withPayloads(Tables.documents(spark, dir)))
-      .orderBy(col("doc_id"))
 
   /** Entropy oracle: hex-sliced byte recovery, integer counts, the
     * identical round-9 ln / exact-decimal-sum discipline.
@@ -316,7 +397,7 @@ object Multimodal {
   // ---------------------------------------------------------------------
 
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
-    decodeFeatures(spark, withPayloads(Tables.documents(spark, dir)))
+    decodeFeatures(spark, withPayloads(Tables.documents(spark, dir)), kernel = kernelFor(spark))
       .select(
         col("doc_id"),
         col("format"),
@@ -325,9 +406,9 @@ object Multimodal {
         col("n_bytes"),
         col("checksum"),
         round(col("byte_mean"), 6).as("byte_mean"),
-        round(col("byte_std"), 6).as("byte_std")
+        round(col("byte_std"), 6).as("byte_std"),
+        col("kernel")
       )
-      .orderBy(col("doc_id"))
 
   /** Stub-decode oracle: payload bytes are recovered in SQL by hex-ing
     * the UTF-8 blob and slicing two hex digits per byte; the checksum
@@ -359,7 +440,8 @@ object Multimodal {
        |  ROUND(CAST(COALESCE(s.s1, 0) AS DOUBLE) / GREATEST(p.nb, 1), 6) AS byte_mean,
        |  ROUND(SQRT(GREATEST(CAST(COALESCE(s.s2, 0) AS DOUBLE) / GREATEST(p.nb, 1)
        |    - (CAST(COALESCE(s.s1, 0) AS DOUBLE) / GREATEST(p.nb, 1))
-       |      * (CAST(COALESCE(s.s1, 0) AS DOUBLE) / GREATEST(p.nb, 1)), 0.0)), 6) AS byte_std
+       |      * (CAST(COALESCE(s.s1, 0) AS DOUBLE) / GREATEST(p.nb, 1)), 0.0)), 6) AS byte_std,
+       |  'stub' AS kernel
        |FROM p LEFT JOIN stats s ON s.doc_id = p.doc_id
        |ORDER BY p.doc_id""".stripMargin
   }
@@ -369,8 +451,11 @@ object Multimodal {
     * contract BETWEEN multimodal operators (resize output feeds the
     * same batched decode that whole payloads do). Map-side end to end.
     */
-  def mmResize(spark: SparkSession, dir: String): DataFrame =
-    decodeFeatures(spark, resize(spark, withPayloads(Tables.documents(spark, dir)), outW = 8, outH = 8))
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val k = kernelFor(spark)
+    decodeFeatures(spark,
+      resize(spark, withPayloads(Tables.documents(spark, dir)), outW = 8, outH = 8, kernel = k),
+      kernel = k)
       .select(
         col("doc_id"),
         col("format"),
@@ -379,9 +464,10 @@ object Multimodal {
         col("n_bytes"),
         col("checksum"),
         round(col("byte_mean"), 6).as("byte_mean"),
-        round(col("byte_std"), 6).as("byte_std")
+        round(col("byte_std"), 6).as("byte_std"),
+        col("kernel")
       )
-      .orderBy(col("doc_id"))
+  }
 
   /** Resize-chain oracle: the stub's stride decimation reproduced on
     * hex-sliced bytes — resized byte i = payload[min(i·stride, nb−1)]
@@ -417,7 +503,8 @@ object Multimodal {
        |  s.chk AS checksum,
        |  ROUND(CAST(s.s1 AS DOUBLE) / s.cnt, 6) AS byte_mean,
        |  ROUND(SQRT(GREATEST(CAST(s.s2 AS DOUBLE) / s.cnt
-       |    - (CAST(s.s1 AS DOUBLE) / s.cnt) * (CAST(s.s1 AS DOUBLE) / s.cnt), 0.0)), 6) AS byte_std
+       |    - (CAST(s.s1 AS DOUBLE) / s.cnt) * (CAST(s.s1 AS DOUBLE) / s.cnt), 0.0)), 6) AS byte_std,
+       |  'stub' AS kernel
        |FROM p JOIN stats s ON s.doc_id = p.doc_id
        |ORDER BY p.doc_id""".stripMargin
   }
@@ -431,7 +518,6 @@ object Multimodal {
     */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     mmFramesFeatures(spark, Tables.documents(spark, dir))
-      .orderBy(col("doc_id"), col("frame_no"))
 
   /** The frame-feature pipeline over an arbitrary documents relation —
     * shared by the [[mmFrames]] driver query and [[shotSegments]].
@@ -474,7 +560,6 @@ object Multimodal {
         round(col("rms"), 6).as("rms"),
         col("zero_crossings")
       )
-      .orderBy(col("doc_id"), col("frame_no"))
 
   /** Audio oracle: sample j of frame f is the little-endian int16 at
     * byte offset 2·(32f + j) — two hex-sliced bytes recombined and
@@ -564,7 +649,6 @@ object Multimodal {
 
   def mmAudioVad(spark: SparkSession, dir: String): DataFrame =
     audioVad(spark, withPayloads(Tables.documents(spark, dir)))
-      .orderBy(col("doc_id"), col("seg"))
 
   /** VAD oracle: the mmAudio PCM recovery CTEs verbatim, then the same
     * threshold screen, islands key, and DECIMAL segment means.
@@ -642,7 +726,6 @@ object Multimodal {
 
   def mmVideoShots(spark: SparkSession, dir: String): DataFrame =
     shotSegments(mmFramesFeatures(spark, Tables.documents(spark, dir)), ShotThreshold)
-      .orderBy(col("doc_id"), col("shot"))
 
   /** Shot oracle: the mmFrames byte-recovery CTEs, then the identical
     * lag/threshold/running-counter segmentation.
@@ -853,7 +936,7 @@ object Multimodal {
   }
 
   def mmPhash(spark: SparkSession, dir: String): DataFrame =
-    phashPairsFor(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+    phashPairsFor(spark, dir)
 
   /** The phash pair pipeline as shared oracle CTEs (planted corpus →
     * hex-sliced grid bytes → bands → counted buckets → Hamming-scored
@@ -927,7 +1010,7 @@ object Multimodal {
   def mmPhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.clustersWithSurvivors(
       phashPairsFor(spark, dir).select(col("doc_a"), col("doc_b"))
-    ).orderBy(col("doc_id"))
+    )
 
   /** Cluster oracle: the shared phash pair CTEs feeding the identical
     * recursive transitive closure as dedupClustersSql.
@@ -1101,7 +1184,7 @@ object Multimodal {
   }
 
   def mmAudioFp(spark: SparkSession, dir: String): DataFrame =
-    fingerprintFor(spark, dir).orderBy(col("doc_id"), col("frame_no"))
+    fingerprintFor(spark, dir)
 
   /** Oracle: the mm_audio hex PCM decode CTEs feeding the identical
     * Goertzel components, pinned power order, round-9 rank and share.
@@ -1251,7 +1334,6 @@ object Multimodal {
     val fp = fingerprintFor(spark, dir)
       .unionByName(audioFingerprint(spark, planted))
     audioConstellationMatchFp(fp)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Constellation oracle: the shared fp CTEs over the planted corpus,

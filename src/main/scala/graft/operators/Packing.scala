@@ -83,7 +83,6 @@ object Packing {
 
   def packSequencesQ(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir), seqLen = 128, shardWidth = 64L)
-      .orderBy(col("doc_id"))
 
   val packSequencesSql: String =
     """WITH t AS (

@@ -623,7 +623,6 @@ object Search {
 
   def searchSubstring(spark: SparkSession, dir: String): DataFrame =
     substringSearch(Tables.documents(spark, dir), SubstringPattern)
-      .orderBy(col("doc_id"))
 
   /** Oracle: the naive full-scan grep — the index path must return
     * exactly the scan's answer.

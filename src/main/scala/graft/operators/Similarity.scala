@@ -803,7 +803,6 @@ object Similarity {
 
   def embedKmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansAssign(Tables.embeddings(spark, dir), KmeansK, KmeansIters)
-      .orderBy(col("vec_id"))
 
   /** K-means trajectory as reusable oracle CTEs — md5-ranked init,
     * per-iteration argmin assignment (distance then cid, exactly the
@@ -1005,7 +1004,7 @@ object Similarity {
   }
 
   def embedOutliersQ(spark: SparkSession, dir: String): DataFrame =
-    embedOutliers(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+    embedOutliers(Tables.embeddings(spark, dir))
 
   /** Oracle: the shared trajectory's final assignment with distances
     * rounded to 6 FIRST (the values the Spark assignment emits), then
@@ -1273,7 +1272,7 @@ object Similarity {
   }
 
   def embedSilhouetteQ(spark: SparkSession, dir: String): DataFrame =
-    embedSilhouette(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+    embedSilhouette(Tables.embeddings(spark, dir))
 
   /** Oracle: the shared trajectory's final centroids, reranked per
     * vector with the identical (d, cid) order; rn=1 is the kasg
@@ -1324,8 +1323,9 @@ object Similarity {
     * canonicalizes to +0.0 in both engines before hashing.
     */
   /** The label×cluster integer contingency table under the shared
-    * k-means trajectory — factored out so the cluster_nmi_probe_counts
-    * diagnostic serves the EXACT relation the parent consumes.
+    * k-means trajectory — factored out so clusterNmi and the
+    * clusterNmiTwins pre-round audit view consume the EXACT same
+    * relation.
     */
   private[operators] def nmiContingency(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val cents = kmeansCentroids(emb, k, iters)
@@ -2265,7 +2265,6 @@ object Similarity {
 
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     semanticDedup(Tables.embeddings(spark, dir))
-      .orderBy(col("vec_a"), col("vec_b"))
 
   /** The kmeans trajectory CTEs + within-cluster cosine pairs, the
     * same raw-threshold-then-round contract as the embed dedup oracle.
@@ -2371,7 +2370,6 @@ object Similarity {
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       )
       .select(col("doc_id").as("vec_id"), col("cluster"), col("survivor"))
-      .orderBy(col("vec_id"))
 
   /** Semantic pair CTEs + recursive transitive closure (the
     * dedup_clusters oracle shape over the kmeans blocking).
@@ -2859,7 +2857,6 @@ object Similarity {
 
   def embedHubness(spark: SparkSession, dir: String): DataFrame =
     hubnessScreen(Tables.embeddings(spark, dir), mined = Some(knnFor(spark, dir)))
-      .orderBy(col("vec_id"))
 
   val embedHubnessSql: String = {
     val k = 5
@@ -2979,7 +2976,6 @@ object Similarity {
 
   def embedLof(spark: SparkSession, dir: String): DataFrame =
     lofScreen(Tables.embeddings(spark, dir), mined = Some(knnFor(spark, dir)))
-      .orderBy(col("vec_id"))
 
   val embedLofSql: String = {
     val k = 5
@@ -3715,7 +3711,6 @@ object Similarity {
         round(sqrt(greatest(col("__xxc") - col("__sc") * col("__sc"), lit(0.0))), 6)
           .as("resid_norm")
       )
-      .orderBy(col("vec_id"))
   }
 
   def debiasTop(embeds: DataFrame, iters: Int = 8): DataFrame = {
@@ -3917,7 +3912,7 @@ object Similarity {
     val planted = emb
       .filter(col("vec_id") % 13 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-    exactVectorDups(emb.unionByName(planted)).orderBy(col("vec_id"))
+    exactVectorDups(emb.unionByName(planted))
   }
 
   val embedDupsSql: String =

@@ -195,7 +195,7 @@ object TextAnalysis {
   }
 
   def qualityC4(spark: SparkSession, dir: String): DataFrame =
-    c4Rules(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    c4Rules(Tables.documents(spark, dir))
 
   /** C4 oracle: identical line lambda, sentence regex and rejoin. */
   val qualityC4Sql: String =
@@ -341,7 +341,7 @@ object TextAnalysis {
   }
 
   def qualityFineweb(spark: SparkSession, dir: String): DataFrame =
-    finewebRules(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    finewebRules(Tables.documents(spark, dir))
 
   /** FineWeb oracle: the RELATIONAL form of the same four signals —
     * UNNEST + GROUP BY run-length counts and a (c DESC, gram ASC)
@@ -469,7 +469,7 @@ object TextAnalysis {
   }
 
   def textCodeDetect(spark: SparkSession, dir: String): DataFrame =
-    codeDetect(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    codeDetect(Tables.documents(spark, dir))
 
   /** Code-detector oracle: identical counters, thresholds and NULLIF'd
     * round-6 rates.
@@ -680,7 +680,7 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =
-    tokenCounts(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    tokenCounts(Tables.documents(spark, dir))
 
   val textTokensSql: String =
     s"""SELECT doc_id,
@@ -691,7 +691,7 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    qualityScores(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    qualityScores(Tables.documents(spark, dir))
 
   val textQualitySql: String = {
     val inList = Stopwords.map(s => s"'$s'").mkString(", ")
@@ -715,7 +715,7 @@ object TextAnalysis {
   }
 
   def qualityGopher(spark: SparkSession, dir: String): DataFrame =
-    gopherRules(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    gopherRules(Tables.documents(spark, dir))
 
   /** Oracle: identical normalized-word features, identical ROUND(…, 6)
     * ratios, identical rule thresholds — flags and the pass conjunction
@@ -749,7 +749,7 @@ object TextAnalysis {
   }
 
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
-    entropyScores(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    entropyScores(Tables.documents(spark, dir))
 
   /** Oracle: the char histogram computed RELATIONALLY (UNNEST + GROUP
     * BY) — legitimate because both engines sum the identical
@@ -793,7 +793,7 @@ object TextAnalysis {
        |ORDER BY c.doc_id""".stripMargin
 
   def textLangid(spark: SparkSession, dir: String): DataFrame =
-    langId(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    langId(Tables.documents(spark, dir))
 
   /** Language-ID oracle: same stopword-hit / CJK-char ratios; the
     * greatest-struct argmax becomes a (score DESC, lang DESC) ranking —
@@ -832,7 +832,7 @@ object TextAnalysis {
   }
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
-    fingerprints(Tables.documents(spark, dir)).orderBy(col("doc_id"), col("fingerprint"))
+    fingerprints(Tables.documents(spark, dir))
 
   /** Winnowing oracle: Winnow's hash is polynomial mod 2⁶¹−1 exactly so
     * this SQL can reproduce it — each k-gram hash is a list_reduce fold
@@ -1056,7 +1056,7 @@ object TextAnalysis {
   }
 
   def textPerplexity(spark: SparkSession, dir: String): DataFrame =
-    tokenPerplexity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    tokenPerplexity(Tables.documents(spark, dir))
 
   /** Bigram-LM document score — the order-2 step of the CCNet/KenLM
     * quality ladder that [[tokenPerplexity]] starts at order 1: each
@@ -1121,7 +1121,7 @@ object TextAnalysis {
   }
 
   def textPerplexity2(spark: SparkSession, dir: String): DataFrame =
-    bigramPerplexity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    bigramPerplexity(Tables.documents(spark, dir))
 
   /** Bigram-LM oracle: identical bigram/margin counts and the same
     * pinned interpolation order, ln-round-9, DECIMAL per-doc sums.
@@ -1223,7 +1223,7 @@ object TextAnalysis {
       |ORDER BY source, lang""".stripMargin
 
   def textSplit(spark: SparkSession, dir: String): DataFrame =
-    deterministicSplit(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    deterministicSplit(Tables.documents(spark, dir))
 
   val textSplitSql: String =
     s"""SELECT doc_id,
@@ -1740,7 +1740,7 @@ object TextAnalysis {
       |ORDER BY lang, rank""".stripMargin
 
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
-    repetitionSignals(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    repetitionSignals(Tables.documents(spark, dir))
 
   /** Repetition oracle: the identical tagged unigram/bigram stream via
     * UNNEST (bigram i spans words[i], words[i+1]; range(1, len) is
@@ -1833,7 +1833,7 @@ object TextAnalysis {
   }
 
   def textChunk(spark: SparkSession, dir: String): DataFrame =
-    chunkDocuments(Tables.documents(spark, dir)).orderBy(col("doc_id"), col("chunk_id"))
+    chunkDocuments(Tables.documents(spark, dir))
 
   /** Chunk oracle: the identical start grid via range(0, len, stride),
     * 1-based inclusive list slices matching Spark's slice(pos, len),
@@ -2699,7 +2699,7 @@ object TextAnalysis {
       )
 
   def corpusHapax(spark: SparkSession, dir: String): DataFrame =
-    hapaxRates(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    hapaxRates(Tables.documents(spark, dir))
 
   val corpusHapaxSql: String =
     """WITH w AS (
@@ -2789,7 +2789,7 @@ object TextAnalysis {
   }
 
   def textReadability(spark: SparkSession, dir: String): DataFrame =
-    readability(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    readability(Tables.documents(spark, dir))
 
   /** Readability oracle: identical counters (RE2 and Java regex agree on
     * these character-class patterns) and the same pinned formula order.

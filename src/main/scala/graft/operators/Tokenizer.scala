@@ -192,7 +192,6 @@ object Tokenizer {
   def tokenizeBpe(spark: SparkSession, dir: String): DataFrame =
     encodedDocWords(Tables.documents(spark, dir), trainedFor(spark, dir)._2)
       .withColumn("ratio", round(col("n_tokens").cast("double") / col("n_chars"), 6))
-      .orderBy(col("doc_id"))
 
   /** Per-language tokenizer fertility under the trained BPE — the
     * standard multilingual tokenizer-parity report (how many tokens a
@@ -448,7 +447,6 @@ object Tokenizer {
         "ratio",
         expr("CAST((n_tokens * 2000000 + n_chars) DIV (n_chars * 2) AS DOUBLE) / 1000000.0")
       )
-      .orderBy(col("doc_id"))
   }
 
   /** BPE-vs-unigram tokenizer parity per language — the selection
@@ -890,7 +888,6 @@ object Tokenizer {
   def tokenizeWordpiece(spark: SparkSession, dir: String): DataFrame =
     encodedDocWords(Tables.documents(spark, dir), wordpieceFor(spark, dir)._2)
       .withColumn("ratio", round(col("n_tokens").cast("double") / col("n_chars"), 6))
-      .orderBy(col("doc_id"))
 
   /** The BPE round CTEs with the WordPiece argmax: per round, a symbol
     * count CTE joins into the pair relation and the pick orders by the

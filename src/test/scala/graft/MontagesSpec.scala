@@ -140,4 +140,67 @@ class MontagesSpec extends SparkSpec {
     g.getAs[String]("status") shouldBe "missing_channel"
     g.getAs[String]("missing") shouldBe "Ghost"
   }
+
+  // -------------------------------------------------------------------
+  // The served validation-error contract, golden against the reference
+  // (server/Error.scala:25-113, server/MontageValidationService.scala,
+  // server/Montage.scala:35-76): exact names, reason strings, channel
+  // lists, status codes, rendering and wire JSON.
+  // -------------------------------------------------------------------
+
+  "validateMontage" should "serve the reference's PackageCannotBeMontaged contract string-for-string" in {
+    // a package missing Q1/Q2 cannot serve ReferentialVsCz
+    val have = (Montages.ReferentialVsCz.distinctChannels -- Set("Q1", "Q2")).toList
+    val err = Montages.validateMontage(have, Montages.ReferentialVsCz).swap.getOrElse(fail())
+    err.name shouldBe "PackageCannotBeMontaged"
+    // the reference interpolates mt.toJson — a JSON string WITH quotes
+    err.reason shouldBe """This package is missing channels that are required for the "REFERENTIAL_VS_CZ" montage"""
+    err.channelNames.toSet shouldBe Set("Q1", "Q2")
+    err.statusCode shouldBe 400
+    // reference TimeSeriesException.toString: s"$name: $reason: $channelNames"
+    err.render shouldBe s"PackageCannotBeMontaged: ${err.reason}: ${err.channelNames}"
+    // NotMontaged accepts any channel configuration (Montage.scala:43)
+    Montages.validateMontage(Nil, Montages.NotMontaged) shouldBe Right(())
+  }
+
+  "validateAllMontages" should "check the union channel set and report against 'all montages'" in {
+    // the MontageValidationService endpoint: a complete package passes
+    Montages.validateAllMontages(Montages.allMontageChannelNames.toList) shouldBe Right(())
+    // an empty package fails with the NotMontaged ("all montages") wording
+    val err = Montages.validateAllMontages(List("Fp1")).swap.getOrElse(fail())
+    err.reason shouldBe "This package is missing channels that are required for all montages"
+    err.channelNames.toSet shouldBe (Montages.allMontageChannelNames - "Fp1")
+  }
+
+  "the error surface" should "quote every reference reason string exactly" in {
+    val pmc = Montages.PackageMissingChannels(List("C3"), "N:package:abc")
+    pmc.name shouldBe "PackageMissingChannels"
+    pmc.reason shouldBe "Some of the requested channels do not exist in this package: N:package:abc"
+    pmc.statusCode shouldBe 404
+
+    Montages.RequestMissingChannels.reason shouldBe
+      "The request did not have a 'channels' or a 'virtualChannels' key"
+    Montages.RequestMissingChannels.statusCode shouldBe 400
+
+    Montages.InvalidMontageName("a<->b<->c").reason shouldBe "Invalid montage name: a<->b<->c"
+
+    val mis = Montages.MontageMisalignment("Fp1", "F7")
+    mis.reason shouldBe
+      "The lead channel did not correspond to the same file structure as the secondary channel"
+    mis.channelNames shouldBe List("Fp1", "F7")
+  }
+
+  it should "emit the reference's TimeSeriesError wire JSON shape" in {
+    val err = Montages.PackageCannotBeMontaged(List("Cz"), Montages.BipolarAntPos)
+    err.json shouldBe
+      """{"error":"PackageCannotBeMontaged","reason":"This package is missing channels that are required for the \"BIPOLAR_ANT_POS\" montage","channelNames":["Cz"]}"""
+  }
+
+  "wireName" should "match the reference MontageTypeFormat encodings" in {
+    Montages.wireName(Montages.NotMontaged) shouldBe "NOT_MONTAGED"
+    Montages.wireName(Montages.BipolarAntPos) shouldBe "BIPOLAR_ANT_POS"
+    Montages.wireName(Montages.BipolarTransverse) shouldBe "BIPOLAR_TRANSVERSE"
+    Montages.wireName(Montages.ReferentialVsCz) shouldBe "REFERENTIAL_VS_CZ"
+    Montages.wireName(Montages.Custom(Seq("a" -> "b"))) shouldBe "CUSTOM_MONTAGE"
+  }
 }

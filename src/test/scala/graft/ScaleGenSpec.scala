@@ -91,6 +91,46 @@ class ScaleGenSpec extends SparkSpec {
     row.getDouble(1) should be < 0.05
   }
 
+  it should "bound jitter under 1 ms with disjoint per-replica ranges at the default R" in {
+    // the bin-scaling invariant's arithmetic, pinned at R=10 (the
+    // default the rehearsals run with) without a full generation: max
+    // jitter < 1 ms, and each replica's [min, max] range is disjoint
+    // from every other's so same-event replicas can never collide
+    import spark.implicits._
+    val grid = (0L until 10L).flatMap(r => (0L until 2000L).map(e => (r, e))).toDF("r", "e")
+    val j = grid.select(col("r"), ScaleGen.jitterNs(col("r"), col("e")).as("j"))
+    j.agg(max(col("j"))).head.getLong(0) should be < 1000000L // < 1 ms in nanos
+    val ranges = j.groupBy(col("r")).agg(min(col("j")).as("lo"), max(col("j")).as("hi"))
+      .orderBy(col("r")).collect().map(row => (row.getLong(1), row.getLong(2)))
+    ranges.sliding(2).foreach { case Array((_, hiPrev), (loNext, _)) =>
+      loNext should be > hiPrev
+    }
+    // micros twin: same bounds in µs
+    val ju = grid.select(col("r"), ScaleGen.jitterUs(col("r"), col("e")).as("j"))
+    ju.agg(max(col("j"))).head.getLong(0) should be < 1000L
+  }
+
+  it should "generate only documents+embeddings with a ~30% hot source under docs-only skew mode" in {
+    val dir = java.nio.file.Files.createTempDirectory("scalegen_skew").toString
+    ScaleGen.run(spark, sfDir, dir, 2, 2, docsOnly = true, skewHot = true)
+    // docs-only: the TPC-H/events tables are not written
+    new java.io.File(s"$dir/lineitem.parquet").exists() shouldBe false
+    new java.io.File(s"$dir/events.parquet").exists() shouldBe false
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.count() shouldBe Tables.documents(spark, sfDir).count() * 2
+    // the hot source holds the ~30% re-labeled share PLUS its organic
+    // share — strictly above 25%, far above any uniform source's
+    val total = docs.count().toDouble
+    val top = docs.groupBy("source").count().orderBy(col("count").desc).head
+    top.getLong(1) / total should be > 0.25
+    // deterministic: same flag, same rows relabeled
+    val docs2dir = java.nio.file.Files.createTempDirectory("scalegen_skew2").toString
+    ScaleGen.run(spark, sfDir, docs2dir, 2, 2, docsOnly = true, skewHot = true)
+    spark.read.parquet(s"$docs2dir/documents.parquet")
+      .select("doc_id", "source").exceptAll(docs.select("doc_id", "source"))
+      .count() shouldBe 0L
+  }
+
   it should "apply an exactly orthogonal transform to embedding replicas" in {
     val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
     val src = Tables.embeddings(spark, sfDir)

@@ -714,6 +714,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  "StreamingLttb.reduce" should "emit exactly the batch LTTB picks for succeeded buckets on any carving" in {
+    import graft.streaming.StreamingLttb
+    implicit val sqlCtx = spark.sqlContext
+
+    // two channels, 5 non-empty buckets (one bucket-sized GAP so the
+    // neighbor means exercise the non-adjacent lag/lead path), spikes,
+    // duplicate values, in-bucket ties
+    val data = for {
+      c <- Seq("a", "b")
+      i <- 0 until 40
+    } yield {
+      val base = i.toLong * 125L
+      val t = if (i >= 24) base + 1000L else base // skip bucket 3 entirely
+      val v = (i % 7).toDouble + (if (i % 11 == 0) 40.0 else 0.0) + (if (c == "b") 3.0 else 0.0)
+      (c, t, v)
+    }
+
+    val batch = graft.operators.Timeseries
+      .lttbDownsample(data.toDF("channel", "t", "v"), bucketUs = 1000L)
+      .collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("bucket"), r.getAs[Long]("t"), r.getAs[Double]("v")))
+    // the stream can only finalize a bucket once its SUCCESSOR closed:
+    // drop each channel's top two buckets from the batch expectation
+    val topTwo = batch.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.takeRight(2).toSet).toMap
+    val expected = batch.filterNot(r => topTwo(r._1)(r._2)).toSet
+    expected.size should be >= 6 // ≥3 finalized buckets per channel
+
+    for (split <- Seq(Seq(data.size), Seq(13, 41, data.size), Seq(1, 3, 50, data.size))) {
+      val mem = MemoryStream[(String, Long, Double)]
+      val out = StreamingLttb.reduce(spark, mem.toDF().toDF("channel", "t", "v"), bucketUs = 1000L)
+      val name = s"lttb_${split.mkString("_")}"
+      val q = out.toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var prev = 0
+        split.distinct.foreach { end =>
+          mem.addData(data.slice(prev, end): _*)
+          prev = end
+          q.processAllAvailable()
+        }
+        val got = spark.table(name).as[(String, Long, Long, Double)].collect().toSet
+        withClue(s"split $split:") { got shouldBe expected }
+      } finally q.stop()
+    }
+  }
+
   "StreamingEnrich.annotate" should "join live samples to covering spans across micro-batches" in {
     import graft.streaming.StreamingEnrich
     implicit val sqlCtx = spark.sqlContext

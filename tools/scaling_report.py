@@ -39,24 +39,32 @@ qa, qb = a["queries"], b["queries"]
 print("| query | input growth | t(small) s | t(big) s | ratio | exponent |")
 print("| --- | --- | --- | --- | --- | --- |")
 rows = []
-for q in sorted(qa, key=lambda q: -qb.get(q, 0)):
+dropped = []
+for q in sorted(qa, key=lambda q: -(qb.get(q) or 0)):
     ta, tb = qa[q], qb.get(q)
     g = 4.0 if q in EMB_QUERIES else (doc_g if q in DOC_QUERIES else 10.0)
     if tb is None or ta <= 0 or tb <= 0:
-        rows.append((q, g, ta, tb, None, None))
+        # keep the distinction: absent from the big run vs present with
+        # a non-positive (unusable) timing in either record
+        why = "MISSING" if tb is None else "BAD-TIMING"
+        rows.append((q, g, ta, tb, None, why))
+        dropped.append((q, why, ta, tb))
         continue
     r = tb / ta
     rows.append((q, g, ta, tb, r, math.log(r) / math.log(g)))
 for q, g, ta, tb, r, e in rows:
     if r is None:
-        print(f"| {q} | {g:.2f}× | {ta:.2f} | FAILED | — | — |")
+        tb_cell = "MISSING" if e == "MISSING" else f"{tb:.2f}?"
+        print(f"| {q} | {g:.2f}× | {ta:.2f} | {tb_cell} | — | — |")
     else:
         print(f"| {q} | {g:.2f}× | {ta:.2f} | {tb:.2f} | {r:.1f}× | {e:.2f} |")
 ok = [x for x in rows if x[4]]
 tot_a = sum(x[2] for x in ok)
 tot_b = sum(x[3] for x in ok)
+partial = f" [PARTIAL: {len(dropped)} rows dropped: " + \
+    ", ".join(f"{q}({why})" for q, why, _, _ in dropped) + "]" if dropped else ""
 print(f"\ntotals: {tot_a:.1f} s -> {tot_b:.1f} s "
-      f"(ratio {tot_b/tot_a:.1f}x, exponent vs 10x {math.log10(tot_b/tot_a):.2f})")
+      f"(ratio {tot_b/tot_a:.1f}x, exponent vs 10x {math.log10(tot_b/tot_a):.2f}){partial}")
 print(f"calib small run: {a['calib_sec']:.3f}/{a['calib_par_sec']:.3f}  "
       f"big run: {b['calib_sec']:.3f}/{b['calib_par_sec']:.3f}  "
       f"boot {a['boot_id'][:8]}/{b['boot_id'][:8]}")
