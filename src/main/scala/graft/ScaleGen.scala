@@ -48,7 +48,14 @@ import org.apache.spark.sql.functions._
   *    source (deterministic by xxhash64) — real crawls are Zipf, and
   *    the uniform tiling would never exercise the salting/AQE-skew
   *    remedies. Skew mode is for runtime-ratio measurements at a FIXED
-  *    scale, not for exponent fits (it changes per-key populations).
+  *    scale, not for exponent fits (it changes per-key populations);
+  *  - `boiler` turns on the BOILERPLATE mode: ~30% of documents
+  *    (deterministic by xxhash64(doc_id)) get one SHARED ~40-word
+  *    template block prepended — the dedup family's own hot key is a
+  *    hot SHINGLE/band bucket (template boilerplate on a real crawl),
+  *    which the source relabel of `skew` never produces. Same paired-
+  *    generation discipline: ratio measurements at fixed scale against
+  *    an identically-generated uniform twin.
   */
 object ScaleGen {
 
@@ -86,13 +93,28 @@ object ScaleGen {
       if (args.length > 2) args(2).toInt else 10,
       if (args.length > 3) args(3).toInt else 4,
       docsOnly = args.drop(4).contains("tables=docs"),
-      skewHot = args.drop(4).contains("skew"))
+      skewHot = args.drop(4).contains("skew"),
+      boilerHot = args.drop(4).contains("boiler"))
     spark.stop()
   }
 
+  /** The shared template block the `boiler` mode prepends: ~40 words of
+    * deterministic filler, long enough that its 3/5-gram shingles and
+    * minhash bands dominate short documents — the hot-bucket shape the
+    * counted-cap admissions must absorb.
+    */
+  val BoilerTemplate: String =
+    (1 to 20).map(i => s"boilerplate${i % 8} clause$i").mkString(" ")
+
   def run(spark: SparkSession, inDir: String, outDir: String,
           replicas: Int, embReplicas: Int,
-          docsOnly: Boolean = false, skewHot: Boolean = false): Unit = {
+          docsOnly: Boolean = false, skewHot: Boolean = false,
+          boilerHot: Boolean = false): Unit = {
+    // the jitter ranges (r·5000 + [0, 5000) ns and the µs twin) stay
+    // disjoint and total < 1 ms ONLY for R ≤ 200 — beyond that the
+    // bin-scaling invariant the docstring promises silently breaks
+    require(replicas >= 1 && replicas <= 200,
+      s"replicas must be in [1, 200] (jitter disjointness/<1 ms bound); got $replicas")
 
     // output split count grows with the tiling factor, exactly as a
     // real ingest layout would: a fixed file count would cap SCAN
@@ -214,7 +236,17 @@ object ScaleGen {
           when(pmod(xxhash64(col("doc_id"), lit("skew")), lit(10L)) < 3L, lit(hotSrc))
             .otherwise(col("source")))
       }
-    save(sourced, "documents", 4)
+    // boilerplate mode: ~30% of documents share one injected template
+    // block — the dedup family's hot shingle/band bucket
+    val boiled =
+      if (!boilerHot) sourced
+      else sourced
+        .withColumn("text",
+          when(pmod(xxhash64(col("doc_id"), lit("boiler")), lit(10L)) < 3L,
+            concat(lit(BoilerTemplate), lit(" "), col("text")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    save(boiled, "documents", 4)
 
     // embeddings: driver law is ~4× per decade; per-replica orthogonal
     // transform (dimension permutation + sign flips) keeps unit norms

@@ -2909,7 +2909,41 @@ object Dedup {
     * missed only if all but minShared−1 of them are corpus-common
     * (df > maxDf) — at which point the contained doc is boilerplate,
     * not content (the same trade the docstring's previous paragraph
-    * already accepts). Verification computes containment over gated
+    * already accepts).
+    *
+    * PREFIX FILTER (the round-14 rehearsal's fix): the posting
+    * self-join's candidate-pair stream is linear with a ~maxDf/2
+    * worst constant (Σ df·(df−1)/2 ≤ maxDf/2 · postings) — a
+    * multi-hundred-GB shuffle transient at 5M docs that disk-bound a
+    * single box. Only one side of the join needs full postings: sort
+    * each doc's admissible shingles by (df, shingle) — rarest first,
+    * one global canonical order — and emit just the first
+    * ⌊(1−τ)·n⌋ + minShared as PROBE keys (n = the doc's FULL
+    * distinct-shingle count). τ-correctness is the standard
+    * prefix-filter argument, run per passing side: if
+    * C(A,B) = |A∩B|/|A| ≥ τ then A has ≤ (1−τ)·|A| shingles outside
+    * the intersection, so of A's ⌊(1−τ)·|A|⌋ + minShared rarest
+    * admissible shingles at least minShared sit in A∩B — each one a
+    * (prefix_A × full-posting_B) match — and symmetrically via B when
+    * the pair passes on the B side; when a doc has fewer admissible
+    * shingles than the prefix length the whole admissible set is the
+    * prefix and the bound degrades exactly to the pre-filter gate's
+    * (the corpus-common trade above). The pair stream therefore
+    * shrinks from Σ df² to Σ prefix_df·df — ~(1−τ)× the volume at
+    * equal df mix — while every pair that can pass the τ gate still
+    * surfaces with ≥ min(minShared, |A|, |B|) visible matches, which
+    * is exactly what the count gate now counts (distinct matched
+    * shingles across both prefix directions). One semantic caveat,
+    * shared with the bounded-sample verify below: a pair whose EXACT
+    * containment is under τ but whose bottom-sampleK estimate lands
+    * ≥ τ is only guaranteed to surface by the exact-side argument, so
+    * the borderline-noise band (|exact − τ| within the sampling std,
+    * ~2.7% at sampleK=128 on long docs) can differ from an unfiltered
+    * run — the oracle mirrors the prefix cut, so both engines agree
+    * exactly; consumers needing exact ratios on long documents raise
+    * `sampleK` past their length ceiling (the whole-set fast path
+    * then makes the estimate exact). Verification computes
+    * containment over gated
     * pairs only, and — the round-13 watch item's fix — over a BOUNDED
     * per-doc sample rather than the full shingle set: verify cost was
     * the one surviving super-linear term (measured exponent 1.08
@@ -2960,23 +2994,50 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > 1 && col("df") <= maxDf)
-      .select(col("shingle"))
-    val member = sh.join(admissible, "shingle")
+    // df rides along for the prefix rank; n (the doc's FULL
+    // distinct-shingle count) is carried MAP-SIDE from the row's own
+    // array, so the prefix rank needs no sizes join. Both sides of
+    // the admission join are corpus-grain at scale (exploded shingle
+    // stream × distinct-shingle relation) — shuffle-hash pinned so
+    // toy-scale stats can never broadcast either (the row-grain
+    // broadcast ban)
+    val member = docs
+      .select(col("doc_id"), size(shingles(w)).cast("long").as("n"),
+        explode(shingles(w)).as("shingle"))
+      .join(admissible.hint("shuffle_hash"), "shingle")
+    // per-doc prefix: the ⌊(1−τ)·n⌋ + minShared rarest admissible
+    // shingles in the global (df, shingle) order, n = the doc's FULL
+    // distinct-shingle count (carried map-side — a function of the
+    // row's own array). The rank is a doc-partitioned window over the
+    // member relation: ONE shuffle+sort linear in postings, the price
+    // that deletes the df² pair transient. The shingle tiebreak is
+    // unreachable (shingles are distinct per doc) but pins the order.
+    val prefix = member
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("__rk") <= floor(lit(1.0d - tau) * col("n")) + lit(minShared.toLong))
+      .select(col("doc_id"), col("shingle"))
     // the posting relation and the verify-side shingle stream are
     // corpus-EXPLOSION grain — never broadcastable (toy-scale stats
     // would otherwise tempt the planner; at 100 TB that broadcast is
-    // an OOM, not a slowdown). The self-join stays merge-hinted (both
-    // sides unbounded — SMJ spills gracefully); the verify joins use
-    // shuffle-hash builds on the gated candidate relation / the
-    // per-partition slice of the shingle stream, avoiding SMJ's sort
-    // of the exploded streams
-    val cand = member
+    // an OOM, not a slowdown). The prefix×posting join stays
+    // merge-hinted (both sides unbounded — SMJ spills gracefully); the
+    // verify joins use shuffle-hash builds on the gated candidate
+    // relation / the per-partition slice of the shingle stream,
+    // avoiding SMJ's sort of the exploded streams
+    val cand = prefix
       .as("x")
-      .join(member.as("y").hint("merge"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .join(member.select(col("doc_id"), col("shingle")).as("y").hint("merge"), Seq("shingle"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      // a pair can surface through either side's prefix (and a shingle
+      // through both), so normalize the orientation and count DISTINCT
+      // matched shingles — the prefix-visible twin of the old count
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        col("shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
       // sizes is a MAP-SIDE projection of the documents scan — doc
       // cardinality, so never broadcastable at the design point (the
       // row-grain broadcast ban); the shuffle-hash hint pins the
@@ -3045,8 +3106,9 @@ object Dedup {
 
   /** Full-pipeline containment oracle: planted prefix corpus → distinct
     * word 3-shingles (short-doc whole-text fallback, mirroring the
-    * Shingling kernel) → df-admissible postings → candidate pairs →
-    * min-128-by-md5 verify samples (identical to the engine's
+    * Shingling kernel) → df-admissible postings → per-doc rarest-first
+    * prefix keys → prefix×posting candidate pairs (distinct-counted
+    * shared-shingle gate) → min-128-by-md5 verify samples (identical to the engine's
     * deterministic sketch — DuckDB and Spark md5 agree on UTF-8 bytes
     * and lowercase hex ordering) → bounded intersections → containment
     * estimates, filtered unrounded.
@@ -3071,14 +3133,27 @@ object Dedup {
       |  FROM shpos),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |adm AS (
-      |  SELECT shingle FROM sh GROUP BY shingle
+      |  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
       |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
-      |member AS (SELECT s.doc_id, s.shingle FROM sh s JOIN adm USING (shingle)),
+      |member AS (SELECT s.doc_id, s.shingle, a.df FROM sh s JOIN adm a USING (shingle)),
+      |pfx AS (
+      |  -- the engine's prefix filter: ⌊(1−τ)·n⌋ + minShared rarest
+      |  -- admissible shingles per doc in (df, shingle) order; the
+      |  -- constant is the IEEE double 1.0 − 0.9, cast so DuckDB's
+      |  -- decimal literal parsing cannot diverge from Spark's double
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT m.doc_id, m.shingle,
+      |      row_number() OVER (PARTITION BY m.doc_id ORDER BY m.df, m.shingle) AS rk,
+      |      sz.n AS n
+      |    FROM member m JOIN sizes sz ON sz.doc_id = m.doc_id)
+      |  WHERE rk <= FLOOR(CAST(0.09999999999999998 AS DOUBLE) * n) + 3),
       |cand AS (
       |  SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb
       |  FROM (
-      |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
-      |    FROM member x JOIN member y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |    SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
+      |           GREATEST(x.doc_id, y.doc_id) AS doc_b,
+      |           COUNT(DISTINCT x.shingle) AS n_shared
+      |    FROM pfx x JOIN member y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
       |    GROUP BY 1, 2) c
       |  JOIN sizes sa ON sa.doc_id = c.doc_a
       |  JOIN sizes sb ON sb.doc_id = c.doc_b

@@ -124,9 +124,19 @@ object Montages {
     final def render: String = s"$name: $reason: $channelNames"
 
     final def json: String = {
+      // control characters escape like spray-json (the reference's
+      // encoder): named escapes for \b \f \n \r \t, \u00XX for the
+      // rest of c < 0x20 — interpolated user input (package ids,
+      // montage names) must not produce invalid JSON
       def esc(s: String) = s.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
+        case '\b' => "\\b"
+        case '\f' => "\\f"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
       s"""{"error":"${esc(name)}","reason":"${esc(reason)}",""" +

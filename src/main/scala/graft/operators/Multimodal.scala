@@ -149,6 +149,15 @@ object Multimodal {
     * payloads, "decodes" the batch, and emits one feature row per
     * payload — the JVM analog of a vectorized Python decode over
     * mapInPandas batches.
+    *
+    * Poison-payload contract: a payload the kernel cannot decode (a
+    * corrupt blob, or the null an upstream tolerant stage emitted)
+    * yields NULL features and `decode_ok = false` instead of a thrown
+    * task — at 100 TB a corrupt image is a certainty, task retry
+    * re-reads the same blob, and one bad row must never kill the
+    * other 63 in its batch (the same pruning discipline the binary
+    * segment source carries). The stub never throws, so on the
+    * driver/oracle path decode_ok is uniformly true.
     */
   def decodeFeatures(spark: SparkSession, withPayload: DataFrame, batchSize: Int = 64,
                      kernel: ImageKernel = StubKernel): DataFrame = {
@@ -166,12 +175,24 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // batch boundary = unit of vectorized decode work
           batch.iterator.map { case (id, payload, format, w, h) =>
-            val (checksum, mean, std) = kernel.decode(payload)
-            (id, format, w, h, payload.length.toLong, checksum, mean, std)
+            val decoded =
+              if (payload == null) None
+              else
+                try Some(kernel.decode(payload))
+                catch { case scala.util.control.NonFatal(_) => None }
+            val nBytes = if (payload == null) 0L else payload.length.toLong
+            decoded match {
+              case Some((checksum, mean, std)) =>
+                (id, format, w, h, nBytes, Some(checksum), Some(mean), Some(std), true)
+              case None =>
+                (id, format, w, h, nBytes,
+                  Option.empty[Long], Option.empty[Double], Option.empty[Double], false)
+            }
           }
         }
       }
-      .toDF("doc_id", "format", "width", "height", "n_bytes", "checksum", "byte_mean", "byte_std")
+      .toDF("doc_id", "format", "width", "height", "n_bytes",
+        "checksum", "byte_mean", "byte_std", "decode_ok")
       // provenance: which kernel produced these feature values
       .withColumn("kernel", lit(kernel.name))
   }
@@ -209,7 +230,14 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, payload, format) =>
-            val resized = kernel.resize(payload, outW, outH)
+            // poison tolerance: an undecodable payload resizes to NULL,
+            // which downstream decodeFeatures flags decode_ok = false —
+            // the failure composes instead of killing the task
+            val resized =
+              if (payload == null) null
+              else
+                try kernel.resize(payload, outW, outH)
+                catch { case scala.util.control.NonFatal(_) => null }
             (id, resized, format)
           }
         }
@@ -227,33 +255,106 @@ object Multimodal {
       )
   }
 
-  /** Frame sampling for video-like payloads: treat the payload as a
-    * sequence of fixed-size frames and keep every `everyK`-th one, each
-    * emitted as its own row (the exploded shape downstream per-frame
-    * decode consumes). Frame slicing is a pure expression; at scale the
-    * explode multiplies rows map-side with no shuffle.
+  /** Pluggable frame-extraction kernel — the video twin of
+    * [[ImageKernel]]: [[StubFrameKernel]] (default, the driver/oracle
+    * path) treats the payload as fixed-`frameBytes` slices and keeps
+    * every `everyK`-th one — byte-for-byte the semantics the oracle
+    * reproduces by hex offset; [[ImageIoFrameKernel]] is a REAL
+    * multi-frame decoder (javax.imageio sequence reader — animated GIF
+    * ships with the JDK) emitting every `everyK`-th frame as an 8-bit
+    * luma plane. Selected per-session via
+    * `spark.graft.mm.frame.kernel` = stub | imageio; both run inside
+    * the SAME typed mapPartitions stage (FrameKernelSpec pins the
+    * plan-identical swap), and the active kernel is surfaced as a
+    * `kernel` provenance column by the frame-feature queries.
     */
-  def sampleFrames(withPayload: DataFrame, frameBytes: Int, everyK: Int): DataFrame =
+  sealed trait FrameKernel extends Serializable {
+    def name: String
+
+    /** payload → sampled (frame_no, frame bytes) pairs. */
+    def frames(payload: Array[Byte], frameBytes: Int, everyK: Int): Iterator[(Long, Array[Byte])]
+  }
+
+  case object StubFrameKernel extends FrameKernel {
+    def name: String = "stub"
+    def frames(payload: Array[Byte], frameBytes: Int, everyK: Int): Iterator[(Long, Array[Byte])] =
+      // payloads with no complete frame yield zero rows (trailing
+      // partial frames are dropped for full payloads, so short ones
+      // must not sneak an undersized frame through)
+      if (payload == null || payload.length < frameBytes) Iterator.empty
+      else Iterator.range(0, payload.length / frameBytes, everyK).map { i =>
+        (i.toLong, java.util.Arrays.copyOfRange(payload, i * frameBytes, (i + 1) * frameBytes))
+      }
+  }
+
+  /** javax.imageio sequence reader: every `everyK`-th frame of an
+    * animated payload (GIF in a stock JDK) rendered to a TYPE_BYTE_GRAY
+    * luma plane — the frame twin of [[ImageIoKernel]]. `frameBytes` is
+    * ignored (real frames carry intrinsic dimensions); emitted
+    * frame_bytes is the plane size.
+    */
+  case object ImageIoFrameKernel extends FrameKernel {
+    def name: String = "imageio"
+    def frames(payload: Array[Byte], frameBytes: Int, everyK: Int): Iterator[(Long, Array[Byte])] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "payload is not a decodable image sequence (imageio frame kernel)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        Iterator.range(0, n, everyK).map { i =>
+          val img = reader.read(i)
+          val gray = new java.awt.image.BufferedImage(
+            img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = gray.createGraphics()
+          try g.drawImage(img, 0, 0, null): Unit
+          finally g.dispose()
+          val plane = gray.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData.clone()
+          (i.toLong, plane)
+        }.toVector.iterator // materialize before the reader disposes
+      } finally reader.dispose()
+    }
+  }
+
+  /** Session-selected frame kernel: `spark.graft.mm.frame.kernel` =
+    * stub (default) | imageio.
+    */
+  def frameKernelFor(spark: SparkSession): FrameKernel =
+    spark.conf.get("spark.graft.mm.frame.kernel", "stub") match {
+      case "imageio" => ImageIoFrameKernel
+      case _ => StubFrameKernel
+    }
+
+  /** Frame sampling for video-like payloads: each sampled frame is
+    * emitted as its own row (the exploded shape downstream per-frame
+    * decode consumes). Runs the pluggable [[FrameKernel]] inside the
+    * same batched typed-mapPartitions shape as decodeFeatures — frames
+    * multiply rows map-side with no shuffle. Poison contract: a
+    * payload the kernel cannot read emits ZERO frames instead of a
+    * thrown task (the binary-source pruning discipline — per-frame
+    * features downstream carry decode_ok for per-frame failures).
+    */
+  def sampleFrames(withPayload: DataFrame, frameBytes: Int, everyK: Int,
+                   kernel: FrameKernel = StubFrameKernel, batchSize: Int = 64): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
     withPayload
-      .select(
-        col("doc_id"),
-        posexplode(
-          // payloads with no complete frame yield zero rows (trailing
-          // partial frames are dropped for full payloads, so short ones
-          // must not sneak an undersized frame through)
-          expr(
-            s"CASE WHEN length(payload) < $frameBytes THEN array() " +
-              s"ELSE transform(sequence(0, int(length(payload) / $frameBytes) - 1, $everyK), " +
-              s"i -> substring(payload, i * $frameBytes + 1, $frameBytes)) END"
-          )
-        ).as(Seq("frame_idx", "frame"))
-      )
-      .select(
-        col("doc_id"),
-        (col("frame_idx") * everyK).cast("long").as("frame_no"),
-        col("frame"),
-        length(col("frame")).cast("long").as("frame_bytes")
-      )
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            val fs =
+              try kernel.frames(payload, frameBytes, everyK)
+              catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+            fs.map { case (no, frame) => (id, no, frame, frame.length.toLong) }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "frame", "frame_bytes")
+  }
 
   /** STUB audio decode kernel: the payload read as little-endian int16
     * PCM, framed into `frameSamples`-sample windows (trailing partials
@@ -407,6 +508,7 @@ object Multimodal {
         col("checksum"),
         round(col("byte_mean"), 6).as("byte_mean"),
         round(col("byte_std"), 6).as("byte_std"),
+        col("decode_ok"),
         col("kernel")
       )
 
@@ -441,6 +543,7 @@ object Multimodal {
        |  ROUND(SQRT(GREATEST(CAST(COALESCE(s.s2, 0) AS DOUBLE) / GREATEST(p.nb, 1)
        |    - (CAST(COALESCE(s.s1, 0) AS DOUBLE) / GREATEST(p.nb, 1))
        |      * (CAST(COALESCE(s.s1, 0) AS DOUBLE) / GREATEST(p.nb, 1)), 0.0)), 6) AS byte_std,
+       |  TRUE AS decode_ok,
        |  'stub' AS kernel
        |FROM p LEFT JOIN stats s ON s.doc_id = p.doc_id
        |ORDER BY p.doc_id""".stripMargin
@@ -453,9 +556,15 @@ object Multimodal {
     */
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
     val k = kernelFor(spark)
+    // the resize stage runs the session kernel; the downstream feature
+    // pass ALWAYS runs the stub arithmetic, because an imageio resize
+    // emits an already-decoded luma plane, not an encoded image —
+    // ImageKernelSpec's composition contract. Provenance reports the
+    // kernel that actually decoded (the resize stage's).
     decodeFeatures(spark,
       resize(spark, withPayloads(Tables.documents(spark, dir)), outW = 8, outH = 8, kernel = k),
-      kernel = k)
+      kernel = StubKernel)
+      .withColumn("kernel", lit(k.name))
       .select(
         col("doc_id"),
         col("format"),
@@ -465,6 +574,7 @@ object Multimodal {
         col("checksum"),
         round(col("byte_mean"), 6).as("byte_mean"),
         round(col("byte_std"), 6).as("byte_std"),
+        col("decode_ok"),
         col("kernel")
       )
   }
@@ -504,6 +614,7 @@ object Multimodal {
        |  ROUND(CAST(s.s1 AS DOUBLE) / s.cnt, 6) AS byte_mean,
        |  ROUND(SQRT(GREATEST(CAST(s.s2 AS DOUBLE) / s.cnt
        |    - (CAST(s.s1 AS DOUBLE) / s.cnt) * (CAST(s.s1 AS DOUBLE) / s.cnt), 0.0)), 6) AS byte_std,
+       |  TRUE AS decode_ok,
        |  'stub' AS kernel
        |FROM p JOIN stats s ON s.doc_id = p.doc_id
        |ORDER BY p.doc_id""".stripMargin
@@ -523,7 +634,8 @@ object Multimodal {
     * shared by the [[mmFrames]] driver query and [[shotSegments]].
     */
   def mmFramesFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val frames = sampleFrames(withPayloads(docs), frameBytes = 64, everyK = 4)
+    val fk = frameKernelFor(spark)
+    val frames = sampleFrames(withPayloads(docs), frameBytes = 64, everyK = 4, kernel = fk)
     // (doc_id, frame_no) packed as doc_id·2³² | frame_no: sound for
     // doc_id < 2³¹ and frame_no < 2³² (a 2³²-frame payload is 256 GB —
     // beyond any single-blob design point)
@@ -546,6 +658,10 @@ object Multimodal {
         round(col("byte_mean"), 6).as("byte_mean"),
         round(col("byte_std"), 6).as("byte_std")
       )
+      // provenance: which FRAME kernel sliced/decoded the frames (the
+      // per-frame feature pass is always the stub arithmetic over the
+      // frame bytes, same as the mmResize composition contract)
+      .withColumn("kernel", lit(fk.name))
   }
 
   /** Audio modality end to end: payload → int16 PCM frames → RMS +
@@ -726,6 +842,7 @@ object Multimodal {
 
   def mmVideoShots(spark: SparkSession, dir: String): DataFrame =
     shotSegments(mmFramesFeatures(spark, Tables.documents(spark, dir)), ShotThreshold)
+      .withColumn("kernel", lit(frameKernelFor(spark).name))
 
   /** Shot oracle: the mmFrames byte-recovery CTEs, then the identical
     * lag/threshold/running-counter segmentation.
@@ -757,7 +874,8 @@ object Multimodal {
        |  FROM flagged)
        |SELECT doc_id, CAST(shot AS BIGINT) AS shot,
        |  MIN(fno) AS start_frame, MAX(fno) AS end_frame, COUNT(*) AS n_frames,
-       |  ROUND(CAST(SUM(CAST(bm AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS avg_mean
+       |  ROUND(CAST(SUM(CAST(bm AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS avg_mean,
+       |  'stub' AS kernel
        |FROM shotted GROUP BY doc_id, shot
        |ORDER BY doc_id, shot""".stripMargin
 
@@ -785,7 +903,8 @@ object Multimodal {
        |SELECT doc_id, fno AS frame_no, CAST(64 AS BIGINT) AS n_bytes, chk AS checksum,
        |  ROUND(CAST(s1 AS DOUBLE) / 64, 6) AS byte_mean,
        |  ROUND(SQRT(GREATEST(CAST(s2 AS DOUBLE) / 64
-       |    - (CAST(s1 AS DOUBLE) / 64) * (CAST(s1 AS DOUBLE) / 64), 0.0)), 6) AS byte_std
+       |    - (CAST(s1 AS DOUBLE) / 64) * (CAST(s1 AS DOUBLE) / 64), 0.0)), 6) AS byte_std,
+       |  'stub' AS kernel
        |FROM stats
        |ORDER BY doc_id, frame_no""".stripMargin
   }

@@ -1568,8 +1568,8 @@ object Timeseries {
         col("ch_a"),
         col("ch_b"),
         col("win"),
-        col("n").as("n_a"),
-        col("m").as("n_b"),
+        col("n").cast("long").as("n_a"),
+        col("m").cast("long").as("n_b"),
         round(sqrt(expr(dp)), 6).as("dtw")
       )
   }

@@ -25,6 +25,17 @@ import java.math.RoundingMode
   * two buckets of samples plus one (bucket, mean) pair — bounded by
   * bucket occupancy, the same bound the batch per-bucket argmax
   * carries.
+  *
+  * In-order-ingest requirement: the operator assumes buckets arrive
+  * per channel in non-decreasing order ACROSS micro-batches (within a
+  * batch, rows are sorted before folding). A late arrival for the
+  * still-pending bucket P is absorbed (P's pick is not yet emitted);
+  * a late arrival whose bucket is older than the open window — bucket
+  * < P, or strictly between P and C after C opened — is DROPPED,
+  * because its pick or the neighbor means around it are already
+  * emitted/frozen and absorbing it would silently corrupt the output.
+  * Feeding unordered history requires the batch twin (or a watermarked
+  * re-sort upstream).
   */
 object StreamingLttb {
 
@@ -118,16 +129,29 @@ object StreamingLttb {
             case old if old.c.isEmpty && bkt == old.pBkt =>
               // still filling the first pending bucket
               st = old.copy(p = s :: old.p)
-            case old if old.c.isEmpty =>
+            case old if old.c.isEmpty && bkt > old.pBkt =>
               // second non-empty bucket opens: P now has a successor
               st = old.copy(cBkt = bkt, c = List(s))
             case old if bkt == old.cBkt =>
               st = old.copy(c = s :: old.c)
-            case old =>
+            case old if bkt == old.pBkt =>
+              // late arrival for the still-PENDING bucket (micro-batch
+              // carving can deliver it after C opened): P has not been
+              // emitted yet, so absorbing it preserves batch equivalence
+              st = old.copy(p = s :: old.p)
+            case old if bkt > old.cBkt =>
               // a newer bucket opens: C closes, so P's successor mean is
               // final — emit P's pick and shift the pair window
               out += pick(channel, old.pBkt, old.p.reverse, old.prev, (old.cBkt, mean(old.c)), bucketUs)
               st = LttbState(Some((old.pBkt, mean(old.p))), old.cBkt, old.c, bkt, List(s))
+            case _ =>
+              // out-of-order arrival older than the open window (bucket
+              // < pBkt, or strictly between the pair after C opened):
+              // its bucket's pick (or the neighbor means around it) may
+              // already be emitted/frozen, so absorbing it would emit a
+              // WRONG pick or shift the window backwards. Dropped — the
+              // in-order-ingest requirement documented on the object.
+              ()
           }
         }
         if (st != null) state.update(st)

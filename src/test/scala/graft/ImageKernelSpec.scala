@@ -75,8 +75,10 @@ class ImageKernelSpec extends SparkSpec {
     real.schema shouldBe stub.schema
     val s = stub.orderBy("doc_id").collect()
     val r = real.orderBy("doc_id").collect()
-    s.map(_.getString(8)).distinct.toSeq shouldBe Seq("stub")
-    r.map(_.getString(8)).distinct.toSeq shouldBe Seq("imageio")
+    s.map(_.getAs[String]("kernel")).distinct.toSeq shouldBe Seq("stub")
+    r.map(_.getAs[String]("kernel")).distinct.toSeq shouldBe Seq("imageio")
+    // every payload here is a real PNG, so both kernels decode them all
+    (s ++ r).map(_.getAs[Boolean]("decode_ok")).distinct.toSeq shouldBe Seq(true)
     // both computed one row per payload with the same keys/meta
     r.map(x => (x.getLong(0), x.getString(1), x.getInt(2), x.getInt(3), x.getLong(4))).toSeq shouldBe
       s.map(x => (x.getLong(0), x.getString(1), x.getInt(2), x.getInt(3), x.getLong(4))).toSeq
@@ -97,6 +99,57 @@ class ImageKernelSpec extends SparkSpec {
     val rows = realChain.orderBy("doc_id").collect()
     rows.length shouldBe 3
     all(rows.map(_.getLong(4))) shouldBe 64L // n_bytes = 8×8 luma plane
+  }
+
+  it should "survive one poison payload in a batch, flagging it instead of killing the task" in {
+    // 64 payloads, one corrupt in the middle of a single 64-batch: the
+    // per-payload try/catch must emit NULL features + decode_ok=false
+    // for the bad row and leave the other 63 untouched — task retry
+    // re-reads the same blob, so a thrown decode is a JOB killer at
+    // 100 TB, not a transient
+    val rows = (0 until 64).map { i =>
+      val payload = if (i == 31) "definitely not an image".getBytes("UTF-8") else pngBytes(i * 37)
+      (i.toLong, payload)
+    }
+    val df = rows.toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("png").as("format"),
+          lit(16).as("width"),
+          lit(12).as("height"),
+          org.apache.spark.sql.functions.length(col("payload")).cast("long").as("n_bytes")
+        ).as("meta")
+      )
+    val out = Multimodal.decodeFeatures(spark, df, batchSize = 64, kernel = Multimodal.ImageIoKernel)
+      .orderBy("doc_id").collect()
+    out.length shouldBe 64
+    val (bad, good) = out.partition(_.getAs[Long]("doc_id") == 31L)
+    bad.length shouldBe 1
+    bad.head.getAs[Boolean]("decode_ok") shouldBe false
+    bad.head.isNullAt(bad.head.fieldIndex("checksum")) shouldBe true
+    bad.head.isNullAt(bad.head.fieldIndex("byte_mean")) shouldBe true
+    good.length shouldBe 63
+    all(good.map(_.getAs[Boolean]("decode_ok"))) shouldBe true
+    all(good.map(r => r.isNullAt(r.fieldIndex("checksum")))) shouldBe false
+    // the stub keeps its never-throws contract: decode_ok uniformly true
+    val stubOut = Multimodal.decodeFeatures(spark, df, batchSize = 64).collect()
+    all(stubOut.map(_.getAs[Boolean]("decode_ok"))) shouldBe true
+  }
+
+  "mmResize under the imageio kernel" should "complete end-to-end, composing resize tolerance with decode flags" in {
+    // driver testdata payloads are UTF-8 text — undecodable by imageio.
+    // The composed chain must now COMPLETE (resize → null payload →
+    // decode_ok=false) instead of throwing, with provenance naming the
+    // kernel that ran the decode stage.
+    spark.conf.set("spark.graft.mm.kernel", "imageio")
+    try {
+      val out = Multimodal.mmResize(spark, sfDir).collect()
+      out.length.toLong shouldBe Tables.documents(spark, sfDir).count()
+      all(out.map(_.getAs[Boolean]("decode_ok"))) shouldBe false
+      out.map(_.getAs[String]("kernel")).distinct.toSeq shouldBe Seq("imageio")
+    } finally spark.conf.unset("spark.graft.mm.kernel")
   }
 
   "kernelFor" should "select by session conf and default to the stub" in {

@@ -196,6 +196,19 @@ class MontagesSpec extends SparkSpec {
       """{"error":"PackageCannotBeMontaged","reason":"This package is missing channels that are required for the \"BIPOLAR_ANT_POS\" montage","channelNames":["Cz"]}"""
   }
 
+  it should "escape control characters in interpolated input like spray-json" in {
+    // packageId / montageName are user input: a control char must
+    // yield VALID JSON (named escapes + \u00XX), matching the
+    // reference's spray-json encoding discipline
+    val err = Montages.InvalidMontageName("bad\nname\twith\u0001ctl")
+    err.json should include("bad\\nname\\twith\\" + "u0001ctl")
+    err.json should not include "\n"
+    // sanity: the full line parses as JSON (spark's own parser)
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(err.json))(org.apache.spark.sql.Encoders.STRING))
+    parsed.select("reason").head.getString(0) should include("bad\nname")
+  }
+
   "wireName" should "match the reference MontageTypeFormat encodings" in {
     Montages.wireName(Montages.NotMontaged) shouldBe "NOT_MONTAGED"
     Montages.wireName(Montages.BipolarAntPos) shouldBe "BIPOLAR_ANT_POS"

@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SortExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** The registry-wide plan-shape regression gate.
   *
@@ -36,12 +38,14 @@ class PlanShapeGateSpec extends SparkSpec {
     case p => p
   }
 
-  private def shapeOf(df: DataFrame): (Int, Int, Int) = {
+  private def shapeOf(df: DataFrame): (Int, Int, Int, Int, Int) = {
     val r = initialRoot(df)
     (
       r.collectWithSubqueries { case s: ShuffleExchangeExec => s }.size,
       r.collectWithSubqueries { case s: SortExec => s }.size,
-      r.collectWithSubqueries { case b: BroadcastExchangeExec => b }.size
+      r.collectWithSubqueries { case b: BroadcastExchangeExec => b }.size,
+      r.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }.size,
+      r.collectWithSubqueries { case j: CartesianProductExec => j }.size
     )
   }
 
@@ -96,28 +100,28 @@ class PlanShapeGateSpec extends SparkSpec {
 
   private val pinFile = new java.io.File("src/test/resources/plan_shapes_sf0001.tsv")
 
-  "every registry query" should "match its pinned (shuffle, sort, broadcast) plan shape" in {
+  "every registry query" should "match its pinned (shuffle, sort, broadcast, bnlj, cartesian) plan shape" in {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val actual: Seq[(String, (Int, Int, Int))] = names.map { name =>
+    val actual: Seq[(String, (Int, Int, Int, Int, Int))] = names.map { name =>
       name -> shapeOf(SparkEntry.queries(name)(spark, sfDir))
     }
     if (sys.env.get("GRAFT_REGEN_PLANSHAPES").contains("1")) {
       val w = new java.io.PrintWriter(pinFile, "UTF-8")
       try {
-        w.println("# query\tshuffles\tsorts\tbroadcasts  (initial physical plan, sf0.001, local[4], shuffle.partitions=4)")
-        actual.foreach { case (n, (sh, so, br)) => w.println(s"$n\t$sh\t$so\t$br") }
+        w.println("# query\tshuffles\tsorts\tbroadcasts\tbnlj\tcartesian  (initial physical plan, sf0.001, local[4], shuffle.partitions=4)")
+        actual.foreach { case (n, (sh, so, br, nl, ca)) => w.println(s"$n\t$sh\t$so\t$br\t$nl\t$ca") }
       } finally w.close()
       info(s"regenerated ${pinFile.getPath} with ${actual.size} entries")
     } else {
       withClue(s"missing ${pinFile.getPath} — regenerate with GRAFT_REGEN_PLANSHAPES=1:") {
         pinFile.exists() shouldBe true
       }
-      val pinned: Map[String, (Int, Int, Int)] =
+      val pinned: Map[String, (Int, Int, Int, Int, Int)] =
         scala.io.Source.fromFile(pinFile, "UTF-8").getLines()
           .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
           .map { l =>
             val parts = l.split("\t")
-            parts(0) -> ((parts(1).toInt, parts(2).toInt, parts(3).toInt))
+            parts(0) -> ((parts(1).toInt, parts(2).toInt, parts(3).toInt, parts(4).toInt, parts(5).toInt))
           }.toMap
       // registry and pin table must cover each other exactly
       withClue("registry/pin-table id mismatch (regenerate after adding/removing queries):") {
@@ -125,12 +129,58 @@ class PlanShapeGateSpec extends SparkSpec {
       }
       val drifted = actual.filter { case (n, t) => pinned(n) != t }
       withClue(
-        drifted.map { case (n, (sh, so, br)) =>
-          val (psh, pso, pbr) = pinned(n)
-          s"$n: pinned (shuffles=$psh, sorts=$pso, broadcasts=$pbr) -> now (shuffles=$sh, sorts=$so, broadcasts=$br)"
+        drifted.map { case (n, (sh, so, br, nl, ca)) =>
+          val (psh, pso, pbr, pnl, pca) = pinned(n)
+          s"$n: pinned (shuffles=$psh, sorts=$pso, broadcasts=$pbr, bnlj=$pnl, cartesian=$pca)" +
+            s" -> now (shuffles=$sh, sorts=$so, broadcasts=$br, bnlj=$nl, cartesian=$ca)"
         }.mkString("plan-shape drift:\n", "\n", "\n(intentional? regenerate with GRAFT_REGEN_PLANSHAPES=1)\n")
       ) {
         drifted shouldBe empty
+      }
+    }
+  }
+
+  /** The join-type ban: a BroadcastNestedLoopJoin or CartesianProduct
+    * can arrive SHUFFLE-FREE, so the exchange counts alone would let a
+    * corpus×corpus nested loop slip through. Two structural rules,
+    * swept registry-wide on the initial physical plan:
+    *
+    * 1. ZERO CartesianProduct nodes, no exceptions — every declared
+    *    exact baseline broadcasts its small side (a BNLJ), so a
+    *    Cartesian anywhere means both sides were estimated big: the
+    *    exact shape that detonates at 100 TB.
+    * 2. Every BNLJ's broadcast side must be a BOUNDED relation:
+    *    structurally, its subtree contains an aggregate (summary
+    *    grain) or a filter (the pinned-literal query-row selection the
+    *    ann/search configs use). A BARE unfiltered scan broadcast into
+    *    a nested loop is the banned shape — that side is corpus-grain
+    *    and the broadcast is an OOM at scale, not a slowdown. (Which
+    *    queries carry BNLJs at all is itself pinned per-query by the
+    *    bnlj count above, so a NEW nested loop fails the pin before
+    *    this rule even runs.)
+    */
+  "the registry" should "plan no CartesianProduct and no BNLJ over an unbounded broadcast side" in {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val r = initialRoot(SparkEntry.queries(name)(spark, sfDir))
+      withClue(s"$name plans a CartesianProduct (both sides estimated big — banned shape):\n") {
+        r.collectWithSubqueries { case j: CartesianProductExec => j } shouldBe empty
+      }
+      r.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        val b = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        val bounded = b.collect {
+          case a: HashAggregateExec => a: org.apache.spark.sql.execution.SparkPlan
+          case a: ObjectHashAggregateExec => a
+          case a: SortAggregateExec => a
+          case f: org.apache.spark.sql.execution.FilterExec => f
+          case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+          case g: org.apache.spark.sql.execution.GlobalLimitExec => g
+        }
+        withClue(s"$name broadcast-nested-loops an UNBOUNDED side (bare scan, no agg/filter/limit):\n${b.treeString}") {
+          bounded should not be empty
+        }
       }
     }
   }

@@ -110,6 +110,30 @@ class ScaleGenSpec extends SparkSpec {
     ju.agg(max(col("j"))).head.getLong(0) should be < 1000L
   }
 
+  it should "refuse replica counts past the documented jitter bound" in {
+    // the <1 ms / disjoint-range invariant holds only for R ≤ 200:
+    // run() must fail loudly, not silently break bin scaling
+    an[IllegalArgumentException] should be thrownBy
+      ScaleGen.run(spark, sfDir, "/tmp/never_written", 201, 1, docsOnly = true)
+    an[IllegalArgumentException] should be thrownBy
+      ScaleGen.run(spark, sfDir, "/tmp/never_written", 0, 1, docsOnly = true)
+  }
+
+  it should "prepend one shared template block to ~30% of documents under boiler mode" in {
+    val dir = java.nio.file.Files.createTempDirectory("scalegen_boiler").toString
+    ScaleGen.run(spark, sfDir, dir, 2, 1, docsOnly = true, boilerHot = true)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val boiled = docs.filter(col("text").startsWith(ScaleGen.BoilerTemplate))
+    val frac = boiled.count().toDouble / docs.count()
+    frac should be (0.3 +- 0.08) // deterministic hash split
+    // n_chars re-stamped to the injected length
+    boiled.filter(
+      org.apache.spark.sql.functions.length(col("text")).cast("long") =!= col("n_chars")
+    ).count() shouldBe 0L
+    // the template is 40 words: the hot-shingle head every boiled doc shares
+    ScaleGen.BoilerTemplate.split(" ").length shouldBe 40
+  }
+
   it should "generate only documents+embeddings with a ~30% hot source under docs-only skew mode" in {
     val dir = java.nio.file.Files.createTempDirectory("scalegen_skew").toString
     ScaleGen.run(spark, sfDir, dir, 2, 2, docsOnly = true, skewHot = true)

@@ -760,6 +760,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  it should "absorb late fills of the pending bucket and DROP arrivals older than the open window" in {
+    import graft.streaming.StreamingLttb
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val out = StreamingLttb.reduce(spark, mem.toDF().toDF("channel", "t", "v"), bucketUs = 1000L)
+    val q = out.toDF().writeStream.format("memory").queryName("lttb_late").outputMode("append").start()
+    try {
+      // buckets 0, 1, 2 arrive in order: bucket 0's pick is emitted the
+      // moment bucket 2 opens (its successor bucket 1 closes)
+      mem.addData(("z", 0L, 1.0), ("z", 100L, 2.0), ("z", 1000L, 5.0), ("z", 2000L, 1.0))
+      q.processAllAvailable()
+      // a late arrival for bucket 0 — OLDER than the pending window
+      // (its pick is already emitted): must be dropped, not absorbed
+      // into a wrong re-emission or a backwards window shift
+      mem.addData(("z", 500L, 99.0))
+      q.processAllAvailable()
+      // a late arrival for bucket 1 — the still-PENDING bucket: its
+      // pick has not been emitted, so it must be absorbed
+      mem.addData(("z", 1500L, 50.0))
+      q.processAllAvailable()
+      // bucket 3 opens: bucket 1's pick finalizes
+      mem.addData(("z", 3000L, 2.0))
+      q.processAllAvailable()
+
+      val got = spark.table("lttb_late").as[(String, Long, Long, Double)].collect().toSet
+      // the batch twin over the IN-ORDER stream (dropped sample absent,
+      // absorbed late fill present) is the equivalence target
+      val batch = graft.operators.Timeseries
+        .lttbDownsample(
+          Seq(("z", 0L, 1.0), ("z", 100L, 2.0), ("z", 1000L, 5.0), ("z", 1500L, 50.0),
+            ("z", 2000L, 1.0), ("z", 3000L, 2.0)).toDF("channel", "t", "v"),
+          bucketUs = 1000L)
+        .collect()
+        .map(r => (r.getAs[String]("channel"), r.getAs[Long]("bucket"), r.getAs[Long]("t"), r.getAs[Double]("v")))
+        .filter(_._2 <= 1L) // only buckets with a closed successor are emitted
+        .toSet
+      got shouldBe batch
+      // the absorbed spike (t=1500) must be bucket 1's pick; the
+      // dropped sample (t=500) must appear nowhere
+      got.map(_._3) should contain(1500L)
+      got.map(_._3) should not contain 500L
+    } finally q.stop()
+  }
+
   "StreamingEnrich.annotate" should "join live samples to covering spans across micro-batches" in {
     import graft.streaming.StreamingEnrich
     implicit val sqlCtx = spark.sqlContext
