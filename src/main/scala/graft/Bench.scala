@@ -98,6 +98,20 @@ object Bench {
     sec
   }
 
+  /** Gate-grade parallel stamp: JIT-warmed, min-of-2. The naive pre-pass
+    * stamp was the JVM's FIRST splitmixLoop execution, so C2 compilation
+    * landed inside the timed region and the "pre" reading ran ~25-40%
+    * hot on an idle box (measured 0.93-1.02 cold vs 0.74-0.83 warm on
+    * the same quiet boot) — chronically tripping the 15% gate. One
+    * untimed single-thread pass compiles the loop; min-of-2 absorbs the
+    * scheduler's worst thread-start jitter.
+    */
+  private def calibrateParStable(n: Int): Double = {
+    val warm = splitmixLoop()
+    if (warm == 42L) Console.err.println("calibration sentinel") // defeat DCE
+    math.min(calibratePar(n), calibratePar(n))
+  }
+
   private def bootId(): String =
     try {
       val p = java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")
@@ -112,7 +126,15 @@ object Bench {
       .getOrElse(math.min(Runtime.getRuntime.availableProcessors, 32))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // reducer count sizes to the DATA, not the core count: a cluster
+      // deployment runs thousands of shuffle partitions so per-partition
+      // hash-join builds and sorts fit in executor memory, and the
+      // decade rehearsals (5M docs on one box) need the same lever —
+      // 32 partitions at sf100docs put ~160k docs' exploded streams in
+      // each shuffle-hash build and OOM ("not enough memory to build
+      // hash map"). Default stays cpus for the sf0.1 record.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt).getOrElse(cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -135,6 +157,14 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+
+    // the PRE gate stamp runs BEFORE the warmup pass: its job is
+    // detecting co-tenant load on the box before we start, and the
+    // warmup itself leaves a JIT-compile/GC backlog (hundreds of
+    // codegen classes) that measured +20% on the parallel loop for a
+    // while after — self-noise the per-query min-of-reps already
+    // defends, not ambient contamination the gate should refuse on
+    val calibParPre = calibrateParStable(cpus)
 
     val warmupDir = "/root/testdata/sf0.001"
     selected.foreach { case (_, fn) =>
@@ -175,7 +205,6 @@ object Bench {
         } else None
       } catch { case _: Throwable => None }
     }
-    val calibParPre = calibratePar(cpus)
     calibRef.foreach { ref =>
       if (math.abs(calibParPre - ref) / ref > 0.15)
         Console.err.println(
@@ -215,7 +244,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val calib = calibrate()
-    val calibPar = calibratePar(cpus)
+    val calibPar = calibrateParStable(cpus)
     // the gate: BOTH the pre- and post-pass parallel stamps must sit
     // within 15% of the rolling reference for the record to persist
     val calibOk = calibRef.forall(ref =>

@@ -56,6 +56,28 @@ object Dedup {
   private val NormSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
   private val WordsSql = s"split($NormSql, ' ')"
 
+  /** Dynamic planted-id offset: greatest(1_000_000, max(doc_id) + 1).
+    * The planted-dup wrappers below re-issue documents at
+    * doc_id + k·OFF; a FIXED 1e6 offset collided with real ids once
+    * the decade-3 rehearsal corpus crossed a million documents — one
+    * doc_id then carries two texts, the verify element streams double
+    * up, and |A|+|B|−|A∩B| reaches zero (the sf100docs DIVIDE_BY_ZERO
+    * abort). At testdata scale the expression still evaluates to
+    * exactly 1e6, so every oracle hash is unchanged; the oracle
+    * computes the identical scalar ([[PlantOffDuck]]). The max probe
+    * is one bounded parquet-stats job at plan-build time — the same
+    * driver-size discipline as the centroid/seed collects.
+    */
+  private[graft] def plantOffset(docs: DataFrame): Long = {
+    val row = docs.agg(max(col("doc_id"))).head
+    val mx = if (row.isNullAt(0)) 0L else row.getLong(0)
+    math.max(1000000L, mx + 1L)
+  }
+
+  /** The oracle's twin of [[plantOffset]] — a DuckDB scalar subquery. */
+  private[operators] val PlantOffDuck =
+    "(SELECT GREATEST(1000000, MAX(doc_id) + 1) FROM documents)"
+
   /** Distinct word w-shingles of normalized `text` — the native
     * single-pass kernel (graft.functions.Shingling); the former
     * interpreted-HOF formulation was the top cost of dedup_minhash.
@@ -137,10 +159,11 @@ object Dedup {
     */
   def dedupPrefix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val off = plantOffset(docs)
     val planted = docs
       .filter(col("doc_id") % 9 === 0 && size(expr(WordsSql)) >= 50)
       .select(
-        (col("doc_id") + 3000000L).as("doc_id"),
+        (col("doc_id") + lit(3L * off)).as("doc_id"),
         concat(col("text"), lit(" planted trailing footer")).as("text")
       )
     prefixDedup(docs.unionByName(planted))
@@ -151,7 +174,7 @@ object Dedup {
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 3000000 AS doc_id, text || ' planted trailing footer' AS text
+       |  SELECT doc_id + 3 * $PlantOffDuck AS doc_id, text || ' planted trailing footer' AS text
        |  FROM documents
        |  WHERE doc_id % 9 = 0 AND len(string_split($norm, ' ')) >= 50),
        |h AS (
@@ -355,7 +378,16 @@ object Dedup {
       .select(
         col("doc_a"),
         col("doc_b"),
-        (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))).as("jaccard")
+        // |A∪B| = 0 means BOTH element sets are empty — the docs
+        // normalize to the same (empty) content, i.e. exact duplicates:
+        // Jaccard 1.0, not 0/0. Empty docs are a real corpus class at
+        // crawl scale (punctuation-only text normalizes to ""), they
+        // share identical minhash signatures so they pair up in every
+        // band, and the decade-3 rehearsal (5M docs) aborted on exactly
+        // this division under ANSI mode before the guard existed.
+        when(col("na") + col("nb") - col("n_inter") > 0,
+          col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+          .otherwise(lit(1.0)).as("jaccard")
       )
   }
 
@@ -1018,7 +1050,7 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
     val planted = docs
       .filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), lit("planted-mirror").as("source"))
+      .select((col("doc_id") + lit(2L * plantOffset(docs))).as("doc_id"), col("text"), lit("planted-mirror").as("source"))
     dedupImpact(docs.unionByName(planted)).orderBy(col("source"))
   }
 
@@ -1030,7 +1062,7 @@ object Dedup {
     s"""WITH corpus AS (
        |  SELECT doc_id, source, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 2000000, 'planted-mirror', text FROM documents WHERE doc_id % 7 = 0),
+       |  SELECT doc_id + 2 * $PlantOffDuck, 'planted-mirror', text FROM documents WHERE doc_id % 7 = 0),
        |d AS (
        |  SELECT doc_id, source,
        |    ${md5Prefix60Duck(norm)} AS h,
@@ -1589,7 +1621,7 @@ object Dedup {
     val planted = docs
       .filter(col("doc_id") % 10 === 0)
       .select(
-        (col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") + lit(plantOffset(docs))).as("doc_id"),
         expr("concat_ws(' ', slice(split(text, ' '), 3, size(split(text, ' '))))").as("text")
       )
     docs.select(col("doc_id"), col("text")).unionByName(planted)
@@ -1607,20 +1639,20 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
     val planted = docs
       .filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), lit("planted-mirror").as("source"))
+      .select((col("doc_id") + lit(2L * plantOffset(docs))).as("doc_id"), col("text"), lit("planted-mirror").as("source"))
     crossSourceExactDups(docs.unionByName(planted))
   }
 
   val dedupCrossSourceSql: String =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT doc_id, text, source FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 2000000 AS doc_id, text, 'planted-mirror' AS source
+      |  SELECT doc_id + 2 * $PlantOffDuck AS doc_id, text, 'planted-mirror' AS source
       |  FROM documents WHERE doc_id % 7 = 0)
       |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
       |  COUNT(DISTINCT source) AS n_sources
       |FROM corpus
-      |GROUP BY LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))
+      |GROUP BY LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))
       |HAVING COUNT(DISTINCT source) > 1
       |ORDER BY doc_id""".stripMargin
 
@@ -1631,13 +1663,14 @@ object Dedup {
     */
   def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val off = plantOffset(docs)
     val incoming = docs
       .filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(3L * off)).as("doc_id"), col("text"))
       .unionByName(
         docs
           .filter(col("doc_id") % 7 === 1)
-          .select((col("doc_id") + 4000000L).as("doc_id"), concat(col("text"), lit(" zz")).as("text"))
+          .select((col("doc_id") + lit(4L * off)).as("doc_id"), concat(col("text"), lit(" zz")).as("text"))
       )
     bloomCrossDups(docs, incoming)
   }
@@ -1646,15 +1679,15 @@ object Dedup {
     * pure prefilter, so it must be invisible in the result.
     */
   val dedupBloomSql: String =
-    """WITH inc AS (
-      |  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    s"""WITH inc AS (
+      |  SELECT doc_id + 3 * $PlantOffDuck AS doc_id, text FROM documents WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT doc_id + 4000000 AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id % 7 = 1),
+      |  SELECT doc_id + 4 * $PlantOffDuck AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id % 7 = 1),
       |an AS (
-      |  SELECT DISTINCT LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS nm
+      |  SELECT DISTINCT LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm
       |  FROM documents WHERE text IS NOT NULL),
       |bn AS (
-      |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS nm
+      |  SELECT doc_id, LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS nm
       |  FROM inc WHERE text IS NOT NULL)
       |SELECT b.doc_id FROM bn b WHERE b.nm IN (SELECT nm FROM an)
       |ORDER BY doc_id""".stripMargin
@@ -1667,10 +1700,10 @@ object Dedup {
 
   /** The planted corpus as a DuckDB CTE — mirror of withPlantedNearDups. */
   private[operators] val PlantedCorpusSql: String =
-    """corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id,
+      |  SELECT doc_id + $PlantOffDuck AS doc_id,
       |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
@@ -1737,8 +1770,10 @@ object Dedup {
        |  GROUP BY c.doc_a, c.doc_b),
        |jac AS (
        |  SELECT c.doc_a, c.doc_b,
-       |    CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
-       |      (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS j
+       |    CASE WHEN sa.n + sb.n - COALESCE(i.n_inter, 0) > 0
+       |      THEN CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |        (sa.n + sb.n - COALESCE(i.n_inter, 0))
+       |      ELSE 1.0 END AS j
        |  FROM cand c
        |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
        |  JOIN sizes sa ON sa.doc_id = c.doc_a
@@ -1934,7 +1969,7 @@ object Dedup {
       .unionByName(
         docs
           .filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), lit("planted-mirror").as("source"))
+          .select((col("doc_id") + lit(plantOffset(docs))).as("doc_id"), lit("planted-mirror").as("source"))
       )
     sourceMatrix(srcs, pairs).orderBy(col("source_a"), col("source_b"))
   }
@@ -1945,7 +1980,7 @@ object Dedup {
        |srcs AS (
        |  SELECT doc_id, source FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id, 'planted-mirror' AS source
+       |  SELECT doc_id + $PlantOffDuck AS doc_id, 'planted-mirror' AS source
        |  FROM documents WHERE doc_id % 10 = 0),
        |lab AS (
        |  SELECT LEAST(sa.source, sb.source) AS source_a,
@@ -2841,10 +2876,12 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val docs = withPlantedNearDups(Tables.documents(spark, dir))
+    val base = Tables.documents(spark, dir)
+    val off = plantOffset(base)
+    val docs = withPlantedNearDups(base)
     val pairs = docs
-      .filter(col("doc_id") >= 1000000L)
-      .select((col("doc_id") - 1000000L).as("doc_a"), col("doc_id").as("doc_b"))
+      .filter(col("doc_id") >= lit(off))
+      .select((col("doc_id") - lit(off)).as("doc_a"), col("doc_id").as("doc_b"))
     ngramJaccard(docs, pairs, n = 3)
   }
 
@@ -2861,7 +2898,7 @@ object Dedup {
        |grams AS (SELECT DISTINCT doc_id, substr(s, i, 3) AS gram FROM idx),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
        |pairs AS (
-       |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+       |  SELECT doc_id AS doc_a, doc_id + $PlantOffDuck AS doc_b
        |  FROM documents WHERE doc_id % 10 = 0),
        |inter AS (
        |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
@@ -2870,8 +2907,10 @@ object Dedup {
        |  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
        |  GROUP BY p.doc_a, p.doc_b)
        |SELECT p.doc_a, p.doc_b,
-       |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
-       |        (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+       |  ROUND(CASE WHEN sa.n + sb.n - COALESCE(i.n_inter, 0) > 0
+       |    THEN CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |      (sa.n + sb.n - COALESCE(i.n_inter, 0))
+       |    ELSE 1.0 END, 6) AS jaccard
        |FROM pairs p
        |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
        |JOIN sizes sa ON sa.doc_id = p.doc_a
@@ -3095,7 +3134,7 @@ object Dedup {
     val planted = base
       .filter(col("doc_id") % 9 === 0)
       .select(
-        (col("doc_id") + 3000000L).as("doc_id"),
+        (col("doc_id") + lit(3L * plantOffset(docs))).as("doc_id"),
         expr("slice(ws, 1, greatest(cast(ceil(size(ws) / 3.0) as int), 3))").as("ws")
       )
     base.unionByName(planted).select(col("doc_id"), array_join(col("ws"), " ").as("text"))
@@ -3114,14 +3153,14 @@ object Dedup {
     * estimates, filtered unrounded.
     */
   val dedupContainmentSql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT doc_id,
-      |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |    string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS ws
       |  FROM documents),
       |corpus AS (
       |  SELECT doc_id, ws FROM base
       |  UNION ALL
-      |  SELECT doc_id + 3000000 AS doc_id,
+      |  SELECT doc_id + 3 * $PlantOffDuck AS doc_id,
       |    ws[1:GREATEST(CAST(CEIL(len(ws) / 3.0) AS INT), 3)] AS ws
       |  FROM base WHERE doc_id % 9 = 0),
       |shpos AS (
