@@ -98,18 +98,31 @@ object Bench {
     sec
   }
 
-  /** Gate-grade parallel stamp: JIT-warmed, min-of-2. The naive pre-pass
-    * stamp was the JVM's FIRST splitmixLoop execution, so C2 compilation
-    * landed inside the timed region and the "pre" reading ran ~25-40%
-    * hot on an idle box (measured 0.93-1.02 cold vs 0.74-0.83 warm on
-    * the same quiet boot) — chronically tripping the 15% gate. One
-    * untimed single-thread pass compiles the loop; min-of-2 absorbs the
-    * scheduler's worst thread-start jitter.
+  /** Gate-grade parallel stamp: JIT-warmed, self-noise-quiesced,
+    * min-of-3. The stamp's job is measuring AMBIENT (co-tenant) load,
+    * and three JVM-side transients masquerade as it:
+    *  - C2 compilation landing inside the timed region when the stamp
+    *    is the JVM's first splitmixLoop execution (measured 0.93-1.02
+    *    cold vs 0.74-0.83 warm on the same quiet boot) — one untimed
+    *    single-thread pass compiles the loop;
+    *  - first-touch heap expansion on a big-heap launch (a 24g fork's
+    *    FIRST parallel pass read 1.23 on an idle box, its post stamp
+    *    0.68) — one DISCARDED parallel pass absorbs it;
+    *  - the GC/kernel page-reclaim tail right after a heavy shuffle
+    *    pass (post stamp read 1.07 on an idle box with
+    *    kvfree_rcu_reclaim workers still draining) — System.gc() plus
+    *    a short settle lets the cleanup finish outside the timed
+    *    region. Genuine co-tenant load spanning the whole stamp still
+    *    reads hot through all of this: the discard/settle absorbs a
+    *    few seconds of JVM transient, not a competing process.
     */
   private def calibrateParStable(n: Int): Double = {
     val warm = splitmixLoop()
     if (warm == 42L) Console.err.println("calibration sentinel") // defeat DCE
-    math.min(calibratePar(n), calibratePar(n))
+    System.gc()
+    calibratePar(n) // discarded: absorbs heap-expansion / reclaim transient
+    Thread.sleep(2000)
+    Seq(calibratePar(n), calibratePar(n), calibratePar(n)).min
   }
 
   private def bootId(): String =

@@ -2930,11 +2930,16 @@ object Dedup {
     * posts — that survive a MinHash pass.
     *
     * Candidates come from RARE-SHINGLE blocking, not all pairs: a
-    * shingle's document frequency is counted first (one shingle-keyed
-    * partial agg — algebraic, map-side combined), only shingles with
-    * `2 <= df <= maxDf` admit their postings, and pairs form by
-    * self-joining the admitted postings on the shingle key. A stopword
-    * shingle shared by half the corpus costs ONE count row and admits
+    * shingle's document frequency is counted as a whole-partition
+    * window over the shingle-partitioned posting stream (df and
+    * admission in the SAME postings pass — the former shingle-keyed
+    * count agg re-shuffled the postings a second time to join the df
+    * relation back on, and built a distinct-shingle hash map besides;
+    * the window's partition sort is the same (shingle) sort the
+    * candidate merge join needs on its posting side, so it is shared,
+    * not added), and only shingles with `2 <= df <= maxDf` admit their
+    * postings into the pair join. A stopword shingle's window group is
+    * corpus-sized but spills through the window buffer and admits
     * nothing; worst bucket fan-out is maxDf² by construction — the
     * same counted-bucket discipline as [[lshCandidates]]. A single
     * shared rare shingle is far too weak a signal to verify on (at
@@ -3029,21 +3034,25 @@ object Dedup {
             x => x.getField("s")))
       ).as("shingle")
     )
-    val admissible = sh
-      .groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1 && col("df") <= maxDf)
-    // df rides along for the prefix rank; n (the doc's FULL
-    // distinct-shingle count) is carried MAP-SIDE from the row's own
-    // array, so the prefix rank needs no sizes join. Both sides of
-    // the admission join are corpus-grain at scale (exploded shingle
-    // stream × distinct-shingle relation) — shuffle-hash pinned so
-    // toy-scale stats can never broadcast either (the row-grain
-    // broadcast ban)
+    // document frequency and admission in ONE postings pass: count(df)
+    // as a whole-partition window over the shingle-partitioned stream,
+    // then filter 2 <= df <= maxDf. The former shape (shingle-keyed
+    // count agg, then a shuffle-hash join of the agg back against a
+    // SECOND shuffle of the exploded stream) moved the postings across
+    // exchanges twice and built a distinct-shingle hash map besides;
+    // the window form shuffles postings ONCE, and its partition sort is
+    // the same (shingle) sort the candidate merge join needs on its
+    // posting side, so the sort is shared, not added. A stopword
+    // shingle's window group is corpus-sized but buffers through the
+    // spillable row array and is dropped by the df filter immediately
+    // after. n (the doc's FULL distinct-shingle count) is carried
+    // MAP-SIDE from the row's own array, so the prefix rank needs no
+    // sizes join.
     val member = docs
       .select(col("doc_id"), size(shingles(w)).cast("long").as("n"),
         explode(shingles(w)).as("shingle"))
-      .join(admissible.hint("shuffle_hash"), "shingle")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") > 1 && col("df") <= maxDf)
     // per-doc prefix: the ⌊(1−τ)·n⌋ + minShared rarest admissible
     // shingles in the global (df, shingle) order, n = the doc's FULL
     // distinct-shingle count (carried map-side — a function of the
