@@ -1032,12 +1032,25 @@ object Relational {
   def qCube(spark: SparkSession, dir: String): DataFrame =
     Tables
       .lineitem(spark, dir)
+      // pre-aggregate to the (flag, status) base grain FIRST: CUBE's
+      // Expand otherwise multiplies every fact row by the number of
+      // grouping sets (4×) before the partial agg — 4× the agg-probe
+      // volume and 4× the decimal casts for the same exact sums. The
+      // cube then runs over the ≤|flag|×|status| summary rows.
+      // DECIMAL sums are exact, so the re-aggregated totals (and the
+      // summed counts) are bit-identical to the single-level grouping.
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("l_quantity").cast(d204)).as("__sq"),
+        sum(col("l_extendedprice").cast(d204)).as("__sp")
+      )
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(d204)).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast(d204)).cast("double").as("sum_price")
+        sum(col("__n")).as("n"),
+        sum(col("__sq")).cast("double").as("sum_qty"),
+        sum(col("__sp")).cast("double").as("sum_price")
       )
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 

@@ -1058,28 +1058,43 @@ object Timeseries {
   def bandPower(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame = {
     val twoPi = 6.283185307179586
     val frac = (col("t") % lit(windowUs)).cast("double") / lit(windowUs.toDouble)
-    val arg = lit(twoPi) * col("k") * col("__frac")
+    // ONE aggregation at (channel, win) grain carrying all |ks|
+    // harmonics as separate sum columns, fanned out to (channel, win,
+    // k) rows on the SUMMARY grain — the former shape exploded every
+    // SAMPLE |ks| ways before the partial agg (|ks|× the agg-probe and
+    // row volume for the same DECIMAL sums). The trig terms are the
+    // identical libm cos/sin of the identical double argument
+    // ((2π·k)·frac — k folded as a double literal, the same product the
+    // per-row `2π·k·frac` column algebra produced), and DECIMAL sums
+    // are order-independent, so every per-cell sum is bit-identical to
+    // the exploded formulation and the oracle is unchanged.
+    val aggCols = Seq(count(lit(1)).as("n")) ++ ks.flatMap { k =>
+      val arg = lit(twoPi) * lit(k.toLong) * col("__frac")
+      Seq(
+        detSum(col("v") * cos(arg)).as(s"__c_$k"),
+        detSum(col("v") * sin(arg)).as(s"__s_$k")
+      )
+    }
+    val kFan = array(ks.map { k =>
+      struct(lit(k.toLong).as("k"), col(s"__c_$k").as("c"), col(s"__s_$k").as("s"))
+    }: _*)
     ts.select(
       col("channel"),
       floor(col("t") / lit(windowUs)).cast("long").as("win"),
       col("v"),
       frac.as("__frac")
     )
-      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
-      .groupBy(col("channel"), col("win"), col("k"))
-      .agg(
-        count(lit(1)).as("n"),
-        detSum(col("v") * cos(arg)).as("__c"),
-        detSum(col("v") * sin(arg)).as("__s")
-      )
+      .groupBy(col("channel"), col("win"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("channel"), col("win"), col("n"), explode(kFan).as("__kk"))
       .select(
         col("channel"),
         col("win"),
-        col("k"),
+        col("__kk.k").as("k"),
         col("n"),
         round(
-          (col("__c") / col("n")) * (col("__c") / col("n")) +
-            (col("__s") / col("n")) * (col("__s") / col("n")),
+          (col("__kk.c") / col("n")) * (col("__kk.c") / col("n")) +
+            (col("__kk.s") / col("n")) * (col("__kk.s") / col("n")),
           6
         ).as("power")
       )
@@ -1104,20 +1119,46 @@ object Timeseries {
     * reduction is one (pair, k)-keyed partial agg. Portability: same
     * trig-on-identical-rationals + DECIMAL-routed sums as bandPower.
     */
-  def spectralCoherence(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame = {
+  /** Per-(channel, window, k) DFT components (c, s) — the shared
+    * kernel under [[spectralCoherence]] and [[phaseLocking]]. Same
+    * single-agg shape as [[bandPower]]: all |ks| harmonics are sum
+    * columns of ONE (channel, win) aggregation (no sample-grain
+    * explode), fanned out to k rows on the summary grain. Trig terms
+    * and DECIMAL sums are bit-identical to the exploded formulation.
+    */
+  private def dftComps(ts: DataFrame, windowUs: Long, ks: Seq[Int]): DataFrame = {
     val twoPi = 6.283185307179586
     val frac = (col("t") % lit(windowUs)).cast("double") / lit(windowUs.toDouble)
-    val arg = lit(twoPi) * col("k") * col("__frac")
-    val comps = ts
+    val aggCols = ks.flatMap { k =>
+      val arg = lit(twoPi) * lit(k.toLong) * col("__frac")
+      Seq(
+        detSum(col("v") * cos(arg)).as(s"__c_$k"),
+        detSum(col("v") * sin(arg)).as(s"__s_$k")
+      )
+    }
+    val kFan = array(ks.map { k =>
+      struct(lit(k.toLong).as("k"), col(s"__c_$k").as("c"), col(s"__s_$k").as("s"))
+    }: _*)
+    ts.select(
+      col("channel"),
+      floor(col("t") / lit(windowUs)).cast("long").as("win"),
+      col("v"),
+      frac.as("__frac")
+    )
+      .groupBy(col("channel"), col("win"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("channel"), col("win"), explode(kFan).as("__kk"))
       .select(
         col("channel"),
-        floor(col("t") / lit(windowUs)).cast("long").as("win"),
-        col("v"),
-        frac.as("__frac")
+        col("win"),
+        col("__kk.k").as("k"),
+        col("__kk.c").as("c"),
+        col("__kk.s").as("s")
       )
-      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
-      .groupBy(col("channel"), col("win"), col("k"))
-      .agg(detSum(col("v") * cos(arg)).as("c"), detSum(col("v") * sin(arg)).as("s"))
+  }
+
+  def spectralCoherence(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame = {
+    val comps = dftComps(ts, windowUs, ks)
     val lhs = comps.select(
       col("channel").as("ch_a"),
       col("win"),
@@ -1178,19 +1219,7 @@ object Timeseries {
     * windows drop via NULLIF in both engines.
     */
   def phaseLocking(ts: DataFrame, windowUs: Long, ks: Seq[Int] = 1 to 4): DataFrame = {
-    val twoPi = 6.283185307179586
-    val frac = (col("t") % lit(windowUs)).cast("double") / lit(windowUs.toDouble)
-    val arg = lit(twoPi) * col("k") * col("__frac")
-    val comps = ts
-      .select(
-        col("channel"),
-        floor(col("t") / lit(windowUs)).cast("long").as("win"),
-        col("v"),
-        frac.as("__frac")
-      )
-      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
-      .groupBy(col("channel"), col("win"), col("k"))
-      .agg(detSum(col("v") * cos(arg)).as("c"), detSum(col("v") * sin(arg)).as("s"))
+    val comps = dftComps(ts, windowUs, ks)
     val lhs = comps.select(
       col("channel").as("ch_a"),
       col("win"),
@@ -1334,42 +1363,79 @@ object Timeseries {
           col("__hc1") * col(s"__hs${k - 1}") + col("__hs1") * col(s"__hc${k - 1}")
         )
     }
-    val ca = element_at(col("__ca"), col("k").cast("int"))
-    val sa = element_at(col("__sa"), col("k").cast("int"))
-    val ca2 = element_at(col("__ca"), (col("k") * 2).cast("int"))
-    val sa2 = element_at(col("__sa"), (col("k") * 2).cast("int"))
-    val withArrays = base
-      .select(
-        col("channel"),
-        col("win"),
-        col("v"),
-        array((1 to kmax).map(i => col(s"__hc$i")): _*).as("__ca"),
-        array((1 to kmax).map(i => col(s"__hs$i")): _*).as("__sa")
-      )
-    // n, Σv and Σv² are k-INDEPENDENT: summing them inside the k fan
-    // would pay the DECIMAL route |ks| times per sample for the same
-    // number. One per-(channel, win) agg computes them once; the join
-    // back is summary-grain on the same keys.
-    val totals = withArrays
-      .groupBy(col("channel"), col("win"))
-      .agg(
+    // ONE aggregation at (channel, win) grain computes n/Σv/Σv² AND all
+    // six per-k sums for every harmonic — 3 + 6·|ks| exact DECIMAL sums
+    // in a single pass. The former shape exploded every SAMPLE |ks|
+    // ways (each exploded row carrying two 2·kmax-element arrays) into
+    // a (channel, win, k) agg, ran a SECOND agg over the same lattice
+    // subtree for the k-independent totals (recomputing cos/sin and the
+    // whole recurrence per sample), and joined the two — two agg
+    // passes + one join + |ks|× hash-agg probes per sample. DECIMAL
+    // sums are exact and order-independent, so each per-cell sum here
+    // is bit-identical to the exploded formulation's; the k fan-out
+    // now happens on the SUMMARY grain (one explode per (channel, win)
+    // cell instead of per sample).
+    // the unweighted sums Σhc_j / Σhs_j are shared across the k fan
+    // (the τ terms at 2k coincide with the base terms at k' = 2k), so
+    // each unique harmonic j ∈ ks ∪ 2·ks is summed ONCE — for
+    // ks = 1..8 that is 12 cos + 12 sin sums instead of the exploded
+    // formulation's 32 (c2_k ≡ c1_{2k} is the same detSum expression,
+    // so the reuse is exact by construction)
+    val uniqueHs = (ks ++ ks.map(_ * 2)).distinct.sorted
+    val aggCols =
+      Seq(
         count(lit(1)).as("n"),
         detSum(col("v")).as("sv"),
         detSum(col("v") * col("v")).as("sv2")
-      )
+      ) ++ ks.flatMap { k =>
+        Seq(
+          detSum(col("v") * col(s"__hc$k")).as(s"__c1v_$k"),
+          detSum(col("v") * col(s"__hs$k")).as(s"__s1v_$k")
+        )
+      } ++ uniqueHs.flatMap { j =>
+        Seq(
+          detSum(col(s"__hc$j")).as(s"__hcs_$j"),
+          detSum(col(s"__hs$j")).as(s"__hss_$j")
+        )
+      }
+    val cells = base
+      .groupBy(col("channel"), col("win"))
+      .agg(aggCols.head, aggCols.tail: _*)
       .filter(col("n") > 2)
-    val g = withArrays
-      .select(col("*"), explode(lit(ks.map(_.toLong).toArray)).as("k"))
-      .groupBy(col("channel"), col("win"), col("k"))
-      .agg(
-        detSum(col("v") * ca).as("c1v"),
-        detSum(col("v") * sa).as("s1v"),
-        detSum(ca).as("c1"),
-        detSum(sa).as("s1"),
-        detSum(ca2).as("c2"),
-        detSum(sa2).as("s2")
+    val kFan = array(ks.map { k =>
+      struct(
+        lit(k.toLong).as("k"),
+        col(s"__c1v_$k").as("c1v"),
+        col(s"__s1v_$k").as("s1v"),
+        col(s"__hcs_$k").as("c1"),
+        col(s"__hss_$k").as("s1"),
+        col(s"__hcs_${2 * k}").as("c2"),
+        col(s"__hss_${2 * k}").as("s2")
       )
-      .join(totals, Seq("channel", "win"))
+    }: _*)
+    val g = cells
+      .select(
+        col("channel"),
+        col("win"),
+        col("n"),
+        col("sv"),
+        col("sv2"),
+        explode(kFan).as("__kk")
+      )
+      .select(
+        col("channel"),
+        col("win"),
+        col("__kk.k").as("k"),
+        col("__kk.c1v").as("c1v"),
+        col("__kk.s1v").as("s1v"),
+        col("__kk.c1").as("c1"),
+        col("__kk.s1").as("s1"),
+        col("__kk.c2").as("c2"),
+        col("__kk.s2").as("s2"),
+        col("n"),
+        col("sv"),
+        col("sv2")
+      )
     val vbar = col("sv") / col("n")
     val cvc = col("c1v") - vbar * col("c1")
     val cvs = col("s1v") - vbar * col("s1")
