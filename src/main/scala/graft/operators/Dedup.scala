@@ -3006,7 +3006,24 @@ object Dedup {
                           minShared: Int = 3, sampleK: Int = 128): DataFrame = {
     require(w > 0 && maxDf > 1 && minShared > 0 && sampleK > 0,
       s"need w > 0, maxDf > 1, minShared > 0, sampleK > 0; got w=$w maxDf=$maxDf minShared=$minShared sampleK=$sampleK")
-    val sh = docs.select(col("doc_id"), explode(shingles(w)).as("shingle"))
+    // HASHED POSTINGS (the round-15 sf0.1 profile: the posting-stream
+    // shuffles/sorts/joins on ~25-byte shingle STRINGS were ~60% of
+    // the query — the df window, the prefix rank, the prefix×posting
+    // join and both verify joins all key on the shingle). Every
+    // posting-side relation here carries polyHash(shingle) — the same
+    // 2⁶¹−1 polynomial hash the MinHash/DSIR/spans pipelines already
+    // shuffle (graft.functions.MinhashHash.polyHash), reproduced
+    // fold-for-fold in the DuckDB oracle, so bucket/df/intersection
+    // equality stays bit-for-bit engine-portable — an 8-byte long key
+    // instead of the string. Collisions (P ≈ 2.3e18) would merge two
+    // shingles' postings; the same astronomically-unlikely trade every
+    // hashed-key stage in the dedup family already accepts, and the
+    // oracle computes the identical hash so both engines agree
+    // exactly either way. The VERIFY SAMPLE is still selected by
+    // md5-of-string (the sketch itself is unchanged); only the join
+    // key it emits is the hash.
+    val hashed = (c: Column) => graft.functions.MinhashHash.polyHashes(c)
+    val sh = docs.select(col("doc_id"), explode(hashed(shingles(w))).as("shingle"))
     // per-doc distinct-shingle count: a function of the doc's own
     // shingle array — one map-side projection, never a stream agg
     val sizes = docs.select(col("doc_id"), size(shingles(w)).cast("long").as("n"))
@@ -3025,13 +3042,14 @@ object Dedup {
     val sampled = docs.select(
       col("doc_id"),
       explode(
-        when(size(shingles(w)) <= sampleK, shingles(w)).otherwise(
-          transform(
-            slice(
-              array_sort(transform(shingles(w), s =>
-                struct(md5(s.cast("binary")).as("h"), s.as("s")))),
-              1, sampleK),
-            x => x.getField("s")))
+        hashed(
+          when(size(shingles(w)) <= sampleK, shingles(w)).otherwise(
+            transform(
+              slice(
+                array_sort(transform(shingles(w), s =>
+                  struct(md5(s.cast("binary")).as("h"), s.as("s")))),
+                1, sampleK),
+              x => x.getField("s"))))
       ).as("shingle")
     )
     // document frequency and admission in ONE postings pass: count(df)
@@ -3050,7 +3068,7 @@ object Dedup {
     // sizes join.
     val member = docs
       .select(col("doc_id"), size(shingles(w)).cast("long").as("n"),
-        explode(shingles(w)).as("shingle"))
+        explode(hashed(shingles(w))).as("shingle"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") > 1 && col("df") <= maxDf)
     // per-doc prefix: the ⌊(1−τ)·n⌋ + minShared rarest admissible
@@ -3149,6 +3167,12 @@ object Dedup {
     base.unionByName(planted).select(col("doc_id"), array_join(col("ws"), " ").as("text"))
   }
 
+  /** The driver query's planted corpus, exposed for dev profiling
+    * (tools.ContProfile times pipeline prefixes against it).
+    */
+  def plantedContainmentCorpus(spark: SparkSession, dir: String): DataFrame =
+    withPlantedContainment(Tables.documents(spark, dir))
+
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     containmentNearDups(withPlantedContainment(Tables.documents(spark, dir)), w = 3, tau = 0.9, maxDf = 256)
 
@@ -3179,19 +3203,31 @@ object Dedup {
       |    CASE WHEN len(ws) >= 3 THEN array_to_string(ws[i:i+2], ' ')
       |         ELSE array_to_string(ws, ' ') END AS shingle
       |  FROM shpos),
+      |-- the engine's hashed posting key: polyHash(shingle) mod 2⁶¹−1,
+      |-- the identical HUGEINT fold the minhash oracle runs — posting
+      |-- joins/df/prefix all key on the 8-byte hash in both engines
+      |hs AS (
+      |  SELECT doc_id, shingle AS s,
+      |    CAST(CASE WHEN LENGTH(shingle) = 0 THEN CAST(0 AS HUGEINT)
+      |         ELSE list_reduce(
+      |           list_transform(range(1, LENGTH(shingle) + 1),
+      |                          j -> CAST(unicode(substr(shingle, CAST(j AS INT), 1)) AS HUGEINT)),
+      |           (h, c) -> (h * ${graft.functions.Winnow.Base} + c) % ${graft.functions.Winnow.P}) END
+      |      AS BIGINT) AS h
+      |  FROM sh),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |adm AS (
-      |  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+      |  SELECT h, COUNT(*) AS df FROM hs GROUP BY h
       |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
-      |member AS (SELECT s.doc_id, s.shingle, a.df FROM sh s JOIN adm a USING (shingle)),
+      |member AS (SELECT s.doc_id, s.h, a.df FROM hs s JOIN adm a USING (h)),
       |pfx AS (
       |  -- the engine's prefix filter: ⌊(1−τ)·n⌋ + minShared rarest
-      |  -- admissible shingles per doc in (df, shingle) order; the
+      |  -- admissible shingles per doc in (df, hash) order; the
       |  -- constant is the IEEE double 1.0 − 0.9, cast so DuckDB's
       |  -- decimal literal parsing cannot diverge from Spark's double
-      |  SELECT doc_id, shingle FROM (
-      |    SELECT m.doc_id, m.shingle,
-      |      row_number() OVER (PARTITION BY m.doc_id ORDER BY m.df, m.shingle) AS rk,
+      |  SELECT doc_id, h FROM (
+      |    SELECT m.doc_id, m.h,
+      |      row_number() OVER (PARTITION BY m.doc_id ORDER BY m.df, m.h) AS rk,
       |      sz.n AS n
       |    FROM member m JOIN sizes sz ON sz.doc_id = m.doc_id)
       |  WHERE rk <= FLOOR(CAST(0.09999999999999998 AS DOUBLE) * n) + 3),
@@ -3200,28 +3236,30 @@ object Dedup {
       |  FROM (
       |    SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
       |           GREATEST(x.doc_id, y.doc_id) AS doc_b,
-      |           COUNT(DISTINCT x.shingle) AS n_shared
-      |    FROM pfx x JOIN member y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+      |           COUNT(DISTINCT x.h) AS n_shared
+      |    FROM pfx x JOIN member y ON x.h = y.h AND x.doc_id <> y.doc_id
       |    GROUP BY 1, 2) c
       |  JOIN sizes sa ON sa.doc_id = c.doc_a
       |  JOIN sizes sb ON sb.doc_id = c.doc_b
       |  WHERE c.n_shared >= LEAST(3, sa.n, sb.n)),
       |samp AS (
-      |  SELECT doc_id, shingle FROM (
-      |    SELECT doc_id, shingle,
-      |      row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle), shingle) AS rk
-      |    FROM sh) WHERE rk <= 128),
+      |  -- selection is STILL by md5 of the shingle string (the min-K
+      |  -- sketch is unchanged); only the emitted join key is the hash
+      |  SELECT doc_id, h FROM (
+      |    SELECT doc_id, h,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY md5(s), s) AS rk
+      |    FROM hs) WHERE rk <= 128),
       |ia AS (
       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ia
       |  FROM cand c
       |  JOIN samp a ON a.doc_id = c.doc_a
-      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  JOIN hs b ON b.doc_id = c.doc_b AND b.h = a.h
       |  GROUP BY 1, 2),
       |ib AS (
       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ib
       |  FROM cand c
       |  JOIN samp b ON b.doc_id = c.doc_b
-      |  JOIN sh a ON a.doc_id = c.doc_a AND a.shingle = b.shingle
+      |  JOIN hs a ON a.doc_id = c.doc_a AND a.h = b.h
       |  GROUP BY 1, 2)
       |SELECT c.doc_a, c.doc_b,
       |  ROUND(CAST(COALESCE(ia.ia, 0) AS DOUBLE) / LEAST(c.na, 128), 6) AS cont_a,
