@@ -414,9 +414,20 @@ object Dedup {
       .select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
+    // HASHED VERIFY KEYS (round-16 MinhashProfile: the verify stage was
+    // ~2.9 s of the query's 5.4 at sf0.1, its joins keyed on ~25-byte
+    // shingle STRINGS): the exploded stream carries polyHash(shingle) —
+    // the same 2⁶¹−1 fold the signature kernel and the containment
+    // postings already shuffle, reproduced fold-for-fold in the
+    // oracle's h1 CTE, so intersection counts stay bit-for-bit
+    // engine-portable — an 8-byte long per element instead of the
+    // string (guide §2.3: narrower shuffle keys). Cross-shingle hash
+    // collisions (P ≈ 2.3e18) would inflate n_inter identically in both
+    // engines; the same trade every hashed-key dedup stage accepts.
     val shVerify = docsSel
       .join(candidateIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(shingles(w)).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.functions.MinhashHash.polyHashes(shingles(w))).as("shingle"))
     setJaccard(pairs, shVerify, "shingle", sigs.select(col("doc_id"), col("n")))
   }
 
@@ -1763,10 +1774,14 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM member x JOIN member y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
        |inter AS (
+       |  -- the engine's hashed verify keys: intersection counted on
+       |  -- h1 = polyHash(shingle) exactly as minhashJaccard joins on
+       |  -- the 8-byte hash (h1 rows are 1:1 with sh rows, so the
+       |  -- count is the same multiset intersection in both engines)
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
        |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.doc_a
-       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  JOIN h1 a ON a.doc_id = c.doc_a
+       |  JOIN h1 b ON b.doc_id = c.doc_b AND b.h1 = a.h1
        |  GROUP BY c.doc_a, c.doc_b),
        |jac AS (
        |  SELECT c.doc_a, c.doc_b,
@@ -3060,15 +3075,36 @@ object Dedup {
     // exchanges twice and built a distinct-shingle hash map besides;
     // the window form shuffles postings ONCE, and its partition sort is
     // the same (shingle) sort the candidate merge join needs on its
-    // posting side, so the sort is shared, not added. A stopword
-    // shingle's window group is corpus-sized but buffers through the
-    // spillable row array and is dropped by the df filter immediately
-    // after. n (the doc's FULL distinct-shingle count) is carried
-    // MAP-SIDE from the row's own array, so the prefix rank needs no
-    // sizes join.
-    val member = docs
+    // posting side, so the sort is shared, not added. n (the doc's
+    // FULL distinct-shingle count) is carried MAP-SIDE from the row's
+    // own array, so the prefix rank needs no sizes join.
+    //
+    // TWO-LEVEL df for the hot keys: count-over-window has no partial
+    // aggregation, so a boilerplate shingle with df ≈ 0.3·N lands its
+    // ENTIRE posting list in one window group on one task — it spills
+    // rather than OOMs, and the df filter drops it immediately after,
+    // but at 10⁹–10¹⁰ docs that group is 10⁸–10⁹ rows through a single
+    // task's spill path: the classic skewed-key single-reducer
+    // straggler (guide §2.5). The SUPER-HOT set (df > maxDf) is found
+    // first with a skew-immune map-side-combined count agg and
+    // broadcast anti-joined out of the stream BEFORE the window, so no
+    // surviving window group exceeds maxDf rows — bounded task memory
+    // and wall time at any corpus size. The hot relation is tiny BY
+    // CONSTRUCTION: |hot| ≤ postings / maxDf distinct 8-byte keys
+    // (86k at the 5M-doc decade census), and maxDf is corpus-relative
+    // in deployment, so the bound tightens as the corpus grows. The
+    // exclusion changes nothing the old plan kept: every dropped
+    // shingle had df > maxDf and was discarded by the admission filter
+    // anyway, and surviving groups' counts are untouched.
+    val postings = docs
       .select(col("doc_id"), size(shingles(w)).cast("long").as("n"),
         explode(hashed(shingles(w))).as("shingle"))
+    val hotShingles = postings
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("shingle"))
+    val member = postings
+      .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") > 1 && col("df") <= maxDf)
     // per-doc prefix: the ⌊(1−τ)·n⌋ + minShared rarest admissible

@@ -33,10 +33,22 @@ object ContProfile {
     }
 
     val docs = Dedup.plantedContainmentCorpus(spark, dir)
-    val sh = docs.select(col("doc_id"), explode(Dedup.shingles(w)).as("shingle"))
-    val member = docs
+    // posting-side stages key on polyHash longs exactly like the
+    // shipped containmentNearDups — string-keyed timings stopped
+    // reflecting production when the hashed-postings change landed
+    val hashed = (c: org.apache.spark.sql.Column) => graft.functions.MinhashHash.polyHashes(c)
+    val sh = docs.select(col("doc_id"), explode(hashed(Dedup.shingles(w))).as("shingle"))
+    val postings = docs
       .select(col("doc_id"), size(Dedup.shingles(w)).cast("long").as("n"),
-        explode(Dedup.shingles(w)).as("shingle"))
+        explode(hashed(Dedup.shingles(w))).as("shingle"))
+    val hot = postings.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("shingle"))
+    val member = postings
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+    // the pre-hot-exclusion window shape, for A/B
+    val memberNoHot = postings
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") > 1 && col("df") <= maxDf)
     val prefix = member
@@ -57,9 +69,7 @@ object ContProfile {
     // alternative df shapes
     val dfRel = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 1 && col("df") <= maxDf)
-    val memberAgg = docs
-      .select(col("doc_id"), size(Dedup.shingles(w)).cast("long").as("n"),
-        explode(Dedup.shingles(w)).as("shingle"))
+    val memberAgg = postings
       .join(dfRel.hint("shuffle_hash"), Seq("shingle"))
     val prefixAgg = memberAgg
       .withColumn("__rk",
@@ -78,7 +88,8 @@ object ContProfile {
 
     time("docs")(docs)
     time("sh(explode)")(sh)
-    time("member(df window)")(member)
+    time("member(hot-excl window)")(member)
+    time("memberNoHot(df window)")(memberNoHot)
     time("memberAgg(count+join)")(memberAgg)
     time("prefix(rank window)")(prefix)
     time("prefixAgg")(prefixAgg)
